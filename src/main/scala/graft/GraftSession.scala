@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's scale-oriented defaults.
+  *
+  * Tuned for correctness parity with a DuckDB oracle (UTC session time zone)
+  * and for large-scale execution: AQE on (runtime shuffle coalescing, skew-join
+  * splitting), shuffle partitions sized to the local core count rather than the
+  * 200 default (on a real cluster this would be ~2-3x total cores / set by AQE
+  * advisory size).
+  */
+object GraftSession {
+
+  /** Default shuffle partition count for local mode. */
+  def defaultShufflePartitions: Int =
+    math.max(Runtime.getRuntime.availableProcessors(), 4)
+
+  def builder(master: String = "local[*]", appName: String = "graft"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", defaultShufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.orc.enableVectorizedReader", "true")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = 0, appName: String = "graft"): SparkSession = {
+    val m = if (cores <= 0) "local[*]" else s"local[$cores]"
+    val s = builder(m, appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Hive-metastore-backed variant (catalog layer, RCFile tables). */
+  def localHive(warehouseDir: String, appName: String = "graft-hive"): SparkSession = {
+    val s = builder("local[*]", appName)
+      .config("spark.sql.warehouse.dir", warehouseDir)
+      .config("spark.sql.hive.metastorePartitionPruning", "true")
+      .enableHiveSupport()
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,13 +1,577 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.llm.{Dedup, Multimodal, Similarity}
+
+/** Driver contract: the engine's declared query inventory (one entry per
+  * implemented operator from SURVEY.md §2 plus the LLM-pipeline additions)
+  * and, for each SQL-expressible query, the equivalent DuckDB SQL oracle.
+  *
+  * Parity rules shared by every (query, oracle) pair:
+  *   - identical output column names and types (counts as BIGINT, ratios as
+  *     DOUBLE rounded so double-summation order can't flip a hash);
+  *   - identical total ordering (every ORDER BY ends in a unique key);
+  *   - regexes written in the Java-regex/RE2 common dialect.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events with `ts` normalized to TimestampType. The testdata parquet
+    * stores TIMESTAMP(NANOS), which Spark reads as a nanos long under
+    * `spark.sql.legacy.parquet.nanosAsLong`; `div 1000` (integral) keeps
+    * microsecond precision exactly — a double division would lose precision
+    * above 2^53 ns.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "events")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** documents ∪ mutated near-duplicate copies (id+100000, first 20 chars
+    * dropped) — the deterministic corpus used by the near-dup queries so
+    * they provably emit pairs even on an all-distinct source table.
+    */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.union(d.select(col("doc_id") + 100000L, expr("substring(text, 21)")))
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational core (SURVEY.md §2C: aggregation) -------------------
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q02_filter_sum" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1996-01-01") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    }),
+
+    // ---- joins (SURVEY.md §2C: equi/semi/anti/broadcast) ----------------
+    "q03_topk_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1995-03-15"))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1995-03-15"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q04_semi_join" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem").filter(col("l_quantity") > 49)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .countBy(Seq("o_orderpriority"), "order_count")
+    }),
+
+    "q05_join5_agg" -> ((s, dir) => {
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01") && col("o_orderdate") < lit("1997-01-01"))
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "q06_anti_join" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      t(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .countBy(Seq("c_mktsegment"), "n_customers")
+    }),
+
+    "q07_broadcast_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // ---- window functions ----------------------------------------------
+    "q08_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("rank"))
+        .orderBy(col("o_custkey"), col("rank"))
+    }),
+
+    "q09_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ---- distinct aggregates / grouping sets / set ops / sort-limit ----
+    "q10_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q11_rollup" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
+          coalesce(col("n_name"), lit("ALL")).as("n_name"), col("n_customers"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    "q12_setops" -> ((s, dir) => {
+      val a = t(s, dir, "customer").filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_nationkey").as("nk")).distinct()
+      val b = t(s, dir, "supplier").select(col("s_nationkey").as("nk")).distinct()
+      val ex = t(s, dir, "nation").filter(col("n_regionkey") === 0)
+        .select(col("n_nationkey").as("nk"))
+      a.union(b).distinct().except(ex).orderBy(col("nk"))
+    }),
+
+    "q13_sort_limit" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- reference dataflow surface (SURVEY.md §2B) ---------------------
+    "q14_remove_where" -> ((s, dir) => {
+      t(s, dir, "part")
+        .removeWhere(col("p_size") > 30 || col("p_brand").like("Brand#4%"))
+        .identitySelect("p_partkey", "p_brand", "p_size")
+        .orderBy(col("p_partkey"))
+    }),
+
+    "q15_coerce" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .coerceDdl("l_linenumber" -> "bigint")
+        .withColumn("l_orderkey_str", col("l_orderkey").cast("string"))
+        .identitySelect("l_orderkey", "l_linenumber", "l_orderkey_str")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q16_identity_select" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .identitySelect("c_custkey", "c_name", "c_mktsegment")
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q17_countby" -> ((s, dir) => {
+      t(s, dir, "lineitem").countBy(Seq("l_returnflag", "l_linestatus"))
+    }),
+
+    "q18_wordcount" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .splitGenerate(col("text"), """[ \[\]\(\),.]""")
+        .countBy(Seq("token"))
+    }),
+
+    // ---- LLM-pipeline: dedup -------------------------------------------
+    "q19_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(concat_ws(" ", TF.normTokens(col("text"))).as("__norm"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .select(col("keep_id"), col("n_dups"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // ---- LLM-pipeline: text analysis -----------------------------------
+    "q20_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q21_text_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TF.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TF.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          round(TF.meanTokenLen(col("text")), 6).as("mean_token_len"),
+          round(TF.qualityScore(col("text")), 6).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q22_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.langIdHeuristic(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- LLM-pipeline: near-dedup (hash-based; rows-only checks) --------
+    "q23_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashPairs(docsWithNearDups(s, dir), "text", "doc_id",
+          shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.35)
+        .orderBy(col("idA"), col("idB"))
+    }),
+
+    "q24_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(docsWithNearDups(s, dir), "text", "doc_id",
+          maxHamming = 10, prefixBits = 8)
+        .orderBy(col("idA"), col("idB"))
+    }),
+
+    "q25_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "text", "doc_id",
+          n = 3, threshold = 0.3, maxShingleFreq = 400)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("idA"), col("idB"))
+    }),
+
+    "q26_embedding_dups" -> ((s, dir) => {
+      Dedup.embeddingPairsExact(t(s, dir, "embeddings"), "embedding", "vec_id", 0.4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy(col("idA"), col("idB"))
+    }),
+
+    // ---- LLM-pipeline: similarity search --------------------------------
+    "q27_knn_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb,
+          "embedding", "vec_id", k = 5)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q28_knn_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb,
+          "embedding", "vec_id", k = 5, sigBits = 12, probeHamming = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- events: windowed + sessionized analytics -----------------------
+    "q29_events_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).cast("long").as("hour_ts"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("hour_ts"), col("event_type"))
+    }),
+
+    "q30_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("new_sess")).as("n_sessions"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- multimodal plumbing -------------------------------------------
+    "q31_multimodal_stats" -> ((s, dir) => {
+      val withBin = Multimodal.withBinaryPayload(t(s, dir, "documents"), "text")
+      Multimodal.withPayloadStats(withBin, "payload")
+        .groupBy(col("source"))
+        .agg(sum(col("n_bytes")).as("total_bytes"), count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    })
+  )
+
+  // --- DuckDB oracles ------------------------------------------------------
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** Shared doc-normalization SQL fragments (must mirror TextFunctions). */
+  private val toksSql  = """list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"""
+  private val ntoksSql = """list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0)"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_sum" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q03_topk_join" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q04_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q05_join5_agg" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q06_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q07_broadcast_agg" ->
+      """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q08_window_topk" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, "rank"
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_totalprice DESC, o_orderkey) AS "rank"
+        |      FROM orders) r
+        |WHERE "rank" <= 3 ORDER BY o_custkey, "rank"""".stripMargin,
+
+    "q09_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q10_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q11_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
+        |  count(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY coalesce(r_name, 'ALL'), coalesce(n_name, 'ALL')""".stripMargin,
+
+    "q12_setops" ->
+      """SELECT nk FROM (
+        |  SELECT DISTINCT c_nationkey AS nk FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |  UNION
+        |  SELECT DISTINCT s_nationkey AS nk FROM supplier
+        |  EXCEPT
+        |  SELECT n_nationkey AS nk FROM nation WHERE n_regionkey = 0
+        |) ORDER BY nk""".stripMargin,
+
+    "q13_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q14_remove_where" ->
+      """SELECT p_partkey, p_brand, p_size FROM part
+        |WHERE (p_size > 30 OR p_brand LIKE 'Brand#4%') IS NOT TRUE
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q15_coerce" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(l_orderkey AS VARCHAR) AS l_orderkey_str
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q16_identity_select" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey""",
+
+    "q17_countby" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS "count"
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q18_wordcount" ->
+      """SELECT token, count(*) AS "count"
+        |FROM (SELECT unnest(string_split_regex(text, '[ \[\]\(\),.]')) AS token
+        |      FROM documents) u
+        |GROUP BY token ORDER BY token""".stripMargin,
+
+    "q19_dedup_exact" ->
+      s"""WITH n AS (SELECT doc_id,
+         |  array_to_string($ntoksSql, ' ') AS norm FROM documents)
+         |SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+         |FROM n GROUP BY norm ORDER BY keep_id""".stripMargin,
+
+    "q20_token_stats" ->
+      s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens, n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q21_text_quality" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, text, $toksSql AS toks, $ntoksSql AS ntoks FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) * 1.0 / length(text) END AS pr,
+         |    CASE WHEN len(ntoks) = 0 THEN 0.0
+         |         ELSE len(list_filter(ntoks, x -> list_contains(${sqlList(TF.StopwordsEn)}, x))) * 1.0 / len(ntoks) END AS sw,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks) END AS mtl,
+         |    length(text) AS n
+         |  FROM b)
+         |SELECT doc_id,
+         |  round(pr, 6) AS punct_ratio,
+         |  round(sw, 6) AS stopword_ratio,
+         |  round(mtl, 6) AS mean_token_len,
+         |  round(least(sw * 4.0, 1.0) * 0.4 + greatest(1.0 - pr * 4.0, 0.0) * 0.3
+         |    + (CASE WHEN n BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.25 END) * 0.15
+         |    + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.25 END) * 0.15, 6) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q22_lang_id" -> {
+      val scores = TF.LangMarkers.map { case (lang, markers) =>
+        s"len(list_filter(ntoks, x -> list_contains(${sqlList(markers)}, x))) AS s_$lang"
+      }.mkString(",\n    ")
+      val langs = TF.LangMarkers.map(_._1)
+      val m     = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+      s"""WITH b AS (SELECT doc_id, $ntoksSql AS ntoks FROM documents),
+         |sc AS (SELECT doc_id,
+         |    ${scores}
+         |  FROM b),
+         |mm AS (SELECT doc_id, $m AS m, * FROM sc)
+         |SELECT doc_id,
+         |  CASE WHEN m = 0 THEN 'und' $cases END AS lang_pred
+         |FROM mm ORDER BY doc_id""".stripMargin
+    },
+
+    "q26_embedding_dups" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |p AS (SELECT a.vec_id AS idA, b.vec_id AS idB,
+        |        CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0.0
+        |             ELSE list_dot_product(a.v, b.v) /
+        |                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END AS cosine
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT idA, idB, round(cosine, 6) AS cosine FROM p
+        |WHERE cosine >= 0.4 ORDER BY idA, idB""".stripMargin,
+
+    "q27_knn_bruteforce" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        CASE WHEN sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)) = 0 THEN 0.0
+        |             ELSE list_dot_product(q.v, c.v) /
+        |                  (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) END AS cosine
+        |      FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY cosine DESC, neighbor_id) AS "rank"
+        |      FROM s)
+        |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, "rank"
+        |FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    "q29_events_window" ->
+      """SELECT CAST(extract(epoch FROM date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+        |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q30_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN prev_ts IS NULL
+        |       OR extract(epoch FROM ts) - extract(epoch FROM prev_ts) > 1800
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q31_multimodal_stats" ->
+      """SELECT source, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  )
 }

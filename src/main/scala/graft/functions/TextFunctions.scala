@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, shingling, quality metrics, language-ID heuristics, and
+  * document fingerprints. All are pure `org.apache.spark.sql.functions`
+  * compositions — codegen'd, no UDFs — so they stay inside whole-stage
+  * codegen and scale linearly with input.
+  *
+  * Builds on the reference's regex-split machinery (SURVEY.md §2 B8,
+  * RegexSplitGenerator) — tokenization here is the same split, minus empty
+  * tokens, plus lowercasing.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer; empty tokens dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+", -1), t => length(t) > 0)
+
+  /** Lowercased tokens with punctuation stripped — normalization for dedup. */
+  def normTokens(text: Column): Column =
+    filter(split(lower(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", " ")), "\\s+", -1),
+           t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: word-pieces + digits + punctuation runs.
+    * A cheap proxy for tokenizer-cost accounting at corpus scale.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(filter(
+      split(text, "(?=[\\p{Punct}])|\\s+|(?<=[\\p{Punct}])", -1),
+      t => length(t) > 0))
+
+  /** Contiguous word n-grams (shingles) over the normalized tokens. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = normTokens(text)
+    when(size(toks) < n, array()).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Character n-grams of the lowercased text (language-ID features). */
+  def charNgrams(text: Column, n: Int): Column = {
+    val t = lower(text)
+    when(length(t) < n, array()).otherwise(
+      transform(sequence(lit(0), length(t) - n),
+        i => t.substr(i + 1, lit(n))))
+  }
+
+  // --- quality scoring -----------------------------------------------------
+
+  val StopwordsEn: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "that", "this", "it", "as", "at", "by", "be")
+
+  /** ASCII punctuation char-class, spelled so Java regex (Spark) and RE2
+    * (DuckDB oracle) agree exactly — `\p{Punct}` is Java-only.
+    */
+  val PunctClass = "[!-/:-@\\[-`{-~]"
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, s"[^!-/:-@\\[-`{-~]", "")).cast("double") /
+        length(text).cast("double"))
+
+  /** Fraction of characters that are uppercase letters. */
+  def upperRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[^A-Z]", "")).cast("double") /
+        length(text).cast("double"))
+
+  /** Fraction of tokens that are English stopwords — high values indicate
+    * natural running text, near-zero indicates tables/code/noise.
+    */
+  def stopwordRatio(text: Column): Column = {
+    val toks = normTokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => t.isin(StopwordsEn: _*))).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Mean token length (a cheap gibberish detector). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: rewards stopword presence, penalizes
+    * punctuation overload and extreme token lengths. Deterministic and
+    * monotone — meant for threshold filtering of a 100 TB corpus, not as a
+    * learned model.
+    */
+  def qualityScore(text: Column): Column = {
+    val sw   = stopwordRatio(text)
+    val pr   = punctRatio(text)
+    val mtl  = meanTokenLen(text)
+    val lenOk = when(length(text).between(20, 100000), 1.0).otherwise(0.25)
+    val mtlOk = when(mtl.between(2.0, 12.0), 1.0).otherwise(0.25)
+    val swPart = least(sw * lit(4.0), lit(1.0))
+    val prPart = greatest(lit(1.0) - pr * lit(4.0), lit(0.0))
+    (swPart * 0.4 + prPart * 0.3 + lenOk * 0.15 + mtlOk * 0.15)
+  }
+
+  // --- language identification --------------------------------------------
+
+  /** Per-language marker token sets for the n-gram/stopword heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "una", "por"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "que", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "auf"),
+    "zh" -> Seq("de5", "shi4", "bu4") // pinyin-romanized markers (toy corpus)
+  )
+
+  /** Heuristic language ID: argmax over marker-token hit counts; ties and
+    * zero-hit rows resolve to "und". Deterministic — the tie-break is the
+    * declaration order of [[LangMarkers]].
+    */
+  def langIdHeuristic(text: Column): Column = {
+    val toks = normTokens(text)
+    val scored = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers: _*)))
+    }
+    val best = scored.tail.foldLeft[(Column, Column)]((lit(scored.head._1), scored.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lang).otherwise(bestLang),
+         greatest(score, bestScore))
+    }
+    when(best._2 === 0, "und").otherwise(best._1)
+  }
+
+  // --- fingerprinting ------------------------------------------------------
+
+  /** 64-bit content fingerprint of the normalized text: xxhash64 over the
+    * canonical (lowercased, punctuation-stripped, single-spaced) form. Equal
+    * fingerprints == near-certain exact duplicates after normalization; used
+    * as the exact-dedup key so the shuffle carries 8-byte keys, not document
+    * bodies.
+    */
+  def contentFingerprint(text: Column): Column =
+    xxhash64(concat_ws(" ", normTokens(text)))
+
+  /** Rolling-hash fingerprint: xxhash64 of each k-shingle, combined with a
+    * polynomial roll mod 2^31-1 — order-sensitive (unlike a bag-of-ngrams
+    * hash) and overflow-safe under ANSI mode (acc < 2^31, so
+    * acc*1000003 + h32 < 2^62).
+    */
+  def rollingFingerprint(text: Column, k: Int = 5): Column =
+    aggregate(
+      transform(wordNgrams(text, k), g => pmod(xxhash64(g), lit(4294967296L))),
+      lit(0L),
+      (acc, h) => pmod(acc * lit(1000003L) + h, lit(2147483647L)))
+}

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` embedding columns, built from
+  * codegen'd higher-order functions (`zip_with` + `aggregate`) — no UDF
+  * serialization cost, works directly on the columnar representation.
+  * All arithmetic is widened to double for oracle-grade determinism.
+  */
+object VectorFunctions {
+
+  /** Sum of elementwise products, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d  = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn === 0.0, 0.0).otherwise(d / nn)
+  }
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => {
+      val diff = x.cast("double") - y.cast("double")
+      diff * diff
+    }), lit(0.0), (acc, v) => acc + v))
+
+  /** L2-normalized copy of the vector (double elements). Pre-normalizing the
+    * corpus once turns every cosine into a plain dot product — at 100 TB that
+    * halves the flops and removes the per-row sqrt from the inner loop.
+    */
+  def l2Normalize(a: Column): Column = {
+    val n = norm(a)
+    when(n === 0.0, transform(a, v => v.cast("double")))
+      .otherwise(transform(a, v => v.cast("double") / n))
+  }
+
+  /** Signed projection onto a deterministic pseudo-random hyperplane. The
+    * plane's components are derived from `hash(planeId, dimIdx)` so executors
+    * regenerate them identically without broadcasting plane matrices.
+    */
+  private def hyperplaneProj(vec: Column, planeId: Column): Column =
+    aggregate(
+      zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) => {
+        // hash -> [-0.5, 0.5) pseudo-uniform component
+        val h = pmod(hash(planeId, i), lit(10007)).cast("double")
+        v.cast("double") * (h / 10007.0d - 0.5d)
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** One bit of a random-hyperplane LSH signature. */
+  def hyperplaneBit(vec: Column, planeId: Int): Column =
+    when(hyperplaneProj(vec, lit(planeId)) >= 0, 1).otherwise(0)
+
+  /** `nBits`-bit random-hyperplane signature packed into a long. Hamming
+    * distance between signatures approximates angular distance — the
+    * bucketing key for approximate nearest-neighbor search.
+    */
+  def hyperplaneSignature(vec: Column, nBits: Int): Column = {
+    require(nBits <= 63, "signature must fit in a long")
+    val bits = transform(sequence(lit(0), lit(nBits - 1)), b =>
+      when(hyperplaneProj(vec, b) >= 0,
+        call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(0L))
+    aggregate(bits, lit(0L), (acc, v) => acc + v)
+  }
+}

@@ -1,0 +1,230 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+/** Corpus deduplication at training-data scale. Every variant follows the
+  * same scale discipline: the shuffle key is a small hash (8-byte long or a
+  * band signature), never the document body; candidate generation is a
+  * bucket join (LSH bands / shared shingles), never an all-pairs cross join;
+  * verification runs only on candidate pairs.
+  *
+  * At 100 TB: exact dedup is one shuffle on an 8-byte key; MinHash-LSH is
+  * bounded by (docs x bands) rows of (long, long) plus the candidate-pair
+  * join, with hot buckets capped by `maxBucketSize`.
+  */
+object Dedup {
+
+  /** Exact duplicate removal by normalized-content fingerprint: keeps the
+    * smallest `idCol` per fingerprint group. Shuffles only (fingerprint, id)
+    * until the final semi-join back to full rows.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = df
+      .select(col(idCol), TF.contentFingerprint(col(textCol)).as("__fp"))
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("__fp")
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Exact-duplicate group statistics (fingerprint, representative id, count). */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), TF.contentFingerprint(col(textCol)).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Deterministic MinHash signature: for each of `numHashes` linear
+    * permutations h_i(x) = (a_i*x + b_i) mod p over the xxhash64'd shingles,
+    * take the min. Computed in a SINGLE pass over the shingle array — the
+    * accumulator is the whole signature vector — so the shingling/hashing
+    * subtree is never re-evaluated per permutation.
+    */
+  def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column = {
+    // Overflow-safe under ANSI mode: shingle hashes are masked to 32 bits and
+    // multipliers stay below 2^30, so a*h + b < 2^62 < Long.MaxValue; the
+    // modulus is the first prime above 2^32.
+    val prime = lit(4294967311L)
+    val hashes = transform(TF.wordNgrams(text, shingleSize),
+      g => pmod(xxhash64(g), lit(4294967296L)))
+    val params = array((0 until numHashes).map { i =>
+      struct(lit(1L + (2654435761L * (i + 1)) % 1073741789L).as("a"),
+             lit((2246822519L * (i + 1)) % 1073741789L).as("b"))
+    }: _*)
+    val init = array_repeat(lit(Long.MaxValue), numHashes)
+    aggregate(hashes, init, (acc, h) =>
+      zip_with(acc, params, (m, p) => least(m, pmod(p("a") * h + p("b"), prime))))
+  }
+
+  /** MinHash + LSH near-duplicate candidate pairs.
+    *
+    * signature -> `bands` bands of `numHashes/bands` rows each; docs sharing
+    * any band hash become candidates; candidates are verified with the
+    * estimated Jaccard (fraction of matching minhashes) >= `threshold`.
+    *
+    * Returns (idA, idB, jaccard_est) with idA < idB, distinct.
+    *
+    * `maxBucketSize` drops degenerate buckets (boilerplate shingles) before
+    * the self-join — the standard guard that keeps a skewed bucket from
+    * producing O(n^2) pairs at corpus scale.
+    */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                   threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+
+    val sigs = df.select(col(idCol).as("__id"),
+      minhashSignature(col(textCol), shingleSize, numHashes).as("__sig"))
+
+    val banded = sigs.select(
+      col("__id"), col("__sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(b, slice(col("__sig"), b * rows + lit(1), lit(rows)))
+            .as("bhash")))).as("__b"))
+      .select(col("__id"), col("__sig"), col("__b.band"), col("__b.bhash"))
+
+    val capped = banded
+      .withColumn("__bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bhash"))))
+      .filter(col("__bucket_n") <= maxBucketSize)
+      .drop("__bucket_n")
+
+    val l = capped.select(col("band"), col("bhash"),
+      col("__id").as("idA"), col("__sig").as("sigA"))
+    val r = capped.select(col("band"), col("bhash"),
+      col("__id").as("idB"), col("__sig").as("sigB"))
+
+    val cand = l.join(r, Seq("band", "bhash"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), col("sigA"), col("sigB"))
+      .dropDuplicates("idA", "idB")
+
+    cand
+      .withColumn("jaccard_est",
+        size(filter(zip_with(col("sigA"), col("sigB"),
+          (a, b) => a === b), x => x)).cast("double") / numHashes.toDouble)
+      .filter(col("jaccard_est") >= threshold)
+      .select(col("idA"), col("idB"), col("jaccard_est"))
+  }
+
+  /** Near-dedup via MinHash-LSH: removes, per connected candidate pair, the
+    * larger id (single-pass approximation of connected components — exact CC
+    * needs iteration, overkill for dedup where dropping either side is fine).
+    */
+  def minhashDedup(df: DataFrame, textCol: String, idCol: String,
+                   shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                   threshold: Double = 0.5): DataFrame = {
+    val drop = minhashPairs(df, textCol, idCol, shingleSize, numHashes, bands, threshold)
+      .select(col("idB").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** 64-bit SimHash: sign of the per-bit weighted sum of token hashes. Docs
+    * with small Hamming distance between simhashes are near-duplicates.
+    */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TF.normTokens(text), t => xxhash64(t))
+    val bitSums = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (cnt, b) => cnt +
+          when(call_function("shiftright", h, b.cast("int")).bitwiseAND(1L) === 1L, 1)
+            .otherwise(-1)))
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(63)),
+        (cnt, b) => when(cnt > 0, call_function("shiftleft", lit(1L), b.cast("int")))
+          .otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** SimHash near-duplicate pairs: block on `prefixBits`-bit prefix (cheap
+    * candidate generation), verify with Hamming distance <= maxHamming.
+    * Production variant would block on several bit-chunks (pigeonhole); one
+    * prefix block keeps the query demonstrably cheap.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3, prefixBits: Int = 16): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sh"))
+      .withColumn("__blk", shiftright(col("__sh"), 64 - prefixBits))
+    val l = sh.select(col("__blk"), col("__id").as("idA"), col("__sh").as("shA"))
+    val r = sh.select(col("__blk"), col("__id").as("idB"), col("__sh").as("shB"))
+    l.join(r, Seq("__blk"))
+      .filter(col("idA") < col("idB"))
+      .withColumn("hamming", bit_count(col("shA").bitwiseXOR(col("shB"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("idA"), col("idB"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard similarity over candidate pairs that share at least
+    * one shingle. `maxShingleFreq` drops shingles occurring in more docs than
+    * that before the join — the df-cut that keeps the candidate join linear
+    * on real corpora.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3, threshold: Double = 0.3,
+                        maxShingleFreq: Int = 100): DataFrame = {
+    val docs = df.select(col(idCol).as("__id"),
+      array_distinct(transform(TF.wordNgrams(col(textCol), n), g => xxhash64(g)))
+        .as("__grams"))
+
+    val posting = docs.select(col("__id"), explode(col("__grams")).as("__g"))
+    val rare = posting.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxShingleFreq && col("__df") >= 2)
+      .select(col("__g"))
+
+    val rarePosting = posting.join(rare, Seq("__g"))
+    val candidates = rarePosting.select(col("__g"), col("__id").as("idA"))
+      .join(rarePosting.select(col("__g"), col("__id").as("idB")), Seq("__g"))
+      .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"))
+      .distinct()
+
+    candidates
+      .join(docs.select(col("__id").as("idA"), col("__grams").as("gA")), Seq("idA"))
+      .join(docs.select(col("__id").as("idB"), col("__grams").as("gB")), Seq("idB"))
+      .withColumn("inter", size(array_intersect(col("gA"), col("gB"))).cast("double"))
+      .withColumn("jaccard", col("inter") /
+        (size(col("gA")) + size(col("gB")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), col("jaccard"))
+  }
+
+  /** Exact embedding near-duplicate pairs: all-pairs cosine >= threshold.
+    * O(n^2) — the correctness oracle for [[embeddingPairs]]; use only on
+    * corpora small enough to broadcast one side.
+    */
+  def embeddingPairsExact(df: DataFrame, vecCol: String, idCol: String,
+                          threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val l = v.select(col("__id").as("idA"), col("__v").as("vA"))
+    val r = v.select(col("__id").as("idB"), col("__v").as("vB"))
+    l.join(broadcast(r), col("idA") < col("idB"))
+      .withColumn("cosine", VF.cosine(col("vA"), col("vB")))
+      .filter(col("cosine") >= threshold)
+      .select(col("idA"), col("idB"), col("cosine"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold, candidates bucketed
+    * by a random-hyperplane LSH signature so the join is per-bucket, not
+    * all-pairs. Raise `sigBits` to tighten buckets as the corpus grows.
+    */
+  def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
+                     threshold: Double = 0.95, sigBits: Int = 8): DataFrame = {
+    val sig = df.select(col(idCol).as("__id"),
+      VF.l2Normalize(col(vecCol)).as("__v"),
+      VF.hyperplaneSignature(col(vecCol), sigBits).as("__sig"))
+    val l = sig.select(col("__sig"), col("__id").as("idA"), col("__v").as("vA"))
+    val r = sig.select(col("__sig"), col("__id").as("idB"), col("__v").as("vB"))
+    l.join(r, Seq("__sig"))
+      .filter(col("idA") < col("idB"))
+      .withColumn("cosine", VF.dot(col("vA"), col("vB")))
+      .filter(col("cosine") >= threshold)
+      .select(col("idA"), col("idB"), col("cosine"))
+  }
+}

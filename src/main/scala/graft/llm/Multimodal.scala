@@ -1,0 +1,75 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video travel as opaque `binary`
+  * columns with typed metadata alongside. The Spark-side machinery — schema,
+  * partitioning, batch shape, metadata extraction — is real; the actual codec
+  * work (JPEG decode, audio resample, frame extraction) is STUBBED with
+  * deterministic fakes because no media libraries ship in this environment.
+  * Swap [[decodeImageStub]] for a real decoder per partition and nothing else
+  * changes.
+  */
+object Multimodal {
+
+  /** Typed metadata extracted from a media payload. */
+  final case class MediaMeta(nBytes: Long, checksum: Long, width: Int, height: Int)
+
+  /** Pack a string column into a binary payload column (UTF-8). In
+    * production the payload arrives as real image/audio bytes from parquet
+    * `binary` columns; this is the test-data adapter.
+    */
+  def withBinaryPayload(df: DataFrame, srcCol: String,
+                        out: String = "payload"): DataFrame =
+    df.withColumn(out, encode(col(srcCol), "UTF-8"))
+
+  /** Cheap metadata that needs no decode — byte length and content checksum —
+    * as pure codegen'd expressions. This is the path that should handle the
+    * first 100 TB pass: decode only what survives the metadata filters.
+    */
+  def withPayloadStats(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("n_bytes", length(col(binCol)).cast("long"))
+      .withColumn("checksum", xxhash64(col(binCol)))
+
+  // ??? real decoder goes here: in this container there is no image codec,
+  // so dimensions are derived deterministically from the payload hash. The
+  // partition-level batch shape (iterator-in/iterator-out, one decode per
+  // row, no per-row JVM<->native session setup) is what a libjpeg/ffmpeg
+  // binding would use unchanged.
+  def decodeImageStub(bytes: Array[Byte]): MediaMeta = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    MediaMeta(
+      nBytes = bytes.length.toLong,
+      checksum = h,
+      width = 64 + math.floorMod(h, 1024).toInt,
+      height = 64 + math.floorMod(h >> 10, 1024).toInt)
+  }
+
+  /** Decode payloads to typed metadata with per-partition batching — the
+    * `mapPartitions` seam where a real codec binding plugs in.
+    */
+  def decodeMeta(df: DataFrame, binCol: String): Dataset[MediaMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(binCol)).as[Array[Byte]].mapPartitions { it =>
+      // per-partition: a real implementation initializes the codec once here
+      it.map(decodeImageStub)
+    }
+  }
+
+  /** Sample up to `n` evenly spaced fixed-size "frames" from each payload —
+    * the video-frame-sampling access pattern, on fake frames (byte slices).
+    */
+  def frameSample(df: DataFrame, binCol: String, n: Int,
+                  frameBytes: Int = 16): DataFrame = {
+    val total  = length(col(binCol))
+    val stride = greatest(floor(total / lit(n)).cast("int"), lit(1))
+    df.withColumn("frame",
+        explode(transform(sequence(lit(0), lit(n - 1)),
+          i => substring(col(binCol), (i * stride + 1).cast("int"), lit(frameBytes)))))
+      .withColumn("frame_checksum", xxhash64(col("frame")))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => VF}
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline is brute-force cosine top-k (exact; the correctness oracle).
+  * The scale path is LSH bucketing: signatures shrink the candidate set so
+  * the per-query work drops from |corpus| to the bucket population. Both
+  * return the same shape: (query id, neighbor id, cosine, rank).
+  */
+object Similarity {
+
+  /** Exact brute-force top-k by cosine. The query side is broadcast (queries
+    * are the small side by construction), so the corpus never shuffles: each
+    * corpus partition scores its rows against every query and a per-partition
+    * top-k would be the next refinement. Deterministic tie-break:
+    * (cosine desc, corpus id asc).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     vecCol: String, idCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VF.cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** LSH-bucketed approximate top-k: corpus and queries are signed with the
+    * same `sigBits`-bit hyperplane signature; each query only scores corpus
+    * rows within Hamming distance <= `probeHamming` of its bucket. With b
+    * bits and h probe distance the scored fraction is ~sum_{i<=h} C(b,i)/2^b
+    * of the corpus — the knob that keeps ANN sublinear at 100 TB.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              vecCol: String, idCol: String, k: Int,
+              sigBits: Int = 12, probeHamming: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      VF.hyperplaneSignature(col(vecCol), sigBits).as("__csig"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      VF.hyperplaneSignature(col(vecCol), sigBits).as("__qsig"))
+    // Small query side broadcast; bucket pruning by Hamming distance on the
+    // signature replaces the full cross product.
+    val scored = c.join(broadcast(q),
+        bit_count(col("__csig").bitwiseXOR(col("__qsig"))) <= probeHamming)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VF.cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** IVF (inverted-file) ANN: corpus is assigned to the nearest of
+    * `nCentroids` deterministic seed centroids (rows sampled by id hash);
+    * queries probe their `nProbe` nearest centroid cells. Coarse but
+    * embarrassingly parallel: assignment is a broadcast argmin, search is a
+    * cell-key equi-join.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              vecCol: String, idCol: String, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    // Deterministic centroid sample: smallest nCentroids ids.
+    val centroids = corpus
+      .select(col(idCol).as("cid"), VF.l2Normalize(col(vecCol)).as("cvec"))
+      .orderBy(col("cid"))
+      .limit(nCentroids)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+    val centroidArr = array(centroids.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cvec"))
+    }: _*)
+
+    def nearestCells(vec: org.apache.spark.sql.Column, n: Int) = {
+      val scored = transform(centroidArr, c =>
+        struct((lit(0.0) - VF.dot(c("cvec"), VF.l2Normalize(vec))).as("negdot"),
+          c("cid").as("cid")))
+      slice(array_sort(scored), 1, n)
+    }
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      element_at(nearestCells(col(vecCol), 1), 1)("cid").as("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      explode(transform(nearestCells(col(vecCol), nProbe), s => s("cid"))).as("cell"))
+
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VF.cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+}
