@@ -277,6 +277,10 @@ object SparkEntry {
         .orderBy(col("idA"), col("idB"))
     }),
 
+    // jaccard here is over df-filtered gram sets (see Dedup.ngramJaccardPairs);
+    // the oracle replicates the same df cut.
+
+
     "q26_embedding_dups" -> ((s, dir) => {
       Dedup.embeddingPairsExact(t(s, dir, "embeddings"), "embedding", "vec_id", 0.4)
         .withColumn("cosine", round(col("cosine"), 6))
@@ -526,6 +530,32 @@ object SparkEntry {
          |  CASE WHEN m = 0 THEN 'und' $cases END AS lang_pred
          |FROM mm ORDER BY doc_id""".stripMargin
     },
+
+    "q25_ngram_jaccard" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, substr(text, 21) FROM documents),
+         |norm AS (SELECT doc_id, $ntoksSql AS ntoks FROM docs),
+         |grams AS (SELECT doc_id,
+         |    list_distinct(CASE WHEN len(ntoks) < 3 THEN []
+         |      ELSE list_transform(range(len(ntoks) - 2),
+         |             i -> ntoks[i+1] || ' ' || ntoks[i+2] || ' ' || ntoks[i+3]) END) AS gs
+         |  FROM norm),
+         |posting AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+         |rare AS (SELECT g FROM (SELECT g, count(*) AS c FROM posting GROUP BY g)
+         |         WHERE c BETWEEN 2 AND 400),
+         |rp AS (SELECT p.doc_id, p.g FROM posting p JOIN rare USING (g)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM rp GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS idA, b.doc_id AS idB, count(*) AS i
+         |          FROM rp a JOIN rp b USING (g) WHERE a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT idA, idB, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON idA = sa.doc_id
+         |JOIN sizes sb ON idB = sb.doc_id
+         |WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.3
+         |ORDER BY idA, idB""".stripMargin,
 
     "q26_embedding_dups" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

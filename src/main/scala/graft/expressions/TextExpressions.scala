@@ -1,0 +1,115 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+
+/** Native expressions for the text-hashing hot paths. Shingling a 100 TB
+  * corpus through `transform(..., concat_ws/slice/xxhash64)` pays an
+  * interpreted lambda per gram; these run one primitive loop per document
+  * and never materialize gram strings — an n-gram is hashed by mixing the
+  * per-token hashes (tokens cannot contain the split whitespace, so the
+  * token sequence determines the joined string and vice versa).
+  */
+object TextExpressions {
+
+  /** xxhash64 (seed 42 — same as Spark's `xxhash64` on strings) of each
+    * element of a string array.
+    */
+  def tokenHashes(tokens: Column): Column =
+    ColumnShim.column(TokenHashes(ColumnShim.expression(tokens)))
+
+  /** 64-bit hashes of the contiguous n-grams of a string array (FNV-style
+    * mix over per-token xxhash64s). Equal token windows hash equal; distinct
+    * windows collide with ~2^-64 probability.
+    */
+  def ngramHashes(tokens: Column, n: Int): Column =
+    ColumnShim.column(NgramHashes(ColumnShim.expression(tokens), n))
+
+  /** Fraction of positions at which two equal-length long arrays agree —
+    * the MinHash Jaccard estimate.
+    */
+  def matchFraction(a: Column, b: Column): Column =
+    ColumnShim.column(ArrayMatchFraction(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  private[expressions] def hashUtf8(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+}
+
+case class TokenHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n   = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = TextExpressions.hashUtf8(arr.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class NgramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "ngram size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val FnvOffset = -3750763034362895579L // FNV-1a 64 offset basis
+  private val FnvPrime  = 1099511628211L
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m   = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) { th(i) = TextExpressions.hashUtf8(arr.getUTF8String(i)); i += 1 }
+    val out = new Array[Long](m - n + 1)
+    i = 0
+    while (i <= m - n) {
+      var h = FnvOffset
+      var j = 0
+      while (j < n) { h = (h ^ th(i + j)) * FnvPrime; j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class ArrayMatchFraction(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n.toDouble
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -1,0 +1,210 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the engine's numeric hot paths.
+  *
+  * The higher-order-function formulations (`aggregate`/`zip_with`) are
+  * interpreted per element with boxed lambda variables; at corpus scale the
+  * inner loop of a 2M-pair cosine join must be a primitive loop inside
+  * whole-stage codegen instead. Semantics are identical to the HOF versions
+  * (double accumulation, sequential order), so DuckDB oracles are unaffected.
+  */
+object VectorExpressions {
+  def dot(a: Column, b: Column): Column =
+    ColumnShim.column(ArrayDotProduct(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def cosine(a: Column, b: Column): Column =
+    ColumnShim.column(ArrayCosineSim(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def minhash(hashes: Column, numHashes: Int): Column =
+    ColumnShim.column(MinHashSig(ColumnShim.expression(hashes), numHashes))
+
+  def simhash64(hashes: Column): Column =
+    ColumnShim.column(SimHash64(ColumnShim.expression(hashes)))
+
+  private[expressions] def elemGetter(arr: String, idx: String, et: DataType): String =
+    et match {
+      case FloatType  => s"(double) $arr.getFloat($idx)"
+      case DoubleType => s"$arr.getDouble($idx)"
+      case LongType   => s"(double) $arr.getLong($idx)"
+      case IntegerType => s"(double) $arr.getInt($idx)"
+      case other => throw new IllegalArgumentException(s"unsupported element type $other")
+    }
+
+  private[expressions] def elemEval(arr: ArrayData, i: Int, et: DataType): Double =
+    et match {
+      case FloatType   => arr.getFloat(i).toDouble
+      case DoubleType  => arr.getDouble(i)
+      case LongType    => arr.getLong(i).toDouble
+      case IntegerType => arr.getInt(i).toDouble
+      case other => throw new IllegalArgumentException(s"unsupported element type $other")
+    }
+}
+
+/** Sum of elementwise products of two numeric arrays, in double. */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  private def leftElem  = left.dataType.asInstanceOf[ArrayType].elementType
+  private def rightElem = right.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += VectorExpressions.elemEval(a, i, leftElem) *
+        VectorExpressions.elemEval(b, i, rightElem)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ${VectorExpressions.elemGetter(a, i, leftElem)} *
+         |        ${VectorExpressions.elemGetter(b, i, rightElem)};
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Cosine similarity of two numeric arrays (0.0 on zero norm), single pass. */
+case class ArrayCosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  private def leftElem  = left.dataType.asInstanceOf[ArrayType].elementType
+  private def rightElem = right.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = VectorExpressions.elemEval(a, i, leftElem)
+      val y = VectorExpressions.elemEval(b, i, rightElem)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
+      val y = ctx.freshName("y"); val denom = ctx.freshName("denom")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${VectorExpressions.elemGetter(a, i, leftElem)};
+         |  double $y = ${VectorExpressions.elemGetter(b, i, rightElem)};
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** MinHash signature over an array of (arbitrary 64-bit) shingle hashes:
+  * element j is min over shingles of (a_j * (h & 0xFFFFFFFF) + b_j) mod p,
+  * p = first prime above 2^32. Same parameter schedule as
+  * [[graft.llm.Dedup.minhashSignature]]; a tight primitive loop replacing a
+  * numHashes-wide HOF zip per shingle.
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val prime = 4294967311L
+  private val as = Array.tabulate(numHashes)(i => 1L + (2654435761L * (i + 1)) % 1073741789L)
+  private val bs = Array.tabulate(numHashes)(i => (2246822519L * (i + 1)) % 1073741789L)
+
+  override def nullSafeEval(v: Any): Any = {
+    val hashes = v.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i) & 0xFFFFFFFFL
+      var j = 0
+      while (j < numHashes) {
+        val p = (as(j) * h + bs(j)) % prime
+        if (p < sig(j)) sig(j) = p
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash over an array of token hashes: bit b of the result is set
+  * iff more token hashes have bit b set than unset.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val hashes = v.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

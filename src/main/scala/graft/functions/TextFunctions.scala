@@ -19,13 +19,27 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+", -1), t => length(t) > 0)
 
-  /** Lowercased tokens with punctuation stripped — normalization for dedup. */
+  /** Lowercased tokens with punctuation stripped — normalization for dedup.
+    * Native single-pass expression; semantics identical to
+    * filter(split(lower(regexp_replace(text,"[^\\p{L}\\p{N}\\s]"," ")),"\\s+"), len>0).
+    */
   def normTokens(text: Column): Column =
-    filter(split(lower(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", " ")), "\\s+", -1),
-           t => length(t) > 0)
+    graft.expressions.TextProfileExpressions.normTokens(text)
+
+  /** All word-sets the profile counts hits for: StopwordsEn first, then the
+    * language marker sets in LangMarkers order. One shared definition keeps
+    * every profile(text) call an identical expression tree, so Spark's
+    * subexpression elimination evaluates it once per row per projection.
+    */
+  private lazy val ProfileSets: Seq[Seq[String]] =
+    StopwordsEn +: LangMarkers.map(_._2)
+
+  /** One-pass document statistics struct (see TextProfile expression). */
+  def profile(text: Column): Column =
+    graft.expressions.TextProfileExpressions.textProfile(text, ProfileSets)
 
   /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCount(text: Column): Column = profile(text).getField("n_toks")
 
   /** BPE-ish subword count estimate: word-pieces + digits + punctuation runs.
     * A cheap proxy for tokenizer-cost accounting at corpus scale.
@@ -63,10 +77,12 @@ object TextFunctions {
   val PunctClass = "[!-/:-@\\[-`{-~]"
 
   /** Fraction of characters that are punctuation. */
-  def punctRatio(text: Column): Column =
-    when(length(text) === 0, 0.0)
-      .otherwise(length(regexp_replace(text, s"[^!-/:-@\\[-`{-~]", "")).cast("double") /
-        length(text).cast("double"))
+  def punctRatio(text: Column): Column = {
+    val p = profile(text)
+    when(p.getField("n_chars") === 0, 0.0)
+      .otherwise(p.getField("n_punct").cast("double") /
+        p.getField("n_chars").cast("double"))
+  }
 
   /** Fraction of characters that are uppercase letters. */
   def upperRatio(text: Column): Column =
@@ -78,18 +94,18 @@ object TextFunctions {
     * natural running text, near-zero indicates tables/code/noise.
     */
   def stopwordRatio(text: Column): Column = {
-    val toks = normTokens(text)
-    when(size(toks) === 0, 0.0).otherwise(
-      size(filter(toks, t => t.isin(StopwordsEn: _*))).cast("double") /
-        size(toks).cast("double"))
+    val p = profile(text)
+    when(p.getField("n_ntoks") === 0, 0.0).otherwise(
+      element_at(p.getField("set_hits"), 1).cast("double") /
+        p.getField("n_ntoks").cast("double"))
   }
 
   /** Mean token length (a cheap gibberish detector). */
   def meanTokenLen(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) === 0, 0.0).otherwise(
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-        size(toks).cast("double"))
+    val p = profile(text)
+    when(p.getField("n_toks") === 0, 0.0).otherwise(
+      p.getField("sum_tok_len").cast("double") /
+        p.getField("n_toks").cast("double"))
   }
 
   /** Composite quality score in [0,1]: rewards stopword presence, penalizes
@@ -124,9 +140,9 @@ object TextFunctions {
     * declaration order of [[LangMarkers]].
     */
   def langIdHeuristic(text: Column): Column = {
-    val toks = normTokens(text)
-    val scored = LangMarkers.map { case (lang, markers) =>
-      lang -> size(filter(toks, t => t.isin(markers: _*)))
+    val p = profile(text)
+    val scored = LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(p.getField("set_hits"), i + 2)
     }
     val best = scored.tail.foldLeft[(Column, Column)]((lit(scored.head._1), scored.head._2)) {
       case ((bestLang, bestScore), (lang, score)) =>

@@ -10,22 +10,17 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Sum of elementwise products, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sum of elementwise products, in double (codegen'd native expression). */
+  def dot(a: Column, b: Column): Column = graft.expressions.VectorExpressions.dot(a, b)
 
   /** Euclidean norm. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0),
-      (acc, v) => acc + v.cast("double") * v.cast("double")))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0.0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val d  = dot(a, b)
-    val nn = norm(a) * norm(b)
-    when(nn === 0.0, 0.0).otherwise(d / nn)
-  }
+  /** Cosine similarity; 0.0 when either vector has zero norm. Single-pass
+    * codegen'd native expression — the inner loop of ANN/dedup joins.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.cosine(a, b)
 
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => {

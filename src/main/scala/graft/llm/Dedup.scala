@@ -41,21 +41,10 @@ object Dedup {
     * accumulator is the whole signature vector — so the shingling/hashing
     * subtree is never re-evaluated per permutation.
     */
-  def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column = {
-    // Overflow-safe under ANSI mode: shingle hashes are masked to 32 bits and
-    // multipliers stay below 2^30, so a*h + b < 2^62 < Long.MaxValue; the
-    // modulus is the first prime above 2^32.
-    val prime = lit(4294967311L)
-    val hashes = transform(TF.wordNgrams(text, shingleSize),
-      g => pmod(xxhash64(g), lit(4294967296L)))
-    val params = array((0 until numHashes).map { i =>
-      struct(lit(1L + (2654435761L * (i + 1)) % 1073741789L).as("a"),
-             lit((2246822519L * (i + 1)) % 1073741789L).as("b"))
-    }: _*)
-    val init = array_repeat(lit(Long.MaxValue), numHashes)
-    aggregate(hashes, init, (acc, h) =>
-      zip_with(acc, params, (m, p) => least(m, pmod(p("a") * h + p("b"), prime))))
-  }
+  def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column =
+    graft.expressions.VectorExpressions.minhash(
+      graft.expressions.TextExpressions.ngramHashes(TF.normTokens(text), shingleSize),
+      numHashes)
 
   /** MinHash + LSH near-duplicate candidate pairs.
     *
@@ -86,12 +75,15 @@ object Dedup {
             .as("bhash")))).as("__b"))
       .select(col("__id"), col("__sig"), col("__b.band"), col("__b.bhash"))
 
+    // Materialized: both self-join sides consume it, and the upstream
+    // signature computation should run once.
     val capped = banded
       .withColumn("__bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bhash"))))
       .filter(col("__bucket_n") <= maxBucketSize)
       .drop("__bucket_n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val l = capped.select(col("band"), col("bhash"),
       col("__id").as("idA"), col("__sig").as("sigA"))
@@ -105,8 +97,7 @@ object Dedup {
 
     cand
       .withColumn("jaccard_est",
-        size(filter(zip_with(col("sigA"), col("sigB"),
-          (a, b) => a === b), x => x)).cast("double") / numHashes.toDouble)
+        graft.expressions.TextExpressions.matchFraction(col("sigA"), col("sigB")))
       .filter(col("jaccard_est") >= threshold)
       .select(col("idA"), col("idB"), col("jaccard_est"))
   }
@@ -126,21 +117,9 @@ object Dedup {
   /** 64-bit SimHash: sign of the per-bit weighted sum of token hashes. Docs
     * with small Hamming distance between simhashes are near-duplicates.
     */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TF.normTokens(text), t => xxhash64(t))
-    val bitSums = aggregate(
-      hashes,
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (cnt, b) => cnt +
-          when(call_function("shiftright", h, b.cast("int")).bitwiseAND(1L) === 1L, 1)
-            .otherwise(-1)))
-    aggregate(
-      zip_with(bitSums, sequence(lit(0), lit(63)),
-        (cnt, b) => when(cnt > 0, call_function("shiftleft", lit(1L), b.cast("int")))
-          .otherwise(0L)),
-      lit(0L), (acc, v) => acc + v)
-  }
+  def simhash(text: Column): Column =
+    graft.expressions.VectorExpressions.simhash64(
+      graft.expressions.TextExpressions.tokenHashes(TF.normTokens(text)))
 
   /** SimHash near-duplicate pairs: block on `prefixBits`-bit prefix (cheap
     * candidate generation), verify with Hamming distance <= maxHamming.
@@ -160,37 +139,51 @@ object Dedup {
       .select(col("idA"), col("idB"), col("hamming"))
   }
 
-  /** Exact n-gram Jaccard similarity over candidate pairs that share at least
-    * one shingle. `maxShingleFreq` drops shingles occurring in more docs than
-    * that before the join — the df-cut that keeps the candidate join linear
-    * on real corpora.
+  /** n-gram Jaccard similarity over the df-filtered shingle sets: shingles
+    * with document frequency outside [2, maxShingleFreq] are removed globally
+    * BEFORE pair generation, and the Jaccard is defined on the remaining
+    * sets. This is the scalable formulation: df=1 shingles can't create a
+    * pair, df>max shingles are boilerplate that would make the posting-list
+    * self-join quadratic in the hottest key. Everything is a hash
+    * aggregation on (8-byte gram hash, id) rows — no per-pair array
+    * intersection, no distinct over exploded candidates; the intersection
+    * size falls out of a groupBy on the self-joined posting list.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.3,
                         maxShingleFreq: Int = 100): DataFrame = {
-    val docs = df.select(col(idCol).as("__id"),
-      array_distinct(transform(TF.wordNgrams(col(textCol), n), g => xxhash64(g)))
-        .as("__grams"))
+    // Materialized: the gram-df aggregation and the filtered posting list
+    // both consume it; shingling should run once per document.
+    val posting = df.select(col(idCol).as("__id"),
+        explode(array_distinct(
+          graft.expressions.TextExpressions.ngramHashes(
+            TF.normTokens(col(textCol)), n))).as("__g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val posting = docs.select(col("__id"), explode(col("__grams")).as("__g"))
     val rare = posting.groupBy(col("__g"))
       .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxShingleFreq && col("__df") >= 2)
+      .filter(col("__df").between(2, maxShingleFreq))
       .select(col("__g"))
 
-    val rarePosting = posting.join(rare, Seq("__g"))
-    val candidates = rarePosting.select(col("__g"), col("__id").as("idA"))
-      .join(rarePosting.select(col("__g"), col("__id").as("idB")), Seq("__g"))
-      .filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"))
-      .distinct()
+    // rp feeds three consumers (both self-join sides and the size agg);
+    // without materialization each would recompute the shingling pipeline
+    // from the source. On a cluster this would be a persisted intermediate
+    // dataset in any case.
+    val rp = posting.join(rare, Seq("__g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = rp.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
 
-    candidates
-      .join(docs.select(col("__id").as("idA"), col("__grams").as("gA")), Seq("idA"))
-      .join(docs.select(col("__id").as("idB"), col("__grams").as("gB")), Seq("idB"))
-      .withColumn("inter", size(array_intersect(col("gA"), col("gB"))).cast("double"))
-      .withColumn("jaccard", col("inter") /
-        (size(col("gA")) + size(col("gB")) - col("inter")).cast("double"))
+    val inter = rp.select(col("__g"), col("__id").as("idA"))
+      .join(rp.select(col("__g"), col("__id").as("idB")), Seq("__g"))
+      .filter(col("idA") < col("idB"))
+      .groupBy(col("idA"), col("idB"))
+      .agg(count(lit(1)).as("__inter"))
+
+    inter
+      .join(sizes.select(col("__id").as("idA"), col("__sz").as("__szA")), Seq("idA"))
+      .join(sizes.select(col("__id").as("idB"), col("__sz").as("__szB")), Seq("idB"))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (col("__szA") + col("__szB") - col("__inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("idA"), col("idB"), col("jaccard"))
   }
