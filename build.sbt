@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Spark sessions are process-global; suites must not race on one JVM.
+Test / parallelExecution := false

@@ -31,7 +31,10 @@ object PartitionFilter {
     private var pos  = 0
 
     private def peek: Option[Tok] = toks.lift(pos)
-    private def next(): Tok = { val t = toks(pos); pos += 1; t }
+    private def next(): Tok = {
+      require(pos < toks.length, s"unexpected end of filter '$input'")
+      val t = toks(pos); pos += 1; t
+    }
 
     def parseAll(): Column = {
       val c = parseOr()

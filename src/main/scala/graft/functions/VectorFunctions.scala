@@ -57,13 +57,15 @@ object VectorFunctions {
 
   /** `nBits`-bit random-hyperplane signature packed into a long. Hamming
     * distance between signatures approximates angular distance — the
-    * bucketing key for approximate nearest-neighbor search.
+    * bucketing key for approximate nearest-neighbor search. `planeOffset`
+    * selects a disjoint plane family, so several independent hash tables
+    * (OR-amplification) can be built from one function.
     */
-  def hyperplaneSignature(vec: Column, nBits: Int): Column = {
+  def hyperplaneSignature(vec: Column, nBits: Int, planeOffset: Int = 0): Column = {
     require(nBits <= 63, "signature must fit in a long")
-    val bits = transform(sequence(lit(0), lit(nBits - 1)), b =>
+    val bits = transform(sequence(lit(planeOffset), lit(planeOffset + nBits - 1)), b =>
       when(hyperplaneProj(vec, b) >= 0,
-        call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(0L))
+        call_function("shiftleft", lit(1L), (b - planeOffset).cast("int"))).otherwise(0L))
     aggregate(bits, lit(0L), (acc, v) => acc + v)
   }
 }

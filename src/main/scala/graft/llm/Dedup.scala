@@ -204,18 +204,30 @@ object Dedup {
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold, candidates bucketed
-    * by a random-hyperplane LSH signature so the join is per-bucket, not
-    * all-pairs. Raise `sigBits` to tighten buckets as the corpus grows.
+    * by random-hyperplane LSH with OR-amplification — `nTables` independent
+    * `sigBits`-bit tables; docs colliding in ANY table become candidates.
+    * For same-bucket probability p = (1 - theta/pi) per plane, recall is
+    * 1 - (1 - p^sigBits)^nTables: raise sigBits to cut candidates, raise
+    * nTables to recover recall. Candidate pairs are verified with the exact
+    * cosine, so precision is always 1 against the threshold.
     */
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
-                     threshold: Double = 0.95, sigBits: Int = 8): DataFrame = {
-    val sig = df.select(col(idCol).as("__id"),
+                     threshold: Double = 0.95, sigBits: Int = 8,
+                     nTables: Int = 8): DataFrame = {
+    val sigged = df.select(col(idCol).as("__id"),
       VF.l2Normalize(col(vecCol)).as("__v"),
-      VF.hyperplaneSignature(col(vecCol), sigBits).as("__sig"))
-    val l = sig.select(col("__sig"), col("__id").as("idA"), col("__v").as("vA"))
-    val r = sig.select(col("__sig"), col("__id").as("idB"), col("__v").as("vB"))
-    l.join(r, Seq("__sig"))
+      explode(array((0 until nTables).map { t =>
+        struct(lit(t).as("tbl"),
+          VF.hyperplaneSignature(col(vecCol), sigBits, t * sigBits).as("sig"))
+      }: _*)).as("__s"))
+      .select(col("__id"), col("__v"), col("__s.tbl"), col("__s.sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = sigged.select(col("tbl"), col("sig"), col("__id").as("idA"), col("__v").as("vA"))
+    val r = sigged.select(col("tbl"), col("sig"), col("__id").as("idB"), col("__v").as("vB"))
+    l.join(r, Seq("tbl", "sig"))
       .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), col("vA"), col("vB"))
+      .dropDuplicates("idA", "idB")
       .withColumn("cosine", VF.dot(col("vA"), col("vB")))
       .filter(col("cosine") >= threshold)
       .select(col("idA"), col("idB"), col("cosine"))

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface for the `events` table (additive scope —
+  * the reference is batch-only, SURVEY.md §1.1). The same transforms apply
+  * to batch DataFrames (window/session_window work in both modes), so each
+  * operator is written against a plain DataFrame and can be driven by
+  * `readStream` or `read`.
+  */
+object EventStreams {
+
+  /** events schema as driver testdata provides it (ts normalized to
+    * TimestampType; the parquet carries TIMESTAMP(NANOS)).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based event stream: picks up parquet files as they land —
+    * the streaming mirror of the batch events reader.
+    */
+  def readStream(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Tumbling/sliding window counts + value sums with a watermark for state
+    * cleanup and late-data discipline. `slide == windowLen` gives tumbling.
+    */
+  def windowedStats(events: DataFrame, windowLen: String = "1 hour",
+                    slide: String = "1 hour",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Session windows per user with an inactivity gap — the streaming-native
+    * form of the batch sessionize query (SparkEntry q30).
+    */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes",
+                   watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  // --- custom state: per-user cumulative counters ---------------------------
+
+  final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
+                            user_id: Long, event_type: String, value: Double)
+  final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Arbitrary stateful aggregation via mapGroupsWithState: running per-user
+    * totals across micro-batches. State is one small case class per user —
+    * bounded by the user cardinality, the partitioning is by group key.
+    */
+  def runningUserTotals(events: Dataset[EventRow]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[EventRow], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0.0))
+          var n = prev.n_events
+          var v = prev.total_value
+          rows.foreach { r => n += 1; v += r.value }
+          val next = UserTotals(user, n, v)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Drive a streaming DataFrame to a named in-memory table and block until
+    * all available input is processed — the local test/verification harness
+    * (format("memory") + processAllAvailable).
+    */
+  def runToMemory(df: DataFrame, name: String,
+                  outputMode: OutputMode = OutputMode.Append()): StreamingQuery = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{Dedup, Similarity}
+
+/** Behavior of the dedup/ANN operators on corpora with injected duplicates —
+  * the properties (recall against exact baselines) that the rows-only
+  * verification queries can't check.
+  */
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** 100 docs + exact dups of the first 10 + near-dups (first 3 tokens
+    * dropped) of the next 20.
+    */
+  private lazy val corpus: DataFrame = {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").limit(100).cache()
+    val exactDup = d.filter($"doc_id" < 10)
+      .select($"doc_id" + 1000, $"text").toDF("doc_id", "text")
+    val nearDup = d.filter($"doc_id" >= 10 && $"doc_id" < 30)
+      .select($"doc_id" + 2000,
+        expr("array_join(slice(split(text, ' '), 4, 10000), ' ')"))
+      .toDF("doc_id", "text")
+    d.union(exactDup).union(nearDup)
+  }
+
+  test("exact dedup removes exact duplicates, keeps smallest id") {
+    val out = Dedup.exact(corpus, "text", "doc_id")
+    assert(out.count() == 120) // 10 exact dups removed
+    assert(out.filter($"doc_id" >= 1000 && $"doc_id" < 2000).count() == 0)
+    assert(out.filter($"doc_id" < 10).count() == 10)
+  }
+
+  test("exactGroups reports duplicate groups") {
+    val g = Dedup.exactGroups(corpus, "text", "doc_id")
+    assert(g.count() == 120)
+    assert(g.filter($"n_dups" === 2).count() == 10)
+  }
+
+  test("minhash pairs find injected near-dups with high estimated jaccard") {
+    val pairs = Dedup.minhashPairs(corpus, "text", "doc_id",
+      shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.4)
+    val found = pairs
+      .filter($"idA" >= 10 && $"idA" < 30 && $"idB" === $"idA" + 2000)
+      .count()
+    assert(found >= 15, s"found only $found of 20 injected near-dup pairs")
+    // exact dups must all be found with estimate 1.0
+    val exactFound = pairs.filter($"idB" === $"idA" + 1000 && $"jaccard_est" === 1.0).count()
+    assert(exactFound == 10)
+  }
+
+  test("minhashDedup drops the larger id of each pair") {
+    val out = Dedup.minhashDedup(corpus, "text", "doc_id",
+      shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.4)
+    assert(out.filter($"doc_id" >= 1000 && $"doc_id" < 2000).count() == 0)
+    assert(out.filter($"doc_id" < 10).count() == 10)
+  }
+
+  test("simhash pairs find exact dups at hamming 0") {
+    val pairs = Dedup.simhashPairs(corpus, "text", "doc_id",
+      maxHamming = 0, prefixBits = 4)
+    assert(pairs.filter($"idB" === $"idA" + 1000).count() == 10)
+  }
+
+  test("ngram jaccard pairs: exact dups at jaccard 1.0, near-dups high") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+      n = 2, threshold = 0.5, maxShingleFreq = 1000)
+    assert(pairs.filter($"idB" === $"idA" + 1000 && $"jaccard" === 1.0).count() == 10)
+    assert(pairs.filter($"idB" === $"idA" + 2000).count() >= 15)
+  }
+
+  test("embedding LSH pairs are a subset of exact pairs with decent recall") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val exact = Dedup.embeddingPairsExact(emb, "embedding", "vec_id", 0.35)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingPairs(emb, "embedding", "vec_id",
+      threshold = 0.35, sigBits = 4, nTables = 8)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH pairs must verify the same cosine threshold")
+    assert(exact.isEmpty || lsh.size.toDouble / exact.size >= 0.5,
+      s"recall ${lsh.size}/${exact.size} too low")
+  }
+
+  test("LSH top-k recall against brute force") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(queries, emb, "embedding", "vec_id", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(queries, emb, "embedding", "vec_id", 10,
+      sigBits = 10, probeHamming = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH recall@10 = $recall")
+  }
+
+  test("IVF top-k returns k deterministic-ranked rows per query") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val out = Similarity.ivfTopK(queries, emb, "embedding", "vec_id", 5,
+      nCentroids = 8, nProbe = 3)
+    val counts = out.groupBy("query_id").count().select("count")
+      .as[Long].collect()
+    assert(counts.forall(_ == 5))
+    val exact = Similarity.bruteForceTopK(queries, emb, "embedding", "vec_id", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = out.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert((exact & ivf).size.toDouble / exact.size >= 0.2)
+  }
+}

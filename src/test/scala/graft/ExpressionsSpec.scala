@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expressions.{TextExpressions, TextProfileExpressions, VectorExpressions}
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+/** Native expressions vs their declarative/regex formulations — the parity
+  * that keeps the DuckDB oracles honest.
+  */
+class ExpressionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 2.0f), Array(2.0f, 1.0f, 0.0f)),
+    (2L, Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f)),
+    (3L, Array(1.5f, -2.0f, 0.5f), Array(1.5f, -2.0f, 0.5f))
+  ).toDF("id", "a", "b")
+
+  test("dot product matches manual computation") {
+    val got = TestSpark.rows(vecs.orderBy("id").select(VectorExpressions.dot($"a", $"b")))
+      .flatten.map(_.asInstanceOf[Double])
+    assert(got == Seq(2.0, 0.0, 1.5 * 1.5 + 4.0 + 0.25))
+  }
+
+  test("cosine: zero-norm guard and self-similarity") {
+    val got = TestSpark.rows(vecs.orderBy("id").select(VectorExpressions.cosine($"a", $"b")))
+      .flatten.map(_.asInstanceOf[Double])
+    assert(got(1) == 0.0)
+    assert(math.abs(got(2) - 1.0) < 1e-12)
+  }
+
+  test("cosine matches the HOF double-arithmetic formulation") {
+    val hof = aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v) /
+      (sqrt(aggregate($"a", lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))) *
+        sqrt(aggregate($"b", lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))))
+    val df = vecs.filter($"id" =!= 2L)
+      .select(VectorExpressions.cosine($"a", $"b").as("native"), hof.as("hof"))
+    df.collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("NormTokens matches the regex formulation incl. unicode and edge cases") {
+    val texts = Seq("Hello, World!  multi  space", "", "  ", "C'est déjà l'été 42",
+      "tabs\tand\nnewlines", "123 #$% abc", "ALLCAPS MiXeD")
+    val df = texts.toDF("text")
+    val regexVersion = filter(
+      split(lower(regexp_replace($"text", "[^\\p{L}\\p{N}\\s]", " ")), "\\s+", -1),
+      t => length(t) > 0)
+    val cmp = df.select(TF.normTokens($"text").as("native"), regexVersion.as("re"))
+    cmp.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"mismatch for ${r}")
+    }
+  }
+
+  test("TextProfile fields match the SQL-function formulations") {
+    val texts = Seq("The quick brown fox... jumped!", "", "a  b", "Der Hund und die Katze",
+      "el que de la  ", "no-punct words here the and of")
+    val df = texts.toDF("text")
+    val toks = filter(split($"text", "\\s+", -1), t => length(t) > 0)
+    val p = TF.profile($"text")
+    val cmp = df.select(
+      p.getField("n_chars").as("nc"), length($"text").as("nc2"),
+      p.getField("n_punct").as("np"),
+      length(regexp_replace($"text", "[^!-/:-@\\[-`{-~]", "")).as("np2"),
+      p.getField("n_toks").as("nt"), size(toks).as("nt2"),
+      p.getField("sum_tok_len").as("sl"),
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("sl2"))
+    cmp.collect().foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), "n_chars")
+      assert(r.getInt(2) == r.getInt(3), "n_punct")
+      assert(r.getInt(4) == r.getInt(5), "n_toks")
+      assert(r.getLong(6) == r.getLong(7), "sum_tok_len")
+    }
+  }
+
+  test("stopword hits match isin-filter counts") {
+    val df = Seq("the cat and the hat", "no stops here").toDF("text")
+    val viaProfile = df.select(
+      element_at(TF.profile($"text").getField("set_hits"), 1).as("hits"))
+    val viaFilter = df.select(
+      size(filter(TF.normTokens($"text"), t => t.isin(TF.StopwordsEn: _*))).as("hits"))
+    assert(TestSpark.rows(viaProfile) == TestSpark.rows(viaFilter))
+  }
+
+  test("NgramHashes: count and determinism, no gram strings") {
+    val df = Seq("a b c d e", "a b", "x").toDF("text")
+    val counts = TestSpark.rows(
+      df.select(size(TextExpressions.ngramHashes(TF.normTokens($"text"), 3))))
+      .flatten
+    assert(counts == Seq(3, 0, 0))
+    // equal token windows hash equal across rows
+    val h = TestSpark.rows(Seq("p q r", "p q r s").toDF("t")
+      .select(TextExpressions.ngramHashes(TF.normTokens($"t"), 3)))
+      .flatten.map(_.asInstanceOf[scala.collection.Seq[Long]])
+    assert(h(0).head == h(1).head)
+  }
+
+  test("MinHash signature: length, determinism, dup-detection property") {
+    val df = Seq(
+      ("same text about spark engines and data", "same text about spark engines and data"),
+      ("same text about spark engines and data", "completely different words entirely unrelated topic")
+    ).toDF("x", "y")
+    val sim = df.select(TextExpressions.matchFraction(
+      graft.llm.Dedup.minhashSignature($"x", 2, 32),
+      graft.llm.Dedup.minhashSignature($"y", 2, 32)).as("est"))
+    val got = TestSpark.rows(sim).flatten.map(_.asInstanceOf[Double])
+    assert(got(0) == 1.0)           // identical docs -> identical signatures
+    assert(got(1) < 0.3)            // unrelated docs -> low estimate
+  }
+
+  test("SimHash: identical texts equal, near texts close, far texts far") {
+    val df = Seq(
+      ("the quick brown fox jumps over the lazy dog", "the quick brown fox jumps over the lazy dog"),
+      ("the quick brown fox jumps over the lazy dog", "the quick brown fox jumps over the lazy cat"),
+      ("the quick brown fox jumps over the lazy dog", "entirely unrelated sentence with other words")
+    ).toDF("x", "y")
+    val ham = df.select(bit_count(
+      graft.llm.Dedup.simhash($"x").bitwiseXOR(graft.llm.Dedup.simhash($"y"))).as("h"))
+    val got = TestSpark.rows(ham).flatten.map(_.asInstanceOf[Int])
+    assert(got(0) == 0)
+    assert(got(1) < got(2), s"near ${got(1)} should be < far ${got(2)}")
+  }
+
+  test("hyperplane signature is deterministic and fits requested bits") {
+    val df = Seq(Tuple1(Array(1.0f, 2.0f, 3.0f))).toDF("v")
+    val s1 = TestSpark.rows(df.select(VF.hyperplaneSignature($"v", 12))).flatten.head
+    val s2 = TestSpark.rows(df.select(VF.hyperplaneSignature($"v", 12))).flatten.head
+    assert(s1 == s2)
+    assert(s1.asInstanceOf[Long] >= 0L && s1.asInstanceOf[Long] < (1L << 12))
+  }
+
+  test("rolling fingerprint is order-sensitive") {
+    val df = Seq(
+      ("one two three four five six", "one two three four five six"),
+      ("one two three four five six", "six five four three two one")
+    ).toDF("x", "y")
+    val fp = df.select(
+      (TF.rollingFingerprint($"x", 2) === TF.rollingFingerprint($"y", 2)).as("eq"))
+    val got = TestSpark.rows(fp).flatten.map(_.asInstanceOf[Boolean])
+    assert(got == Seq(true, false))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.Multimodal
+
+/** Multimodal binary-column plumbing: payload packing, metadata extraction,
+  * the mapPartitions decode seam, and frame sampling — all on the
+  * deterministic stub decoder (no media codecs in this environment).
+  */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq((1L, "hello world"), (2L, "a much longer document body here"))
+    .toDF("doc_id", "text")
+
+  test("binary payload carries exact UTF-8 bytes") {
+    val df = Multimodal.withBinaryPayload(docs, "text")
+    val r = df.orderBy("doc_id").select("payload").as[Array[Byte]].collect()
+    assert(new String(r(0), "UTF-8") == "hello world")
+  }
+
+  test("payload stats: byte length and checksum, no decode") {
+    val df = Multimodal.withPayloadStats(
+      Multimodal.withBinaryPayload(docs, "text"), "payload")
+    val got = TestSpark.rows(df.orderBy("doc_id").select("n_bytes"))
+    assert(got.flatten == Seq(11L, 32L))
+    assert(df.schema("checksum").dataType.typeName == "long")
+  }
+
+  test("decodeMeta runs the stub decoder per partition, deterministic") {
+    val withBin = Multimodal.withBinaryPayload(docs, "text")
+    val metas = Multimodal.decodeMeta(withBin, "payload").collect().sortBy(_.nBytes)
+    assert(metas.map(_.nBytes).toSeq == Seq(11L, 32L))
+    assert(metas.forall(m => m.width >= 64 && m.width < 64 + 1024))
+    val again = Multimodal.decodeMeta(withBin, "payload").collect().sortBy(_.nBytes)
+    assert(metas.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
+  }
+
+  test("frame sampling emits n frames per payload with checksums") {
+    val df = Multimodal.frameSample(
+      Multimodal.withBinaryPayload(docs, "text"), "payload", n = 4, frameBytes = 4)
+    assert(df.count() == 8)
+    assert(df.groupBy("doc_id").count().select("count").as[Long].collect().forall(_ == 4))
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops._
+
+/** The reference dataflow surface (SURVEY.md §2B) and its semantic traps:
+  * discard-when-true filtering (B3), key-sorted grouping (B5/B7), empty
+  * tokens from regex split (B8), _colN naming (A8).
+  */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // the reference's 3-column `test` fixture shape (FIXTURES.md §2)
+  private def testDf = Seq(
+    (1, "a", "A"), (1, "a", "A"), (1, "a", "A"),
+    (2, "b", "B"), (2, "b", "B"), (2, "b", "B"),
+    (3, "c", "C"),
+    (4, "d", "D"), (4, "d", "D"), (4, "d", "D"),
+    (5, "e", "E"), (5, "e", "E"), (5, "e", "E")
+  ).toDF("col1", "col2", "col3")
+
+  test("removeWhere discards rows where predicate is TRUE (HCatTapTest col1>3)") {
+    val kept = testDf.removeWhere($"col1" > 3).select("col1").distinct()
+    assert(TestSpark.rows(kept.orderBy("col1")).flatten == Seq(1, 2, 3))
+  }
+
+  test("removeWhere col1 != 1 keeps only the 1s (HCatTapTest)") {
+    val kept = testDf.removeWhere("col1 != 1")
+    assert(kept.count() == 3)
+    assert(TestSpark.rows(kept.select("col1").distinct()).flatten == Seq(1))
+  }
+
+  test("removeWhere keeps rows where the predicate is NULL") {
+    val df = Seq(Some(1), Some(5), None).toDF("x")
+    // x > 3 is NULL for the null row: Cascading filter semantics keep it
+    val kept = df.removeWhere($"x" > 3)
+    assert(kept.count() == 2) // 1 and null kept; 5 removed
+  }
+
+  test("countBy emits key-sorted counts (RCFileTest CountBy expectation)") {
+    val got = TestSpark.rows(testDf.countBy(Seq("col1"), "cnt"))
+    assert(got == Seq(Seq(1, 3L), Seq(2, 3L), Seq(3, 1L), Seq(4, 3L), Seq(5, 3L)))
+  }
+
+  test("sortedGroupBy appends the key sort Spark's groupBy lacks") {
+    val got = testDf.sortedGroupBy(Seq("col2"), Seq(sum($"col1").as("s")))
+    assert(TestSpark.rows(got).map(_.head) == Seq("a", "b", "c", "d", "e"))
+  }
+
+  test("splitGenerate keeps empty tokens (ORCFileTest word-count: '' x9)") {
+    // Two docs engineered so the reference regex produces empty tokens at
+    // punctuation boundaries, as in the wc fixture.
+    val docs = Seq("A word (Australia) ends.", "A A, word").toDF("text")
+    val counts = docs.splitGenerate($"text", """[ \[\]\(\),.]""").countBy(Seq("token"))
+    val m = TestSpark.rows(counts).map(r => r.head -> r(1)).toMap
+    // "(Australia)" -> "", "Australia", ""; "ends." -> "ends", ""; "A," -> "A", ""
+    assert(m("") == 4L)
+    assert(m("A") == 3L)
+    assert(m("Australia") == 1L)
+    // key-sorted: empty token first
+    assert(TestSpark.rows(counts).head.head == "")
+  }
+
+  test("coerce casts columns in place (Coerce string->int)") {
+    val df = Seq(("11-1011", "299160", "151370")).toDF("code", "total_emp", "salary")
+      .coerce("total_emp" -> IntegerType, "salary" -> IntegerType)
+    assert(df.schema("total_emp").dataType == IntegerType)
+    assert(TestSpark.rows(df.select("total_emp")).head.head == 299160)
+  }
+
+  test("coerceDdl accepts Hive type names") {
+    val df = Seq(("1", "2.5")).toDF("a", "b").coerceDdl("a" -> "bigint", "b" -> "double")
+    assert(df.schema("a").dataType.typeName == "long")
+    assert(df.schema("b").dataType.typeName == "double")
+  }
+
+  test("identitySelect projects a named subset in order (Identity(Fields))") {
+    val df = testDf.identitySelect("col3", "col1")
+    assert(df.columns.toSeq == Seq("col3", "col1"))
+  }
+
+  test("withDefaultColNames renames to _col0.._colN (ORC sink inference)") {
+    val df = testDf.withDefaultColNames
+    assert(df.columns.toSeq == Seq("_col0", "_col1", "_col2"))
+  }
+}

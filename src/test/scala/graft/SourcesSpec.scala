@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io._
+import graft.ops._
+
+/** File-source surface (SURVEY.md §2 A1-A8, A20-A21): round trips, schema
+  * modes, compression invariance, projection.
+  */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // all-primitive-types fixture in the shape of rc_test (FIXTURES.md §1)
+  private def typed = {
+    val df = Seq(
+      (1, -2L, 3.0f, 3.5, BigDecimal("5.0"), true, Array[Byte]('3'), "c",
+        java.sql.Timestamp.valueOf("2000-01-03 00:00:00")),
+      (2, -4L, 6.0f, 7.5, BigDecimal("8.0"), false, Array[Byte]('x'), "d",
+        java.sql.Timestamp.valueOf("2000-01-04 00:00:00"))
+    ).toDF("intCol", "bigintCol", "floatCol", "doubleCol", "decimalCol",
+      "booleanCol", "binaryCol", "stringCol", "timestampCol")
+    df
+  }
+
+  test("ORC write/read round trip preserves all primitive types") {
+    val dir = TestSpark.tmpDir("orc-rt")
+    val tbl = OrcTable(s"$dir/t")
+    tbl.write(typed)
+    val back = tbl.read(spark)
+    assert(back.schema("bigintCol").dataType == LongType)
+    assert(back.schema("decimalCol").dataType.isInstanceOf[DecimalType])
+    assert(back.count() == 2)
+    val r = back.orderBy("intCol").collect()(0)
+    assert(r.getAs[Long]("bigintCol") == -2L)
+    assert(new String(r.getAs[Array[Byte]]("binaryCol")) == "3")
+  }
+
+  test("ORC schema inference from footers (no schema given)") {
+    val dir = TestSpark.tmpDir("orc-inf")
+    OrcTable(s"$dir/t").write(typed)
+    val inferred = OrcTable(s"$dir/t", SchemaSpec.Infer).read(spark)
+    assert(inferred.schema.fieldNames.toSet == typed.schema.fieldNames.toSet)
+  }
+
+  test("compressed write equals uncompressed read-back (A21 invariance)") {
+    val dir = TestSpark.tmpDir("orc-comp")
+    val plainT = OrcTable(s"$dir/plain")
+    plainT.write(typed)
+    OrcTable(s"$dir/snappy").writeCompressed(typed)
+    val a = TestSpark.rows(plainT.read(spark).orderBy("intCol").drop("binaryCol"))
+    val b = TestSpark.rows(OrcTable(s"$dir/snappy").read(spark).orderBy("intCol").drop("binaryCol"))
+    assert(a == b)
+  }
+
+  test("projection pushdown reaches the ORC scan (selectedCols)") {
+    val dir = TestSpark.tmpDir("orc-proj")
+    OrcTable(s"$dir/t").write(typed)
+    val projected = OrcTable(s"$dir/t", selectedCols = Seq("intCol", "stringCol")).read(spark)
+    assert(projected.columns.toSeq == Seq("intCol", "stringCol"))
+    val plan = projected.queryExecution.executedPlan.toString
+    // requiredSchema on the scan must mention only the selected columns
+    assert(!plan.contains("doubleCol"), s"column pruning missing in:\n$plan")
+  }
+
+  test("text source with DDL schema and delimiter (TextDelimited fixtures)") {
+    val dir = TestSpark.tmpDir("txt")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/data.tsv"),
+      "1\ta\tA\n2\tb\tB\n3\tc\tC\n")
+    val t = TextTable(s"$dir/data.tsv", SchemaSpec.Ddl("col1 int, col2 string, col3 string"))
+    val df = t.read(spark)
+    assert(df.schema("col1").dataType == IntegerType)
+    assert(TestSpark.rows(df.orderBy("col1")).map(_.head) == Seq(1, 2, 3))
+  }
+
+  test("parquet round trip with explicit StructType") {
+    val dir = TestSpark.tmpDir("pq")
+    val t   = ParquetTable(s"$dir/t")
+    t.write(typed.select($"intCol", $"stringCol"))
+    val back = ParquetTable(s"$dir/t",
+      SchemaSpec.Explicit(StructType(Seq(
+        StructField("intCol", IntegerType), StructField("stringCol", StringType)))))
+      .read(spark)
+    assert(back.count() == 2)
+  }
+
+  test("names+types padding via SchemaSpec.NamesTypes (A20)") {
+    val dir = TestSpark.tmpDir("pad")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/d.csv"), "1,x\n2,y\n")
+    val df = TextTable(s"$dir/d.csv",
+      SchemaSpec.NamesTypes(Seq("a", "b"), Seq("int")), delimiter = ",").read(spark)
+    assert(df.schema("a").dataType == IntegerType)
+    assert(df.schema("b").dataType == StringType)
+  }
+
+  test("missing input path raises with the path in the message") {
+    val ex = intercept[Exception] {
+      OrcTable("/nonexistent/graft/path").read(spark).collect()
+    }
+    assert(ex.getMessage.contains("/nonexistent/graft/path"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+
+/** Structured Streaming surface driven synchronously (memory sink +
+  * AvailableNow) against parquet landed in a temp dir.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val streamDir: String = {
+    val dir = TestSpark.tmpDir("events-stream")
+    val batch = Seq(
+      (1L, ts("2024-01-01 00:05:00"), 10L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 00:20:00"), 10L, "click", 2.0, "{}"),
+      (3L, ts("2024-01-01 01:10:00"), 10L, "view", 3.0, "{}"),   // >30min gap: new session
+      (4L, ts("2024-01-01 00:15:00"), 20L, "click", 4.0, "{}"),
+      (5L, ts("2024-01-01 02:00:00"), 20L, "error", 5.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    batch.coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed stats over a file stream (watermark + tumbling window)") {
+    val stream = EventStreams.readStream(spark, streamDir)
+    assert(stream.isStreaming)
+    // Complete mode: with a single AvailableNow batch the watermark never
+    // passes the last window, so append mode would emit nothing yet.
+    val q = EventStreams.runToMemory(
+      EventStreams.windowedStats(stream, "1 hour", "1 hour", "2 hours"), "win_out",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    try {
+      val out = spark.table("win_out")
+        .select($"window_start", $"event_type", $"n_events")
+        .orderBy($"window_start", $"event_type")
+      val got = TestSpark.rows(out)
+      // hour 0: 3 clicks (2 from u10 + 1 from u20); hour 1: 1 view; hour 2: 1 error
+      assert(got.map(r => (r(1), r(2))) ==
+        Seq(("click", 3L), ("view", 1L), ("error", 1L)))
+    } finally q.stop()
+  }
+
+  test("session windows with 30 minute gap") {
+    val stream = EventStreams.readStream(spark, streamDir)
+    val q = EventStreams.runToMemory(
+      EventStreams.sessionStats(stream, "30 minutes", "2 hours"), "sess_out",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    try {
+      val out = spark.table("sess_out").orderBy($"user_id", $"session_start")
+      val got = TestSpark.rows(out.select($"user_id", $"n_events"))
+      // u10: session(00:05-00:20)=2 events, session(01:10)=1; u20: two 1-event sessions
+      assert(got == Seq(Seq(10L, 2L), Seq(10L, 1L), Seq(20L, 1L), Seq(20L, 1L)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running totals across a micro-batch") {
+    val stream = EventStreams.readStream(spark, streamDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.EventRow]
+    val q = EventStreams.runToMemory(
+      EventStreams.runningUserTotals(stream).toDF(), "totals_out",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    try {
+      val out = spark.table("totals_out")
+      // last update per user carries the final totals
+      val finals = out.groupBy($"user_id")
+        .agg(max($"n_events").as("n"), max($"total_value").as("v"))
+        .orderBy($"user_id")
+      assert(TestSpark.rows(finals) == Seq(Seq(10L, 3L, 6.0), Seq(20L, 2L, 9.0)))
+    } finally q.stop()
+  }
+
+  test("windowedStats applies identically to the batch events table") {
+    val batch = spark.read.parquet(streamDir)
+    val out = EventStreams.windowedStats(batch, "1 hour", "1 hour", "2 hours")
+    assert(out.count() == 3)
+  }
+}
