@@ -337,6 +337,71 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(sum(col("n_bytes")).as("total_bytes"), count(lit(1)).as("n_docs"))
         .orderBy(col("source"))
+    }),
+
+    // ---- I/O surface: round trips through the engine's file tables ------
+    "q32_orc_roundtrip" -> ((s, dir) => {
+      // lineitem -> snappy ORC -> read back -> aggregate (SURVEY.md A4/A5/A21)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_q32_orc"
+      val src = t(s, dir, "lineitem").filter(col("l_shipdate") >= lit("1996-01-01"))
+      graft.io.OrcTable(path).write(src, options = Map("compression" -> "snappy"))
+      graft.io.OrcTable(path).read(s)
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q33_text_roundtrip" -> ((s, dir) => {
+      // customer -> pipe-delimited text -> read with DDL schema (A9, TextDelimited)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_q33_text"
+      val tbl = graft.io.TextTable(path,
+        graft.io.SchemaSpec.Ddl(
+          "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"),
+        delimiter = "|")
+      tbl.write(t(s, dir, "customer"))
+      tbl.read(s)
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("c_acctbal")), 2).as("sum_bal"), count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q34_partition_prune" -> ((s, dir) => {
+      // write partitioned by derived year, read back pruned via the
+      // reference's filter-string grammar (A11/A12)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_q34_part"
+      t(s, dir, "orders").withColumn("yr", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("yr").parquet(path)
+      s.read.parquet(path)
+        .filter(graft.catalog.PartitionFilter.parse("yr=1995 or yr=1996"))
+        .countBy(Seq("o_orderpriority"), "n_orders")
+    }),
+
+    "q35_coln_convention" -> ((s, dir) => {
+      // _colN naming for unnamed outputs (A8)
+      t(s, dir, "documents").select(col("lang"))
+        .withDefaultColNames
+        .countBy(Seq("_col0"))
+    }),
+
+    "q36_stream_windowed" -> ((s, dir) => {
+      // the streaming transform applied in batch mode (same plan shape)
+      graft.streaming.EventStreams
+        .windowedStats(events(s, dir), "1 hour", "1 hour", "2 hours")
+        .select(col("window_start").cast("long").as("window_start"),
+          col("event_type"), col("n_events"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    "q37_json_render" -> ((s, dir) => {
+      // nested-value JSON rendering (A18: SerDeUtils.getJSONString ->
+      // to_json over struct)
+      t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          to_json(struct(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+            .as("js"))
+        .orderBy(col("n_nationkey"))
     })
   )
 
@@ -602,6 +667,37 @@ object SparkEntry {
     "q31_multimodal_stats" ->
       """SELECT source, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  count(*) AS n_docs
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q32_orc_roundtrip" ->
+      """SELECT l_returnflag, round(sum(l_extendedprice), 2) AS sum_price,
+        |  count(*) AS n_rows
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q33_text_roundtrip" ->
+      """SELECT c_mktsegment, round(sum(c_acctbal), 2) AS sum_bal, count(*) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q34_partition_prune" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE extract(year FROM o_orderdate) IN (1995, 1996)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q35_coln_convention" ->
+      """SELECT lang AS _col0, count(*) AS "count"
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q36_stream_windowed" ->
+      """SELECT CAST(extract(epoch FROM date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q37_json_render" ->
+      """SELECT n_nationkey,
+        |  to_json(struct_pack(n_nationkey := n_nationkey, n_name := n_name,
+        |                      n_regionkey := n_regionkey))::VARCHAR AS js
+        |FROM nation ORDER BY n_nationkey""".stripMargin
   )
 }
