@@ -31,6 +31,9 @@ object VectorExpressions {
   def simhash64(hashes: Column): Column =
     ColumnShim.column(SimHash64(ColumnShim.expression(hashes)))
 
+  def hyperplaneSig(vec: Column, nBits: Int, planeOffset: Int = 0): Column =
+    ColumnShim.column(HyperplaneSig(ColumnShim.expression(vec), nBits, planeOffset))
+
   private[expressions] def elemGetter(arr: String, idx: String, et: DataType): String =
     et match {
       case FloatType  => s"(double) $arr.getFloat($idx)"
@@ -137,6 +140,55 @@ case class ArrayCosineSim(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** Packed random-hyperplane LSH signature: bit b is the sign of the
+  * projection onto pseudo-random plane (planeOffset + b). Plane components
+  * are SplitMix64-derived from (planeId, dimIdx), so every executor
+  * regenerates them identically with no broadcast plane matrix, and
+  * `planeOffset` selects disjoint plane families for OR-amplified multi-table
+  * hashing. One primitive nBits x dims loop per row.
+  */
+case class HyperplaneSig(child: Expression, nBits: Int, planeOffset: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(nBits >= 1 && nBits <= 63, "signature must fit in a long")
+
+  override def dataType: DataType = LongType
+  private def elem = child.dataType.asInstanceOf[ArrayType].elementType
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + -7046029254386353131L // 0x9E3779B97F4A7C15
+    z = (z ^ (z >>> 30)) * -4658895280553007687L // 0xBF58476D1CE4E5B9
+    z = (z ^ (z >>> 27)) * -7723592293110705685L // 0x94D049BB133111EB
+    z ^ (z >>> 31)
+  }
+
+  /** Uniform [-0.5, 0.5) component for (plane, dim). */
+  private def component(plane: Int, dim: Int): Double = {
+    val h = mix64((plane.toLong << 32) | (dim.toLong & 0xFFFFFFFFL))
+    (h >>> 11).toDouble / (1L << 53).toDouble - 0.5
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val dims = arr.numElements()
+    var sig = 0L
+    var b = 0
+    while (b < nBits) {
+      val plane = planeOffset + b
+      var proj = 0.0
+      var d = 0
+      while (d < dims) {
+        proj += VectorExpressions.elemEval(arr, d, elem) * component(plane, d)
+        d += 1
+      }
+      if (proj >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** MinHash signature over an array of (arbitrary 64-bit) shingle hashes:

@@ -38,34 +38,19 @@ object VectorFunctions {
       .otherwise(transform(a, v => v.cast("double") / n))
   }
 
-  /** Signed projection onto a deterministic pseudo-random hyperplane. The
-    * plane's components are derived from `hash(planeId, dimIdx)` so executors
-    * regenerate them identically without broadcasting plane matrices.
+  /** One bit of a random-hyperplane LSH signature (sign of the projection
+    * onto deterministic pseudo-random plane `planeId`).
     */
-  private def hyperplaneProj(vec: Column, planeId: Column): Column =
-    aggregate(
-      zip_with(vec, sequence(lit(0), size(vec) - 1), (v, i) => {
-        // hash -> [-0.5, 0.5) pseudo-uniform component
-        val h = pmod(hash(planeId, i), lit(10007)).cast("double")
-        v.cast("double") * (h / 10007.0d - 0.5d)
-      }),
-      lit(0.0), (acc, v) => acc + v)
-
-  /** One bit of a random-hyperplane LSH signature. */
   def hyperplaneBit(vec: Column, planeId: Int): Column =
-    when(hyperplaneProj(vec, lit(planeId)) >= 0, 1).otherwise(0)
+    hyperplaneSignature(vec, 1, planeId).cast("int")
 
-  /** `nBits`-bit random-hyperplane signature packed into a long. Hamming
-    * distance between signatures approximates angular distance — the
-    * bucketing key for approximate nearest-neighbor search. `planeOffset`
-    * selects a disjoint plane family, so several independent hash tables
-    * (OR-amplification) can be built from one function.
+  /** `nBits`-bit random-hyperplane signature packed into a long (native
+    * primitive-loop expression). Hamming distance between signatures
+    * approximates angular distance — the bucketing key for approximate
+    * nearest-neighbor search. `planeOffset` selects a disjoint plane family,
+    * so several independent hash tables (OR-amplification) can be built from
+    * one function.
     */
-  def hyperplaneSignature(vec: Column, nBits: Int, planeOffset: Int = 0): Column = {
-    require(nBits <= 63, "signature must fit in a long")
-    val bits = transform(sequence(lit(planeOffset), lit(planeOffset + nBits - 1)), b =>
-      when(hyperplaneProj(vec, b) >= 0,
-        call_function("shiftleft", lit(1L), (b - planeOffset).cast("int"))).otherwise(0L))
-    aggregate(bits, lit(0L), (acc, v) => acc + v)
-  }
+  def hyperplaneSignature(vec: Column, nBits: Int, planeOffset: Int = 0): Column =
+    graft.expressions.VectorExpressions.hyperplaneSig(vec, nBits, planeOffset)
 }

@@ -194,11 +194,16 @@ object Dedup {
     */
   def embeddingPairsExact(df: DataFrame, vecCol: String, idCol: String,
                           threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    val l = v.select(col("__id").as("idA"), col("__v").as("vA"))
-    val r = v.select(col("__id").as("idB"), col("__v").as("vB"))
+    // Per-row norms precomputed; per-pair work is one dot product.
+    // dot/(normA*normB) is bit-identical to a fused cosine.
+    val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      VF.norm(col(vecCol)).as("__n"))
+    val l = v.select(col("__id").as("idA"), col("__v").as("vA"), col("__n").as("nA"))
+    val r = v.select(col("__id").as("idB"), col("__v").as("vB"), col("__n").as("nB"))
     l.join(broadcast(r), col("idA") < col("idB"))
-      .withColumn("cosine", VF.cosine(col("vA"), col("vB")))
+      .withColumn("cosine",
+        when(col("nA") * col("nB") === 0.0, 0.0)
+          .otherwise(VF.dot(col("vA"), col("vB")) / (col("nA") * col("nB"))))
       .filter(col("cosine") >= threshold)
       .select(col("idA"), col("idB"), col("cosine"))
   }

@@ -22,11 +22,18 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      vecCol: String, idCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    // Norms are computed once per row on each side; the per-pair inner loop
+    // is a single dot product. dot/(normA*normB) produces bit-identical
+    // doubles to a fused cosine (same operations, same order).
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      VF.norm(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      VF.norm(col(vecCol)).as("__cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VF.cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine",
+        when(col("__qn") * col("__cn") === 0.0, 0.0)
+          .otherwise(VF.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
@@ -45,15 +52,19 @@ object Similarity {
               vecCol: String, idCol: String, k: Int,
               sigBits: Int = 12, probeHamming: Int = 2): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      VF.norm(col(vecCol)).as("__cn"),
       VF.hyperplaneSignature(col(vecCol), sigBits).as("__csig"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      VF.norm(col(vecCol)).as("__qn"),
       VF.hyperplaneSignature(col(vecCol), sigBits).as("__qsig"))
     // Small query side broadcast; bucket pruning by Hamming distance on the
     // signature replaces the full cross product.
     val scored = c.join(broadcast(q),
         bit_count(col("__csig").bitwiseXOR(col("__qsig"))) <= probeHamming)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VF.cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine",
+        when(col("__qn") * col("__cn") === 0.0, 0.0)
+          .otherwise(VF.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
