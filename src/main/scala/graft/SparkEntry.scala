@@ -394,6 +394,45 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    "q40_asof_join" -> ((s, dir) => {
+      // for each event, the user's most recent order at event time
+      graft.ops.AsofJoin.backward(
+          events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+          t(s, dir, "orders"),
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftId = "event_id", leftTs = "ts", rightTs = "o_orderdate",
+          rightTieCols = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("last_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("last_orderdate"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q38_range_join" -> ((s, dir) => {
+      // non-equi (theta) join: price bands as an inline dimension ->
+      // BroadcastNestedLoopJoin picks it up automatically
+      val bands = s.range(0, 6).select(
+        (col("id") * 100000).cast("double").as("lo"),
+        ((col("id") + 1) * 100000).cast("double").as("hi"),
+        concat(lit("band"), col("id")).as("band"))
+      t(s, dir, "orders")
+        .join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("band"))
+    }),
+
+    "q39_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"), col("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     "q37_json_render" -> ((s, dir) => {
       // nested-value JSON rendering (A18: SerDeUtils.getJSONString ->
       // to_json over struct)
@@ -698,6 +737,34 @@ object SparkEntry {
       """SELECT n_nationkey,
         |  to_json(struct_pack(n_nationkey := n_nationkey, n_name := n_name,
         |                      n_regionkey := n_regionkey))::VARCHAR AS js
-        |FROM nation ORDER BY n_nationkey""".stripMargin
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q40_asof_join" ->
+      """WITH j AS (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, o_orderkey AS last_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS last_orderdate
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q38_range_join" ->
+      """WITH bands AS (
+        |  SELECT CAST(i * 100000 AS DOUBLE) AS lo,
+        |         CAST((i + 1) * 100000 AS DOUBLE) AS hi,
+        |         'band' || i AS band
+        |  FROM range(0, 6) r(i))
+        |SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q39_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY coalesce(l_returnflag, 'ALL'), coalesce(l_linestatus, 'ALL')""".stripMargin
   )
 }

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the single right row with the greatest
+  * right timestamp <= the left timestamp among key matches (the "backward"
+  * direction; "forward" is the mirror).
+  *
+  * Composed from built-ins per the engine's preference order — an equi-join
+  * on the key with a range predicate, then a per-left-row window keeping
+  * rank 1. Catalyst plans the join (broadcast if a side is small, SMJ
+  * otherwise) and AQE handles skewed keys. A custom SparkPlan (range-
+  * partitioned merge) only becomes worthwhile when key fanout makes the
+  * intermediate join explode; at that point the window input should be
+  * pre-aggregated with max_by per (leftId) instead — see the groupBy
+  * variant below, which avoids the window entirely.
+  */
+object AsofJoin {
+
+  /** Window formulation: general (can carry all right columns through). */
+  def backward(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftId: String, leftTs: String, rightTs: String,
+               rightTieCols: Seq[String] = Nil): DataFrame = {
+    val j = left.join(right,
+      col(leftKey) === col(rightKey) && col(rightTs) <= col(leftTs))
+    val order = col(rightTs).desc +: rightTieCols.map(c => col(c).desc)
+    val w = Window.partitionBy(col(leftId)).orderBy(order: _*)
+    j.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Aggregation formulation: one hash aggregate instead of a sort-window —
+    * cheaper when only a few right columns are needed. `pick` are
+    * (rightColumn -> outputName) pairs selected from the max-(rightTs, tie)
+    * row via max_by on a packed struct.
+    */
+  def backwardAgg(left: DataFrame, right: DataFrame,
+                  leftKey: String, rightKey: String,
+                  leftId: String, leftTs: String, rightTs: String,
+                  rightTie: String, pick: Seq[(String, String)]): DataFrame = {
+    val j = left.join(right,
+      col(leftKey) === col(rightKey) && col(rightTs) <= col(leftTs))
+    val ordKey = struct(col(rightTs), col(rightTie))
+    val picked = pick.map { case (c, out) => max_by(col(c), ordKey).as(out) }
+    j.groupBy(col(leftId))
+      .agg(picked.head, picked.tail: _*)
+  }
+}
