@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{SkewJoin, TypedAggregators}
+import graft.io.TypedSources
+
+object ScaleOpsSpec {
+  final case class Part(p_partkey: Long, p_name: String, p_size: Int)
+}
+
+/** Scale-infrastructure operators: salted joins/aggregations, typed
+  * Aggregator UDAFs, typed sources, bucketed co-located joins.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedJoin equals plain join on a skewed key") {
+    // one hot key (0) with 1000 rows, 10 cold keys
+    val left = spark.range(1100)
+      .select((when($"id" < 1000, 0L).otherwise($"id" - 999)).as("k"), $"id".as("v"))
+    val right = Seq((0L, "hot"), (1L, "c1"), (2L, "c2")).toDF("rk", "name")
+    val plain = left.join(right, $"k" === $"rk").drop("rk")
+      .orderBy("k", "v").collect().toSeq
+    val salted = SkewJoin.saltedJoin(left, right, "k", "rk", factor = 8)
+      .orderBy("k", "v").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("saltedAgg equals direct aggregation") {
+    val df = spark.range(10000)
+      .select((when($"id" < 9000, 0L).otherwise($"id" % 7)).as("k"), ($"id" % 100).as("v"))
+    val direct = df.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .orderBy("k").collect().toSeq
+    val salted = SkewJoin.saltedAgg(df, "k", 16,
+      partials = Seq(sum("v").as("ps"), count(lit(1)).as("pn")),
+      finals = Seq(sum("ps").as("s"), sum("pn").as("n")))
+      .orderBy("k").collect().toSeq
+    assert(salted == direct)
+  }
+
+  test("weightedMean Aggregator: partial+final merge correctness") {
+    val ds = Seq((10.0, 1.0), (20.0, 3.0)).toDS().repartition(2)
+    val got = ds.select(TypedAggregators.weightedMean).collect().head
+    assert(math.abs(got - 17.5) < 1e-12)
+  }
+
+  test("sampleVariance Aggregator matches var_samp across partitions") {
+    val values = (1 to 1000).map(_.toDouble * 0.5)
+    val ds = values.toDS().repartition(7)
+    val got = ds.select(TypedAggregators.sampleVariance).collect().head
+    val expected = ds.toDF("x").agg(var_samp($"x")).collect().head.getDouble(0)
+    assert(math.abs(got - expected) / expected < 1e-12)
+  }
+
+  test("typed sources round-trip a case class dataset (A20)") {
+    import ScaleOpsSpec.Part
+    val dir = TestSpark.tmpDir("typed-src")
+    val src = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .select($"p_partkey", $"p_name", $"p_size").as[Part]
+    TypedSources.writeOrc(src, s"$dir/part")
+    val back = TypedSources.orc[Part](spark, s"$dir/part")
+    assert(back.count() == src.count())
+    assert(back.filter(_.p_size > 25).count() == src.filter(_.p_size > 25).count())
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS default.bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS default.bkt_lineitem")
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    o.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("default.bkt_orders")
+    l.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("default.bkt_lineitem")
+    val joined = spark.table("default.bkt_lineitem")
+      .join(spark.table("default.bkt_orders"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority").agg(sum($"l_quantity"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located bucketed join: no Exchange feeding the SortMergeJoin
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected bucketing to remove join shuffles:\n$plan")
+    assert(joined.count() == 5)
+  }
+}
