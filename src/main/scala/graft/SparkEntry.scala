@@ -343,7 +343,11 @@ object SparkEntry {
     "q32_orc_roundtrip" -> ((s, dir) => {
       // lineitem -> snappy ORC -> read back -> aggregate (SURVEY.md A4/A5/A21)
       val path = s"${sys.props("java.io.tmpdir")}/graft_q32_orc"
+      // repartition before write: a filtered slice should not fan out into
+      // one tiny file per input partition (small-files discipline), and
+      // repartition (unlike coalesce) keeps the scan+filter fully parallel
       val src = t(s, dir, "lineitem").filter(col("l_shipdate") >= lit("1996-01-01"))
+        .repartition(4)
       graft.io.OrcTable(path).write(src, options = Map("compression" -> "snappy"))
       graft.io.OrcTable(path).read(s)
         .groupBy(col("l_returnflag"))
@@ -359,7 +363,7 @@ object SparkEntry {
         graft.io.SchemaSpec.Ddl(
           "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"),
         delimiter = "|")
-      tbl.write(t(s, dir, "customer"))
+      tbl.write(t(s, dir, "customer").repartition(4))
       tbl.read(s)
         .groupBy(col("c_mktsegment"))
         .agg(round(sum(col("c_acctbal")), 2).as("sum_bal"), count(lit(1)).as("n"))
@@ -370,7 +374,10 @@ object SparkEntry {
       // write partitioned by derived year, read back pruned via the
       // reference's filter-string grammar (A11/A12)
       val path = s"${sys.props("java.io.tmpdir")}/graft_q34_part"
+      // one file per partition value: repartition on the partition column
+      // before a partitionBy write (the layout a partitioned table wants)
       t(s, dir, "orders").withColumn("yr", year(col("o_orderdate")))
+        .repartition(col("yr"))
         .write.mode("overwrite").partitionBy("yr").parquet(path)
       s.read.parquet(path)
         .filter(graft.catalog.PartitionFilter.parse("yr=1995 or yr=1996"))
