@@ -36,10 +36,9 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Deterministic MinHash signature: for each of `numHashes` linear
-    * permutations h_i(x) = (a_i*x + b_i) mod p over the xxhash64'd shingles,
-    * take the min. Computed in a SINGLE pass over the shingle array — the
-    * accumulator is the whole signature vector — so the shingling/hashing
-    * subtree is never re-evaluated per permutation.
+    * permutations h_i(x) = (a_i*x + b_i) mod p over the hashed word
+    * shingles (native NgramHashes over normalized tokens), take the min.
+    * One primitive pass per document (MinHashSig expression).
     */
   def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column =
     graft.expressions.VectorExpressions.minhash(

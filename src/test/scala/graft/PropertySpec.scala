@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+import graft.schema.HiveDdl
+
+/** Property tests (SURVEY.md §5 test plan item 6): schema round trips and
+  * text-expression invariants over generated inputs. Raw ScalaCheck
+  * generators sampled with fixed seeds (the scalatest bridge artifact is
+  * not in the offline cache), so failures are reproducible.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.functions.{TextFunctions => TF}
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] = {
+    val p = Gen.Parameters.default
+    (0 until n).flatMap(i => g.apply(p, org.scalacheck.rng.Seed(i.toLong)))
+  }
+
+  private val primTypes = Seq("int", "bigint", "smallint", "tinyint", "float",
+    "double", "boolean", "string", "binary", "date", "timestamp", "decimal(10,2)")
+
+  private val identGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(12))
+
+  test("DDL -> StructType -> DDL -> StructType is a fixpoint") {
+    val gen = Gen.nonEmptyListOf(Gen.zip(identGen, Gen.oneOf(primTypes)))
+    samples(gen, 30).foreach { cols0 =>
+      val cols = cols0.toMap.toSeq // unique names
+      if (cols.nonEmpty) {
+        val ddl = cols.map { case (n, t) => s"`$n` $t" }.mkString(", ")
+        val s1 = HiveDdl.parse(ddl)
+        val s2 = HiveDdl.parse(HiveDdl.toDdl(s1))
+        assert(s1 == s2, s"not a fixpoint for: $ddl")
+      }
+    }
+  }
+
+  test("names+types padding preserves prefix types and pads string") {
+    samples(Gen.zip(Gen.chooseNum(1, 8), Gen.chooseNum(0, 8)), 20).foreach {
+      case (nNames, nTypes0) =>
+        val nTypes = math.min(nTypes0, nNames)
+        val names = (0 until nNames).map(i => s"c$i")
+        val types = (0 until nTypes).map(_ => "int")
+        val s = HiveDdl.fromNamesAndTypes(names, types)
+        assert(s.length == nNames)
+        assert(s.take(nTypes).forall(_.dataType == IntegerType))
+        assert(s.drop(nTypes).forall(_.dataType == StringType))
+    }
+  }
+
+  private val textGen: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      3 -> Gen.const(' '),
+      1 -> Gen.oneOf('.', ',', '!', '(', ')', '\t', '\'', '-'),
+      1 -> Gen.oneOf('é', 'ß', '中')
+    )).map(_.mkString)
+
+  test("NormTokens equals regex formulation on arbitrary text") {
+    val texts = samples(textGen, 200)
+    val df = texts.toDF("text")
+    import org.apache.spark.sql.functions._
+    val cmp = df.select($"text",
+      TF.normTokens($"text").as("native"),
+      filter(split(lower(regexp_replace($"text", "[^\\p{L}\\p{N}\\s]", " ")), "\\s+", -1),
+        t => length(t) > 0).as("re"))
+    cmp.collect().foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"mismatch for input '${r.getString(0)}'")
+    }
+  }
+
+  test("TextProfile char/token counts equal SQL formulations on arbitrary text") {
+    val texts = samples(textGen, 200)
+    val df = texts.toDF("text")
+    import org.apache.spark.sql.functions._
+    val toks = filter(split($"text", "\\s+", -1), t => length(t) > 0)
+    val p = TF.profile($"text")
+    df.select($"text",
+        p.getField("n_chars").as("a"), length($"text").as("b"),
+        p.getField("n_toks").as("c"), size(toks).as("d"))
+      .collect().foreach { r =>
+        assert(r.getInt(1) == r.getInt(2), s"n_chars for '${r.getString(0)}'")
+        assert(r.getInt(3) == r.getInt(4), s"n_toks for '${r.getString(0)}'")
+      }
+  }
+
+  test("minhash estimate of identical texts is always 1.0") {
+    val texts = samples(textGen, 60).filter(_.trim.length > 3)
+    val df = texts.toDF("text")
+    val est = df.select(graft.expressions.TextExpressions.matchFraction(
+      graft.llm.Dedup.minhashSignature($"text", 2, 16),
+      graft.llm.Dedup.minhashSignature($"text", 2, 16)).as("e"))
+    assert(est.collect().forall(_.getDouble(0) == 1.0))
+  }
+}
