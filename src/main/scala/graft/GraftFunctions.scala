@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions._
+
+/** SQL-surface registration of the engine's native expressions, so plain
+  * `spark.sql` users can call them — the engine's analog of the reference's
+  * SerDe-registry entry point (SURVEY.md §2 A17: the piece that made its
+  * formats usable from any host). Two routes:
+  *
+  *   - [[GraftFunctions.register]]: imperative, per-session;
+  *   - [[GraftExtensions]]: `spark.sql.extensions=graft.GraftExtensions`
+  *     for config-driven injection at session build time.
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, what: String): Int = e.eval() match {
+    case n: Number => n.intValue()
+    case other     => throw new IllegalArgumentException(s"$what must be a literal int, got $other")
+  }
+
+  /** (name, builder) for every SQL-exposed engine function. */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (es => ArrayDotProduct(es(0), es(1))),
+    "graft_cosine" -> (es => ArrayCosineSim(es(0), es(1))),
+    "graft_minhash" -> (es => MinHashSig(es(0), intArg(es(1), "numHashes"))),
+    "graft_simhash" -> (es => SimHash64(es(0))),
+    "graft_token_hashes" -> (es => TokenHashes(es(0))),
+    "graft_ngram_hashes" -> (es => NgramHashes(es(0), intArg(es(1), "n"))),
+    "graft_norm_tokens" -> (es => NormTokens(es(0))),
+    "graft_match_fraction" -> (es => ArrayMatchFraction(es(0), es(1))),
+    "graft_hyperplane_sig" -> (es => HyperplaneSig(es(0), intArg(es(1), "nBits"),
+      if (es.length > 2) intArg(es(2), "planeOffset") else 0))
+  )
+
+  /** Register all engine functions on an existing session. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    functions.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+  }
+}
+
+/** Config-driven variant: `--conf spark.sql.extensions=graft.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftFunctions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.expressions", name),
+        builder))
+    }
+  }
+}

@@ -401,6 +401,31 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    "q41_topk_agg" -> ((s, dir) => {
+      // bounded top-k as a partial-aggregating UDAF, not a window: only k
+      // rows per group per partition reach the shuffle (ops.TopK)
+      graft.ops.TopK.perGroup(
+          t(s, dir, "orders").withColumn("pay", col("o_orderpriority")),
+          "o_custkey", "o_totalprice", "o_orderkey", "pay", k = 3)
+        .select(col("group").as("o_custkey"),
+          round(col("score"), 2).as("o_totalprice"),
+          col("tie").as("o_orderkey"),
+          col("payload").as("o_orderpriority"), col("rank"))
+        .orderBy(col("o_custkey"), col("rank"))
+    }),
+
+    "q42_sql_cosine" -> ((s, dir) => {
+      // engine expressions called from plain SQL (GraftFunctions / A17 analog)
+      GraftFunctions.register(s)
+      t(s, dir, "embeddings").filter(col("vec_id") < 20)
+        .createOrReplaceTempView("graft_emb_v")
+      s.sql("""
+        SELECT a.vec_id AS idA, b.vec_id AS idB,
+               round(graft_cosine(a.embedding, b.embedding), 6) AS cosine
+        FROM graft_emb_v a JOIN graft_emb_v b ON a.vec_id < b.vec_id
+        ORDER BY idA, idB""")
+    }),
+
     "q40_asof_join" -> ((s, dir) => {
       // for each event, the user's most recent order at event time
       graft.ops.AsofJoin.backward(
@@ -745,6 +770,25 @@ object SparkEntry {
         |  to_json(struct_pack(n_nationkey := n_nationkey, n_name := n_name,
         |                      n_regionkey := n_regionkey))::VARCHAR AS js
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q41_topk_agg" ->
+      """SELECT o_custkey, round(o_totalprice, 2) AS o_totalprice, o_orderkey,
+        |  o_orderpriority, "rank"
+        |FROM (SELECT o_custkey, o_totalprice, o_orderkey, o_orderpriority,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_totalprice DESC, o_orderkey) AS "rank"
+        |      FROM orders) r
+        |WHERE "rank" <= 3 ORDER BY o_custkey, "rank"""".stripMargin,
+
+    "q42_sql_cosine" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE vec_id < 20)
+        |SELECT a.vec_id AS idA, b.vec_id AS idB,
+        |  round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0.0
+        |        ELSE list_dot_product(a.v, b.v) /
+        |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END, 6) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |ORDER BY idA, idB""".stripMargin,
 
     "q40_asof_join" ->
       """WITH j AS (

@@ -65,6 +65,49 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(back.filter(_.p_size > 25).count() == src.filter(_.p_size > 25).count())
   }
 
+  test("TopK aggregate equals the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val viaAgg = graft.ops.TopK.perGroup(
+        orders.withColumn("pay", $"o_orderpriority"),
+        "o_custkey", "o_totalprice", "o_orderkey", "pay", k = 3)
+      .select($"group", $"score", $"tie", $"rank")
+      .orderBy($"group", $"rank").collect().toSeq
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    val viaWindow = orders
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"o_custkey".as("group"), $"o_totalprice".as("score"),
+        $"o_orderkey".as("tie"), $"rank")
+      .orderBy($"group", $"rank").collect().toSeq
+    assert(viaAgg == viaWindow)
+  }
+
+  test("TopK aggregate is map-side partial (no full-row shuffle)") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val plan = graft.ops.TopK.perGroup(
+        orders.withColumn("pay", $"o_orderpriority"),
+        "o_custkey", "o_totalprice", "o_orderkey", "pay", k = 3)
+      .queryExecution.executedPlan.toString
+    // ObjectHashAggregate partial_topkagg before the exchange
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected aggregate-based plan:\n$plan")
+    assert(plan.contains("partial_"), s"expected partial aggregation:\n$plan")
+  }
+
+  test("SQL surface: graft_* functions callable from spark.sql") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("""
+      SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+             graft_simhash(graft_token_hashes(graft_norm_tokens('The cat, the hat'))) AS sh,
+             size(graft_minhash(graft_ngram_hashes(graft_norm_tokens('a b c d'), 2), 16)) AS m,
+             graft_hyperplane_sig(array(1.0D, 2.0D), 8) AS hs
+    """).collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getInt(2) == 16)
+    assert(r.getLong(3) >= 0 && r.getLong(3) < 256)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS default.bkt_orders")
     spark.sql("DROP TABLE IF EXISTS default.bkt_lineitem")
