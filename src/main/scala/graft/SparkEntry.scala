@@ -401,6 +401,49 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    "q43_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q44_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q45_string_funcs" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_upper"),
+          substring(col("p_name"), 1, 10).as("name_prefix"),
+          regexp_replace(col("p_type"), " ", "_").as("type_snake"),
+          length(col("p_name")).cast("long").as("name_len"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "q46_date_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mon"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("days_since"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q41_topk_agg" -> ((s, dir) => {
       // bounded top-k as a partial-aggregating UDAF, not a window: only k
       // rows per group per partition reach the shuffle (ops.TopK)
@@ -770,6 +813,38 @@ object SparkEntry {
         |  to_json(struct_pack(n_nationkey := n_nationkey, n_name := n_name,
         |                      n_regionkey := n_regionkey))::VARCHAR AS js
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q43_pivot" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE l_linestatus = 'O') AS n_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q44_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q45_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_upper,
+        |  substr(p_name, 1, 10) AS name_prefix,
+        |  replace(p_type, ' ', '_') AS type_snake,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  p_brand || '/' || p_type AS brand_type,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q46_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+        |  CAST(extract(month FROM o_orderdate) AS INT) AS mon,
+        |  CAST(extract(day FROM o_orderdate) AS INT) AS dom,
+        |  CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT) AS days_since,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q41_topk_agg" ->
       """SELECT o_custkey, round(o_totalprice, 2) AS o_totalprice, o_orderkey,
