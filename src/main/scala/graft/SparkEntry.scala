@@ -401,6 +401,28 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    "q47_setops_all" -> ((s, dir) => {
+      // multiset set ops (ALL variants keep duplicates)
+      val a = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val b = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      a.intersectAll(b).countBy(Seq("nk"), "n_inter")
+    }),
+
+    "q48_tfidf" -> ((s, dir) => {
+      // top term per document by TF-IDF; ranked on the ROUNDED score so the
+      // oracle's ranking can't diverge on last-ulp log() differences
+      val scores = TF.tfidf(t(s, dir, "documents"), "text", "doc_id")
+        .withColumn("tfidf_r", round(col("tfidf"), 6))
+      val w = Window.partitionBy(col("doc"))
+        .orderBy(col("tfidf_r").desc, col("term"))
+      scores
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc").as("doc_id"), col("term").as("top_term"),
+          col("tf"), col("tfidf_r").as("tfidf"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q43_pivot" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -813,6 +835,29 @@ object SparkEntry {
         |  to_json(struct_pack(n_nationkey := n_nationkey, n_name := n_name,
         |                      n_regionkey := n_regionkey))::VARCHAR AS js
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q47_setops_all" ->
+      """SELECT nk, count(*) AS n_inter FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  INTERSECT ALL
+        |  SELECT s_nationkey AS nk FROM supplier
+        |) GROUP BY nk ORDER BY nk""".stripMargin,
+
+    "q48_tfidf" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id AS doc, unnest($ntoksSql) AS term FROM documents),
+         |tf AS (SELECT doc, term, count(*) AS tf FROM terms GROUP BY doc, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         |sc AS (SELECT doc, term, tf,
+         |         round(tf * ln(n.n * 1.0 / df.df), 6) AS tfidf_r
+         |       FROM tf JOIN df USING (term) CROSS JOIN n),
+         |r AS (SELECT doc, term, tf, tfidf_r,
+         |        row_number() OVER (PARTITION BY doc
+         |                           ORDER BY tfidf_r DESC, term) AS rn
+         |      FROM sc)
+         |SELECT doc AS doc_id, term AS top_term, tf, tfidf_r AS tfidf
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q43_pivot" ->
       """SELECT l_returnflag,

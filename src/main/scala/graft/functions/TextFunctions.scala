@@ -152,6 +152,27 @@ object TextFunctions {
     when(best._2 === 0, "und").otherwise(best._1)
   }
 
+  // --- tf-idf ---------------------------------------------------------------
+
+  /** Per-(doc, term) TF-IDF over normalized tokens:
+    * tf = term count in doc, idf = ln(N / df), score = tf * idf.
+    * Pure aggregations over (doc, term) — two shuffles (term stats, doc
+    * join), no array ops in the hot path.
+    */
+  def tfidf(df: org.apache.spark.sql.DataFrame, textCol: String,
+            idCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{count => cnt}
+    val terms = df.select(col(idCol).as("doc"),
+        explode(normTokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("doc"), col("term")).agg(cnt(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(cnt(lit(1)).as("df"))
+    val n = df.select(col(idCol)).distinct().count()
+    tf.join(docFreq, Seq("term"))
+      .withColumn("tfidf", col("tf").cast("double") *
+        log(lit(n.toDouble) / col("df").cast("double")))
+      .select(col("doc"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
   // --- fingerprinting ------------------------------------------------------
 
   /** 64-bit content fingerprint of the normalized text: xxhash64 over the
