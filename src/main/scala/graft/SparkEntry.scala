@@ -492,16 +492,21 @@ object SparkEntry {
     }),
 
     "q40_asof_join" -> ((s, dir) => {
-      // for each event, the user's most recent order at event time
-      graft.ops.AsofJoin.backward(
+      // for each event, the user's most recent order at event time —
+      // aggregation form: partial max_by before the shuffle instead of a
+      // full sort-window over the join output
+      graft.ops.AsofJoin.backwardAgg(
           events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
           t(s, dir, "orders"),
           leftKey = "user_id", rightKey = "o_custkey",
           leftId = "event_id", leftTs = "ts", rightTs = "o_orderdate",
-          rightTieCols = Seq("o_orderkey"))
+          rightTie = "o_orderkey",
+          pick = Seq("o_orderkey" -> "last_orderkey",
+            "o_orderdate" -> "last_orderdate_ts"),
+          carryCols = Seq("user_id"))
         .select(col("event_id"), col("user_id"),
-          col("o_orderkey").as("last_orderkey"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("last_orderdate"))
+          col("last_orderkey"),
+          date_format(col("last_orderdate_ts"), "yyyy-MM-dd").as("last_orderdate"))
         .orderBy(col("event_id"))
     }),
 

@@ -41,12 +41,13 @@ object AsofJoin {
   def backwardAgg(left: DataFrame, right: DataFrame,
                   leftKey: String, rightKey: String,
                   leftId: String, leftTs: String, rightTs: String,
-                  rightTie: String, pick: Seq[(String, String)]): DataFrame = {
+                  rightTie: String, pick: Seq[(String, String)],
+                  carryCols: Seq[String] = Nil): DataFrame = {
     val j = left.join(right,
       col(leftKey) === col(rightKey) && col(rightTs) <= col(leftTs))
     val ordKey = struct(col(rightTs), col(rightTie))
     val picked = pick.map { case (c, out) => max_by(col(c), ordKey).as(out) }
-    j.groupBy(col(leftId))
+    j.groupBy((leftId +: carryCols).map(col): _*)
       .agg(picked.head, picked.tail: _*)
   }
 }

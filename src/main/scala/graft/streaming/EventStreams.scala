@@ -61,6 +61,16 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drops repeated `idCols` rows, with the watermark
+    * bounding the dedup state (ids older than the watermark are evicted) —
+    * the streaming mirror of Dedup.exact for at-least-once sources.
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates(idCols :+ "ts")
+
   // --- custom state: per-user cumulative counters ---------------------------
 
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp,

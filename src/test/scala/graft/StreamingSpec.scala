@@ -75,6 +75,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream drops duplicate event ids within the watermark") {
+    val dupDir = TestSpark.tmpDir("events-dup")
+    val batch = Seq(
+      (1L, ts("2024-01-01 00:05:00"), 10L, "click", 1.0, "{}"),
+      (1L, ts("2024-01-01 00:05:00"), 10L, "click", 1.0, "{}"), // exact dup
+      (2L, ts("2024-01-01 00:06:00"), 10L, "view", 2.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    batch.coalesce(1).write.mode("overwrite").parquet(dupDir)
+    val stream = EventStreams.readStream(spark, dupDir)
+    val q = EventStreams.runToMemory(
+      EventStreams.dedupStream(stream, Seq("event_id")), "dedup_out")
+    try {
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
   test("windowedStats applies identically to the batch events table") {
     val batch = spark.read.parquet(streamDir)
     val out = EventStreams.windowedStats(batch, "1 hour", "1 hour", "2 hours")
