@@ -401,6 +401,19 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    "q49_json_parse" -> ((s, dir) => {
+      // from_json over the events props column (A18's inverse direction)
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"), graft.schema.HiveDdl.parse("k INT"))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_k"),
+          sum(col("k")).cast("long").as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
     "q47_setops_all" -> ((s, dir) => {
       // multiset set ops (ALL variants keep duplicates)
       val a = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
@@ -840,6 +853,14 @@ object SparkEntry {
         |  to_json(struct_pack(n_nationkey := n_nationkey, n_name := n_name,
         |                      n_regionkey := n_regionkey))::VARCHAR AS js
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q49_json_parse" ->
+      """SELECT event_type,
+        |  count(CAST(json_extract(props, '$.k') AS INT)) AS n_k,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+        |  max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q47_setops_all" ->
       """SELECT nk, count(*) AS n_inter FROM (
