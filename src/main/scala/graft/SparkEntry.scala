@@ -401,6 +401,23 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    "q50_corpus_filter" -> ((s, dir) => {
+      // the composed training-data gate: quality threshold + language
+      // selection + length band, then per-source survival stats
+      val docs = t(s, dir, "documents")
+        .withColumn("quality", TF.qualityScore(col("text")))
+        .withColumn("lang_pred", TF.langIdHeuristic(col("text")))
+        .withColumn("n_tokens", TF.tokenCount(col("text")).cast("long"))
+      docs
+        .filter(col("quality") >= 0.5 && col("lang_pred") === "en" &&
+          col("n_tokens").between(10, 10000))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(avg(col("quality")), 6).as("avg_quality"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .orderBy(col("source"))
+    }),
+
     "q49_json_parse" -> ((s, dir) => {
       // from_json over the events props column (A18's inverse direction)
       t(s, dir, "events")
@@ -853,6 +870,45 @@ object SparkEntry {
         |  to_json(struct_pack(n_nationkey := n_nationkey, n_name := n_name,
         |                      n_regionkey := n_regionkey))::VARCHAR AS js
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q50_corpus_filter" -> {
+      val langs = TF.LangMarkers.map(_._1)
+      val scores = TF.LangMarkers.map { case (lang, markers) =>
+        s"len(list_filter(ntoks, x -> list_contains(${sqlList(markers)}, x))) AS s_$lang"
+      }.mkString(",\n    ")
+      val m     = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+      s"""WITH b AS (
+         |  SELECT doc_id, source, text, $toksSql AS toks, $ntoksSql AS ntoks FROM documents),
+         |m0 AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) * 1.0 / length(text) END AS pr,
+         |    CASE WHEN len(ntoks) = 0 THEN 0.0
+         |         ELSE len(list_filter(ntoks, x -> list_contains(${sqlList(TF.StopwordsEn)}, x))) * 1.0 / len(ntoks) END AS sw,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks) END AS mtl,
+         |    length(text) AS n, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    $scores
+         |  FROM b),
+         |m1 AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    least(sw * 4.0, 1.0) * 0.4 + greatest(1.0 - pr * 4.0, 0.0) * 0.3
+         |      + (CASE WHEN n BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.25 END) * 0.15
+         |      + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.25 END) * 0.15 AS quality,
+         |    $m AS mm, s_en, s_es, s_fr, s_de, s_zh
+         |  FROM m0),
+         |m2 AS (
+         |  SELECT doc_id, source, n_tokens, quality,
+         |    CASE WHEN mm = 0 THEN 'und' ${cases.replace("= m ", "= mm ")} END AS lang_pred
+         |  FROM m1)
+         |SELECT source, count(*) AS n_kept,
+         |  round(avg(quality), 6) AS avg_quality,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM m2
+         |WHERE quality >= 0.5 AND lang_pred = 'en' AND n_tokens BETWEEN 10 AND 10000
+         |GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "q49_json_parse" ->
       """SELECT event_type,
