@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-behavior probe: replicates the documents corpus `factor`-ways (with
+  * id offsets and per-replica text mutations so replicas are near- but not
+  * exact duplicates) and times the dedup operators on the inflated corpus.
+  * Near-linear growth in these timings is the evidence that the candidate
+  * generation is bucket-bound, not quadratic.
+  *
+  * Usage: runMain graft.Stress [sfDir] [factor]
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val sfDir  = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(20)
+    val cpus   = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val replicas = spark.range(factor).select(col("id").as("rep"))
+    // replica 0 keeps the text; others drop `rep` leading chars -> near-dups
+    val corpus = base.crossJoin(replicas)
+      .select((col("doc_id") * factor + col("rep")).as("doc_id"),
+        expr("substring(text, rep + 1)").as("text"))
+      .repartition(cpus.toInt * 2)
+      .persist()
+    val n = corpus.count()
+    println(s"[stress] corpus rows: $n (factor $factor)")
+
+    def time(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      println(f"[stress] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
+    }
+
+    time("exact_dedup") {
+      graft.llm.Dedup.exact(corpus, "text", "doc_id").count()
+    }
+    time("minhash_pairs") {
+      graft.llm.Dedup.minhashPairs(corpus, "text", "doc_id",
+        shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5,
+        maxBucketSize = 200).count()
+    }
+    time("simhash_pairs") {
+      graft.llm.Dedup.simhashPairs(corpus, "text", "doc_id",
+        maxHamming = 3, prefixBits = 16).count()
+    }
+    time("ngram_jaccard_pairs") {
+      graft.llm.Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+        n = 3, threshold = 0.5, maxShingleFreq = 100).count()
+    }
+    time("text_profile_scan") {
+      corpus.select(graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+        .agg(sum(col("q"))).collect()
+      n
+    }
+    spark.stop()
+  }
+}

@@ -96,6 +96,44 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.schema("b").dataType == StringType)
   }
 
+  test("nested types round trip through ORC (array<struct>, map, struct)") {
+    val dir = TestSpark.tmpDir("orc-nested")
+    val df = spark.sql("""
+      SELECT 1 AS id,
+             array(named_struct('one', 'a', 'two', 2L,
+                                'three', named_struct('four', 'x'), 'five', 'z')) AS arr,
+             map('k1', 1, 'k2', 2) AS m,
+             named_struct('s', 'v', 'n', 42) AS st
+      UNION ALL
+      SELECT 2, array(), map(), named_struct('s', CAST(NULL AS STRING), 'n', 0)""")
+    val tbl = OrcTable(s"$dir/t")
+    tbl.write(df)
+    val back = tbl.read(spark).orderBy("id")
+    assert(back.schema("arr").dataType.typeName == "array")
+    assert(back.schema("m").dataType.typeName == "map")
+    val r = back.collect()
+    assert(r(0).getAs[Seq[org.apache.spark.sql.Row]]("arr").head.getAs[Long]("two") == 2L)
+    assert(r(0).getAs[Map[String, Int]]("m")("k2") == 2)
+    assert(r(1).getAs[org.apache.spark.sql.Row]("st").isNullAt(0))
+  }
+
+  test("nulls round trip in every primitive column (reference §1.4)") {
+    val dir = TestSpark.tmpDir("orc-nulls")
+    val withNulls = spark.sql("""
+      SELECT CAST(NULL AS INT) AS i, CAST(NULL AS BIGINT) AS l,
+             CAST(NULL AS DOUBLE) AS d, CAST(NULL AS BOOLEAN) AS b,
+             CAST(NULL AS STRING) AS s, CAST(NULL AS TIMESTAMP) AS t,
+             CAST(NULL AS BINARY) AS bin, CAST(NULL AS DECIMAL(10,2)) AS dec
+      UNION ALL
+      SELECT 1, 2L, 3.5D, true, 'x', TIMESTAMP '2000-01-03 00:00:00',
+             CAST('3' AS BINARY), CAST(5.0 AS DECIMAL(10,2))""")
+    val tbl = OrcTable(s"$dir/t")
+    tbl.write(withNulls)
+    val back = tbl.read(spark).orderBy($"i".asc_nulls_first).collect()
+    assert((0 until 8).forall(back(0).isNullAt))
+    assert(!back(1).isNullAt(0))
+  }
+
   test("missing input path raises with the path in the message") {
     val ex = intercept[Exception] {
       OrcTable("/nonexistent/graft/path").read(spark).collect()
