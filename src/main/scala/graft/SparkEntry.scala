@@ -401,6 +401,34 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    "q51_outer_join" -> ((s, dir) => {
+      // full outer: nations present in customers vs suppliers, null-safe
+      val cn = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sn = t(s, dir, "supplier").groupBy(col("s_nationkey").as("snk"))
+        .agg(count(lit(1)).as("n_supp"))
+      cn.join(sn, col("nk") === col("snk"), "full_outer")
+        .select(coalesce(col("nk"), col("snk")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    }),
+
+    "q52_window_analytic" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"),
+          first(col("o_orderkey")).over(wf).as("first_key"),
+          last(col("o_orderkey")).over(wf).as("last_key"),
+          count(lit(1)).over(wf).as("n_in_group"),
+          round(max(col("o_totalprice")).over(wf) - min(col("o_totalprice")).over(wf), 2)
+            .as("price_range"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     "q50_corpus_filter" -> ((s, dir) => {
       // the composed training-data gate: quality threshold + language
       // selection + length band, then per-source survival stats
@@ -874,6 +902,29 @@ object SparkEntry {
         |  to_json(struct_pack(n_nationkey := n_nationkey, n_name := n_name,
         |                      n_regionkey := n_regionkey))::VARCHAR AS js
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q51_outer_join" ->
+      """SELECT coalesce(nk, snk) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS snk, count(*) AS n_supp FROM supplier GROUP BY 1) s
+        |  ON nk = snk
+        |ORDER BY nationkey""".stripMargin,
+
+    "q52_window_analytic" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey, 1) OVER w AS prev_key,
+        |  lead(o_orderkey, 1) OVER w AS next_key,
+        |  first_value(o_orderkey) OVER wf AS first_key,
+        |  last_value(o_orderkey) OVER wf AS last_key,
+        |  count(*) OVER wf AS n_in_group,
+        |  round(max(o_totalprice) OVER wf - min(o_totalprice) OVER wf, 2) AS price_range
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+        |       wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q50_corpus_filter" -> {
       val langs = TF.LangMarkers.map(_._1)
