@@ -134,6 +134,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(!back(1).isNullAt(0))
   }
 
+  test("direct row iteration and incremental collector (B10, §3.2-3.3)") {
+    val dir = TestSpark.tmpDir("rowaccess")
+    val schema = graft.schema.HiveDdl.parse("id int, name string")
+    val out = OrcTable(s"$dir/t")
+    val coll = RowAccess.openForWrite(spark, schema, out)
+    coll.add(1, "a")
+    coll.add(2, "b")
+    coll.add(3, "c")
+    assert(coll.size == 3)
+    coll.close()
+    val it = RowAccess.iterator(out.read(spark).orderBy("id"))
+    val got = it.map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
   test("missing input path raises with the path in the message") {
     val ex = intercept[Exception] {
       OrcTable("/nonexistent/graft/path").read(spark).collect()
