@@ -34,9 +34,14 @@ object AsofJoin {
   }
 
   /** Aggregation formulation: one hash aggregate instead of a sort-window —
-    * cheaper when only a few right columns are needed. `pick` are
+    * cheaper when only a few right columns are needed, and partial
+    * aggregation shrinks the join output before the shuffle. `pick` are
     * (rightColumn -> outputName) pairs selected from the max-(rightTs, tie)
     * row via max_by on a packed struct.
+    *
+    * Both formulations are INNER as-of joins: left rows with no right match
+    * are dropped. For a left-outer as-of, join the result back to `left`
+    * with "left".
     */
   def backwardAgg(left: DataFrame, right: DataFrame,
                   leftKey: String, rightKey: String,

@@ -91,6 +91,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful query resumes from checkpoint with state intact") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val srcDir = TestSpark.tmpDir("events-ckpt-src")
+    val ckpt   = TestSpark.tmpDir("events-ckpt")
+
+    def write(batchId: Int, rows: Seq[(Long, String, Long, Double)]): Unit =
+      rows.map { case (id, t, u, v) => (id, ts(t), u, "click", v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+
+    val outDir = TestSpark.tmpDir("events-ckpt-out")
+    def run(): Unit = {
+      val stream = EventStreams.readStream(spark, srcDir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[EventStreams.EventRow]
+      // foreachBatch: the sink shape that supports checkpoint recovery for
+      // update-mode stateful output
+      val q = EventStreams.runningUserTotals(stream).toDF()
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+
+    write(0, Seq((1L, "2024-01-01 00:01:00", 10L, 1.0),
+                 (2L, "2024-01-01 00:02:00", 10L, 2.0)))
+    run()
+    // second incarnation: new data lands, query restarts from the checkpoint
+    write(1, Seq((3L, "2024-01-01 00:03:00", 10L, 4.0)))
+    run()
+    val finals = spark.read.parquet(outDir)
+      .groupBy($"user_id").agg(max($"n_events").as("n"), max($"total_value").as("v"))
+      .collect()
+    // state carried across restart: 3 events total, value 7.0 — not just batch 2
+    assert(finals.length == 1)
+    assert(finals(0).getLong(1) == 3L && finals(0).getDouble(2) == 7.0)
+  }
+
   test("windowedStats applies identically to the batch events table") {
     val batch = spark.read.parquet(streamDir)
     val out = EventStreams.windowedStats(batch, "1 hour", "1 hour", "2 hours")
