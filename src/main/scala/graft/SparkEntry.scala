@@ -401,6 +401,22 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    "q53_sample_by_key" -> ((s, dir) => {
+      // key-stable 10% sample of documents: same docs selected on any
+      // engine/layout (ops.Sampling)
+      graft.ops.Sampling.sampleByKey(t(s, dir, "documents"), "doc_id", 10)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q54_stratified_sample" -> ((s, dir) => {
+      // at most 5 docs per language, chosen deterministically by key hash
+      graft.ops.Sampling.stratifiedSample(
+          t(s, dir, "documents"), "lang", "doc_id", 5)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     "q51_outer_join" -> ((s, dir) => {
       // full outer: nations present in customers vs suppliers, null-safe
       val cn = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
@@ -902,6 +918,19 @@ object SparkEntry {
         |  to_json(struct_pack(n_nationkey := n_nationkey, n_name := n_name,
         |                      n_regionkey := n_regionkey))::VARCHAR AS js
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q53_sample_by_key" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
+
+    "q54_stratified_sample" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+        |  FROM documents) r
+        |WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin,
 
     "q51_outer_join" ->
       """SELECT coalesce(nk, snk) AS nationkey,
