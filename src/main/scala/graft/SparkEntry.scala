@@ -266,7 +266,7 @@ object SparkEntry {
 
     "q24_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(docsWithNearDups(s, dir), "text", "doc_id",
-          maxHamming = 10, prefixBits = 8)
+          maxHamming = 3, prefixBits = 10)
         .orderBy(col("idA"), col("idB"))
     }),
 

@@ -108,6 +108,16 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(r.getLong(3) >= 0 && r.getLong(3) < 256)
   }
 
+  test("sampleByKey is stable under repartitioning") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = graft.ops.Sampling.sampleByKey(docs, "doc_id", 20)
+      .select("doc_id").as[Long].collect().toSet
+    val b = graft.ops.Sampling.sampleByKey(docs.repartition(17), "doc_id", 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    assert(a.nonEmpty && a.size < docs.count())
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS default.bkt_orders")
     spark.sql("DROP TABLE IF EXISTS default.bkt_lineitem")
