@@ -15,6 +15,9 @@ object Verify {
       // (SparkEntry normalizes to TimestampType).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // runtime bloom-filter pruning: big-join probe sides get filtered by a
+      // bloom built from the build side — free I/O reduction at scale
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
