@@ -257,17 +257,62 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- LLM-pipeline: near-dedup (hash-based; rows-only checks) --------
+    // ---- LLM-pipeline: near-dedup (scale paths, self-checked vs exact) --
+    // Each declares the SCALE formulation (bucketed candidate generation)
+    // and verifies it in-query against the O(n^2) exact scan, emitting the
+    // set-difference metrics — deterministic (all hash-based), so the DuckDB
+    // oracle pins them. "spurious = 0" holds by construction (candidates are
+    // verified with the exact measure); the recall rows are the real check.
     "q23_minhash_pairs" -> ((s, dir) => {
-      Dedup.minhashPairs(docsWithNearDups(s, dir), "text", "doc_id",
-          shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.35)
-        .orderBy(col("idA"), col("idB"))
+      // The full-corpus LSH output is the declared result; the O(n^2) exact
+      // scan used for the containment/recall check runs on the doc_id%5==0
+      // SUBSET only (25x cheaper, and planted near-dup pairs (d, d+100000)
+      // survive the cut since 100000 % 5 == 0) — the bounded-cost form of
+      // the check that still works at any corpus size.
+      val docs = docsWithNearDups(s, dir)
+      val lsh = Dedup.minhashPairs(docs, "text", "doc_id",
+          shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.35)
+        .select(col("idA"), col("idB"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exactSub = Dedup.minhashPairsExact(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0), "text", "doc_id",
+          shingleSize = 3, numHashes = 32, threshold = 0.35)
+        .select(col("idA"), col("idB"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lshSub = lsh.filter(
+        pmod(col("idA"), lit(5)) === 0 && pmod(col("idB"), lit(5)) === 0)
+      val spurious = lshSub.except(exactSub)
+        .agg(count(lit(1)).as("value"))
+        .select(lit("lsh_minus_exact_pairs").as("metric"), col("value"))
+      val recall = lshSub.agg(count(lit(1)).as("nl"))
+        .crossJoin(exactSub.agg(count(lit(1)).as("ne")))
+        .select(lit("recall_pct_ge_90").as("metric"),
+          when(col("nl") * 100 >= col("ne") * 90, 1L).otherwise(0L).as("value"))
+      val nonempty = lsh.agg(count(lit(1)).as("n"))
+        .select(lit("pairs_nonempty").as("metric"),
+          when(col("n") > 0, 1L).otherwise(0L).as("value"))
+      spurious.union(recall).union(nonempty).orderBy(col("metric"))
     }),
 
     "q24_simhash_pairs" -> ((s, dir) => {
-      Dedup.simhashPairs(docsWithNearDups(s, dir), "text", "doc_id",
-          maxHamming = 3, prefixBits = 10)
-        .orderBy(col("idA"), col("idB"))
+      // pigeonhole blocking guarantees recall = 1: blocked set == exact set
+      val docs = docsWithNearDups(s, dir)
+      val blocked = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+        .select(col("idA"), col("idB"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exact = Dedup.simhashPairsExact(docs, "text", "doc_id", maxHamming = 3)
+        .select(col("idA"), col("idB"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val spurious = blocked.except(exact)
+        .agg(count(lit(1)).as("value"))
+        .select(lit("blocked_minus_exact_pairs").as("metric"), col("value"))
+      val missing = exact.except(blocked)
+        .agg(count(lit(1)).as("value"))
+        .select(lit("exact_minus_blocked_pairs").as("metric"), col("value"))
+      val nonempty = blocked.agg(count(lit(1)).as("n"))
+        .select(lit("pairs_nonempty").as("metric"),
+          when(col("n") > 0, 1L).otherwise(0L).as("value"))
+      spurious.union(missing).union(nonempty).orderBy(col("metric"))
     }),
 
     "q25_ngram_jaccard" -> ((s, dir) => {
@@ -282,9 +327,46 @@ object SparkEntry {
 
 
     "q26_embedding_dups" -> ((s, dir) => {
+      // the oracle-grade exact baseline (value-checked against DuckDB's own
+      // all-pairs cosine); the declared SCALE path is q58, which buckets
+      // candidates with LSH and self-checks against this exact set
       Dedup.embeddingPairsExact(t(s, dir, "embeddings"), "embedding", "vec_id", 0.4)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy(col("idA"), col("idB"))
+    }),
+
+    "q58_embedding_dups_lsh" -> ((s, dir) => {
+      // scale path for q26: OR-amplified hyperplane LSH near-dup pairs,
+      // checked against CONSTRUCTED ground truth — the corpus is unioned
+      // with a deterministic perturbation of itself (cosine ~0.995 to its
+      // source; every other pair in the fixture stays below ~0.6), so the
+      // exact pair set at threshold 0.9 is precisely the planted
+      // (v, v+100000) pairs and NO O(n^2) scan is needed to verify the
+      // scale path. At sigBits=8 x 12 tables the per-pair miss probability
+      // at cosine 0.995 is ~2e-8: the LSH output must EQUAL the planted set.
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val d = size(col("embedding"))
+      val perturbed = emb.select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + lit(0.1) * element_at(col("embedding"), pmod(i + 1, d) + 1))
+          .as("embedding"))
+      val corpus = emb.unionByName(perturbed)
+      val lsh = Dedup.embeddingPairs(corpus, "embedding", "vec_id",
+          threshold = 0.9, sigBits = 8, nTables = 12)
+        .select(col("idA"), col("idB"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val truth = emb.select(col("vec_id").as("idA"),
+        (col("vec_id") + 100000L).as("idB"))
+      val spurious = lsh.except(truth)
+        .agg(count(lit(1)).as("value"))
+        .select(lit("lsh_minus_planted_pairs").as("metric"), col("value"))
+      val missing = truth.except(lsh)
+        .agg(count(lit(1)).as("value"))
+        .select(lit("planted_minus_lsh_pairs").as("metric"), col("value"))
+      val nplanted = emb.agg(count(lit(1)).as("value"))
+        .select(lit("n_planted_pairs").as("metric"), col("value"))
+      spurious.union(missing).union(nplanted).orderBy(col("metric"))
     }),
 
     // ---- LLM-pipeline: similarity search --------------------------------
@@ -298,12 +380,31 @@ object SparkEntry {
     }),
 
     "q28_knn_lsh" -> ((s, dir) => {
+      // multi-probe LSH top-k, self-checked against the exact brute force:
+      // returned cosines are exact by construction; recall@5 is asserted.
+      // n_queries is the one DuckDB-recomputable row. The fixture vectors
+      // are UNIFORM RANDOM (nearest cosines ~0.35, no planted clusters) —
+      // the adversarial case for any LSH — so the probe budget here is set
+      // wide (sigBits=8, probe<=5 scans ~85% of buckets, measured recall
+      // 0.94-0.98 at sf0.001-0.1); on clustered real corpora the same
+      // structure prunes hard at the same recall.
       val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb,
-          "embedding", "vec_id", k = 5, sigBits = 12, probeHamming = 4)
-        .withColumn("cosine", round(col("cosine"), 6))
-        .withColumn("rank", col("rank").cast("long"))
-        .orderBy(col("query_id"), col("rank"))
+      val q = emb.filter(col("vec_id") < 10)
+      val lsh = Similarity.lshTopK(q, emb,
+          "embedding", "vec_id", k = 5, sigBits = 8, probeHamming = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exact = Similarity.bruteForceTopK(q, emb, "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val recall = lsh.join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("nc"))
+        .crossJoin(exact.agg(count(lit(1)).as("ne")))
+        .select(lit("recall_pct_ge_90").as("metric"),
+          when(col("nc") * 100 >= col("ne") * 90, 1L).otherwise(0L).as("value"))
+      val nq = exact.agg(countDistinct(col("query_id")).as("value"))
+        .select(lit("n_queries").as("metric"), col("value"))
+      recall.union(nq).orderBy(col("metric"))
     }),
 
     // ---- events: windowed + sessionized analytics -----------------------
@@ -521,6 +622,30 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    "q55_approx_percentiles" -> ((s, dir) => {
+      // scale path for q44: approx_percentile's quantile sketch keeps
+      // bounded O(1/eps) state per group, where exact percentile buffers
+      // every value (fine as oracle at sf0.1, unbounded memory at 100x).
+      // The sketch's rank-error bound holds under any partial-merge order,
+      // so the within-tolerance flags are deterministically 1; exact values
+      // are oracled via DuckDB quantile_cont.
+      val agged = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("ex"),
+          expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)")
+            .as("ap"))
+      def okCol(i: Int) = when(
+        abs(element_at(col("ap"), i) - element_at(col("ex"), i)) <=
+          element_at(col("ex"), i) * 0.01, 1L).otherwise(0L)
+      agged.select(col("l_returnflag"),
+          round(element_at(col("ex"), 1), 4).as("p50"),
+          round(element_at(col("ex"), 2), 4).as("p90"),
+          round(element_at(col("ex"), 3), 4).as("p99"),
+          okCol(1).as("p50_ok"), okCol(2).as("p90_ok"), okCol(3).as("p99_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q45_string_funcs" -> ((s, dir) => {
       t(s, dir, "part")
         .select(col("p_partkey"),
@@ -588,6 +713,26 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q57_asof_outer" -> ((s, dir) => {
+      // LEFT-OUTER as-of: every event appears once; events whose user has
+      // no qualifying order carry nulls (ops.AsofJoin.backwardOuterAgg).
+      // The right side is date-restricted so the no-match path is actually
+      // exercised (every user has SOME pre-2024 order in the fixture).
+      graft.ops.AsofJoin.backwardOuterAgg(
+          events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+          t(s, dir, "orders").filter(col("o_orderdate") >= lit("1998-07-01")),
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftId = "event_id", leftTs = "ts", rightTs = "o_orderdate",
+          rightTie = "o_orderkey",
+          pick = Seq("o_orderkey" -> "last_orderkey",
+            "o_orderdate" -> "last_orderdate_ts"),
+          carryCols = Seq("user_id"))
+        .select(col("event_id"), col("user_id"),
+          col("last_orderkey"),
+          date_format(col("last_orderdate_ts"), "yyyy-MM-dd").as("last_orderdate"))
+        .orderBy(col("event_id"))
+    }),
+
     "q38_range_join" -> ((s, dir) => {
       // non-equi (theta) join: price bands as an inline dimension ->
       // BroadcastNestedLoopJoin picks it up automatically
@@ -611,6 +756,35 @@ object SparkEntry {
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"), col("n"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q56_json_nested" -> ((s, dir) => {
+      // A18 breadth: LIST-of-STRUCT / MAP / nested STRUCT / null rendering
+      // (the reference's SerDeUtils.getJSONString walks the same value
+      // categories; uniontype has no Spark analog — SURVEY.md §1.3.4).
+      // ignoreNullFields=false == the reference's explicit null rendering.
+      val sups = t(s, dir, "supplier")
+        .select(col("s_nationkey"), col("s_suppkey"), col("s_name"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("s_nationkey")).orderBy(col("s_suppkey"))))
+        .filter(col("rn") <= 3)
+        .groupBy(col("s_nationkey"))
+        .agg(sort_array(collect_list(
+          struct(col("s_suppkey").as("id"), col("s_name").as("sname")))).as("sups"))
+      t(s, dir, "nation")
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .join(sups, col("n_nationkey") === col("s_nationkey"), "left")
+        .select(col("n_nationkey"),
+          to_json(struct(
+            col("n_name").as("name"),
+            struct(col("n_regionkey").as("rk"), col("r_name").as("rname"))
+              .as("region"),
+            col("sups"),
+            map(lit("name_len"), length(col("n_name")).cast("long"))
+              .as("meta"),
+            when(col("n_regionkey") < 2, col("n_name")).as("alt_name")),
+            Map("ignoreNullFields" -> "false")).as("js"))
+        .orderBy(col("n_nationkey"))
     }),
 
     "q37_json_render" -> ((s, dir) => {
@@ -815,6 +989,22 @@ object SparkEntry {
          |FROM mm ORDER BY doc_id""".stripMargin
     },
 
+    // q23/q24: the Spark query emits deterministic self-check metrics (the
+    // LSH/blocked pair set diffed against the in-Spark exact scan); the
+    // oracle pins their required values. DuckDB cannot recompute the hash
+    // pipeline itself — the containment check inside the query is the proof.
+    "q23_minhash_pairs" ->
+      """SELECT 'lsh_minus_exact_pairs' AS metric, CAST(0 AS BIGINT) AS value
+        |UNION ALL SELECT 'pairs_nonempty', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'recall_pct_ge_90', CAST(1 AS BIGINT)
+        |ORDER BY metric""".stripMargin,
+
+    "q24_simhash_pairs" ->
+      """SELECT 'blocked_minus_exact_pairs' AS metric, CAST(0 AS BIGINT) AS value
+        |UNION ALL SELECT 'exact_minus_blocked_pairs', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'pairs_nonempty', CAST(1 AS BIGINT)
+        |ORDER BY metric""".stripMargin,
+
     "q25_ngram_jaccard" ->
       s"""WITH docs AS (
          |  SELECT doc_id, text FROM documents
@@ -852,6 +1042,13 @@ object SparkEntry {
         |SELECT idA, idB, round(cosine, 6) AS cosine FROM p
         |WHERE cosine >= 0.4 ORDER BY idA, idB""".stripMargin,
 
+    "q58_embedding_dups_lsh" ->
+      """SELECT 'lsh_minus_planted_pairs' AS metric, CAST(0 AS BIGINT) AS value
+        |UNION ALL SELECT 'n_planted_pairs', CAST(count(*) AS BIGINT)
+        |           FROM embeddings
+        |UNION ALL SELECT 'planted_minus_lsh_pairs', CAST(0 AS BIGINT)
+        |ORDER BY metric""".stripMargin,
+
     "q27_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
@@ -866,6 +1063,13 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, "rank"
         |FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    "q28_knn_lsh" ->
+      """SELECT 'n_queries' AS metric,
+        |  CAST(count(DISTINCT vec_id) AS BIGINT) AS value
+        |FROM embeddings WHERE vec_id < 10
+        |UNION ALL SELECT 'recall_pct_ge_90', CAST(1 AS BIGINT)
+        |ORDER BY metric""".stripMargin,
 
     "q29_events_window" ->
       """SELECT CAST(extract(epoch FROM date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
@@ -913,6 +1117,27 @@ object SparkEntry {
         |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q56_json_nested" ->
+      """WITH sup3 AS (
+        |  SELECT s_nationkey,
+        |    list(struct_pack(id := s_suppkey, sname := s_name)
+        |         ORDER BY s_suppkey) AS sups
+        |  FROM (SELECT s_nationkey, s_suppkey, s_name,
+        |          row_number() OVER (PARTITION BY s_nationkey
+        |                             ORDER BY s_suppkey) AS rn
+        |        FROM supplier) WHERE rn <= 3 GROUP BY s_nationkey)
+        |SELECT n_nationkey,
+        |  to_json(struct_pack(
+        |    name := n_name,
+        |    region := struct_pack(rk := n_regionkey, rname := r_name),
+        |    sups := sups,
+        |    meta := MAP{'name_len': len(n_name)},
+        |    alt_name := CASE WHEN n_regionkey < 2 THEN n_name ELSE NULL END
+        |  ))::VARCHAR AS js
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |LEFT JOIN sup3 ON n_nationkey = s_nationkey
+        |ORDER BY n_nationkey""".stripMargin,
+
     "q37_json_render" ->
       """SELECT n_nationkey,
         |  to_json(struct_pack(n_nationkey := n_nationkey, n_name := n_name,
@@ -920,17 +1145,17 @@ object SparkEntry {
         |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "q53_sample_by_key" ->
-      """SELECT doc_id, lang, n_chars FROM documents
-        |WHERE ((doc_id * 2654435761) % 4294967296) % 100 < 10
-        |ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE (${graft.ops.Sampling.keyHashSql("doc_id")}) % 100 < 10
+         |ORDER BY doc_id""".stripMargin,
 
     "q54_stratified_sample" ->
-      """SELECT lang, doc_id FROM (
-        |  SELECT lang, doc_id,
-        |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
-        |  FROM documents) r
-        |WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin,
+      s"""SELECT lang, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${graft.ops.Sampling.keyHashSql("doc_id")}, doc_id) AS rn
+         |  FROM documents) r
+         |WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin,
 
     "q51_outer_join" ->
       """SELECT coalesce(nk, snk) AS nationkey,
@@ -1038,6 +1263,15 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    "q55_approx_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+        |  CAST(1 AS BIGINT) AS p50_ok, CAST(1 AS BIGINT) AS p90_ok,
+        |  CAST(1 AS BIGINT) AS p99_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q45_string_funcs" ->
       """SELECT p_partkey,
         |  upper(p_brand) AS brand_upper,
@@ -1083,6 +1317,18 @@ object SparkEntry {
         |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
         |  FROM events e JOIN orders o
         |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, o_orderkey AS last_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS last_orderdate
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q57_asof_outer" ->
+      """WITH j AS (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |       AND o.o_orderdate >= DATE '1998-07-01')
         |SELECT event_id, user_id, o_orderkey AS last_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS last_orderdate
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,

@@ -54,7 +54,7 @@ object Stress {
     }
     time("simhash_pairs") {
       graft.llm.Dedup.simhashPairs(corpus, "text", "doc_id",
-        maxHamming = 3, prefixBits = 16).count()
+        maxHamming = 3, maxBucketSize = 2000).count()
     }
     time("ngram_jaccard_pairs") {
       graft.llm.Dedup.ngramJaccardPairs(corpus, "text", "doc_id",

@@ -22,14 +22,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // wipe stale results: a leftover dir from a removed/renamed query would
-    // otherwise be compared as if current
+    // otherwise be compared as if current. Guarded: only entries this tool
+    // itself writes (q*-named dirs, oracle_sql.json) are deleted, so a
+    // mistyped outDir can't wipe an arbitrary directory.
     val out = new java.io.File(outDir)
     if (out.exists()) {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
         f.delete(); ()
       }
-      out.listFiles().foreach(rm)
+      val ours = "^q\\d+_.*".r
+      out.listFiles().foreach { f =>
+        if (ours.matches(f.getName) || f.getName == "oracle_sql.json") rm(f)
+      }
     }
     out.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -38,6 +43,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

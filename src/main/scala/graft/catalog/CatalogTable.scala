@@ -78,7 +78,11 @@ final case class CatalogTable(db: String, table: String) {
         case r if r.getString(0).trim.startsWith("InputFormat") &&
           r.getString(1).contains("Parquet") => "parquet"
       }
-      .getOrElse("parquet")
+      .getOrElse(throw new IllegalArgumentException(
+        s"writeAndRelocate: $qualified has an InputFormat this path can't " +
+          "write (not ORC/Parquet) — writing a different format and " +
+          "repointing the table would break subsequent reads; use " +
+          "insertByName for RCFile/text tables"))
     df.write.mode("overwrite").format(fmt).save(path)
     setLocation(spark, path)
   }

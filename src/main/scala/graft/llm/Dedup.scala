@@ -63,19 +63,24 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
 
+    // Materialized: banding and the verification join both consume it, and
+    // the signature computation should run once.
     val sigs = df.select(col(idCol).as("__id"),
       minhashSignature(col(textCol), shingleSize, numHashes).as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // Candidate generation carries ONLY (8-byte band hash, 8-byte id) —
+    // never the signature, let alone the document. At corpus scale the
+    // candidate join's shuffle is the dominant cost; keeping its rows at
+    // 16 bytes (vs signature-carrying rows) is what makes it survivable.
     val banded = sigs.select(
-      col("__id"), col("__sig"),
+      col("__id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           xxhash64(b, slice(col("__sig"), b * rows + lit(1), lit(rows)))
             .as("bhash")))).as("__b"))
-      .select(col("__id"), col("__sig"), col("__b.band"), col("__b.bhash"))
+      .select(col("__id"), col("__b.band"), col("__b.bhash"))
 
-    // Materialized: both self-join sides consume it, and the upstream
-    // signature computation should run once.
     val capped = banded
       .withColumn("__bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
@@ -84,17 +89,39 @@ object Dedup {
       .drop("__bucket_n")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val l = capped.select(col("band"), col("bhash"),
-      col("__id").as("idA"), col("__sig").as("sigA"))
-    val r = capped.select(col("band"), col("bhash"),
-      col("__id").as("idB"), col("__sig").as("sigB"))
+    val l = capped.select(col("band"), col("bhash"), col("__id").as("idA"))
+    val r = capped.select(col("band"), col("bhash"), col("__id").as("idB"))
 
     val cand = l.join(r, Seq("band", "bhash"))
       .filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"), col("sigA"), col("sigB"))
+      .select(col("idA"), col("idB"))
       .dropDuplicates("idA", "idB")
 
+    // Verification: join the (deduplicated, hence bounded) candidate pairs
+    // back to the signatures by id, then estimate Jaccard.
     cand
+      .join(sigs.select(col("__id").as("idA"), col("__sig").as("sigA")), Seq("idA"))
+      .join(sigs.select(col("__id").as("idB"), col("__sig").as("sigB")), Seq("idB"))
+      .withColumn("jaccard_est",
+        graft.expressions.TextExpressions.matchFraction(col("sigA"), col("sigB")))
+      .filter(col("jaccard_est") >= threshold)
+      .select(col("idA"), col("idB"), col("jaccard_est"))
+  }
+
+  /** Brute-force exact minhash pair set: ALL pairs with estimated Jaccard
+    * (signature match fraction) >= threshold — the recall reference for
+    * [[minhashPairs]], whose banded output is a subset of this by
+    * construction (its verification step applies the same filter).
+    * O(n^2); small corpora only.
+    */
+  def minhashPairsExact(df: DataFrame, textCol: String, idCol: String,
+                        shingleSize: Int = 3, numHashes: Int = 32,
+                        threshold: Double = 0.5): DataFrame = {
+    val sigs = df.select(col(idCol).as("__id"),
+      minhashSignature(col(textCol), shingleSize, numHashes).as("__sig"))
+    val l = sigs.select(col("__id").as("idA"), col("__sig").as("sigA"))
+    val r = sigs.select(col("__id").as("idB"), col("__sig").as("sigB"))
+    l.join(broadcast(r), col("idA") < col("idB"))
       .withColumn("jaccard_est",
         graft.expressions.TextExpressions.matchFraction(col("sigA"), col("sigB")))
       .filter(col("jaccard_est") >= threshold)
@@ -120,19 +147,69 @@ object Dedup {
     graft.expressions.VectorExpressions.simhash64(
       graft.expressions.TextExpressions.tokenHashes(TF.normTokens(text)))
 
-  /** SimHash near-duplicate pairs: block on `prefixBits`-bit prefix (cheap
-    * candidate generation), verify with Hamming distance <= maxHamming.
-    * Production variant would block on several bit-chunks (pigeonhole); one
-    * prefix block keeps the query demonstrably cheap.
+  /** SimHash near-duplicate pairs with pigeonhole blocking: the 64-bit
+    * simhash is split into `maxHamming + 1` bit chunks; two hashes within
+    * Hamming distance `maxHamming` differ in at most `maxHamming` chunks, so
+    * they MUST agree exactly on at least one chunk — blocking on every
+    * (chunk index, chunk value) and unioning candidates guarantees
+    * recall = 1 while candidate generation stays an equi-join on 2^16
+    * buckets per chunk (at maxHamming = 3). Candidates are verified with the
+    * exact Hamming distance, so precision is also 1.
+    *
+    * `maxBucketSize` (rows sharing one chunk value) caps degenerate buckets
+    * — e.g. a large cluster of empty documents, all simhash 0 — before the
+    * self-join. Capping trades the recall guarantee on rows inside dropped
+    * buckets for a bound on the join's output; leave at MaxValue when the
+    * exactness guarantee matters.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3, prefixBits: Int = 16): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val blocks  = maxHamming + 1
+    val bitsPer = 64 / blocks
     val sh = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sh"))
-      .withColumn("__blk", shiftright(col("__sh"), 64 - prefixBits))
-    val l = sh.select(col("__blk"), col("__id").as("idA"), col("__sh").as("shA"))
-    val r = sh.select(col("__blk"), col("__id").as("idB"), col("__sh").as("shB"))
-    l.join(r, Seq("__blk"))
+    val banded = sh.select(col("__id"), col("__sh"),
+      explode(array((0 until blocks).map { b =>
+        // chunk b = bits [b*bitsPer, ...); the last chunk takes the remainder
+        val width = if (b == blocks - 1) 64 - b * bitsPer else bitsPer
+        val chunk =
+          if (width == 64) col("__sh")
+          else shiftrightunsigned(col("__sh"), b * bitsPer)
+            .bitwiseAND(lit((1L << width) - 1L))
+        struct(lit(b).as("blk"), chunk.as("bval"))
+      }: _*)).as("__b"))
+      .select(col("__id"), col("__sh"), col("__b.blk"), col("__b.bval"))
+    val capped =
+      if (maxBucketSize == Int.MaxValue) banded
+      else banded
+        .withColumn("__bucket_n",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("blk"), col("bval"))))
+        .filter(col("__bucket_n") <= maxBucketSize)
+        .drop("__bucket_n")
+    val l = capped.select(col("blk"), col("bval"),
+      col("__id").as("idA"), col("__sh").as("shA"))
+    val r = capped.select(col("blk"), col("bval"),
+      col("__id").as("idB"), col("__sh").as("shB"))
+    l.join(r, Seq("blk", "bval"))
       .filter(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), col("shA"), col("shB"))
+      .dropDuplicates("idA", "idB")
+      .withColumn("hamming", bit_count(col("shA").bitwiseXOR(col("shB"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("idA"), col("idB"), col("hamming"))
+  }
+
+  /** Brute-force exact simhash pair set: O(n^2) Hamming scan — the
+    * correctness oracle for [[simhashPairs]] (which must equal it exactly,
+    * by the pigeonhole argument). Broadcast one side; small corpora only.
+    */
+  def simhashPairsExact(df: DataFrame, textCol: String, idCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sh"))
+    val l  = sh.select(col("__id").as("idA"), col("__sh").as("shA"))
+    val r  = sh.select(col("__id").as("idB"), col("__sh").as("shB"))
+    l.join(broadcast(r), col("idA") < col("idB"))
       .withColumn("hamming", bit_count(col("shA").bitwiseXOR(col("shB"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("idA"), col("idB"), col("hamming"))
@@ -218,20 +295,29 @@ object Dedup {
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
                      threshold: Double = 0.95, sigBits: Int = 8,
                      nTables: Int = 8): DataFrame = {
+    // Candidate generation carries ONLY (table, signature, 8-byte id) — the
+    // vectors stay in a side table and are joined back per candidate pair
+    // AFTER dedup. Shipping d-dimensional vectors through the bucket join
+    // and dropDuplicates would multiply the dominant shuffle by ~100x.
+    val vecs = df.select(col(idCol).as("__id"),
+      VF.l2Normalize(col(vecCol)).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigged = df.select(col(idCol).as("__id"),
-      VF.l2Normalize(col(vecCol)).as("__v"),
       explode(array((0 until nTables).map { t =>
         struct(lit(t).as("tbl"),
           VF.hyperplaneSignature(col(vecCol), sigBits, t * sigBits).as("sig"))
       }: _*)).as("__s"))
-      .select(col("__id"), col("__v"), col("__s.tbl"), col("__s.sig"))
+      .select(col("__id"), col("__s.tbl"), col("__s.sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = sigged.select(col("tbl"), col("sig"), col("__id").as("idA"), col("__v").as("vA"))
-    val r = sigged.select(col("tbl"), col("sig"), col("__id").as("idB"), col("__v").as("vB"))
-    l.join(r, Seq("tbl", "sig"))
+    val l = sigged.select(col("tbl"), col("sig"), col("__id").as("idA"))
+    val r = sigged.select(col("tbl"), col("sig"), col("__id").as("idB"))
+    val cand = l.join(r, Seq("tbl", "sig"))
       .filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"), col("vA"), col("vB"))
+      .select(col("idA"), col("idB"))
       .dropDuplicates("idA", "idB")
+    cand
+      .join(vecs.select(col("__id").as("idA"), col("__v").as("vA")), Seq("idA"))
+      .join(vecs.select(col("__id").as("idB"), col("__v").as("vB")), Seq("idB"))
       .withColumn("cosine", VF.dot(col("vA"), col("vB")))
       .filter(col("cosine") >= threshold)
       .select(col("idA"), col("idB"), col("cosine"))

@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{VectorFunctions => VF}
 
@@ -34,43 +33,57 @@ object Similarity {
       .withColumn("cosine",
         when(col("__qn") * col("__cn") === 0.0, 0.0)
           .otherwise(VF.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    rankTopK(scored, k)
   }
 
-  /** LSH-bucketed approximate top-k: corpus and queries are signed with the
-    * same `sigBits`-bit hyperplane signature; each query only scores corpus
-    * rows within Hamming distance <= `probeHamming` of its bucket. With b
-    * bits and h probe distance the scored fraction is ~sum_{i<=h} C(b,i)/2^b
-    * of the corpus — the knob that keeps ANN sublinear at 100 TB.
+  /** Per-query top-k via the bounded [[graft.ops.TopK]] aggregator, not a
+    * window: a window would shuffle EVERY scored row to its query's reducer;
+    * the aggregator's partial (map-side) stage reduces each partition to
+    * <= k rows per query before the shuffle. Ordering (cosine desc,
+    * neighbor_id asc) matches the window formulation exactly.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    graft.ops.TopK.perGroup(scored, "query_id", "cosine", "neighbor_id",
+        "neighbor_id", k)
+      .select(col("group").as("query_id"), col("tie").as("neighbor_id"),
+        col("score").as("cosine"), col("rank"))
+
+  /** Multi-probe LSH top-k: corpus and queries are signed with the same
+    * `sigBits`-bit hyperplane signature; each query signature is expanded
+    * into every signature within Hamming distance `probeHamming` (XOR with
+    * each low-popcount mask), and candidates come from an EQUI-join on the
+    * expanded signature. Each query thus scores only the ~sum_{i<=h} C(b,i)
+    * / 2^b fraction of the corpus sharing a probed bucket — and, unlike a
+    * `bit_count(xor) <= h` join predicate (which plans as a nested-loop over
+    * every corpus x query pair), the equi-join never enumerates non-matching
+    * pairs: this is what keeps ANN sublinear at 100 TB. Mask expansion is
+    * sum C(sigBits, i<=probeHamming) rows per query on the small
+    * (broadcast) side.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               vecCol: String, idCol: String, k: Int,
               sigBits: Int = 12, probeHamming: Int = 2): DataFrame = {
+    require(sigBits >= 1 && sigBits <= 24, "sigBits must be in [1, 24]")
+    val masks: Seq[Long] = (0L until (1L << sigBits))
+      .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
+    val maskArr = array(masks.map(lit): _*)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       VF.norm(col(vecCol)).as("__cn"),
       VF.hyperplaneSignature(col(vecCol), sigBits).as("__csig"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       VF.norm(col(vecCol)).as("__qn"),
       VF.hyperplaneSignature(col(vecCol), sigBits).as("__qsig"))
-    // Small query side broadcast; bucket pruning by Hamming distance on the
-    // signature replaces the full cross product.
-    val scored = c.join(broadcast(q),
-        bit_count(col("__csig").bitwiseXOR(col("__qsig"))) <= probeHamming)
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        explode(transform(maskArr, m => col("__qsig").bitwiseXOR(m)))
+          .as("__csig"))
+    // Each (query, corpus) pair matches at most one probe (the XOR mask is
+    // unique), so the equi-join introduces no duplicates.
+    val scored = c.join(broadcast(q), Seq("__csig"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         when(col("__qn") * col("__cn") === 0.0, 0.0)
           .otherwise(VF.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) ANN: corpus is assigned to the nearest of
@@ -109,11 +122,6 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VF.cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    rankTopK(scored, k)
   }
 }

@@ -55,4 +55,22 @@ object AsofJoin {
     j.groupBy((leftId +: carryCols).map(col): _*)
       .agg(picked.head, picked.tail: _*)
   }
+
+  /** LEFT-OUTER as-of join (aggregation form): every left row appears
+    * exactly once; left rows with no key-and-time match carry nulls in the
+    * picked columns. Composed as the inner as-of aggregate joined back to
+    * `left` on `leftId` — the aggregate side holds at most one row per left
+    * id, so the back-join never duplicates and shuffles only (id, picked).
+    * Requires `leftId` to be unique in `left` (it is an id).
+    */
+  def backwardOuterAgg(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftId: String, leftTs: String, rightTs: String,
+                       rightTie: String, pick: Seq[(String, String)],
+                       carryCols: Seq[String] = Nil): DataFrame = {
+    val inner = backwardAgg(left, right, leftKey, rightKey,
+      leftId, leftTs, rightTs, rightTie, pick, Nil)
+    left.select((leftId +: carryCols).map(col): _*)
+      .join(inner, Seq(leftId), "left")
+  }
 }

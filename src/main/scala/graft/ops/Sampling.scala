@@ -15,12 +15,29 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Knuth multiplicative hash of a long key into [0, 2^32). Spelled in
-    * plain integer arithmetic (ANSI-overflow-safe for keys < 2^30) so any
-    * engine computes the identical value.
+  /** Knuth multiplicative hash of a long key into [0, 2^32), overflow-free
+    * for the FULL long range (keys up to +-2^63): the key's high and low
+    * 32-bit halves are folded with xor, then the multiply is split so no
+    * intermediate exceeds 2^49. Spelled in plain integer arithmetic so any
+    * engine (Spark ANSI, DuckDB) computes the identical value; for keys in
+    * [0, 2^32) it equals the classic `(key * 2654435761) mod 2^32`.
     */
-  def keyHash(key: Column): Column =
-    pmod(key.cast("long") * lit(2654435761L), lit(4294967296L))
+  def keyHash(key: Column): Column = {
+    val k64    = key.cast("long")
+    val folded = k64.bitwiseAND(lit(4294967295L))
+      .bitwiseXOR(shiftright(k64, 32).bitwiseAND(lit(4294967295L)))
+    val hi = shiftright(folded, 16)
+    val lo = folded.bitwiseAND(lit(65535L))
+    pmod(pmod(hi * lit(2654435761L), lit(4294967296L)) * lit(65536L) +
+      lo * lit(2654435761L), lit(4294967296L))
+  }
+
+  /** The same hash as a SQL fragment over key expression `k` — the oracle
+    * side of [[keyHash]] (DuckDB dialect: xor() function, arithmetic >>).
+    */
+  def keyHashSql(k: String): String =
+    s"(((xor($k & 4294967295, ($k >> 32) & 4294967295) >> 16) * 2654435761) % 4294967296 * 65536" +
+      s" + (xor($k & 4294967295, ($k >> 32) & 4294967295) & 65535) * 2654435761) % 4294967296"
 
   /** Keep ~`percent`% of rows, decided per key: stable under repartition,
     * re-run, and engine change.

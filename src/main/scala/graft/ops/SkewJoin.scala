@@ -21,10 +21,14 @@ object SkewJoin {
   def saltedJoin(left: DataFrame, right: DataFrame,
                  leftKey: String, rightKey: String, factor: Int): DataFrame = {
     require(factor >= 1, "salt factor must be >= 1")
-    // deterministic salt: spread rows by a hash of the whole row, not rand()
-    // (re-execution of a task must produce the same salt for fault tolerance)
+    // deterministic salt from a per-partition row counter, NOT a row hash:
+    // the classic hot-key case is many IDENTICAL rows under one key, and a
+    // row hash would give them all the same salt (salting degrades to a
+    // no-op exactly when needed). monotonically_increasing_id is stable
+    // under task retry given deterministic upstream partitioning, and its
+    // low bits cycle through salts within each partition.
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(factor)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(factor.toLong)).cast("int"))
     val replicatedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))
     saltedLeft
@@ -45,7 +49,7 @@ object SkewJoin {
                 partials: Seq[org.apache.spark.sql.Column],
                 finals: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(factor)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(factor.toLong)).cast("int"))
     salted.groupBy(col(key), col("__salt"))
       .agg(partials.head, partials.tail: _*)
       .groupBy(col(key))

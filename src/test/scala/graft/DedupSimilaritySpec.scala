@@ -62,9 +62,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.filter($"doc_id" < 10).count() == 10)
   }
 
+  test("simhash pigeonhole blocking: recall 1.0 vs brute-force Hamming scan") {
+    val blocked = Dedup.simhashPairs(corpus, "text", "doc_id", maxHamming = 3)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    val exact = Dedup.simhashPairsExact(corpus, "text", "doc_id", maxHamming = 3)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(blocked == exact,
+      s"pigeonhole must be exact: missing ${(exact -- blocked).take(5)}, " +
+        s"spurious ${(blocked -- exact).take(5)}")
+    assert(exact.nonEmpty)
+    // exact dups (hamming 0) must all be present
+    assert(blocked.count { case (a, b) => b == a + 1000 } == 10)
+  }
+
   test("simhash pairs find exact dups at hamming 0") {
-    val pairs = Dedup.simhashPairs(corpus, "text", "doc_id",
-      maxHamming = 0, prefixBits = 4)
+    val pairs = Dedup.simhashPairs(corpus, "text", "doc_id", maxHamming = 0)
     assert(pairs.filter($"idB" === $"idA" + 1000).count() == 10)
   }
 
