@@ -82,6 +82,82 @@ class CatalogSpec extends AnyFunSuite {
     assert(TestSpark.rows(df.select("id")).flatten == Seq(1))
   }
 
+  test("RCFile round trip: full reference type set incl. decimal/timestamp/binary " +
+      "(A1/A2, RCFileTest.java:51-63, RCFile.java:256-301)") {
+    spark.sql("DROP TABLE IF EXISTS default.rc_rt_full")
+    val rc = RcFileHiveTable("default.rc_rt_full")
+    rc.create(spark, HiveDdl.parse(
+      "tinyintCol tinyint, smallintCol smallint, intCol int, bigintCol bigint, " +
+        "floatCol float, doubleCol double, decimalCol decimal(10,2), " +
+        "booleanCol boolean, binaryCol binary, stringCol string, " +
+        "timestampCol timestamp"))
+    val ts = java.sql.Timestamp.valueOf("2011-09-14 10:20:30.0")
+    val data = Seq(
+      (1.toByte, 2.toShort, 3, 4L, 5.5f, 6.25, BigDecimal("123.45"), true,
+        Array[Byte](0x0a, 0x1b, 0x2c), "row one", ts),
+      (-1.toByte, -2.toShort, -3, -4L, -5.5f, -6.25, BigDecimal("-0.05"), false,
+        // NB non-empty: Hive's LazyBinaryColumnarSerDe rejects zero-length
+        // binary values (the reference's text ColumnarSerDe Base64-encodes
+        // and has no such limit — RCFile.java:263-266)
+        Array[Byte](0x7f), "row two",
+        java.sql.Timestamp.valueOf("1999-12-31 23:59:59.0")))
+      .toDF("tinyintCol", "smallintCol", "intCol", "bigintCol", "floatCol",
+        "doubleCol", "decimalCol", "booleanCol", "binaryCol", "stringCol",
+        "timestampCol")
+      .withColumn("decimalCol", col("decimalCol").cast("decimal(10,2)"))
+    rc.append(data)
+    val back = rc.read(spark).orderBy(col("intCol").desc).collect()
+    assert(back.length == 2)
+    val r = back(0)
+    assert(r.getByte(0) == 1 && r.getShort(1) == 2 && r.getInt(2) == 3 &&
+      r.getLong(3) == 4L)
+    assert(r.getFloat(4) == 5.5f && r.getDouble(5) == 6.25)
+    assert(r.getDecimal(6) == new java.math.BigDecimal("123.45"))
+    assert(r.getBoolean(7))
+    assert(r.getAs[Array[Byte]](8).toSeq == Seq[Byte](0x0a, 0x1b, 0x2c))
+    assert(r.getString(9) == "row one")
+    assert(r.getTimestamp(10) == ts)
+    val r2 = back(1)
+    assert(r2.getByte(0) == -1 && r2.getDecimal(6) == new java.math.BigDecimal("-0.05"))
+    assert(r2.getAs[Array[Byte]](8).toSeq == Seq[Byte](0x7f))
+    val fmt = spark.sql("DESCRIBE FORMATTED default.rc_rt_full").collect()
+      .find(_.getString(0).trim.startsWith("InputFormat")).get.getString(1)
+    assert(fmt.toLowerCase.contains("rcfile"), s"unexpected format $fmt")
+  }
+
+  test("insertByName into a partitioned table writes multiple dynamic " +
+      "partitions in one commit (A15/A16, TapFactory.java:25-72)") {
+    spark.sql("DROP TABLE IF EXISTS default.dynpart")
+    spark.sql(
+      "CREATE TABLE default.dynpart (id INT, v STRING, ds STRING) USING parquet PARTITIONED BY (ds)")
+    spark.conf.set("hive.exec.dynamic.partition.mode", "nonstrict")
+    // input: columns out of order + an extra column; rows span two partitions
+    val in = Seq(("x", "20120401", 1, 9.9), ("y", "20120401", 2, 8.8),
+        ("z", "20120402", 3, 7.7))
+      .toDF("v", "ds", "id", "junk")
+    CatalogTable("default", "dynpart").insertByName(in)
+    val parts = spark.sql("SHOW PARTITIONS default.dynpart")
+      .collect().map(_.getString(0)).sorted
+    assert(parts.toSeq == Seq("ds=20120401", "ds=20120402"))
+    assert(spark.table("default.dynpart").count() == 3)
+    // a second insert appends without clobbering existing partitions
+    CatalogTable("default", "dynpart")
+      .insertByName(Seq(("w", "20120403", 4)).toDF("v", "ds", "id"))
+    assert(spark.table("default.dynpart").count() == 4)
+    assert(spark.sql("SHOW PARTITIONS default.dynpart").count() == 3)
+  }
+
+  test("writeAndRelocate refuses a table whose format it cannot write (RCFile)") {
+    spark.sql("DROP TABLE IF EXISTS default.rc_reloc")
+    val rc = RcFileHiveTable("default.rc_reloc")
+    rc.create(spark, HiveDdl.parse("id int, v string"))
+    val e = intercept[IllegalArgumentException] {
+      CatalogTable("default", "rc_reloc")
+        .writeAndRelocate(Seq((1, "a")).toDF("id", "v"), TestSpark.tmpDir("rc-reloc"))
+    }
+    assert(e.getMessage.contains("insertByName"))
+  }
+
   test("RCFile table round trip via Hive support (A1/A2, rc_test types)") {
     spark.sql("DROP TABLE IF EXISTS default.rc_rt")
     val rc = RcFileHiveTable("default.rc_rt")
