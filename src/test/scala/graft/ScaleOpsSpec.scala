@@ -118,6 +118,45 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.size < docs.count())
   }
 
+  test("keyHash matches the BigInt reference over the FULL long range (ANSI-safe)") {
+    // the overflow trap: keys >= 2^31 would wrap a naive key*2654435761
+    // multiply differently in 64-bit Java than in DuckDB's 128-bit engine
+    val M = BigInt(2654435761L)
+    def ref(key: Long): Long = {
+      val k = BigInt((key & 0xFFFFFFFFL) ^ ((key >> 32) & 0xFFFFFFFFL))
+      val (hi, lo) = (k >> 16, k & 0xFFFF)
+      (((hi * M) % BigInt(4294967296L) * 65536 + lo * M) % BigInt(4294967296L)).toLong
+    }
+    val keys = Seq(0L, 1L, 7L, 999983L, 1L << 30, 1L << 31, (1L << 32) - 1,
+      1L << 32, (1L << 40) + 12345L, (1L << 62) + 7L, -1L, -(1L << 35),
+      Long.MinValue, Long.MaxValue) ++
+      new scala.util.Random(42).shuffle((0 until 200).map(i =>
+        new scala.util.Random(i).nextLong()))
+    val df = keys.toDF("k")
+      .select(col("k"), graft.ops.Sampling.keyHash(col("k")).as("h"))
+    df.collect().foreach { r =>
+      val (k, h) = (r.getLong(0), r.getLong(1))
+      assert(h == ref(k), s"keyHash($k) = $h != ${ref(k)}")
+      assert(h >= 0 && h < 4294967296L)
+    }
+    // classic-Knuth equivalence for small nonneg keys (oracle continuity)
+    keys.filter(k => k >= 0 && k < (1L << 32)).foreach { k =>
+      assert(ref(k) == (BigInt(k) * M % BigInt(4294967296L)).toLong)
+    }
+  }
+
+  test("sampleByKey is stable for keys beyond 2^32") {
+    val big = (0 until 1000).map(i => (1L << 33) + i * ((1L << 32) + 7L)).toDF("doc_id")
+    val a = graft.ops.Sampling.sampleByKey(big, "doc_id", 25)
+      .as[Long].collect().toSet
+    val b = graft.ops.Sampling.sampleByKey(big.repartition(13), "doc_id", 25)
+      .as[Long].collect().toSet
+    assert(a == b)
+    // a degenerate hash (e.g. one ignoring high bits of distinct-high keys)
+    // would select ~0% or ~100%; the multiplicative hash keeps it near 25%
+    assert(a.size > 150 && a.size < 350, s"got ${a.size}/1000 at 25%")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS default.bkt_orders")
     spark.sql("DROP TABLE IF EXISTS default.bkt_lineitem")
