@@ -407,6 +407,62 @@ object SparkEntry {
       recall.union(nq).orderBy(col("metric"))
     }),
 
+    "q59_repetition" -> ((s, dir) => {
+      // repetition-based quality signals (duplicate-ngram fraction + most
+      // frequent token share) — the boilerplate/looping-text filters every
+      // training-data pipeline applies
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), TF.normTokens(col("text")).as("toks"),
+          round(TF.dupNgramFrac(col("text"), 3), 6).as("dup_3gram_frac"))
+      val top = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("maxc"), sum(col("c")).as("total"))
+        .select(col("doc_id"),
+          round(col("maxc").cast("double") / col("total").cast("double"), 6)
+            .as("top_token_frac"))
+      toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+          col("dup_3gram_frac"))
+        .join(top, Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q60_pii_redact" -> ((s, dir) => {
+      // regex PII scrub: the fixture has no natural PII, so each doc is
+      // deterministically augmented with an email (+ a phone for even ids),
+      // then redacted; output = match count + scrubbed text
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit(" or +1-555-010"), pmod(col("doc_id"), lit(10)).cast("string")))
+            .otherwise(lit("")),
+          lit(" now")).as("aug"))
+      aug.select(col("doc_id"),
+          TF.piiCount(col("aug")).as("n_pii"),
+          TF.redactPii(col("aug")).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q61_contamination" -> ((s, dir) => {
+      // benchmark-contamination screen: corpus docs sharing >= 5 distinct
+      // word 3-grams with a "benchmark" set (docs 0-49 stand in) get
+      // flagged — the n-gram-overlap decontamination step of a training
+      // pipeline. Pure 8-byte gram-hash equi-join; the benchmark posting
+      // list is the small side.
+      val grams = t(s, dir, "documents").select(col("doc_id"),
+        explode(array_distinct(
+          graft.expressions.TextExpressions.ngramHashes(
+            TF.normTokens(col("text")), 3))).as("g"))
+      val bench = grams.filter(col("doc_id") < 50).select(col("g")).distinct()
+      grams.filter(col("doc_id") >= 50)
+        .join(bench, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- events: windowed + sessionized analytics -----------------------
     "q29_events_window" -> ((s, dir) => {
       events(s, dir)
@@ -1030,6 +1086,55 @@ object SparkEntry {
          |JOIN sizes sb ON idB = sb.doc_id
          |WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.3
          |ORDER BY idA, idB""".stripMargin,
+
+    "q59_repetition" ->
+      s"""WITH norm AS (SELECT doc_id, $ntoksSql AS ntoks FROM documents),
+         |g AS (SELECT doc_id,
+         |    CASE WHEN len(ntoks) < 3 THEN []
+         |      ELSE list_transform(range(len(ntoks) - 2),
+         |             i -> ntoks[i+1] || ' ' || ntoks[i+2] || ' ' || ntoks[i+3]) END AS gs
+         |  FROM norm),
+         |rep AS (SELECT doc_id, CASE WHEN len(gs) = 0 THEN 0.0
+         |    ELSE round(1.0 - len(list_distinct(gs)) * 1.0 / len(gs), 6) END AS dup_3gram_frac
+         |  FROM g),
+         |tok AS (SELECT doc_id, unnest(ntoks) AS tok FROM norm),
+         |cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+         |top AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_token_frac
+         |  FROM cnt GROUP BY doc_id)
+         |SELECT n.doc_id, CAST(len(n.ntoks) AS BIGINT) AS n_tokens,
+         |  r.dup_3gram_frac, t.top_token_frac
+         |FROM norm n JOIN rep r USING (doc_id) JOIN top t USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q60_pii_redact" ->
+      """WITH aug AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN ' or +1-555-010' || CAST(doc_id % 10 AS VARCHAR) ELSE '' END ||
+        |  ' now' AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+        |       len(regexp_extract_all(aug, '\+[0-9][0-9-]{7,}')) AS BIGINT) AS n_pii,
+        |  regexp_replace(
+        |    regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+        |    '\+[0-9][0-9-]{7,}', '[PII]', 'g') AS redacted
+        |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "q61_contamination" ->
+      s"""WITH norm AS (SELECT doc_id, $ntoksSql AS ntoks FROM documents),
+         |g AS (SELECT doc_id,
+         |    list_distinct(CASE WHEN len(ntoks) < 3 THEN []
+         |      ELSE list_transform(range(len(ntoks) - 2),
+         |             i -> ntoks[i+1] || ' ' || ntoks[i+2] || ' ' || ntoks[i+3]) END) AS gs
+         |  FROM norm),
+         |pg AS (SELECT doc_id, unnest(gs) AS g FROM g),
+         |bench AS (SELECT DISTINCT g FROM pg WHERE doc_id < 50)
+         |SELECT doc_id, count(*) AS n_shared
+         |FROM pg JOIN bench USING (g)
+         |WHERE doc_id >= 50
+         |GROUP BY doc_id HAVING count(*) >= 5
+         |ORDER BY doc_id""".stripMargin,
 
     "q26_embedding_dups" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

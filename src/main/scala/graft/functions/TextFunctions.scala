@@ -194,4 +194,36 @@ object TextFunctions {
       transform(wordNgrams(text, k), g => pmod(xxhash64(g), lit(4294967296L))),
       lit(0L),
       (acc, h) => pmod(acc * lit(1000003L) + h, lit(2147483647L)))
+
+  /** Fraction of word-n-gram occurrences that repeat an earlier occurrence
+    * in the same document: 1 - distinct/total (the duplicate-ngram signal of
+    * repetition-based quality filters). 0.0 when the document has fewer than
+    * n tokens. Computed over 64-bit gram hashes — one narrow pass, no
+    * explode; a SQL oracle over string grams computes the same value.
+    */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val grams = graft.expressions.TextExpressions.ngramHashes(normTokens(text), n)
+    val total = size(grams)
+    when(total === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(grams)).cast("double") / total.cast("double"))
+  }
+
+  /** Email/phone patterns in the Java/RE2-common regex dialect (no
+    * lookarounds, no \p{Punct}) so SQL oracles replicate matches exactly.
+    */
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRegex = "\\+[0-9][0-9-]{7,}"
+
+  /** Redact email addresses and international-format phone numbers — the
+    * regex-transform stage of a privacy scrub. Pure codegen'd
+    * regexp_replace: no UDF, safe in the 100 TB hot path.
+    */
+  def redactPii(text: Column, marker: String = "[PII]"): Column =
+    regexp_replace(regexp_replace(text, EmailRegex, marker), PhoneRegex, marker)
+
+  /** Count of PII matches that [[redactPii]] would replace. */
+  def piiCount(text: Column): Column =
+    (size(regexp_extract_all(text, lit(EmailRegex), lit(0))) +
+      size(regexp_extract_all(text, lit(PhoneRegex), lit(0)))).cast("long")
 }

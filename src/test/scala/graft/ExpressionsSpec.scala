@@ -141,4 +141,32 @@ class ExpressionsSpec extends AnyFunSuite {
     val got = TestSpark.rows(fp).flatten.map(_.asInstanceOf[Boolean])
     assert(got == Seq(true, false))
   }
+
+  test("dupNgramFrac: repetition fraction, short-doc and all-same edges") {
+    val df = Seq(
+      "a b c a b c a b c",  // 7 3-grams: abc bca cab abc bca cab abc -> 3 distinct
+      "a b c d e",          // 3 grams, all distinct -> 0.0
+      "x y",                // < 3 tokens -> 0.0 (no grams)
+      "w w w w w"           // 3 grams all identical -> 1 - 1/3
+    ).map(Tuple1(_)).toDF("text")
+    val got = TestSpark.rows(df.select(TF.dupNgramFrac($"text", 3))).flatten
+      .map(_.asInstanceOf[Double])
+    assert(got(0) == 1.0 - 3.0 / 7.0)
+    assert(got(1) == 0.0)
+    assert(got(2) == 0.0)
+    assert(got(3) == 1.0 - 1.0 / 3.0)
+  }
+
+  test("redactPii/piiCount: emails and phones replaced, plain text untouched") {
+    val df = Seq(
+      "write bob.smith+x@mail.example.org today",
+      "call +1-555-0100 or +44-20-7946-0958 now",
+      "no pii here, just words at 12 o'clock"
+    ).map(Tuple1(_)).toDF("text")
+    val got = TestSpark.rows(df.select(
+      TF.redactPii($"text"), TF.piiCount($"text")))
+    assert(got(0) == Seq("write [PII] today", 1L))
+    assert(got(1) == Seq("call [PII] or [PII] now", 2L))
+    assert(got(2) == Seq("no pii here, just words at 12 o'clock", 0L))
+  }
 }
