@@ -496,6 +496,18 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "q62_frame_sample" -> ((s, dir) => {
+      // video-style frame sampling over opaque binary payloads: n evenly
+      // spaced fixed-size slices per payload, with the frame index — the
+      // access pattern a real codec binding plugs into (llm.Multimodal)
+      val withBin = Multimodal.withBinaryPayload(
+        t(s, dir, "documents").filter(col("doc_id") < 100), "text")
+      Multimodal.frameSample(withBin, "payload", n = 4, frameBytes = 16)
+        .select(col("doc_id"), col("frame_idx"),
+          decode(col("frame"), "UTF-8").as("frame_str"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // ---- I/O surface: round trips through the engine's file tables ------
     "q32_orc_roundtrip" -> ((s, dir) => {
       // lineitem -> snappy ORC -> read back -> aggregate (SURVEY.md A4/A5/A21)
@@ -1196,6 +1208,15 @@ object SparkEntry {
       """SELECT source, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  count(*) AS n_docs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q62_frame_sample" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    greatest(len(text) // 4, 1) AS stride
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  substr(text, CAST(i * stride + 1 AS INT), 16) AS frame_str
+        |FROM d, unnest(range(4)) AS u(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q32_orc_roundtrip" ->
       """SELECT l_returnflag, round(sum(l_extendedprice), 2) AS sum_price,

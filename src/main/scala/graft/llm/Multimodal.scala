@@ -62,14 +62,17 @@ object Multimodal {
 
   /** Sample up to `n` evenly spaced fixed-size "frames" from each payload —
     * the video-frame-sampling access pattern, on fake frames (byte slices).
+    * Emits (frame_idx, frame, frame_checksum) per sampled frame.
     */
   def frameSample(df: DataFrame, binCol: String, n: Int,
                   frameBytes: Int = 16): DataFrame = {
     val total  = length(col(binCol))
     val stride = greatest(floor(total / lit(n)).cast("int"), lit(1))
-    df.withColumn("frame",
-        explode(transform(sequence(lit(0), lit(n - 1)),
-          i => substring(col(binCol), (i * stride + 1).cast("int"), lit(frameBytes)))))
+    df.select(df.columns.map(col) :+
+        posexplode(transform(sequence(lit(0), lit(n - 1)),
+          i => substring(col(binCol), (i * stride + 1).cast("int"), lit(frameBytes))))
+          .as(Seq("frame_idx", "frame")): _*)
+      .withColumn("frame_idx", col("frame_idx").cast("long"))
       .withColumn("frame_checksum", xxhash64(col("frame")))
   }
 }

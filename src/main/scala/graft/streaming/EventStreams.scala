@@ -71,6 +71,27 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicates(idCols :+ "ts")
 
+  /** Stream-stream interval join: for each row of `left`, matching rows of
+    * `right` with the same `key` whose timestamp falls in
+    * [left.ts - before, left.ts + after]. Both sides carry watermarks so the
+    * join state is bounded (rows outside watermark + interval are evicted) —
+    * the Structured Streaming correlation primitive (click/view attribution,
+    * request/response pairing). Columns are prefixed l_/r_ to keep the two
+    * sides' schemas disjoint.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   before: String = "30 minutes", after: String = "30 minutes",
+                   watermark: String = "2 hours"): DataFrame = {
+    val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
+      .withWatermark(s"l_ts", watermark)
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+      .withWatermark(s"r_ts", watermark)
+    l.join(r,
+      col(s"l_$key") === col(s"r_$key") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $before") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $after"))
+  }
+
   // --- custom state: per-user cumulative counters ---------------------------
 
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp,

@@ -139,4 +139,36 @@ class StreamingSpec extends AnyFunSuite {
     val out = EventStreams.windowedStats(batch, "1 hour", "1 hour", "2 hours")
     assert(out.count() == 3)
   }
+
+  test("stream-stream interval join pairs clicks with views within the window") {
+    val stream = EventStreams.readStream(spark, streamDir)
+    val clicks = stream.filter($"event_type" === "click")
+      .select($"event_id", $"ts", $"user_id")
+    val views = stream.filter($"event_type" === "view")
+      .select($"event_id", $"ts", $"user_id")
+    val joined = EventStreams.intervalJoin(clicks, views, "user_id",
+      before = "10 minutes", after = "60 minutes")
+    assert(joined.isStreaming)
+    val q = EventStreams.runToMemory(
+      joined.select($"l_event_id", $"r_event_id"), "ij_out")
+    try {
+      val got = TestSpark.rows(spark.table("ij_out").orderBy($"l_event_id"))
+      // u10's view at 01:10 falls within +60min of the 00:20 click only;
+      // u20 has no views
+      assert(got == Seq(Seq(2L, 3L)))
+    } finally q.stop()
+  }
+
+  test("interval join applies identically in batch mode") {
+    val batch = spark.read.parquet(streamDir)
+    val clicks = batch.filter($"event_type" === "click")
+      .select($"event_id", $"ts", $"user_id")
+    val views = batch.filter($"event_type" === "view")
+      .select($"event_id", $"ts", $"user_id")
+    val got = TestSpark.rows(
+      EventStreams.intervalJoin(clicks, views, "user_id",
+          before = "10 minutes", after = "60 minutes")
+        .select($"l_event_id", $"r_event_id").orderBy($"l_event_id"))
+    assert(got == Seq(Seq(2L, 3L)))
+  }
 }
