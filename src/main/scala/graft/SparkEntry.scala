@@ -407,6 +407,41 @@ object SparkEntry {
       recall.union(nq).orderBy(col("metric"))
     }),
 
+    "q63_weighted_sample" -> ((s, dir) => {
+      // quality-weighted deterministic sampling: each doc kept with
+      // probability quality/2, decided by the stable key hash — the
+      // data-mixing primitive (upweight clean text) with layout- and
+      // engine-independent reproducibility. quality is a per-row scalar
+      // composite of integer-derived ratios, so both engines compute the
+      // identical double and the floor() cut agrees bitwise.
+      val docs = t(s, dir, "documents")
+        .withColumn("quality", TF.qualityScore(col("text")))
+      docs.filter(pmod(graft.ops.Sampling.keyHash(col("doc_id")), lit(10000)) <
+          floor(col("quality") * lit(5000)))
+        .select(col("doc_id"), col("lang"), round(col("quality"), 6).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q64_token_budget" -> ((s, dir) => {
+      // per-language token-budget packing: take documents in (quality desc,
+      // doc_id) order until the cumulative token count exceeds the budget —
+      // the data-mixture assembly step. Ranked on the ROUNDED quality so
+      // the oracle's ordering can't diverge on last-ulp differences. At
+      // corpus scale the budget cut means only each language's head sorts;
+      // a pre-filter on an approximate quality threshold bounds the window
+      // input before the per-language sort.
+      val budget = 3000L
+      val docs = t(s, dir, "documents")
+        .withColumn("quality_r", round(TF.qualityScore(col("text")), 6))
+        .withColumn("n_tokens", TF.tokenCount(col("text")).cast("long"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("quality_r").desc, col("doc_id"))
+      docs.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= budget)
+        .select(col("lang"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     "q59_repetition" -> ((s, dir) => {
       // repetition-based quality signals (duplicate-ngram fraction + most
       // frequent token share) — the boilerplate/looping-text filters every
@@ -875,6 +910,31 @@ object SparkEntry {
   private val toksSql  = """list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"""
   private val ntoksSql = """list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0)"""
 
+  /** CTE chain `b -> m -> q` computing the per-doc quality score (must
+    * mirror TextFunctions.qualityScore exactly, same op order — the q21
+    * oracle proves parity to 6 dp). `q` exposes (doc_id{extraCols}, ntok,
+    * quality).
+    */
+  private def qualityCteSql(extraCols: String): String =
+    s"""WITH b AS (
+       |  SELECT doc_id$extraCols, text, $toksSql AS toks, $ntoksSql AS ntoks FROM documents),
+       |m AS (
+       |  SELECT doc_id$extraCols,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) * 1.0 / length(text) END AS pr,
+       |    CASE WHEN len(ntoks) = 0 THEN 0.0
+       |         ELSE len(list_filter(ntoks, x -> list_contains(${sqlList(TF.StopwordsEn)}, x))) * 1.0 / len(ntoks) END AS sw,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks) END AS mtl,
+       |    length(text) AS n, len(toks) AS ntok
+       |  FROM b),
+       |q AS (
+       |  SELECT doc_id$extraCols, ntok,
+       |    least(sw * 4.0, 1.0) * 0.4 + greatest(1.0 - pr * 4.0, 0.0) * 0.3
+       |    + (CASE WHEN n BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.25 END) * 0.15
+       |    + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.25 END) * 0.15 AS quality
+       |  FROM m)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1098,6 +1158,25 @@ object SparkEntry {
          |JOIN sizes sb ON idB = sb.doc_id
          |WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.3
          |ORDER BY idA, idB""".stripMargin,
+
+    "q63_weighted_sample" ->
+      s"""${qualityCteSql(", lang")}
+         |SELECT doc_id, lang, round(quality, 6) AS quality FROM q
+         |WHERE (${graft.ops.Sampling.keyHashSql("doc_id")}) % 10000
+         |      < floor(quality * 5000)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q64_token_budget" ->
+      s"""${qualityCteSql(", lang")}
+         |SELECT lang, doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+         |  CAST(cum AS BIGINT) AS cum_tokens
+         |FROM (
+         |  SELECT lang, doc_id, ntok,
+         |    sum(ntok) OVER (PARTITION BY lang
+         |      ORDER BY round(quality, 6) DESC, doc_id) AS cum
+         |  FROM q) c
+         |WHERE cum <= 3000
+         |ORDER BY lang, doc_id""".stripMargin,
 
     "q59_repetition" ->
       s"""WITH norm AS (SELECT doc_id, $ntoksSql AS ntoks FROM documents),

@@ -56,6 +56,37 @@ object AsofJoin {
       .agg(picked.head, picked.tail: _*)
   }
 
+  /** Forward as-of (window form): the single right row with the SMALLEST
+    * right timestamp >= the left timestamp — the mirror of [[backward]]
+    * (next-event lookup instead of most-recent).
+    */
+  def forward(left: DataFrame, right: DataFrame,
+              leftKey: String, rightKey: String,
+              leftId: String, leftTs: String, rightTs: String,
+              rightTieCols: Seq[String] = Nil): DataFrame = {
+    val j = left.join(right,
+      col(leftKey) === col(rightKey) && col(rightTs) >= col(leftTs))
+    val order = col(rightTs).asc +: rightTieCols.map(c => col(c).asc)
+    val w = Window.partitionBy(col(leftId)).orderBy(order: _*)
+    j.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Forward as-of, aggregation form (min_by on the packed order struct). */
+  def forwardAgg(left: DataFrame, right: DataFrame,
+                 leftKey: String, rightKey: String,
+                 leftId: String, leftTs: String, rightTs: String,
+                 rightTie: String, pick: Seq[(String, String)],
+                 carryCols: Seq[String] = Nil): DataFrame = {
+    val j = left.join(right,
+      col(leftKey) === col(rightKey) && col(rightTs) >= col(leftTs))
+    val ordKey = struct(col(rightTs), col(rightTie))
+    val picked = pick.map { case (c, out) => min_by(col(c), ordKey).as(out) }
+    j.groupBy((leftId +: carryCols).map(col): _*)
+      .agg(picked.head, picked.tail: _*)
+  }
+
   /** LEFT-OUTER as-of join (aggregation form): every left row appears
     * exactly once; left rows with no key-and-time match carry nulls in the
     * picked columns. Composed as the inner as-of aggregate joined back to

@@ -60,4 +60,32 @@ class AsofJoinSpec extends AnyFunSuite {
       .select($"price").as[Double].collect().toSeq
     assert(got == Seq(5.0))
   }
+
+  test("left-outer aggregation form keeps unmatched left rows with nulls") {
+    val got = AsofJoin.backwardOuterAgg(trades, quotes,
+        "tkey", "qkey", "trade_id", "tts", "qts",
+        rightTie = "price", pick = Seq("price" -> "price"),
+        carryCols = Seq("tkey"))
+      .select($"trade_id", $"price").orderBy($"trade_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toSeq
+    assert(got == Seq((1L, Some(2.0)), (2L, Some(3.0)), (3L, None),
+      (4L, Some(9.0)), (5L, None)))
+  }
+
+  test("forward picks the earliest quote at-or-after each trade (both forms)") {
+    val win = AsofJoin.forward(trades, quotes,
+        "tkey", "qkey", "trade_id", "tts", "qts")
+      .select($"trade_id", $"price").orderBy($"trade_id")
+      .as[(Long, Double)].collect().toSeq
+    // trade1 10:07 -> 10:10 quote (3.0); trade2 exact 10:10 (3.0);
+    // trade3 09:00 -> first quote 10:00 (1.0); trade4/5: nothing after
+    assert(win == Seq((1L, 3.0), (2L, 3.0), (3L, 1.0)))
+    val agg = AsofJoin.forwardAgg(trades, quotes,
+        "tkey", "qkey", "trade_id", "tts", "qts",
+        rightTie = "price", pick = Seq("price" -> "price"))
+      .select($"trade_id", $"price").orderBy($"trade_id")
+      .as[(Long, Double)].collect().toSeq
+    assert(agg == win)
+  }
 }
