@@ -191,13 +191,18 @@ object Dedup {
       col("__id").as("idA"), col("__sh").as("shA"))
     val r = capped.select(col("blk"), col("bval"),
       col("__id").as("idB"), col("__sh").as("shB"))
+    // Hamming-verify BEFORE dropDuplicates: the hashes ride along at 8
+    // bytes each, the bit_count filter is codegen'd per-row in the join
+    // output, and on duplicate-heavy corpora it shrinks the dedup shuffle
+    // by orders of magnitude (every pair in a duplicate cluster collides in
+    // ALL chunks, so the pre-filter candidate set is ~(maxHamming+1)x the
+    // qualifying pairs).
     l.join(r, Seq("blk", "bval"))
       .filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"), col("shA"), col("shB"))
-      .dropDuplicates("idA", "idB")
       .withColumn("hamming", bit_count(col("shA").bitwiseXOR(col("shB"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("idA"), col("idB"), col("hamming"))
+      .dropDuplicates("idA", "idB")
   }
 
   /** Brute-force exact simhash pair set: O(n^2) Hamming scan — the

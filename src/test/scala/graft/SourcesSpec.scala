@@ -155,4 +155,21 @@ class SourcesSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("/nonexistent/graft/path"))
   }
+
+  test("compaction rewrites a many-small-files dir into few files, same data") {
+    val dir = TestSpark.tmpDir("compact")
+    val df = spark.range(0, 10000).selectExpr("id", "id * 2 AS v")
+    df.repartition(64).write.mode("overwrite").parquet(dir) // small-files ingest pattern
+    assert(Compaction.dataFileCount(spark, dir) >= 64)
+    val sumBefore = spark.read.parquet(dir).selectExpr("sum(v)").collect()(0).getLong(0)
+    val n = Compaction.compact(spark, dir, "parquet", targetBytes = 1L << 30)
+    assert(n == 1, s"expected 1 compacted file, got $n")
+    assert(Compaction.dataFileCount(spark, dir) == 1)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 10000)
+    assert(after.selectExpr("sum(v)").collect()(0).getLong(0) == sumBefore)
+    // staging/old dirs are gone
+    assert(!new java.io.File(s"$dir.__compact_staging").exists())
+    assert(!new java.io.File(s"$dir.__compact_old").exists())
+  }
 }
