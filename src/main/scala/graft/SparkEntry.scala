@@ -342,8 +342,10 @@ object SparkEntry {
       // source; every other pair in the fixture stays below ~0.6), so the
       // exact pair set at threshold 0.9 is precisely the planted
       // (v, v+100000) pairs and NO O(n^2) scan is needed to verify the
-      // scale path. At sigBits=8 x 12 tables the per-pair miss probability
-      // at cosine 0.995 is ~2e-8: the LSH output must EQUAL the planted set.
+      // scale path. At sigBits=12 x 12 tables the per-pair miss probability
+      // at cosine 0.995 is ~1e-6: the LSH output must EQUAL the planted
+      // set. sigBits sizes the bucket count — it must grow with the corpus
+      // (buckets ~ n/loadFactor) or per-bucket occupancy goes quadratic.
       val emb = t(s, dir, "embeddings").select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
       val d = size(col("embedding"))
@@ -353,7 +355,7 @@ object SparkEntry {
           .as("embedding"))
       val corpus = emb.unionByName(perturbed)
       val lsh = Dedup.embeddingPairs(corpus, "embedding", "vec_id",
-          threshold = 0.9, sigBits = 8, nTables = 12)
+          threshold = 0.9, sigBits = 12, nTables = 12)
         .select(col("idA"), col("idB"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val truth = emb.select(col("vec_id").as("idA"),

@@ -65,6 +65,28 @@ object Stress {
         .agg(sum(col("q"))).collect()
       n
     }
+
+    // embedding path: replicate vectors with per-replica perturbations
+    // (replica r adds 0.02*r of the cyclic-shifted vector -> cosine to the
+    // source decays with r; only low-r replicas pass the 0.9 threshold), so
+    // pair counts stay bounded while the candidate join sees a dup-heavy
+    // signature distribution.
+    val ebase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val d = size(col("embedding"))
+    val evecs = ebase.crossJoin(replicas)
+      .select((col("vec_id") * factor + col("rep")).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + col("rep") * lit(0.02) *
+            element_at(col("embedding"), pmod(i + 1, d) + 1)).as("embedding"))
+      .repartition(cpus.toInt * 2)
+      .persist()
+    println(s"[stress] embedding rows: ${evecs.count()}")
+    time("embedding_pairs_lsh") {
+      graft.llm.Dedup.embeddingPairs(evecs, "embedding", "vec_id",
+        threshold = 0.9, sigBits = 12, nTables = 12).count()
+    }
     spark.stop()
   }
 }
