@@ -96,4 +96,21 @@ class PropertySpec extends AnyFunSuite {
       graft.llm.Dedup.minhashSignature($"text", 2, 16)).as("e"))
     assert(est.collect().forall(_.getDouble(0) == 1.0))
   }
+
+  test("pigeonhole chunking: any two longs within hamming<=3 share a 16-bit chunk") {
+    // the bit-level invariant simhashPairs' recall-1 guarantee rests on,
+    // checked directly over generated (value, <=3 random bit flips) pairs
+    val rnd = new scala.util.Random(7)
+    def chunks(v: Long): Seq[Long] =
+      (0 until 4).map(b => (v >>> (b * 16)) & 0xFFFFL)
+    (0 until 2000).foreach { _ =>
+      val v = rnd.nextLong()
+      val flips = rnd.nextInt(4) // 0..3 bit flips
+      val positions = Seq.fill(flips)(rnd.nextInt(64))
+      val w = positions.foldLeft(v)((acc, p) => acc ^ (1L << p))
+      assert(java.lang.Long.bitCount(v ^ w) <= 3)
+      assert(chunks(v).zip(chunks(w)).exists { case (a, b) => a == b },
+        s"no shared chunk for $v vs $w (flips at $positions)")
+    }
+  }
 }
