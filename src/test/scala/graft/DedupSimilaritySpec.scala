@@ -87,6 +87,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.filter($"idB" === $"idA" + 2000).count() >= 15)
   }
 
+  test("ngram jaccard equals brute force on BOTH strategies (count join / prefix filter)") {
+    // brute force: same df-filtered gram sets, all-pairs intersection
+    val posting = corpus.select($"doc_id",
+      explode(array_distinct(graft.expressions.TextExpressions.ngramHashes(
+        graft.functions.TextFunctions.normTokens($"text"), 2))).as("g"))
+    val rare = posting.groupBy($"g").agg(count(lit(1)).as("df"))
+      .filter($"df".between(2, 1000)).select($"g")
+    val sets = posting.join(rare, Seq("g"))
+      .groupBy($"doc_id").agg(collect_set($"g").as("gs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    def brute(t: Double) = (for {
+      (a, ga) <- sets.toSeq; (b, gb) <- sets.toSeq if a < b
+      inter = (ga & gb).size
+      jac = inter.toDouble / (ga.size + gb.size - inter)
+      if jac >= t
+    } yield (a, b, math.rint(jac * 1e9) / 1e9)).toSet
+    for (t <- Seq(0.4, 0.7); prefix <- Seq(false, true)) {
+      val got = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+          n = 2, threshold = t, maxShingleFreq = 1000,
+          prefixFilter = Some(prefix))
+        .select($"idA", $"idB", round($"jaccard", 9).as("j"))
+        .as[(Long, Long, Double)].collect().toSet
+      val exp = brute(t)
+      assert(got == exp, s"t=$t prefix=$prefix " +
+        s"missing=${(exp -- got).take(3)} spurious=${(got -- exp).take(3)}")
+      assert(exp.nonEmpty, s"t=$t brute-force fixture empty")
+    }
+  }
+
   test("embedding LSH pairs are a subset of exact pairs with decent recall") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val exact = Dedup.embeddingPairsExact(emb, "embedding", "vec_id", 0.35)
