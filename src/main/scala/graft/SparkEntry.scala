@@ -325,6 +325,20 @@ object SparkEntry {
     // jaccard here is over df-filtered gram sets (see Dedup.ngramJaccardPairs);
     // the oracle replicates the same df cut.
 
+    "q65_dup_clusters" -> ((s, dir) => {
+      // exact duplicate-cluster grouping: connected components over the
+      // n-gram Jaccard pair graph (iterative min-label propagation, one
+      // shuffle per round) — the step after pair generation that
+      // single-pass dedup approximates. Oracle: DuckDB recursive CTE
+      // transitive closure over the same pair set.
+      val pairs = Dedup.ngramJaccardPairs(docsWithNearDups(s, dir),
+          "text", "doc_id", n = 3, threshold = 0.3, maxShingleFreq = 400)
+        .select(col("idA"), col("idB"))
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))
+    }),
+
 
     "q26_embedding_dups" -> ((s, dir) => {
       // the oracle-grade exact baseline (value-checked against DuckDB's own
@@ -912,6 +926,37 @@ object SparkEntry {
   private val toksSql  = """list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"""
   private val ntoksSql = """list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0)"""
 
+  /** CTE chain ending in `pairs(idA, idB, jaccard)` — the n-gram Jaccard
+    * near-dup pair graph over docsWithNearDups (must mirror
+    * Dedup.ngramJaccardPairs with n=3, threshold 0.3, maxShingleFreq 400).
+    * Shared by q25 (the pair list) and q65 (connected components over it).
+    */
+  private val ngramPairsCtes: String =
+    s"""docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, substr(text, 21) FROM documents),
+       |norm AS (SELECT doc_id, $ntoksSql AS ntoks FROM docs),
+       |grams AS (SELECT doc_id,
+       |    list_distinct(CASE WHEN len(ntoks) < 3 THEN []
+       |      ELSE list_transform(range(len(ntoks) - 2),
+       |             i -> ntoks[i+1] || ' ' || ntoks[i+2] || ' ' || ntoks[i+3]) END) AS gs
+       |  FROM norm),
+       |posting AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+       |rare AS (SELECT g FROM (SELECT g, count(*) AS c FROM posting GROUP BY g)
+       |         WHERE c BETWEEN 2 AND 400),
+       |rp AS (SELECT p.doc_id, p.g FROM posting p JOIN rare USING (g)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM rp GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS idA, b.doc_id AS idB, count(*) AS i
+       |          FROM rp a JOIN rp b USING (g) WHERE a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT idA, idB, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON idA = sa.doc_id
+       |  JOIN sizes sb ON idB = sb.doc_id
+       |  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.3)""".stripMargin
+
   /** CTE chain `b -> m -> q` computing the per-doc quality score (must
     * mirror TextFunctions.qualityScore exactly, same op order — the q21
     * oracle proves parity to 6 dp). `q` exposes (doc_id{extraCols}, ntok,
@@ -1136,30 +1181,21 @@ object SparkEntry {
         |ORDER BY metric""".stripMargin,
 
     "q25_ngram_jaccard" ->
-      s"""WITH docs AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 100000, substr(text, 21) FROM documents),
-         |norm AS (SELECT doc_id, $ntoksSql AS ntoks FROM docs),
-         |grams AS (SELECT doc_id,
-         |    list_distinct(CASE WHEN len(ntoks) < 3 THEN []
-         |      ELSE list_transform(range(len(ntoks) - 2),
-         |             i -> ntoks[i+1] || ' ' || ntoks[i+2] || ' ' || ntoks[i+3]) END) AS gs
-         |  FROM norm),
-         |posting AS (SELECT doc_id, unnest(gs) AS g FROM grams),
-         |rare AS (SELECT g FROM (SELECT g, count(*) AS c FROM posting GROUP BY g)
-         |         WHERE c BETWEEN 2 AND 400),
-         |rp AS (SELECT p.doc_id, p.g FROM posting p JOIN rare USING (g)),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM rp GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS idA, b.doc_id AS idB, count(*) AS i
-         |          FROM rp a JOIN rp b USING (g) WHERE a.doc_id < b.doc_id
-         |          GROUP BY 1, 2)
-         |SELECT idA, idB, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
-         |FROM inter
-         |JOIN sizes sa ON idA = sa.doc_id
-         |JOIN sizes sb ON idB = sb.doc_id
-         |WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.3
-         |ORDER BY idA, idB""".stripMargin,
+      s"""WITH $ngramPairsCtes
+         |SELECT idA, idB, jaccard FROM pairs ORDER BY idA, idB""".stripMargin,
+
+    "q65_dup_clusters" ->
+      s"""WITH RECURSIVE $ngramPairsCtes,
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT idA AS id FROM pairs UNION ALL SELECT idB FROM pairs)),
+         |edges AS (SELECT idA AS a, idB AS b FROM pairs
+         |          UNION SELECT idB, idA FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+         |SELECT src AS doc_id, min(dst) AS component
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "q63_weighted_sample" ->
       s"""${qualityCteSql(", lang")}

@@ -140,6 +140,60 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over an undirected pair graph (idA, idB):
+    * returns (id, component) where component = the smallest id reachable
+    * from `id`. Iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels; converges in
+    * O(graph diameter) rounds (near-dup clusters are star-like, so a
+    * handful). One shuffle per round on (8-byte id, 8-byte label) rows;
+    * rounds run until a fixpoint or `maxIter`. This is the exact grouping
+    * step after near-dup pair generation — [[minhashDedup]]'s single-pass
+    * drop is the cheap approximation of keeping one doc per component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val idA = pairs.columns(0)
+    val idB = pairs.columns(1)
+    // undirected edge list, both directions. Iterative algorithms must
+    // TRUNCATE THE PLAN each round (localCheckpoint), not just cache:
+    // persist() short-circuits execution but the logical plan still nests
+    // one level per round and analysis/optimization time explodes.
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // each node's candidate label = min over neighbors' current labels
+      val fromNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("component")).as("__nbr"))
+      val viaEdges = labels.join(fromNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__nbr"), col("component")))
+            .as("component"))
+      // pointer jumping: follow the label's own label (labels only ever
+      // decrease, so parent <= child) — squares the propagated distance
+      // per round, so convergence is O(log diameter) rounds, not O(diameter)
+      val parents = viaEdges.select(col("id").as("component"),
+        col("component").as("__parent"))
+      val next = viaEdges.join(parents, Seq("component"), "left")
+        .select(col("id"),
+          coalesce(col("__parent"), col("component")).as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "__old"), Seq("id"))
+        .filter(col("component") =!= col("__old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** 64-bit SimHash: sign of the per-bit weighted sum of token hashes. Docs
     * with small Hamming distance between simhashes are near-duplicates.
     */

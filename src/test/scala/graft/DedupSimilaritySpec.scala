@@ -116,6 +116,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: chain, triangle, isolated pair, long path") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (pair),
+    // {30..39} (10-node path — exercises multi-round propagation)
+    val pathEdges = (30L until 39L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)) ++ pathEdges).toDF("idA", "idB")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 4L).forall(got(_) == 1L))
+    assert((10L to 12L).forall(got(_) == 10L))
+    assert(got(20L) == 20L && got(21L) == 20L)
+    assert((30L to 39L).forall(got(_) == 30L))
+    assert(got.size == 19)
+    // edge direction must not matter
+    val rev = Dedup.connectedComponents(
+      pairs.select($"idB".as("idA"), $"idA".as("idB")))
+      .as[(Long, Long)].collect().toMap
+    assert(rev == got)
+  }
+
   test("embedding LSH pairs are a subset of exact pairs with decent recall") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val exact = Dedup.embeddingPairsExact(emb, "embedding", "vec_id", 0.35)
