@@ -58,4 +58,37 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Deterministic dataset split (train/val/test and the like): adds
+    * `outCol` holding the index of the split this row's key falls into,
+    * with `percents` summing to at most 100 (rows beyond the sum get index
+    * -1 — a holdout). Same key -> same split, on any engine or layout; a
+    * narrow per-row expression, no shuffle.
+    */
+  def splitByKey(df: DataFrame, keyCol: String, percents: Seq[Int],
+                 outCol: String = "split"): DataFrame = {
+    require(percents.nonEmpty && percents.forall(_ >= 0) && percents.sum <= 100,
+      "percents must be non-negative and sum to <= 100")
+    val bucket = pmod(keyHash(col(keyCol)), lit(100))
+    val bounds = percents.scanLeft(0)(_ + _) // exclusive upper bounds
+    val expr = percents.indices.foldRight(lit(-1): Column) { (i, rest) =>
+      when(bucket < bounds(i + 1), i).otherwise(rest)
+    }
+    df.withColumn(outCol, expr.cast("int"))
+  }
+
+  /** Per-group mixture sampling: keep `percents(group)`% of each group's
+    * rows (groups absent from the map keep `defaultPercent`%), decided per
+    * key — the deterministic form of "mix sources at these rates".
+    */
+  def mixtureSample(df: DataFrame, groupCol: String, keyCol: String,
+                    percents: Map[String, Int],
+                    defaultPercent: Int = 100): DataFrame = {
+    require((defaultPercent +: percents.values.toSeq)
+      .forall(p => p >= 0 && p <= 100), "percents must be in [0, 100]")
+    val pct = percents.foldLeft(lit(defaultPercent)) { case (acc, (g, p)) =>
+      when(col(groupCol) === g, p).otherwise(acc)
+    }
+    df.filter(pmod(keyHash(col(keyCol)), lit(100)) < pct)
+  }
 }

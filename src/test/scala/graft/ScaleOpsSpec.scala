@@ -157,6 +157,46 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(a.size > 150 && a.size < 350, s"got ${a.size}/1000 at 25%")
   }
 
+  test("splitByKey: exhaustive, disjoint, stable, holdout index for remainder") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val split = graft.ops.Sampling.splitByKey(docs, "doc_id", Seq(80, 10, 5))
+    val byIdx = split.groupBy("split").count()
+      .as[(Int, Long)].collect().toMap
+    val n = docs.count()
+    assert(byIdx.keySet.subsetOf(Set(0, 1, 2, -1)))
+    assert(byIdx.values.sum == n)
+    assert(byIdx(0) > byIdx.getOrElse(1, 0L)) // 80% dwarfs 10%
+    // stability: same assignment under repartitioning
+    val again = graft.ops.Sampling.splitByKey(docs.repartition(13), "doc_id", Seq(80, 10, 5))
+      .select("doc_id", "split").as[(Long, Int)].collect().toMap
+    val first = split.select("doc_id", "split").as[(Long, Int)].collect().toMap
+    assert(again == first)
+    // splits are also consistent with sampleByKey's bucket arithmetic:
+    // split 0 at 80% == the 80% sample
+    val s80 = graft.ops.Sampling.sampleByKey(docs, "doc_id", 80)
+      .select("doc_id").as[Long].collect().toSet
+    assert(first.filter(_._2 == 0).keySet == s80)
+  }
+
+  test("mixtureSample keeps per-group rates, key-stable") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val langs = docs.select("lang").distinct().as[String].collect().sorted
+    val rates = Map(langs.head -> 100, langs.last -> 0)
+    val out = graft.ops.Sampling.mixtureSample(docs, "lang", "doc_id",
+      rates, defaultPercent = 50)
+    val in0 = docs.filter($"lang" === langs.head).count()
+    assert(out.filter($"lang" === langs.head).count() == in0) // 100% kept
+    assert(out.filter($"lang" === langs.last).count() == 0)   // 0% kept
+    // default-rate groups: same rows as sampleByKey(50) restricted to them
+    val mid = langs.tail.dropRight(1).toSet
+    val expect = graft.ops.Sampling.sampleByKey(docs, "doc_id", 50)
+      .filter($"lang".isin(mid.toSeq: _*))
+      .select("doc_id").as[Long].collect().toSet
+    val got = out.filter($"lang".isin(mid.toSeq: _*))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expect)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS default.bkt_orders")
     spark.sql("DROP TABLE IF EXISTS default.bkt_lineitem")
