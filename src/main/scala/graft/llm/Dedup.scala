@@ -140,6 +140,23 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Near-dedup keeping EXACTLY one document (the smallest id) per
+    * connected near-duplicate cluster: [[minhashPairs]] candidates grouped
+    * by [[connectedComponents]]. Unlike [[minhashDedup]]'s single-pass
+    * approximation (which can drop both endpoints of a chain), the
+    * component representative is always retained.
+    */
+  def minhashDedupClustered(df: DataFrame, textCol: String, idCol: String,
+                            shingleSize: Int = 3, numHashes: Int = 32,
+                            bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashPairs(df, textCol, idCol, shingleSize, numHashes,
+      bands, threshold).select(col("idA"), col("idB"))
+    val drop = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over an undirected pair graph (idA, idB):
     * returns (id, component) where component = the smallest id reachable
     * from `id`. Iterative min-label propagation — each round every node

@@ -137,6 +137,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rev == got)
   }
 
+  test("minhashDedupClustered keeps exactly the min id of every component") {
+    val out = Dedup.minhashDedupClustered(corpus, "text", "doc_id",
+        shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    val pairs = Dedup.minhashPairs(corpus, "text", "doc_id",
+      shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.4)
+    val comps = Dedup.connectedComponents(pairs.select($"idA", $"idB"))
+      .as[(Long, Long)].collect()
+    val reps = comps.filter { case (id, c) => id == c }.map(_._1).toSet
+    val nonReps = comps.filter { case (id, c) => id != c }.map(_._1).toSet
+    assert(reps.subsetOf(out))
+    assert(nonReps.intersect(out).isEmpty)
+    // docs not in any pair survive untouched
+    val allIds = corpus.select("doc_id").as[Long].collect().toSet
+    val inGraph = comps.map(_._1).toSet
+    assert((allIds -- inGraph).subsetOf(out))
+  }
+
   test("embedding LSH pairs are a subset of exact pairs with decent recall") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val exact = Dedup.embeddingPairsExact(emb, "embedding", "vec_id", 0.35)
