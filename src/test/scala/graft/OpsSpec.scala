@@ -77,6 +77,23 @@ class OpsSpec extends AnyFunSuite {
     assert(df.schema("b").dataType.typeName == "double")
   }
 
+  test("coerce converts strings to every Hive type the reference's converter " +
+      "handles (ConvertToHiveJavaType.java:45-70)") {
+    val df = Seq(("3", "4", "5.5", "6.25", "123.45", "true", "abc",
+        "2011-09-14 10:20:30"))
+      .toDF("i", "l", "f", "d", "dec", "bool", "bin", "ts")
+      .coerceDdl("i" -> "int", "l" -> "bigint", "f" -> "float",
+        "d" -> "double", "dec" -> "decimal(10,2)", "bool" -> "boolean",
+        "bin" -> "binary", "ts" -> "timestamp")
+    val r = df.collect()(0)
+    assert(r.getInt(0) == 3 && r.getLong(1) == 4L)
+    assert(r.getFloat(2) == 5.5f && r.getDouble(3) == 6.25)
+    assert(r.getDecimal(4) == new java.math.BigDecimal("123.45"))
+    assert(r.getBoolean(5))
+    assert(new String(r.getAs[Array[Byte]](6), "UTF-8") == "abc")
+    assert(r.getTimestamp(7) == java.sql.Timestamp.valueOf("2011-09-14 10:20:30"))
+  }
+
   test("identitySelect projects a named subset in order (Identity(Fields))") {
     val df = testDf.identitySelect("col3", "col1")
     assert(df.columns.toSeq == Seq("col3", "col1"))
