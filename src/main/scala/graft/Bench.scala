@@ -38,6 +38,7 @@ object Bench {
     // queries record -1 (never a partial wall time) and land in "errors" —
     // a crashed query must not be mistakable for a fast one.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
+    require(repeat >= 1, s"SPARK_GRAFT_REPEAT must be >= 1, got $repeat")
     val results = selected.map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
@@ -46,10 +47,12 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
           }
+        val elapsed = (System.nanoTime() - t0) / 1e9
         // Drop persisted intermediates (several dedup/ANN queries cache
-        // their self-check inputs) so cached blocks don't skew the next run.
+        // their self-check inputs) so cached blocks don't skew the next
+        // run — OUTSIDE the timed window, teardown is not the query's cost.
         spark.catalog.clearCache()
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        if (ok) elapsed else -1.0
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }

@@ -550,9 +550,15 @@ object SparkEntry {
     "q62_frame_sample" -> ((s, dir) => {
       // video-style frame sampling over opaque binary payloads: n evenly
       // spaced fixed-size slices per payload, with the frame index — the
-      // access pattern a real codec binding plugs into (llm.Multimodal)
+      // access pattern a real codec binding plugs into (llm.Multimodal).
+      // The operator slices BYTES; DuckDB can only slice characters, so the
+      // query restricts to docs where char length == byte length (pure
+      // ASCII) — making the byte/char equivalence structural rather than a
+      // property of the current fixture.
       val withBin = Multimodal.withBinaryPayload(
-        t(s, dir, "documents").filter(col("doc_id") < 100), "text")
+        t(s, dir, "documents")
+          .filter(col("doc_id") < 100 &&
+            length(col("text")) === octet_length(col("text"))), "text")
       Multimodal.frameSample(withBin, "payload", n = 4, frameBytes = 16)
         .select(col("doc_id"), col("frame_idx"),
           decode(col("frame"), "UTF-8").as("frame_str"))
@@ -1244,7 +1250,9 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
-        |       len(regexp_extract_all(aug, '\+[0-9][0-9-]{7,}')) AS BIGINT) AS n_pii,
+        |       len(regexp_extract_all(
+        |         regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+        |         '\+[0-9][0-9-]{7,}')) AS BIGINT) AS n_pii,
         |  regexp_replace(
         |    regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
         |    '\+[0-9][0-9-]{7,}', '[PII]', 'g') AS redacted
@@ -1329,7 +1337,8 @@ object SparkEntry {
     "q62_frame_sample" ->
       """WITH d AS (SELECT doc_id, text,
         |    greatest(len(text) // 4, 1) AS stride
-        |  FROM documents WHERE doc_id < 100)
+        |  FROM documents
+        |  WHERE doc_id < 100 AND len(text) = octet_length(encode(text)))
         |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
         |  substr(text, CAST(i * stride + 1 AS INT), 16) AS frame_str
         |FROM d, unnest(range(4)) AS u(i)

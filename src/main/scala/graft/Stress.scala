@@ -33,10 +33,18 @@ object Stress {
     val n = corpus.count()
     println(s"[stress] corpus rows: $n (factor $factor)")
 
+    // After each timed section, drop its persisted intermediates (each
+    // dedup operator caches posting lists / signature tables) so cache
+    // pressure doesn't accumulate into later sections, then re-warm the
+    // shared inputs OUTSIDE the timed window.
+    var rewarm: () => Unit = () => { corpus.persist(); corpus.count(); () }
     def time(name: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()
       val rows = body
-      println(f"[stress] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
+      val secs = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      rewarm()
+      println(f"[stress] $name%-22s $secs%8.2f s  ($rows rows)")
     }
 
     time("exact_dedup") {
@@ -88,6 +96,7 @@ object Stress {
       .repartition(cpus.toInt * 2)
       .persist()
     println(s"[stress] embedding rows: ${evecs.count()}")
+    rewarm = () => { evecs.persist(); evecs.count(); () }
     time("embedding_pairs_lsh") {
       graft.llm.Dedup.embeddingPairs(evecs, "embedding", "vec_id",
         threshold = 0.9, sigBits = 12, nTables = 12).count()

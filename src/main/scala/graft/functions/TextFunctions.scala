@@ -222,8 +222,13 @@ object TextFunctions {
   def redactPii(text: Column, marker: String = "[PII]"): Column =
     regexp_replace(regexp_replace(text, EmailRegex, marker), PhoneRegex, marker)
 
-  /** Count of PII matches that [[redactPii]] would replace. */
-  def piiCount(text: Column): Column =
+  /** Count of replacements [[redactPii]] performs: emails on the original
+    * text, phones on the email-redacted text — a phone-like digit run
+    * embedded in an email address (e.g. "a+12345678@b.com") is consumed by
+    * the email replacement and must not be counted twice.
+    */
+  def piiCount(text: Column, marker: String = "[PII]"): Column =
     (size(regexp_extract_all(text, lit(EmailRegex), lit(0))) +
-      size(regexp_extract_all(text, lit(PhoneRegex), lit(0)))).cast("long")
+      size(regexp_extract_all(regexp_replace(text, EmailRegex, marker),
+        lit(PhoneRegex), lit(0)))).cast("long")
 }

@@ -40,13 +40,27 @@ object Similarity {
     * window: a window would shuffle EVERY scored row to its query's reducer;
     * the aggregator's partial (map-side) stage reduces each partition to
     * <= k rows per query before the shuffle. Ordering (cosine desc,
-    * neighbor_id asc) matches the window formulation exactly.
+    * neighbor_id asc) matches the window formulation exactly. The
+    * aggregator's tie-break key is a long, so non-numeric neighbor ids fall
+    * back to the window formulation (numeric-vs-lexicographic ordering
+    * would otherwise diverge — "10" < "2").
     */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame =
-    graft.ops.TopK.perGroup(scored, "query_id", "cosine", "neighbor_id",
-        "neighbor_id", k)
-      .select(col("group").as("query_id"), col("tie").as("neighbor_id"),
-        col("score").as("cosine"), col("rank"))
+    scored.schema("neighbor_id").dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        graft.ops.TopK.perGroup(scored, "query_id", "cosine", "neighbor_id",
+            "neighbor_id", k)
+          .select(col("group").as("query_id"), col("tie").as("neighbor_id"),
+            col("score").as("cosine"), col("rank"))
+      case _ =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)
+        scored
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    }
 
   /** Multi-probe LSH top-k: corpus and queries are signed with the same
     * `sigBits`-bit hyperplane signature; each query signature is expanded
@@ -64,8 +78,11 @@ object Similarity {
               vecCol: String, idCol: String, k: Int,
               sigBits: Int = 12, probeHamming: Int = 2): DataFrame = {
     require(sigBits >= 1 && sigBits <= 24, "sigBits must be in [1, 24]")
-    val masks: Seq[Long] = (0L until (1L << sigBits))
-      .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
+    // masks generated directly from bit-position combinations:
+    // O(sum C(sigBits, i<=probeHamming)), not O(2^sigBits)
+    val masks: Seq[Long] = (0 to math.min(probeHamming, sigBits)).flatMap(h =>
+      (0 until sigBits).combinations(h)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))))
     val maskArr = array(masks.map(lit): _*)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       VF.norm(col(vecCol)).as("__cn"),

@@ -17,18 +17,24 @@ object SkewJoin {
   /** Inner equi-join `left.key == right.key` with the left side salted
     * `factor` ways and the right side replicated. Result columns = left ++
     * right (minus the right key).
+    *
+    * The salt must be DETERMINISTIC BY ROW CONTENT: order-dependent salts
+    * (rand(), monotonically_increasing_id) assign different salts to the
+    * same row when a lost shuffle partition is recomputed, which can
+    * duplicate or drop rows mid-stage. Pass `saltKey` (a unique id column)
+    * to spread rows that are otherwise full duplicates; with the default
+    * whole-row hash, identical rows share a salt and are NOT spread —
+    * correct, just unspread (use AQE skew-join splitting or a saltKey for
+    * that corpus shape).
     */
   def saltedJoin(left: DataFrame, right: DataFrame,
-                 leftKey: String, rightKey: String, factor: Int): DataFrame = {
+                 leftKey: String, rightKey: String, factor: Int,
+                 saltKey: Option[String] = None): DataFrame = {
     require(factor >= 1, "salt factor must be >= 1")
-    // deterministic salt from a per-partition row counter, NOT a row hash:
-    // the classic hot-key case is many IDENTICAL rows under one key, and a
-    // row hash would give them all the same salt (salting degrades to a
-    // no-op exactly when needed). monotonically_increasing_id is stable
-    // under task retry given deterministic upstream partitioning, and its
-    // low bits cycle through salts within each partition.
+    val saltSource = saltKey.fold(xxhash64(struct(left.columns.map(col): _*)))(
+      c => xxhash64(col(c)))
     val saltedLeft = left.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(factor.toLong)).cast("int"))
+      pmod(saltSource, lit(factor)).cast("int"))
     val replicatedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))
     saltedLeft
@@ -47,9 +53,11 @@ object SkewJoin {
     */
   def saltedAgg(df: DataFrame, key: String, factor: Int,
                 partials: Seq[org.apache.spark.sql.Column],
-                finals: Seq[org.apache.spark.sql.Column]): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(factor.toLong)).cast("int"))
+                finals: Seq[org.apache.spark.sql.Column],
+                saltKey: Option[String] = None): DataFrame = {
+    val saltSource = saltKey.fold(xxhash64(struct(df.columns.map(col): _*)))(
+      c => xxhash64(col(c)))
+    val salted = df.withColumn("__salt", pmod(saltSource, lit(factor)).cast("int"))
     salted.groupBy(col(key), col("__salt"))
       .agg(partials.head, partials.tail: _*)
       .groupBy(col(key))

@@ -81,15 +81,16 @@ object EventStreams {
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    before: String = "30 minutes", after: String = "30 minutes",
-                   watermark: String = "2 hours"): DataFrame = {
+                   watermark: String = "2 hours",
+                   tsCol: String = "ts"): DataFrame = {
     val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
-      .withWatermark(s"l_ts", watermark)
+      .withWatermark(s"l_$tsCol", watermark)
     val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
-      .withWatermark(s"r_ts", watermark)
+      .withWatermark(s"r_$tsCol", watermark)
     l.join(r,
       col(s"l_$key") === col(s"r_$key") &&
-        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $before") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $after"))
+        col(s"r_$tsCol") >= col(s"l_$tsCol") - expr(s"INTERVAL $before") &&
+        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $after"))
   }
 
   // --- custom state: per-user cumulative counters ---------------------------

@@ -161,12 +161,15 @@ class ExpressionsSpec extends AnyFunSuite {
     val df = Seq(
       "write bob.smith+x@mail.example.org today",
       "call +1-555-0100 or +44-20-7946-0958 now",
-      "no pii here, just words at 12 o'clock"
+      "no pii here, just words at 12 o'clock",
+      "mail a+12345678@b.com maybe" // phone-like run INSIDE the email
     ).map(Tuple1(_)).toDF("text")
     val got = TestSpark.rows(df.select(
       TF.redactPii($"text"), TF.piiCount($"text")))
     assert(got(0) == Seq("write [PII] today", 1L))
     assert(got(1) == Seq("call [PII] or [PII] now", 2L))
     assert(got(2) == Seq("no pii here, just words at 12 o'clock", 0L))
+    // the email replacement consumes the digit run: ONE replacement, count 1
+    assert(got(3) == Seq("mail [PII] maybe", 1L))
   }
 }
