@@ -60,6 +60,71 @@ object Multimodal {
     }
   }
 
+  /** ??? real feature extractor goes here (CLIP-style image embedding, audio
+    * fingerprint): no model runtime ships in this container, so features
+    * derive deterministically from payload byte windows. The contract a
+    * real extractor keeps: fixed `dim`, one vector per payload, L2-ready
+    * doubles — the output feeds [[graft.llm.Similarity]] and
+    * [[Dedup.embeddingPairs]] unchanged.
+    */
+  def featureVectorStub(bytes: Array[Byte], dim: Int): Array[Double] = {
+    val v = new Array[Double](dim)
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) {
+      h = 31 * h + bytes(i)
+      v(i % dim) += (h & 0xFFFF) / 65536.0 - 0.5
+      i += 1
+    }
+    v
+  }
+
+  /** Decode payloads to fixed-dim feature vectors with per-partition
+    * batching — the mapPartitions seam where a real model binding plugs in
+    * (initialize the model once per partition, score row batches). Output
+    * (id, feature) rows feed the ANN / embedding-dedup operators directly.
+    */
+  def extractFeatures(df: DataFrame, idCol: String, binCol: String,
+                      dim: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real impl: load the model ONCE here, then stream batches
+        it.map { case (id, bytes) => (id, featureVectorStub(bytes, dim)) }
+      }
+      .toDF(idCol, "feature")
+  }
+
+  /** ??? real resampler goes here (libjpeg scale / ffmpeg -s): stubbed as
+    * deterministic byte decimation to `targetBytes` — keeps the real
+    * contract (bounded output size per payload, pure per-row transform,
+    * no shuffle).
+    */
+  def resizeStub(bytes: Array[Byte], targetBytes: Int): Array[Byte] =
+    if (bytes.length <= targetBytes) bytes
+    else {
+      val out    = new Array[Byte](targetBytes)
+      val stride = bytes.length.toDouble / targetBytes
+      var i = 0
+      while (i < targetBytes) { out(i) = bytes((i * stride).toInt); i += 1 }
+      out
+    }
+
+  /** Resize every payload to at most `targetBytes` via the per-partition
+    * decode seam; schema is preserved with the payload column replaced.
+    */
+  def resizePayloads(df: DataFrame, idCol: String, binCol: String,
+                     targetBytes: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => (id, resizeStub(b, targetBytes)) })
+      .toDF(idCol, binCol)
+  }
+
   /** Sample up to `n` evenly spaced fixed-size "frames" from each payload —
     * the video-frame-sampling access pattern, on fake frames (byte slices).
     * Emits (frame_idx, frame, frame_checksum) per sampled frame.

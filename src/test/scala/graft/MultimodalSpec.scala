@@ -44,4 +44,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(df.count() == 8)
     assert(df.groupBy("doc_id").count().select("count").as[Long].collect().forall(_ == 4))
   }
+
+  test("feature extraction: fixed dim, deterministic, feeds the ANN path") {
+    val withBin = Multimodal.withBinaryPayload(docs, "text")
+    val feats = Multimodal.extractFeatures(withBin, "doc_id", "payload", dim = 8)
+    val rows = feats.orderBy("doc_id").collect()
+    assert(rows.forall(_.getSeq[Double](1).length == 8))
+    val again = Multimodal.extractFeatures(withBin, "doc_id", "payload", dim = 8)
+      .orderBy("doc_id").collect()
+    assert(rows.map(_.getSeq[Double](1)).toSeq == again.map(_.getSeq[Double](1)).toSeq)
+    // composition: extracted features drive exact ANN end-to-end
+    val knn = graft.llm.Similarity.bruteForceTopK(
+      feats, feats, "feature", "doc_id", k = 1)
+    assert(knn.count() == docs.count())
+  }
+
+  test("resize bounds payload size, is identity below the target, deterministic") {
+    val withBin = Multimodal.withBinaryPayload(docs, "text")
+    val resized = Multimodal.resizePayloads(withBin, "doc_id", "payload", targetBytes = 10)
+    val sizes = resized.select(length($"payload")).as[Int].collect()
+    assert(sizes.forall(_ <= 10))
+    val small = Multimodal.resizePayloads(withBin, "doc_id", "payload", targetBytes = 100000)
+    val orig = withBin.select($"doc_id", length($"payload").as("n"))
+      .orderBy("doc_id").as[(Long, Int)].collect().toSeq
+    val kept = small.select($"doc_id", length($"payload").as("n"))
+      .orderBy("doc_id").as[(Long, Int)].collect().toSeq
+    assert(orig == kept)
+  }
 }
