@@ -34,7 +34,16 @@ object GraftFunctions {
     "graft_norm_tokens" -> (es => NormTokens(es(0))),
     "graft_match_fraction" -> (es => ArrayMatchFraction(es(0), es(1))),
     "graft_hyperplane_sig" -> (es => HyperplaneSig(es(0), intArg(es(1), "nBits"),
-      if (es.length > 2) intArg(es(2), "planeOffset") else 0))
+      if (es.length > 2) intArg(es(2), "planeOffset") else 0)),
+    // Spark ships codegen'd bloom-filter expressions but registers them for
+    // internal (runtime-filter) use only; exposing them through the engine
+    // registry gives users the explicit broadcast-blocklist pattern with no
+    // UDF in the hot path.
+    "graft_bloom_agg" -> (es =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        es(0), es(1), es(2))),
+    "graft_bloom_might_contain" -> (es =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1)))
   )
 
   /** Register all engine functions on an existing session. Idempotent. */

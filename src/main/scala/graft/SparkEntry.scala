@@ -734,6 +734,57 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    "q66_hll_distinct" -> ((s, dir) => {
+      // HyperLogLog distinct counts as the scale path for exact
+      // count_distinct (bounded sketch state vs a full dedup shuffle).
+      // Exact values are DuckDB-oracled; the sketch's relative-error flags
+      // are deterministically 1 (same hashes, same merge result regardless
+      // of order — HLL registers are a max, which commutes).
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("ap"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          when(abs(col("ap") - col("exact_parts")) <=
+            col("exact_parts") * 0.05, 1L).otherwise(0L).as("approx_within_5pct"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q67_bloom_blocklist" -> ((s, dir) => {
+      // Bloom-filter membership as a pre-join/blocklist filter: build the
+      // filter from supplier keys, pre-filter lineitem with might_contain,
+      // then verify with the exact join. Blooms have NO false negatives,
+      // so every true match survives the pre-filter (missed_true_rows = 0
+      // by construction); n_true_rows is DuckDB-recomputable; the
+      // candidate set is a superset (flag pinned 1). This is the manual
+      // form of the runtime bloom pruning GraftSession enables globally.
+      GraftFunctions.register(s)
+      val suppKeys = t(s, dir, "supplier")
+        .filter(col("s_nationkey") === 7).select(col("s_suppkey"))
+      suppKeys.agg(expr("graft_bloom_agg(s_suppkey, 1000L, 8000L)").as("bf"))
+        .createOrReplaceTempView("graft_q67_bloom")
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      // scalar subquery: the bloom binary is computed once and broadcast
+      // into the codegen'd might_contain predicate on the probe side
+      val cand = li.filter(expr(
+          "graft_bloom_might_contain((SELECT bf FROM graft_q67_bloom), l_suppkey)"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val trueRows = li.join(broadcast(suppKeys),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val missed = trueRows.exceptAll(cand)
+        .agg(count(lit(1)).as("value"))
+        .select(lit("missed_true_rows").as("metric"), col("value"))
+      val nTrue = trueRows.agg(count(lit(1)).as("value"))
+        .select(lit("n_true_rows").as("metric"), col("value"))
+      val superset = cand.agg(count(lit(1)).as("nc"))
+        .crossJoin(trueRows.agg(count(lit(1)).as("nt")))
+        .select(lit("candidates_cover_true").as("metric"),
+          when(col("nc") >= col("nt"), 1L).otherwise(0L).as("value"))
+      missed.union(nTrue).union(superset).orderBy(col("metric"))
+    }),
+
     "q44_percentiles" -> ((s, dir) => {
       // one percentile aggregate for all three quantiles: a single counts
       // buffer per group instead of three (3x the state, heavy GC)
@@ -1507,6 +1558,20 @@ object SparkEntry {
         |  count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
         |  count(*) FILTER (WHERE l_linestatus = 'O') AS n_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q66_hll_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(1 AS BIGINT) AS approx_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q67_bloom_blocklist" ->
+      """SELECT 'candidates_cover_true' AS metric, CAST(1 AS BIGINT) AS value
+        |UNION ALL SELECT 'missed_true_rows', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'n_true_rows', (
+        |  SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 7))
+        |ORDER BY metric""".stripMargin,
 
     "q44_percentiles" ->
       """SELECT l_returnflag,
