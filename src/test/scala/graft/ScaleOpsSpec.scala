@@ -197,6 +197,40 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("LSH candidate self-joins ship ids only — no signatures or vectors") {
+    // the 100 TB discipline: the dominant shuffle (bucket-key self-join +
+    // pair dedup) must carry (bucket hash, 8-byte id) rows; payloads join
+    // back only for the bounded candidate set. A regression that threads
+    // __sig / __v through the candidate join multiplies that shuffle ~100x.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").limit(200)
+    val joins = graft.llm.Dedup
+      .minhashPairs(docs, "text", "doc_id", threshold = 0.5)
+      .queryExecution.sparkPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.leftKeys.exists(_.toString.contains("bhash")) => j
+      }
+    assert(joins.nonEmpty, "candidate join on (band, bhash) not found in plan")
+    joins.foreach { j =>
+      val out = j.output.map(_.name)
+      assert(!out.exists(_.contains("__sig")),
+        s"candidate join must not carry signatures: $out")
+    }
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ejoins = graft.llm.Dedup
+      .embeddingPairs(emb, "embedding", "vec_id", threshold = 0.9)
+      .queryExecution.sparkPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if j.leftKeys.exists(_.toString.contains("sig")) => j
+      }
+    assert(ejoins.nonEmpty, "candidate join on (tbl, sig) not found in plan")
+    ejoins.foreach { j =>
+      val out = j.output.map(_.name)
+      assert(!out.exists(_.contains("__v")),
+        s"candidate join must not carry vectors: $out")
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS default.bkt_orders")
     spark.sql("DROP TABLE IF EXISTS default.bkt_lineitem")
