@@ -15,7 +15,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.builder(s"local[$cpus]", "graft-bench")
+    // Hive support for the catalog queries (q68-q70); isolated temp warehouse
+    val wh = java.nio.file.Files.createTempDirectory("graft-bench-wh").toString
+    val spark = GraftSession.hiveBuilder(s"local[$cpus]", "graft-bench", wh)
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

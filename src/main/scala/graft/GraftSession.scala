@@ -41,19 +41,22 @@ object GraftSession {
     s
   }
 
-  /** Hive-metastore-backed variant (catalog layer, RCFile tables). The Derby
+  /** Hive-metastore-backed builder (catalog layer, RCFile tables). The Derby
     * metastore lives next to the warehouse so each warehouse is a fully
     * isolated catalog (a cwd-relative metastore_db would leak state across
     * JVMs and record stale database locations).
     */
-  def localHive(warehouseDir: String, appName: String = "graft-hive"): SparkSession = {
-    val s = builder("local[*]", appName)
+  def hiveBuilder(master: String, appName: String,
+                  warehouseDir: String): SparkSession.Builder =
+    builder(master, appName)
       .config("spark.sql.warehouse.dir", warehouseDir)
       .config("javax.jdo.option.ConnectionURL",
         s"jdbc:derby:;databaseName=$warehouseDir/metastore_db;create=true")
       .config("spark.sql.hive.metastorePartitionPruning", "true")
       .enableHiveSupport()
-      .getOrCreate()
+
+  def localHive(warehouseDir: String, appName: String = "graft-hive"): SparkSession = {
+    val s = hiveBuilder("local[*]", appName, warehouseDir).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -23,6 +23,22 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministic per-query scratch dir for queries that stage external
+    * write locations (q70/q71); wiped and recreated on every call so the
+    * queries stay idempotent across Verify/Bench repeats.
+    */
+  private def scratchDir(name: String): String = {
+    val root = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-scratch/$name")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (root.exists()) rm(root)
+    root.mkdirs()
+    root.getAbsolutePath
+  }
+
   /** events with `ts` normalized to TimestampType. The testdata parquet
     * stores TIMESTAMP(NANOS), which Spark reads as a nanos long under
     * `spark.sql.legacy.parquet.nanosAsLong`; `div 1000` (integral) keeps
@@ -309,10 +325,18 @@ object SparkEntry {
       val missing = exact.except(blocked)
         .agg(count(lit(1)).as("value"))
         .select(lit("exact_minus_blocked_pairs").as("metric"), col("value"))
+      // the finite default bucket cap's carve-out, surfaced: rows in dropped
+      // buckets lose the recall guarantee, so their count rides with the
+      // result (0 on this fixture — blocked == exact stays meaningful)
+      val dropped = Dedup.simhashDroppedBuckets(docs, "text", "doc_id",
+          maxHamming = 3)
+        .agg(coalesce(sum(col("bucket_n")), lit(0L)).as("value"))
+        .select(lit("dropped_bucket_rows").as("metric"), col("value"))
       val nonempty = blocked.agg(count(lit(1)).as("n"))
         .select(lit("pairs_nonempty").as("metric"),
           when(col("n") > 0, 1L).otherwise(0L).as("value"))
-      spurious.union(missing).union(nonempty).orderBy(col("metric"))
+      spurious.union(missing).union(dropped).union(nonempty)
+        .orderBy(col("metric"))
     }),
 
     "q25_ngram_jaccard" -> ((s, dir) => {
@@ -421,6 +445,39 @@ object SparkEntry {
       val nq = exact.agg(countDistinct(col("query_id")).as("value"))
         .select(lit("n_queries").as("metric"), col("value"))
       recall.union(nq).orderBy(col("metric"))
+    }),
+
+    "q72_knn_ivf" -> ((s, dir) => {
+      // IVF ANN scale path: k-means-trained centroid cells (hash-spread
+      // seeds + spherical updates), self-checked on CONSTRUCTED ground
+      // truth — queries are small perturbations of corpus vectors (cosine
+      // ~0.995 to their source vs ~0.35 background on this uniform-random
+      // fixture), so the true top-1 neighbor of each query is its source by
+      // a wide margin and recall needs no O(n^2) scan. A hit requires the
+      // source's cell to be among the query's nProbe probed cells — the
+      // property that breaks when centroids don't track data geometry.
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val d = size(col("embedding"))
+      val queries = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x + lit(0.1) * element_at(col("embedding"), pmod(i + 1, d) + 1))
+            .as("embedding"))
+      val ivf = Similarity.ivfTopK(queries, emb, "embedding", "vec_id",
+          k = 1, nCentroids = 16, nProbe = 4, kmeansIters = 3)
+        .filter(col("rank") === 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hits = ivf
+        .filter(col("neighbor_id") === col("query_id") - 100000L)
+        .agg(count(lit(1)).as("nh"))
+      val nq = queries.agg(count(lit(1)).as("nq"))
+      val recall = hits.crossJoin(nq)
+        .select(lit("top1_recall_pct_ge_90").as("metric"),
+          when(col("nh") * 100 >= col("nq") * 90, 1L).otherwise(0L).as("value"))
+      val nqRow = nq.select(lit("n_queries").as("metric"),
+        col("nq").cast("long").as("value"))
+      recall.union(nqRow).orderBy(col("metric"))
     }),
 
     "q63_weighted_sample" -> ((s, dir) => {
@@ -615,6 +672,124 @@ object SparkEntry {
       t(s, dir, "documents").select(col("lang"))
         .withDefaultColNames
         .countBy(Seq("_col0"))
+    }),
+
+    "q68_rcfile_roundtrip" -> ((s, dir) => {
+      // A1/A2: Hive RCFile sink+scan over the reference's full type spread
+      // (RCFile.java:256-301) — derive one column per Hive physical type
+      // from nation, insertByName into a STORED AS RCFILE table, read back
+      // through the Hive SerDe, and project to oracle-comparable types. The
+      // oracle recomputes the same derivations straight from nation.parquet,
+      // so ANY serde lossiness (truncation, tz shift, decimal rescale,
+      // binary mangling) breaks the hash.
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_ck")
+      s.sql("DROP TABLE IF EXISTS graft_ck.q68_rc")
+      s.sql("""CREATE TABLE graft_ck.q68_rc (
+          n_nationkey INT, tiny_v TINYINT, small_v SMALLINT, big_v BIGINT,
+          fl_v FLOAT, dbl_v DOUBLE, dec_v DECIMAL(12,2), flag BOOLEAN,
+          blob BINARY, comment_s STRING, ts TIMESTAMP) STORED AS RCFILE""")
+      val src = t(s, dir, "nation").select(
+        col("n_nationkey"),
+        col("n_nationkey").cast("tinyint").as("tiny_v"),
+        (col("n_nationkey") * 100).cast("smallint").as("small_v"),
+        (col("n_nationkey").cast("long") * 1000000007L).as("big_v"),
+        // 0.25/0.125 steps are exact in binary fp: float == double on read-back
+        (col("n_nationkey") * 0.25).cast("float").as("fl_v"),
+        (col("n_nationkey") * 0.125 + length(col("n_name"))).as("dbl_v"),
+        ((col("n_nationkey") * 123 + 45).cast("decimal(10,0)") / 100)
+          .cast("decimal(12,2)").as("dec_v"),
+        (pmod(col("n_nationkey"), lit(2)) === 0).as("flag"),
+        encode(col("n_name"), "UTF-8").as("blob"),
+        concat(col("n_name"), lit(" | nation #"), col("n_nationkey"))
+          .as("comment_s"),
+        to_timestamp(date_add(lit("1995-01-01").cast("date"), col("n_nationkey")))
+          .as("ts"))
+      graft.catalog.CatalogTable("graft_ck", "q68_rc").insertByName(src)
+      s.table("graft_ck.q68_rc").select(
+        col("n_nationkey").cast("long").as("n_nationkey"),
+        col("tiny_v").cast("long").as("tiny_v"),
+        col("small_v").cast("long").as("small_v"),
+        col("big_v"),
+        col("fl_v").cast("double").as("fl_v"),
+        col("dbl_v"),
+        col("dec_v").cast("double").as("dec_v"),
+        col("flag"),
+        col("blob").cast("string").as("blob_str"),
+        col("comment_s"),
+        col("ts").cast("long").as("ts_epoch"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    "q69_dynpart_insert" -> ((s, dir) => {
+      // A15: by-name alignment with null-fill + dynamic MULTI-partition
+      // insert in one commit (DefaultHCatScheme.java:120-149): the input
+      // arrives with columns out of order, one extra column, one table
+      // column missing (null-filled), and rows spanning all 5 priorities.
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_ck")
+      s.sql("DROP TABLE IF EXISTS graft_ck.q69_part")
+      s.sql("""CREATE TABLE graft_ck.q69_part (
+          o_orderkey BIGINT, o_totalprice DOUBLE, missing_col STRING,
+          o_orderpriority STRING)
+        USING parquet PARTITIONED BY (o_orderpriority)""")
+      s.conf.set("hive.exec.dynamic.partition.mode", "nonstrict")
+      val src = t(s, dir, "orders").filter(col("o_orderkey") < 5000)
+        .select(col("o_orderpriority"), col("o_totalprice"),
+          col("o_orderkey"), lit("junk").as("extra_col"))
+      graft.catalog.CatalogTable("graft_ck", "q69_part").insertByName(src)
+      s.table("graft_ck.q69_part")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          count(col("missing_col")).as("n_filled"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "q70_relocate_readback" -> ((s, dir) => {
+      // A16: external write + commit-time ALTER TABLE SET LOCATION
+      // (HCatTap.java:184-195), then a catalog read from the new location —
+      // the read-back is what proves the repoint committed.
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_ck")
+      s.sql("DROP TABLE IF EXISTS graft_ck.q70_reloc")
+      s.sql("""CREATE TABLE graft_ck.q70_reloc (
+          c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE) USING parquet""")
+      val path = scratchDir("q70_reloc")
+      val ct = graft.catalog.CatalogTable("graft_ck", "q70_reloc")
+      ct.writeAndRelocate(
+        t(s, dir, "customer").filter(col("c_custkey") <= 100)
+          .select(col("c_custkey").cast("long").as("c_custkey"),
+            col("c_name"), col("c_acctbal")),
+        path)
+      ct.read(s)
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q71_regex_exclusion" -> ((s, dir) => {
+      // A13: regex file exclusion (`hive-tap.path.partition.file.ignore-regex`,
+      // CascadingHCatUtil.java:114-138) proved end-to-end: a decoy parquet
+      // file matching the regex sits inside the directory with a full copy
+      // of the data — including it would double every count, so oracle
+      // equality IS the exclusion proof.
+      val root = scratchDir("q71_excl")
+      val src = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      src.write.mode("overwrite").parquet(s"$root/data")
+      src.write.mode("overwrite").parquet(s"$root/decoy")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/decoy"))
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .zipWithIndex.foreach { case (st, i) =>
+          fs.rename(st.getPath,
+            new org.apache.hadoop.fs.Path(s"$root/data/copy_$i.parquet"))
+        }
+      graft.catalog.CatalogTable
+        .readExcluding(s, s"$root/data", "parquet", ".*copy_.*")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("s_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("s_nationkey"))
     }),
 
     "q36_stream_windowed" -> ((s, dir) => {
@@ -1233,6 +1408,7 @@ object SparkEntry {
 
     "q24_simhash_pairs" ->
       """SELECT 'blocked_minus_exact_pairs' AS metric, CAST(0 AS BIGINT) AS value
+        |UNION ALL SELECT 'dropped_bucket_rows', CAST(0 AS BIGINT)
         |UNION ALL SELECT 'exact_minus_blocked_pairs', CAST(0 AS BIGINT)
         |UNION ALL SELECT 'pairs_nonempty', CAST(1 AS BIGINT)
         |ORDER BY metric""".stripMargin,
@@ -1364,6 +1540,12 @@ object SparkEntry {
         |UNION ALL SELECT 'recall_pct_ge_90', CAST(1 AS BIGINT)
         |ORDER BY metric""".stripMargin,
 
+    "q72_knn_ivf" ->
+      """SELECT 'n_queries' AS metric, CAST(count(*) AS BIGINT) AS value
+        |FROM embeddings WHERE vec_id < 20
+        |UNION ALL SELECT 'top1_recall_pct_ge_90', CAST(1 AS BIGINT)
+        |ORDER BY metric""".stripMargin,
+
     "q29_events_window" ->
       """SELECT CAST(extract(epoch FROM date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
         |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
@@ -1414,6 +1596,39 @@ object SparkEntry {
     "q35_coln_convention" ->
       """SELECT lang AS _col0, count(*) AS "count"
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q68_rcfile_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  CAST(n_nationkey AS BIGINT) AS tiny_v,
+        |  CAST(n_nationkey * 100 AS BIGINT) AS small_v,
+        |  CAST(n_nationkey AS BIGINT) * 1000000007 AS big_v,
+        |  CAST(CAST(n_nationkey * 0.25 AS FLOAT) AS DOUBLE) AS fl_v,
+        |  n_nationkey * 0.125 + len(n_name) AS dbl_v,
+        |  CAST(CAST(CAST(n_nationkey * 123 + 45 AS DECIMAL(10,0)) / 100
+        |       AS DECIMAL(12,2)) AS DOUBLE) AS dec_v,
+        |  n_nationkey % 2 = 0 AS flag,
+        |  n_name AS blob_str,
+        |  n_name || ' | nation #' || CAST(n_nationkey AS VARCHAR) AS comment_s,
+        |  CAST(extract(epoch FROM
+        |    CAST(DATE '1995-01-01' + n_nationkey * INTERVAL 1 DAY AS TIMESTAMP))
+        |    AS BIGINT) AS ts_epoch
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q69_dynpart_insert" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  CAST(0 AS BIGINT) AS n_filled
+        |FROM orders WHERE o_orderkey < 5000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q70_relocate_readback" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+        |  round(c_acctbal, 2) AS c_acctbal
+        |FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin,
+
+    "q71_regex_exclusion" ->
+      """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS sum_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "q36_stream_windowed" ->
       """SELECT CAST(extract(epoch FROM date_trunc('hour', ts)) AS BIGINT) AS window_start,

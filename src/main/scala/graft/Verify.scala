@@ -7,7 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.builder(s"local[$cpus]", "graft-verify")
+    // Hive support: the catalog queries (q68-q70) create metastore tables.
+    // A fresh temp warehouse per run keeps the Derby metastore isolated.
+    val wh = Files.createTempDirectory("graft-verify-wh").toString
+    val spark = GraftSession.hiveBuilder(s"local[$cpus]", "graft-verify", wh)
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

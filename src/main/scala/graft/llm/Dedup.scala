@@ -81,12 +81,18 @@ object Dedup {
             .as("bhash")))).as("__b"))
       .select(col("__id"), col("__b.band"), col("__b.bhash"))
 
-    val capped = banded
-      .withColumn("__bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bhash"))))
-      .filter(col("__bucket_n") <= maxBucketSize)
-      .drop("__bucket_n")
+    // Hot-bucket cap via partial-aggregated count + anti-join, NOT a Window
+    // over (band, bhash): a window funnels every hot bucket through a single
+    // task BEFORE the filter can drop it — the exact skew the cap exists to
+    // kill. The groupBy count absorbs the skew in its map-side partials, the
+    // over-cap bucket list is tiny (<= rows/cap entries of 16 bytes), and
+    // AQE turns the anti-join into a broadcast at runtime, so the banded
+    // rows themselves never shuffle here.
+    val hot = banded.groupBy(col("band"), col("bhash"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+      .select(col("band"), col("bhash"))
+    val capped = banded.join(hot, Seq("band", "bhash"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val l = capped.select(col("band"), col("bhash"), col("__id").as("idA"))
@@ -167,20 +173,39 @@ object Dedup {
     * step after near-dup pair generation — [[minhashDedup]]'s single-pass
     * drop is the cheap approximation of keeping one doc per component.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          reliableCheckpoints: Boolean = false): DataFrame =
+    connectedComponentsWithStats(pairs, maxIter, reliableCheckpoints)._1
+
+  /** [[connectedComponents]] plus the number of rounds it ran — the
+    * observable for the O(log diameter) convergence claim.
+    *
+    * `reliableCheckpoints = true` stores per-round state via
+    * `DataFrame.checkpoint` in the context's checkpoint directory (must be
+    * set, and on a cluster must be a fault-tolerant FS): `localCheckpoint`
+    * blocks live on executors, so one executor loss mid-iteration kills the
+    * whole job. Local mode keeps the cheap local default.
+    */
+  def connectedComponentsWithStats(pairs: DataFrame, maxIter: Int = 20,
+                                   reliableCheckpoints: Boolean = false): (DataFrame, Int) = {
+    if (reliableCheckpoints)
+      require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliableCheckpoints requires sparkContext.setCheckpointDir on a " +
+          "fault-tolerant FS; without it an executor loss mid-iteration " +
+          "loses localCheckpoint blocks and fails the job")
+    // Iterative algorithms must TRUNCATE THE PLAN each round (checkpoint),
+    // not just cache: persist() short-circuits execution but the logical
+    // plan still nests one level per round and analysis time explodes.
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliableCheckpoints) df.checkpoint(true) else df.localCheckpoint(true)
     val idA = pairs.columns(0)
     val idB = pairs.columns(1)
-    // undirected edge list, both directions. Iterative algorithms must
-    // TRUNCATE THE PLAN each round (localCheckpoint), not just cache:
-    // persist() short-circuits execution but the logical plan still nests
-    // one level per round and analysis/optimization time explodes.
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    // undirected edge list, both directions
+    val edges = ckpt(pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
-      .localCheckpoint(true)
+      .distinct())
+    var labels = ckpt(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -190,7 +215,7 @@ object Dedup {
         .groupBy(col("dst").as("id"))
         .agg(min(col("component")).as("__nbr"))
       val viaEdges = labels.join(fromNeighbors, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("__old"),
           least(col("component"), coalesce(col("__nbr"), col("component")))
             .as("component"))
       // pointer jumping: follow the label's own label (labels only ever
@@ -198,17 +223,19 @@ object Dedup {
       // per round, so convergence is O(log diameter) rounds, not O(diameter)
       val parents = viaEdges.select(col("id").as("component"),
         col("component").as("__parent"))
-      val next = viaEdges.join(parents, Seq("component"), "left")
+      // the convergence flag rides along inside the round's single job: the
+      // post-checkpoint `changed` probe is a scan of the materialized
+      // 17-byte rows, not a second join over the full label set
+      val next = ckpt(viaEdges.join(parents, Seq("component"), "left")
         .select(col("id"),
-          coalesce(col("__parent"), col("component")).as("component"))
-        .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("component", "__old"), Seq("id"))
-        .filter(col("component") =!= col("__old")).limit(1).count()
-      labels = next
-      converged = changed == 0
+          coalesce(col("__parent"), col("component")).as("component"),
+          (coalesce(col("__parent"), col("component")) =!= col("__old"))
+            .as("__chg")))
+      converged = next.filter(col("__chg")).limit(1).count() == 0L
+      labels = next.select(col("id"), col("component"))
       iter += 1
     }
-    labels
+    (labels, iter)
   }
 
   /** 64-bit SimHash: sign of the per-bit weighted sum of token hashes. Docs
@@ -217,6 +244,51 @@ object Dedup {
   def simhash(text: Column): Column =
     graft.expressions.VectorExpressions.simhash64(
       graft.expressions.TextExpressions.tokenHashes(TF.normTokens(text)))
+
+  /** Default [[simhashPairs]] bucket cap. Finite on purpose: one degenerate
+    * cluster (e.g. millions of empty documents, all simhash 0) makes the
+    * blocking self-join quadratic, and at corpus scale that is a worse
+    * default than losing recall inside a pathological bucket. 10k rows caps
+    * any one bucket's pair output at ~5e7 — large but bounded. Audit the
+    * carve-out with [[simhashDroppedBuckets]]; pass `Int.MaxValue` when the
+    * exactness guarantee must hold unconditionally.
+    */
+  val DefaultSimhashBucketCap: Int = 10000
+
+  /** Pigeonhole blocking rows (id, simhash, chunk index, chunk value) shared
+    * by [[simhashPairs]] and [[simhashDroppedBuckets]]: the 64-bit simhash
+    * split into `maxHamming + 1` bit chunks, one output row per chunk.
+    */
+  private def simhashBlocks(df: DataFrame, textCol: String, idCol: String,
+                            maxHamming: Int): DataFrame = {
+    val blocks  = maxHamming + 1
+    val bitsPer = 64 / blocks
+    val sh = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sh"))
+    sh.select(col("__id"), col("__sh"),
+      explode(array((0 until blocks).map { b =>
+        // chunk b = bits [b*bitsPer, ...); the last chunk takes the remainder
+        val width = if (b == blocks - 1) 64 - b * bitsPer else bitsPer
+        val chunk =
+          if (width == 64) col("__sh")
+          else shiftrightunsigned(col("__sh"), b * bitsPer)
+            .bitwiseAND(lit((1L << width) - 1L))
+        struct(lit(b).as("blk"), chunk.as("bval"))
+      }: _*)).as("__b"))
+      .select(col("__id"), col("__sh"), col("__b.blk"), col("__b.bval"))
+  }
+
+  /** The carve-out [[simhashPairs]] drops at its `maxBucketSize` cap:
+    * (chunk index, chunk value, bucket_n) for every over-cap bucket. Rows in
+    * these buckets lose the pigeonhole recall guarantee for the chunk —
+    * surface `sum(bucket_n)` next to the pair output when capping at scale.
+    */
+  def simhashDroppedBuckets(df: DataFrame, textCol: String, idCol: String,
+                            maxHamming: Int = 3,
+                            maxBucketSize: Int = DefaultSimhashBucketCap): DataFrame =
+    simhashBlocks(df, textCol, idCol, maxHamming)
+      .groupBy(col("blk"), col("bval"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
 
   /** SimHash near-duplicate pairs with pigeonhole blocking: the 64-bit
     * simhash is split into `maxHamming + 1` bit chunks; two hashes within
@@ -230,34 +302,25 @@ object Dedup {
     * `maxBucketSize` (rows sharing one chunk value) caps degenerate buckets
     * — e.g. a large cluster of empty documents, all simhash 0 — before the
     * self-join. Capping trades the recall guarantee on rows inside dropped
-    * buckets for a bound on the join's output; leave at MaxValue when the
-    * exactness guarantee matters.
+    * buckets for a bound on the join's output; the default is finite (see
+    * [[DefaultSimhashBucketCap]]) and the dropped carve-out is auditable via
+    * [[simhashDroppedBuckets]].
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3,
-                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val blocks  = maxHamming + 1
-    val bitsPer = 64 / blocks
-    val sh = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sh"))
-    val banded = sh.select(col("__id"), col("__sh"),
-      explode(array((0 until blocks).map { b =>
-        // chunk b = bits [b*bitsPer, ...); the last chunk takes the remainder
-        val width = if (b == blocks - 1) 64 - b * bitsPer else bitsPer
-        val chunk =
-          if (width == 64) col("__sh")
-          else shiftrightunsigned(col("__sh"), b * bitsPer)
-            .bitwiseAND(lit((1L << width) - 1L))
-        struct(lit(b).as("blk"), chunk.as("bval"))
-      }: _*)).as("__b"))
-      .select(col("__id"), col("__sh"), col("__b.blk"), col("__b.bval"))
+                   maxBucketSize: Int = DefaultSimhashBucketCap): DataFrame = {
+    val banded = simhashBlocks(df, textCol, idCol, maxHamming)
     val capped =
       if (maxBucketSize == Int.MaxValue) banded
-      else banded
-        .withColumn("__bucket_n",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("blk"), col("bval"))))
-        .filter(col("__bucket_n") <= maxBucketSize)
-        .drop("__bucket_n")
+      else {
+        // groupBy-count + anti-join, not a Window: see minhashPairs — the
+        // partial aggregation absorbs the very skew the cap targets.
+        val hot = banded.groupBy(col("blk"), col("bval"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBucketSize)
+          .select(col("blk"), col("bval"))
+        banded.join(hot, Seq("blk", "bval"), "left_anti")
+      }
     val l = capped.select(col("blk"), col("bval"),
       col("__id").as("idA"), col("__sh").as("shA"))
     val r = capped.select(col("blk"), col("bval"),

@@ -32,31 +32,58 @@ object Multimodal {
     df.withColumn("n_bytes", length(col(binCol)).cast("long"))
       .withColumn("checksum", xxhash64(col(binCol)))
 
-  // ??? real decoder goes here: in this container there is no image codec,
-  // so dimensions are derived deterministically from the payload hash. The
-  // partition-level batch shape (iterator-in/iterator-out, one decode per
-  // row, no per-row JVM<->native session setup) is what a libjpeg/ffmpeg
-  // binding would use unchanged.
-  def decodeImageStub(bytes: Array[Byte]): MediaMeta = {
+  // no disk-backed ImageIO cache files on executors — decode stays in-memory
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** True for payloads carrying a real image container signature
+    * (PNG/JPEG/GIF/BMP) — the cheap pre-filter that keeps non-image payloads
+    * from paying an ImageIO reader probe.
+    */
+  def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
+      (b(0) == 'B' && b(1) == 'M'))
+
+  /** Decode one payload to typed metadata. Real image payloads (by container
+    * signature) are decoded with the JDK's own `javax.imageio` — no external
+    * media libs needed for PNG/JPEG/GIF/BMP width x height. Everything else
+    * (this container's test payloads are UTF-8 text) gets deterministic fake
+    * dimensions derived from the payload hash, so the partition-batch
+    * machinery around the decode is exercised either way. A libjpeg-turbo /
+    * ffmpeg binding for exotic formats would replace only the fallback arm.
+    */
+  def decodeImage(bytes: Array[Byte]): MediaMeta = {
     var h = 1125899906842597L
     var i = 0
     while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
-    MediaMeta(
-      nBytes = bytes.length.toLong,
-      checksum = h,
-      width = 64 + math.floorMod(h, 1024).toInt,
-      height = 64 + math.floorMod(h >> 10, 1024).toInt)
+    val real =
+      if (looksLikeImage(bytes))
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: java.io.IOException => None }
+      else None
+    real match {
+      case Some(img) =>
+        MediaMeta(bytes.length.toLong, h, img.getWidth, img.getHeight)
+      case None =>
+        MediaMeta(
+          nBytes = bytes.length.toLong,
+          checksum = h,
+          width = 64 + math.floorMod(h, 1024).toInt,
+          height = 64 + math.floorMod(h >> 10, 1024).toInt)
+    }
   }
 
   /** Decode payloads to typed metadata with per-partition batching — the
-    * `mapPartitions` seam where a real codec binding plugs in.
+    * `mapPartitions` seam where a heavier codec binding plugs in.
     */
   def decodeMeta(df: DataFrame, binCol: String): Dataset[MediaMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(binCol)).as[Array[Byte]].mapPartitions { it =>
       // per-partition: a real implementation initializes the codec once here
-      it.map(decodeImageStub)
+      it.map(decodeImage)
     }
   }
 

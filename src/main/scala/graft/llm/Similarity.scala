@@ -103,38 +103,110 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** IVF (inverted-file) ANN: corpus is assigned to the nearest of
-    * `nCentroids` deterministic seed centroids (rows sampled by id hash);
-    * queries probe their `nProbe` nearest centroid cells. Coarse but
-    * embarrassingly parallel: assignment is a broadcast argmin, search is a
-    * cell-key equi-join.
+  /** IVF (inverted-file) ANN: centroids are trained with a few rounds of
+    * spherical k-means (deterministic hash-spread seeds), the corpus is
+    * assigned to its nearest centroid cell, and queries probe their `nProbe`
+    * nearest cells. Coarse but embarrassingly parallel: assignment is a
+    * broadcast argmin, search is a cell-key equi-join, and the k-means
+    * update is one partial-aggregated (cell, dim) sum per round — the cells
+    * track the data's actual geometry, so recall holds on clustered corpora
+    * where any fixed-row "centroid" scheme degenerates.
     */
+  /** Rows k-means trains on, max: a hash-ordered sample (TakeOrdered — no
+    * full sort) bounds the per-iteration training cost at any corpus size;
+    * centroid quality needs a representative sample, not every row.
+    */
+  val IvfMaxTrainRows: Int = 100000
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               vecCol: String, idCol: String, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    // Deterministic centroid sample: smallest nCentroids ids.
-    val centroids = corpus
-      .select(col(idCol).as("cid"), VF.l2Normalize(col(vecCol)).as("cvec"))
-      .orderBy(col("cid"))
-      .limit(nCentroids)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+              nCentroids: Int = 16, nProbe: Int = 4,
+              kmeansIters: Int = 3): DataFrame = {
+    require(nCentroids >= 1 && nProbe >= 1, "nCentroids and nProbe must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
 
-    val centroidArr = array(centroids.map { case (cid, v) =>
-      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cvec"))
-    }: _*)
+    // Centroids travel as a BROADCAST 16-row DataFrame, never as literal
+    // expression trees: nCentroids x dim literals embedded in every plan
+    // blow up Catalyst analysis and fall out of codegen (measured 25s on a
+    // 2k-row corpus); the broadcast-join + struct-max argmin keeps plans
+    // small and the per-row work a codegen'd dot product.
+    def centDf(cs: Array[Array[Double]]) =
+      broadcast(cs.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) }
+        .toDF("cid", "cvec"))
 
-    def nearestCells(vec: org.apache.spark.sql.Column, n: Int) = {
-      val scored = transform(centroidArr, c =>
-        struct((lit(0.0) - VF.dot(c("cvec"), VF.l2Normalize(vec))).as("negdot"),
-          c("cid").as("cid")))
-      slice(array_sort(scored), 1, n)
+    // argmin cell by max(struct(dot, -cid, payload...)): struct ordering
+    // compares dot first, then -cid (deterministic tie-break, smaller cid
+    // wins); trailing payload fields ride along un-compared because ncid is
+    // already unique per id.
+    val normed = corpus
+      .select(col(idCol).as("__nid"), VF.l2Normalize(col(vecCol)).as("__nv"))
+
+    // Training sample + seeds: smallest id HASHES, not smallest ids — id
+    // order often correlates with data geometry (ingest order, cluster
+    // order), and seeding all cells inside one cluster is exactly the
+    // degenerate case. limit() plans as TakeOrdered: per-partition top-k,
+    // no global sort shuffle.
+    val train = normed.orderBy(xxhash64(col("__nid")), col("__nid"))
+      .limit(IvfMaxTrainRows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var centroids: Array[Array[Double]] = train
+      .limit(nCentroids).select(col("__nv")).collect()
+      .map(_.getSeq[Double](0).toArray)
+
+    for (_ <- 1 to kmeansIters) {
+      // spherical k-means update: assign each training row to its argmax-dot
+      // cell (broadcast join + partial-aggregated struct-max), then per-cell
+      // mean via dim explode — the shuffle carries (cell, dim) partial sums,
+      // <= nCentroids x dim rows per partition after map-side combine.
+      val sums = train.crossJoin(centDf(centroids))
+        .select(col("__nid"),
+          struct(VF.dot(col("__nv"), col("cvec")).as("dot"),
+            (lit(0) - col("cid")).as("ncid"), col("__nv").as("v")).as("s"))
+        .groupBy(col("__nid")).agg(max(col("s")).as("m"))
+        .select((lit(0) - col("m.ncid")).as("cell"),
+          posexplode(col("m.v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (old, cid) =>
+        byCell.get(cid).fold(old) { rows =>
+          val mean = old.clone()
+          rows.foreach(r => mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+          val nrm = math.sqrt(mean.map(x => x * x).sum)
+          if (nrm == 0.0) old else mean.map(_ / nrm) // empty/degenerate: keep
+        }
+      }
     }
+    train.unpersist()
 
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      element_at(nearestCells(col(vecCol), 1), 1)("cid").as("cell"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      explode(transform(nearestCells(col(vecCol), nProbe), s => s("cid"))).as("cell"))
+    val cents = centDf(centroids)
+    // corpus -> nearest cell (the raw vector rides through the struct-max)
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        VF.l2Normalize(col(vecCol)).as("__cnv"))
+      .crossJoin(cents)
+      .select(col("neighbor_id"),
+        struct(VF.dot(col("__cnv"), col("cvec")).as("dot"),
+          (lit(0) - col("cid")).as("ncid"), col("__cv").as("v")).as("s"))
+      .groupBy(col("neighbor_id")).agg(max(col("s")).as("m"))
+      .select(col("neighbor_id"), col("m.v").as("__cv"),
+        (lit(0) - col("m.ncid")).as("cell"))
+    // queries -> their nProbe nearest cells (queries are the small side by
+    // construction; the per-query window is over nCentroids rows)
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dot").desc, col("cell").asc)
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        VF.l2Normalize(col(vecCol)).as("__qnv"))
+      .crossJoin(cents)
+      .select(col("query_id"), col("__qv"), col("cid").as("cell"),
+        VF.dot(col("__qnv"), col("cvec")).as("dot"))
+      .withColumn("__rk", row_number().over(probeW))
+      .filter(col("__rk") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("cell"))
 
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -137,6 +137,78 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rev == got)
   }
 
+  test("connectedComponents: 1024-node path converges in O(log d) rounds") {
+    // diameter-1023 path graph — the adversarial case for label propagation
+    // (plain min-label would need ~1023 rounds; pointer jumping squares the
+    // propagated distance per round, so ~log2(1023) + detection)
+    val edges = spark.range(1023).select($"id".as("idA"), ($"id" + 1).as("idB"))
+    val (labels, iters) = Dedup.connectedComponentsWithStats(edges, maxIter = 20)
+    val comps = labels.as[(Long, Long)].collect()
+    assert(comps.length == 1024)
+    assert(comps.forall(_._2 == 0L), "all nodes must join component 0")
+    assert(iters <= 15, s"pointer jumping should need ~10 rounds on d=1023, took $iters")
+  }
+
+  test("connectedComponents with reliable checkpoints matches local variant") {
+    val prior = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(TestSpark.tmpDir("cc-ckpt"))
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("idA", "idB")
+      val reliable = Dedup.connectedComponents(pairs, reliableCheckpoints = true)
+        .as[(Long, Long)].collect().toMap
+      val local = Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(reliable == local)
+      assert(reliable == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    } finally prior.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
+  test("simhash bucket cap drops degenerate buckets; carve-out is auditable") {
+    // 60 identical (empty-ish) docs -> one simhash value, every chunk bucket
+    // holds all 60 rows; cap 50 drops them, so NO pairs among the clones —
+    // and simhashDroppedBuckets reports exactly those buckets
+    val clones = (0L until 60L).map(i => (i, "the same boilerplate text"))
+    val distinctDocs = (100L until 110L).map(i => (i, s"unique document number $i with extra words $i"))
+    val df = (clones ++ distinctDocs).toDF("doc_id", "text")
+    val capped = Dedup.simhashPairs(df, "text", "doc_id",
+      maxHamming = 3, maxBucketSize = 50)
+    assert(capped.filter($"idA" < 60 && $"idB" < 60).count() == 0,
+      "clone pairs must be dropped by the bucket cap")
+    val dropped = Dedup.simhashDroppedBuckets(df, "text", "doc_id",
+      maxHamming = 3, maxBucketSize = 50)
+    assert(dropped.count() == 4, "all 4 chunk buckets of the clone hash are over-cap")
+    assert(dropped.agg(max($"bucket_n")).head.getLong(0) == 60L)
+    // uncapped default keeps the clone pairs (60 choose 2)
+    val full = Dedup.simhashPairs(df, "text", "doc_id", maxHamming = 3)
+    assert(full.filter($"idA" < 60 && $"idB" < 60).count() == 60L * 59 / 2)
+  }
+
+  test("ivfTopK k-means centroids give high recall on a CLUSTERED corpus") {
+    // 4 tight clusters around orthogonal axes, ids assigned cluster-major —
+    // the adversarial layout for any fixed-row centroid scheme (the first
+    // nCentroids ids all live in cluster 0); k-means must spread the cells
+    // onto the clusters or cross-cluster neighbors dominate the probes.
+    val dim = 8
+    val rows = for {
+      c <- 0 until 4
+      j <- 0 until 100
+    } yield {
+      val id = c * 100L + j
+      val v = Array.tabulate(dim)(i =>
+        (if (i == c) 1.0 else 0.0) + ((id * 31 + i * 7) % 97) / 97.0 * 0.08)
+      (id, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" % 100 < 3) // 3 per cluster, all clusters
+    val exact = Similarity.bruteForceTopK(queries, df, "embedding", "vec_id", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, df, "embedding", "vec_id", 5,
+        nCentroids = 4, nProbe = 2, kmeansIters = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"k-means IVF recall@5 on clustered corpus = $recall")
+  }
+
   test("minhashDedupClustered keeps exactly the min id of every component") {
     val out = Dedup.minhashDedupClustered(corpus, "text", "doc_id",
         shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.4)

@@ -21,6 +21,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(new String(r(0), "UTF-8") == "hello world")
   }
 
+  test("decodeImage decodes a REAL PNG via the JDK's ImageIO") {
+    val img = new java.awt.image.BufferedImage(
+      123, 45, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 123; y <- 0 until 45)
+      img.setRGB(x, y, (x * 7919 + y * 104729) & 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val bytes = bos.toByteArray
+    assert(Multimodal.looksLikeImage(bytes))
+    val meta = Multimodal.decodeMeta(Seq(bytes).toDF("payload"), "payload")
+      .collect().head
+    assert(meta.width == 123 && meta.height == 45,
+      s"real decode expected 123x45, got ${meta.width}x${meta.height}")
+    assert(meta.nBytes == bytes.length.toLong)
+    // non-image payloads keep the deterministic fallback dimensions
+    val fake = Multimodal.decodeImage("definitely not an image".getBytes("UTF-8"))
+    assert(!Multimodal.looksLikeImage("definitely not an image".getBytes("UTF-8")))
+    assert(fake.width >= 64 && fake.width < 64 + 1024)
+    assert(fake.height >= 64 && fake.height < 64 + 1024)
+  }
+
   test("payload stats: byte length and checksum, no decode") {
     val df = Multimodal.withPayloadStats(
       Multimodal.withBinaryPayload(docs, "text"), "payload")

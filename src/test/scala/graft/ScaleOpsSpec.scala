@@ -231,6 +231,57 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup bucket caps are aggregation-based — no Window over the bucket key") {
+    // a Window partitioned by the bucket key funnels the hot bucket through
+    // one task BEFORE the cap filter runs; the groupBy-count + anti-join
+    // form absorbs the skew in map-side partials (VERDICT r2 finding #2)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").limit(200)
+    val mh = graft.llm.Dedup.minhashPairs(docs, "text", "doc_id", maxBucketSize = 10)
+      .queryExecution.sparkPlan.toString
+    assert(!mh.contains("Window"), s"minhashPairs cap must not use a Window:\n$mh")
+    assert(mh.contains("HashAggregate"), "expected partial/final count aggregate")
+    val sh = graft.llm.Dedup.simhashPairs(docs, "text", "doc_id", maxBucketSize = 10)
+      .queryExecution.sparkPlan.toString
+    assert(!sh.contains("Window"), s"simhashPairs cap must not use a Window:\n$sh")
+  }
+
+  test("salting levels a planted hot key that plain key-partitioning cannot") {
+    // hot key: 100k identical-key rows; AQE's skew handling can split a
+    // skewed JOIN partition but can never split a hot GROUP BY key (grouping
+    // requires co-location) — salting is the tool there. The physical
+    // effect: max rows landing on one partition drops ~factor-fold.
+    val hot = spark.range(100000).select(lit("h").as("k"), $"id".as("v"))
+    val cold = spark.range(1000)
+      .select(concat(lit("c"), $"id" % 100).as("k"), $"id".as("v"))
+    val left = hot.union(cold)
+    def maxPartRows(df: org.apache.spark.sql.DataFrame): Long =
+      df.rdd.mapPartitions(it => Iterator.single(it.length.toLong)).collect().max
+    val plainMax = maxPartRows(left.repartition(32, $"k"))
+    // same salt derivation as SkewJoin.saltedJoin(saltKey = Some("v"))
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64($"v"), lit(16)).cast("int"))
+    val saltedMax = maxPartRows(salted.repartition(32, $"k", $"__salt"))
+    assert(plainMax >= 100000L, s"hot key must land on one partition, got $plainMax")
+    // 16 salt cells hash into 32 partitions, so a partition can catch 2-3
+    // cells (~6250 rows each): assert the ~order-of-magnitude leveling
+    assert(saltedMax <= plainMax / 4,
+      s"salting should level the hot key, got max $saltedMax vs plain $plainMax")
+    // and saltedJoin's own pre-AQE plan shuffles on (key, salt)
+    val right = (0 until 20).map(i => (s"c$i", i)).toDF("rk", "x")
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // exchanges are inserted by the plan preparations (EnsureRequirements),
+      // so look at executedPlan's rendering (AQE initial plan), not sparkPlan
+      val plan = SkewJoin
+        .saltedJoin(left, right, "k", "rk", factor = 16, saltKey = Some("v"))
+        .queryExecution.executedPlan.toString
+      assert("hashpartitioning\\([^)]*__salt".r.findFirstIn(plan).isDefined,
+        s"expected a shuffle hash-partitioned by (key, __salt):\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS default.bkt_orders")
     spark.sql("DROP TABLE IF EXISTS default.bkt_lineitem")
