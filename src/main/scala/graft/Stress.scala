@@ -15,6 +15,8 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val sfDir  = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(20)
+    // "docs" | "embed" | "all": re-run one family without paying for the other
+    val section = args.lift(2).getOrElse("all")
     val cpus   = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", "graft-stress")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -47,6 +49,7 @@ object Stress {
       println(f"[stress] $name%-22s $secs%8.2f s  ($rows rows)")
     }
 
+    if (section != "embed") {
     time("exact_dedup") {
       graft.llm.Dedup.exact(corpus, "text", "doc_id").count()
     }
@@ -78,7 +81,9 @@ object Stress {
         .agg(sum(col("q"))).collect()
       n
     }
+    }
 
+    if (section != "docs") {
     // embedding path: replicate vectors with per-replica perturbations
     // (replica r adds 0.02*r of the cyclic-shifted vector -> cosine to the
     // source decays with r; only low-r replicas pass the 0.9 threshold), so
@@ -95,11 +100,18 @@ object Stress {
             element_at(col("embedding"), pmod(i + 1, d) + 1)).as("embedding"))
       .repartition(cpus.toInt * 2)
       .persist()
-    println(s"[stress] embedding rows: ${evecs.count()}")
+    val nVecs = evecs.count()
+    println(s"[stress] embedding rows: $nVecs")
     rewarm = () => { evecs.persist(); evecs.count(); () }
-    time("embedding_pairs_lsh") {
+    // sigBits MUST track corpus size (bucket occupancy is what the pair
+    // join is quadratic in): the fixed sigBits=12 of earlier rounds went
+    // 69x superlinear at 200k vectors (occupancy ~49)
+    val sb = graft.llm.Dedup.suggestedSigBits(nVecs)
+    println(s"[stress] sigBits = $sb for $nVecs vectors")
+    time(s"embedding_pairs_lsh") {
       graft.llm.Dedup.embeddingPairs(evecs, "embedding", "vec_id",
-        threshold = 0.9, sigBits = 12, nTables = 12).count()
+        threshold = 0.9, sigBits = sb, nTables = 12).count()
+    }
     }
     spark.stop()
   }

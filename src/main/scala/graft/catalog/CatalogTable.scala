@@ -92,11 +92,10 @@ object CatalogTable {
 
   /** List data files under a directory, excluding any whose path matches
     * `ignoreRegex` (reference A13: `hive-tap.path.partition.file.ignore-regex`,
-    * CascadingHCatUtil.java:114-138). Spark's `pathGlobFilter` is glob-only,
-    * so the exclusion is done by pre-listing with the Hadoop FS and passing
-    * explicit paths to the reader. Listing runs on the driver — fine for the
-    * per-partition listings this feature targets; a 100 TB-scale variant
-    * would use a custom FileIndex so listing distributes.
+    * CascadingHCatUtil.java:114-138). Spark's `pathGlobFilter` is glob-only.
+    * Driver-side listing — the audit/debug surface; reads go through
+    * [[graft.io.RegexExcludingFileIndex]] so listing and exclusion stay
+    * inside the scan machinery.
     */
   def listFilesExcluding(spark: SparkSession, dir: String, ignoreRegex: String): Seq[String] = {
     val pattern = ignoreRegex.r
@@ -119,11 +118,14 @@ object CatalogTable {
     }
   }
 
-  /** Read a directory as `format`, excluding files matching `ignoreRegex`. */
+  /** Read a directory as `format`, excluding files matching `ignoreRegex`,
+    * via a [[graft.io.RegexExcludingFileIndex]]: the listing runs through
+    * Spark's own (parallelizable, cached) file index and the exclusion is a
+    * FileIndex decorator, so the plan stays a normal file scan — partition
+    * pruning and filter pushdown intact, no explicit-path enumeration in the
+    * plan, and schema inference sees only the surviving files.
+    */
   def readExcluding(spark: SparkSession, dir: String, format: String,
-                    ignoreRegex: String): DataFrame = {
-    val files = listFilesExcluding(spark, dir, ignoreRegex)
-    require(files.nonEmpty, s"no files under $dir after exclusion '$ignoreRegex'")
-    spark.read.format(format).load(files: _*)
-  }
+                    ignoreRegex: String): DataFrame =
+    graft.io.RegexExcludingFileIndex.read(spark, dir, format, ignoreRegex)
 }

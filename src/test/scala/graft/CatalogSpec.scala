@@ -82,6 +82,30 @@ class CatalogSpec extends AnyFunSuite {
     assert(TestSpark.rows(df.select("id")).flatten == Seq(1))
   }
 
+  test("indexed regex exclusion: scan-integrated, pushdown intact, inference " +
+      "ignores excluded files (A13)") {
+    val dir = TestSpark.tmpDir("excl-idx")
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v").write.parquet(s"$dir/t")
+    // decoy with a DIVERGENT schema: if exclusion ran after inference (or
+    // not at all), the read would see column junk / fail the merge
+    Seq((9.5, true)).toDF("junk", "flag").write.parquet(s"$dir/decoy")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/decoy"))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-")).head
+    fs.rename(part.getPath,
+      new org.apache.hadoop.fs.Path(s"$dir/t/skipme_0.parquet"))
+    val df = CatalogTable.readExcluding(spark, s"$dir/t", "parquet", ".*skipme.*")
+    assert(df.columns.toSeq == Seq("id", "v"),
+      s"inference must only see surviving files: ${df.columns.toSeq}")
+    assert(TestSpark.rows(df.orderBy("id").select("id")).flatten == Seq(1, 2, 3))
+    // the plan is a normal file scan with the filter pushed down, not an
+    // explicit-path union
+    val plan = df.filter($"id" > 1).queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(id,1\\)".r.findFirstIn(plan).isDefined,
+      s"pushdown must survive the FileIndex decorator:\n$plan")
+  }
+
   test("RCFile round trip: full reference type set incl. decimal/timestamp/binary " +
       "(A1/A2, RCFileTest.java:51-63, RCFile.java:256-301)") {
     spark.sql("DROP TABLE IF EXISTS default.rc_rt_full")
