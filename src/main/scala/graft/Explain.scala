@@ -13,7 +13,9 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq.sorted
-    val spark = GraftSession.builder("local[4]", "graft-explain")
+    // Hive support: the catalog queries (q68-q70) create metastore tables
+    val wh = java.nio.file.Files.createTempDirectory("graft-explain-wh").toString
+    val spark = GraftSession.hiveBuilder("local[4]", "graft-explain", wh)
       .config("spark.sql.shuffle.partitions", "4")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -43,7 +43,25 @@ object GraftFunctions {
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         es(0), es(1), es(2))),
     "graft_bloom_might_contain" -> (es =>
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1)))
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))),
+    // to_json with a caller-supplied null token (reference
+    // SerDeUtils.getJSONString(..., nullStr)); SQL twin of
+    // functions.JsonFunctions.toJsonNullStr
+    "graft_to_json_nullstr" -> (es => {
+      val token = es(1).eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => throw new IllegalArgumentException(
+          s"nullStr must be a literal string, got $other")
+      }
+      val rendered = org.apache.spark.sql.catalyst.expressions.StructsToJson(
+        Map("ignoreNullFields" -> "false"), es(0))
+      if (token == "null") rendered
+      else org.apache.spark.sql.catalyst.expressions.RegExpReplace(
+        rendered,
+        org.apache.spark.sql.catalyst.expressions.Literal("(?<=[:,\\[])null(?=[,}\\]])"),
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          java.util.regex.Matcher.quoteReplacement(token)))
+    })
   )
 
   /** Register all engine functions on an existing session. Idempotent. */

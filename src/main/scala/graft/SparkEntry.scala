@@ -480,6 +480,31 @@ object SparkEntry {
       recall.union(nqRow).orderBy(col("metric"))
     }),
 
+    "q73_embedding_quantize" -> ((s, dir) => {
+      // int8 scalar quantization as the embedding STORAGE transform
+      // (array<float> -> array<tinyint> + scale, ~4x smaller): the oracle
+      // recomputes the full quantization — per-vector scale, the quantized
+      // codes (as an order-weighted integer checksum), and the
+      // reconstruction bound |codes*scale - x| <= scale/2 — so any drift in
+      // rounding or scaling breaks the hash.
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val q = emb.withColumn("qv", VF.quantizeInt8(col("v")))
+      q.select(
+        col("vec_id"),
+        round(col("qv.scale"), 9).as("scale"),
+        aggregate(
+          transform(col("qv.codes"), (c, i) => c.cast("long") * (i + 1)),
+          lit(0L), (a, x) => a + x).as("q_checksum"),
+        when(
+          aggregate(
+            zip_with(col("qv.codes"), col("v"),
+              (c, x) => abs(c.cast("double") * col("qv.scale") - x)),
+            lit(0.0), (a, e) => greatest(a, e))
+            <= col("qv.scale") * 0.5000001, 1L).otherwise(0L).as("recon_ok"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q63_weighted_sample" -> ((s, dir) => {
       // quality-weighted deterministic sampling: each doc kept with
       // probability quality/2, decided by the stable key hash — the
@@ -1545,6 +1570,24 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 20
         |UNION ALL SELECT 'top1_recall_pct_ge_90', CAST(1 AS BIGINT)
         |ORDER BY metric""".stripMargin,
+
+    "q73_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |q AS (SELECT vec_id, v, scale,
+        |    list_transform(v, x -> CAST(round(x /
+        |      (CASE WHEN scale = 0 THEN 1.0 ELSE scale END)) AS BIGINT)) AS codes
+        |  FROM s)
+        |SELECT vec_id, round(scale, 9) AS scale,
+        |  CAST(list_sum(list_transform(codes, (c, i) -> c * i)) AS BIGINT)
+        |    AS q_checksum,
+        |  CASE WHEN list_max(list_transform(codes,
+        |         (c, i) -> abs(c * scale - v[i]))) <= scale * 0.5000001
+        |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS recon_ok
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "q29_events_window" ->
       """SELECT CAST(extract(epoch FROM date_trunc('hour', ts)) AS BIGINT) AS hour_ts,

@@ -38,6 +38,25 @@ object VectorFunctions {
       .otherwise(transform(a, v => v.cast("double") / n))
   }
 
+  /** Symmetric int8 scalar quantization for embedding STORAGE: per-vector
+    * scale = max|x|/127, codes = round(x/scale) in [-127, 127]. An
+    * `array<float>` column (4 bytes/dim) shrinks to `array<tinyint>` + one
+    * double (~1 byte/dim) — at 100 TB of embeddings that is the difference
+    * between re-reading 100 TB and re-reading 25 TB on every ANN/dedup pass.
+    * Reconstruction error is bounded by scale/2 per element; cosine
+    * distortion at 64 dims is ~1e-3, far below any dedup threshold.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = array_max(transform(vec, x => abs(x.cast("double")))) / lit(127.0)
+    val safe = when(scale === 0.0, lit(1.0)).otherwise(scale) // zero vector -> all-0 codes
+    struct(scale.as("scale"),
+      transform(vec, x => round(x.cast("double") / safe).cast("tinyint")).as("codes"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: codes * scale, as `array<double>`. */
+  def dequantizeInt8(qv: Column): Column =
+    transform(qv("codes"), c => c.cast("double") * qv("scale"))
+
   /** One bit of a random-hyperplane LSH signature (sign of the projection
     * onto deterministic pseudo-random plane `planeId`).
     */

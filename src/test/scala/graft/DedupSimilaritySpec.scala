@@ -183,6 +183,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(full.filter($"idA" < 60 && $"idB" < 60).count() == 60L * 59 / 2)
   }
 
+  test("int8 quantization: bounded reconstruction error, ANN survives storage round trip") {
+    import graft.functions.{VectorFunctions => VF}
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val q = emb.withColumn("qv", VF.quantizeInt8($"v"))
+      .withColumn("back", VF.dequantizeInt8($"qv"))
+    // per-element error <= scale/2; codes fit int8
+    val bad = q.filter(
+      aggregate(zip_with($"back", $"v", (b, x) => abs(b - x)),
+        lit(0.0), (a, e) => greatest(a, e)) > $"qv.scale" * 0.5000001)
+    assert(bad.count() == 0)
+    val codeRange = q.select(array_max(transform($"qv.codes", c => abs(c.cast("int"))))
+      .as("m")).agg(max($"m")).head.getInt(0)
+    assert(codeRange <= 127)
+    // ANN on dequantized vectors reproduces exact top-5 almost perfectly
+    val deq = q.select($"vec_id", $"back".as("v"))
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(queries, emb, "v", "vec_id", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val onQuant = Similarity.bruteForceTopK(queries, deq, "v", "vec_id", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & onQuant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized-storage recall@5 = $recall")
+  }
+
   test("ivfTopK k-means centroids give high recall on a CLUSTERED corpus") {
     // 4 tight clusters around orthogonal axes, ids assigned cluster-major —
     // the adversarial layout for any fixed-row centroid scheme (the first

@@ -30,6 +30,15 @@ class JsonFunctionsSpec extends AnyFunSuite {
     assert(got == """{"xs":[1,NULL,3],"inner":{"a":NULL,"b":2.5},"t":NULL}""")
   }
 
+  test("SQL surface: graft_to_json_nullstr from spark.sql") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      """SELECT graft_to_json_nullstr(
+        |  named_struct('a', CAST(NULL AS INT), 'b', 'x'), '\\N') AS j""".stripMargin)
+      .as[String].collect().head
+    assert(got == """{"a":\N,"b":"x"}""")
+  }
+
   test("default token is the identity; bare 'null' inside words untouched") {
     val df = Seq(("anullb", Option.empty[String])).toDF("v", "w")
       .select(struct($"v", $"w").as("s"))
