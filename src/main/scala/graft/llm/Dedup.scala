@@ -206,33 +206,40 @@ object Dedup {
       .distinct())
     var labels = ckpt(edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component")))
+    // Convergence is read off the label-sum invariant: labels only ever
+    // decrease, so the per-round sum of components is strictly decreasing
+    // until the fixpoint and equal exactly there — one cheap aggregate over
+    // the freshly checkpointed rows replaces a per-row change flag (and the
+    // join that computed it). decimal(38,0) keeps the sum exact at any
+    // corpus size (no ANSI long overflow).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)")).as("s"))
+        .head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // each node's candidate label = min over neighbors' current labels
-      val fromNeighbors = edges
+      // each node's candidate label = min(own, neighbors' labels): the
+      // union + single groupBy replaces a neighbor-agg PLUS a left join
+      // back to labels — one fewer shuffle of the full label set per round
+      val viaEdges = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("component")).as("__nbr"))
-      val viaEdges = labels.join(fromNeighbors, Seq("id"), "left")
-        .select(col("id"), col("component").as("__old"),
-          least(col("component"), coalesce(col("__nbr"), col("component")))
-            .as("component"))
+        .select(col("dst").as("id"), col("component"))
+        .union(labels)
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"))
       // pointer jumping: follow the label's own label (labels only ever
       // decrease, so parent <= child) — squares the propagated distance
       // per round, so convergence is O(log diameter) rounds, not O(diameter)
       val parents = viaEdges.select(col("id").as("component"),
         col("component").as("__parent"))
-      // the convergence flag rides along inside the round's single job: the
-      // post-checkpoint `changed` probe is a scan of the materialized
-      // 17-byte rows, not a second join over the full label set
       val next = ckpt(viaEdges.join(parents, Seq("component"), "left")
         .select(col("id"),
-          coalesce(col("__parent"), col("component")).as("component"),
-          (coalesce(col("__parent"), col("component")) =!= col("__old"))
-            .as("__chg")))
-      converged = next.filter(col("__chg")).limit(1).count() == 0L
-      labels = next.select(col("id"), col("component"))
+          coalesce(col("__parent"), col("component")).as("component")))
+      val newSum = labelSum(next)
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
+      labels = next
       iter += 1
     }
     (labels, iter)
