@@ -46,16 +46,12 @@ object VectorFunctions {
     * Reconstruction error is bounded by scale/2 per element; cosine
     * distortion at 64 dims is ~1e-3, far below any dedup threshold.
     */
-  def quantizeInt8(vec: Column): Column = {
-    val scale = array_max(transform(vec, x => abs(x.cast("double")))) / lit(127.0)
-    val safe = when(scale === 0.0, lit(1.0)).otherwise(scale) // zero vector -> all-0 codes
-    struct(scale.as("scale"),
-      transform(vec, x => round(x.cast("double") / safe).cast("tinyint")).as("codes"))
-  }
+  def quantizeInt8(vec: Column): Column =
+    graft.expressions.VectorExpressions.quantizeInt8(vec)
 
   /** Inverse of [[quantizeInt8]]: codes * scale, as `array<double>`. */
   def dequantizeInt8(qv: Column): Column =
-    transform(qv("codes"), c => c.cast("double") * qv("scale"))
+    graft.expressions.VectorExpressions.dequantizeInt8(qv)
 
   /** One bit of a random-hyperplane LSH signature (sign of the projection
     * onto deterministic pseudo-random plane `planeId`).
