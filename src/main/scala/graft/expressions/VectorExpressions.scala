@@ -34,6 +34,9 @@ object VectorExpressions {
   def hyperplaneSig(vec: Column, nBits: Int, planeOffset: Int = 0): Column =
     ColumnShim.column(HyperplaneSig(ColumnShim.expression(vec), nBits, planeOffset))
 
+  def l2Normalize(vec: Column): Column =
+    ColumnShim.column(L2Normalize(ColumnShim.expression(vec)))
+
   def quantizeInt8(vec: Column): Column =
     ColumnShim.column(QuantizeInt8(ColumnShim.expression(vec)))
 
@@ -228,6 +231,43 @@ case class MinHashSig(child: Expression, numHashes: Int)
       i += 1
     }
     new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** L2-normalized copy (array<double>); zero vectors pass through as-is
+  * (cast to double). Semantics identical to the HOF form
+  * `transform(a, v -> v / sqrt(dot(a,a)))`: the norm is the same
+  * sequential-order dot, and each element is divided by it (not multiplied
+  * by a precomputed reciprocal), so results are bit-identical and oracle
+  * comparisons are unaffected. One primitive pass; the HOF form pays a
+  * boxed lambda per element on every corpus row of an embedding pipeline.
+  */
+case class L2Normalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  private def elem = child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val x = VectorExpressions.elemEval(arr, i, elem)
+      ss += x * x
+      i += 1
+    }
+    val norm = math.sqrt(ss)
+    val out = new Array[Double](n)
+    i = 0
+    if (norm == 0.0)
+      while (i < n) { out(i) = VectorExpressions.elemEval(arr, i, elem); i += 1 }
+    else
+      while (i < n) { out(i) = VectorExpressions.elemEval(arr, i, elem) / norm; i += 1 }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

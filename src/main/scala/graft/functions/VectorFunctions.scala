@@ -31,12 +31,11 @@ object VectorFunctions {
   /** L2-normalized copy of the vector (double elements). Pre-normalizing the
     * corpus once turns every cosine into a plain dot product — at 100 TB that
     * halves the flops and removes the per-row sqrt from the inner loop.
+    * Native single-pass expression (the HOF form pays a boxed lambda per
+    * element on every corpus row).
     */
-  def l2Normalize(a: Column): Column = {
-    val n = norm(a)
-    when(n === 0.0, transform(a, v => v.cast("double")))
-      .otherwise(transform(a, v => v.cast("double") / n))
-  }
+  def l2Normalize(a: Column): Column =
+    graft.expressions.VectorExpressions.l2Normalize(a)
 
   /** Symmetric int8 scalar quantization for embedding STORAGE: per-vector
     * scale = max|x|/127, codes = round(x/scale) in [-127, 127]. An

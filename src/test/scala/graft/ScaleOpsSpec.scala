@@ -101,11 +101,16 @@ class ScaleOpsSpec extends AnyFunSuite {
       SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
              graft_simhash(graft_token_hashes(graft_norm_tokens('The cat, the hat'))) AS sh,
              size(graft_minhash(graft_ngram_hashes(graft_norm_tokens('a b c d'), 2), 16)) AS m,
-             graft_hyperplane_sig(array(1.0D, 2.0D), 8) AS hs
+             graft_hyperplane_sig(array(1.0D, 2.0D), 8) AS hs,
+             graft_l2_normalize(array(3.0D, 4.0D)) AS nv,
+             graft_dequantize_int8(graft_quantize_int8(array(1.0D, -0.5D, 0.25D))) AS dq
     """).collect()(0)
     assert(r.getDouble(0) == 1.0)
     assert(r.getInt(2) == 16)
     assert(r.getLong(3) >= 0 && r.getLong(3) < 256)
+    assert(r.getSeq[Double](4) == Seq(0.6, 0.8))
+    val dq = r.getSeq[Double](5)
+    assert(dq.zip(Seq(1.0, -0.5, 0.25)).forall { case (a, b) => math.abs(a - b) < 0.005 })
   }
 
   test("sampleByKey is stable under repartitioning") {
