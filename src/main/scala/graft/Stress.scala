@@ -81,6 +81,19 @@ object Stress {
         .agg(sum(col("q"))).collect()
       n
     }
+    // connected components over the FULL minhash pair graph — the step after
+    // pair generation; per-round cost is one shuffle of 16-byte label rows,
+    // rounds ~ log(cluster diameter)
+    time("connected_components") {
+      val pairs = graft.llm.Dedup.minhashPairs(corpus, "text", "doc_id",
+          shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5,
+          maxBucketSize = 200)
+        .select(col("idA"), col("idB"))
+      val (labels, iters) = graft.llm.Dedup.connectedComponentsWithStats(pairs)
+      val nLabels = labels.count()
+      println(s"[stress] cc converged in $iters rounds")
+      nLabels
+    }
     }
 
     if (section != "docs") {
