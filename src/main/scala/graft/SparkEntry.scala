@@ -20,6 +20,10 @@ import graft.llm.{Dedup, Multimodal, Similarity}
   */
 object SparkEntry {
 
+  /** Typed row for the A20 typed-source round trip (q75). */
+  final case class SupplierTyped(s_suppkey: Long, s_name: String,
+                                 s_nationkey: Int, s_acctbal: Double)
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -814,6 +818,43 @@ object SparkEntry {
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("s_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    "q74_compaction" -> ((s, dir) => {
+      // small-files compaction (staging + swap): 24 tiny files rewritten to
+      // ceil(bytes/target) = 1. The oracle recomputes the aggregate straight
+      // from supplier — a lost or duplicated row in the rewrite breaks the
+      // hash; the observed file-count contraction rides along as a flag.
+      val root = scratchDir("q74_comp")
+      val data = s"$root/supplier"
+      t(s, dir, "supplier").repartition(24).write.parquet(data)
+      val before = graft.io.Compaction.dataFileCount(s, data)
+      val bytes  = graft.io.Compaction.dataBytes(s, data)
+      val after  = graft.io.Compaction.compact(s, data, "parquet", targetBytes = bytes)
+      s.read.parquet(data)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("sum_bal"))
+        .withColumn("compacted_to_one_file",
+          lit(if (after == 1 && before > 1) 1L else 0L))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    "q75_typed_source" -> ((s, dir) => {
+      // A20: typed case-class Dataset round trip through the ORC source —
+      // the Scalding-style typed surface over the same files.
+      import s.implicits._
+      val path = scratchDir("q75_typed") + "/supplier_orc"
+      val src = t(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+          col("s_nationkey").cast("int").as("s_nationkey"),
+          col("s_acctbal").cast("double").as("s_acctbal"))
+        .as[SupplierTyped]
+      graft.io.TypedSources.writeOrc(src, path)
+      graft.io.TypedSources.orc[SupplierTyped](s, path)
+        .filter(col("s_acctbal") > 0)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("sum_bal"))
         .orderBy(col("s_nationkey"))
     }),
 
@@ -1672,6 +1713,16 @@ object SparkEntry {
     "q71_regex_exclusion" ->
       """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS sum_bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "q74_compaction" ->
+      """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS sum_bal,
+        |  CAST(1 AS BIGINT) AS compacted_to_one_file
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "q75_typed_source" ->
+      """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS sum_bal
+        |FROM supplier WHERE s_acctbal > 0
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "q36_stream_windowed" ->
       """SELECT CAST(extract(epoch FROM date_trunc('hour', ts)) AS BIGINT) AS window_start,

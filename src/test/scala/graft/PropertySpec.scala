@@ -97,6 +97,39 @@ class PropertySpec extends AnyFunSuite {
     assert(est.collect().forall(_.getDouble(0) == 1.0))
   }
 
+  test("int8 quantization invariants over generated vectors") {
+    // over random vectors (incl. negatives, zero vectors, tiny/huge scales):
+    // codes within [-127, 127], |dequant - x| <= scale/2 (+fp slack),
+    // zero vectors round-trip to exactly zero
+    val vecGen = Gen.chooseNum(1, 32).flatMap(d =>
+      Gen.listOfN(d, Gen.oneOf(
+        Gen.chooseNum(-1.0, 1.0),
+        Gen.chooseNum(-1e6, 1e6),
+        Gen.const(0.0))))
+    val vecs = samples(vecGen, 80).map(_.toArray) :+ Array(0.0, 0.0, 0.0)
+    val df = vecs.toSeq.toDF("v")
+    import graft.functions.{VectorFunctions => VF}
+    val rows = df.select($"v", VF.quantizeInt8($"v").as("qv"))
+      .select($"v", $"qv.scale".as("scale"), $"qv.codes".as("codes"),
+        VF.dequantizeInt8($"qv").as("back"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](0)
+      val scale = r.getDouble(1)
+      val codes = r.getSeq[Byte](2)
+      val back = r.getSeq[Double](3)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      if (v.forall(_ == 0.0)) {
+        assert(scale == 0.0 && back.forall(_ == 0.0))
+      } else {
+        v.indices.foreach { i =>
+          assert(math.abs(back(i) - v(i)) <= scale * 0.5000001,
+            s"elem $i: ${v(i)} -> ${back(i)} at scale $scale")
+        }
+      }
+    }
+  }
+
   test("pigeonhole chunking: any two longs within hamming<=3 share a 16-bit chunk") {
     // the bit-level invariant simhashPairs' recall-1 guarantee rests on,
     // checked directly over generated (value, <=3 random bit flips) pairs
