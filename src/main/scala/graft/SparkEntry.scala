@@ -509,6 +509,63 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "q76_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup scale path: k-means cells bound the quadratic pair check,
+      // self-checked on CONSTRUCTED ground truth — the corpus is unioned
+      // with small perturbations of itself (cosine ~0.9998 to the source vs
+      // ~0.6 max background on this fixture), so the exact all-pairs dedup
+      // at threshold 0.9 drops precisely the perturbed ids and no O(n^2)
+      // scan is needed. Two invariants ride with the result: (1) semantic
+      // dedup NEVER drops a row exact dedup keeps — within-cell witnesses
+      // are global witnesses, a hard 0; (2) >=90% of the planted duplicates
+      // are caught, which requires source and copy to share a k-means cell
+      // — the property that breaks when centroids ignore data geometry.
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val d = size(col("embedding"))
+      val perturbed = emb.select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + lit(0.02) * element_at(col("embedding"), pmod(i + 1, d) + 1))
+          .as("embedding"))
+      val corpus = emb.unionByName(perturbed)
+      val kept = Dedup.semanticDedup(corpus, "embedding", "vec_id",
+          threshold = 0.9, nCentroids = 16, kmeansIters = 3)
+        .select(col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val semDropped = corpus.select(col("vec_id"))
+        .join(kept, Seq("vec_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the fixture's exact dropped set: every perturbed id, nothing else
+      val exactDropped = emb.select((col("vec_id") + 100000L).as("vec_id"))
+      val spurious = semDropped.except(exactDropped)
+        .agg(count(lit(1)).as("value"))
+        .select(lit("sem_dropped_minus_exact_dropped").as("metric"),
+          col("value"))
+      val caught = semDropped.join(exactDropped, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("nc"))
+      val recall = caught.crossJoin(exactDropped.agg(count(lit(1)).as("ne")))
+        .select(lit("dup_recall_pct_ge_90").as("metric"),
+          when(col("nc") * 100 >= col("ne") * 90, 1L).otherwise(0L).as("value"))
+      val nd = exactDropped.agg(count(lit(1)).as("value"))
+        .select(lit("n_exact_dropped").as("metric"), col("value"))
+      spurious.union(recall).union(nd).orderBy(col("metric"))
+    }),
+
+    "q77_line_dedup" -> ((s, dir) => {
+      // RefinedWeb-style line-level boilerplate removal: every document is
+      // framed with the same header/footer lines (planted boilerplate) plus
+      // its own body; lines occurring in >= 5 distinct docs are stripped and
+      // the text reassembled in line order. The oracle recomputes the whole
+      // pipeline relationally (split -> distinct-doc line counts -> anti-join
+      // -> ordered string_agg), so the comparison is exact end to end.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws("\n", lit("== SHARED HEADER =="), col("text"),
+            lit("(c) shared footer")).as("text"))
+      Dedup.dedupLines(docs, "text", "doc_id", minDocs = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     "q63_weighted_sample" -> ((s, dir) => {
       // quality-weighted deterministic sampling: each doc kept with
       // probability quality/2, decided by the stable key hash — the
@@ -1610,6 +1667,29 @@ object SparkEntry {
       """SELECT 'n_queries' AS metric, CAST(count(*) AS BIGINT) AS value
         |FROM embeddings WHERE vec_id < 20
         |UNION ALL SELECT 'top1_recall_pct_ge_90', CAST(1 AS BIGINT)
+        |ORDER BY metric""".stripMargin,
+
+    "q77_line_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    concat('== SHARED HEADER ==', chr(10), text, chr(10),
+        |           '(c) shared footer') AS text FROM documents),
+        |s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+        |l AS (SELECT doc_id, unnest(ls) AS line,
+        |             unnest(range(1, len(ls) + 1)) AS pos FROM s),
+        |b AS (SELECT line FROM l GROUP BY line
+        |      HAVING count(DISTINCT doc_id) >= 5),
+        |k AS (SELECT doc_id, line, pos FROM l ANTI JOIN b USING (line)),
+        |a AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+        |        AS clean_text FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
+        |FROM d LEFT JOIN a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q76_semantic_dedup" ->
+      """SELECT 'dup_recall_pct_ge_90' AS metric, CAST(1 AS BIGINT) AS value
+        |UNION ALL SELECT 'n_exact_dropped', CAST(count(*) AS BIGINT)
+        |           FROM embeddings
+        |UNION ALL SELECT 'sem_dropped_minus_exact_dropped', CAST(0 AS BIGINT)
         |ORDER BY metric""".stripMargin,
 
     "q73_embedding_quantize" ->

@@ -504,6 +504,75 @@ object Dedup {
     math.min(24, math.max(8, math.ceil(math.log(buckets) / math.log(2)).toInt))
   }
 
+  /** RefinedWeb-style line-level deduplication: a line is boilerplate when
+    * its exact content occurs in >= `minDocs` DISTINCT documents (headers,
+    * footers, nav chrome); boilerplate lines are removed from every document
+    * and the remaining lines reassembled in order (a fully-boilerplate
+    * document survives with empty text).
+    *
+    * At 100 TB: the line-frequency aggregate and the anti-join both key on
+    * xxhash64(line) — 8-byte shuffle rows; the line text itself never
+    * shuffles for counting (a 64-bit collision can at worst misclassify one
+    * rare line as boilerplate). Reassembly shuffles each KEPT line once to
+    * its document's reducer; the per-doc sort is an in-memory array_sort
+    * over that document's own lines.
+    */
+  def dedupLines(df: DataFrame, textCol: String, idCol: String,
+                 minDocs: Int): DataFrame = {
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__lh", xxhash64(col("__line")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val boiler = lines.groupBy(col("__lh"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__lh"))
+    val rebuilt = lines.join(boiler, Seq("__lh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line")), "\n").as("clean_text"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** SemDeDup-style semantic deduplication: k-means cells bound the
+    * quadratic verification. A row is DROPPED when a lower-id row in the
+    * same cell has cosine >= `threshold`; survivors keep their cell id.
+    * Within-cell witnesses are also global witnesses, so the kept set is
+    * always a superset of the exact (all-pairs) kept set — the approximation
+    * loss is only cross-cell near-duplicates, bounded by how well the
+    * centroids track the data (trained with
+    * [[Similarity.trainSphericalKMeans]]: hash-spread seeds, capped sample).
+    *
+    * At 100 TB: assignment is a broadcast argmin (no shuffle beyond the
+    * per-id aggregate); the cell self-join ships each normalized vector once
+    * to its cell's reducers, and the per-cell pair work is quadratic in cell
+    * population — size `nCentroids` ~ corpus/targetCellSize so cells stay
+    * small, exactly how SemDeDup bounds its O(n^2).
+    */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+                    threshold: Double, nCentroids: Int = 16,
+                    kmeansIters: Int = 3): DataFrame = {
+    val centroids = Similarity.trainSphericalKMeans(df, vecCol, idCol,
+      nCentroids, kmeansIters)
+    val assigned = Similarity.assignCells(df, vecCol, idCol, centroids)
+      .select(col("__id"), col("cell"), VF.l2Normalize(col("__v")).as("__nv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = assigned.select(col("cell"), col("__id").as("idA"),
+      col("__nv").as("vA"))
+    val r = assigned.select(col("cell"), col("__id").as("idB"),
+      col("__nv").as("vB"))
+    val dropped = l.join(r, Seq("cell"))
+      .filter(col("idA") < col("idB"))
+      .filter(VF.dot(col("vA"), col("vB")) >= threshold)
+      .select(col("idB")).distinct()
+    assigned
+      .join(dropped, assigned("__id") === dropped("idB"), "left_anti")
+      .select(col("__id").as(idCol), col("cell"))
+  }
+
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
                      threshold: Double = 0.95, sigBits: Int = 8,
                      nTables: Int = 8): DataFrame = {

@@ -118,27 +118,30 @@ object Similarity {
     */
   val IvfMaxTrainRows: Int = 100000
 
-  def ivfTopK(queries: DataFrame, corpus: DataFrame,
-              vecCol: String, idCol: String, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4,
-              kmeansIters: Int = 3): DataFrame = {
-    require(nCentroids >= 1 && nProbe >= 1, "nCentroids and nProbe must be >= 1")
-    val spark = corpus.sparkSession
+  /** Centroids travel as a BROADCAST nCentroids-row DataFrame, never as
+    * literal expression trees: nCentroids x dim literals embedded in every
+    * plan blow up Catalyst analysis and fall out of codegen (measured 25s on
+    * a 2k-row corpus); the broadcast-join + struct-max argmin keeps plans
+    * small and the per-row work a codegen'd dot product.
+    */
+  private def centDf(spark: org.apache.spark.sql.SparkSession,
+                     cs: Array[Array[Double]]): DataFrame = {
     import spark.implicits._
+    broadcast(cs.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) }
+      .toDF("cid", "cvec"))
+  }
 
-    // Centroids travel as a BROADCAST 16-row DataFrame, never as literal
-    // expression trees: nCentroids x dim literals embedded in every plan
-    // blow up Catalyst analysis and fall out of codegen (measured 25s on a
-    // 2k-row corpus); the broadcast-join + struct-max argmin keeps plans
-    // small and the per-row work a codegen'd dot product.
-    def centDf(cs: Array[Array[Double]]) =
-      broadcast(cs.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) }
-        .toDF("cid", "cvec"))
-
-    // argmin cell by max(struct(dot, -cid, payload...)): struct ordering
-    // compares dot first, then -cid (deterministic tie-break, smaller cid
-    // wins); trailing payload fields ride along un-compared because ncid is
-    // already unique per id.
+  /** Spherical k-means over the L2-normalized vectors: deterministic
+    * hash-spread seeds, argmax-dot assignment, per-cell mean re-normalized
+    * each round. Training is capped at [[IvfMaxTrainRows]] via a hash-ordered
+    * TakeOrdered sample (no global sort), so cost is bounded at any corpus
+    * size. Shared by [[ivfTopK]] (cell index) and
+    * [[graft.llm.Dedup.semanticDedup]] (quadratic-bounding partition).
+    */
+  def trainSphericalKMeans(corpus: DataFrame, vecCol: String, idCol: String,
+                           nCentroids: Int,
+                           iters: Int = 3): Array[Array[Double]] = {
+    require(nCentroids >= 1, "nCentroids must be >= 1")
     val normed = corpus
       .select(col(idCol).as("__nid"), VF.l2Normalize(col(vecCol)).as("__nv"))
 
@@ -155,12 +158,12 @@ object Similarity {
       .limit(nCentroids).select(col("__nv")).collect()
       .map(_.getSeq[Double](0).toArray)
 
-    for (_ <- 1 to kmeansIters) {
+    for (_ <- 1 to iters) {
       // spherical k-means update: assign each training row to its argmax-dot
       // cell (broadcast join + partial-aggregated struct-max), then per-cell
       // mean via dim explode — the shuffle carries (cell, dim) partial sums,
       // <= nCentroids x dim rows per partition after map-side combine.
-      val sums = train.crossJoin(centDf(centroids))
+      val sums = train.crossJoin(centDf(corpus.sparkSession, centroids))
         .select(col("__nid"),
           struct(VF.dot(col("__nv"), col("cvec")).as("dot"),
             (lit(0) - col("cid")).as("ncid"), col("__nv").as("v")).as("s"))
@@ -181,19 +184,39 @@ object Similarity {
       }
     }
     train.unpersist()
+    centroids
+  }
 
-    val cents = centDf(centroids)
+  /** (__id, cell, __v): each row keyed to its argmax-dot centroid cell.
+    * Assignment is a broadcast join + partial-aggregated struct-max — the
+    * corpus never shuffles on anything but its own aggregate key. The struct
+    * orders by (dot, -cid): deterministic tie-break, smaller cid wins; the
+    * raw vector rides through the max un-compared because ncid is already
+    * unique per id.
+    */
+  def assignCells(df: DataFrame, vecCol: String, idCol: String,
+                  centroids: Array[Array[Double]]): DataFrame =
+    df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        VF.l2Normalize(col(vecCol)).as("__nv"))
+      .crossJoin(centDf(df.sparkSession, centroids))
+      .select(col("__id"),
+        struct(VF.dot(col("__nv"), col("cvec")).as("dot"),
+          (lit(0) - col("cid")).as("ncid"), col("__v").as("v")).as("s"))
+      .groupBy(col("__id")).agg(max(col("s")).as("m"))
+      .select(col("__id"), (lit(0) - col("m.ncid")).as("cell"),
+        col("m.v").as("__v"))
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              vecCol: String, idCol: String, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              kmeansIters: Int = 3): DataFrame = {
+    require(nCentroids >= 1 && nProbe >= 1, "nCentroids and nProbe must be >= 1")
+    val centroids = trainSphericalKMeans(corpus, vecCol, idCol, nCentroids,
+      kmeansIters)
+    val cents = centDf(corpus.sparkSession, centroids)
     // corpus -> nearest cell (the raw vector rides through the struct-max)
-    val c = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-        VF.l2Normalize(col(vecCol)).as("__cnv"))
-      .crossJoin(cents)
-      .select(col("neighbor_id"),
-        struct(VF.dot(col("__cnv"), col("cvec")).as("dot"),
-          (lit(0) - col("cid")).as("ncid"), col("__cv").as("v")).as("s"))
-      .groupBy(col("neighbor_id")).agg(max(col("s")).as("m"))
-      .select(col("neighbor_id"), col("m.v").as("__cv"),
-        (lit(0) - col("m.ncid")).as("cell"))
+    val c = assignCells(corpus, vecCol, idCol, centroids)
+      .select(col("__id").as("neighbor_id"), col("__v").as("__cv"), col("cell"))
     // queries -> their nProbe nearest cells (queries are the small side by
     // construction; the per-query window is over nCentroids rows)
     val probeW = org.apache.spark.sql.expressions.Window

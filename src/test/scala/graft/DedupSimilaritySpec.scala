@@ -276,6 +276,61 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"LSH recall@10 = $recall")
   }
 
+  test("semanticDedup: drops planted near-dups, never drops what exact keeps") {
+    // clustered corpus (4 orthogonal-axis clusters) + a perturbed copy of
+    // every 5th row: exact all-pairs dedup at 0.95 drops exactly the copies.
+    val dim = 8
+    val rows = for {
+      c <- 0 until 4
+      j <- 0 until 50
+    } yield {
+      val id = c * 50L + j
+      val v = Array.tabulate(dim)(i =>
+        (if (i == c) 1.0 else 0.0) + ((id * 31 + i * 7) % 97) / 97.0 * 0.08)
+      (id, v)
+    }
+    val base = rows.toDF("vec_id", "embedding")
+    val dups = rows.filter(_._1 % 5 == 0)
+      .map { case (id, v) => (id + 10000L, v.map(_ * 1.0000001)) }
+      .toDF("vec_id", "embedding")
+    val corpus = base.union(dups)
+    val kept = Dedup.semanticDedup(corpus, "embedding", "vec_id",
+        threshold = 0.95, nCentroids = 4, kmeansIters = 3)
+      .select("vec_id").as[Long].collect().toSet
+    // exact baseline: a row is dropped iff a lower-id row anywhere has
+    // cosine >= threshold
+    val exactDropped = Dedup.embeddingPairsExact(corpus, "embedding",
+        "vec_id", 0.95)
+      .select("idB").distinct().as[Long].collect().toSet
+    val semDropped = corpus.select("vec_id").as[Long].collect().toSet -- kept
+    assert(semDropped.subsetOf(exactDropped),
+      "semanticDedup dropped a row the exact baseline keeps")
+    val recall = semDropped.size.toDouble / exactDropped.size
+    assert(recall >= 0.9, s"semantic dedup recall = $recall")
+    // survivors carry their cell assignment
+    val cells = Dedup.semanticDedup(corpus, "embedding", "vec_id",
+      threshold = 0.95, nCentroids = 4, kmeansIters = 3)
+    assert(cells.columns.toSeq == Seq("vec_id", "cell"))
+  }
+
+  test("dedupLines strips lines shared by >= minDocs docs, keeps order") {
+    val docs = Seq(
+      (1L, "HEADER\nalpha one\nbeta two\nFOOTER"),
+      (2L, "HEADER\ngamma three\nFOOTER"),
+      (3L, "HEADER\ndelta four\nbeta two\nFOOTER"),
+      (4L, "HEADER\nFOOTER"), // fully boilerplate -> empty text
+      (5L, "HEADER\nepsilon five\nFOOTER")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "text", "doc_id", minDocs = 4)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "alpha one\nbeta two")
+    assert(out(2L) == "gamma three")
+    assert(out(3L) == "delta four\nbeta two") // 'beta two' in only 2 docs: kept
+    assert(out(4L) == "")
+    assert(out(5L) == "epsilon five")
+    assert(out.size == 5)
+  }
+
   test("IVF top-k returns k deterministic-ranked rows per query") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 5)
