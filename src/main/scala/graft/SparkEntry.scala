@@ -566,6 +566,146 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q78_bucketed_join" -> ((s, dir) => {
+      // co-located join via bucketed layout: both sides are written
+      // bucketBy(16, custkey) + sortBy (one file per bucket), so the join
+      // plans with NO Exchange and NO Sort — the 100 TB pattern for a fact
+      // table joined repeatedly on the same key: the shuffle is paid once
+      // at write time and amortized over every later join. BucketingSpec
+      // asserts the plan shape; the oracle checks the result against a
+      // plain DuckDB join of the source parquet.
+      graft.io.Bucketing.writeBucketed(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")),
+        "graft_bkt_orders", "o_custkey", 16)
+      graft.io.Bucketing.writeBucketed(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        "graft_bkt_customer", "c_custkey", 16)
+      graft.io.Bucketing.bucketedJoin(s, "graft_bkt_orders", "o_custkey",
+          "graft_bkt_customer", "c_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q79_random_projection" -> ((s, dir) => {
+      // Johnson-Lindenstrauss reduction (64 -> 32 dims, deterministic
+      // Rademacher signs) self-checked on both sides of the margin:
+      // (1) planted near-identical pairs (cosine ~0.9998) must KEEP
+      // projected cosine >= 0.9 — projection is linear, so a small relative
+      // perturbation stays small; (2) among fixed distant pairs
+      // (i, i+200 with true cosine < 0.5), >= 90% must stay BELOW 0.9 —
+      // the distortion bound working in the other direction. n_planted and
+      // n_distant are DuckDB-recomputed (the latter exercises the oracle's
+      // own cosine on the same pair population).
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val proj = emb.select(col("vec_id"), col("v"),
+        VF.randomProjection(col("v"), 32, seed = 7).as("pv"))
+      val d = size(col("v"))
+      val planted = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id"),
+          transform(col("v"), (x, i) =>
+            x + lit(0.02) * element_at(col("v"), pmod(i + 1, d) + 1)).as("w"))
+        .select(col("vec_id"),
+          VF.randomProjection(col("w"), 32, seed = 7).as("pw"))
+      val plantedOk = proj.join(planted, Seq("vec_id"))
+        .agg(min(when(VF.cosine(col("pv"), col("pw")) >= 0.9, 1L)
+          .otherwise(0L)).as("value"))
+        .select(lit("planted_preserved_all").as("metric"), col("value"))
+      val shifted = proj.select((col("vec_id") - 200L).as("vec_id"),
+        col("v").as("v2"), col("pv").as("pv2"))
+      val distant = proj.filter(col("vec_id") < 50)
+        .join(shifted, Seq("vec_id"))
+        .select(VF.cosine(col("v"), col("v2")).as("tc"),
+          VF.cosine(col("pv"), col("pv2")).as("pc"))
+        .filter(col("tc") < 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sep = distant
+        .agg(sum(when(col("pc") < 0.9, 1L).otherwise(0L)).as("ns"),
+          count(lit(1)).as("n"))
+        .select(lit("distant_separated_pct_ge_90").as("metric"),
+          when(col("ns") * 100 >= col("n") * 90, 1L).otherwise(0L).as("value"))
+      val nDistant = distant.agg(count(lit(1)).as("value"))
+        .select(lit("n_distant").as("metric"), col("value"))
+      val nPlanted = planted.agg(count(lit(1)).as("value"))
+        .select(lit("n_planted").as("metric"), col("value"))
+      plantedOk.union(sep).union(nDistant).union(nPlanted)
+        .orderBy(col("metric"))
+    }),
+
+    "q80_normalize_text" -> ((s, dir) => {
+      // canonical text normalization (NFC + casefold + whitespace collapse):
+      // every document is framed with a decomposed spelling ("Cafe" +
+      // combining acute U+0301), a compatibility-canonical codepoint
+      // (U+212B ANGSTROM SIGN -> U+00C5), and messy whitespace; DuckDB's
+      // nfc_normalize + lower + regexp_replace recomputes the identical
+      // canonical bytes, so the comparison is exact per document.
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.normalizeText(concat(lit("Cafe\u0301  "), col("text"),
+            lit("  \u212B troke"))).as("norm_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q81_sequence_pack" -> ((s, dir) => {
+      // training-sequence assembly (concat-and-chop packing): documents in
+      // doc_id order within each language, running token count, and chunk
+      // id floor(tokens_before / 512) — each chunk is one training
+      // sequence. The running count comes from the two-phase distributed
+      // prefix sum (PrefixSum.groupedRunningSum): per-task work is bounded
+      // by the RANGE-partition size, never by group size — the naive
+      // `sum over (partition by lang)` would put an entire language in one
+      // task at 100 TB. Oracle recomputes with a plain window cumsum.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TF.tokenCount(col("text")).cast("long").as("toks"))
+      graft.ops.PrefixSum.groupedRunningSum(docs, "lang", "doc_id",
+          col("toks"), "cum_toks")
+        .withColumn("seq_id", expr("(cum_toks - toks) div 512"))
+        .groupBy(col("lang"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .orderBy(col("lang"), col("seq_id"))
+    }),
+
+    "q82_ivf_index" -> ((s, dir) => {
+      // persisted ANN index + partition-pruned serving: buildIvfIndex
+      // writes the corpus PARTITIONED BY k-means cell (plus a tiny
+      // centroid table); queryIvfIndex equi-joins each query's nProbe
+      // probed cells against the partition column, so dynamic partition
+      // pruning reads only the probed cell directories — the index builds
+      // once and every later query batch scans ~nProbe/nCentroids of the
+      // corpus. Ground truth as in q72: queries are perturbations of
+      // corpus vectors (cosine ~0.995 vs ~0.35 background), top-1 must
+      // recover the source through the persisted layout.
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val root = scratchDir("q82_ivf")
+      Similarity.buildIvfIndex(emb, "embedding", "vec_id", root,
+        nCentroids = 16, kmeansIters = 3)
+      val d = size(col("embedding"))
+      val queries = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x + lit(0.1) * element_at(col("embedding"), pmod(i + 1, d) + 1))
+            .as("embedding"))
+      val res = Similarity.queryIvfIndex(s, root, queries, "embedding",
+          "vec_id", k = 1, nProbe = 4)
+        .filter(col("rank") === 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hits = res
+        .filter(col("neighbor_id") === col("query_id") - 100000L)
+        .agg(count(lit(1)).as("nh"))
+      val nq = queries.agg(count(lit(1)).as("nq"))
+      val recall = hits.crossJoin(nq)
+        .select(lit("top1_recall_pct_ge_90").as("metric"),
+          when(col("nh") * 100 >= col("nq") * 90, 1L).otherwise(0L).as("value"))
+      val nqRow = nq.select(lit("n_queries").as("metric"),
+        col("nq").cast("long").as("value"))
+      recall.union(nqRow).orderBy(col("metric"))
+    }),
+
     "q63_weighted_sample" -> ((s, dir) => {
       // quality-weighted deterministic sampling: each doc kept with
       // probability quality/2, decided by the stable key hash — the
@@ -1668,6 +1808,58 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 20
         |UNION ALL SELECT 'top1_recall_pct_ge_90', CAST(1 AS BIGINT)
         |ORDER BY metric""".stripMargin,
+
+    "q82_ivf_index" ->
+      """SELECT 'n_queries' AS metric, CAST(count(*) AS BIGINT) AS value
+        |FROM embeddings WHERE vec_id < 20
+        |UNION ALL SELECT 'top1_recall_pct_ge_90', CAST(1 AS BIGINT)
+        |ORDER BY metric""".stripMargin,
+
+    "q81_sequence_pack" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |    CAST(len($toksSql) AS BIGINT) AS toks FROM documents),
+         |c AS (SELECT doc_id, lang, toks,
+         |    sum(toks) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+         |  FROM d),
+         |x AS (SELECT lang, (cum - toks) // 512 AS seq_id, toks FROM c)
+         |SELECT lang, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS n_tokens
+         |FROM x GROUP BY lang, seq_id
+         |ORDER BY lang, seq_id""".stripMargin,
+
+    "q79_random_projection" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |dp AS (SELECT a.vec_id,
+        |         list_dot_product(a.v, b.v) /
+        |           (sqrt(list_dot_product(a.v, a.v)) *
+        |            sqrt(list_dot_product(b.v, b.v))) AS tc
+        |       FROM e a JOIN e b ON b.vec_id = a.vec_id + 200
+        |       WHERE a.vec_id < 50)
+        |SELECT 'distant_separated_pct_ge_90' AS metric,
+        |       CAST(1 AS BIGINT) AS value
+        |UNION ALL SELECT 'n_distant', CAST(count(*) AS BIGINT)
+        |           FROM dp WHERE tc < 0.5
+        |UNION ALL SELECT 'n_planted', CAST(count(*) AS BIGINT)
+        |           FROM embeddings WHERE vec_id < 20
+        |UNION ALL SELECT 'planted_preserved_all', CAST(1 AS BIGINT)
+        |ORDER BY metric""".stripMargin,
+
+    "q80_normalize_text" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(nfc_normalize(
+        |    'Cafe' || chr(769) || '  ' || text || '  ' || chr(8491)
+        |    || ' troke')), '\s+', ' ', 'g')) AS norm_text
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q78_bucketed_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "q77_line_dedup" ->
       """WITH d AS (SELECT doc_id,

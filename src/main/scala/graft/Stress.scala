@@ -81,6 +81,24 @@ object Stress {
         .agg(sum(col("q"))).collect()
       n
     }
+    // line-level boilerplate removal: frequency counting + anti-join ship
+    // only (hash, id); reassembly shuffles kept lines once
+    time("line_dedup") {
+      graft.llm.Dedup.dedupLines(corpus, "text", "doc_id", minDocs = 10)
+        .count()
+    }
+    // two-phase prefix sum over the replicated corpus: per-task work must
+    // stay bounded by range-partition size even though one "language"
+    // (replica class) holds 1/5 of all rows
+    time("prefix_sum_pack") {
+      graft.ops.PrefixSum.groupedRunningSum(
+        corpus.withColumn("lang", (col("doc_id") % 5).cast("string"))
+          .withColumn("toks",
+            graft.functions.TextFunctions.tokenCount(col("text")).cast("long")),
+        "lang", "doc_id", col("toks"), "cum")
+        .select(max(col("cum"))).collect()
+      n
+    }
     // connected components over the FULL minhash pair graph — the step after
     // pair generation; per-round cost is one shuffle of 16-byte label rows,
     // rounds ~ log(cluster diameter)
@@ -124,6 +142,21 @@ object Stress {
     time(s"embedding_pairs_lsh") {
       graft.llm.Dedup.embeddingPairs(evecs, "embedding", "vec_id",
         threshold = 0.9, sigBits = sb, nTables = 12).count()
+    }
+    // SemDeDup path: k-means assignment is a broadcast argmin; the
+    // within-cell pair check is quadratic in CELL population, so centroids
+    // are sized to keep expected cells ~2k rows
+    time("semantic_dedup") {
+      val cells = math.max(16, (nVecs / 2000).toInt)
+      graft.llm.Dedup.semanticDedup(evecs, "embedding", "vec_id",
+        threshold = 0.9, nCentroids = cells, kmeansIters = 2).count()
+    }
+    // JL projection 64 -> 16: map-only storage/compute transform
+    time("random_projection") {
+      evecs.select(graft.functions.VectorFunctions
+          .randomProjection(col("embedding"), 16, seed = 7).as("pv"))
+        .agg(sum(element_at(col("pv"), 1))).collect()
+      nVecs
     }
     }
     spark.stop()

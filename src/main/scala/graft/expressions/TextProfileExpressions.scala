@@ -34,6 +34,9 @@ object TextProfileExpressions {
   def textProfile(text: Column, wordSets: Seq[Seq[String]]): Column =
     ColumnShim.column(TextProfile(ColumnShim.expression(text), wordSets))
 
+  def nfcNormalize(text: Column): Column =
+    ColumnShim.column(NfcNormalize(ColumnShim.expression(text)))
+
   private[expressions] def isRegexWhitespace(cp: Int): Boolean =
     cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
 
@@ -137,6 +140,29 @@ case class TextProfile(child: Expression, wordSets: Seq[Seq[String]])
 
     new GenericInternalRow(Array[Any](
       nChars, nPunct, nToks, sumTokLen, nNtoks, new GenericArrayData(hits)))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Unicode canonical composition (NFC). Spark has no builtin normalizer;
+  * this wraps the JDK's (java.text.Normalizer) so composed and decomposed
+  * spellings of the same text ("café" vs "cafe" + U+0301) fingerprint and
+  * dedup identically. Parity analog of DuckDB's nfc_normalize — both
+  * implement Unicode canonical composition, so results agree byte-for-byte.
+  * Strings already in NFC (the overwhelming case — Normalizer.isNormalized
+  * is a cheap quick-check scan) pass through without allocation.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) v
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

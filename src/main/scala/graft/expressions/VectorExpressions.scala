@@ -43,6 +43,9 @@ object VectorExpressions {
   def dequantizeInt8(qv: Column): Column =
     ColumnShim.column(DequantizeInt8(ColumnShim.expression(qv)))
 
+  def randomProjection(vec: Column, outDim: Int, seed: Int = 0): Column =
+    ColumnShim.column(RandomProjection(ColumnShim.expression(vec), outDim, seed))
+
   private[expressions] def elemGetter(arr: String, idx: String, et: DataType): String =
     et match {
       case FloatType  => s"(double) $arr.getFloat($idx)"
@@ -364,6 +367,54 @@ case class SimHash64(child: Expression)
       b += 1
     }
     out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Deterministic Rademacher random projection array<numeric>[d] ->
+  * array<double>[outDim]: out_j = sum_i v_i * s(j, i) with signs s in
+  * {-1, +1} SplitMix64-derived from (seed, j, i) — every executor
+  * regenerates the implicit projection matrix identically with NO broadcast
+  * matrix, the Johnson-Lindenstrauss distortion bound holds for +-1 entries
+  * (Achlioptas 2003), and cosine is scale-invariant so the conventional
+  * 1/sqrt(outDim) factor is unnecessary. One primitive outDim x d loop per
+  * row; reducing 64-dim embeddings to 16 dims cuts downstream ANN dot-product
+  * and shuffle cost 4x at a small recall tax.
+  */
+case class RandomProjection(child: Expression, outDim: Int, seed: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(outDim >= 1 && outDim <= 4096, "outDim must be in [1, 4096]")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  private def elem = child.dataType.asInstanceOf[ArrayType].elementType
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + -7046029254386353131L // 0x9E3779B97F4A7C15
+    z = (z ^ (z >>> 30)) * -4658895280553007687L // 0xBF58476D1CE4E5B9
+    z = (z ^ (z >>> 27)) * -7723592293110705685L // 0x94D049BB133111EB
+    z ^ (z >>> 31)
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val dims = arr.numElements()
+    val out = new Array[Double](outDim)
+    var j = 0
+    while (j < outDim) {
+      // (seed, j) picks the row of the implicit matrix; i indexes within it
+      val base = (seed.toLong << 40) ^ (j.toLong << 20)
+      var acc = 0.0
+      var i = 0
+      while (i < dims) {
+        val s = if ((mix64(base ^ i.toLong) & 1L) == 0L) 1.0 else -1.0
+        acc += VectorExpressions.elemEval(arr, i, elem) * s
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

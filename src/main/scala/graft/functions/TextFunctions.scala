@@ -231,4 +231,20 @@ object TextFunctions {
     (size(regexp_extract_all(text, lit(EmailRegex), lit(0))) +
       size(regexp_extract_all(regexp_replace(text, EmailRegex, marker),
         lit(PhoneRegex), lit(0)))).cast("long")
+
+  /** Unicode NFC composition (native expression wrapping the JDK
+    * normalizer; DuckDB parity via nfc_normalize).
+    */
+  def nfcNormalize(text: Column): Column =
+    graft.expressions.TextProfileExpressions.nfcNormalize(text)
+
+  /** Canonical text normalization for cross-source matching: NFC compose,
+    * lowercase, collapse whitespace runs to one space, trim. Composed and
+    * decomposed spellings of the same text normalize to the same bytes, so
+    * fingerprints/dedup keys built on this agree across ingest sources.
+    * Everything but the NFC step is stock codegen'd functions; lower() is
+    * Spark's locale-independent UTF8String lowercasing.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(nfcNormalize(text)), "\\s+", " "))
 }

@@ -67,4 +67,13 @@ object VectorFunctions {
     */
   def hyperplaneSignature(vec: Column, nBits: Int, planeOffset: Int = 0): Column =
     graft.expressions.VectorExpressions.hyperplaneSig(vec, nBits, planeOffset)
+
+  /** Deterministic Rademacher (+-1) random projection to `outDim`
+    * dimensions — the Johnson-Lindenstrauss dimensionality-reduction step
+    * that cuts every downstream ANN/dedup dot product and vector shuffle by
+    * d/outDim. The implicit sign matrix is SplitMix64-derived from
+    * (seed, row, col): no broadcast state, identical on every executor.
+    */
+  def randomProjection(vec: Column, outDim: Int, seed: Int = 0): Column =
+    graft.expressions.VectorExpressions.randomProjection(vec, outDim, seed)
 }

@@ -28,9 +28,12 @@ object Bucketing {
   }
 
   /** Equi-join of two same-bucketed tables: the scan of each side reports
-    * hash output partitioning and per-bucket sort order, so
-    * EnsureRequirements inserts neither Exchange nor Sort
-    * (BucketingSpec asserts the plan shape).
+    * hash output partitioning, so EnsureRequirements inserts no Exchange.
+    * The within-partition Sort also disappears when
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering` is on (safe with
+    * this writer: exactly one file per bucket — the multi-file case that
+    * made Spark 3.0 stop trusting bucket sort order by default can't
+    * occur). BucketingSpec asserts both plan shapes.
     */
   def bucketedJoin(spark: SparkSession, left: String, leftKey: String,
                    right: String, rightKey: String): DataFrame =

@@ -206,6 +206,58 @@ object Similarity {
       .select(col("__id"), (lit(0) - col("m.ncid")).as("cell"),
         col("m.v").as("__v"))
 
+  /** Persisted IVF index: the corpus is written PARTITIONED BY its k-means
+    * cell, plus a tiny centroid side table. Serving ([[queryIvfIndex]])
+    * joins the probed cells against the partition column, so Spark's
+    * dynamic partition pruning reads ONLY the probed cell directories —
+    * at 100 TB a query batch scans ~nProbe/nCentroids of the corpus
+    * instead of all of it, and the index builds once, amortized over every
+    * later query batch (the same trade as [[graft.io.Bucketing]] for
+    * joins).
+    */
+  def buildIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
+                    path: String, nCentroids: Int = 16,
+                    kmeansIters: Int = 3): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = trainSphericalKMeans(corpus, vecCol, idCol, nCentroids,
+      kmeansIters)
+    assignCells(corpus, vecCol, idCol, centroids)
+      .select(col("__id").as(idCol), col("__v").as(vecCol), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
+    centroids.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) }
+      .toDF("cid", "cvec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Top-k against a [[buildIvfIndex]] layout. The probed (query, cell)
+    * pairs are a broadcast side of an equi-join on the PARTITION column, so
+    * dynamic partition pruning skips every unprobed cell directory
+    * (DedupSimilaritySpec asserts the dynamicpruning filter in the plan).
+    */
+  def queryIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, vecCol: String, idCol: String,
+                    k: Int, nProbe: Int = 4): DataFrame = {
+    val cents = broadcast(spark.read.parquet(s"$path/centroids"))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dot").desc, col("cell").asc)
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        VF.l2Normalize(col(vecCol)).as("__qnv"))
+      .crossJoin(cents)
+      .select(col("query_id"), col("__qv"), col("cid").as("cell"),
+        VF.dot(col("__qnv"), col("cvec")).as("dot"))
+      .withColumn("__rk", row_number().over(probeW))
+      .filter(col("__rk") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("cell"))
+    val data = spark.read.parquet(s"$path/data")
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cell"))
+    val scored = data.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VF.cosine(col("__qv"), col("__cv")))
+    rankTopK(scored, k)
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               vecCol: String, idCol: String, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,

@@ -331,6 +331,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.size == 5)
   }
 
+  test("persisted IVF index: partition-pruned serving matches brute force") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id",
+        expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+    val root = TestSpark.tmpDir("ivf-index")
+    Similarity.buildIvfIndex(emb, "embedding", "vec_id", root,
+      nCentroids = 8, kmeansIters = 2)
+    // layout: one directory per cell; centroid side table rides along
+    val dirs = new java.io.File(s"$root/data").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+    assert(dirs.nonEmpty && dirs.size <= 8, s"cell directories: $dirs")
+    val queries = emb.filter($"vec_id" < 5)
+    val res = Similarity.queryIvfIndex(spark, root, queries, "embedding",
+      "vec_id", k = 5, nProbe = 3)
+    // serving must plan a dynamic partition-pruning filter on cell: only
+    // probed cell directories are read
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on cell:\n$plan")
+    val got = res.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(queries, emb, "embedding", "vec_id", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert((exact & got).size.toDouble / exact.size >= 0.2)
+    // all returned cosines are exact, so any hit agrees with brute force
+    assert(res.groupBy("query_id").count().select("count")
+      .as[Long].collect().forall(_ == 5))
+  }
+
   test("IVF top-k returns k deterministic-ranked rows per query") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 5)

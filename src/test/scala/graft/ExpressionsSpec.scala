@@ -172,4 +172,46 @@ class ExpressionsSpec extends AnyFunSuite {
     // the email replacement consumes the digit run: ONE replacement, count 1
     assert(got(3) == Seq("mail [PII] maybe", 1L))
   }
+
+  test("RandomProjection: deterministic, linear, preserves planted closeness") {
+    val base = Array.tabulate(64)(i => math.sin(i * 1.7) * (1 + i % 5))
+    val near = base.map(_ * 1.0001)
+    val far  = Array.tabulate(64)(i => math.cos(i * 2.3) * (1 + i % 7))
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "v")
+      .select($"id", VF.randomProjection($"v", 16, seed = 7).as("p"),
+        VF.randomProjection($"v", 16, seed = 7).as("p2"),
+        VF.randomProjection($"v", 16, seed = 8).as("q"))
+    val rows = df.orderBy("id").collect()
+    val p = rows.map(_.getSeq[Double](1).toArray)
+    val p2 = rows.map(_.getSeq[Double](2).toArray)
+    val q = rows.map(_.getSeq[Double](3).toArray)
+    assert(p.forall(_.length == 16))
+    assert(p(0).toSeq == p2(0).toSeq, "same seed must reproduce exactly")
+    assert(p(0).toSeq != q(0).toSeq, "different seed must differ")
+    // linearity: proj(1.0001 * v) == 1.0001 * proj(v) exactly in structure
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(cos(p(0), p(1)) > 0.99999, "near-identical vectors must stay near")
+    assert(math.abs(cos(p(0), p(2))) < 0.9, "distant vectors must not collapse")
+  }
+
+  test("NfcNormalize + normalizeText: composition, casefold, whitespace") {
+    val df = Seq(
+      "Cafe\u0301",     // decomposed e + combining acute -> composed \u00E9
+      "\u212B",         // ANGSTROM SIGN -> \u00C5 -> lowercased \u00E5
+      "caf\u00E9",      // already NFC: unchanged (fast path)
+      "  A\tB\n\nC  "   // whitespace collapse + trim
+    ).map(Tuple1(_)).toDF("text")
+    val nfc = TestSpark.rows(df.select(TF.nfcNormalize($"text"))).flatten
+    assert(nfc(0) == "Caf\u00E9") // composed; case untouched by NFC
+    assert(nfc(1) == "\u00C5")
+    assert(nfc(2) == "caf\u00E9")
+    val norm = TestSpark.rows(df.select(TF.normalizeText($"text"))).flatten
+    assert(norm(0) == "caf\u00E9")
+    assert(norm(1) == "\u00E5")
+    assert(norm(2) == "caf\u00E9")
+    assert(norm(3) == "a b c")
+  }
 }

@@ -103,7 +103,9 @@ class ScaleOpsSpec extends AnyFunSuite {
              size(graft_minhash(graft_ngram_hashes(graft_norm_tokens('a b c d'), 2), 16)) AS m,
              graft_hyperplane_sig(array(1.0D, 2.0D), 8) AS hs,
              graft_l2_normalize(array(3.0D, 4.0D)) AS nv,
-             graft_dequantize_int8(graft_quantize_int8(array(1.0D, -0.5D, 0.25D))) AS dq
+             graft_dequantize_int8(graft_quantize_int8(array(1.0D, -0.5D, 0.25D))) AS dq,
+             size(graft_random_projection(array(1.0D, 2.0D, 3.0D), 8, 7)) AS rp,
+             graft_nfc_normalize('Café') AS nfc
     """).collect()(0)
     assert(r.getDouble(0) == 1.0)
     assert(r.getInt(2) == 16)
@@ -111,6 +113,8 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(r.getSeq[Double](4) == Seq(0.6, 0.8))
     val dq = r.getSeq[Double](5)
     assert(dq.zip(Seq(1.0, -0.5, 0.25)).forall { case (a, b) => math.abs(a - b) < 0.005 })
+    assert(r.getInt(6) == 8)
+    assert(r.getString(7) == "Café")
   }
 
   test("sampleByKey is stable under repartitioning") {
@@ -285,6 +289,26 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert("hashpartitioning\\([^)]*__salt".r.findFirstIn(plan).isDefined,
         s"expected a shuffle hash-partitioned by (key, __salt):\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
+  test("groupedRunningSum equals the single-task window cumsum, incl. skew") {
+    // one giant group (g0: 5000 rows) + tiny groups + a group spanning
+    // every range partition — forced through 8 partitions so groups MUST
+    // straddle partition boundaries and the offset phase does real work
+    val rows = (0L until 5000L).map(i => ("g0", i, i % 7 + 1)) ++
+      (0L until 40L).map(i => ("g1", i, i + 1)) ++
+      Seq(("g2", 0L, 100L))
+    val df = rows.toDF("grp", "ord", "v")
+    val got = graft.ops.PrefixSum.groupedRunningSum(df, "grp", "ord",
+        $"v", "cum", numPartitions = 8)
+      .select($"grp", $"ord", $"cum")
+      .as[(String, Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"grp").orderBy($"ord")
+    val expected = df.withColumn("cum", sum($"v".cast("long")).over(w))
+      .select($"grp", $"ord", $"cum")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == expected)
   }
 
   test("bucketed tables join without a shuffle exchange") {
