@@ -706,6 +706,82 @@ object SparkEntry {
       recall.union(nqRow).orderBy(col("metric"))
     }),
 
+    "q83_incremental_dedup" -> ((s, dir) => {
+      // incremental ingest dedup against PERSISTED corpus signatures: the
+      // signature table is written once (writeMinhashSignatures); a new
+      // batch (mutated copies — first 20 chars dropped — of docs 0..49)
+      // is checked against it without re-reading any corpus text. The
+      // self-check mirrors q23: the banded result must be a SUBSET of the
+      // exact batch x corpus pair set at the same threshold (hard 0), with
+      // recall >= 90% — all flowing through the persisted layout.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val root = scratchDir("q83_sigs")
+      Dedup.writeMinhashSignatures(docs, "text", "doc_id", s"$root/sigs",
+        shingleSize = 3, numHashes = 32)
+      val batch = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          expr("substring(text, 21)").as("text"))
+      val sigs = s.read.parquet(s"$root/sigs")
+      val inc = Dedup.dedupAgainstSignatures(batch, "text", "doc_id", sigs,
+          shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5)
+        .select(col("new_id"), col("existing_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bs = batch.select(col("doc_id").as("new_id"),
+        Dedup.minhashSignature(col("text"), 3, 32).as("__sigN"))
+      val exact = sigs
+        .select(col("id").as("existing_id"), col("sig").as("__sigE"))
+        .join(broadcast(bs))
+        .filter(graft.expressions.TextExpressions.matchFraction(
+          col("__sigN"), col("__sigE")) >= 0.5)
+        .select(col("new_id"), col("existing_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val spurious = inc.except(exact)
+        .agg(count(lit(1)).as("value"))
+        .select(lit("banded_minus_exact_pairs").as("metric"), col("value"))
+      val recall = inc.join(exact, Seq("new_id", "existing_id"))
+        .agg(count(lit(1)).as("nc"))
+        .crossJoin(exact.agg(count(lit(1)).as("ne")))
+        .select(lit("recall_pct_ge_90").as("metric"),
+          when(col("nc") * 100 >= col("ne") * 90, 1L).otherwise(0L).as("value"))
+      val nb = batch.agg(count(lit(1)).as("value"))
+        .select(lit("n_batch_docs").as("metric"), col("value"))
+      spurious.union(recall).union(nb).orderBy(col("metric"))
+    }),
+
+    "q84_heavy_hitters" -> ((s, dir) => {
+      // Misra-Gries heavy hitters (k=32, bounded state, mergeable): the MG
+      // guarantee — every token with true frequency > N/(k+1) survives ANY
+      // partial/merge order — is checked against exact counts; both counts
+      // are DuckDB-recomputable from the same tokenization.
+      import s.implicits._
+      val k = 32
+      val toks = t(s, dir, "documents")
+        .select(explode(TF.normTokens(col("text"))).as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sketch = toks.as[String]
+        .select(graft.ops.TypedAggregators.misraGries(k)).head()
+      val total = toks.count()
+      val heavy = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .filter(col("c") * (k + 1) > lit(total))
+        .select(col("tok")).as[String].collect()
+      val allIn = heavy.forall(sketch.contains)
+      Seq(
+        ("guaranteed_all_in_sketch", if (allIn) 1L else 0L),
+        ("n_guaranteed_heavy", heavy.length.toLong),
+        ("n_total_tokens", total)
+      ).toDF("metric", "value").orderBy(col("metric"))
+    }),
+
+    "q85_profile" -> ((s, dir) => {
+      // ANALYZE-style column profiling: nulls / exact distinct / min / max
+      // for every requested column in ONE aggregate pass (multi-
+      // countDistinct expand), unpivoted to long format. The oracle
+      // recomputes each column's row independently.
+      graft.ops.Profile.summarize(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy(col("column"))
+    }),
+
     "q63_weighted_sample" -> ((s, dir) => {
       // quality-weighted deterministic sampling: each doc kept with
       // probability quality/2, decided by the stable key hash — the
@@ -1808,6 +1884,49 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 20
         |UNION ALL SELECT 'top1_recall_pct_ge_90', CAST(1 AS BIGINT)
         |ORDER BY metric""".stripMargin,
+
+    "q83_incremental_dedup" ->
+      """SELECT 'banded_minus_exact_pairs' AS metric, CAST(0 AS BIGINT) AS value
+        |UNION ALL SELECT 'n_batch_docs', CAST(count(*) AS BIGINT)
+        |           FROM documents WHERE doc_id < 50
+        |UNION ALL SELECT 'recall_pct_ge_90', CAST(1 AS BIGINT)
+        |ORDER BY metric""".stripMargin,
+
+    "q84_heavy_hitters" ->
+      s"""WITH tk AS (SELECT unnest($ntoksSql) AS tok FROM documents),
+         |ex AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+         |tot AS (SELECT count(*) AS n FROM tk)
+         |SELECT 'guaranteed_all_in_sketch' AS metric, CAST(1 AS BIGINT) AS value
+         |UNION ALL SELECT 'n_guaranteed_heavy',
+         |  CAST((SELECT count(*) FROM ex WHERE c * 33 > (SELECT n FROM tot)) AS BIGINT)
+         |UNION ALL SELECT 'n_total_tokens', CAST((SELECT n FROM tot) AS BIGINT)
+         |ORDER BY metric""".stripMargin,
+
+    "q85_profile" ->
+      """SELECT 'o_custkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+        |  CAST(min(o_custkey) AS VARCHAR) AS min_val,
+        |  CAST(max(o_custkey) AS VARCHAR) AS max_val FROM orders
+        |UNION ALL
+        |SELECT 'o_orderkey', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_orderkey) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT),
+        |  CAST(min(o_orderkey) AS VARCHAR),
+        |  CAST(max(o_orderkey) AS VARCHAR) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_orderpriority) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |  CAST(min(o_orderpriority) AS VARCHAR),
+        |  CAST(max(o_orderpriority) AS VARCHAR) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_orderstatus) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |  CAST(min(o_orderstatus) AS VARCHAR),
+        |  CAST(max(o_orderstatus) AS VARCHAR) FROM orders
+        |ORDER BY "column"""".stripMargin,
 
     "q82_ivf_index" ->
       """SELECT 'n_queries' AS metric, CAST(count(*) AS BIGINT) AS value

@@ -84,8 +84,12 @@ object Stress {
     // line-level boilerplate removal: frequency counting + anti-join ship
     // only (hash, id); reassembly shuffles kept lines once
     time("line_dedup") {
+      // sum of output lengths, NOT count(): the reassembly join is keyed on
+      // a unique aggregate, so a bare count would let Catalyst eliminate
+      // the join and time nothing
       graft.llm.Dedup.dedupLines(corpus, "text", "doc_id", minDocs = 10)
-        .count()
+        .agg(sum(length(col("clean_text")))).collect()
+      n
     }
     // two-phase prefix sum over the replicated corpus: per-task work must
     // stay bounded by range-partition size even though one "language"

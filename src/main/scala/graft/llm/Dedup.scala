@@ -73,13 +73,7 @@ object Dedup {
     // never the signature, let alone the document. At corpus scale the
     // candidate join's shuffle is the dominant cost; keeping its rows at
     // 16 bytes (vs signature-carrying rows) is what makes it survivable.
-    val banded = sigs.select(
-      col("__id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(b, slice(col("__sig"), b * rows + lit(1), lit(rows)))
-            .as("bhash")))).as("__b"))
-      .select(col("__id"), col("__b.band"), col("__b.bhash"))
+    val banded = bandHashes(sigs, bands, rows)
 
     // Hot-bucket cap via partial-aggregated count + anti-join, NOT a Window
     // over (band, bhash): a window funnels every hot bucket through a single
@@ -112,6 +106,83 @@ object Dedup {
         graft.expressions.TextExpressions.matchFraction(col("sigA"), col("sigB")))
       .filter(col("jaccard_est") >= threshold)
       .select(col("idA"), col("idB"), col("jaccard_est"))
+  }
+
+  /** (__id, band, bhash) rows derived from a (__id, __sig) signature frame:
+    * `bands` hashes of `rows`-element signature slices per doc.
+    */
+  private def bandHashes(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigs.select(
+      col("__id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(b, slice(col("__sig"), b * rows + lit(1), lit(rows)))
+            .as("bhash")))).as("__b"))
+      .select(col("__id"), col("__b.band"), col("__b.bhash"))
+
+  /** Persist the corpus's MinHash signatures as the reusable state for
+    * INCREMENTAL dedup: computed once, consulted by every later ingest
+    * batch via [[dedupAgainstSignatures]] without re-reading or re-hashing
+    * any corpus text. Schema (id, sig); band hashes are derived at read
+    * time (a cheap slice+hash), so there is no second table to keep in
+    * sync.
+    */
+  def writeMinhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                             path: String, shingleSize: Int = 3,
+                             numHashes: Int = 32): Unit =
+    df.select(col(idCol).as("id"),
+        minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Near-duplicate pairs of a NEW ingest batch against a persisted
+    * signature table ([[writeMinhashSignatures]] layout): the batch is
+    * signed and banded, the corpus side derives its band hashes from the
+    * stored signatures, and candidates come from the asymmetric band join
+    * with the (small) batch side broadcast — the corpus never shuffles.
+    * Candidates verify with the same estimated-Jaccard filter as
+    * [[minhashPairs]], so the result is exactly the banded subset of the
+    * batch x corpus pairs at `threshold`. Returns
+    * (new_id, existing_id, jaccard_est).
+    *
+    * This is the daily-ingest shape at 100 TB: per batch, cost is one scan
+    * of the signature table (a few % of corpus bytes) + batch-sized work,
+    * instead of re-running pair generation over the full corpus.
+    */
+  def dedupAgainstSignatures(newDf: DataFrame, textCol: String, idCol: String,
+                             existingSigs: DataFrame,
+                             shingleSize: Int = 3, numHashes: Int = 32,
+                             bands: Int = 8, threshold: Double = 0.5,
+                             maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val newSigs = newDf.select(col(idCol).as("__id"),
+        minhashSignature(col(textCol), shingleSize, numHashes).as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusSigs = existingSigs
+      .select(col("id").as("__id"), col("sig").as("__sig"))
+    // corpus-side hot buckets are capped exactly as in minhashPairs (the
+    // skew lives in the corpus; the batch is small by assumption)
+    val cb = bandHashes(corpusSigs, bands, rows)
+    val hot = cb.groupBy(col("band"), col("bhash"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+      .select(col("band"), col("bhash"))
+    val capped = cb.join(hot, Seq("band", "bhash"), "left_anti")
+    val nb = bandHashes(newSigs, bands, rows)
+      .select(col("band"), col("bhash"), col("__id").as("new_id"))
+    val cand = capped.join(broadcast(nb), Seq("band", "bhash"))
+      .select(col("new_id"), col("__id").as("existing_id"))
+      .dropDuplicates("new_id", "existing_id")
+    cand
+      .join(broadcast(newSigs.select(col("__id").as("new_id"),
+        col("__sig").as("__sigN"))), Seq("new_id"))
+      .join(corpusSigs.select(col("__id").as("existing_id"),
+        col("__sig").as("__sigE")), Seq("existing_id"))
+      .withColumn("jaccard_est",
+        graft.expressions.TextExpressions.matchFraction(
+          col("__sigN"), col("__sigE")))
+      .filter(col("jaccard_est") >= threshold)
+      .select(col("new_id"), col("existing_id"), col("jaccard_est"))
   }
 
   /** Brute-force exact minhash pair set: ALL pairs with estimated Jaccard

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ANALYZE-style table profiling: one long-format row per column —
+  * (column, n_rows, n_nulls, n_distinct, min_val, max_val). All columns are
+  * profiled in a SINGLE aggregate pass over the table (Catalyst expands the
+  * multi-countDistinct, so the scan happens once), then the one wide row is
+  * unpivoted. min/max are cast to string after aggregating on the native
+  * type, so ordering semantics stay the column's own.
+  *
+  * `approxDistinct` swaps exact countDistinct for HLL
+  * approx_count_distinct — at 100 TB the exact variant's expand+shuffle is
+  * proportional to distinct values per column, the HLL one is constant
+  * state per column; exact is the default because the oracle compares it.
+  */
+object Profile {
+
+  def summarize(df: DataFrame, cols: Seq[String],
+                approxDistinct: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        (if (approxDistinct) approx_count_distinct(col(c))
+         else countDistinct(col(c))).as(s"__nd_$c"),
+        count(col(c)).as(s"__nc_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    } :+ count(lit(1)).as("__n")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    wide.select(explode(array(cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__nc_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_val"),
+        col(s"__mx_$c").as("max_val"))
+    }: _*)).as("p")).select(col("p.*"))
+  }
+}

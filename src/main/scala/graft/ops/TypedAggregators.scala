@@ -54,4 +54,52 @@ object TypedAggregators {
   }
 
   def sampleVariance: TypedColumn[Double, Double] = Variance.toColumn
+
+  /** Misra-Gries heavy-hitters sketch: at most `k` (item, count) entries of
+    * bounded-state per partial, merged with the Agarwal et al. mergeable-
+    * summaries rule (sum counts, subtract the (k+1)-th largest, drop
+    * non-positives). The guarantee — every item with true frequency
+    * > N/(k+1) is present in the final sketch, under ANY partial/merge
+    * order — is deterministic, which is what the oracle flag checks; the
+    * per-item count error is at most N/(k+1).
+    *
+    * At 100 TB this replaces the exact `groupBy(token).count` top-k (a
+    * full shuffle of every distinct token) with map-side state of k entries
+    * and a k-entry merge — the only aggregate whose cost is independent of
+    * the number of distinct items.
+    */
+  class MisraGries(k: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(k >= 1, "k must be >= 1")
+    def zero: Map[String, Long] = Map.empty
+
+    def reduce(b: Map[String, Long], x: String): Map[String, Long] =
+      b.get(x) match {
+        case Some(c) => b.updated(x, c + 1)
+        case None if b.size < k => b.updated(x, 1L)
+        case None => // decrement-all step: drop entries reaching zero
+          b.flatMap { case (t, c) => if (c > 1) Some(t -> (c - 1)) else None }
+      }
+
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = b.foldLeft(a) { case (m, (t, c)) =>
+        m.updated(t, m.getOrElse(t, 0L) + c)
+      }
+      if (sum.size <= k) sum
+      else {
+        // subtract the (k+1)-th largest count, keep strictly positive
+        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        sum.flatMap { case (t, c) => if (c > cut) Some(t -> (c - cut)) else None }
+      }
+    }
+
+    def finish(b: Map[String, Long]): Map[String, Long] = b
+    def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  def misraGries(k: Int): TypedColumn[String, Map[String, Long]] =
+    new MisraGries(k).toColumn
 }

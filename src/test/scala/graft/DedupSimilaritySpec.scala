@@ -331,6 +331,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.size == 5)
   }
 
+  test("incremental dedup vs persisted signatures == full-rebuild cross pairs") {
+    val base = corpus.filter($"doc_id" < 1000) // originals only
+    val root = TestSpark.tmpDir("inc-sigs")
+    Dedup.writeMinhashSignatures(base, "text", "doc_id", s"$root/sigs",
+      shingleSize = 2, numHashes = 64)
+    // the near-dup replicas act as "today's ingest"
+    val batch = corpus.filter($"doc_id" >= 2000)
+    val sigs = spark.read.parquet(s"$root/sigs")
+    val inc = Dedup.dedupAgainstSignatures(batch, "text", "doc_id", sigs,
+        shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.4)
+      .select($"new_id", $"existing_id").as[(Long, Long)].collect().toSet
+    // full rebuild reference: minhashPairs over base ∪ batch, restricted to
+    // cross pairs (same banding, same threshold)
+    val full = Dedup.minhashPairs(base.union(batch), "text", "doc_id",
+        shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.4)
+      .filter($"idB" >= 2000 && $"idA" < 1000)
+      .select($"idB", $"idA").as[(Long, Long)].collect().toSet
+    assert(inc == full, s"incremental ${inc.size} vs full-rebuild ${full.size}")
+    assert(inc.nonEmpty, "injected near-dups must be flagged")
+    // every batch doc's mutation source must be among its matches
+    val sources = inc.collect { case (n, e) if e == n - 2000 => n }
+    assert(sources.size >= 15, s"only ${sources.size}/20 planted dups caught")
+  }
+
   test("persisted IVF index: partition-pruned serving matches brute force") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select($"vec_id",

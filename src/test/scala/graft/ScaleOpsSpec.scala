@@ -291,6 +291,44 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("MisraGries: guarantee holds across partitions; counts within N/(k+1)") {
+    // zipf-ish fixture: token t_i appears 2^(10-i) times, spread over many
+    // partitions so partial sketches MUST merge
+    val rows = (0 until 10).flatMap(i => Seq.fill(1 << (10 - i))(s"t$i"))
+    val df = rows.toDS().repartition(16)
+    val k = 4
+    val sketch = df.select(graft.ops.TypedAggregators.misraGries(k)).head()
+    assert(sketch.size <= k)
+    val n = rows.size
+    val exact = rows.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val guaranteed = exact.filter(_._2 * (k + 1) > n).keySet
+    assert(guaranteed.nonEmpty)
+    assert(guaranteed.subsetOf(sketch.keySet),
+      s"guaranteed $guaranteed missing from sketch ${sketch.keySet}")
+    // count error bounded by N/(k+1)
+    sketch.foreach { case (t, c) =>
+      assert(math.abs(c - exact.getOrElse(t, 0L)) <= n / (k + 1),
+        s"count error for $t: sketch $c vs exact ${exact.get(t)}")
+    }
+  }
+
+  test("Profile.summarize matches per-column aggregates, one row per column") {
+    val df = Seq(
+      (1L, Some("a"), 1.5), (2L, None, 2.5), (3L, Some("b"), 1.5), (4L, Some("a"), 0.5)
+    ).toDF("id", "s", "d")
+    val got = graft.ops.Profile.summarize(df, Seq("id", "s", "d"))
+      .orderBy($"column")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5)))
+    assert(got(0) == ("d", 4L, 0L, 3L, "0.5", "2.5"))
+    assert(got(1) == ("id", 4L, 0L, 4L, "1", "4"))
+    assert(got(2) == ("s", 4L, 1L, 2L, "a", "b"))
+    // approx variant keeps the same shape
+    val approx = graft.ops.Profile.summarize(df, Seq("id"), approxDistinct = true)
+      .collect()(0)
+    assert(approx.getLong(3) >= 3L && approx.getLong(3) <= 5L)
+  }
+
   test("groupedRunningSum equals the single-task window cumsum, incl. skew") {
     // one giant group (g0: 5000 rows) + tiny groups + a group spanning
     // every range partition — forced through 8 partitions so groups MUST
