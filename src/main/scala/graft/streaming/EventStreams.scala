@@ -119,6 +119,35 @@ object EventStreams {
       }
   }
 
+  /** Streaming ingest near-dup screening: every micro-batch of documents is
+    * checked against the PERSISTED corpus signature table
+    * ([[graft.llm.Dedup.writeMinhashSignatures]] layout) via foreachBatch,
+    * and flagged (new_id, existing_id, jaccard_est) pairs append to
+    * `outPath`. The corpus lives entirely in the static table, so the
+    * stream holds NO accumulating state — each trigger is one bounded
+    * incremental-dedup job ([[graft.llm.Dedup.dedupAgainstSignatures]]:
+    * batch side broadcast, corpus signatures never shuffled). This is the
+    * continuous-ingest shape of the daily-batch q83 pipeline.
+    */
+  def screenIngest(docs: DataFrame, sigPath: String, outPath: String,
+                   textCol: String, idCol: String,
+                   shingleSize: Int = 3, numHashes: Int = 32,
+                   bands: Int = 8, threshold: Double = 0.5): StreamingQuery = {
+    val q = docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sigs = batch.sparkSession.read.parquet(sigPath)
+        graft.llm.Dedup.dedupAgainstSignatures(batch.toDF(), textCol, idCol,
+            sigs, shingleSize, numHashes, bands, threshold)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", s"$outPath/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Drive a streaming DataFrame to a named in-memory table and block until
     * all available input is processed — the local test/verification harness
     * (format("memory") + processAllAvailable).

@@ -159,6 +159,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest screening equals the batch incremental dedup") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").limit(100).cache()
+    val sigDir = TestSpark.tmpDir("scr-sigs") + "/sigs"
+    graft.llm.Dedup.writeMinhashSignatures(docs, "text", "doc_id", sigDir,
+      shingleSize = 2, numHashes = 64)
+    // ingest = near-dup mutations of docs 0..19, landed as TWO files so the
+    // stream sees more than one micro-batch
+    val ingest = docs.filter($"doc_id" < 20)
+      .select(($"doc_id" + 5000).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 3, 100000), ' ')").as("text"))
+      .cache()
+    val inDir = TestSpark.tmpDir("scr-in")
+    ingest.filter($"doc_id" % 2 === 0).coalesce(1).write.mode("append").parquet(inDir)
+    ingest.filter($"doc_id" % 2 === 1).coalesce(1).write.mode("append").parquet(inDir)
+    val outDir = TestSpark.tmpDir("scr-out") + "/flagged"
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    val q = EventStreams.screenIngest(stream, sigDir, outDir,
+      "text", "doc_id", shingleSize = 2, numHashes = 64, bands = 16,
+      threshold = 0.4)
+    try {
+      val got = spark.read.parquet(outDir)
+        .select($"new_id", $"existing_id").as[(Long, Long)].collect().toSet
+      val batchRef = graft.llm.Dedup.dedupAgainstSignatures(ingest, "text",
+          "doc_id", spark.read.parquet(sigDir),
+          shingleSize = 2, numHashes = 64, bands = 16, threshold = 0.4)
+        .select($"new_id", $"existing_id").as[(Long, Long)].collect().toSet
+      assert(got == batchRef, s"stream ${got.size} vs batch ${batchRef.size}")
+      // the planted mutation sources must be flagged
+      assert(got.count { case (n, e) => e == n - 5000 } >= 15)
+    } finally q.stop()
+  }
+
   test("interval join applies identically in batch mode") {
     val batch = spark.read.parquet(streamDir)
     val clicks = batch.filter($"event_type" === "click")
