@@ -782,6 +782,51 @@ object SparkEntry {
         .orderBy(col("column"))
     }),
 
+    "q86_temperature_mix" -> ((s, dir) => {
+      // temperature-scaled language balancing (tau=2): head languages are
+      // downsampled toward the flattened sqrt-share distribution, tail
+      // languages keep 100%; membership is decided by the stable key hash,
+      // so the sample is layout- and engine-independent. The oracle
+      // recomputes the counts, the sqrt weights, the integer percents, and
+      // the per-row hash cut.
+      val docs = t(s, dir, "documents")
+      val pct = graft.ops.Sampling.temperaturePercents(docs, "lang", tau = 2.0)
+      graft.ops.Sampling.mixtureSample(docs, "lang", "doc_id", pct)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q87_doc_chunking" -> ((s, dir) => {
+      // context-window chunking (16-token windows, stride 8): map-only
+      // explode, every token covered, final window short. The oracle
+      // recomputes the windows relationally (range + list_slice).
+      TF.chunkDocs(t(s, dir, "documents"), "text", "doc_id",
+          chunkTokens = 16, stride = 8)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    "q88_quality_checks" -> ((s, dir) => {
+      // data-quality expectations as VIOLATION sets: uniqueness violations
+      // are planted by duplicating every 997th order, referential orphans
+      // by corrupting every 499th order's custkey; both checks must return
+      // exactly the planted keys (the oracle recomputes them), and nothing
+      // from the clean remainder.
+      val orders = t(s, dir, "orders")
+      val withDups = orders.unionByName(
+        orders.filter(pmod(col("o_orderkey"), lit(997)) === 0))
+      val dupKeys = graft.ops.Checks.duplicateKeys(withDups, Seq("o_orderkey"))
+        .select(lit("dup_key").as("check"), col("o_orderkey").as("key"),
+          col("n_rows").as("n"))
+      val corrupted = orders.withColumn("o_custkey",
+        when(pmod(col("o_orderkey"), lit(499)) === 0,
+          col("o_custkey") + 10000000L).otherwise(col("o_custkey")))
+      val orphanRows = graft.ops.Checks.orphans(corrupted, "o_custkey",
+          t(s, dir, "customer"), "c_custkey")
+        .select(lit("orphan").as("check"), col("o_orderkey").as("key"),
+          lit(1L).as("n"))
+      dupKeys.unionByName(orphanRows).orderBy(col("check"), col("key"))
+    }),
+
     "q63_weighted_sample" -> ((s, dir) => {
       // quality-weighted deterministic sampling: each doc kept with
       // probability quality/2, decided by the stable key hash — the
@@ -1884,6 +1929,46 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 20
         |UNION ALL SELECT 'top1_recall_pct_ge_90', CAST(1 AS BIGINT)
         |ORDER BY metric""".stripMargin,
+
+    "q88_quality_checks" ->
+      """WITH dup AS (
+        |  SELECT o_orderkey FROM orders
+        |  UNION ALL SELECT o_orderkey FROM orders WHERE o_orderkey % 997 = 0),
+        |dk AS (SELECT 'dup_key' AS "check", o_orderkey AS key,
+        |         CAST(count(*) AS BIGINT) AS n
+        |       FROM dup GROUP BY o_orderkey HAVING count(*) > 1),
+        |bad AS (SELECT o_orderkey,
+        |          CASE WHEN o_orderkey % 499 = 0 THEN o_custkey + 10000000
+        |               ELSE o_custkey END AS ck
+        |        FROM orders),
+        |orph AS (SELECT 'orphan' AS "check", o_orderkey AS key,
+        |           CAST(1 AS BIGINT) AS n
+        |         FROM bad ANTI JOIN customer ON ck = c_custkey)
+        |SELECT * FROM dk UNION ALL SELECT * FROM orph
+        |ORDER BY "check", key""".stripMargin,
+
+    "q86_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |t AS (SELECT sum(n) AS total FROM c),
+         |w AS (SELECT lang, n, sqrt(n * 1.0 / total) AS wg FROM c, t),
+         |sw AS (SELECT sum(wg) AS s FROM w),
+         |p AS (SELECT lang,
+         |        CAST(least(100, round(100.0 * (wg / s) * total / n)) AS BIGINT)
+         |          AS pct
+         |      FROM w, sw, t)
+         |SELECT doc_id, d.lang FROM documents d JOIN p USING (lang)
+         |WHERE (${graft.ops.Sampling.keyHashSql("doc_id")}) % 100 < pct
+         |ORDER BY doc_id""".stripMargin,
+
+    "q87_doc_chunking" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |st AS (SELECT doc_id, toks,
+         |         unnest(range(0, CAST(len(toks) AS BIGINT), 8)) AS s
+         |       FROM d WHERE len(toks) > 0)
+         |SELECT doc_id, CAST(s // 8 AS BIGINT) AS chunk_id,
+         |  array_to_string(list_slice(toks, s + 1, s + 16), ' ') AS chunk_text,
+         |  CAST(least(16, len(toks) - s) AS BIGINT) AS n_chunk_tokens
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q83_incremental_dedup" ->
       """SELECT 'banded_minus_exact_pairs' AS metric, CAST(0 AS BIGINT) AS value

@@ -232,6 +232,31 @@ object TextFunctions {
       size(regexp_extract_all(regexp_replace(text, EmailRegex, marker),
         lit(PhoneRegex), lit(0)))).cast("long")
 
+  /** Fixed-size token chunking with stride — context-window preparation
+    * for embedding / retrieval pipelines: each document becomes windows of
+    * `chunkTokens` whitespace tokens starting at 0, stride, 2*stride, ...;
+    * the final window may be shorter, every token is covered (stride <=
+    * chunkTokens), empty docs yield no chunks. Map-only explode — no
+    * shuffle, safe at any corpus size. Output: (idCol, chunk_id,
+    * chunk_text, n_chunk_tokens).
+    */
+  def chunkDocs(df: org.apache.spark.sql.DataFrame, textCol: String,
+                idCol: String, chunkTokens: Int,
+                stride: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1 && stride <= chunkTokens,
+      "need 1 <= stride <= chunkTokens (full token coverage)")
+    val toked = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val starts = when(size(col("__toks")) === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), size(col("__toks")) - 1, lit(stride)))
+    toked.select(col(idCol),
+        posexplode(transform(starts, st => struct(
+          array_join(slice(col("__toks"), st + 1, lit(chunkTokens)), " ").as("t"),
+          least(lit(chunkTokens), size(col("__toks")) - st).as("n"))))
+          .as(Seq("chunk_id", "__c")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("__c.t").as("chunk_text"), col("__c.n").cast("long").as("n_chunk_tokens"))
+  }
+
   /** Unicode NFC composition (native expression wrapping the JDK
     * normalizer; DuckDB parity via nfc_normalize).
     */

@@ -81,6 +81,33 @@ object Sampling {
     * rows (groups absent from the map keep `defaultPercent`%), decided per
     * key — the deterministic form of "mix sources at these rates".
     */
+  /** Temperature-scaled mixture percents (the multilingual data-balancing
+    * rule): group share p_g = n_g/N flattens to w_g = p_g^(1/tau), target
+    * share q_g = w_g / sum(w), keep-percent r_g = min(100,
+    * round(100 * q_g * N / n_g)). tau=1 reproduces the natural
+    * distribution (100% everywhere); larger tau downsamples head groups
+    * toward uniform while tail groups stay at 100%. One tiny count
+    * aggregate + driver math over |groups| values; feed the result to
+    * [[mixtureSample]]. tau=2 computes sqrt explicitly — IEEE sqrt is
+    * correctly rounded in both the JVM and libm, so the DuckDB oracle's
+    * rates agree bitwise (general pow is not that safe).
+    */
+  def temperaturePercents(df: DataFrame, groupCol: String,
+                          tau: Double): Map[String, Int] = {
+    require(tau > 0, "tau must be positive")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toSeq.sortBy(_._1)
+    val total = counts.map(_._2).sum.toDouble
+    val w = counts.map { case (g, n) =>
+      val p = n / total
+      g -> (if (tau == 2.0) math.sqrt(p) else math.pow(p, 1.0 / tau))
+    }
+    val sw = w.map(_._2).sum
+    counts.zip(w).map { case ((g, n), (_, wg)) =>
+      g -> math.min(100L, math.round(100.0 * (wg / sw) * total / n)).toInt
+    }.toMap
+  }
+
   def mixtureSample(df: DataFrame, groupCol: String, keyCol: String,
                     percents: Map[String, Int],
                     defaultPercent: Int = 100): DataFrame = {

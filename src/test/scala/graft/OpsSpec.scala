@@ -103,4 +103,22 @@ class OpsSpec extends AnyFunSuite {
     val df = testDf.withDefaultColNames
     assert(df.columns.toSeq == Seq("_col0", "_col1", "_col2"))
   }
+
+  test("Checks: duplicate keys and referential orphans, null FK not orphan") {
+    import spark.implicits._
+    val child = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(99L)),
+      (4L, None: Option[Long]), (5L, Some(10L))).toDF("id", "fk")
+    val parent = Seq(10L, 20L).toDF("pk")
+    val orph = graft.ops.Checks.orphans(child, "fk", parent, "pk")
+      .select("id").as[Long].collect().toSeq
+    assert(orph == Seq(3L)) // null fk (id 4) is NOT an orphan
+    val dups = graft.ops.Checks.duplicateKeys(
+        child.select($"fk"), Seq("fk"))
+      .collect().map(r => (r.get(0), r.getLong(1)))
+    assert(dups.toSeq == Seq((10L, 2L))) // nulls/singletons not violations
+    // clean data -> empty violation sets
+    assert(graft.ops.Checks.duplicateKeys(parent, Seq("pk")).isEmpty)
+    assert(graft.ops.Checks.orphans(
+      child.filter($"id" =!= 3), "fk", parent, "pk").isEmpty)
+  }
 }

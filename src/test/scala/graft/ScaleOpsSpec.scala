@@ -291,6 +291,43 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("temperaturePercents: tau=1 natural, tau=2 flattens head toward uniform") {
+    // skewed mixture: 900 'en', 90 'fr', 10 'is'
+    val df = ((0 until 900).map(i => (i.toLong, "en")) ++
+      (0 until 90).map(i => (1000L + i, "fr")) ++
+      (0 until 10).map(i => (2000L + i, "is"))).toDF("doc_id", "lang")
+    val natural = graft.ops.Sampling.temperaturePercents(df, "lang", tau = 1.0)
+    assert(natural == Map("en" -> 100, "fr" -> 100, "is" -> 100))
+    val flat = graft.ops.Sampling.temperaturePercents(df, "lang", tau = 2.0)
+    // head language downsampled, tail kept whole, middle in between
+    assert(flat("en") < 100 && flat("is") == 100)
+    assert(flat("en") < flat("fr"))
+    // flattened shares: expected kept counts move toward uniform
+    val kept = graft.ops.Sampling.mixtureSample(df, "lang", "doc_id", flat)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(kept("en") < 900 && kept("is") == 10)
+  }
+
+  test("chunkDocs: full coverage, stride overlap, short tail, empty doc") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks: chunks at 0,4,8
+      (2L, "a b"),                                    // single short chunk
+      (3L, "")                                        // no chunks
+    ).toDF("doc_id", "text")
+    val got = graft.functions.TextFunctions
+      .chunkDocs(df, "text", "doc_id", chunkTokens = 6, stride = 4)
+      .orderBy($"doc_id", $"chunk_id")
+      .as[(Long, Long, String, Long)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 1L, 1L, 2L))
+    assert(got(0)._3 == "w1 w2 w3 w4 w5 w6" && got(0)._4 == 6L)
+    assert(got(1)._3 == "w5 w6 w7 w8 w9 w10" && got(1)._4 == 6L)
+    assert(got(2)._3 == "w9 w10" && got(2)._4 == 2L) // short tail
+    assert(got(3)._3 == "a b" && got(3)._4 == 2L)
+    // every token appears in at least one chunk
+    val covered = got.filter(_._1 == 1L).flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"w$i").toSet)
+  }
+
   test("MisraGries: guarantee holds across partitions; counts within N/(k+1)") {
     // zipf-ish fixture: token t_i appears 2^(10-i) times, spread over many
     // partitions so partial sketches MUST merge
