@@ -155,6 +155,21 @@ object Stress {
       graft.llm.Dedup.semanticDedup(evecs, "embedding", "vec_id",
         threshold = 0.9, nCentroids = cells, kmeansIters = 2).count()
     }
+    // persisted IVF index: build once (train + partitioned write), then
+    // serve a 1k-query batch — serving must read only probed cell dirs
+    // (dynamic partition pruning), so its cost tracks nProbe/nCentroids of
+    // the corpus, not the corpus
+    val ivfDir = java.nio.file.Files.createTempDirectory("stress-ivf").toString
+    time("ivf_index_build") {
+      graft.llm.Similarity.buildIvfIndex(evecs, "embedding", "vec_id",
+        ivfDir, nCentroids = 64, kmeansIters = 2)
+      nVecs
+    }
+    time("ivf_index_serve_1k") {
+      graft.llm.Similarity.queryIvfIndex(spark, ivfDir,
+        evecs.filter(col("vec_id") < 1000), "embedding", "vec_id",
+        k = 10, nProbe = 4).count()
+    }
     // JL projection 64 -> 16: map-only storage/compute transform
     time("random_projection") {
       evecs.select(graft.functions.VectorFunctions
