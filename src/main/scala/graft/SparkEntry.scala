@@ -827,6 +827,44 @@ object SparkEntry {
       dupKeys.unionByName(orphanRows).orderBy(col("check"), col("key"))
     }),
 
+    "q89_fuzzy_join" -> ((s, dir) => {
+      // blocked edit-distance self-join: strings are the documents' first
+      // three normalized tokens plus planted single-char typos (ASCII '~'
+      // substitution at position 3 — the corpus is pure ASCII, so Spark's
+      // codepoint levenshtein and DuckDB's byte levenshtein agree).
+      // Symmetric-delete blocking guarantees recall 1 below the bucket
+      // cap, so the oracle is the plain ALL-PAIRS levenshtein <= 1 —
+      // exact set equality, no flags.
+      val phrases = t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(slice(TF.normTokens(col("text")), 1, 3), " ").as("s"))
+      val typos = phrases.select((col("doc_id") + 100000L).as("doc_id"),
+        concat(substring(col("s"), 1, 2), lit("~"),
+          substring(col("s"), 4, 1000000)).as("s"))
+      graft.ops.FuzzyJoin.editDistancePairs(
+          phrases.unionByName(typos), "s", "doc_id", maxDist = 1)
+        .orderBy(col("idA"), col("idB"))
+    }),
+
+    "q90_embedding_dedup_clustered" -> ((s, dir) => {
+      // cluster-exact embedding dedup: connected components over the LSH
+      // near-dup pair graph, smallest id kept per cluster. Fixture as q58
+      // (planted perturbed copies, per-pair LSH miss probability ~1e-6 at
+      // sigBits=12 x 12 tables), so the survivors must be EXACTLY the
+      // original ids — the oracle is a plain scan of embeddings.
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val d = size(col("embedding"))
+      val perturbed = emb.select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + lit(0.1) * element_at(col("embedding"), pmod(i + 1, d) + 1))
+          .as("embedding"))
+      Dedup.embeddingDedupClustered(emb.unionByName(perturbed),
+          "embedding", "vec_id", threshold = 0.9, sigBits = 12, nTables = 12)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q63_weighted_sample" -> ((s, dir) => {
       // quality-weighted deterministic sampling: each doc kept with
       // probability quality/2, decided by the stable key hash — the
@@ -1929,6 +1967,24 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 20
         |UNION ALL SELECT 'top1_recall_pct_ge_90', CAST(1 AS BIGINT)
         |ORDER BY metric""".stripMargin,
+
+    "q89_fuzzy_join" ->
+      s"""WITH p0 AS (SELECT doc_id,
+         |    array_to_string(list_slice($ntoksSql, 1, 3), ' ') AS s
+         |  FROM documents),
+         |p AS (SELECT doc_id, s FROM p0
+         |      UNION ALL
+         |      SELECT doc_id + 100000,
+         |        concat(substring(s, 1, 2), '~', substring(s, 4, 1000000))
+         |      FROM p0)
+         |SELECT a.doc_id AS idA, b.doc_id AS idB,
+         |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+         |FROM p a JOIN p b ON a.doc_id < b.doc_id
+         |WHERE levenshtein(a.s, b.s) <= 1
+         |ORDER BY idA, idB""".stripMargin,
+
+    "q90_embedding_dedup_clustered" ->
+      """SELECT vec_id FROM embeddings ORDER BY vec_id""",
 
     "q88_quality_checks" ->
       """WITH dup AS (

@@ -608,6 +608,23 @@ object Dedup {
       .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Embedding near-dedup keeping EXACTLY one vector (the smallest id) per
+    * connected near-duplicate cluster — the embedding-side mirror of
+    * [[minhashDedupClustered]]: [[embeddingPairs]] candidates grouped by
+    * [[connectedComponents]], so chained near-dups (a~b~c with a!~c)
+    * collapse to one representative instead of dropping both chain ends.
+    */
+  def embeddingDedupClustered(df: DataFrame, vecCol: String, idCol: String,
+                              threshold: Double = 0.95, sigBits: Int = 8,
+                              nTables: Int = 8): DataFrame = {
+    val pairs = embeddingPairs(df, vecCol, idCol, threshold, sigBits, nTables)
+      .select(col("idA"), col("idB"))
+    val drop = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** SemDeDup-style semantic deduplication: k-means cells bound the
     * quadratic verification. A row is DROPPED when a lower-id row in the
     * same cell has cosine >= `threshold`; survivors keep their cell id.

@@ -331,6 +331,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.size == 5)
   }
 
+  test("embeddingDedupClustered keeps exactly the min id per component") {
+    // q58-style corpus with TWO perturbation levels -> chains a~b~c where
+    // the a~c link may or may not pass the threshold; cluster semantics
+    // must keep exactly one representative per component either way
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id",
+        expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+    val d = expr("size(embedding)")
+    def perturb(src: org.apache.spark.sql.DataFrame, off: Long, eps: Double) =
+      src.select(($"vec_id" + off).as("vec_id"),
+        expr(s"transform(embedding, (x, i) -> x + $eps * " +
+          "element_at(embedding, cast(pmod(i + 1, size(embedding)) + 1 as int)))")
+          .as("embedding"))
+    val lvl1 = perturb(emb, 100000L, 0.05)
+    val lvl2 = perturb(lvl1, 100000L, 0.05) // ids +200000, chained via lvl1
+    val corpus = emb.unionByName(lvl1).unionByName(lvl2)
+    val survivors = Dedup.embeddingDedupClustered(corpus, "embedding",
+        "vec_id", threshold = 0.9, sigBits = 10, nTables = 12)
+      .select("vec_id").as[Long].collect().toSet
+    val pairs = Dedup.embeddingPairs(corpus, "embedding", "vec_id",
+      threshold = 0.9, sigBits = 10, nTables = 12)
+    val comps = Dedup.connectedComponents(pairs.select($"idA", $"idB"))
+      .as[(Long, Long)].collect()
+    val reps = comps.filter { case (id, c) => id == c }.map(_._1).toSet
+    val nonReps = comps.filter { case (id, c) => id != c }.map(_._1).toSet
+    assert(reps.subsetOf(survivors))
+    assert(nonReps.intersect(survivors).isEmpty)
+    val allIds = corpus.select("vec_id").as[Long].collect().toSet
+    assert((allIds -- comps.map(_._1).toSet).subsetOf(survivors))
+    // the planted chains actually collapse: every original id survives,
+    // every perturbed id is dropped (chain link cosine ~0.99875 >> 0.9)
+    assert(emb.select("vec_id").as[Long].collect().toSet.subsetOf(survivors))
+    assert(survivors.count(_ >= 100000L) == 0)
+  }
+
   test("incremental dedup vs persisted signatures == full-rebuild cross pairs") {
     val base = corpus.filter($"doc_id" < 1000) // originals only
     val root = TestSpark.tmpDir("inc-sigs")

@@ -104,6 +104,41 @@ class OpsSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("_col0", "_col1", "_col2"))
   }
 
+  test("editDistancePairs equals brute force, incl. short-string fallback") {
+    import spark.implicits._
+    val strs = Seq((1L, "kitten"), (2L, "sitten"), (3L, "sittin"),
+      (4L, "abc"), (5L, "abd"), (6L, "xy"), (7L, "x"), (8L, "kitten"),
+      (9L, "zzzzz"), (10L, "")).toDF("id", "s")
+    val got = graft.ops.FuzzyJoin.editDistancePairs(strs, "s", "id",
+        maxDist = 1)
+      .select($"idA", $"idB", $"dist").as[(Long, Long, Long)].collect().toSet
+    // brute force with the same levenshtein
+    val l = strs.select($"id".as("idA"), $"s".as("sA"))
+    val r = strs.select($"id".as("idB"), $"s".as("sB"))
+    val exact = l.crossJoin(r).filter($"idA" < $"idB")
+      .withColumn("dist", levenshtein($"sA", $"sB").cast("long"))
+      .filter($"dist" <= 1)
+      .select($"idA", $"idB", $"dist").as[(Long, Long, Long)].collect().toSet
+    assert(got == exact, s"fuzzy ${got.size} vs exact ${exact.size}")
+    // sanity: the known pairs are present — chain ends NOT joined
+    assert(got.contains((1L, 2L, 1L)) && got.contains((2L, 3L, 1L)))
+    assert(!got.exists(p => p._1 == 1L && p._2 == 3L)) // kitten/sittin = 2
+    assert(got.contains((4L, 5L, 1L)))   // substitution
+    assert(got.contains((6L, 7L, 1L)))   // deletion: xy/x
+    assert(got.contains((1L, 8L, 0L)))   // exact duplicates at dist 0
+
+    // maxDist = 2 (double-deletion neighborhood) against the same oracle
+    val got2 = graft.ops.FuzzyJoin.editDistancePairs(strs, "s", "id",
+        maxDist = 2)
+      .select($"idA", $"idB", $"dist").as[(Long, Long, Long)].collect().toSet
+    val exact2 = l.crossJoin(r).filter($"idA" < $"idB")
+      .withColumn("dist", levenshtein($"sA", $"sB").cast("long"))
+      .filter($"dist" <= 2)
+      .select($"idA", $"idB", $"dist").as[(Long, Long, Long)].collect().toSet
+    assert(got2 == exact2, s"fuzzy d2 ${got2.size} vs exact ${exact2.size}")
+    assert(got2.contains((1L, 3L, 2L))) // kitten/sittin now included
+  }
+
   test("Checks: duplicate keys and referential orphans, null FK not orphan") {
     import spark.implicits._
     val child = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(99L)),
