@@ -91,6 +91,16 @@ object Stress {
         .agg(sum(length(col("clean_text")))).collect()
       n
     }
+    // symmetric-delete fuzzy join over short phrase keys (first 3 tokens):
+    // variants are near-unique, so candidate volume tracks true near-dup
+    // density, not corpus size squared
+    time("fuzzy_join_d1") {
+      val phrases = corpus.select(col("doc_id"),
+        array_join(slice(graft.functions.TextFunctions.normTokens(col("text")),
+          1, 3), " ").as("s"))
+      graft.ops.FuzzyJoin.editDistancePairs(phrases, "s", "doc_id",
+        maxDist = 1).count()
+    }
     // two-phase prefix sum over the replicated corpus: per-task work must
     // stay bounded by range-partition size even though one "language"
     // (replica class) holds 1/5 of all rows
