@@ -865,6 +865,18 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "q91_lm_perplexity" -> ((s, dir) => {
+      // corpus-trained bigram LM quality scores (CCNet-style): smoothed
+      // average log-probability per document. The oracle retrains the
+      // identical "model" (two count tables + vocab) and rescoring in
+      // DuckDB — counts are exact, the only fp is ln/avg, absorbed by
+      // round(4).
+      TF.bigramLogProb(t(s, dir, "documents"), "text", "doc_id", addK = 0.5)
+        .select(col("doc_id"), round(col("avg_logprob"), 4).as("avg_logprob"),
+          col("n_bigrams"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q63_weighted_sample" -> ((s, dir) => {
       // quality-weighted deterministic sampling: each doc kept with
       // probability quality/2, decided by the stable key hash — the
@@ -1967,6 +1979,21 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 20
         |UNION ALL SELECT 'top1_recall_pct_ge_90', CAST(1 AS BIGINT)
         |ORDER BY metric""".stripMargin,
+
+    "q91_lm_perplexity" ->
+      s"""WITH tk AS (SELECT doc_id, $ntoksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= 2),
+         |bi AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+         |             FROM d)),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+         |v AS (SELECT count(DISTINCT w2) AS v FROM bi)
+         |SELECT doc_id,
+         |  round(avg(ln((c12 + 0.5) / (c1 + 0.5 * v))), 4) AS avg_logprob,
+         |  CAST(count(*) AS BIGINT) AS n_bigrams
+         |FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q89_fuzzy_join" ->
       s"""WITH p0 AS (SELECT doc_id,

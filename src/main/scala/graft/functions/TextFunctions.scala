@@ -232,6 +232,43 @@ object TextFunctions {
       size(regexp_extract_all(regexp_replace(text, EmailRegex, marker),
         lit(PhoneRegex), lit(0)))).cast("long")
 
+  /** Bigram language-model scoring (the CCNet-style perplexity quality
+    * filter): token-bigram counts over the corpus itself with add-k
+    * smoothing give P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k*V), and each
+    * document scores the average ln P over its bigrams — less negative ==
+    * more in-distribution text. Everything is counts and joins: the model
+    * "training" is two partial-aggregated count tables + a vocab count,
+    * scoring is a join of the doc bigrams back to them. Documents with
+    * fewer than 2 tokens have no bigrams and are omitted. At 100 TB the
+    * per-doc bigram join keys are the token pair strings; hash them
+    * (xxhash64) to shrink the shuffle ~2x when oracle-exact counts are not
+    * required.
+    */
+  def bigramLogProb(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    idCol: String,
+                    addK: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    require(addK > 0, "addK must be positive (unseen bigrams need mass)")
+    val toked = df.select(col(idCol), normTokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+    val bi = toked.select(col(idCol),
+        explode(expr("transform(sequence(1, size(__toks) - 1), i -> " +
+          "struct(element_at(__toks, i) AS w1, element_at(__toks, i + 1) AS w2))"))
+          .as("__b"))
+      .select(col(idCol), col("__b.w1"), col("__b.w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c12"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
+    val v = bi.agg(countDistinct(col("w2")).as("__v"))
+    bi.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col(idCol))
+      .agg(
+        avg(log((col("__c12") + addK) / (col("__c1") + lit(addK) * col("__v"))))
+          .as("avg_logprob"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Fixed-size token chunking with stride — context-window preparation
     * for embedding / retrieval pipelines: each document becomes windows of
     * `chunkTokens` whitespace tokens starting at 0, stride, 2*stride, ...;

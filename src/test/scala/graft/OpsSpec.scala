@@ -104,6 +104,28 @@ class OpsSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("_col0", "_col1", "_col2"))
   }
 
+  test("bigramLogProb: common phrasing scores above rare, short docs omitted") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "the cat sat on the mat"),
+      (4L, "zyx qwv jkl pqr"),   // bigrams seen once each
+      (5L, "single")             // < 2 tokens: no score row
+    ).toDF("doc_id", "text")
+    val out = graft.functions.TextFunctions
+      .bigramLogProb(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(!out.contains(5L))
+    assert(out(1L)._2 == 5L) // 6 tokens -> 5 bigrams
+    // repeated in-distribution phrasing outscores one-off bigrams
+    assert(out(1L)._1 > out(4L)._1,
+      s"common ${out(1L)._1} should beat rare ${out(4L)._1}")
+    assert(out(1L)._1 == out(3L)._1) // identical docs, identical score
+    // all log-probs are negative (probabilities < 1)
+    assert(out.values.forall(_._1 < 0.0))
+  }
+
   test("editDistancePairs equals brute force, incl. short-string fallback") {
     import spark.implicits._
     val strs = Seq((1L, "kitten"), (2L, "sitten"), (3L, "sittin"),

@@ -130,6 +130,84 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("symmetric-delete fuzzy join equals brute force on random edited corpora") {
+    // corpus = random short strings + randomly edited copies (substitute /
+    // insert / delete, 1-2 edits) — the operator's candidate blocking must
+    // lose NOTHING vs the all-pairs scan, at both supported distances
+    val rnd = new scala.util.Random(11)
+    val alpha = "abcdef" // small alphabet: maximal accidental overlap
+    def randStr() = (0 until 2 + rnd.nextInt(8))
+      .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    def edit(s: String): String = {
+      val op = rnd.nextInt(3)
+      if (s.isEmpty) s + alpha(rnd.nextInt(alpha.length))
+      else op match {
+        case 0 => val i = rnd.nextInt(s.length) // substitute
+          s.updated(i, alpha(rnd.nextInt(alpha.length)))
+        case 1 => val i = rnd.nextInt(s.length + 1) // insert
+          s.substring(0, i) + alpha(rnd.nextInt(alpha.length)) + s.substring(i)
+        case _ => val i = rnd.nextInt(s.length) // delete
+          s.substring(0, i) + s.substring(i + 1)
+      }
+    }
+    val base = (0 until 40).map(i => (i.toLong, randStr()))
+    val edited = base.map { case (id, s) =>
+      (id + 1000L, (0 until 1 + rnd.nextInt(2)).foldLeft(s)((x, _) => edit(x)))
+    }
+    val df = (base ++ edited).toDF("id", "s")
+    for (d <- Seq(1, 2)) {
+      val got = graft.ops.FuzzyJoin.editDistancePairs(df, "s", "id", d)
+        .select($"idA", $"idB", $"dist").as[(Long, Long, Long)].collect().toSet
+      val l = df.select($"id".as("idA"), $"s".as("sA"))
+      val r = df.select($"id".as("idB"), $"s".as("sB"))
+      val exact = l.crossJoin(r).filter($"idA" < $"idB")
+        .withColumn("dist",
+          org.apache.spark.sql.functions.levenshtein($"sA", $"sB").cast("long"))
+        .filter($"dist" <= d)
+        .select($"idA", $"idB", $"dist").as[(Long, Long, Long)].collect().toSet
+      assert(got == exact, s"d=$d: fuzzy ${got.size} vs exact ${exact.size}")
+    }
+  }
+
+  test("NFC normalization is idempotent and composes decomposed sequences") {
+    val uniGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.const('e'), Gen.const('́'),
+      Gen.const('A'), Gen.const('̊'), // A + ring -> Å
+      Gen.const(' '), Gen.const('Å'))).map(_.mkString)
+    val texts = samples(uniGen, 80)
+    val df = texts.toDF("text")
+    val rows = df.select(TF.nfcNormalize($"text").as("once"))
+      .select($"once", TF.nfcNormalize($"once").as("twice"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1), "not idempotent"))
+    // every output is in NFC; every input normalizes like the JDK reference
+    texts.zip(rows.map(_.getString(0))).foreach { case (in, out) =>
+      assert(out == java.text.Normalizer.normalize(in,
+        java.text.Normalizer.Form.NFC))
+    }
+  }
+
+  test("MisraGries guarantee holds on random multisets across random partitionings") {
+    val rnd = new scala.util.Random(23)
+    (0 until 5).foreach { trial =>
+      val k = 2 + rnd.nextInt(6)
+      // zipf-ish random multiset over a small vocab
+      val rows = (0 until 200 + rnd.nextInt(800)).map { _ =>
+        s"t${(math.pow(rnd.nextDouble(), 3) * 20).toInt}"
+      }
+      val sketch = rows.toDS().repartition(1 + rnd.nextInt(8))
+        .select(graft.ops.TypedAggregators.misraGries(k)).head()
+      val n = rows.size
+      val exact = rows.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val guaranteed = exact.filter(_._2 * (k + 1) > n).keySet
+      assert(guaranteed.subsetOf(sketch.keySet),
+        s"trial $trial k=$k: $guaranteed not all in ${sketch.keySet}")
+      sketch.foreach { case (t, c) =>
+        assert(math.abs(c - exact.getOrElse(t, 0L)) <= n / (k + 1))
+      }
+    }
+  }
+
   test("pigeonhole chunking: any two longs within hamming<=3 share a 16-bit chunk") {
     // the bit-level invariant simhashPairs' recall-1 guarantee rests on,
     // checked directly over generated (value, <=3 random bit flips) pairs
