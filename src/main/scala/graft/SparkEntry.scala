@@ -877,6 +877,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q92_training_order" -> ((s, dir) => {
+      // epoch-seeded deterministic training order: shuffle position = the
+      // exact global rank under a keyed-hash order. Computed with the
+      // two-phase prefix-sum decomposition (PrefixSum.globalRank) — range
+      // partition + per-partition offsets — never the single-task
+      // row_number()-over-everything window.
+      val h = graft.ops.Sampling.keyHash(col("doc_id").bitwiseXOR(lit(7L)))
+      graft.ops.PrefixSum.globalRank(
+          t(s, dir, "documents").select(col("doc_id")),
+          Seq(h, col("doc_id")), "pos")
+        .select(col("doc_id"), col("pos"))
+        .orderBy(col("pos"))
+    }),
+
+    "q93_markup_strip" -> ((s, dir) => {
+      // web-scrape text extraction: each doc deterministically wrapped in
+      // HTML (title/heading/body plus style, script, comment, and entity
+      // noise), then stripMarkup must recover the clean prose. The oracle
+      // replays the identical construction AND strip chain in DuckDB.
+      val html = concat(
+        lit("<html><head><title>"), col("source"),
+        lit("</title><style>p{margin:0}</style></head><body><!-- nav -->"),
+        lit("<h1>Doc &#39;"), col("doc_id").cast("string"),
+        lit("&#39;</h1>\n<p>"), substring(col("text"), 1, 200),
+        lit("</p>\n<script type=\"text/javascript\">var x=1;</script>"),
+        lit("<p>Q&amp;A&nbsp;&lt;here&gt;</p></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.stripMarkup(html).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q63_weighted_sample" -> ((s, dir) => {
       // quality-weighted deterministic sampling: each doc kept with
       // probability quality/2, decided by the stable key hash — the
@@ -1863,6 +1894,26 @@ object SparkEntry {
          |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
          |SELECT src AS doc_id, min(dst) AS component
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "q92_training_order" ->
+      s"""SELECT doc_id,
+         |  row_number() OVER (
+         |    ORDER BY ${graft.ops.Sampling.keyHashSql("xor(doc_id, 7)")},
+         |      doc_id) AS pos
+         |FROM documents ORDER BY pos""".stripMargin,
+
+    "q93_markup_strip" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  '<html><head><title>' || source ||
+         |  '</title><style>p{margin:0}</style></head><body><!-- nav -->' ||
+         |  '<h1>Doc &#39;' || CAST(doc_id AS VARCHAR) ||
+         |  '&#39;</h1>' || chr(10) || '<p>' || substr(text, 1, 200) ||
+         |  '</p>' || chr(10) ||
+         |  '<script type="text/javascript">var x=1;</script>' ||
+         |  '<p>Q&amp;A&nbsp;&lt;here&gt;</p></body></html>' AS html
+         |  FROM documents)
+         |SELECT doc_id, ${TF.stripMarkupSql("html")} AS clean
+         |FROM h ORDER BY doc_id""".stripMargin,
 
     "q63_weighted_sample" ->
       s"""${qualityCteSql(", lang")}

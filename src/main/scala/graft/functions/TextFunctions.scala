@@ -269,6 +269,45 @@ object TextFunctions {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Markup stripping — the HTML-to-text stage every web-scrape pipeline
+    * runs before quality filtering: drop script/style blocks wholesale
+    * (their content is not prose), replace remaining tags with a space,
+    * decode the common character entities, and collapse whitespace. Pure
+    * regexp_replace/replace chain in the Java-and-RE2 common dialect —
+    * codegen'd, linear per row, and replayable verbatim in a SQL oracle.
+    * (Real pipelines layer boilerplate heuristics on top — see
+    * [[graft.llm.Dedup.dedupLines]] for the corpus-level line filter.)
+    */
+  def stripMarkup(html: Column): Column = {
+    // (?is): case-insensitive + dot-matches-newline; non-greedy body so
+    // adjacent blocks don't merge. Unclosed blocks fall through to the
+    // generic tag strip rather than eating the rest of the document.
+    val noBlocks = regexp_replace(html,
+      "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", " ")
+    val noCmts = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noCmts, "(?s)</?[a-zA-Z!][^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&" // & LAST
+    ).foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** The DuckDB replay of [[stripMarkup]] over SQL fragment `h` — oracle
+    * side (DuckDB regexp_replace needs the explicit 'g'+'i'+'s' flags).
+    */
+  def stripMarkupSql(h: String): String = {
+    val noBlocks =
+      s"regexp_replace($h, '<(script|style)\\b[^>]*>.*?</(script|style)\\s*>', ' ', 'gis')"
+    val noCmts = s"regexp_replace($noBlocks, '<!--.*?-->', ' ', 'gs')"
+    val noTags = s"regexp_replace($noCmts, '</?[a-zA-Z!][^>]*>', ' ', 'gs')"
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "''", "&amp;" -> "&" // '' = escaped quote
+    ).foldLeft(noTags) { case (c, (ent, ch)) => s"replace($c, '$ent', '$ch')" }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
   /** Fixed-size token chunking with stride — context-window preparation
     * for embedding / retrieval pipelines: each document becomes windows of
     * `chunkTokens` whitespace tokens starting at 0, stride, 2*stride, ...;

@@ -55,4 +55,36 @@ object PrefixSum {
       .withColumn(out, col("__run") + col("__off"))
       .drop("__val", "__pid", "__run", "__off")
   }
+
+  /** Exact global rank (1..N) of every row under the lexicographic order of
+    * `ord` — the scale-safe replacement for `row_number() over (order by
+    * ...)`, whose empty-partition window funnels the WHOLE dataset through
+    * one task. Same two-phase decomposition as [[groupedRunningSum]]: range
+    * partition on the order key, count per partition (tiny), per-partition
+    * offsets, within-partition row_number + offset. Every task is bounded
+    * by the range-partition size at any N. `ord` must be a total order
+    * (end it with a unique key) for a deterministic result.
+    */
+  def globalRank(df: DataFrame, ord: Seq[Column], out: String,
+                 numPartitions: Int = 0): DataFrame = {
+    require(ord.nonEmpty, "need at least one order column")
+    val p = if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df
+      .repartitionByRange(p, ord: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // <= p rows: the per-partition counts and their running offsets
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__tot"))
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val wRun = Window.partitionBy(col("__pid")).orderBy(ord: _*)
+    ranged
+      .withColumn("__rn", row_number().over(wRun).cast("long"))
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn(out, col("__rn") + col("__off"))
+      .drop("__pid", "__rn", "__off")
+  }
 }

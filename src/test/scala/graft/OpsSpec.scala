@@ -126,6 +126,53 @@ class OpsSpec extends AnyFunSuite {
     assert(out.values.forall(_._1 < 0.0))
   }
 
+  test("globalRank equals row_number over the global order, ranks contiguous") {
+    import spark.implicits._
+    // keys deliberately unsorted and skewed across values
+    val rnd = new scala.util.Random(5)
+    val df = rnd.shuffle((1 to 500).toList).map(i => (i.toLong, i % 7))
+      .toDF("id", "grp").repartition(8)
+    val ord = Seq(col("grp").asc, col("id").desc)
+    val got = PrefixSum.globalRank(df, ord, "pos", numPartitions = 6)
+      .select($"id", $"pos").as[(Long, Long)].collect().toMap
+    val naive = df.withColumn("pos",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(ord: _*)).cast("long"))
+      .select($"id", $"pos").as[(Long, Long)].collect().toMap
+    assert(got == naive)
+    assert(got.values.toSeq.sorted == (1L to 500L))
+    // the point of the operator: the full-data row_number window is keyed
+    // by the range-partition id (per-task bound = partition size), never a
+    // global single-partition window — only the <= p offset rows may pass
+    // through one task
+    val plan = PrefixSum.globalRank(df, ord, "pos")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), "range exchange missing")
+    assert(plan.contains("row_number() windowspecdefinition(__pid"),
+      "row_number window not keyed by partition id:\n" + plan)
+  }
+
+  test("stripMarkup: script/style/comments dropped, tags stripped, entities decoded") {
+    import spark.implicits._
+    val html =
+      """<html><head><title>T</title>
+        |<style type="text/css">body { color: red; }</style>
+        |<SCRIPT>if (a < b) { alert("x"); }</SCRIPT></head>
+        |<body><!-- header
+        |  spans lines --><h1 class="big">Hello &amp; welcome</h1>
+        |<p>1 &lt; 2, &quot;q&quot;, it&#39;s&nbsp;fine</p>
+        |<br/><div>end</div></body></html>""".stripMargin
+    val out = Seq(html).toDF("h")
+      .select(graft.functions.TextFunctions.stripMarkup($"h"))
+      .head().getString(0)
+    assert(out == """T Hello & welcome 1 < 2, "q", it's fine end""")
+    // unclosed script can't swallow the document
+    val out2 = Seq("""<p>keep</p><script>var x""").toDF("h")
+      .select(graft.functions.TextFunctions.stripMarkup($"h"))
+      .head().getString(0)
+    assert(out2 == "keep var x")
+  }
+
   test("editDistancePairs equals brute force, incl. short-string fallback") {
     import spark.implicits._
     val strs = Seq((1L, "kitten"), (2L, "sitten"), (3L, "sittin"),
