@@ -5,8 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops._
-import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.llm.{Dedup, Multimodal, Similarity}
+import graft.functions.{TextFunctions => TF, UrlFunctions => UF, VectorFunctions => VF}
+import graft.llm.{Dedup, Multimodal, Search, Similarity}
 
 /** Driver contract: the engine's declared query inventory (one entry per
   * implemented operator from SURVEY.md §2 plus the LLM-pipeline additions)
@@ -905,6 +905,202 @@ object SparkEntry {
         lit("<p>Q&amp;A&nbsp;&lt;here&gt;</p></body></html>"))
       t(s, dir, "documents")
         .select(col("doc_id"), TF.stripMarkup(html).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q94_bm25_search" -> ((s, dir) => {
+      // BM25 keyword retrieval (decontamination probe / corpus search):
+      // posting lists built in one corpus pass, query terms broadcast,
+      // per-term scores fixed to integer micro-units before the sum so
+      // ranks are float-order-independent (Search.scala scale notes).
+      import s.implicits._
+      val queries = Seq(
+        (1L, "spark window agg"),
+        (2L, "vector scan batch"),
+        (3L, "customer stream query")).toDF("query_id", "query_text")
+      Search.bm25TopK(t(s, dir, "documents"), "text", "doc_id", queries, 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q95_scd2_history" -> ((s, dir) => {
+      // CDC log -> SCD2 dimension history: consecutive same-attribute
+      // events collapse into validity intervals, open interval = current.
+      // One shuffle on the key (Scd.scala).
+      Scd.scd2History(events(s, dir), "user_id", "event_type", "ts",
+          "event_id")
+        .select(col("user_id"), col("event_type"),
+          col("valid_from").cast("long").as("valid_from"),
+          col("valid_to").cast("long").as("valid_to"),
+          col("version"), col("is_current"))
+        .orderBy(col("user_id"), col("version"))
+    }),
+
+    "q96_gap_fill" -> ((s, dir) => {
+      // time-series regularization: hourly grid per user with
+      // forward-filled values — the aggregate reduces the raw stream
+      // BEFORE the grid explode, so cost is keys x span, not event volume.
+      Resample.gapFillHourly(events(s, dir), "user_id", "ts", "value")
+        .select(col("user_id"), col("bucket").cast("long").as("hour_ts"),
+          col("v"), col("v_filled"), col("n"), col("is_gap"))
+        .orderBy(col("user_id"), col("hour_ts"))
+    }),
+
+    "q97_url_canonical" -> ((s, dir) => {
+      // URL canonicalization + dedup stats: each doc gets two cosmetically
+      // different crawl URLs (case/www/port/tracking-params/fragment
+      // variants) that must collapse to ONE canonical form. Map-only
+      // codegen'd string ops; the only shuffle is the tiny per-source agg.
+      val d = t(s, dir, "documents")
+      val v1 = d.select(col("source"), concat(lit("HTTPS://WWW."),
+        upper(col("source")), lit(".Example.COM:443/docs/"),
+        col("doc_id").cast("string"),
+        lit("/?utm_source=feed&b=2&a=1#frag")).as("url"))
+      val v2 = d.select(col("source"), concat(lit("https://"),
+        col("source"), lit(".example.com/docs/"),
+        col("doc_id").cast("string"),
+        lit("?a=1&b=2&utm_campaign=x")).as("url"))
+      v1.unionByName(v2)
+        .select(col("source"), UF.canonicalizeUrl(col("url")).as("canon"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("canon")).as("n_canonical"),
+          min(col("canon")).as("sample_canon"))
+        .orderBy(col("source"))
+    }),
+
+    "q98_zorder_value" -> ((s, dir) => {
+      // z-order layout kernel: Morton-interleave (custkey, price bucket)
+      // and rank orders along the curve — the math zorderWrite clusters
+      // files by (ZOrder.scala; layout effectiveness proven in
+      // ZOrderSpec against real parquet footers).
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          ZOrder.zValue(
+            pmod(col("o_custkey"), lit(4096L)),
+            pmod(floor(col("o_totalprice") / 100).cast("long"), lit(4096L)),
+            12).as("zval"))
+        .orderBy(col("zval"), col("o_orderkey"))
+    }),
+
+    "q100_funnel" -> ((s, dir) => {
+      // ordered-sequence funnel (view -> click -> purchase): stage k
+      // counts only strictly after stage k-1. Fixed-depth filtered
+      // aggregates over thin event slices — no per-user sort of the log
+      // (Funnel.scala).
+      Funnel.funnelCounts(events(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+    }),
+
+    "q101_retention" -> ((s, dir) => {
+      // weekly cohort retention: users bucketed by first-activity week,
+      // counted once per active week offset. Two aggregates + one equi
+      // join, all keyed on user_id.
+      val ev = events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        .distinct()
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      ev.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          ((col("week").cast("long") - col("cohort_week").cast("long")) /
+            lit(604800L)).cast("long").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("cohort_week").cast("long").as("cohort_week"),
+          col("week_offset"), col("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    "q102_oov_rate" -> ((s, dir) => {
+      // tokenizer-vocabulary coverage: out-of-vocabulary token rate per
+      // doc against the corpus top-20 vocabulary — the coverage check run
+      // before committing to a tokenizer. Vocab is tiny and broadcast;
+      // rates are exact rationals (0/1 sums), so no float-order risk.
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(Search.searchTokens(col("text"))).as("term"))
+      val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("term")).limit(20)
+        .select(col("term"), lit(1).as("__in"))
+      toks.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(when(col("__in").isNull, 1.0).otherwise(0.0)), 6)
+            .as("oov_rate"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q103_histogram" -> ((s, dir) => {
+      // equi-width histogram with materialized empty buckets
+      // (Profile.histogram): two aggregate passes, bucketing is map-side.
+      Profile.histogram(t(s, dir, "orders"), "o_totalprice", 20)
+        .select(col("bucket"), round(col("lo"), 4).as("lo"),
+          round(col("hi"), 4).as("hi"), col("n"))
+        .orderBy(col("bucket"))
+    }),
+
+    "q104_rolling_window" -> ((s, dir) => {
+      // 7-day rolling revenue per customer: a RANGE frame over event-time
+      // seconds (q09 covers ROWS frames; RANGE is the time-windowed
+      // variant a metrics pipeline uses). One shuffle on the key.
+      // o_orderdate is TIMESTAMP_NTZ; in a UTC session the wall-clock
+      // equals the UTC instant, so the timestamp hop to epoch is exact.
+      val ts = col("o_orderdate").cast("timestamp").cast("long")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(ts)
+        .rangeBetween(-6L * 86400L, 0L)
+      t(s, dir, "orders")
+        .withColumn("rolling_7d", round(sum(col("o_totalprice")).over(w), 2))
+        .select(col("o_orderkey"), col("o_custkey"),
+          ts.as("order_ts"),
+          round(col("o_totalprice"), 2).as("price"), col("rolling_7d"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q105_schema_evolution" -> ((s, dir) => {
+      // schema-drift ingestion: generation 2 of a feed adds a column;
+      // a mergeSchema read presents one schema with generation-1 rows
+      // null-filled — the evolving-feed discipline (A15's null-fill
+      // applied across file generations). Statically partition-prunable
+      // since each generation is its own directory.
+      val base = scratchDir("q105_evo")
+      val n = t(s, dir, "nation")
+      n.select(lit(1L).as("gen"), col("n_nationkey"), col("n_name"))
+        .write.mode("overwrite").parquet(s"$base/g1")
+      n.select(lit(2L).as("gen"), col("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+        .write.mode("overwrite").parquet(s"$base/g2")
+      s.read.option("mergeSchema", "true").parquet(s"$base/g1", s"$base/g2")
+        .select(col("gen"), col("n_nationkey"), col("n_name"),
+          col("n_regionkey"))
+        .orderBy(col("gen"), col("n_nationkey"))
+    }),
+
+    "q106_forget_delete" -> ((s, dir) => {
+      // right-to-be-forgotten hard delete: tombstoned users anti-join the
+      // event log, audit counts prove the purge. The tombstone set is the
+      // broadcast side; at 100 TB pair with compaction (q74) to rewrite
+      // only affected files.
+      val ev = events(s, dir)
+      val tomb = ev.select(col("user_id")).distinct()
+        .filter(pmod(col("user_id"), lit(7L)) === 0)
+      ev.join(broadcast(tomb), Seq("user_id"), "left_anti")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q99_quantile_filter" -> ((s, dir) => {
+      // per-language top-20% quality cut (exact percent_rank semantics —
+      // the cut point is a rational, never a float threshold; the
+      // filter-only approx scale path is proven equivalent-at-accuracy in
+      // SamplingSpec).
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TF.qualityScore(col("text")).as("quality"))
+      Sampling.topQuantileByGroup(docs, "lang", "quality", "doc_id", 0.8)
+        .select(col("doc_id"), col("lang"),
+          round(col("quality"), 6).as("quality"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1914,6 +2110,198 @@ object SparkEntry {
          |  FROM documents)
          |SELECT doc_id, ${TF.stripMarkupSql("html")} AS clean
          |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q94_bm25_search" ->
+      """WITH q(query_id, query_text) AS (VALUES
+        |  (1, 'spark window agg'), (2, 'vector scan batch'),
+        |  (3, 'customer stream query')),
+        |tk AS (SELECT doc_id, term FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+        |    FROM documents) WHERE term <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+        |post AS (SELECT term, doc_id, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |                 (SELECT count(*) FROM tk) AS total_toks),
+        |qt AS (SELECT DISTINCT query_id, term FROM (
+        |    SELECT query_id,
+        |      unnest(string_split_regex(lower(query_text), '[^a-z0-9]+')) AS term
+        |    FROM q) WHERE term <> ''),
+        |dfreq AS (SELECT term, count(*) AS df FROM post
+        |          WHERE term IN (SELECT term FROM qt) GROUP BY term),
+        |contrib AS (
+        |  SELECT qt.query_id, p.doc_id,
+        |    CAST(round(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+        |      ((p.tf * (1.2 + 1.0)) / (p.tf + 1.2 * ((1.0 - 0.75) +
+        |        (0.75 * dl.dl) / ((s.total_toks * 1.0) / (s.n_docs * 1.0)))))
+        |      * 1000000.0, 0) AS BIGINT) AS micro
+        |  FROM post p
+        |  JOIN qt ON p.term = qt.term
+        |  JOIN dfreq d ON p.term = d.term
+        |  JOIN dl ON p.doc_id = dl.doc_id
+        |  CROSS JOIN stats s),
+        |scored AS (SELECT query_id, doc_id, sum(micro) AS score_micro
+        |           FROM contrib GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, doc_id, score_micro,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score_micro DESC, doc_id) AS rank FROM scored)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        |  score_micro / 1000000.0 AS score, rank
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q95_scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |ch AS (SELECT * FROM e WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type,
+        |  CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS valid_from,
+        |  CAST(floor(extract(epoch FROM lead(ts) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS valid_to,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+        |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+        |    AS is_current
+        |FROM ch ORDER BY user_id, version""".stripMargin,
+
+    "q96_gap_fill" ->
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |    round(avg(value), 4) AS v, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        |         FROM b GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |    unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        |  FROM span),
+        |j AS (SELECT g.user_id, g.bucket, b.v, coalesce(b.n, 0) AS n,
+        |        b.v IS NULL AS is_gap
+        |      FROM grid g LEFT JOIN b
+        |        ON g.user_id = b.user_id AND g.bucket = b.bucket)
+        |SELECT user_id, CAST(extract(epoch FROM bucket) AS BIGINT) AS hour_ts,
+        |  v,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+        |  n, is_gap
+        |FROM j ORDER BY user_id, hour_ts""".stripMargin,
+
+    "q97_url_canonical" ->
+      s"""WITH u AS (
+         |  SELECT source, 'HTTPS://WWW.' || upper(source) ||
+         |    '.Example.COM:443/docs/' || CAST(doc_id AS VARCHAR) ||
+         |    '/?utm_source=feed&b=2&a=1#frag' AS url
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT source, 'https://' || source || '.example.com/docs/' ||
+         |    CAST(doc_id AS VARCHAR) || '?a=1&b=2&utm_campaign=x' AS url
+         |  FROM documents),
+         |c AS (SELECT source, ${UF.canonicalizeUrlSql("url")} AS canon FROM u)
+         |SELECT source, count(*) AS n_urls,
+         |  count(DISTINCT canon) AS n_canonical, min(canon) AS sample_canon
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "q98_zorder_value" ->
+      s"""SELECT o_orderkey,
+         |  ${ZOrder.zValueSql("(o_custkey % 4096)",
+            "(CAST(floor(o_totalprice / 100) AS BIGINT) % 4096)", 12)} AS zval
+         |FROM orders ORDER BY zval, o_orderkey""".stripMargin,
+
+    "q100_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage_name,
+        |  count(*) AS n_users, CAST(NULL AS DOUBLE) AS avg_secs_from_prev
+        |FROM s1
+        |UNION ALL
+        |SELECT 2, 'click', count(*),
+        |  round(avg(epoch(s2.t) - epoch(s1.t)), 2)
+        |FROM s2 JOIN s1 USING (user_id)
+        |UNION ALL
+        |SELECT 3, 'purchase', count(*),
+        |  round(avg(epoch(s3.t) - epoch(s2.t)), 2)
+        |FROM s3 JOIN s2 USING (user_id)
+        |ORDER BY stage_idx""".stripMargin,
+
+    "q101_retention" ->
+      """WITH w AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        |           FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id)
+        |SELECT CAST(floor(extract(epoch FROM cohort_week)) AS BIGINT) AS cohort_week,
+        |  CAST((extract(epoch FROM week) - extract(epoch FROM cohort_week))
+        |    / 604800 AS BIGINT) AS week_offset,
+        |  count(*) AS n_users
+        |FROM w JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q102_oov_rate" ->
+      """WITH tk AS (SELECT doc_id, term FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+        |    FROM documents) WHERE term <> ''),
+        |v AS (SELECT term FROM (
+        |    SELECT term, row_number() OVER (ORDER BY count(*) DESC, term) AS rn
+        |    FROM tk GROUP BY term) WHERE rn <= 20)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(CASE WHEN v.term IS NULL THEN 1.0 ELSE 0.0 END), 6)
+        |    AS oov_rate
+        |FROM tk LEFT JOIN v ON tk.term = v.term
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q103_histogram" ->
+      """WITH s AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |           FROM orders),
+        |b AS (SELECT least(19, CAST(floor((o_totalprice - s.lo) /
+        |    (CASE WHEN s.hi = s.lo THEN 1.0 ELSE s.hi - s.lo END) * 20)
+        |    AS BIGINT)) AS bucket
+        |  FROM orders, s),
+        |cnt AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+        |g AS (SELECT range AS bucket FROM range(20))
+        |SELECT g.bucket,
+        |  round(s.lo + g.bucket * (s.hi - s.lo) / 20, 4) AS lo,
+        |  round(s.lo + (g.bucket + 1) * (s.hi - s.lo) / 20, 4) AS hi,
+        |  coalesce(cnt.n, 0) AS n
+        |FROM g LEFT JOIN cnt USING (bucket) CROSS JOIN s
+        |ORDER BY g.bucket""".stripMargin,
+
+    "q104_rolling_window" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(floor(extract(epoch FROM o_orderdate)) AS BIGINT) AS order_ts,
+        |  round(o_totalprice, 2) AS price,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY CAST(floor(extract(epoch FROM o_orderdate)) AS BIGINT)
+        |    RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW), 2) AS rolling_7d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q105_schema_evolution" ->
+      """SELECT CAST(1 AS BIGINT) AS gen, n_nationkey, n_name,
+        |  CAST(NULL AS BIGINT) AS n_regionkey
+        |FROM nation
+        |UNION ALL
+        |SELECT 2, n_nationkey, n_name, CAST(n_regionkey AS BIGINT)
+        |FROM nation
+        |ORDER BY gen, n_nationkey""".stripMargin,
+
+    "q106_forget_delete" ->
+      """SELECT event_type, count(*) AS n_kept,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE user_id % 7 <> 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q99_quantile_filter" ->
+      s"""${qualityCteSql(", lang")},
+         |r AS (SELECT doc_id, lang, quality,
+         |    percent_rank() OVER (PARTITION BY lang
+         |      ORDER BY quality, doc_id) AS pr
+         |  FROM q)
+         |SELECT doc_id, lang, round(quality, 6) AS quality
+         |FROM r WHERE pr >= 0.8 ORDER BY doc_id""".stripMargin,
 
     "q63_weighted_sample" ->
       s"""${qualityCteSql(", lang")}

@@ -39,4 +39,35 @@ object Profile {
         col(s"__mx_$c").as("max_val"))
     }: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Equi-width histogram of a numeric column: `nBuckets` buckets spanning
+    * [min, max], values AT max land in the last bucket. Two aggregate
+    * passes (the 1-row min/max relation broadcasts back — no driver
+    * action); bucketing itself is a map-side expression, so the second
+    * pass shuffles nBuckets partial rows per task, nothing more. Empty
+    * buckets are materialized with n = 0 so the output shape is fixed.
+    */
+  def histogram(df: DataFrame, c: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val spark = df.sparkSession
+    val stats = df.agg(min(col(c)).cast("double").as("__lo"),
+      max(col(c)).cast("double").as("__hi"))
+    val counts = df.select(col(c).cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+      .crossJoin(broadcast(stats))
+      .select(least(lit(nBuckets - 1L), floor(
+        (col("__x") - col("__lo")) /
+          when(col("__hi") === col("__lo"), lit(1.0))
+            .otherwise(col("__hi") - col("__lo")) * nBuckets)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    spark.range(nBuckets).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("bucket"),
+        (col("__lo") + col("bucket") * (col("__hi") - col("__lo")) /
+          nBuckets).as("lo"),
+        (col("__lo") + (col("bucket") + 1) * (col("__hi") - col("__lo")) /
+          nBuckets).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
 }

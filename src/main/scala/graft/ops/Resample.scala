@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: bucket an event stream to a fixed grid per
+  * key, materialize the missing buckets, and forward-fill the last
+  * observed value — the resample/gap-fill primitive for feature pipelines
+  * over irregular telemetry.
+  *
+  * Scale shape: the raw stream is reduced FIRST (partial+final aggregate
+  * to one row per (key, bucket)) — the grid explode and the fill window
+  * run over the bucketed relation, whose size is bounded by
+  * keys x span/step regardless of raw event volume. One shuffle for the
+  * aggregate, one for the per-key fill window (both on the key); the
+  * sequence() explode is bounded per key by the key's own time span.
+  * A key with a pathological span (one event in 1970, one today) bounds
+  * the blow-up at span/step rows for that key only — cap with a WHERE on
+  * the span if the source can contain such keys.
+  */
+object Resample {
+
+  /** Hourly gap-fill: returns one row per (key, hour) covering each key's
+    * [min hour, max hour] span with
+    *   - `v`: the bucket's aggregated value (avg rounded to 4 dp), null in
+    *     gap buckets;
+    *   - `v_filled`: v forward-filled from the last observed bucket;
+    *   - `n`: event count in the bucket (0 in gaps);
+    *   - `is_gap`: true where the grid row had no events.
+    */
+  def gapFillHourly(df: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String): DataFrame = {
+    val bucketed = df
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("bucket"))
+      .agg(round(avg(col(valueCol)), 4).as("v"), count(lit(1)).as("n"))
+
+    val grid = bucketed.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("__b0"), max(col("bucket")).as("__b1"))
+      .select(col(keyCol),
+        explode(sequence(col("__b0"), col("__b1"),
+          expr("interval 1 hour"))).as("bucket"))
+
+    val fillW = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    grid.join(bucketed, Seq(keyCol, "bucket"), "left")
+      .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(fillW))
+      .withColumn("is_gap", col("v").isNull)
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .select(col(keyCol), col("bucket"), col("v"), col("v_filled"),
+        col("n"), col("is_gap"))
+  }
+}

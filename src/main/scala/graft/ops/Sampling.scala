@@ -108,6 +108,45 @@ object Sampling {
     }.toMap
   }
 
+  /** Per-group quantile filtering — "keep each language's top 20% by
+    * quality", the standard corpus-curation cut. Exact rank semantics:
+    * keep rows with percent_rank >= `p` under
+    * (score asc, tie asc) within the group; percent_rank is the exact
+    * rational (rank-1)/(n-1), so the cut is engine-independent (no float
+    * threshold to straddle).
+    *
+    * Cost: one shuffle on the group column and a per-group sort — the
+    * price of EXACT ranking. For 100 TB use [[topQuantileByGroupApprox]]:
+    * a two-pass approx-threshold variant whose heavy pass is a pure
+    * filter (no sort, no skew exposure).
+    */
+  def topQuantileByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                         tieCol: String, p: Double): DataFrame = {
+    require(p >= 0 && p <= 1, "p must be in [0, 1]")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol), col(tieCol))
+    df.withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") >= p)
+      .drop("__pr")
+  }
+
+  /** Scale path for [[topQuantileByGroup]]: per-group approx_percentile
+    * threshold (partial-aggregating sketch, one shuffle of sketch rows
+    * only) broadcast back as a filter. Rank error is bounded by the
+    * sketch `accuracy`; rows AT the threshold are kept.
+    */
+  def topQuantileByGroupApprox(df: DataFrame, groupCol: String,
+                               scoreCol: String, p: Double,
+                               accuracy: Int = 10000): DataFrame = {
+    require(p >= 0 && p <= 1, "p must be in [0, 1]")
+    val thresholds = df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(scoreCol), lit(p), lit(accuracy))
+        .as("__thr"))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .filter(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
+
   def mixtureSample(df: DataFrame, groupCol: String, keyCol: String,
                     percents: Map[String, Int],
                     defaultPercent: Int = 100): DataFrame = {

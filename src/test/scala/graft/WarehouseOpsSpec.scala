@@ -1,0 +1,250 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{UrlFunctions => UF}
+import graft.llm.Search
+import graft.ops.{Resample, Sampling, Scd, ZOrder}
+
+/** Warehouse-side operators added with q94–q99: BM25 search, SCD2 history,
+  * gap-fill resampling, URL canonicalization, z-order layout, and
+  * per-group quantile filtering.
+  */
+class WarehouseOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- BM25 ---------------------------------------------------------------
+
+  test("bm25TopK ranks the doc containing all query terms first") {
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple apple apple"),
+      (3L, "banana banana"),
+      (4L, "cherry date egg"),
+      (5L, "fig grape")).toDF("doc_id", "text")
+    val qs = Seq((1L, "apple banana")).toDF("query_id", "query_text")
+    val top = Search.bm25TopK(docs, "text", "doc_id", qs, 3).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    // doc 1 matches both terms; docs 2 and 3 match one each
+    assert(top.head.getAs[Long]("doc_id") == 1L)
+    assert(top.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 3L))
+    // scores strictly ordered desc with doc_id tiebreak
+    val scores = top.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("bm25TopK idf penalizes terms present in every doc") {
+    val docs = Seq(
+      (1L, "common rare"),
+      (2L, "common"),
+      (3L, "common"),
+      (4L, "common")).toDF("doc_id", "text")
+    val qs = Seq((1L, "rare"), (2L, "common")).toDF("query_id", "query_text")
+    val r = Search.bm25TopK(docs, "text", "doc_id", qs, 4)
+      .groupBy($"query_id").agg(max($"score").as("m")).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) > r(2L), s"rare-term score ${r(1L)} should beat ${r(2L)}")
+  }
+
+  // --- SCD2 ---------------------------------------------------------------
+
+  test("scd2History collapses consecutive duplicates and versions intervals") {
+    val log = Seq(
+      (10L, 1L, "A"), (10L, 2L, "A"), (10L, 3L, "B"), (10L, 4L, "A"),
+      (20L, 1L, "X")).toDF("k", "seq", "attr")
+      .withColumn("ts", timestamp_seconds($"seq" * 100))
+    val h = Scd.scd2History(log, "k", "attr", "ts", "seq")
+      .orderBy($"k", $"version").collect()
+    val k10 = h.filter(_.getLong(0) == 10L)
+    assert(k10.map(_.getString(1)).toSeq == Seq("A", "B", "A"))
+    assert(k10.map(_.getAs[Long]("version")).toSeq == Seq(1L, 2L, 3L))
+    // intervals chain: valid_to of v1 == valid_from of v2
+    assert(k10(0).getAs[java.sql.Timestamp]("valid_to") ==
+      k10(1).getAs[java.sql.Timestamp]("valid_from"))
+    assert(k10(2).isNullAt(k10(2).fieldIndex("valid_to")))
+    assert(k10(2).getAs[Boolean]("is_current"))
+    val k20 = h.filter(_.getLong(0) == 20L)
+    assert(k20.length == 1 && k20(0).getAs[Boolean]("is_current"))
+  }
+
+  test("scd2History single shuffle: one Exchange in the plan") {
+    val log = Seq((1L, 1L, "A")).toDF("k", "seq", "attr")
+      .withColumn("ts", timestamp_seconds($"seq"))
+    val plan = Scd.scd2History(log, "k", "attr", "ts", "seq")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"expected exactly one shuffle:\n$plan")
+  }
+
+  test("asOfSnapshot returns the interval in force at the probe time") {
+    val log = Seq((10L, 1L, "A"), (10L, 2L, "B"), (10L, 3L, "C"))
+      .toDF("k", "seq", "attr")
+      .withColumn("ts", timestamp_seconds($"seq" * 100))
+    val h = Scd.scd2History(log, "k", "attr", "ts", "seq")
+    val at150 = Scd.asOfSnapshot(h, "k", timestamp_seconds(lit(150))).collect()
+    assert(at150.length == 1 && at150(0).getString(1) == "A")
+    val at999 = Scd.asOfSnapshot(h, "k", timestamp_seconds(lit(999))).collect()
+    assert(at999.length == 1 && at999(0).getString(1) == "C")
+  }
+
+  // --- gap fill -----------------------------------------------------------
+
+  test("gapFillHourly materializes gap buckets and forward-fills") {
+    val ev = Seq(
+      (1L, 0L, 10.0), (1L, 3600L * 3, 40.0), // hours 0 and 3; 1-2 are gaps
+      (2L, 3600L, 5.0)).toDF("k", "sec", "v0")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val out = Resample.gapFillHourly(ev, "k", "ts", "v0")
+      .orderBy($"k", $"bucket").collect()
+    val k1 = out.filter(_.getLong(0) == 1L)
+    assert(k1.length == 4)
+    assert(k1.map(_.getAs[Boolean]("is_gap")).toSeq ==
+      Seq(false, true, true, false))
+    assert(k1.map(_.getAs[Double]("v_filled")).toSeq ==
+      Seq(10.0, 10.0, 10.0, 40.0))
+    assert(k1.map(_.getAs[Long]("n")).toSeq == Seq(1L, 0L, 0L, 1L))
+    assert(out.count(_.getLong(0) == 2L) == 1)
+  }
+
+  // --- URL canonicalization ------------------------------------------------
+
+  test("canonicalizeUrl collapses case/www/port/tracking/fragment variants") {
+    val urls = Seq(
+      "HTTPS://WWW.Site.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+      "https://site.com/a/b?a=1&b=2&fbclid=zzz",
+      "http://site.com:80/a/b?b=2&a=1&gclid=q",
+      "https://other.com/",
+      "no-scheme-at-all").toDF("url")
+    val got = TestSpark.rows(urls.select(UF.canonicalizeUrl($"url")))
+      .flatten.map(_.toString)
+    assert(got(0) == "https://site.com/a/b?a=1&b=2")
+    assert(got(1) == "https://site.com/a/b?a=1&b=2")
+    assert(got(2) == "http://site.com/a/b?a=1&b=2")
+    assert(got(3) == "https://other.com")
+    assert(got(4) == "no-scheme-at-all")
+  }
+
+  test("canonicalizeUrl keeps non-default ports and non-tracking params") {
+    val got = TestSpark.rows(Seq("https://site.com:8443/x?z=1&utm_medium=m")
+      .toDF("url").select(UF.canonicalizeUrl($"url"))).flatten.head
+    assert(got == "https://site.com:8443/x?z=1")
+  }
+
+  // --- z-order -------------------------------------------------------------
+
+  test("zValue interleaves bits (known small values)") {
+    // x=0b11, y=0b01 -> z = x0<<0 | y0<<1 | x1<<2 | y1<<3 = 1|2|4 = 7
+    val got = TestSpark.rows(Seq((3L, 1L)).toDF("x", "y")
+      .select(ZOrder.zValue($"x", $"y", 4))).flatten.head
+    assert(got == 7L)
+    // x=0, y=0b10 -> y1 at position 3 -> 8
+    val got2 = TestSpark.rows(Seq((0L, 2L)).toDF("x", "y")
+      .select(ZOrder.zValue($"x", $"y", 4))).flatten.head
+    assert(got2 == 8L)
+  }
+
+  test("zorderWrite tightens per-file spans on BOTH columns vs linear sort") {
+    val n = 20000
+    val df = spark.range(n).select(
+      (col("id") * 2654435761L % n).as("a"),
+      (col("id") * 40503L % n).as("b"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // baseline: lexicographic sort by a -> b spans stay ~full-range
+    df.repartitionByRange(8, col("a")).sortWithinPartitions(col("a"))
+      .write.mode("overwrite").parquet(s"$dir/lex")
+    ZOrder.zorderWrite(df, "a", "b", s"$dir/z", nFiles = 8, bits = 8)
+    def meanSpan(path: String, c: String): Double = {
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f).agg(
+          (max(col(c)) - min(col(c))).cast("double")).collect()(0)
+        r.getDouble(0)
+      }
+      spans.sum / spans.length
+    }
+    // on the non-leading column the z-layout must be dramatically tighter
+    val lexB = meanSpan(s"$dir/lex", "b")
+    val zB = meanSpan(s"$dir/z", "b")
+    assert(zB < lexB * 0.6, s"z-order b-span $zB !< 0.6 * lex b-span $lexB")
+    // and the leading column must not degrade to full range either
+    val zA = meanSpan(s"$dir/z", "a")
+    assert(zA < n * 0.9, s"z-order a-span $zA ~ full range")
+  }
+
+  // --- funnel ---------------------------------------------------------------
+
+  test("funnelCounts enforces strict stage ordering per user") {
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // user 2: clicks BEFORE viewing — click must not count
+      (2L, 10L, "click"), (2L, 20L, "view"),
+      // user 3: view then purchase without click — purchase must not count
+      (3L, 10L, "view"), (3L, 20L, "purchase"),
+      // user 4: never views
+      (4L, 10L, "click"), (4L, 20L, "purchase")).toDF("u", "sec", "et")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val got = graft.ops.Funnel.funnelCounts(ev, "u", "ts", "et",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, "view", 3L), (2L, "click", 1L),
+      (3L, "purchase", 1L)))
+  }
+
+  test("funnelCounts reports mean stage-to-stage delay") {
+    val ev = Seq(
+      (1L, 0L, "view"), (1L, 100L, "click"),
+      (2L, 0L, "view"), (2L, 300L, "click")).toDF("u", "sec", "et")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val got = graft.ops.Funnel.funnelCounts(ev, "u", "ts", "et",
+        Seq("view", "click")).collect()
+    val clickRow = got.find(_.getString(1) == "click").get
+    assert(clickRow.getDouble(3) == 200.0)
+    assert(got.find(_.getString(1) == "view").get.isNullAt(3))
+  }
+
+  // --- histogram -------------------------------------------------------------
+
+  test("histogram materializes empty buckets and puts max in the last") {
+    val df = Seq(0.0, 1.0, 1.0, 10.0).toDF("x")
+    val h = graft.ops.Profile.histogram(df, "x", 5)
+      .orderBy($"bucket").collect()
+    assert(h.length == 5)
+    assert(h.map(_.getAs[Long]("n")).toSeq == Seq(3L, 0L, 0L, 0L, 1L))
+    assert(h.head.getAs[Double]("lo") == 0.0)
+    assert(h.last.getAs[Double]("hi") == 10.0)
+  }
+
+  test("histogram of a constant column lands everything in bucket 0") {
+    val df = Seq(5.0, 5.0, 5.0).toDF("x")
+    val h = graft.ops.Profile.histogram(df, "x", 4)
+      .orderBy($"bucket").collect()
+    assert(h.map(_.getAs[Long]("n")).toSeq == Seq(3L, 0L, 0L, 0L))
+  }
+
+  // --- quantile filter ------------------------------------------------------
+
+  test("topQuantileByGroup keeps exactly the top 20% ranks per group") {
+    val df = (1 to 100).map(i => ("g" + (i % 2), i.toDouble, i.toLong))
+      .toDF("g", "score", "id")
+    val kept = Sampling.topQuantileByGroup(df, "g", "score", "id", 0.8)
+      .collect()
+    // 50 rows per group, percent_rank >= 0.8 -> ranks 41..50 -> 10 rows each
+    assert(kept.length == 20)
+    assert(kept.map(_.getDouble(1)).min >= 81.0)
+  }
+
+  test("approx quantile filter agrees with exact on distinct scores") {
+    val df = (1 to 1000).map(i => ("g", i.toDouble, i.toLong))
+      .toDF("g", "score", "id")
+    val exact = Sampling.topQuantileByGroup(df, "g", "score", "id", 0.8)
+      .collect().map(_.getLong(2)).toSet
+    val approx = Sampling.topQuantileByGroupApprox(df, "g", "score", 0.8)
+      .collect().map(_.getLong(2)).toSet
+    val overlap = (exact & approx).size.toDouble / exact.size
+    assert(overlap >= 0.95, s"approx/exact overlap $overlap")
+  }
+}
