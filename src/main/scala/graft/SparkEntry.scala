@@ -1090,6 +1090,105 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q107_countmin" -> ((s, dir) => {
+      // count-min sketch self-check: one bounded-state aggregate over all
+      // token occurrences (96 KiB sketch regardless of stream size), then
+      // the CMS guarantees verified against exact counts for the top-100
+      // tokens: estimates never under-count, and never over-count by more
+      // than ceil((e/w)*N). Deterministic — fixed hash rows, fixed corpus.
+      import s.implicits._
+      val d = 6; val w = 2048
+      val toks = t(s, dir, "documents")
+        .select(explode(Search.searchTokens(col("text"))).as("tok"))
+        .as[String]
+      val sketch = toks.select(TypedAggregators.countMin(d, w).name("sk"))
+        .collect()(0).toIndexedSeq
+      val nTotal = sketch.slice(0, w).sum // each row sums to the stream size
+      val bound = math.ceil(math.E / w * nTotal).toLong
+      val top = toks.toDF("tok").groupBy(col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(100).collect()
+      val ests = top.map { r =>
+        val c = r.getLong(1)
+        val est = TypedAggregators.CountMin.estimate(sketch, d, w, r.getString(0))
+        (est >= c, est <= c + bound)
+      }
+      Seq((ests.length.toLong,
+        ests.count(!_._1).toLong, ests.count(!_._2).toLong))
+        .toDF("n_checked", "n_underestimates", "n_over_bound")
+    }),
+
+    "q108_quantile_bins" -> ((s, dir) => {
+      // quantile discretization (feature binning): decile bin per language
+      // by quality score — ntile's floor-division split is engine-exact,
+      // so bins match the oracle bit-for-bit.
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("quality"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TF.qualityScore(col("text")).as("quality"))
+        .withColumn("bin", ntile(10).over(w).cast("long"))
+        .select(col("doc_id"), col("lang"), col("bin"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q109_tokenize_ids" -> ((s, dir) => {
+      // tokenize-to-ids: corpus vocabulary ranked by (freq desc, term),
+      // each doc rendered as its token-id sequence — the final encoding
+      // step before training. The vocab is broadcast; order restored with
+      // the sort_array(struct(pos, id)) idiom (no ordered collect_list in
+      // Spark); ids serialized to a string so the oracle compare stays
+      // scalar.
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        posexplode(Search.searchTokens(col("text"))).as(Seq("pos", "term")))
+      // vocab ids via the two-phase global ranker (PrefixSum.globalRank) —
+      // a web-scale vocab never funnels through one ranking task
+      val vocab = graft.ops.PrefixSum.globalRank(
+          toks.groupBy(col("term")).agg(count(lit(1)).as("tf")),
+          Seq(col("tf").desc, col("term")), "id")
+        .select(col("term"), col("id"))
+      toks.join(broadcast(vocab), Seq("term"))
+        .groupBy(col("doc_id"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("id")))),
+          e => e.getField("id").cast("string")), " ").as("ids"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q110_funnel_windowed" -> ((s, dir) => {
+      // conversion-window funnel: stage k counts only within 3 days of
+      // stage k-1 — the attribution-window variant of q100.
+      Funnel.funnelCounts(events(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), maxGapSeconds = Some(259200L))
+    }),
+
+    "q111_agg_merge" -> ((s, dir) => {
+      // re-aggregatable metrics: daily partials (sum/count/min/max as
+      // DECIMAL so partial-sum order is exact) merged into monthly equal
+      // the direct monthly aggregate — the algebra every incremental
+      // rollup pipeline depends on. The oracle computes the DIRECT
+      // monthly aggregate; hash-equality proves the merge.
+      val daily = t(s, dir, "orders")
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"),
+          col("o_orderpriority"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("s"),
+          count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"))
+      daily
+        .groupBy(date_trunc("month", col("day")).cast("timestamp")
+          .cast("long").as("month_ts"), col("o_orderpriority"))
+        .agg(sum(col("s")).as("s"), sum(col("n")).as("n"),
+          min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+        .select(col("month_ts"), col("o_orderpriority"),
+          col("s").cast("double").as("sum_price"), col("n").as("n_orders"),
+          round(col("mn"), 2).as("min_price"),
+          round(col("mx"), 2).as("max_price"),
+          round(col("s").cast("double") / col("n"), 4).as("avg_price"))
+        .orderBy(col("month_ts"), col("o_orderpriority"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -2293,6 +2392,76 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_users
         |FROM events WHERE user_id % 7 <> 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q107_countmin" ->
+      """WITH tk AS (SELECT term FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+        |    FROM documents) WHERE term <> '')
+        |SELECT least(100, count(DISTINCT term)) AS n_checked,
+        |  CAST(0 AS BIGINT) AS n_underestimates,
+        |  CAST(0 AS BIGINT) AS n_over_bound
+        |FROM tk""".stripMargin,
+
+    "q108_quantile_bins" ->
+      s"""${qualityCteSql(", lang")}
+         |SELECT doc_id, lang,
+         |  CAST(ntile(10) OVER (PARTITION BY lang
+         |    ORDER BY quality, doc_id) AS BIGINT) AS bin
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "q109_tokenize_ids" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t <> '') AS ts
+        |  FROM documents),
+        |tk AS (SELECT doc_id, unnest(ts) AS term,
+        |         unnest(range(len(ts))) AS pos
+        |       FROM toks),
+        |v AS (SELECT term,
+        |    row_number() OVER (ORDER BY count(*) DESC, term) AS id
+        |  FROM tk GROUP BY term)
+        |SELECT doc_id,
+        |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS ids,
+        |  count(*) AS n_tokens
+        |FROM tk JOIN v USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q110_funnel_windowed" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t
+        |    AND epoch(e.ts) <= epoch(s1.t) + 259200 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |    AND epoch(e.ts) <= epoch(s2.t) + 259200 GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage_name,
+        |  count(*) AS n_users, CAST(NULL AS DOUBLE) AS avg_secs_from_prev
+        |FROM s1
+        |UNION ALL
+        |SELECT 2, 'click', count(*),
+        |  round(avg(epoch(s2.t) - epoch(s1.t)), 2)
+        |FROM s2 JOIN s1 USING (user_id)
+        |UNION ALL
+        |SELECT 3, 'purchase', count(*),
+        |  round(avg(epoch(s3.t) - epoch(s2.t)), 2)
+        |FROM s3 JOIN s2 USING (user_id)
+        |ORDER BY stage_idx""".stripMargin,
+
+    "q111_agg_merge" ->
+      """SELECT
+        |  CAST(floor(extract(epoch FROM date_trunc('month', o_orderdate)))
+        |    AS BIGINT) AS month_ts,
+        |  o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n_orders,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*), 4) AS avg_price
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q99_quantile_filter" ->
       s"""${qualityCteSql(", lang")},

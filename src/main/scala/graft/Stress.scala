@@ -113,6 +113,17 @@ object Stress {
         .select(max(col("cum"))).collect()
       n
     }
+    // BM25 over the inflated corpus: posting-list build is the corpus-pass
+    // cost; scoring touches only postings of the (broadcast) query terms,
+    // so the query count, not the corpus, drives the scoring stage
+    time("bm25_topk_10q") {
+      import spark.implicits._
+      val queries = (1L to 10L).map(i => (i,
+        Seq("spark window agg", "vector scan batch", "customer stream query",
+          "table filter sort", "key hash merge")(i.toInt % 5))).toDF(
+        "query_id", "query_text")
+      graft.llm.Search.bm25TopK(corpus, "text", "doc_id", queries, 10).count()
+    }
     // connected components over the FULL minhash pair graph — the step after
     // pair generation; per-round cost is one shuffle of 16-byte label rows,
     // rounds ~ log(cluster diameter)

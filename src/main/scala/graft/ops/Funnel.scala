@@ -22,7 +22,8 @@ object Funnel {
     * a user appears for every stage they reached.
     */
   def stageTimes(events: DataFrame, userCol: String, tsCol: String,
-                 typeCol: String, stages: Seq[String]): DataFrame = {
+                 typeCol: String, stages: Seq[String],
+                 maxGapSeconds: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val first = events.filter(col(typeCol) === stages.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("stage_ts"))
@@ -31,9 +32,13 @@ object Funnel {
     stages.zipWithIndex.drop(1).foldLeft(first) { case (acc, (st, i)) =>
       val prev = acc.filter(col("stage_idx") === i.toLong)
         .select(col(userCol), col("stage_ts").as("__prev_ts"))
+      // within-window variant: the stage must land inside
+      // (prev, prev + gap] — epoch-double arithmetic, exact at micros
+      val inWindow = maxGapSeconds.fold(lit(true))(g =>
+        col(tsCol).cast("double") <= col("__prev_ts").cast("double") + g)
       val next = events.filter(col(typeCol) === st)
         .join(prev, Seq(userCol))
-        .filter(col(tsCol) > col("__prev_ts"))
+        .filter(col(tsCol) > col("__prev_ts") && inWindow)
         .groupBy(col(userCol)).agg(min(col(tsCol)).as("stage_ts"))
         .select(col(userCol), lit((i + 1).toLong).as("stage_idx"),
           lit(st).as("stage_name"), col("stage_ts"))
@@ -45,8 +50,10 @@ object Funnel {
     * the previous stage (null for stage 1), rounded to 2 dp.
     */
   def funnelCounts(events: DataFrame, userCol: String, tsCol: String,
-                   typeCol: String, stages: Seq[String]): DataFrame = {
-    val times = stageTimes(events, userCol, tsCol, typeCol, stages)
+                   typeCol: String, stages: Seq[String],
+                   maxGapSeconds: Option[Long] = None): DataFrame = {
+    val times = stageTimes(events, userCol, tsCol, typeCol, stages,
+      maxGapSeconds)
     val prev = times.select(col(userCol), (col("stage_idx") + 1).as("stage_idx"),
       col("stage_ts").as("__prev_ts"))
     times.join(prev, Seq(userCol, "stage_idx"), "left")

@@ -102,4 +102,63 @@ object TypedAggregators {
 
   def misraGries(k: Int): TypedColumn[String, Map[String, Long]] =
     new MisraGries(k).toColumn
+
+  /** Count-min sketch: a `d` x `w` counter grid; point estimates are the
+    * min over the d rows and are NEVER below the true count, and exceed it
+    * by more than (e/w)*N with probability at most e^-d per query. The
+    * buffer is d*w longs regardless of stream cardinality, partials merge
+    * by elementwise addition — the mergeable frequency summary for when
+    * Misra-Gries' top-k contract is too narrow (arbitrary point queries
+    * after one pass). A d=6, w=2048 sketch is 96 KiB: collecting the
+    * finished sketch to the driver is a constant-size transfer, which is
+    * the whole point of sketching a 100 TB stream.
+    */
+  final class CountMin(d: Int, w: Int)
+      extends Aggregator[String, Array[Long], Array[Long]] {
+    require(d >= 1 && w >= 2, "need d >= 1 rows and w >= 2 counters")
+
+    def zero: Array[Long] = new Array[Long](d * w)
+
+    def reduce(b: Array[Long], x: String): Array[Long] = {
+      var i = 0
+      while (i < d) { b(i * w + CountMin.slot(x, i, w)) += 1; i += 1 }
+      b
+    }
+
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  object CountMin {
+    /** FNV-1a over UTF-8 bytes, row index folded in as a prefix byte —
+      * self-contained and JVM-version-independent, so executor-side
+      * updates and driver-side estimates always agree.
+      */
+    def slot(x: String, row: Int, w: Int): Int = {
+      var h = 1469598103934665603L ^ (row * 1099511628211L)
+      val bytes = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < bytes.length) {
+        h = (h ^ (bytes(i) & 0xffL)) * 1099511628211L
+        i += 1
+      }
+      (((h % w) + w) % w).toInt
+    }
+
+    /** Point estimate from a finished sketch. */
+    def estimate(sketch: IndexedSeq[Long], d: Int, w: Int, x: String): Long =
+      (0 until d).map(i => sketch(i * w + slot(x, i, w))).min
+  }
+
+  def countMin(d: Int, w: Int): TypedColumn[String, Array[Long]] =
+    new CountMin(d, w).toColumn
 }

@@ -206,6 +206,51 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(got.find(_.getString(1) == "view").get.isNullAt(3))
   }
 
+  test("funnel maxGap drops conversions outside the window") {
+    val ev = Seq(
+      (1L, 0L, "view"), (1L, 50L, "click"),    // inside 100s window
+      (2L, 0L, "view"), (2L, 500L, "click"),   // outside
+      (3L, 0L, "view"), (3L, 100L, "click")    // exactly at the bound -> in
+    ).toDF("u", "sec", "et").withColumn("ts", timestamp_seconds($"sec"))
+    val got = graft.ops.Funnel.funnelCounts(ev, "u", "ts", "et",
+        Seq("view", "click"), maxGapSeconds = Some(100L))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got == Map("view" -> 3L, "click" -> 2L))
+  }
+
+  // --- count-min sketch -------------------------------------------------------
+
+  test("countMin never underestimates and respects the eps*N bound") {
+    val items = (1 to 50).flatMap(i => Seq.fill(i)(s"tok$i"))
+    val ds = items.toDF("t").as[String]
+    val d = 4; val w = 256
+    val sketch = ds.select(graft.ops.TypedAggregators.countMin(d, w))
+      .collect()(0).toIndexedSeq
+    val n = items.length
+    val bound = math.ceil(math.E / w * n).toLong
+    (1 to 50).foreach { i =>
+      val est = graft.ops.TypedAggregators.CountMin.estimate(
+        sketch, d, w, s"tok$i")
+      assert(est >= i, s"tok$i: est $est < true $i")
+      assert(est <= i + bound, s"tok$i: est $est > $i + $bound")
+    }
+    // an absent item can only collide upward, never report negative
+    val absent = graft.ops.TypedAggregators.CountMin.estimate(
+      sketch, d, w, "never-seen")
+    assert(absent >= 0 && absent <= bound)
+  }
+
+  test("countMin merge equals single-pass build (mergeable summary)") {
+    val d = 3; val w = 64
+    val agg = new graft.ops.TypedAggregators.CountMin(d, w)
+    val xs = Seq("a", "b", "a", "c", "a", "b")
+    val whole = xs.foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.merge(
+      xs.take(3).foldLeft(agg.zero)(agg.reduce),
+      xs.drop(3).foldLeft(agg.zero)(agg.reduce))
+    assert(whole.toSeq == merged.toSeq)
+  }
+
   // --- histogram -------------------------------------------------------------
 
   test("histogram materializes empty buckets and puts max in the last") {
