@@ -119,6 +119,39 @@ object EventStreams {
       }
   }
 
+  final case class ScdState(attr: String, sinceEpochMicros: Long, version: Long)
+  final case class ScdCurrent(user_id: Long, event_type: String,
+                              since_micros: Long, version: Long)
+
+  /** Streaming SCD2 current-snapshot: tracks each key's latest tracked-
+    * attribute interval across micro-batches — the continuous form of
+    * [[graft.ops.Scd.scd2History]]'s `is_current` rows, proven equal to it
+    * in StreamingSpec. State per key is one (attr, since, version) record;
+    * within a micro-batch the group's rows sort in (ts, event_id) order
+    * (bounded by the trigger's per-key volume), and versions keep counting
+    * across batches, so replay through ANY micro-batch slicing yields the
+    * same snapshot.
+    */
+  def scd2Current(events: Dataset[EventRow]): Dataset[ScdCurrent] = {
+    import events.sparkSession.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[EventRow], state: GroupState[ScdState]) =>
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            if (st == null || st.attr != e.event_type)
+              st = ScdState(e.event_type, micros(e.ts),
+                (if (st == null) 0L else st.version) + 1L)
+          }
+          state.update(st)
+          ScdCurrent(user, st.attr, st.sinceEpochMicros, st.version)
+      }
+  }
+
   /** Streaming ingest near-dup screening: every micro-batch of documents is
     * checked against the PERSISTED corpus signature table
     * ([[graft.llm.Dedup.writeMinhashSignatures]] layout) via foreachBatch,

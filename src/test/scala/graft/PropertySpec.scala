@@ -51,6 +51,78 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalizeUrl is idempotent over generated messy URLs") {
+    import org.apache.spark.sql.functions.col
+    val hostGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(10))
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "HTTPS", "https", "HtTp")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- hostGen
+      port <- Gen.oneOf("", ":443", ":80", ":8080")
+      path <- Gen.oneOf("", "/", "/a", "/a/b/", "/a//")
+      qs <- Gen.oneOf("", "?b=2&a=1", "?utm_source=x", "?a=1&utm_medium=m&z=9")
+      frag <- Gen.oneOf("", "#top", "#a/b?c=1")
+    } yield s"$scheme://$www$host.com$port$path$qs$frag"
+    val urls = samples(urlGen, 120).distinct
+    val once = TestSpark.rows(urls.toDF("u")
+      .select(graft.functions.UrlFunctions.canonicalizeUrl(col("u"))))
+      .flatten.map(_.toString)
+    val twice = TestSpark.rows(once.toDF("u")
+      .select(graft.functions.UrlFunctions.canonicalizeUrl(col("u"))))
+      .flatten.map(_.toString)
+    once.zip(twice).zip(urls).foreach { case ((a, b), orig) =>
+      assert(a == b, s"not idempotent: $orig -> $a -> $b")
+    }
+    // canonical forms never retain tracking params, fragments, or a
+    // scheme-default port (http:80 / https:443; cross-scheme ports stay)
+    once.zip(urls).foreach { case (c, orig) =>
+      assert(!c.contains("utm_") && !c.contains("#"),
+        s"residual noise in canonical form: $orig -> $c")
+      val lower = orig.toLowerCase
+      if (lower.startsWith("https://")) assert(!c.contains(":443"), s"$orig -> $c")
+      if (lower.startsWith("http://")) assert(!c.matches(".*:80(/.*|\\?.*|$)"), s"$orig -> $c")
+    }
+  }
+
+  test("zValue round-trips: de-interleaving recovers both coordinates") {
+    import org.apache.spark.sql.functions.col
+    val pairs = samples(Gen.zip(Gen.chooseNum(0L, 65535L),
+      Gen.chooseNum(0L, 65535L)), 150).distinct
+    val zs = TestSpark.rows(pairs.toDF("x", "y")
+      .select(graft.ops.ZOrder.zValue(col("x"), col("y"), 16)))
+      .flatten.map(_.asInstanceOf[Long])
+    pairs.zip(zs).foreach { case ((x, y), z) =>
+      var rx = 0L; var ry = 0L
+      (0 until 16).foreach { i =>
+        rx |= ((z >> (2 * i)) & 1L) << i
+        ry |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(rx == x && ry == y, s"($x,$y) -> $z -> ($rx,$ry)")
+    }
+    // monotone in x for fixed y (order preserved along each axis)
+    val fixedY = pairs.map { case (x, _) => (x, 1234L) }.distinct.sortBy(_._1)
+    val zf = TestSpark.rows(fixedY.toDF("x", "y")
+      .select(graft.ops.ZOrder.zValue(col("x"), col("y"), 16)))
+      .flatten.map(_.asInstanceOf[Long])
+    assert(zf == zf.sorted, "z not monotone in x for fixed y")
+  }
+
+  test("countMin estimates dominate true counts on random streams") {
+    val agg = new graft.ops.TypedAggregators.CountMin(4, 128)
+    samples(Gen.listOfN(500, Gen.oneOf((1 to 40).map(i => s"w$i"))), 10)
+      .foreach { stream =>
+        val sketch = stream.foldLeft(agg.zero)(agg.reduce).toIndexedSeq
+        val exact = stream.groupBy(identity).view.mapValues(_.size.toLong)
+        val bound = math.ceil(math.E / 128 * stream.size).toLong
+        exact.foreach { case (w, c) =>
+          val est = graft.ops.TypedAggregators.CountMin.estimate(
+            sketch, 4, 128, w)
+          assert(est >= c, s"$w: est $est < $c")
+          assert(est <= c + bound, s"$w: est $est > $c + $bound")
+        }
+      }
+  }
+
   private val textGen: Gen[String] =
     Gen.listOf(Gen.frequency(
       8 -> Gen.alphaNumChar,

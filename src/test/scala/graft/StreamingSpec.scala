@@ -26,6 +26,68 @@ class StreamingSpec extends AnyFunSuite {
     dir
   }
 
+  test("streaming SCD2 snapshot equals batch scd2History current rows") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val srcDir = TestSpark.tmpDir("scd2-src")
+    val ckpt   = TestSpark.tmpDir("scd2-ckpt")
+    val outDir = TestSpark.tmpDir("scd2-out")
+
+    val batch1 = Seq(
+      (1L, ts("2024-01-01 00:01:00"), 10L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 00:02:00"), 10L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-01 00:03:00"), 10L, "click", 1.0, "{}"),
+      (4L, ts("2024-01-01 00:01:00"), 20L, "error", 1.0, "{}"))
+    val batch2 = Seq(
+      (5L, ts("2024-01-01 00:04:00"), 10L, "click", 1.0, "{}"),
+      (6L, ts("2024-01-01 00:05:00"), 10L, "view", 1.0, "{}"),
+      (7L, ts("2024-01-01 00:06:00"), 20L, "error", 1.0, "{}"))
+    def land(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+
+    def run(): Unit = {
+      val stream = EventStreams.readStream(spark, srcDir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[EventStreams.EventRow]
+      val q = EventStreams.scd2Current(stream).toDF()
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+
+    land(batch1); run()
+    land(batch2); run() // restart from checkpoint: state must carry over
+
+    // latest streaming snapshot per user (max version wins)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"version".desc)
+    val streamed = spark.read.parquet(outDir)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"event_type", $"since_micros", $"version")
+
+    // batch reference over the SAME landed data
+    val all = spark.read.parquet(srcDir)
+    val batchCur = graft.ops.Scd.scd2History(
+        all, "user_id", "event_type", "ts", "event_id")
+      .filter($"is_current")
+      .select($"user_id", $"event_type",
+        unix_micros($"valid_from").as("since_micros"), $"version")
+    assert(streamed.exceptAll(batchCur).isEmpty &&
+      batchCur.exceptAll(streamed).isEmpty,
+      s"stream:\n${streamed.collect().mkString("\n")}\n" +
+        s"batch:\n${batchCur.collect().mkString("\n")}")
+    // user 10: view -> click -> view = 3 versions; user 20: error = 1
+    val vers = streamed.collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(vers == Map(10L -> 3L, 20L -> 1L))
+  }
+
   test("windowed stats over a file stream (watermark + tumbling window)") {
     val stream = EventStreams.readStream(spark, streamDir)
     assert(stream.isStreaming)
