@@ -1189,6 +1189,61 @@ object SparkEntry {
         .orderBy(col("month_ts"), col("o_orderpriority"))
     }),
 
+    "q112_shard_plan" -> ((s, dir) => {
+      // training-shard export plan: deterministic hash order, 5000-token
+      // shards, summarized per shard. Rank and running total both come
+      // from the two-phase prefix-sum machinery — no global-window task
+      // (Sharding.scala).
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val h = graft.ops.Sampling.keyHash(col("doc_id").bitwiseXOR(lit(13L)))
+      Sharding.shardAssignments(docs, Seq(h, col("doc_id")),
+          col("n_tokens"), 5000L)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"))
+        .orderBy(col("shard_id"))
+    }),
+
+    "q113_corpus_report" -> ((s, dir) => {
+      // dataset-card corpus report: per source — doc/token volume, mean
+      // quality, language spread, exact-dup count. One aggregate pass
+      // (the exact-dup term is count - countDistinct(text); at corpus
+      // scale substitute the 8-byte fingerprint of q19 for the raw text).
+      t(s, dir, "documents")
+        .select(col("source"), col("lang"), col("text"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TF.qualityScore(col("text")).as("quality"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          round(avg(col("quality")), 6).as("avg_quality"),
+          countDistinct(col("lang")).as("n_langs"),
+          (count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"))
+        .orderBy(col("source"))
+    }),
+
+    "q114_pipeline_e2e" -> ((s, dir) => {
+      // end-to-end curation pipeline in ONE declarative chain: per-language
+      // quality cut (top 80%) -> exact dedup (min-id survivor, fingerprint
+      // groupBy) -> deterministic hash order -> 5000-token shard plan.
+      // Every stage is an engine operator; Catalyst fuses the whole flow —
+      // this is the "switch your pipeline to this library" demonstration.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .withColumn("quality", TF.qualityScore(col("text")))
+      val cut = Sampling.topQuantileByGroup(docs, "lang", "quality",
+        "doc_id", 0.8)
+      val deduped = Dedup.exact(cut, "text", "doc_id")
+        .withColumn("n_tokens", TF.tokenCount(col("text")).cast("long"))
+      val h = graft.ops.Sampling.keyHash(col("doc_id").bitwiseXOR(lit(29L)))
+      Sharding.shardAssignments(deduped, Seq(h, col("doc_id")),
+          col("n_tokens"), 5000L)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("shard_id"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -2462,6 +2517,52 @@ object SparkEntry {
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    / count(*), 4) AS avg_price
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q112_shard_plan" ->
+      s"""WITH n AS (SELECT doc_id, len($ntoksSql) AS ntok FROM documents),
+         |r AS (SELECT doc_id, ntok,
+         |    sum(ntok) OVER (ORDER BY ${Sampling.keyHashSql("xor(doc_id, 13)")},
+         |      doc_id) AS cum,
+         |    row_number() OVER (ORDER BY ${Sampling.keyHashSql("xor(doc_id, 13)")},
+         |      doc_id) AS pos
+         |  FROM n)
+         |SELECT CAST(floor((cum - ntok) / 5000.0) AS BIGINT) AS shard_id,
+         |  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |  min(pos) AS first_pos, max(pos) AS last_pos
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q113_corpus_report" ->
+      s"""${qualityCteSql(", lang, source")},
+         |d AS (SELECT source, count(*) - count(DISTINCT text) AS n_dup_docs
+         |      FROM documents GROUP BY source)
+         |SELECT q.source, count(*) AS n_docs,
+         |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |  round(avg(quality), 6) AS avg_quality,
+         |  count(DISTINCT lang) AS n_langs,
+         |  min(d.n_dup_docs) AS n_dup_docs
+         |FROM q JOIN d ON q.source = d.source
+         |GROUP BY q.source ORDER BY q.source""".stripMargin,
+
+    "q114_pipeline_e2e" ->
+      s"""${qualityCteSql(", lang")},
+         |cut AS (
+         |  SELECT x.doc_id, ntok FROM (
+         |    SELECT doc_id, ntok,
+         |      percent_rank() OVER (PARTITION BY lang
+         |        ORDER BY quality, doc_id) AS pr
+         |    FROM q) x WHERE pr >= 0.8),
+         |ded AS (
+         |  SELECT c.doc_id, c.ntok FROM cut c JOIN (
+         |    SELECT min(d.doc_id) AS doc_id
+         |    FROM cut JOIN documents d USING (doc_id)
+         |    GROUP BY d.text) k ON c.doc_id = k.doc_id),
+         |r AS (SELECT doc_id, ntok,
+         |    sum(ntok) OVER (ORDER BY ${Sampling.keyHashSql("xor(doc_id, 29)")},
+         |      doc_id) AS cum
+         |  FROM ded)
+         |SELECT CAST(floor((cum - ntok) / 5000.0) AS BIGINT) AS shard_id,
+         |  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q99_quantile_filter" ->
       s"""${qualityCteSql(", lang")},

@@ -48,6 +48,24 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(r(1L) > r(2L), s"rare-term score ${r(1L)} should beat ${r(2L)}")
   }
 
+  test("bm25 plan shape: no text column in any post-tokenize exchange") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val qs = Seq((1L, "spark window agg")).toDF("query_id", "query_text")
+    val formatted = Search.bm25TopK(docs, "text", "doc_id", qs, 5)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // every Exchange's Input must carry ids/terms/ints only — the document
+    // body is consumed map-side during tokenization
+    val blocks = formatted.split("\\(\\d+\\) ")
+    val exchanges = blocks.filter(b =>
+      b.startsWith("Exchange") || b.startsWith("BroadcastExchange"))
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { b =>
+      assert(!b.contains("text#"),
+        s"text column leaked into a shuffle:\n$b")
+    }
+  }
+
   // --- SCD2 ---------------------------------------------------------------
 
   test("scd2History collapses consecutive duplicates and versions intervals") {
@@ -268,6 +286,37 @@ class WarehouseOpsSpec extends AnyFunSuite {
     val h = graft.ops.Profile.histogram(df, "x", 4)
       .orderBy($"bucket").collect()
     assert(h.map(_.getAs[Long]("n")).toSeq == Seq(3L, 0L, 0L, 0L))
+  }
+
+  // --- shard export -----------------------------------------------------------
+
+  test("shardAssignments packs consecutive ranks into token-budget shards") {
+    val docs = (1L to 100L).map(i => (i, 10L)).toDF("id", "toks")
+    val asg = graft.ops.Sharding.shardAssignments(
+        docs, Seq(col("id")), col("toks"), tokensPerShard = 100L)
+      .orderBy($"pos").collect()
+    // 100 docs x 10 tokens / 100-token budget = 10 shards of exactly 10 docs
+    assert(asg.map(_.getAs[Long]("shard_id")).distinct.length == 10)
+    val byShard = asg.groupBy(_.getAs[Long]("shard_id")).view.mapValues(_.length)
+    assert(byShard.values.forall(_ == 10))
+    // shard ids are non-decreasing along the global order
+    val ids = asg.map(_.getAs[Long]("shard_id"))
+    assert(ids.zip(ids.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("writeShards produces one readable directory per shard in order") {
+    val docs = (1L to 40L).map(i => (i, 25L)).toDF("id", "toks")
+    val dir = TestSpark.tmpDir("graft-shards")
+    graft.ops.Sharding.writeShards(docs, Seq($"id"), $"toks",
+      tokensPerShard = 250L, path = dir)
+    val shard0 = spark.read.parquet(s"$dir/shard_id=0")
+    assert(shard0.count() == 10)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 40)
+    assert(back.select("shard_id").distinct().count() == 4)
+    // reading one shard dir prunes to that shard only
+    val pos = shard0.orderBy($"pos").collect().map(_.getAs[Long]("pos"))
+    assert(pos.toSeq == (1L to 10L))
   }
 
   // --- quantile filter ------------------------------------------------------
