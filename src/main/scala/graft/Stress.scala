@@ -15,7 +15,8 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val sfDir  = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(20)
-    // "docs" | "embed" | "all": re-run one family without paying for the other
+    // "docs" | "embed" | "events" | "all": re-run one family without
+    // paying for the others
     val section = args.lift(2).getOrElse("all")
     val cpus   = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", "graft-stress")
@@ -49,7 +50,7 @@ object Stress {
       println(f"[stress] $name%-22s $secs%8.2f s  ($rows rows)")
     }
 
-    if (section != "embed") {
+    if (section == "docs" || section == "all") {
     time("exact_dedup") {
       graft.llm.Dedup.exact(corpus, "text", "doc_id").count()
     }
@@ -139,7 +140,59 @@ object Stress {
     }
     }
 
-    if (section != "docs") {
+    if (section == "events" || section == "all") {
+    // event-stream family: replicate events by user-id offset (factor new
+    // users, same per-user history shape) — key cardinality grows with
+    // factor, per-key volume stays constant, so per-key window state is
+    // flat and costs must grow ~linearly
+    val eraw = spark.read.parquet(s"$sfDir/events.parquet")
+    val ebase = (if (eraw.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType)
+      eraw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else eraw)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    val maxUser = 1000000L
+    val events = ebase.crossJoin(replicas)
+      .select((col("event_id") * factor + col("rep")).as("event_id"),
+        col("ts"), (col("user_id") + col("rep") * maxUser).as("user_id"),
+        col("event_type"), col("value"))
+      .repartition(cpus.toInt * 2)
+      .persist()
+    val nEv = events.count()
+    println(s"[stress] event rows: $nEv")
+    rewarm = () => { events.persist(); events.count(); () }
+    time("scd2_history") {
+      graft.ops.Scd.scd2History(events, "user_id", "event_type", "ts",
+        "event_id").count()
+    }
+    time("gap_fill_hourly") {
+      graft.ops.Resample.gapFillHourly(events, "user_id", "ts", "value")
+        .count()
+    }
+    time("funnel_3stage") {
+      graft.ops.Funnel.funnelCounts(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase")).count()
+    }
+    time("retention_cohorts") {
+      val ev = events.select(col("user_id"),
+        date_trunc("week", col("ts")).as("week")).distinct()
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      ev.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"), col("week")).count().count()
+    }
+    time("rolling_range_window") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").cast("long"))
+        .rangeBetween(-6L * 86400L, 0L)
+      events.withColumn("r", sum(col("value")).over(w))
+        .agg(sum(col("r"))).collect()
+      nEv
+    }
+    }
+
+    if (section == "embed" || section == "all") {
     // embedding path: replicate vectors with per-replica perturbations
     // (replica r adds 0.02*r of the cyclic-shifted vector -> cosine to the
     // source decays with r; only low-r replicas pass the 0.9 threshold), so
