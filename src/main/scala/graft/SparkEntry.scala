@@ -2330,7 +2330,7 @@ object SparkEntry {
         |    unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
         |  FROM span),
         |j AS (SELECT g.user_id, g.bucket, b.v, coalesce(b.n, 0) AS n,
-        |        b.v IS NULL AS is_gap
+        |        coalesce(b.n, 0) = 0 AS is_gap
         |      FROM grid g LEFT JOIN b
         |        ON g.user_id = b.user_id AND g.bucket = b.bucket)
         |SELECT user_id, CAST(extract(epoch FROM bucket) AS BIGINT) AS hour_ts,

@@ -46,8 +46,10 @@ object Resample {
 
     grid.join(bucketed, Seq(keyCol, "bucket"), "left")
       .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(fillW))
-      .withColumn("is_gap", col("v").isNull)
       .withColumn("n", coalesce(col("n"), lit(0L)))
+      // a gap is a bucket with NO events — a bucket whose events all have
+      // null values keeps n > 0 and simply contributes no fill value
+      .withColumn("is_gap", col("n") === 0)
       .select(col(keyCol), col("bucket"), col("v"), col("v_filled"),
         col("n"), col("is_gap"))
   }

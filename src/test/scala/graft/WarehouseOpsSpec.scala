@@ -126,6 +126,37 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(out.count(_.getLong(0) == 2L) == 1)
   }
 
+  test("gapFillHourly: null-valued events keep the bucket non-gap") {
+    val ev = Seq(
+      (1L, 0L, Some(10.0)),
+      (1L, 3600L, None: Option[Double]), // events exist, values all null
+      (1L, 7200L, Some(30.0))).toDF("k", "sec", "v0")
+      .withColumn("ts", timestamp_seconds($"sec"))
+    val out = Resample.gapFillHourly(ev, "k", "ts", "v0")
+      .orderBy($"bucket").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Boolean]("is_gap")).toSeq ==
+      Seq(false, false, false))
+    assert(out(1).getAs[Long]("n") == 1L)
+    assert(out(1).isNullAt(out(1).fieldIndex("v")))
+    // the null-valued hour forward-fills from hour 0
+    assert(out(1).getAs[Double]("v_filled") == 10.0)
+  }
+
+  test("scd2History treats null attributes as a distinct interval value") {
+    val log = Seq(
+      (10L, 1L, Some("A")), (10L, 2L, None: Option[String]),
+      (10L, 3L, None: Option[String]), (10L, 4L, Some("B")))
+      .toDF("k", "seq", "attr")
+      .withColumn("ts", timestamp_seconds($"seq" * 100))
+    val h = Scd.scd2History(log, "k", "attr", "ts", "seq")
+      .orderBy($"version").collect()
+    // A -> null (two collapsed) -> B = 3 intervals
+    assert(h.length == 3)
+    assert(h(1).isNullAt(1) && h(1).getAs[Long]("version") == 2L)
+    assert(h(2).getString(1) == "B" && h(2).getAs[Boolean]("is_current"))
+  }
+
   // --- URL canonicalization ------------------------------------------------
 
   test("canonicalizeUrl collapses case/www/port/tracking/fragment variants") {
