@@ -1185,7 +1185,11 @@ object SparkEntry {
           col("s").cast("double").as("sum_price"), col("n").as("n_orders"),
           round(col("mn"), 2).as("min_price"),
           round(col("mx"), 2).as("max_price"),
-          round(col("s").cast("double") / col("n"), 4).as("avg_price"))
+          // avg truncated to 4 dp via exact integer arithmetic: round()
+          // on a quotient is engine-divergent exactly at half boundaries
+          // (hit twice at sf0.1); floor of an exact-integer ratio is not
+          (floor((col("s") * 10000).cast("long").cast("double") / col("n"))
+            / lit(10000.0)).as("avg_price"))
         .orderBy(col("month_ts"), col("o_orderpriority"))
     }),
 
@@ -1242,6 +1246,18 @@ object SparkEntry {
         .groupBy(col("shard_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
         .orderBy(col("shard_id"))
+    }),
+
+    "q115_char_entropy" -> ((s, dir) => {
+      // character-entropy gibberish filter: native one-pass histogram per
+      // doc (the relational form explodes |text| rows per doc); the
+      // low-entropy flag compares on the ROUNDED value so both engines
+      // cut identically.
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TF.charEntropy(col("text")), 6).as("entropy"))
+        .withColumn("low_entropy", col("entropy") < 3.0)
+        .orderBy(col("doc_id"))
     }),
 
     "q99_quantile_filter" -> ((s, dir) => {
@@ -2514,8 +2530,8 @@ object SparkEntry {
         |  count(*) AS n_orders,
         |  round(min(o_totalprice), 2) AS min_price,
         |  round(max(o_totalprice), 2) AS max_price,
-        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |    / count(*), 4) AS avg_price
+        |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 10000 AS BIGINT)
+        |    * 1.0 / count(*)) / 10000.0 AS avg_price
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q112_shard_plan" ->
@@ -2563,6 +2579,20 @@ object SparkEntry {
          |SELECT CAST(floor((cum - ntok) / 5000.0) AS BIGINT) AS shard_id,
          |  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q115_char_entropy" ->
+      """WITH ch AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(text, '[\s\S]')) AS c
+        |  FROM documents),
+        |f AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+        |nn AS (SELECT doc_id, sum(cnt) AS n FROM f GROUP BY doc_id),
+        |e AS (SELECT f.doc_id,
+        |    -sum((cnt * 1.0 / n) * ln(cnt * 1.0 / n)) AS ent
+        |  FROM f JOIN nn USING (doc_id) GROUP BY f.doc_id)
+        |SELECT d.doc_id, round(coalesce(e.ent, 0.0), 6) AS entropy,
+        |  round(coalesce(e.ent, 0.0), 6) < 3.0 AS low_entropy
+        |FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q99_quantile_filter" ->
       s"""${qualityCteSql(", lang")},

@@ -36,8 +36,52 @@ object TextExpressions {
     ColumnShim.column(ArrayMatchFraction(
       ColumnShim.expression(a), ColumnShim.expression(b)))
 
+  /** Shannon entropy (nats) of the character distribution — the gibberish
+    * / repetitive-text filter. One pass per document, no per-character
+    * rows: the relational formulation explodes |text| rows per doc into a
+    * shuffle; this keeps the histogram in a per-row map.
+    */
+  def charEntropy(text: Column): Column =
+    ColumnShim.column(CharEntropy(ColumnShim.expression(text)))
+
   private[expressions] def hashUtf8(s: org.apache.spark.unsafe.types.UTF8String): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+}
+
+/** -sum(p_c * ln(p_c)) over code-point frequencies. Counts CODE POINTS
+  * (surrogate pairs count once), matching what `regexp_extract_all(text,
+  * '[\s\S]')` enumerates in an RE2 oracle. Terms accumulate in ascending
+  * code-point order, so the value is deterministic per input; oracle
+  * parity is at round(6) (float association differs across engines).
+  */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    if (s.isEmpty) 0.0
+    else {
+      val counts = scala.collection.mutable.TreeMap.empty[Int, Long]
+      var i = 0
+      var n = 0L
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        counts.update(cp, counts.getOrElse(cp, 0L) + 1L)
+        n += 1
+        i += Character.charCount(cp)
+      }
+      var ent = 0.0
+      counts.valuesIterator.foreach { c =>
+        val p = c.toDouble / n
+        ent -= p * math.log(p)
+      }
+      ent
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class TokenHashes(child: Expression)

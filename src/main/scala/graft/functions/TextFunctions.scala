@@ -336,6 +336,12 @@ object TextFunctions {
   /** Unicode NFC composition (native expression wrapping the JDK
     * normalizer; DuckDB parity via nfc_normalize).
     */
+  /** Shannon entropy (nats) of the code-point distribution — gibberish /
+    * repetition filter (native one-pass expression).
+    */
+  def charEntropy(text: Column): Column =
+    graft.expressions.TextExpressions.charEntropy(text)
+
   def nfcNormalize(text: Column): Column =
     graft.expressions.TextProfileExpressions.nfcNormalize(text)
 

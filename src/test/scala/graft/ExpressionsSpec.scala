@@ -214,4 +214,19 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(norm(2) == "caf\u00E9")
     assert(norm(3) == "a b c")
   }
+
+  test("CharEntropy: known distributions, code-point counting, empty text") {
+    val df = Seq(
+      "aaaa",          // single symbol -> 0
+      "abab",          // uniform over 2 -> ln 2
+      "aabb\uD83D\uDE00\uD83D\uDE00", // surrogate pair counts ONCE: 3 symbols uniform
+      ""               // empty -> 0
+    ).map(Tuple1(_)).toDF("text")
+    val got = TestSpark.rows(df.select(TF.charEntropy($"text")))
+      .flatten.map(_.asInstanceOf[Double])
+    assert(got(0) == 0.0)
+    assert(math.abs(got(1) - math.log(2)) < 1e-12)
+    assert(math.abs(got(2) - math.log(3)) < 1e-12)
+    assert(got(3) == 0.0)
+  }
 }
