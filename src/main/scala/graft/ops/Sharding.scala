@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   * partition + per-partition offsets — so NO step funnels the corpus
   * through a single ranking task; the shard id is then a map-side
   * expression over the running total.
+  *
+  * The prefix-sum passes persist their range-partitioned input, so at
+  * 100 TB pass a THIN relation (id, token count, order keys) to
+  * [[shardAssignments]] and join document payloads back on the id after
+  * assignment — never push the text through the ranking passes (q112/q114
+  * follow this pattern).
   */
 object Sharding {
 
