@@ -1260,6 +1260,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q116_bm25_index" -> ((s, dir) => {
+      // index-at-rest BM25: term-sorted postings written once, the query
+      // batch served through the persisted layout — its scan reads only
+      // query-term row groups (In(term) pushed; WarehouseOpsSpec asserts
+      // the PushedFilters and ad-hoc parity). Zero corpus passes per
+      // batch.
+      import s.implicits._
+      val idx = scratchDir("q116_idx")
+      Search.writeSearchIndex(t(s, dir, "documents"), "text", "doc_id", idx)
+      val queries = Seq(
+        (1L, "merge batch row"),
+        (2L, "filter group vector"),
+        (3L, "slow table scan")).toDF("query_id", "query_text")
+      Search.querySearchIndex(s, idx, queries, 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -2045,6 +2062,46 @@ object SparkEntry {
        |    + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.25 END) * 0.15 AS quality
        |  FROM m)""".stripMargin
 
+  /** Full BM25 recompute in DuckDB over `documents` for a literal VALUES
+    * query set — shared by q94 (ad-hoc) and q116 (served through the
+    * persisted index; scoring must be layout-independent).
+    */
+  private def bm25OracleSql(queryValues: String): String =
+    s"""WITH q(query_id, query_text) AS (VALUES $queryValues),
+       |tk AS (SELECT doc_id, term FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+       |    FROM documents) WHERE term <> ''),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+       |post AS (SELECT term, doc_id, count(*) AS tf FROM tk GROUP BY 1, 2),
+       |stats AS (SELECT (SELECT count(DISTINCT doc_id) FROM tk) AS n_docs,
+       |                 (SELECT count(*) FROM tk) AS total_toks),
+       |qt AS (SELECT DISTINCT query_id, term FROM (
+       |    SELECT query_id,
+       |      unnest(string_split_regex(lower(query_text), '[^a-z0-9]+')) AS term
+       |    FROM q) WHERE term <> ''),
+       |dfreq AS (SELECT term, count(*) AS df FROM post
+       |          WHERE term IN (SELECT term FROM qt) GROUP BY term),
+       |contrib AS (
+       |  SELECT qt.query_id, p.doc_id,
+       |    CAST(round(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+       |      ((p.tf * (1.2 + 1.0)) / (p.tf + 1.2 * ((1.0 - 0.75) +
+       |        (0.75 * dl.dl) / ((s.total_toks * 1.0) / (s.n_docs * 1.0)))))
+       |      * 1000000.0, 0) AS BIGINT) AS micro
+       |  FROM post p
+       |  JOIN qt ON p.term = qt.term
+       |  JOIN dfreq d ON p.term = d.term
+       |  JOIN dl ON p.doc_id = dl.doc_id
+       |  CROSS JOIN stats s),
+       |scored AS (SELECT query_id, doc_id, sum(micro) AS score_micro
+       |           FROM contrib GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, doc_id, score_micro,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_micro DESC, doc_id) AS rank FROM scored)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       |  score_micro / 1000000.0 AS score, rank
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2281,43 +2338,11 @@ object SparkEntry {
          |SELECT doc_id, ${TF.stripMarkupSql("html")} AS clean
          |FROM h ORDER BY doc_id""".stripMargin,
 
-    "q94_bm25_search" ->
-      """WITH q(query_id, query_text) AS (VALUES
-        |  (1, 'spark window agg'), (2, 'vector scan batch'),
-        |  (3, 'customer stream query')),
-        |tk AS (SELECT doc_id, term FROM (
-        |    SELECT doc_id,
-        |      unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
-        |    FROM documents) WHERE term <> ''),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
-        |post AS (SELECT term, doc_id, count(*) AS tf FROM tk GROUP BY 1, 2),
-        |stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
-        |                 (SELECT count(*) FROM tk) AS total_toks),
-        |qt AS (SELECT DISTINCT query_id, term FROM (
-        |    SELECT query_id,
-        |      unnest(string_split_regex(lower(query_text), '[^a-z0-9]+')) AS term
-        |    FROM q) WHERE term <> ''),
-        |dfreq AS (SELECT term, count(*) AS df FROM post
-        |          WHERE term IN (SELECT term FROM qt) GROUP BY term),
-        |contrib AS (
-        |  SELECT qt.query_id, p.doc_id,
-        |    CAST(round(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
-        |      ((p.tf * (1.2 + 1.0)) / (p.tf + 1.2 * ((1.0 - 0.75) +
-        |        (0.75 * dl.dl) / ((s.total_toks * 1.0) / (s.n_docs * 1.0)))))
-        |      * 1000000.0, 0) AS BIGINT) AS micro
-        |  FROM post p
-        |  JOIN qt ON p.term = qt.term
-        |  JOIN dfreq d ON p.term = d.term
-        |  JOIN dl ON p.doc_id = dl.doc_id
-        |  CROSS JOIN stats s),
-        |scored AS (SELECT query_id, doc_id, sum(micro) AS score_micro
-        |           FROM contrib GROUP BY 1, 2),
-        |ranked AS (SELECT query_id, doc_id, score_micro,
-        |  row_number() OVER (PARTITION BY query_id
-        |    ORDER BY score_micro DESC, doc_id) AS rank FROM scored)
-        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
-        |  score_micro / 1000000.0 AS score, rank
-        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q94_bm25_search" -> bm25OracleSql(
+      "(1, 'spark window agg'), (2, 'vector scan batch'), (3, 'customer stream query')"),
+
+    "q116_bm25_index" -> bm25OracleSql(
+      "(1, 'merge batch row'), (2, 'filter group vector'), (3, 'slow table scan')"),
 
     "q95_scd2_history" ->
       """WITH e AS (

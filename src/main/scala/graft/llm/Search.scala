@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.TopK
@@ -9,15 +9,21 @@ import graft.ops.TopK
   * training-data pipeline needs for decontamination probes ("which corpus
   * docs match this benchmark question?") and corpus exploration.
   *
-  * Scale shape (100 TB corpus, small query set):
-  *   - the corpus text column is scanned ONCE to build posting lists; after
-  *     tokenization only (term, doc_id, tf, dl) rows — ids and small ints —
-  *     ever shuffle, never the text;
+  * Two forms:
+  *   - [[bm25TopK]] — ad-hoc: two map-only passes over the text (posting
+  *     lists + the 1-row stats aggregate) for a one-shot query batch;
+  *   - [[writeSearchIndex]] / [[querySearchIndex]] — index at rest: the
+  *     postings are written term-sorted once, and each query batch reads
+  *     ONLY the row groups of its own terms (parquet min/max + IN
+  *     pushdown) — zero passes over the corpus text per batch. This is
+  *     the 100 TB shape when the corpus is queried more than once.
+  *
+  * Shared scale properties:
+  *   - after tokenization only (term, doc_id, tf, dl) rows — ids and small
+  *     ints — ever shuffle, never the text;
   *   - the query-term relation is tiny and is BROADCAST into the postings
-  *     join, so candidate generation touches only postings of query terms
-  *     (index-at-rest would make this a lookup; here it is one pruned scan);
-  *   - corpus statistics (N, total tokens) ride a 1-row broadcast relation —
-  *     no driver-side action;
+  *     join;
+  *   - corpus statistics (N, total tokens) ride a 1-row broadcast relation;
   *   - per-(query, doc) scores aggregate with partial (map-side) combine,
   *     and the final top-k uses the bounded [[TopK]] aggregator, not a
   *     window — each partition emits at most k candidates per query.
@@ -60,22 +66,60 @@ object Search {
                queries: DataFrame, k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val post = postings(docs, textCol, idCol)
+    // Corpus stats as a 1-row broadcast relation: N counts docs with at
+    // least one token (a token-less doc can never match and contributes
+    // nothing to avgdl).
+    val stats = docs.agg(
+      count(when(size(searchTokens(col(textCol))) > 0, 1)).as("n_docs"),
+      sum(size(searchTokens(col(textCol))).cast("long")).as("total_toks"))
+    rank(post, stats, queries, k, k1, b)
+  }
 
+  /** Persist the inverted index: term-sorted postings (so a term filter
+    * prunes row groups on read) plus the 1-row corpus stats. Build once;
+    * query batches then never touch the corpus text.
+    */
+  def writeSearchIndex(docs: DataFrame, textCol: String, idCol: String,
+                       path: String): Unit = {
+    postings(docs, textCol, idCol)
+      .repartition(col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    docs.agg(
+        count(when(size(searchTokens(col(textCol))) > 0, 1)).as("n_docs"),
+        sum(size(searchTokens(col(textCol))).cast("long")).as("total_toks"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 top-k against a persisted [[writeSearchIndex]] layout. The query
+    * batch's distinct terms (a bounded driver-side set — a query batch is
+    * small by definition) become an IN filter pushed into the postings
+    * scan, so only matching row groups of the term-sorted files are read.
+    */
+  def querySearchIndex(spark: SparkSession, path: String, queries: DataFrame,
+                       k: Int, k1: Double = 1.2,
+                       b: Double = 0.75): DataFrame = {
+    val terms = queries
+      .select(explode(array_distinct(searchTokens(col("query_text"))))
+        .as("term"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("term").isin(terms: _*))
+    val stats = spark.read.parquet(s"$path/stats")
+    rank(post, stats, queries, k, k1, b)
+  }
+
+  /** Shared scoring tail: prune postings to query terms, df over the
+    * pruned set (df is a property of the term, so pruning doesn't change
+    * it), integer micro-unit contributions, bounded top-k.
+    */
+  private def rank(post: DataFrame, stats: DataFrame, queries: DataFrame,
+                   k: Int, k1: Double, b: Double): DataFrame = {
     // Distinct query terms; duplicates within one query score once.
     val qterms = queries.select(col("query_id"),
         explode(array_distinct(searchTokens(col("query_text")))).as("term"))
       .distinct()
 
-    // Corpus stats as a 1-row broadcast relation (single agg job, no
-    // collect): N counts ALL docs (a token-less doc still grows N), and
-    // avgdl = total tokens / N.
-    val stats = docs.agg(
-      count(lit(1)).as("n_docs"),
-      sum(size(searchTokens(col(textCol))).cast("long")).as("total_toks"))
-
-    // Postings pruned to query terms only, then per-term document
-    // frequency over the pruned set (identical to df over the full corpus
-    // — df is a property of the term).
     val matched = post.join(broadcast(qterms.select("term").distinct()),
       Seq("term"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -48,6 +48,25 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(r(1L) > r(2L), s"rare-term score ${r(1L)} should beat ${r(2L)}")
   }
 
+  test("persisted search index: ad-hoc parity + term pushdown into the scan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val idx = TestSpark.tmpDir("bm25-idx")
+    Search.writeSearchIndex(docs, "text", "doc_id", idx)
+    val qs = Seq((1L, "spark window agg"), (2L, "vector scan"))
+      .toDF("query_id", "query_text")
+    val viaIndex = Search.querySearchIndex(spark, idx, qs, 5)
+    val adHoc = Search.bm25TopK(docs, "text", "doc_id", qs, 5)
+    assert(viaIndex.exceptAll(adHoc).isEmpty &&
+      adHoc.exceptAll(viaIndex).isEmpty,
+      "index-served results must equal the ad-hoc computation")
+    // the query-term IN filter must reach the postings parquet scan
+    val formatted = viaIndex.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters") &&
+      formatted.contains("In(term"),
+      s"expected In(term, ...) pushed into the postings scan:\n$formatted")
+  }
+
   test("bm25 plan shape: no text column in any post-tokenize exchange") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val qs = Seq((1L, "spark window agg")).toDF("query_id", "query_text")
