@@ -1277,6 +1277,38 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q117_image_neardup" -> ((s, dir) => {
+      // perceptual-hash near-dup screening, self-checked (q24's pattern):
+      // 40 deterministic payloads + exact copies; the pigeonhole-blocked
+      // pair set must equal the exact O(n^2) Hamming pair set (recall-1
+      // guarantee) and contain every planted copy pair. All three output
+      // facts are invariants, so the oracle states them from the corpus
+      // size alone.
+      import s.implicits._
+      val base = t(s, dir, "documents").orderBy(col("doc_id")).limit(40)
+        .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("payload"))
+      val copies = base.select((col("id") + 100000L).as("id"), col("payload"))
+      val payloads = base.unionByName(copies)
+      val hashes = Multimodal.perceptualHashes(payloads, "id", "payload")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val blocked = Dedup.hammingPairs(hashes, "phash", "id", maxHamming = 0)
+        .select(col("idA"), col("idB"))
+      val l = hashes.select(col("id").as("idA"), col("phash").as("pa"))
+      val r = hashes.select(col("id").as("idB"), col("phash").as("pb"))
+      val exact = l.join(broadcast(r), col("idA") < col("idB"))
+        .filter(bit_count(col("pa").bitwiseXOR(col("pb"))) === 0)
+        .select(col("idA"), col("idB"))
+      val planted = base.select(col("id").as("idA"),
+        (col("id") + 100000L).as("idB"))
+      payloads.agg(count(lit(1)).as("n_payloads"))
+        .crossJoin(broadcast(
+          blocked.exceptAll(exact).unionAll(exact.exceptAll(blocked))
+            .agg((count(lit(1)) === 0).as("blocked_eq_exact"))))
+        .crossJoin(broadcast(
+          planted.exceptAll(blocked)
+            .agg((count(lit(1)) === 0).as("planted_all_found"))))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -2618,6 +2650,12 @@ object SparkEntry {
         |  round(coalesce(e.ent, 0.0), 6) < 3.0 AS low_entropy
         |FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q117_image_neardup" ->
+      """SELECT CAST(2 * least(40, (SELECT count(*) FROM documents)) AS BIGINT)
+        |    AS n_payloads,
+        |  true AS blocked_eq_exact,
+        |  true AS planted_all_found""".stripMargin,
 
     "q99_quantile_filter" ->
       s"""${qualityCteSql(", lang")},

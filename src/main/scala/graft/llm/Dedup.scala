@@ -338,10 +338,16 @@ object Dedup {
     * split into `maxHamming + 1` bit chunks, one output row per chunk.
     */
   private def simhashBlocks(df: DataFrame, textCol: String, idCol: String,
-                            maxHamming: Int): DataFrame = {
+                            maxHamming: Int): DataFrame =
+    sigBlocks(df.select(col(idCol).as("__id"),
+      simhash(col(textCol)).as("__sh")), maxHamming)
+
+  /** The same pigeonhole blocking over ANY precomputed 64-bit signature
+    * relation (__id, __sh) — simhash, perceptual image hash, etc.
+    */
+  private def sigBlocks(sh: DataFrame, maxHamming: Int): DataFrame = {
     val blocks  = maxHamming + 1
     val bitsPer = 64 / blocks
-    val sh = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sh"))
     sh.select(col("__id"), col("__sh"),
       explode(array((0 until blocks).map { b =>
         // chunk b = bits [b*bitsPer, ...); the last chunk takes the remainder
@@ -386,8 +392,23 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3,
-                   maxBucketSize: Int = DefaultSimhashBucketCap): DataFrame = {
-    val banded = simhashBlocks(df, textCol, idCol, maxHamming)
+                   maxBucketSize: Int = DefaultSimhashBucketCap): DataFrame =
+    pairsFromBlocks(simhashBlocks(df, textCol, idCol, maxHamming),
+      maxHamming, maxBucketSize)
+
+  /** Pigeonhole Hamming pairs over ANY precomputed 64-bit signature column
+    * — the [[simhashPairs]] machinery (recall-1 blocking, finite bucket
+    * cap, exact verify) reused for perceptual image hashes and other
+    * bit-signature families.
+    */
+  def hammingPairs(df: DataFrame, sigCol: String, idCol: String,
+                   maxHamming: Int = 3,
+                   maxBucketSize: Int = DefaultSimhashBucketCap): DataFrame =
+    pairsFromBlocks(sigBlocks(df.select(col(idCol).as("__id"),
+      col(sigCol).as("__sh")), maxHamming), maxHamming, maxBucketSize)
+
+  private def pairsFromBlocks(banded: DataFrame, maxHamming: Int,
+                              maxBucketSize: Int): DataFrame = {
     val capped =
       if (maxBucketSize == Int.MaxValue) banded
       else {

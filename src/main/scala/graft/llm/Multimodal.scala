@@ -124,6 +124,92 @@ object Multimodal {
       .toDF(idCol, "feature")
   }
 
+  /** 64-bit perceptual average-hash (aHash): scale to an 8x8 grayscale
+    * grid, bit k set iff cell k's luminance exceeds the grid mean. Small
+    * visual edits move few bits, so near-duplicate images sit within a
+    * small Hamming distance — [[imageNearDupPairs]] then reuses the
+    * pigeonhole SimHash blocking unchanged. Real image containers hash
+    * through the JDK decode + area-average scaling; other payloads fall
+    * back to a deterministic 64-byte-bucket variant so the machinery runs
+    * on any fixture.
+    */
+  def aHash(bytes: Array[Byte]): Long = {
+    val real =
+      if (looksLikeImage(bytes))
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: java.io.IOException => None }
+      else None
+    real match {
+      case Some(im) =>
+        val small = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = small.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(im, 0, 0, 8, 8, null)
+        } finally g.dispose()
+        val gray = new Array[Double](64)
+        var k = 0
+        while (k < 64) {
+          val rgb = small.getRGB(k % 8, k / 8)
+          gray(k) = 0.299 * ((rgb >> 16) & 0xFF) +
+            0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+          k += 1
+        }
+        val mean = gray.sum / 64.0
+        var h = 0L
+        k = 0
+        while (k < 64) { if (gray(k) > mean) h |= 1L << k; k += 1 }
+        h
+      case None if bytes.isEmpty => 0L
+      case None =>
+        // deterministic fallback: 64 byte-buckets vs the overall mean
+        val sums = new Array[Long](64)
+        val ns   = new Array[Long](64)
+        var i = 0
+        while (i < bytes.length) {
+          val b = (i * 64L / bytes.length).toInt
+          sums(b) += bytes(i) & 0xFF
+          ns(b) += 1
+          i += 1
+        }
+        var total = 0L
+        var k = 0
+        while (k < 64) { total += sums(k); k += 1 }
+        val mean = total.toDouble / bytes.length
+        var h = 0L
+        k = 0
+        while (k < 64) {
+          if (ns(k) > 0 && sums(k).toDouble / ns(k) > mean) h |= 1L << k
+          k += 1
+        }
+        h
+    }
+  }
+
+  /** Per-payload perceptual hashes via the partition-batch decode seam:
+    * (id, phash) rows — 8 bytes per image into the dedup shuffle, never
+    * the payload.
+    */
+  def perceptualHashes(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => (id, aHash(b)) })
+      .toDF(idCol, "phash")
+  }
+
+  /** Near-duplicate image pairs: aHash + the pigeonhole Hamming blocking
+    * ([[Dedup.hammingPairs]] — recall 1 below the bucket cap, exact
+    * Hamming verify). Only (id, 8-byte hash) rows shuffle.
+    */
+  def imageNearDupPairs(df: DataFrame, idCol: String, binCol: String,
+                        maxHamming: Int = 6): DataFrame =
+    Dedup.hammingPairs(perceptualHashes(df, idCol, binCol), "phash", idCol,
+      maxHamming)
+
   /** ??? real resampler goes here (libjpeg scale / ffmpeg -s): stubbed as
     * deterministic byte decimation to `targetBytes` — keeps the real
     * contract (bounded output size per payload, pure per-row transform,

@@ -42,6 +42,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fake.height >= 64 && fake.height < 64 + 1024)
   }
 
+  test("aHash: perceptual near-dups close, distinct images far, real PNGs") {
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // smooth gradient; a lightly speckled copy; its inverse
+    val base = png((x, y) => ((x * 4) << 16) | ((y * 4) << 8) | 128)
+    val near = png((x, y) =>
+      if ((x * 64 + y) % 997 == 0) 0xFFFFFF
+      else ((x * 4) << 16) | ((y * 4) << 8) | 128)
+    val far = png((x, y) =>
+      (((63 - x) * 4) << 16) | (((63 - y) * 4) << 8) | 128)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val (hb, hn, hf) =
+      (Multimodal.aHash(base), Multimodal.aHash(near), Multimodal.aHash(far))
+    assert(ham(hb, hn) <= 6, s"near-dup hamming ${ham(hb, hn)} > 6")
+    assert(ham(hb, hf) > 16, s"distinct images hamming ${ham(hb, hf)} too low")
+    // pipeline: pigeonhole Hamming blocking finds exactly the planted pair
+    val payloads = Seq((1L, base), (2L, near), (3L, far))
+      .toDF("id", "payload")
+    val pairs = Multimodal.imageNearDupPairs(payloads, "id", "payload")
+      .select($"idA", $"idB").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"expected only (1,2), got $pairs")
+  }
+
   test("payload stats: byte length and checksum, no decode") {
     val df = Multimodal.withPayloadStats(
       Multimodal.withBinaryPayload(docs, "text"), "payload")
