@@ -1309,6 +1309,24 @@ object SparkEntry {
             .agg((count(lit(1)) === 0).as("planted_all_found"))))
     }),
 
+    "q118_table_diff" -> ((s, dir) => {
+      // snapshot reconciliation: version 2 of orders drops every 97th key,
+      // bumps every 13th price, and inserts a copy of every 101st row
+      // under a new key — the diff must classify exactly. One full-outer
+      // join on the key (Diff.scala).
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val kept = base.filter(pmod(col("o_orderkey"), lit(97L)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(13L)) === 0,
+            col("o_totalprice") + 1.5).otherwise(col("o_totalprice")))
+      val inserted = base.filter(pmod(col("o_orderkey"), lit(101L)) === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      Diff.diffSummary(base, kept.unionByName(inserted),
+        Seq("o_orderkey"), Seq("o_custkey", "o_totalprice"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -2656,6 +2674,27 @@ object SparkEntry {
         |    AS n_payloads,
         |  true AS blocked_eq_exact,
         |  true AS planted_all_found""".stripMargin,
+
+    "q118_table_diff" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |nxt AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.5
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+        |  FROM base WHERE o_orderkey % 101 = 0),
+        |j AS (SELECT
+        |    CASE WHEN b.o_orderkey IS NULL THEN 'added'
+        |         WHEN n.o_orderkey IS NULL THEN 'removed'
+        |         WHEN b.o_custkey IS DISTINCT FROM n.o_custkey
+        |           OR b.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |           THEN 'changed'
+        |         ELSE 'unchanged' END AS change_type
+        |  FROM base b FULL OUTER JOIN nxt n ON b.o_orderkey = n.o_orderkey)
+        |SELECT change_type, count(*) AS n FROM j
+        |GROUP BY change_type ORDER BY change_type""".stripMargin,
 
     "q99_quantile_filter" ->
       s"""${qualityCteSql(", lang")},

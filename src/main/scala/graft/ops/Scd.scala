@@ -50,12 +50,12 @@ object Scd {
         col("valid_to"), col("version"), col("is_current"))
   }
 
-  /** Point-in-time lookup against an SCD2 history: the attribute value in
-    * force at `asOf` per key (valid_from <= asOf < valid_to, open interval
-    * matches everything after valid_from). A filter + projection — no
-    * shuffle beyond what the caller's sink needs.
+  /** Point-in-time lookup against an SCD2 history: the interval in force
+    * at `asOf` (valid_from <= asOf < valid_to, open interval matches
+    * everything after valid_from). A filter + projection — no shuffle
+    * beyond what the caller's sink needs.
     */
-  def asOfSnapshot(history: DataFrame, keyCol: String, asOf: Column): DataFrame =
+  def asOfSnapshot(history: DataFrame, asOf: Column): DataFrame =
     history.filter(col("valid_from") <= asOf &&
       (col("valid_to").isNull || col("valid_to") > asOf))
 }

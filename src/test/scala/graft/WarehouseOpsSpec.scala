@@ -120,10 +120,31 @@ class WarehouseOpsSpec extends AnyFunSuite {
       .toDF("k", "seq", "attr")
       .withColumn("ts", timestamp_seconds($"seq" * 100))
     val h = Scd.scd2History(log, "k", "attr", "ts", "seq")
-    val at150 = Scd.asOfSnapshot(h, "k", timestamp_seconds(lit(150))).collect()
+    val at150 = Scd.asOfSnapshot(h, timestamp_seconds(lit(150))).collect()
     assert(at150.length == 1 && at150(0).getString(1) == "A")
-    val at999 = Scd.asOfSnapshot(h, "k", timestamp_seconds(lit(999))).collect()
+    val at999 = Scd.asOfSnapshot(h, timestamp_seconds(lit(999))).collect()
     assert(at999.length == 1 && at999(0).getString(1) == "C")
+  }
+
+  // --- snapshot diff --------------------------------------------------------
+
+  test("snapshotDiff classifies added/removed/changed/unchanged, null-safe") {
+    val v1 = Seq((1L, Some("a"), 1.0), (2L, Some("b"), 2.0),
+      (3L, None: Option[String], 3.0), (4L, Some("d"), 4.0))
+      .toDF("k", "s", "v")
+    val v2 = Seq((1L, Some("a"), 1.0),              // unchanged
+      (2L, Some("B"), 2.0),                          // changed (s)
+      (3L, None: Option[String], 3.0),               // unchanged (null == null)
+      (5L, Some("e"), 5.0))                          // added; 4 removed
+      .toDF("k", "s", "v")
+    val got = graft.ops.Diff.snapshotDiff(v1, v2, Seq("k"), Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("change_type")).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", 4L -> "removed", 5L -> "added"))
+    val summary = graft.ops.Diff.diffSummary(v1, v2, Seq("k"), Seq("s", "v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary == Map("added" -> 1L, "removed" -> 1L,
+      "changed" -> 1L, "unchanged" -> 2L))
   }
 
   // --- gap fill -----------------------------------------------------------
