@@ -1327,6 +1327,23 @@ object SparkEntry {
         Seq("o_orderkey"), Seq("o_custkey", "o_totalprice"))
     }),
 
+    "q119_table_diff_pruned" -> ((s, dir) => {
+      // checksum-pruned reconciliation (the 100 TB diff path): bucket
+      // fingerprints first, row-level join only for disagreeing buckets,
+      // agreeing buckets credited to `unchanged` from counts alone. Same
+      // classification contract as q118, proven by this oracle and by
+      // WarehouseOpsSpec's pruned==full parity.
+      val base = t(s, dir, "lineitem")
+        .groupBy((col("l_orderkey") * 10 + col("l_linenumber")).as("k"))
+        .agg(round(sum(col("l_quantity")), 2).as("qty"))
+      val next = base.filter(pmod(col("k"), lit(211L)) =!= 0)
+        .withColumn("qty",
+          when(pmod(col("k"), lit(89L)) === 0, col("qty") + 5.0)
+            .otherwise(col("qty")))
+      Diff.diffSummaryPruned(base, next, Seq("k"), Seq("qty"),
+        nBuckets = 512)
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -2695,6 +2712,25 @@ object SparkEntry {
         |  FROM base b FULL OUTER JOIN nxt n ON b.o_orderkey = n.o_orderkey)
         |SELECT change_type, count(*) AS n FROM j
         |GROUP BY change_type ORDER BY change_type""".stripMargin,
+
+    "q119_table_diff_pruned" ->
+      """WITH base AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS k,
+        |    round(sum(l_quantity), 2) AS qty
+        |  FROM lineitem GROUP BY 1),
+        |nxt AS (
+        |  SELECT k, CASE WHEN k % 89 = 0 THEN qty + 5.0
+        |                 ELSE qty END AS qty
+        |  FROM base WHERE k % 211 <> 0),
+        |j AS (SELECT
+        |    CASE WHEN b.k IS NULL THEN 'added'
+        |         WHEN n.k IS NULL THEN 'removed'
+        |         WHEN b.qty IS DISTINCT FROM n.qty THEN 'changed'
+        |         ELSE 'unchanged' END AS change_type
+        |  FROM base b FULL OUTER JOIN nxt n ON b.k = n.k)
+        |SELECT change_type, count(*) AS n FROM j
+        |GROUP BY change_type HAVING count(*) > 0
+        |ORDER BY change_type""".stripMargin,
 
     "q99_quantile_filter" ->
       s"""${qualityCteSql(", lang")},

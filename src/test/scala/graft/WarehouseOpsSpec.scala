@@ -147,6 +147,24 @@ class WarehouseOpsSpec extends AnyFunSuite {
       "changed" -> 1L, "unchanged" -> 2L))
   }
 
+  test("diffSummaryPruned equals the full diff; equal tables prune fully") {
+    val v1 = spark.range(5000).select($"id".as("k"),
+      ($"id" % 37).cast("string").as("s"), ($"id" * 1.5).as("v"))
+    val v2 = v1.filter($"k" % 501 =!= 0) // a few removes
+      .withColumn("v", when($"k" % 703 === 0, $"v" + 1.0).otherwise($"v"))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = m(graft.ops.Diff.diffSummary(v1, v2, Seq("k"), Seq("s", "v")))
+    val pruned = m(graft.ops.Diff.diffSummaryPruned(v1, v2, Seq("k"),
+      Seq("s", "v"), nBuckets = 256))
+    assert(pruned == full, s"pruned $pruned != full $full")
+    // identical snapshots: every bucket fingerprint agrees -> the summary
+    // is pure-unchanged credited from the fingerprints (no row join work)
+    val same = m(graft.ops.Diff.diffSummaryPruned(v1, v1, Seq("k"),
+      Seq("s", "v"), nBuckets = 256))
+    assert(same == Map("unchanged" -> 5000L))
+  }
+
   // --- gap fill -----------------------------------------------------------
 
   test("gapFillHourly materializes gap buckets and forward-fills") {
