@@ -1344,6 +1344,26 @@ object SparkEntry {
         nBuckets = 512)
     }),
 
+    "q120_cluster_longest" -> ((s, dir) => {
+      // dedup representative policy: within each near-dup cluster keep
+      // the LONGEST member (tie to smallest id) — the practical survivor
+      // rule when near-dups are truncations. argmax via max(struct(len,
+      // -id)) — a plain aggregate over labeled nodes, no window.
+      val corpus = docsWithNearDups(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+          n = 3, threshold = 0.3, maxShingleFreq = 400)
+        .select(col("idA"), col("idB"))
+      Dedup.connectedComponents(pairs)
+        .join(corpus, col("id") === col("doc_id"))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(length(col("text")).as("len"),
+            (-col("doc_id")).as("negid"))).as("__m"))
+        .select(col("component"), (-col("__m.negid")).as("keep_id"),
+          col("__m.len").cast("long").as("keep_len"), col("n_members"))
+        .orderBy(col("component"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -2731,6 +2751,29 @@ object SparkEntry {
         |SELECT change_type, count(*) AS n FROM j
         |GROUP BY change_type HAVING count(*) > 0
         |ORDER BY change_type""".stripMargin,
+
+    "q120_cluster_longest" ->
+      s"""WITH RECURSIVE $ngramPairsCtes,
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT idA AS id FROM pairs UNION ALL SELECT idB FROM pairs)),
+         |edges AS (SELECT idA AS a, idB AS b FROM pairs
+         |          UNION SELECT idB, idA FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |labels AS (SELECT src AS id, min(dst) AS component
+         |           FROM reach GROUP BY src),
+         |mem AS (SELECT l.component, d.doc_id, len(d.text) AS len
+         |        FROM labels l JOIN docs d ON l.id = d.doc_id),
+         |rr AS (SELECT component, doc_id, len,
+         |    row_number() OVER (PARTITION BY component
+         |      ORDER BY len DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY component) AS n_members
+         |  FROM mem)
+         |SELECT component, doc_id AS keep_id, CAST(len AS BIGINT) AS keep_len,
+         |  n_members
+         |FROM rr WHERE rn = 1 ORDER BY component""".stripMargin,
 
     "q99_quantile_filter" ->
       s"""${qualityCteSql(", lang")},
