@@ -228,5 +228,10 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(math.abs(got(1) - math.log(2)) < 1e-12)
     assert(math.abs(got(2) - math.log(3)) < 1e-12)
     assert(got(3) == 0.0)
+    // SQL-registry route (A17 surface)
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT graft_char_entropy('abab')")
+      .collect()(0).getDouble(0)
+    assert(math.abs(viaSql - math.log(2)) < 1e-12)
   }
 }
