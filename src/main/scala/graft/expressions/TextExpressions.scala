@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types._
@@ -53,14 +53,27 @@ object TextExpressions {
   * '[\s\S]')` enumerates in an RE2 oracle. Terms accumulate in ascending
   * code-point order, so the value is deterministic per input; oracle
   * parity is at round(6) (float association differs across engines).
+  * Generated code calls the static kernel directly, so the expression
+  * stays inside whole-stage codegen (no interpreted fallback per row).
   */
-case class CharEntropy(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class CharEntropy(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+  override def nullSafeEval(v: Any): Any =
+    CharEntropy.compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.CharEntropy.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object CharEntropy {
+  /** The per-row kernel, shared by interpreted eval and generated code. */
+  def compute(u: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val s = u.toString
     if (s.isEmpty) 0.0
     else {
       val counts = scala.collection.mutable.TreeMap.empty[Int, Long]
@@ -80,8 +93,6 @@ case class CharEntropy(child: Expression)
       ent
     }
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class TokenHashes(child: Expression)

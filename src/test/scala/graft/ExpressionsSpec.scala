@@ -234,4 +234,15 @@ class ExpressionsSpec extends AnyFunSuite {
       .collect()(0).getDouble(0)
     assert(math.abs(viaSql - math.log(2)) < 1e-12)
   }
+
+  test("CharEntropy participates in whole-stage codegen (no fallback)") {
+    // range input: LocalTableScan plans skip whole-stage codegen entirely
+    val plan = spark.range(4)
+      .select(TF.charEntropy(concat(lit("ab"), $"id".cast("string"))).as("e"))
+      .queryExecution.executedPlan
+    val cg = org.apache.spark.sql.execution.debug.codegenString(plan)
+    assert(cg.contains("CharEntropy.compute"),
+      s"expected the static kernel call in generated code:\n${cg.take(800)}")
+    assert(!cg.startsWith("Found 0 WholeStageCodegen"), cg.take(200))
+  }
 }
