@@ -95,13 +95,22 @@ object CharEntropy {
   }
 }
 
-case class TokenHashes(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class TokenHashes(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    TokenHashes.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TokenHashes.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TokenHashes {
+  def compute(arr: ArrayData): ArrayData = {
     val n   = arr.numElements()
     val out = new Array[Long](n)
     var i = 0
@@ -111,22 +120,29 @@ case class TokenHashes(child: Expression)
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-case class NgramHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, "ngram size must be >= 1")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  override def nullSafeEval(v: Any): Any =
+    NgramHashes.compute(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.NgramHashes.compute($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object NgramHashes {
   private val FnvOffset = -3750763034362895579L // FNV-1a 64 offset basis
   private val FnvPrime  = 1099511628211L
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val m   = arr.numElements()
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
     if (m < n) return new GenericArrayData(Array.empty[Long])
     val th = new Array[Long](m)
     var i = 0
@@ -142,18 +158,26 @@ case class NgramHashes(child: Expression, n: Int)
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class ArrayMatchFraction(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ArrayMatchFraction.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.ArrayMatchFraction.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object ArrayMatchFraction {
+  def compute(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     if (n == 0) return 0.0
     var eq = 0
@@ -164,7 +188,4 @@ case class ArrayMatchFraction(left: Expression, right: Expression)
     }
     eq.toDouble / n.toDouble
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
 }

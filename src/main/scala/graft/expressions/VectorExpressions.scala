@@ -210,16 +210,35 @@ case class HyperplaneSig(child: Expression, nBits: Int, planeOffset: Int)
   * numHashes-wide HOF zip per shingle.
   */
 case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  private val prime = 4294967311L
-  private val as = Array.tabulate(numHashes)(i => 1L + (2654435761L * (i + 1)) % 1073741789L)
-  private val bs = Array.tabulate(numHashes)(i => (2246822519L * (i + 1)) % 1073741789L)
+  override def nullSafeEval(v: Any): Any =
+    MinHashSig.compute(v.asInstanceOf[ArrayData], numHashes)
 
-  override def nullSafeEval(v: Any): Any = {
-    val hashes = v.asInstanceOf[ArrayData]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.MinHashSig.compute($c, $numHashes)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinHashSig {
+  private val prime = 4294967311L
+  // (a, b) schedules memoized per numHashes — the kernel is called once
+  // per row from generated code, so the schedule must not re-tabulate
+  private val schedules =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  private def schedule(numHashes: Int): (Array[Long], Array[Long]) =
+    schedules.computeIfAbsent(numHashes, k => (
+      Array.tabulate(k)(i => 1L + (2654435761L * (i + 1)) % 1073741789L),
+      Array.tabulate(k)(i => (2246822519L * (i + 1)) % 1073741789L)))
+
+  /** Per-row kernel, shared by interpreted eval and generated code. */
+  def compute(hashes: ArrayData, numHashes: Int): ArrayData = {
+    val (as, bs) = schedule(numHashes)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     val n = hashes.numElements()
     var i = 0
@@ -235,8 +254,6 @@ case class MinHashSig(child: Expression, numHashes: Int)
     }
     new GenericArrayData(sig)
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** L2-normalized copy (array<double>); zero vectors pass through as-is
@@ -341,13 +358,23 @@ case class DequantizeInt8(child: Expression)
 /** 64-bit SimHash over an array of token hashes: bit b of the result is set
   * iff more token hashes have bit b set than unset.
   */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(v: Any): Any = {
-    val hashes = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    SimHash64.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.SimHash64.compute($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SimHash64 {
+  /** Per-row kernel, shared by interpreted eval and generated code. */
+  def compute(hashes: ArrayData): Long = {
     val counts = new Array[Int](64)
     val n = hashes.numElements()
     var i = 0
@@ -368,8 +395,6 @@ case class SimHash64(child: Expression)
     }
     out
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Deterministic Rademacher random projection array<numeric>[d] ->
