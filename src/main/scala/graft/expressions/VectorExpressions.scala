@@ -46,6 +46,35 @@ object VectorExpressions {
   def randomProjection(vec: Column, outDim: Int, seed: Int = 0): Column =
     ColumnShim.column(RandomProjection(ColumnShim.expression(vec), outDim, seed))
 
+  /** Element type as an int code, resolved at PLAN time so generated code
+    * passes a literal and the per-row kernel switches on a primitive.
+    */
+  private[expressions] def typeCode(et: DataType): Int = et match {
+    case FloatType   => 0
+    case DoubleType  => 1
+    case LongType    => 2
+    case IntegerType => 3
+    case other => throw new IllegalArgumentException(s"unsupported element type $other")
+  }
+
+  /** Kernel-side element accessor for [[typeCode]] codes. */
+  def elemAt(arr: ArrayData, i: Int, code: Int): Double = code match {
+    case 0 => arr.getFloat(i).toDouble
+    case 1 => arr.getDouble(i)
+    case 2 => arr.getLong(i).toDouble
+    case _ => arr.getInt(i).toDouble
+  }
+
+  /** SplitMix64 finalizer — the shared deterministic PRNG of the
+    * hyperplane / random-projection kernels.
+    */
+  private[expressions] def mix64(z0: Long): Long = {
+    var z = z0 + -7046029254386353131L // 0x9E3779B97F4A7C15
+    z = (z ^ (z >>> 30)) * -4658895280553007687L // 0xBF58476D1CE4E5B9
+    z = (z ^ (z >>> 27)) * -7723592293110705685L // 0x94D049BB133111EB
+    z ^ (z >>> 31)
+  }
+
   private[expressions] def elemGetter(arr: String, idx: String, et: DataType): String =
     et match {
       case FloatType  => s"(double) $arr.getFloat($idx)"
@@ -162,27 +191,32 @@ case class ArrayCosineSim(left: Expression, right: Expression)
   * hashing. One primitive nBits x dims loop per row.
   */
 case class HyperplaneSig(child: Expression, nBits: Int, planeOffset: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(nBits >= 1 && nBits <= 63, "signature must fit in a long")
 
   override def dataType: DataType = LongType
   private def elem = child.dataType.asInstanceOf[ArrayType].elementType
 
-  private def mix64(z0: Long): Long = {
-    var z = z0 + -7046029254386353131L // 0x9E3779B97F4A7C15
-    z = (z ^ (z >>> 30)) * -4658895280553007687L // 0xBF58476D1CE4E5B9
-    z = (z ^ (z >>> 27)) * -7723592293110705685L // 0x94D049BB133111EB
-    z ^ (z >>> 31)
-  }
+  override def nullSafeEval(v: Any): Any =
+    HyperplaneSig.compute(v.asInstanceOf[ArrayData], nBits, planeOffset,
+      VectorExpressions.typeCode(elem))
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.HyperplaneSig.compute($c, $nBits, $planeOffset, " +
+        s"${VectorExpressions.typeCode(elem)})")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object HyperplaneSig {
   /** Uniform [-0.5, 0.5) component for (plane, dim). */
   private def component(plane: Int, dim: Int): Double = {
-    val h = mix64((plane.toLong << 32) | (dim.toLong & 0xFFFFFFFFL))
+    val h = VectorExpressions.mix64((plane.toLong << 32) | (dim.toLong & 0xFFFFFFFFL))
     (h >>> 11).toDouble / (1L << 53).toDouble - 0.5
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData, nBits: Int, planeOffset: Int, tc: Int): Long = {
     val dims = arr.numElements()
     var sig = 0L
     var b = 0
@@ -191,7 +225,7 @@ case class HyperplaneSig(child: Expression, nBits: Int, planeOffset: Int)
       var proj = 0.0
       var d = 0
       while (d < dims) {
-        proj += VectorExpressions.elemEval(arr, d, elem) * component(plane, d)
+        proj += VectorExpressions.elemAt(arr, d, tc) * component(plane, d)
         d += 1
       }
       if (proj >= 0) sig |= (1L << b)
@@ -199,8 +233,6 @@ case class HyperplaneSig(child: Expression, nBits: Int, planeOffset: Int)
     }
     sig
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** MinHash signature over an array of (arbitrary 64-bit) shingle hashes:
@@ -264,19 +296,29 @@ object MinHashSig {
   * comparisons are unaffected. One primitive pass; the HOF form pays a
   * boxed lambda per element on every corpus row of an embedding pipeline.
   */
-case class L2Normalize(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class L2Normalize(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   private def elem = child.dataType.asInstanceOf[ArrayType].elementType
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    L2Normalize.compute(v.asInstanceOf[ArrayData],
+      VectorExpressions.typeCode(elem))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.L2Normalize.compute($c, ${VectorExpressions.typeCode(elem)})")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object L2Normalize {
+  def compute(arr: ArrayData, tc: Int): ArrayData = {
     val n = arr.numElements()
     var ss = 0.0
     var i = 0
     while (i < n) {
-      val x = VectorExpressions.elemEval(arr, i, elem)
+      val x = VectorExpressions.elemAt(arr, i, tc)
       ss += x * x
       i += 1
     }
@@ -284,13 +326,11 @@ case class L2Normalize(child: Expression)
     val out = new Array[Double](n)
     i = 0
     if (norm == 0.0)
-      while (i < n) { out(i) = VectorExpressions.elemEval(arr, i, elem); i += 1 }
+      while (i < n) { out(i) = VectorExpressions.elemAt(arr, i, tc); i += 1 }
     else
-      while (i < n) { out(i) = VectorExpressions.elemEval(arr, i, elem) / norm; i += 1 }
+      while (i < n) { out(i) = VectorExpressions.elemAt(arr, i, tc) / norm; i += 1 }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Symmetric int8 scalar quantization: struct(scale = max|x|/127,
@@ -301,21 +341,31 @@ case class L2Normalize(child: Expression)
   * half-away-from-zero, matching Spark's `round()` and DuckDB's `round()`
   * so the storage transform stays oracle-comparable.
   */
-case class QuantizeInt8(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class QuantizeInt8(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("scale", DoubleType, nullable = false),
     StructField("codes", ArrayType(ByteType, containsNull = false), nullable = false)))
   private def elem = child.dataType.asInstanceOf[ArrayType].elementType
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    QuantizeInt8.compute(v.asInstanceOf[ArrayData],
+      VectorExpressions.typeCode(elem))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.QuantizeInt8.compute($c, ${VectorExpressions.typeCode(elem)})")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object QuantizeInt8 {
+  def compute(arr: ArrayData, tc: Int): InternalRow = {
     val n = arr.numElements()
     var maxAbs = 0.0
     var i = 0
     while (i < n) {
-      val a = math.abs(VectorExpressions.elemEval(arr, i, elem))
+      val a = math.abs(VectorExpressions.elemAt(arr, i, tc))
       if (a > maxAbs) maxAbs = a
       i += 1
     }
@@ -324,25 +374,32 @@ case class QuantizeInt8(child: Expression)
     val codes = new Array[Byte](n)
     i = 0
     while (i < n) {
-      val q = VectorExpressions.elemEval(arr, i, elem) / safe
+      val q = VectorExpressions.elemAt(arr, i, tc) / safe
       val r = if (q >= 0) math.floor(q + 0.5) else math.ceil(q - 0.5)
       codes(i) = r.toByte
       i += 1
     }
     InternalRow(scale, new GenericArrayData(codes.map(b => b: Any)))
   }
+}
+
+/** Inverse of [[QuantizeInt8]]: codes * scale as array<double>. */
+case class DequantizeInt8(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    DequantizeInt8.compute(v.asInstanceOf[InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.DequantizeInt8.compute($c)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Inverse of [[QuantizeInt8]]: codes * scale as array<double>. */
-case class DequantizeInt8(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-
-  override def nullSafeEval(v: Any): Any = {
-    val row = v.asInstanceOf[InternalRow]
+object DequantizeInt8 {
+  def compute(row: InternalRow): ArrayData = {
     val scale = row.getDouble(0)
     val codes = row.getArray(1)
     val n = codes.numElements()
@@ -351,8 +408,6 @@ case class DequantizeInt8(child: Expression)
     while (i < n) { out(i) = codes.getByte(i).toDouble * scale; i += 1 }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** 64-bit SimHash over an array of token hashes: bit b of the result is set
@@ -408,21 +463,26 @@ object SimHash64 {
   * and shuffle cost 4x at a small recall tax.
   */
 case class RandomProjection(child: Expression, outDim: Int, seed: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(outDim >= 1 && outDim <= 4096, "outDim must be in [1, 4096]")
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   private def elem = child.dataType.asInstanceOf[ArrayType].elementType
 
-  private def mix64(z0: Long): Long = {
-    var z = z0 + -7046029254386353131L // 0x9E3779B97F4A7C15
-    z = (z ^ (z >>> 30)) * -4658895280553007687L // 0xBF58476D1CE4E5B9
-    z = (z ^ (z >>> 27)) * -7723592293110705685L // 0x94D049BB133111EB
-    z ^ (z >>> 31)
-  }
+  override def nullSafeEval(v: Any): Any =
+    RandomProjection.compute(v.asInstanceOf[ArrayData], outDim, seed,
+      VectorExpressions.typeCode(elem))
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.RandomProjection.compute($c, $outDim, $seed, " +
+        s"${VectorExpressions.typeCode(elem)})")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object RandomProjection {
+  def compute(arr: ArrayData, outDim: Int, seed: Int, tc: Int): ArrayData = {
     val dims = arr.numElements()
     val out = new Array[Double](outDim)
     var j = 0
@@ -432,8 +492,8 @@ case class RandomProjection(child: Expression, outDim: Int, seed: Int)
       var acc = 0.0
       var i = 0
       while (i < dims) {
-        val s = if ((mix64(base ^ i.toLong) & 1L) == 0L) 1.0 else -1.0
-        acc += VectorExpressions.elemEval(arr, i, elem) * s
+        val s = if ((VectorExpressions.mix64(base ^ i.toLong) & 1L) == 0L) 1.0 else -1.0
+        acc += VectorExpressions.elemAt(arr, i, tc) * s
         i += 1
       }
       out(j) = acc
@@ -441,6 +501,4 @@ case class RandomProjection(child: Expression, outDim: Int, seed: Int)
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
