@@ -1364,6 +1364,22 @@ object SparkEntry {
         .orderBy(col("component"))
     }),
 
+    "q121_repeated_spans" -> ((s, dir) => {
+      // exact-substring dedup signal (Lee et al.): every 8-token window is
+      // hashed; windows whose hash repeats anywhere in the corpus merge
+      // into maximal duplicated spans per doc. Planted repeats: every 7th
+      // doc gets a companion that is its first 200 chars twice over — the
+      // companion is self-repetitive AND shares its windows with the base
+      // doc. Only the 8-byte window hash shuffles for the frequency pass.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.filter(pmod(col("doc_id"), lit(7L)) === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat_ws(" ", substring(col("text"), 1, 200),
+            substring(col("text"), 1, 200)).as("text"))
+      Dedup.repeatedSpanStats(d.unionByName(planted), "text", "doc_id", k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -2774,6 +2790,37 @@ object SparkEntry {
          |SELECT component, doc_id AS keep_id, CAST(len AS BIGINT) AS keep_len,
          |  n_members
          |FROM rr WHERE rn = 1 ORDER BY component""".stripMargin,
+
+    "q121_repeated_spans" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000, substr(text, 1, 200) || ' ' || substr(text, 1, 200)
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |norm AS (SELECT doc_id, $ntoksSql AS ntoks FROM corpus),
+         |w AS (SELECT doc_id, unnest(range(len(ntoks) - 7)) AS pos, ntoks
+         |      FROM norm WHERE len(ntoks) >= 8),
+         |g AS (SELECT doc_id, pos,
+         |        array_to_string(ntoks[pos+1:pos+8], ' ') AS g FROM w),
+         |dup AS (SELECT g FROM g GROUP BY g HAVING count(*) > 1),
+         |dp AS (SELECT doc_id, pos FROM g JOIN dup USING (g)),
+         |m AS (SELECT doc_id, pos,
+         |        lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt,
+         |        lag(pos)  OVER (PARTITION BY doc_id ORDER BY pos) AS prv
+         |      FROM dp),
+         |agg AS (SELECT doc_id, count(*) AS n_dup_windows,
+         |        sum(CASE WHEN nxt IS NULL THEN 8
+         |                 ELSE least(8, nxt - pos) END) AS covered,
+         |        sum(CASE WHEN prv IS NULL OR pos - prv > 8
+         |                 THEN 1 ELSE 0 END) AS n_spans
+         |      FROM m GROUP BY doc_id)
+         |SELECT n.doc_id, CAST(len(n.ntoks) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(a.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+         |  CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+         |  round(coalesce(a.covered, 0) * 1.0 /
+         |        greatest(len(n.ntoks), 1), 6) AS dup_frac
+         |FROM norm n LEFT JOIN agg a USING (doc_id)
+         |ORDER BY n.doc_id""".stripMargin,
 
     "q99_quantile_filter" ->
       s"""${qualityCteSql(", lang")},

@@ -712,4 +712,58 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("idA"), col("idB"), col("cosine"))
   }
+
+  /** Repeated-substring detection — the EXACT-substring dedup signal
+    * ("Deduplicating Training Data Makes Language Models Better": corpora
+    * carry verbatim k-token substrings repeated across documents; docs
+    * dominated by such spans are memorization bait). Suffix arrays don't
+    * distribute; the equivalent relational form does: every k-token window
+    * is hashed (one NgramHashes pass per doc), a window is DUPLICATED when
+    * its hash occurs more than once in the corpus (across docs or within
+    * one), and overlapping duplicated windows merge into maximal spans.
+    *
+    * Returns per doc: token count, duplicated-window count, merged-span
+    * count, and the fraction of tokens covered by any duplicated span —
+    * the filter column (`dup_frac > tau` drops the doc).
+    *
+    * At 100 TB: the frequency pass shuffles the 8-byte window hash only
+    * (map-side partial counts absorb hot boilerplate hashes); positions
+    * rejoin by that hash; the span merge is a per-doc window over
+    * DUPLICATED windows only (coverage via sum(min(k, next-pos)) — no
+    * k-times position explode). The document text never shuffles.
+    */
+  def repeatedSpanStats(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 10): DataFrame = {
+    require(k >= 1, "window size must be >= 1")
+    val toks = df.select(col(idCol).as("__id"),
+      TF.normTokens(col(textCol)).as("__toks"))
+    val grams = toks.filter(size(col("__toks")) >= k)
+      .select(col("__id"), posexplode(
+        graft.expressions.TextExpressions.ngramHashes(col("__toks"), k))
+        .as(Seq("__pos", "__g")))
+    val dupHashes = grams.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select(col("__g"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("__pos"))
+    val spans = grams.join(dupHashes, Seq("__g"))
+      .select(col("__id"), col("__pos"))
+      .withColumn("__nxt", lead(col("__pos"), 1).over(w))
+      .withColumn("__prv", lag(col("__pos"), 1).over(w))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sum(when(col("__nxt").isNull, k.toLong)
+          .otherwise(least(lit(k.toLong), col("__nxt") - col("__pos"))))
+          .as("__covered"),
+        sum(when(col("__prv").isNull || col("__pos") - col("__prv") > k, 1L)
+          .otherwise(0L)).as("n_spans"))
+    toks.select(col("__id"), size(col("__toks")).cast("long").as("n_tokens"))
+      .join(spans, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        round(coalesce(col("__covered"), lit(0L)) /
+          greatest(col("n_tokens"), lit(1L)), 6).as("dup_frac"))
+  }
 }

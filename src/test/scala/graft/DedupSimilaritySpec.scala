@@ -432,4 +432,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val ivf = out.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert((exact & ivf).size.toDouble / exact.size >= 0.2)
   }
+
+  test("repeatedSpanStats: cross-doc, self-repetition, disjoint spans, short docs") {
+    // hand-checkable fixture at k=3:
+    //  1 "a b c d e f"       shares [a b c],[b c d] with doc 2 and
+    //                         [d e f] with docs 6/7 -> 1 merged span, 6/6 covered
+    //  2 "x y a b c d z"     same two windows at pos 2,3       -> 1 span, 4/7
+    //  3 "p q r" x3          every window repeats within-doc    -> 1 span, 9/9
+    //  4 five unique tokens  no repeats                          -> zeros
+    //  5 "one two"           shorter than k                      -> zeros
+    //  6/7 shared prefix + shared suffix around distinct middles -> 2 spans each
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c d z"),
+      (3L, "p q r p q r p q r"),
+      (4L, "solo unique tokens entirely here"),
+      (5L, "one two"),
+      (6L, "a b c g1 g2 g3 g4 d e f"),
+      (7L, "a b c h1 h2 h3 h4 d e f")).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpanStats(docs, "text", "doc_id", k = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val expected = Seq(
+      (1L, 6L, 3L, 1L, 1.0),
+      (2L, 7L, 2L, 1L, 0.571429),
+      (3L, 9L, 7L, 1L, 1.0),
+      (4L, 5L, 0L, 0L, 0.0),
+      (5L, 2L, 0L, 0L, 0.0),
+      (6L, 10L, 2L, 2L, 0.6),
+      (7L, 10L, 2L, 2L, 0.6))
+    assert(got == expected)
+  }
 }
