@@ -1380,6 +1380,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q122_leakage_safe_split" -> ((s, dir) => {
+      // leakage-safe train/val/test split: the 80/10/10 hash cut is taken
+      // on the near-dup CLUSTER label (q65's components), so a document
+      // can never sit in train while its near-duplicate sits in eval.
+      // Output: per-split doc and cluster counts, plus how many docs a
+      // naive doc-id split would have placed differently — the leakage
+      // surface the operator closes.
+      val corpus = docsWithNearDups(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+          n = 3, threshold = 0.3, maxShingleFreq = 400)
+        .select(col("idA"), col("idB"))
+      val split = Dedup.splitByCluster(corpus, "doc_id", pairs,
+        Seq(80, 10, 10), labelCol = Some("cluster"))
+      val naive = Sampling.splitByKey(
+        split.select(col("doc_id"), col("split"), col("cluster")),
+        "doc_id", Seq(80, 10, 10), outCol = "naive_split")
+      naive.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          sum(when(col("naive_split") =!= col("split"), 1L).otherwise(0L))
+            .as("n_moved_vs_naive"))
+        .orderBy(col("split"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -2420,6 +2444,34 @@ object SparkEntry {
          |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
          |SELECT src AS doc_id, min(dst) AS component
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "q122_leakage_safe_split" ->
+      s"""WITH RECURSIVE $ngramPairsCtes,
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT idA AS id FROM pairs UNION ALL SELECT idB FROM pairs)),
+         |edges AS (SELECT idA AS a, idB AS b FROM pairs
+         |          UNION SELECT idB, idA FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |comp AS (SELECT src AS doc_id, min(dst) AS component
+         |         FROM reach GROUP BY src),
+         |lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
+         |        FROM docs d LEFT JOIN comp c USING (doc_id)),
+         |s AS (SELECT doc_id, cluster,
+         |  CASE WHEN (${graft.ops.Sampling.keyHashSql("cluster")}) % 100 < 80 THEN 0
+         |       WHEN (${graft.ops.Sampling.keyHashSql("cluster")}) % 100 < 90 THEN 1
+         |       ELSE 2 END AS split,
+         |  CASE WHEN (${graft.ops.Sampling.keyHashSql("doc_id")}) % 100 < 80 THEN 0
+         |       WHEN (${graft.ops.Sampling.keyHashSql("doc_id")}) % 100 < 90 THEN 1
+         |       ELSE 2 END AS naive_split
+         |  FROM lab)
+         |SELECT split, count(*) AS n_docs,
+         |  count(DISTINCT cluster) AS n_clusters,
+         |  CAST(sum(CASE WHEN naive_split <> split THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_moved_vs_naive
+         |FROM s GROUP BY split ORDER BY split""".stripMargin,
 
     "q92_training_order" ->
       s"""SELECT doc_id,

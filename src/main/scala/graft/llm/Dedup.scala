@@ -713,6 +713,30 @@ object Dedup {
       .select(col("idA"), col("idB"), col("cosine"))
   }
 
+  /** Leakage-safe dataset split: near-duplicate documents must land in the
+    * SAME split — a doc in train whose near-dup sits in eval leaks training
+    * content into evaluation (the split-time twin of benchmark
+    * decontamination). The near-dup pair graph collapses to clusters via
+    * [[connectedComponents]]; every doc carries its cluster label (its own
+    * id when unclustered) and the deterministic split hash is taken on the
+    * CLUSTER label, so each cluster moves between splits as one unit.
+    *
+    * At 100 TB the extra cost over a plain doc-id split is the CC rounds on
+    * 16-byte pair rows plus one label join — the document bodies never
+    * shuffle.
+    */
+  def splitByCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+                     percents: Seq[Int], outCol: String = "split",
+                     labelCol: Option[String] = None): DataFrame = {
+    val labels = connectedComponents(pairs)
+      .withColumnRenamed("id", idCol)
+    val labeled = df.join(labels, Seq(idCol), "left")
+      .withColumn("__cluster", coalesce(col("component"), col(idCol)))
+      .drop("component")
+    val split = graft.ops.Sampling.splitByKey(labeled, "__cluster", percents, outCol)
+    labelCol.fold(split.drop("__cluster"))(n => split.withColumnRenamed("__cluster", n))
+  }
+
   /** Repeated-substring detection — the EXACT-substring dedup signal
     * ("Deduplicating Training Data Makes Language Models Better": corpora
     * carry verbatim k-token substrings repeated across documents; docs

@@ -163,6 +163,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     } finally prior.foreach(spark.sparkContext.setCheckpointDir)
   }
 
+  test("splitByCluster: near-dup pairs never straddle a split boundary") {
+    val docs = spark.range(200).select($"id".as("doc_id"),
+      concat(lit("doc "), $"id").as("text"))
+    // clusters: {1,2,3}, {50,51}, {60,61,62,63} — plus 193 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (50L, 51L),
+      (60L, 61L), (61L, 62L), (62L, 63L)).toDF("idA", "idB")
+    val got = Dedup.splitByCluster(docs, "doc_id", pairs, Seq(80, 10, 10),
+        labelCol = Some("cluster"))
+      .select($"doc_id", $"split", $"cluster")
+      .as[(Long, Int, Long)].collect()
+    assert(got.length == 200, "row count must be preserved")
+    assert(got.forall(r => r._2 >= 0 && r._2 <= 2))
+    val splitOf = got.map(r => r._1 -> r._2).toMap
+    for ((a, b) <- Seq((1L, 2L), (2L, 3L), (1L, 3L), (50L, 51L),
+        (60L, 63L), (61L, 62L)))
+      assert(splitOf(a) == splitOf(b), s"near-dups $a/$b split apart")
+    // unclustered docs fall back to their own id: identical to a plain
+    // splitByKey on doc_id
+    val clustered = Set(1L, 2L, 3L, 50L, 51L, 60L, 61L, 62L, 63L)
+    val plain = graft.ops.Sampling.splitByKey(docs, "doc_id", Seq(80, 10, 10))
+      .select($"doc_id", $"split").as[(Long, Int)].collect().toMap
+    got.filterNot(r => clustered(r._1)).foreach { r =>
+      assert(r._2 == plain(r._1), s"singleton ${r._1} diverged from splitByKey")
+    }
+    // cluster label is the component min for clustered docs
+    val labelOf = got.map(r => r._1 -> r._3).toMap
+    assert(Seq(1L, 2L, 3L).forall(labelOf(_) == 1L))
+    assert(Seq(60L, 61L, 62L, 63L).forall(labelOf(_) == 60L))
+  }
+
   test("simhash bucket cap drops degenerate buckets; carve-out is auditable") {
     // 60 identical (empty-ish) docs -> one simhash value, every chunk bucket
     // holds all 60 rows; cap 50 drops them, so NO pairs among the clones —
