@@ -1404,6 +1404,45 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    "q123_cdc_apply" -> ((s, dir) => {
+      // MERGE INTO / upsert: apply a CDC changelog to the customer
+      // snapshot — per key the highest-sequence row wins, op D deletes,
+      // I/U upsert, untouched keys pass through. Changelog derived from
+      // orders (seq = o_orderkey; every 1000th order keys a brand-new
+      // customer to exercise inserts). One partial-agg max_by + one
+      // full-outer join (Diff.cdcApply).
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("c_acctbal"))
+      val log = t(s, dir, "orders").select(
+        (col("o_custkey") +
+          when(pmod(col("o_orderkey"), lit(1000L)) === 7, 1000000L)
+            .otherwise(0L)).as("c_custkey"),
+        col("o_orderkey").as("seq"),
+        when(pmod(col("o_orderkey"), lit(10L)) === 0, "D")
+          .when(pmod(col("o_orderkey"), lit(10L)) < 5, "U")
+          .otherwise("I").as("op"),
+        concat(lit("upd_"), col("o_orderkey").cast("string")).as("c_name"),
+        round(col("o_totalprice"), 2).as("c_acctbal"))
+      Diff.cdcApply(base, log, Seq("c_custkey"), "seq", "op")
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q124_k_anonymity" -> ((s, dir) => {
+      // k-anonymity release gate: rows whose quasi-identifier combination
+      // (nation, market segment) is shared by < 10 customers are
+      // suppressed before release. Output: per-group sizes of the rows
+      // that actually survived the row-level gate — if the semi-join
+      // passed anything it shouldn't, the counts diverge from the oracle's
+      // HAVING recomputation.
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      Checks.kAnonymous(c, Seq("c_nationkey", "c_mktsegment"), k = 10)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -2819,6 +2858,36 @@ object SparkEntry {
         |SELECT change_type, count(*) AS n FROM j
         |GROUP BY change_type HAVING count(*) > 0
         |ORDER BY change_type""".stripMargin,
+
+    "q123_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT o_custkey + CASE WHEN o_orderkey % 1000 = 7
+        |      THEN 1000000 ELSE 0 END AS c_custkey,
+        |    o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+        |         WHEN o_orderkey % 10 < 5 THEN 'U' ELSE 'I' END AS op,
+        |    'upd_' || CAST(o_orderkey AS VARCHAR) AS c_name,
+        |    round(o_totalprice, 2) AS c_acctbal
+        |  FROM orders),
+        |latest AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |      ORDER BY seq DESC) AS rn FROM log) WHERE rn = 1),
+        |base AS (SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+        |         FROM customer)
+        |SELECT coalesce(b.c_custkey, l.c_custkey) AS c_custkey,
+        |  CASE WHEN l.op IS NOT NULL THEN l.c_name ELSE b.c_name END AS c_name,
+        |  CASE WHEN l.op IS NOT NULL THEN l.c_acctbal ELSE b.c_acctbal END
+        |    AS c_acctbal
+        |FROM base b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
+        |WHERE l.op IS DISTINCT FROM 'D'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q124_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n_rows
+        |FROM customer
+        |GROUP BY c_nationkey, c_mktsegment
+        |HAVING count(*) >= 10
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
     "q120_cluster_longest" ->
       s"""WITH RECURSIVE $ngramPairsCtes,

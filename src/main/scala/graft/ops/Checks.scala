@@ -29,4 +29,34 @@ object Checks {
     child.filter(col(childKey).isNotNull)
       .join(parent.select(col(parentKey)),
         col(childKey) === col(parentKey), "left_anti")
+
+  /** k-anonymity suppression: keep only rows whose quasi-identifier
+    * combination (`quasiCols`) is shared by at least `k` rows — the
+    * release-gating rule for person-adjacent data (a row identifiable by a
+    * unique attribute combination must not ship in a training corpus).
+    * Null-safe: nulls group together, SQL GROUP BY semantics.
+    *
+    * Scale shape: one partial-aggregated count on the quasi columns (group
+    * cardinality ≪ rows, so the count side is tiny and broadcast-joins
+    * back) — the data itself shuffles zero times. Pair with the PII
+    * redaction functions for the column-level counterpart.
+    */
+  def kAnonymous(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1)
+    val counts = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= k)
+      .select(quasiCols.map(c => col(c).as(s"__q_$c")): _*)
+    val cond = quasiCols.map(c => col(c) <=> col(s"__q_$c")).reduce(_ && _)
+    df.join(counts, cond, "left_semi")
+  }
+
+  /** The audit twin of [[kAnonymous]]: per-group row counts labeled with
+    * whether the group survives at `k` — what a privacy review reads.
+    */
+  def kAnonymityProfile(df: DataFrame, quasiCols: Seq[String],
+                        k: Long): DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("released", col("n_rows") >= k)
 }

@@ -49,6 +49,41 @@ object Diff {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("change_type"))
 
+  /** Apply a CDC changelog to a keyed snapshot (the MERGE INTO / upsert
+    * primitive that [[snapshotDiff]] validates): the changelog carries
+    * (key, `seqCol`, `opCol`, payload) rows where op `D` deletes the key
+    * and any other op (`I`/`U`) upserts the payload; per key the row with
+    * the HIGHEST sequence wins (last-writer-wins). Keys untouched by the
+    * changelog pass through from the base snapshot.
+    *
+    * Scale shape: the changelog first collapses to one row per key via a
+    * partial-aggregating max_by (no window — hot keys with many updates
+    * combine map-side), then ONE full-outer sort-merge join against the
+    * base. The base shuffles once; a changelog far smaller than the base
+    * broadcast-joins automatically under AQE.
+    */
+  def cdcApply(base: DataFrame, changelog: DataFrame, keys: Seq[String],
+               seqCol: String, opCol: String): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    val payload = base.columns.filterNot(keys.contains).toSeq
+    require(payload.forall(changelog.columns.contains),
+      "changelog must carry every base payload column")
+    // one row per key: max_by over (seq) — deterministic given unique
+    // sequence numbers per key (the CDC contract)
+    val latest = changelog.groupBy(keys.map(col): _*)
+      .agg(max_by(struct((Seq(opCol) ++ payload).map(col): _*), col(seqCol))
+        .as("__w"))
+      .select(keys.map(col) :+ col("__w.*"): _*)
+      .withColumnRenamed(opCol, "__op")
+      .select(keys.map(col) ++ payload.map(c => col(c).as(s"__new_$c")) :+
+        col("__op"): _*)
+    base.join(latest, keys, "full_outer")
+      .filter(!(col("__op") <=> lit("D")))
+      .select(keys.map(col) ++ payload.map(c =>
+        when(col("__op").isNotNull, col(s"__new_$c"))
+          .otherwise(col(c)).as(c)): _*)
+  }
+
   /** Order-independent per-bucket fingerprints: rows hash to `nBuckets`
     * buckets by key, each bucket aggregates (row count, SUM of the
     * 31-bit-truncated row hash, XOR of the full row hash). Sum and xor

@@ -167,6 +167,51 @@ class WarehouseOpsSpec extends AnyFunSuite {
 
   // --- gap fill -----------------------------------------------------------
 
+  test("cdcApply: last-writer-wins upsert/delete/insert/pass-through") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "name", "v")
+    val log = Seq(
+      (1L, 5L, "U", "a2", 11.0),  // update, wins over seq 3
+      (1L, 3L, "U", "a1", 10.5),
+      (2L, 7L, "D", "x", 0.0),    // delete existing
+      (2L, 6L, "U", "b1", 21.0),  // superseded by the delete
+      (5L, 9L, "I", "e", 50.0),   // insert brand-new key
+      (6L, 2L, "D", "x", 0.0)     // delete of an absent key: no row
+    ).toDF("k", "seq", "op", "name", "v")
+    val got = graft.ops.Diff.cdcApply(base, log, Seq("k"), "seq", "op")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a2", 11.0), (3L, "c", 30.0),
+      (4L, "d", 40.0), (5L, "e", 50.0)))
+  }
+
+  test("cdcApply: delete-then-reinsert at a higher sequence resurrects") {
+    val base = Seq((1L, "a", 1.0)).toDF("k", "name", "v")
+    val log = Seq((1L, 2L, "D", "x", 0.0), (1L, 3L, "I", "a2", 2.0))
+      .toDF("k", "seq", "op", "name", "v")
+    val got = graft.ops.Diff.cdcApply(base, log, Seq("k"), "seq", "op")
+      .as[(Long, String, Double)].collect()
+    assert(got.toSeq == Seq((1L, "a2", 2.0)))
+  }
+
+  test("kAnonymous keeps exactly the rows of groups >= k, nulls grouped") {
+    val rows = Seq(
+      (1L, Some("US"), "A"), (2L, Some("US"), "A"), (3L, Some("US"), "A"),
+      (4L, Some("DE"), "A"), (5L, Some("DE"), "A"),
+      (6L, None, "B"), (7L, None, "B"), (8L, None, "B"),
+      (9L, Some("FR"), "C")).toDF("id", "country", "seg")
+    val kept = graft.ops.Checks.kAnonymous(rows, Seq("country", "seg"), k = 3)
+      .select($"id").as[Long].collect().toSet
+    // US/A (3 rows) and null/B (3 rows) survive; DE/A (2) and FR/C (1) don't
+    assert(kept == Set(1L, 2L, 3L, 6L, 7L, 8L))
+    val profile = graft.ops.Checks.kAnonymityProfile(rows,
+        Seq("country", "seg"), k = 3)
+      .select($"country", $"seg", $"n_rows", $"released")
+      .as[(Option[String], String, Long, Boolean)].collect().toSet
+    assert(profile == Set((Some("US"), "A", 3L, true),
+      (Some("DE"), "A", 2L, false), (None, "B", 3L, true),
+      (Some("FR"), "C", 1L, false)))
+  }
+
   test("gapFillHourly materializes gap buckets and forward-fills") {
     val ev = Seq(
       (1L, 0L, 10.0), (1L, 3600L * 3, 40.0), // hours 0 and 3; 1-2 are gaps
