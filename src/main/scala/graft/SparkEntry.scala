@@ -1443,6 +1443,27 @@ object SparkEntry {
         .orderBy(col("c_nationkey"), col("c_mktsegment"))
     }),
 
+    "q125_interval_join" -> ((s, dir) => {
+      // interval-overlap join with BOTH sides large: view and click events
+      // each become 60 s half-open activity windows; pairs that overlap in
+      // time join via grid-bin equi-join (5 min bins) with responsibility-
+      // bin dedup — one bin-key shuffle per side, no nested loop, no
+      // distinct (ops/IntervalJoin.scala).
+      val ev = events(s, dir)
+      def side(tpe: String, id: String, st: String, en: String) =
+        ev.filter(col("event_type") === tpe)
+          .select(col("event_id").as(id), unix_micros(col("ts")).as(st),
+            (unix_micros(col("ts")) + 60000000L).as(en))
+      IntervalJoin.overlapJoin(
+          side("view", "idA", "sA", "eA"),  "sA", "eA",
+          side("click", "idB", "sB", "eB"), "sB", "eB",
+          binSize = 300000000L)
+        .select(col("idA"), col("idB"),
+          (least(col("eA"), col("eB")) - greatest(col("sA"), col("sB")))
+            .as("overlap_us"))
+        .orderBy(col("idA"), col("idB"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -2888,6 +2909,17 @@ object SparkEntry {
         |GROUP BY c_nationkey, c_mktsegment
         |HAVING count(*) >= 10
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q125_interval_join" ->
+      """WITH a AS (SELECT event_id AS idA, epoch_us(ts) AS sA,
+        |    epoch_us(ts) + 60000000 AS eA FROM events
+        |  WHERE event_type = 'view'),
+        |b AS (SELECT event_id AS idB, epoch_us(ts) AS sB,
+        |    epoch_us(ts) + 60000000 AS eB FROM events
+        |  WHERE event_type = 'click')
+        |SELECT idA, idB, least(eA, eB) - greatest(sA, sB) AS overlap_us
+        |FROM a JOIN b ON sA < eB AND sB < eA
+        |ORDER BY idA, idB""".stripMargin,
 
     "q120_cluster_longest" ->
       s"""WITH RECURSIVE $ngramPairsCtes,

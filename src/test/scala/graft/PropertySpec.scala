@@ -107,6 +107,39 @@ class PropertySpec extends AnyFunSuite {
     assert(zf == zf.sorted, "z not monotone in x for fixed y")
   }
 
+  test("overlapJoin equals brute force on random intervals, emits once") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(42)
+    // lengths from sub-bin to multi-bin (bin = 100); includes touching
+    // intervals (end == other's start) that must NOT match, and bin-
+    // boundary-straddling pairs that must match exactly once
+    def gen(idBase: Long) = (0 until 200).map { i =>
+      val s = rnd.nextInt(3000).toLong
+      (idBase + i, s, s + 1 + rnd.nextInt(350))
+    }
+    val la = gen(0); val rb = gen(10000)
+    val left = la.toDF("ida", "sa", "ea")
+    val right = rb.toDF("idb", "sb", "eb")
+    val got = graft.ops.IntervalJoin
+      .overlapJoin(left, "sa", "ea", right, "sb", "eb", binSize = 100L)
+      .select(col("ida"), col("idb"))
+      .as[(Long, Long)].collect().toSeq
+    val exp = for {
+      (ia, sa, ea) <- la; (ib, sb, eb) <- rb
+      if sa < eb && sb < ea
+    } yield (ia, ib)
+    assert(got.size == got.toSet.size, "pair emitted more than once")
+    assert(got.toSet == exp.toSet,
+      s"missing=${(exp.toSet -- got.toSet).take(3)} " +
+        s"spurious=${(got.toSet -- exp.toSet).take(3)}")
+    assert(exp.nonEmpty)
+    // the whole point: an equi-join on the bin key, never a nested loop
+    val plan = graft.ops.IntervalJoin
+      .overlapJoin(left, "sa", "ea", right, "sb", "eb", binSize = 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"nested-loop join in plan:\n$plan")
+  }
+
   test("countMin estimates dominate true counts on random streams") {
     val agg = new graft.ops.TypedAggregators.CountMin(4, 128)
     samples(Gen.listOfN(500, Gen.oneOf((1 to 40).map(i => s"w$i"))), 10)
