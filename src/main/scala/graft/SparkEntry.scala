@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ops._
 import graft.functions.{TextFunctions => TF, UrlFunctions => UF, VectorFunctions => VF}
-import graft.llm.{Dedup, Multimodal, Search, Similarity}
+import graft.llm.{Bpe, Dedup, Multimodal, Search, Similarity}
 
 /** Driver contract: the engine's declared query inventory (one entry per
   * implemented operator from SURVEY.md §2 plus the LLM-pipeline additions)
@@ -1464,6 +1464,36 @@ object SparkEntry {
         .orderBy(col("idA"), col("idB"))
     }),
 
+    "q126_bpe_train" -> ((s, dir) => {
+      // BPE tokenizer induction: the corpus collapses to a (word, freq)
+      // vocabulary first (the 100 TB trick — every merge round then runs
+      // on vocab-sized data), 12 merges learned distributed. Self-check
+      // vs the single-JVM reference on the SAME vocab (collected — oracle
+      // fixture only), plus DuckDB-checkable corpus stats; merge freqs
+      // must be non-increasing (a merge can never create a pair more
+      // frequent than the max it replaced).
+      import s.implicits._
+      val vocab = Bpe.wordFreq(t(s, dir, "documents").select(col("text")),
+        "text").persist()
+      val dist = Bpe.learnMerges(vocab, numMerges = 12)
+      val local = Bpe.learnMergesLocal(
+        vocab.collect().map(r => (r.getString(0), r.getLong(1))).toSeq, 12)
+      val stats = vocab.agg(count(lit(1)).as("dw"), sum(col("freq")).as("tw"))
+        .collect().head
+      vocab.unpersist()
+      val matches = dist.zip(local).count { case (d, l) =>
+        d.left == l.left && d.right == l.right && d.freq == l.freq }
+      val noninc = dist.map(_.freq).sliding(2)
+        .forall(p => p.length < 2 || p(0) >= p(1))
+      Seq(
+        ("distinct_words", stats.getLong(0)),
+        ("merge_freqs_nonincreasing", if (noninc) 1L else 0L),
+        ("merges_learned", dist.length.toLong),
+        ("merges_match_reference", matches.toLong),
+        ("total_word_occurrences", stats.getLong(1))
+      ).toDF("metric", "value").orderBy(col("metric"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -2909,6 +2939,17 @@ object SparkEntry {
         |GROUP BY c_nationkey, c_mktsegment
         |HAVING count(*) >= 10
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q126_bpe_train" ->
+      s"""WITH w AS (SELECT unnest($toksSql) AS word FROM documents)
+         |SELECT 'distinct_words' AS metric,
+         |  (SELECT CAST(count(DISTINCT word) AS BIGINT) FROM w) AS value
+         |UNION ALL SELECT 'merge_freqs_nonincreasing', CAST(1 AS BIGINT)
+         |UNION ALL SELECT 'merges_learned', CAST(12 AS BIGINT)
+         |UNION ALL SELECT 'merges_match_reference', CAST(12 AS BIGINT)
+         |UNION ALL SELECT 'total_word_occurrences',
+         |  (SELECT CAST(count(*) AS BIGINT) FROM w)
+         |ORDER BY metric""".stripMargin,
 
     "q125_interval_join" ->
       """WITH a AS (SELECT event_id AS idA, epoch_us(ts) AS sA,
