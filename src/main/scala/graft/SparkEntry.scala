@@ -1494,6 +1494,34 @@ object SparkEntry {
       ).toDF("metric", "value").orderBy(col("metric"))
     }),
 
+    "q127_bpe_encode" -> ((s, dir) => {
+      // corpus-level subword encode with the learned merge table: the
+      // zero-shuffle expression chain must agree with the single-JVM
+      // reference on EVERY document (collected for the oracle fixture
+      // only), and subword count can never exceed chars+words (each
+      // merge only shrinks a word's token sequence).
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val vocab = Bpe.wordFreq(docs, "text").persist()
+      val merges = Bpe.learnMerges(vocab, numMerges = 12)
+      vocab.unpersist()
+      val enc = Bpe.encode(docs, "text", merges, "toks")
+        .select(col("doc_id"), col("text"), col("toks"))
+        .collect()
+      val nMatch = enc.count { r =>
+        r.getSeq[String](2) == Bpe.encodeLocal(r.getString(1), merges) }
+      val bounded = enc.forall { r =>
+        val words = r.getString(1).trim.split("\\s+").count(_.nonEmpty)
+        r.getSeq[String](2).length <=
+          r.getString(1).codePointCount(0, r.getString(1).length) + words
+      }
+      Seq(
+        ("docs_encoded", enc.length.toLong),
+        ("docs_match_reference", nMatch.toLong),
+        ("tokens_bounded_by_chars_plus_words", if (bounded) 1L else 0L)
+      ).toDF("metric", "value").orderBy(col("metric"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -2950,6 +2978,15 @@ object SparkEntry {
          |UNION ALL SELECT 'total_word_occurrences',
          |  (SELECT CAST(count(*) AS BIGINT) FROM w)
          |ORDER BY metric""".stripMargin,
+
+    "q127_bpe_encode" ->
+      """SELECT 'docs_encoded' AS metric,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS value
+        |UNION ALL SELECT 'docs_match_reference',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents)
+        |UNION ALL SELECT 'tokens_bounded_by_chars_plus_words',
+        |  CAST(1 AS BIGINT)
+        |ORDER BY metric""".stripMargin,
 
     "q125_interval_join" ->
       """WITH a AS (SELECT event_id AS idA, epoch_us(ts) AS sA,

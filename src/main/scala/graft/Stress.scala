@@ -125,6 +125,23 @@ object Stress {
         "query_id", "query_text")
       graft.llm.Search.bm25TopK(corpus, "text", "doc_id", queries, 10).count()
     }
+    // BPE induction: the corpus collapses to a (word, freq) vocab FIRST —
+    // each merge round is one vocab-sized aggregate + rewrite, so train
+    // cost tracks VOCAB growth (sublinear in corpus), not corpus size
+    var bpeMerges: Seq[graft.llm.Bpe.Merge] = Nil
+    time("bpe_train_10") {
+      val vocab = graft.llm.Bpe.wordFreq(corpus, "text").persist()
+      val nv = vocab.count()
+      bpeMerges = graft.llm.Bpe.learnMerges(vocab, numMerges = 10)
+      vocab.unpersist()
+      nv
+    }
+    // encode is a zero-shuffle expression chain: linear corpus pass
+    time("bpe_encode_corpus") {
+      graft.llm.Bpe.encode(corpus, "text", bpeMerges, "toks")
+        .agg(sum(size(col("toks")))).collect()
+      n
+    }
     // connected components over the FULL minhash pair graph — the step after
     // pair generation; per-round cost is one shuffle of 16-byte label rows,
     // rounds ~ log(cluster diameter)

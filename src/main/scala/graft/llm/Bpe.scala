@@ -80,6 +80,9 @@ object Bpe {
     while (merges.length < numMerges && !done) {
       val top = syms
         .select(split(trim(col("s")), " ").as("t"), col("freq"))
+        // a fully-merged word (one symbol left) has no pairs — and
+        // sequence(0, -1) would run DESCENDING under ANSI, not empty
+        .filter(size(col("t")) >= 2)
         .select(explode(transform(sequence(lit(0), size(col("t")) - lit(2)),
           i => struct(element_at(col("t"), i + 1).as("a"),
             element_at(col("t"), i + 2).as("b")))).as("p"), col("freq"))
@@ -146,6 +149,36 @@ object Bpe {
       }
     }
     merges.toSeq
+  }
+
+  /** Single-JVM reference encode — the oracle side of [[encode]]. */
+  def encodeLocal(text: String, merges: Seq[Merge]): Seq[String] = {
+    val norm = text.trim.replaceAll("\\s+", " ")
+    if (norm.isEmpty) return Seq.empty
+    def chars(w: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.result()
+    }
+    norm.split(" ").toSeq.flatMap { w =>
+      var ss: Vector[String] = chars(w) :+ EndOfWord
+      for (m <- merges) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < ss.length) {
+          if (i < ss.length - 1 && ss(i) == m.left && ss(i + 1) == m.right) {
+            out += m.token; i += 2
+          } else { out += ss(i); i += 1 }
+        }
+        ss = out.result()
+      }
+      ss
+    }
   }
 
   /** Encode text into subword tokens with a learned merge table: per

@@ -56,6 +56,19 @@ class BpeSpec extends AnyFunSuite {
     assert(got == Seq("a", "b", Bpe.EndOfWord, "c", Bpe.EndOfWord))
   }
 
+  test("words that merge down to a single symbol stop contributing pairs") {
+    // "a" collapses to one symbol ("a</w>") after the first merge —
+    // the pair scan must then skip it, not crash or wrap around
+    val corpus = Seq.fill(10)("a") ++ Seq.fill(3)("ab")
+    val vocab = Bpe.wordFreq(corpus.toDF("text"), "text")
+    val dist = Bpe.learnMerges(vocab, numMerges = 5)
+    val local = Bpe.learnMergesLocal(
+      corpus.groupBy(identity).toSeq.map { case (w, ws) =>
+        (w, ws.length.toLong) }, numMerges = 5)
+    assert(dist == local)
+    assert(dist.head == Bpe.Merge(1, "a", Bpe.EndOfWord, 10L))
+  }
+
   test("regex metacharacters in words survive learning and encoding") {
     val corpus = Seq.fill(4)("a$b") ++ Seq.fill(4)("a$c") ++ Seq.fill(3)("x.y")
     val vocab = Bpe.wordFreq(corpus.toDF("text"), "text")
