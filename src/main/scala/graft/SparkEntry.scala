@@ -1522,6 +1522,39 @@ object SparkEntry {
       ).toDF("metric", "value").orderBy(col("metric"))
     }),
 
+    "q128_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: BM25 keyword top-10 and embedding cosine top-10
+      // fused by reciprocal-rank fusion (score = sum 1/(60+rank), held as
+      // exact integer micro-units so the fused order is float-free). The
+      // RAG-stack ranking primitive: each system ranks independently,
+      // fusion is one tiny union + aggregate over <= 2k rows per query.
+      import s.implicits._
+      val queries = Seq(
+        (1L, "spark window agg"),
+        (2L, "vector scan batch"),
+        (3L, "customer stream query")).toDF("query_id", "query_text")
+      val lex = Search.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+          queries, 10)
+        .select(col("query_id"), col("doc_id"),
+          col("rank").cast("long").as("rank"))
+      val emb = t(s, dir, "embeddings")
+      val sem = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id").isin(1L, 2L, 3L)), emb,
+          "embedding", "vec_id", k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").cast("long").as("rank"))
+      val contrib = lex.unionByName(sem)
+        .select(col("query_id"), col("doc_id"),
+          expr("1000000 div (60 + rank)").as("c"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(desc("rrf_micro"), col("doc_id"))
+      contrib.groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("c")).as("rrf_micro"), count(lit(1)).as("n_systems"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -2311,8 +2344,11 @@ object SparkEntry {
     * query set — shared by q94 (ad-hoc) and q116 (served through the
     * persisted index; scoring must be layout-independent).
     */
-  private def bm25OracleSql(queryValues: String): String =
-    s"""WITH q(query_id, query_text) AS (VALUES $queryValues),
+  /** BM25 CTE chain ending at `ranked(query_id, doc_id, score_micro,
+    * rank)` — shared by the bm25 oracles and the hybrid-RRF oracle.
+    */
+  private def bm25Ctes(queryValues: String): String =
+    s"""q(query_id, query_text) AS (VALUES $queryValues),
        |tk AS (SELECT doc_id, term FROM (
        |    SELECT doc_id,
        |      unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
@@ -2342,7 +2378,10 @@ object SparkEntry {
        |           FROM contrib GROUP BY 1, 2),
        |ranked AS (SELECT query_id, doc_id, score_micro,
        |  row_number() OVER (PARTITION BY query_id
-       |    ORDER BY score_micro DESC, doc_id) AS rank FROM scored)
+       |    ORDER BY score_micro DESC, doc_id) AS rank FROM scored)""".stripMargin
+
+  private def bm25OracleSql(queryValues: String): String =
+    s"""WITH ${bm25Ctes(queryValues)}
        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
        |  score_micro / 1000000.0 AS score, rank
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
@@ -2987,6 +3026,37 @@ object SparkEntry {
         |UNION ALL SELECT 'tokens_bounded_by_chars_plus_words',
         |  CAST(1 AS BIGINT)
         |ORDER BY metric""".stripMargin,
+
+    "q128_hybrid_rrf" ->
+      s"""WITH ${bm25Ctes(
+             "(1, 'spark window agg'), (2, 'vector scan batch'), (3, 'customer stream query')")},
+         |bm AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank
+         |       FROM ranked WHERE rank <= 10),
+         |e AS (SELECT vec_id,
+         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |      FROM embeddings),
+         |cs AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |        CASE WHEN sqrt(list_dot_product(q.v, q.v)) *
+         |                  sqrt(list_dot_product(c.v, c.v)) = 0 THEN 0.0
+         |             ELSE list_dot_product(q.v, c.v) /
+         |               (sqrt(list_dot_product(q.v, q.v)) *
+         |                sqrt(list_dot_product(c.v, c.v))) END AS cosine
+         |       FROM e q JOIN e c
+         |         ON q.vec_id IN (1, 2, 3) AND q.vec_id <> c.vec_id),
+         |cr AS (SELECT query_id, doc_id,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cosine DESC, doc_id) AS rank FROM cs),
+         |sem AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank
+         |        FROM cr WHERE rank <= 10),
+         |u AS (SELECT query_id, doc_id, 1000000 // (60 + rank) AS c FROM bm
+         |      UNION ALL
+         |      SELECT query_id, doc_id, 1000000 // (60 + rank) AS c FROM sem),
+         |g AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+         |        count(*) AS n_systems FROM u GROUP BY 1, 2),
+         |f AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rrf_micro DESC, doc_id) AS rank FROM g)
+         |SELECT query_id, doc_id, rrf_micro, n_systems, rank
+         |FROM f WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q125_interval_join" ->
       """WITH a AS (SELECT event_id AS idA, epoch_us(ts) AS sA,
