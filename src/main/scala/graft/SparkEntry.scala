@@ -1555,6 +1555,32 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q129_scd2_join" -> ((s, dir) => {
+      // fact-to-dimension as-of join: each purchase picks the user's
+      // view-value band (SCD2 interval) in force at purchase time;
+      // purchases before the user's first view keep a null band (left
+      // join). Equi-join on the key + interval prune (Scd.dimensionJoin).
+      val ev = events(s, dir)
+      val dim = ev.filter(col("event_type") === "view")
+        .withColumn("band", when(col("value") >= 30.0, "high")
+          .otherwise("low"))
+      val hist = Scd.scd2History(dim, "user_id", "band", "ts", "event_id")
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Scd.dimensionJoin(facts, hist, "user_id", "ts")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("long").as("fact_ts"), col("band"), col("version"),
+          col("valid_from").cast("long").as("valid_from"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q130_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS + grouping() markers (the general form
+      // rollup/cube specialize); identical SQL text runs on both engines
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(groupingSetsSql)
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -2274,6 +2300,20 @@ object SparkEntry {
         .orderBy(col("n_nationkey"))
     })
   )
+
+  /** One SQL text, two engines — q130 runs it verbatim in Spark and the
+    * oracle runs it verbatim in DuckDB (explicit NULLS FIRST because the
+    * engines' default null sort order differs).
+    */
+  private val groupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+      |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_returnflag), (l_linestatus), ())
+      |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST,
+      |  l_linestatus ASC NULLS FIRST""".stripMargin
 
   // --- DuckDB oracles ------------------------------------------------------
 
@@ -3057,6 +3097,31 @@ object SparkEntry {
          |        ORDER BY rrf_micro DESC, doc_id) AS rank FROM g)
          |SELECT query_id, doc_id, rrf_micro, n_systems, rank
          |FROM f WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q129_scd2_join" ->
+      """WITH d AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN value >= 30.0 THEN 'high' ELSE 'low' END AS band
+        |  FROM events WHERE event_type = 'view'),
+        |e AS (SELECT user_id, event_id, ts, band,
+        |    lag(band) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM d),
+        |ch AS (SELECT * FROM e WHERE rn = 1 OR prev IS DISTINCT FROM band),
+        |h AS (SELECT user_id, band, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+        |  FROM ch),
+        |f AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id,
+        |  CAST(floor(extract(epoch FROM f.ts)) AS BIGINT) AS fact_ts,
+        |  h.band, h.version,
+        |  CAST(floor(extract(epoch FROM h.valid_from)) AS BIGINT) AS valid_from
+        |FROM f LEFT JOIN h ON f.user_id = h.user_id
+        |  AND h.valid_from <= f.ts AND (h.valid_to IS NULL OR h.valid_to > f.ts)
+        |ORDER BY f.event_id""".stripMargin,
+
+    "q130_grouping_sets" -> groupingSetsSql,
 
     "q125_interval_join" ->
       """WITH a AS (SELECT event_id AS idA, epoch_us(ts) AS sA,

@@ -58,4 +58,27 @@ object Scd {
   def asOfSnapshot(history: DataFrame, asOf: Column): DataFrame =
     history.filter(col("valid_from") <= asOf &&
       (col("valid_to").isNull || col("valid_to") > asOf))
+
+  /** Fact-to-dimension as-of join: each fact row picks the SCD2 interval
+    * in force at its timestamp (valid_from <= ts < valid_to; the open
+    * current interval matches onward). An equi-join on the dimension key
+    * — versions per key are few by construction, so the interval
+    * predicate prunes a handful of candidate rows per fact; both sides
+    * shuffle once on the key (a small dimension broadcasts under AQE).
+    * Facts before a key's first interval, or with unknown keys, keep
+    * null dimension attributes (left join).
+    */
+  def dimensionJoin(facts: DataFrame, history: DataFrame, keyCol: String,
+                    tsCol: String): DataFrame = {
+    // rename the dimension key before joining: facts and history often
+    // derive from the SAME source, and dataframe-qualified references
+    // (facts(keyCol)/history(keyCol)) mis-resolve under self-join lineage
+    // — an unmatched left row would surface the dimension's null key
+    // instead of the fact's
+    val h = history.withColumnRenamed(keyCol, "__dim_key")
+    facts.join(h, col(keyCol) === col("__dim_key") &&
+        col("valid_from") <= col(tsCol) &&
+        (col("valid_to").isNull || col("valid_to") > col(tsCol)), "left")
+      .drop("__dim_key")
+  }
 }

@@ -167,6 +167,27 @@ class WarehouseOpsSpec extends AnyFunSuite {
 
   // --- gap fill -----------------------------------------------------------
 
+  test("dimensionJoin picks the in-force interval; early facts get null") {
+    // history for key 1: a@[10,20), b@[20,null); key 2: c@[15,null)
+    val hist = Seq(
+      (1L, "a", 10L, Some(20L), 1L, false),
+      (1L, "b", 20L, None, 2L, true),
+      (2L, "c", 15L, None, 1L, true)
+    ).toDF("k", "attr", "valid_from", "valid_to", "version", "is_current")
+    val facts = Seq(
+      (100L, 1L, 5L),   // before first interval -> null
+      (101L, 1L, 10L),  // on boundary -> a
+      (102L, 1L, 19L),  // inside -> a
+      (103L, 1L, 20L),  // boundary of next -> b
+      (104L, 2L, 99L),  // open interval -> c
+      (105L, 3L, 50L)   // unknown key -> null
+    ).toDF("fid", "k", "ts")
+    val got = graft.ops.Scd.dimensionJoin(facts, hist, "k", "ts")
+      .select($"fid", $"attr").as[(Long, Option[String])].collect().toMap
+    assert(got == Map(100L -> None, 101L -> Some("a"), 102L -> Some("a"),
+      103L -> Some("b"), 104L -> Some("c"), 105L -> None))
+  }
+
   test("cdcApply: last-writer-wins upsert/delete/insert/pass-through") {
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
       (4L, "d", 40.0)).toDF("k", "name", "v")
