@@ -152,6 +152,37 @@ object EventStreams {
       }
   }
 
+  final case class CdcLogRow(k: Long, seq: Long, op: String, name: String,
+                             v: Double)
+  final case class CdcKeyState(last_seq: Long, op: String, name: String,
+                               v: Double)
+  final case class CdcSnapshotRow(k: Long, present: Boolean, name: String,
+                                  v: Double, last_seq: Long)
+
+  /** Streaming CDC upsert view — the continuous twin of
+    * [[graft.ops.Diff.cdcApply]] (proven equal in StreamingSpec): per key
+    * the highest-sequence row wins across ANY micro-batch slicing, op `D`
+    * tombstones the key (present=false) without forgetting it, so a LATE
+    * lower-sequence update can never resurrect or regress state. State per
+    * key is one small record; partitioning is by the group key.
+    */
+  def cdcCurrent(log: Dataset[CdcLogRow]): Dataset[CdcSnapshotRow] = {
+    import log.sparkSession.implicits._
+    log
+      .groupByKey(_.k)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (k: Long, rows: Iterator[CdcLogRow], state: GroupState[CdcKeyState]) =>
+          val top = rows.maxBy(_.seq)
+          val cur = state.getOption
+          val next =
+            if (cur.isEmpty || top.seq > cur.get.last_seq)
+              CdcKeyState(top.seq, top.op, top.name, top.v)
+            else cur.get
+          state.update(next)
+          CdcSnapshotRow(k, next.op != "D", next.name, next.v, next.last_seq)
+      }
+  }
+
   /** Streaming ingest near-dup screening: every micro-batch of documents is
     * checked against the PERSISTED corpus signature table
     * ([[graft.llm.Dedup.writeMinhashSignatures]] layout) via foreachBatch,

@@ -88,6 +88,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(vers == Map(10L -> 3L, 20L -> 1L))
   }
 
+  test("streaming CDC upsert view equals batch cdcApply, late rows ignored") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val srcDir = TestSpark.tmpDir("cdc-src")
+    val ckpt   = TestSpark.tmpDir("cdc-ckpt")
+    val outDir = TestSpark.tmpDir("cdc-out")
+
+    val batch1 = Seq(
+      (1L, 3L, "U", "a1", 1.0), (1L, 5L, "U", "a2", 2.0),
+      (2L, 6L, "U", "b1", 3.0), (3L, 1L, "I", "c", 4.0))
+    // batch 2 carries a delete AND a LATE lower-seq row for key 1 (seq 4
+    // arriving after seq 5 was already applied) — state must hold
+    val batch2 = Seq(
+      (2L, 7L, "D", "x", 0.0), (1L, 4L, "U", "stale", 9.9),
+      (4L, 9L, "I", "d", 5.0))
+    def land(rows: Seq[(Long, Long, String, String, Double)]): Unit =
+      rows.toDF("k", "seq", "op", "name", "v")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("k LONG, seq LONG, op STRING, name STRING, v DOUBLE")
+        .parquet(srcDir).as[EventStreams.CdcLogRow]
+      val q = EventStreams.cdcCurrent(stream).toDF()
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+
+    land(batch1); run()
+    land(batch2); run() // restart from checkpoint: tombstones + seqs carry
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"last_seq".desc)
+    val streamed = spark.read.parquet(outDir)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .filter($"present")
+      .select($"k", $"name", $"v")
+
+    val emptyBase = Seq.empty[(Long, String, Double)].toDF("k", "name", "v")
+    val batchRef = graft.ops.Diff.cdcApply(emptyBase,
+      spark.read.parquet(srcDir), Seq("k"), "seq", "op")
+    assert(streamed.exceptAll(batchRef).isEmpty &&
+      batchRef.exceptAll(streamed).isEmpty,
+      s"stream:\n${streamed.collect().mkString("\n")}\n" +
+        s"batch:\n${batchRef.collect().mkString("\n")}")
+    val got = streamed.as[(Long, String, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(got == Map(1L -> "a2", 3L -> "c", 4L -> "d")) // key 2 deleted
+  }
+
   test("windowed stats over a file stream (watermark + tumbling window)") {
     val stream = EventStreams.readStream(spark, streamDir)
     assert(stream.isStreaming)
