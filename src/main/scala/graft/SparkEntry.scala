@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ops._
 import graft.functions.{TextFunctions => TF, UrlFunctions => UF, VectorFunctions => VF}
-import graft.llm.{Bpe, Dedup, Multimodal, Search, Similarity}
+import graft.llm.{Bpe, Dedup, Multimodal, Pq, Search, Similarity}
 
 /** Driver contract: the engine's declared query inventory (one entry per
   * implemented operator from SURVEY.md §2 plus the LLM-pipeline additions)
@@ -1581,6 +1581,41 @@ object SparkEntry {
       s.sql(groupingSetsSql)
     }),
 
+    "q131_pq_ann" -> ((s, dir) => {
+      // product quantization (IVF-PQ's compression half): 64-dim floats
+      // -> 8 codes over 16-codeword codebooks (32x smaller); ADC top-1
+      // over the CODES must recover planted scaled copies (cosine exactly
+      // 1 -> near-identical codes -> ADC distance ~0, every other pair
+      // far). Scale shape: training on a bounded sample trains all 8
+      // subspaces in one aggregate per round; scoring never touches the
+      // original vectors.
+      import s.implicits._
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val planted = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.05)).as("embedding"))
+      val corpus = emb.unionByName(planted)
+      val cb = Pq.train(corpus, "embedding", "vec_id", m = 8, k = 16,
+        iters = 3)
+      val codes = Pq.encode(corpus, "embedding", "vec_id", cb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val queries = emb.filter(col("vec_id") < 20)
+      val hits = Pq.adcTopK(queries, codes, "embedding", "vec_id", cb,
+          kNn = 1)
+        .filter(col("neighbor_id") === col("query_id") + 100000L)
+        .count()
+      val nq = queries.count()
+      codes.unpersist()
+      Seq(
+        ("codes_per_vector", cb.m.toLong),
+        ("n_queries", nq),
+        ("n_vectors", corpus.count()),
+        ("top1_planted_recall_pct_ge_90",
+          if (hits * 100 >= nq * 90) 1L else 0L)
+      ).toDF("metric", "value").orderBy(col("metric"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -3097,6 +3132,15 @@ object SparkEntry {
          |        ORDER BY rrf_micro DESC, doc_id) AS rank FROM g)
          |SELECT query_id, doc_id, rrf_micro, n_systems, rank
          |FROM f WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q131_pq_ann" ->
+      """SELECT 'codes_per_vector' AS metric, CAST(8 AS BIGINT) AS value
+        |UNION ALL SELECT 'n_queries',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id < 20)
+        |UNION ALL SELECT 'n_vectors',
+        |  (SELECT CAST(count(*) + 20 AS BIGINT) FROM embeddings)
+        |UNION ALL SELECT 'top1_planted_recall_pct_ge_90', CAST(1 AS BIGINT)
+        |ORDER BY metric""".stripMargin,
 
     "q129_scd2_join" ->
       """WITH d AS (SELECT user_id, event_id, ts,

@@ -261,6 +261,37 @@ object Stress {
         evecs.filter(col("vec_id") < 1000), "embedding", "vec_id",
         k = 10, nProbe = 4).count()
     }
+    // PQ: train on the bounded sample (all subspaces in one aggregate per
+    // round), then encode the full corpus (one shuffle of (id, 8 codes))
+    // and serve a 1k-query ADC batch over codes only
+    var pqCb: graft.llm.Pq.Codebooks = null
+    time("pq_train_m8k16") {
+      pqCb = graft.llm.Pq.train(evecs, "embedding", "vec_id", m = 8,
+        k = 16, iters = 3)
+      nVecs
+    }
+    val pqCodes = graft.llm.Pq.encode(evecs, "embedding", "vec_id", pqCb)
+      .persist()
+    time("pq_encode") { pqCodes.count() }
+    // flat ADC is O(corpus x queries) by definition — keep a small batch
+    // as the recall-ceiling probe; serving at scale goes through IVF-PQ
+    time("pq_adc_flat_100q") {
+      graft.llm.Pq.adcTopK(evecs.filter(col("vec_id") < 100), pqCodes,
+        "embedding", "vec_id", pqCb, kNn = 10).count()
+    }
+    val pqCents = graft.llm.Similarity.trainSphericalKMeans(evecs,
+      "embedding", "vec_id", nCentroids = 64, iters = 2)
+    val pqIndex = graft.llm.Similarity.assignCells(evecs, "embedding",
+        "vec_id", pqCents)
+      .select(col("__id").as("vec_id"), col("cell"))
+      .join(pqCodes, Seq("vec_id")).persist()
+    time("ivfpq_index_build") { pqIndex.count() }
+    time("ivfpq_serve_1k") {
+      graft.llm.Pq.ivfPqTopK(evecs.filter(col("vec_id") < 1000), pqIndex,
+        "embedding", "vec_id", pqCb, pqCents, kNn = 10, nProbe = 4).count()
+    }
+    pqIndex.unpersist()
+    pqCodes.unpersist()
     // JL projection 64 -> 16: map-only storage/compute transform
     time("random_projection") {
       evecs.select(graft.functions.VectorFunctions
