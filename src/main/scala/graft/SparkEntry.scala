@@ -1616,6 +1616,53 @@ object SparkEntry {
       ).toDF("metric", "value").orderBy(col("metric"))
     }),
 
+    "q132_ivfpq_ann" -> ((s, dir) => {
+      // the full IVF-PQ serving path end-to-end: spherical-k-means cells
+      // + PQ codes built into one index; each query probes 8/32 cells and
+      // ADC-scores only those codes. Planted scaled copies (cosine
+      // exactly 1 -> same probed cell, near-identical codes) must come
+      // back top-1.
+      import s.implicits._
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val planted = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.05)).as("embedding"))
+      val corpus = emb.unionByName(planted)
+      val cb = Pq.train(corpus, "embedding", "vec_id", m = 8, k = 16,
+        iters = 2)
+      val cents = Similarity.trainSphericalKMeans(corpus, "embedding",
+        "vec_id", nCentroids = 32, iters = 2)
+      val index = Pq.buildIvfPqIndex(corpus, "embedding", "vec_id", cb,
+          cents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val queries = emb.filter(col("vec_id") < 20)
+      val hits = Pq.ivfPqTopK(queries, index, "embedding", "vec_id", cb,
+          cents, kNn = 1, nProbe = 8)
+        .filter(col("neighbor_id") === col("query_id") + 100000L)
+        .count()
+      val nq = queries.count()
+      index.unpersist()
+      Seq(
+        ("n_cells", 32L),
+        ("n_queries", nq),
+        ("probe_fraction_pct", 25L),
+        ("top1_planted_recall_pct_ge_90",
+          if (hits * 100 >= nq * 90) 1L else 0L)
+      ).toDF("metric", "value").orderBy(col("metric"))
+    }),
+
+    "q133_negative_sample" -> ((s, dir) => {
+      // contrastive-training negatives: 5 deterministic pseudo-random
+      // negatives per query doc, drawn from the query's hash bucket via
+      // an equi-join (no query x corpus cross product), ranked by the
+      // engine-portable keyHash — same negatives on any engine or layout.
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      Sampling.negativeSample(docs.filter(col("doc_id") < 10), "doc_id",
+          docs, "doc_id", k = 5, nBuckets = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -3141,6 +3188,30 @@ object SparkEntry {
         |  (SELECT CAST(count(*) + 20 AS BIGINT) FROM embeddings)
         |UNION ALL SELECT 'top1_planted_recall_pct_ge_90', CAST(1 AS BIGINT)
         |ORDER BY metric""".stripMargin,
+
+    "q132_ivfpq_ann" ->
+      """SELECT 'n_cells' AS metric, CAST(32 AS BIGINT) AS value
+        |UNION ALL SELECT 'n_queries',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id < 20)
+        |UNION ALL SELECT 'probe_fraction_pct', CAST(25 AS BIGINT)
+        |UNION ALL SELECT 'top1_planted_recall_pct_ge_90', CAST(1 AS BIGINT)
+        |ORDER BY metric""".stripMargin,
+
+    "q133_negative_sample" ->
+      s"""WITH c AS (SELECT doc_id,
+         |    (${graft.ops.Sampling.keyHashSql("doc_id")}) % 8 AS b,
+         |    (${graft.ops.Sampling.keyHashSql("doc_id")}) AS h
+         |  FROM documents),
+         |q AS (SELECT doc_id AS query_id,
+         |    (${graft.ops.Sampling.keyHashSql("doc_id")}) % 8 AS b
+         |  FROM documents WHERE doc_id < 10),
+         |j AS (SELECT q.query_id, c.doc_id AS neg_id, c.h
+         |      FROM q JOIN c USING (b) WHERE c.doc_id <> q.query_id),
+         |r AS (SELECT query_id, neg_id,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY h, neg_id) AS rank FROM j)
+         |SELECT query_id, neg_id, rank FROM r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q129_scd2_join" ->
       """WITH d AS (SELECT user_id, event_id, ts,

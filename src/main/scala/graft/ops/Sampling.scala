@@ -147,6 +147,32 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** Deterministic negative sampling for contrastive training pairs: for
+    * each query key, `k` pseudo-random corpus rows that are stable across
+    * runs, engines, and layouts (and exclude the query itself). Corpus
+    * rows hash into `nBuckets` buckets; each query draws from ITS hash
+    * bucket via an EQUI-join on the bucket id — never a query x corpus
+    * cross product — and takes the k hash-smallest rows there (bounded
+    * TopK aggregator, map-side partials). Choose nBuckets so
+    * corpus/nBuckets comfortably exceeds k; at 100 TB the join shuffles
+    * (bucket, id, hash) rows only.
+    */
+  def negativeSample(queries: DataFrame, queryKeyCol: String,
+                     corpus: DataFrame, idCol: String, k: Int,
+                     nBuckets: Int): DataFrame = {
+    require(k >= 1 && nBuckets >= 1)
+    val c = corpus.select(col(idCol).as("neg_id"),
+        keyHash(col(idCol)).as("__h"))
+      .withColumn("__b", pmod(col("__h"), lit(nBuckets.toLong)))
+    val q = queries.select(col(queryKeyCol).as("query_id"),
+      pmod(keyHash(col(queryKeyCol)), lit(nBuckets.toLong)).as("__b"))
+    val j = q.join(c, Seq("__b")).filter(col("neg_id") =!= col("query_id"))
+    TopK.perGroup(j.withColumn("__s", lit(0.0) - col("__h")),
+        "query_id", "__s", "neg_id", "neg_id", k)
+      .select(col("group").as("query_id"), col("tie").as("neg_id"),
+        col("rank"))
+  }
+
   def mixtureSample(df: DataFrame, groupCol: String, keyCol: String,
                     percents: Map[String, Int],
                     defaultPercent: Int = 100): DataFrame = {
