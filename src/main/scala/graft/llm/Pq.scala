@@ -19,10 +19,13 @@ import graft.functions.{VectorFunctions => VF}
   *    (subspace, cell, dim) partial sums after map-side combine);
   *  - encoding is a broadcast-join argmin + one groupBy on the id —
   *    the corpus shuffles once, carrying only (id, m codes);
-  *  - ADC scoring joins exploded codes against a BROADCAST
-  *    (query, subspace, code) -> distance table and aggregates with the
-  *    bounded TopK aggregator: cost is O(n x m) per query batch, no
-  *    vectors move, map-side partials bound the shuffle.
+  *  - ADC scoring broadcasts each query's m*k distance table as ONE
+  *    flattened array; a candidate's distance is m array lookups inside
+  *    a single expression (never a row per (code, query)), and the
+  *    bounded TopK aggregator's map-side partials bound the only
+  *    shuffle. Flat [[adcTopK]] is O(corpus x queries) by definition —
+  *    [[ivfPqTopK]] probes cells so serving scans ~nProbe/nCells of the
+  *    codes.
   *
   * Vectors are L2-normalized first, so squared-L2 ADC order equals
   * cosine order (||a-b||^2 = 2 - 2 cos on the unit sphere).
