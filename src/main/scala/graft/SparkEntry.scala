@@ -1663,6 +1663,27 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q134_pagerank" -> ((s, dir) => {
+      // weighted PageRank over the per-user item-transition graph (items =
+      // the JSON `k` prop, edges = consecutive items in a user's event
+      // sequence): the link-analysis quality signal web-scale corpus
+      // pipelines rank hosts/items with. Fixed 5 damped iterations with
+      // dangling-mass redistribution — deterministic and engine-portable.
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val edges = ev.withColumn("src", lag(col("item"), 1).over(byUser))
+        .filter(col("src").isNotNull && col("src") =!= col("item"))
+        .groupBy(col("src"), col("item").as("dst"))
+        .agg(count(lit(1)).cast("double").as("w"))
+      graft.ops.Graph.pageRank(edges, nIter = 5, damping = 0.85)
+        .select(col("node"), round(col("pr") * 1000, 6).as("pr_permille"),
+          col("in_deg"), col("out_deg"))
+        .orderBy(col("node"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -2508,6 +2529,22 @@ object SparkEntry {
        |  score_micro / 1000000.0 AS score, rank
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** One unrolled PageRank iteration for the q134 oracle: p`cur` from
+    * p`prev`. The dangling-mass subquery and the incoming-contribution
+    * aggregate mirror Graph.pageRank's round exactly.
+    */
+  private def prIterSql(cur: Int, prev: Int): String =
+    s"""p$cur AS (
+       |  SELECT n.node,
+       |    (1 - 0.85) / nn.n + 0.85 * (COALESCE(inc.s, 0) + dang.m / nn.n) AS pr
+       |  FROM nodes n
+       |  CROSS JOIN nn
+       |  CROSS JOIN (SELECT COALESCE(sum(p.pr), 0) AS m FROM p$prev p
+       |              LEFT JOIN outw o ON p.node = o.src WHERE o.src IS NULL) dang
+       |  LEFT JOIN (SELECT c.dst AS node, sum(c.frac * p.pr) AS s
+       |             FROM contrib c JOIN p$prev p ON c.src = p.node
+       |             GROUP BY c.dst) inc ON inc.node = n.node)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3212,6 +3249,34 @@ object SparkEntry {
          |          ORDER BY h, neg_id) AS rank FROM j)
          |SELECT query_id, neg_id, rank FROM r
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q134_pagerank" ->
+      s"""WITH ev AS (SELECT user_id, event_id, ts,
+         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),
+         |sq AS (SELECT item,
+         |    lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+         |  FROM ev),
+         |edges AS (SELECT src, item AS dst, CAST(count(*) AS DOUBLE) AS w
+         |  FROM sq WHERE src IS NOT NULL AND src <> item GROUP BY src, item),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+         |contrib AS (SELECT e.src, e.dst, e.w / o.ow AS frac
+         |  FROM edges e JOIN outw o USING (src)),
+         |p0 AS (SELECT node, 1.0 / n AS pr FROM nodes CROSS JOIN nn),
+         |${(1 to 5).map(i => prIterSql(i, i - 1)).mkString(",\n")},
+         |deg AS (SELECT n.node, COALESCE(i.d, 0) AS in_deg,
+         |    COALESCE(o.d, 0) AS out_deg
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT dst AS node, count(*) AS d FROM edges
+         |             GROUP BY dst) i ON i.node = n.node
+         |  LEFT JOIN (SELECT src AS node, count(*) AS d FROM edges
+         |             GROUP BY src) o ON o.node = n.node)
+         |SELECT p5.node, round(p5.pr * 1000, 6) AS pr_permille,
+         |  CAST(deg.in_deg AS BIGINT) AS in_deg,
+         |  CAST(deg.out_deg AS BIGINT) AS out_deg
+         |FROM p5 JOIN deg USING (node) ORDER BY p5.node""".stripMargin,
 
     "q129_scd2_join" ->
       """WITH d AS (SELECT user_id, event_id, ts,

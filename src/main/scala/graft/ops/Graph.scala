@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph ranking over an edge list — the link-analysis companion
+  * to the label-propagation connected components in [[graft.llm.Dedup]].
+  * PageRank over a transition/link graph is a standard corpus-quality
+  * signal in web-scale training-data pipelines (rank hosts or items by
+  * where traffic/links concentrate, then filter or weight documents by it).
+  *
+  * Scale shape: the rank state is one row per NODE (|V| rows, 16 bytes);
+  * each iteration is one equi-join of the contribution edges against the
+  * rank state (shuffle on the 8-byte node id) plus one partial+final
+  * aggregation on the destination — nothing ever materializes more than
+  * |E| rows, and the per-round plan is truncated by a checkpoint exactly
+  * like connectedComponents, so analysis time stays flat at any iteration
+  * count. For item graphs (|V| in the thousands-to-millions, |E| >> |V|)
+  * Spark broadcast-joins the rank state automatically once it is under the
+  * broadcast threshold, making rounds shuffle-free except the final
+  * aggregate's map-side partials.
+  */
+object Graph {
+
+  /** Weighted PageRank with damping and dangling-mass redistribution, run
+    * for exactly `nIter` iterations (fixed iterations, not a convergence
+    * test: deterministic output, one job per round, and an engine-portable
+    * definition an external oracle can replay).
+    *
+    * `edges` must have columns (src, dst, w) with w > 0; multi-edges should
+    * be pre-aggregated. Per round, for every node v:
+    *
+    *   pr'(v) = (1-d)/N + d * ( sum over in-edges (u,v) of pr(u)*w(u,v)/outw(u)
+    *                            + danglingMass/N )
+    *
+    * where danglingMass = sum of pr(u) over nodes with no out-edges. The
+    * dangling aggregate is folded into the round's single job via a
+    * broadcast cross join of its 1-row result — no extra driver action per
+    * round. Returns (node, pr, in_deg, out_deg).
+    */
+  def pageRank(edges: DataFrame, nIter: Int = 5, damping: Double = 0.85,
+               reliableCheckpoints: Boolean = false): DataFrame = {
+    require(nIter >= 1, "nIter must be >= 1")
+    if (reliableCheckpoints)
+      require(edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliableCheckpoints requires sparkContext.setCheckpointDir on a " +
+          "fault-tolerant FS (see Dedup.connectedComponentsWithStats)")
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliableCheckpoints) df.checkpoint(true) else df.localCheckpoint(true)
+
+    val e = edges.select(col(edges.columns(0)).as("src"),
+      col(edges.columns(1)).as("dst"),
+      col(edges.columns(2)).cast("double").as("w"))
+    val nodes = ckpt(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+        .distinct())
+    // out-weight once, contributions as edge fractions: the loop never
+    // touches raw weights again
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val contrib = ckpt(e.join(outw, Seq("src"))
+      .select(col("src"), col("dst"), (col("w") / col("ow")).as("frac")))
+    val dangling = ckpt(nodes.join(outw.select(col("src").as("node")),
+      Seq("node"), "left_anti"))
+    // |V| is a bounded driver scalar (node count), read once before the loop
+    val n = nodes.count().toDouble
+    val base = (1.0 - damping) / n
+
+    var pr = ckpt(nodes.select(col("node"), lit(1.0 / n).as("pr")))
+    var iter = 0
+    while (iter < nIter) {
+      val dangMass = pr.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dm"))
+      val incoming = contrib
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("frac") * col("pr")).as("__inc"))
+      pr = ckpt(nodes
+        .join(incoming, Seq("node"), "left")
+        .crossJoin(broadcast(dangMass))
+        .select(col("node"),
+          (lit(base) + lit(damping) *
+            (coalesce(col("__inc"), lit(0.0)) + col("__dm") / lit(n)))
+            .as("pr")))
+      iter += 1
+    }
+    val inDeg = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_deg"))
+    val outDeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    pr.join(inDeg, Seq("node"), "left").join(outDeg, Seq("node"), "left")
+      .select(col("node"), col("pr"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Graph
+
+/** PageRank invariants on fixtures with known closed-form answers: mass
+  * conservation (with and without dangling nodes), symmetry on a cycle,
+  * hub concentration on a star, and weighted contribution splitting.
+  */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val eps = 1e-9
+
+  private def prMap(edges: Seq[(Long, Long, Double)], nIter: Int = 30) = {
+    val df = Graph.pageRank(edges.toDF("src", "dst", "w"), nIter = nIter)
+    df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  test("3-cycle: uniform rank 1/3, mass conserved") {
+    val pr = prMap(Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0)))
+    assert(pr.values.forall(v => math.abs(v - 1.0 / 3) < eps))
+    assert(math.abs(pr.values.sum - 1.0) < eps)
+  }
+
+  test("dangling node: mass still sums to 1, dangling redistributes") {
+    // 1 -> 2, 2 has no out-edges: without redistribution mass leaks each
+    // round; with it, total stays exactly 1
+    val pr = prMap(Seq((1L, 2L, 1.0)))
+    assert(math.abs(pr.values.sum - 1.0) < eps)
+    assert(pr(2L) > pr(1L)) // 2 receives 1's contribution plus its share
+  }
+
+  test("star graph concentrates rank on the hub") {
+    val spokes = (2L to 6L)
+    val pr = prMap(spokes.map(s => (s, 1L, 1.0)) ++ spokes.map(s => (1L, s, 1.0)))
+    assert(spokes.forall(s => pr(1L) > pr(s)))
+    assert(math.abs(pr.values.sum - 1.0) < eps)
+  }
+
+  test("edge weights split contributions proportionally") {
+    // 1 sends 3/4 of its rank to 2 and 1/4 to 3; 2 and 3 send back to 1.
+    // At the fixpoint pr(2) - pr(3) = d * (w2-w3)/(w2+w3) * pr(1).
+    // Convergence is geometric at rate d: 0.85^120 ~ 3e-9 << the 1e-6
+    // assertion (60 rounds leaves ~6e-6 and misses it).
+    val pr = prMap(Seq((1L, 2L, 3.0), (1L, 3L, 1.0),
+      (2L, 1L, 1.0), (3L, 1L, 1.0)), nIter = 120)
+    assert(math.abs((pr(2L) - pr(3L)) - 0.85 * 0.5 * pr(1L)) < 1e-6)
+  }
+
+  test("in_deg/out_deg are edge counts, zero-filled") {
+    val df = Graph.pageRank(Seq((1L, 2L, 1.0), (3L, 2L, 1.0)).toDF("a", "b", "c"))
+    val m = df.collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(m(2L) == ((2L, 0L)) && m(1L) == ((0L, 1L)) && m(3L) == ((0L, 1L)))
+  }
+}
