@@ -1684,6 +1684,42 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    "q135_mad_outliers" -> ((s, dir) => {
+      // robust per-key outlier screen (median/MAD rule): the value column
+      // is heavy-tailed, so the 3-sigma-equivalent MAD cut flags the real
+      // tail. Both engines compute medians, deviations, and the threshold
+      // product on identical doubles, so the boolean cut agrees bitwise.
+      graft.ops.Outliers.madFlag(
+          events(s, dir).select(col("event_type"), col("value")),
+          "event_type", "value", z = 3.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+          round(min(col("med")), 6).as("med"),
+          round(min(col("mad")), 6).as("mad"),
+          round(max(col("abs_dev")), 6).as("max_abs_dev"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q136_dim_stats" -> ((s, dir) => {
+      // per-dimension mean/std over the embedding corpus — the
+      // standardization/whitening prep pass. posexplode + groupBy(dim)
+      // looks like a dims-x-rows shuffle but is NOT: HashAggregate's
+      // map-side partials collapse each task to 64 rows before the
+      // exchange, so the shuffle is 64 rows per task at any corpus size.
+      t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select((col("pos") + 1).cast("long").as("dim"),
+          col("x").cast("double").as("x"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("x")), 6).as("mean_x"),
+          round(stddev_pop(col("x")), 6).as("std_x"),
+          round(min(col("x")), 6).as("min_x"),
+          round(max(col("x")), 6).as("max_x"))
+        .orderBy(col("dim"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -3277,6 +3313,31 @@ object SparkEntry {
          |  CAST(deg.in_deg AS BIGINT) AS in_deg,
          |  CAST(deg.out_deg AS BIGINT) AS out_deg
          |FROM p5 JOIN deg USING (node) ORDER BY p5.node""".stripMargin,
+
+    "q135_mad_outliers" ->
+      """WITH med AS (SELECT event_type, median(value) AS med
+        |  FROM events GROUP BY event_type),
+        |dev AS (SELECT e.event_type, e.value, m.med,
+        |    abs(e.value - m.med) AS ad
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, median(ad) AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN d.ad > 3 * 1.4826 * m.mad
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(min(d.med), 6) AS med, round(min(m.mad), 6) AS mad,
+        |  round(max(d.ad), 6) AS max_abs_dev
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
+    "q136_dim_stats" ->
+      """WITH u AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings)
+        |SELECT CAST(pos AS BIGINT) AS dim, count(*) AS n,
+        |  round(avg(x), 6) AS mean_x, round(stddev_pop(x), 6) AS std_x,
+        |  round(min(x), 6) AS min_x, round(max(x), 6) AS max_x
+        |FROM u GROUP BY pos ORDER BY dim""".stripMargin,
 
     "q129_scd2_join" ->
       """WITH d AS (SELECT user_id, event_id, ts,
