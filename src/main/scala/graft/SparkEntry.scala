@@ -1720,6 +1720,52 @@ object SparkEntry {
         .orderBy(col("dim"))
     }),
 
+    "q137_drift_psi" -> ((s, dir) => {
+      // PSI drift gate between corpus snapshots: reference = even
+      // event_ids, candidate = odd event_ids with a planted 1.25x unit
+      // shift — the broken-upstream-feed scenario the monitor exists to
+      // catch. Identical longs -> identical smoothed shares on both
+      // engines; only ln() is libm-dependent, absorbed by round(6).
+      val ev = events(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+      val ref = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      val cur = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .withColumn("value", col("value") * lit(1.25))
+      graft.ops.Drift.psi(ref, cur, "event_type", "value",
+          binWidth = 25.0, nBins = 10)
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          round(col("psi"), 6).as("psi"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q138_quality_classifier" -> ((s, dir) => {
+      // CCNet-style linear quality/language classifier trained ON the
+      // cluster: 3 full-batch logistic GD epochs, each ONE aggregate over
+      // the corpus (model broadcasts as literals, gradient = dim
+      // partial-agg sums). Output: learned coefficients + training-set
+      // log-loss/accuracy, all replayed by the oracle's unrolled updates.
+      import s.implicits._
+      val len = length(col("text")).cast("double")
+      val feat = t(s, dir, "documents").select(
+        lit(1.0).as("f_bias"),
+        (len / 100.0).as("f_len"),
+        ((len - length(regexp_replace(col("text"), " ", "")).cast("double")) / len)
+          .as("f_space"),
+        ((len - length(regexp_replace(col("text"), "[0-9]", "")).cast("double")) / len)
+          .as("f_digit"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val cols = Seq("f_bias", "f_len", "f_space", "f_digit")
+      val w = graft.ops.LinearModel.logisticGd(feat, cols, "y",
+        lr = 0.5, nIter = 3)
+      val ev = graft.ops.LinearModel.logisticEval(feat, cols, "y", w).head()
+      (cols.zipWithIndex.map { case (c, i) => (i.toLong, c, w(i)) } ++
+        Seq((4L, "__log_loss", ev.getDouble(0)),
+          (5L, "__accuracy", ev.getDouble(1))))
+        .toDF("coef_id", "feature", "weight")
+        .withColumn("weight", round(col("weight"), 6))
+        .orderBy(col("coef_id"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -3338,6 +3384,80 @@ object SparkEntry {
         |  round(avg(x), 6) AS mean_x, round(stddev_pop(x), 6) AS std_x,
         |  round(min(x), 6) AS min_x, round(max(x), 6) AS max_x
         |FROM u GROUP BY pos ORDER BY dim""".stripMargin,
+
+    "q137_drift_psi" ->
+      """WITH src AS (SELECT event_type, value, event_id % 2 AS side
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_type,
+        |    CAST(greatest(least(floor(
+        |      CASE WHEN side = 1 THEN value * 1.25 ELSE value END / 25.0),
+        |      9), 0) AS INT) AS bin, side
+        |  FROM src),
+        |c AS (SELECT event_type, bin,
+        |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cr,
+        |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cc
+        |  FROM b GROUP BY event_type, bin),
+        |t AS (SELECT event_type, bin, cr, cc,
+        |    sum(cr) OVER (PARTITION BY event_type) AS nr,
+        |    sum(cc) OVER (PARTITION BY event_type) AS nc
+        |  FROM c),
+        |p AS (SELECT event_type, nr, nc,
+        |    ((cr + 0.5)/(nr + 5.0) - (cc + 0.5)/(nc + 5.0)) *
+        |      ln(((cr + 0.5)/(nr + 5.0)) / ((cc + 0.5)/(nc + 5.0))) AS term
+        |  FROM t)
+        |SELECT event_type, CAST(min(nr) AS BIGINT) AS n_ref,
+        |  CAST(min(nc) AS BIGINT) AS n_cur, round(sum(term), 6) AS psi
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q138_quality_classifier" ->
+      """WITH feat AS (SELECT 1.0 AS f0,
+        |    CAST(len(text) AS DOUBLE)/100.0 AS f1,
+        |    CAST(len(text) - len(replace(text, ' ', '')) AS DOUBLE)
+        |      / CAST(len(text) AS DOUBLE) AS f2,
+        |    CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |      / CAST(len(text) AS DOUBLE) AS f3,
+        |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM documents),
+        |w0_ AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+        |g1_ AS (SELECT
+        |    sum((1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))) - y)*f0)/count(*) AS g0,
+        |    sum((1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))) - y)*f1)/count(*) AS g1,
+        |    sum((1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))) - y)*f2)/count(*) AS g2,
+        |    sum((1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))) - y)*f3)/count(*) AS g3
+        |  FROM feat, w0_ w),
+        |w1_ AS (SELECT w.w0 - 0.5*g.g0 AS w0, w.w1 - 0.5*g.g1 AS w1,
+        |    w.w2 - 0.5*g.g2 AS w2, w.w3 - 0.5*g.g3 AS w3 FROM w0_ w, g1_ g),
+        |g2_ AS (SELECT
+        |    sum((1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))) - y)*f0)/count(*) AS g0,
+        |    sum((1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))) - y)*f1)/count(*) AS g1,
+        |    sum((1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))) - y)*f2)/count(*) AS g2,
+        |    sum((1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))) - y)*f3)/count(*) AS g3
+        |  FROM feat, w1_ w),
+        |w2_ AS (SELECT w.w0 - 0.5*g.g0 AS w0, w.w1 - 0.5*g.g1 AS w1,
+        |    w.w2 - 0.5*g.g2 AS w2, w.w3 - 0.5*g.g3 AS w3 FROM w1_ w, g2_ g),
+        |g3_ AS (SELECT
+        |    sum((1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))) - y)*f0)/count(*) AS g0,
+        |    sum((1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))) - y)*f1)/count(*) AS g1,
+        |    sum((1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))) - y)*f2)/count(*) AS g2,
+        |    sum((1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))) - y)*f3)/count(*) AS g3
+        |  FROM feat, w2_ w),
+        |w3_ AS (SELECT w.w0 - 0.5*g.g0 AS w0, w.w1 - 0.5*g.g1 AS w1,
+        |    w.w2 - 0.5*g.g2 AS w2, w.w3 - 0.5*g.g3 AS w3 FROM w2_ w, g3_ g),
+        |scored AS (SELECT y,
+        |    1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))) AS p
+        |  FROM feat, w3_ w),
+        |ev AS (SELECT avg(-(y*ln(p) + (1.0-y)*ln(1.0-p))) AS log_loss,
+        |    avg(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END) AS acc
+        |  FROM scored)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS coef_id, 'f_bias' AS feature,
+        |    round(w0, 6) AS weight FROM w3_
+        |  UNION ALL SELECT 1, 'f_len', round(w1, 6) FROM w3_
+        |  UNION ALL SELECT 2, 'f_space', round(w2, 6) FROM w3_
+        |  UNION ALL SELECT 3, 'f_digit', round(w3, 6) FROM w3_
+        |  UNION ALL SELECT 4, '__log_loss', round(log_loss, 6) FROM ev
+        |  UNION ALL SELECT 5, '__accuracy', round(acc, 6) FROM ev
+        |) ORDER BY coef_id""".stripMargin,
 
     "q129_scd2_join" ->
       """WITH d AS (SELECT user_id, event_id, ts,
