@@ -1766,6 +1766,28 @@ object SparkEntry {
         .orderBy(col("coef_id"))
     }),
 
+    "q139_coverage_select" -> ((s, dir) => {
+      // greedy maximum-coverage selection: the 5 docs that together cover
+      // the most distinct token 3-grams (submodular data-selection step —
+      // "pick a diverse subset"). 3-grams, not tokens: the fixture's
+      // vocabulary is 31 words and one doc covers it all (the early-stop
+      // case GraphSelectionSpec pins); the 3-gram universe is large
+      // enough for 5 real rounds. covered_total = running window sum
+      // (gains are disjoint by construction).
+      val toks = TF.normTokens(col("text"))
+      val grams = when(size(toks) < 3, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", element_at(toks, i + 1),
+            element_at(toks, i + 2), element_at(toks, i + 3))))
+      val terms = t(s, dir, "documents")
+        .select(col("doc_id"), explode(grams).as("item"))
+      graft.ops.Selection.greedyMaxCover(terms, 5)
+        .select(col("round"), col("id").as("doc_id"), col("gain"))
+        .withColumn("covered_total",
+          sum(col("gain")).over(Window.orderBy(col("round"))))
+        .orderBy(col("round"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -2627,6 +2649,25 @@ object SparkEntry {
        |             FROM contrib c JOIN p$prev p ON c.src = p.node
        |             GROUP BY c.dst) inc ON inc.node = n.node)""".stripMargin
 
+  /** One unrolled greedy max-cover round for the q139 oracle: gains over
+    * tokens not yet in c`i-1`, argmax w`i` (ties -> smaller id), covered
+    * set c`i`. Mirrors Selection.greedyMaxCover's round exactly.
+    */
+  private def coverRoundSql(i: Int): String =
+    if (i == 1)
+      """r1 AS (SELECT id, count(*) AS gain FROM terms GROUP BY id),
+        |w1 AS (SELECT id, gain FROM r1 ORDER BY gain DESC, id LIMIT 1),
+        |c1 AS (SELECT DISTINCT t.item FROM terms t JOIN w1 ON t.id = w1.id)"""
+        .stripMargin
+    else
+      s"""r$i AS (SELECT t.id, count(*) AS gain FROM terms t
+         |  LEFT JOIN c${i - 1} c ON t.item = c.item
+         |  WHERE c.item IS NULL GROUP BY t.id),
+         |w$i AS (SELECT id, gain FROM r$i ORDER BY gain DESC, id LIMIT 1),
+         |c$i AS (SELECT item FROM c${i - 1} UNION
+         |        SELECT t.item FROM terms t JOIN w$i ON t.id = w$i.id)"""
+        .stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3458,6 +3499,24 @@ object SparkEntry {
         |  UNION ALL SELECT 4, '__log_loss', round(log_loss, 6) FROM ev
         |  UNION ALL SELECT 5, '__accuracy', round(acc, 6) FROM ev
         |) ORDER BY coef_id""".stripMargin,
+
+    "q139_coverage_select" ->
+      s"""WITH terms AS (SELECT DISTINCT id, item FROM (
+         |    SELECT id, unnest(CASE WHEN len(ntoks) < 3 THEN []
+         |      ELSE list_transform(range(len(ntoks) - 2),
+         |        i -> ntoks[i+1] || ' ' || ntoks[i+2] || ' ' || ntoks[i+3])
+         |      END) AS item
+         |    FROM (SELECT doc_id AS id, $ntoksSql AS ntoks FROM documents))),
+         |${(1 to 5).map(coverRoundSql).mkString(",\n")}
+         |SELECT round, id AS doc_id, gain,
+         |  CAST(sum(gain) OVER (ORDER BY round) AS BIGINT) AS covered_total
+         |FROM (
+         |  SELECT CAST(1 AS BIGINT) AS round, id, gain FROM w1
+         |  UNION ALL SELECT 2, id, gain FROM w2
+         |  UNION ALL SELECT 3, id, gain FROM w3
+         |  UNION ALL SELECT 4, id, gain FROM w4
+         |  UNION ALL SELECT 5, id, gain FROM w5
+         |) ORDER BY round""".stripMargin,
 
     "q129_scd2_join" ->
       """WITH d AS (SELECT user_id, event_id, ts,
