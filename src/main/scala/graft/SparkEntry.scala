@@ -1788,6 +1788,42 @@ object SparkEntry {
         .orderBy(col("round"))
     }),
 
+    "q140_exact_stratified" -> ((s, dir) => {
+      // exactly-100-doc validation sample matching the corpus language
+      // mix: largest-remainder quotas (integer-exact, no float shares) +
+      // engine-portable keyHash draw order within each stratum
+      Sampling.exactStratifiedSample(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "lang", "doc_id", 100L)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    "q141_join_size" -> ((s, dir) => {
+      // join-cardinality planning statistic: exact sum(cntA*cntB) over the
+      // per-key count tables + the deterministic 1-in-8 keyHash key-sample
+      // estimate, both from ONE aggregate — the broadcast-vs-shuffle and
+      // skew decision input, without running the join
+      graft.ops.Profile.joinSizeStats(
+        t(s, dir, "orders"), "o_orderkey",
+        t(s, dir, "lineitem"), "l_orderkey", sampleMod = 8)
+    }),
+
+    "q142_label_prop" -> ((s, dir) => {
+      // annotate-one-doc-per-cluster, spread to the rest: originals carry
+      // lang seeds, mutated near-dup copies (+100000) take the majority
+      // neighbor label along the 3-gram Jaccard pair graph; 2 monotone
+      // rounds (round = the frontier distance from a seed)
+      val pairs = Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "text",
+          "doc_id", n = 3, threshold = 0.3, maxShingleFreq = 400)
+        .select(col("idA"), col("idB"))
+      val seeds = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      graft.ops.Graph.labelPropagate(pairs, seeds, nIter = 2)
+        .filter(col("round") > 0)
+        .select(col("id").as("doc_id"), col("label"), col("round"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -3517,6 +3553,69 @@ object SparkEntry {
          |  UNION ALL SELECT 4, id, gain FROM w4
          |  UNION ALL SELECT 5, id, gain FROM w5
          |) ORDER BY round""".stripMargin,
+
+    "q140_exact_stratified" ->
+      s"""WITH counts AS (SELECT lang, count(*) AS cnt
+         |  FROM documents GROUP BY lang),
+         |q AS (SELECT lang, cnt, sum(cnt) OVER () AS total,
+         |    (100 * cnt) // sum(cnt) OVER () AS base,
+         |    100 * cnt - ((100 * cnt) // sum(cnt) OVER ()) * sum(cnt) OVER ()
+         |      AS rem
+         |  FROM counts),
+         |q2 AS (SELECT lang, base,
+         |    row_number() OVER (ORDER BY rem DESC, lang) AS rrank,
+         |    100 - sum(base) OVER () AS leftover
+         |  FROM q),
+         |quotas AS (SELECT lang,
+         |    base + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END AS quota
+         |  FROM q2),
+         |ranked AS (SELECT d.lang, d.doc_id,
+         |    row_number() OVER (PARTITION BY d.lang
+         |      ORDER BY ${graft.ops.Sampling.keyHashSql("d.doc_id")}, d.doc_id)
+         |      AS rk
+         |  FROM documents d)
+         |SELECT r.lang, r.doc_id FROM ranked r JOIN quotas USING (lang)
+         |WHERE r.rk <= quota ORDER BY r.lang, r.doc_id""".stripMargin,
+
+    "q141_join_size" ->
+      s"""WITH ca AS (SELECT o_orderkey AS key, count(*) AS ca
+         |  FROM orders GROUP BY 1),
+         |cb AS (SELECT l_orderkey AS key, count(*) AS cb
+         |  FROM lineitem GROUP BY 1),
+         |j AS (SELECT key, ca.ca * cb.cb AS p FROM ca JOIN cb USING (key))
+         |SELECT count(*) AS n_common_keys,
+         |  CAST(sum(p) AS BIGINT) AS join_rows,
+         |  CAST(sum(CASE WHEN (${graft.ops.Sampling.keyHashSql("key")}) % 8 = 0
+         |           THEN p ELSE 0 END) * 8 AS BIGINT) AS est_join_rows,
+         |  CAST(max(p) AS BIGINT) AS max_per_key,
+         |  round(avg(p), 6) AS avg_per_key
+         |FROM j""".stripMargin,
+
+    "q142_label_prop" ->
+      s"""WITH $ngramPairsCtes,
+         |edges AS (SELECT idA AS a, idB AS b FROM pairs
+         |          UNION SELECT idB, idA FROM pairs),
+         |seeds AS (SELECT doc_id AS id, lang AS label FROM documents),
+         |v1 AS (SELECT e.b AS id, s.label, count(*) AS c
+         |       FROM edges e JOIN seeds s ON e.a = s.id
+         |       WHERE e.b NOT IN (SELECT id FROM seeds)
+         |       GROUP BY e.b, s.label),
+         |w1 AS (SELECT id, label FROM (
+         |       SELECT id, label, row_number() OVER (PARTITION BY id
+         |         ORDER BY c DESC, label) AS rn FROM v1) WHERE rn = 1),
+         |lab1 AS (SELECT id, label FROM seeds
+         |         UNION ALL SELECT id, label FROM w1),
+         |v2 AS (SELECT e.b AS id, l.label, count(*) AS c
+         |       FROM edges e JOIN lab1 l ON e.a = l.id
+         |       WHERE e.b NOT IN (SELECT id FROM lab1)
+         |       GROUP BY e.b, l.label),
+         |w2 AS (SELECT id, label FROM (
+         |       SELECT id, label, row_number() OVER (PARTITION BY id
+         |         ORDER BY c DESC, label) AS rn FROM v2) WHERE rn = 1)
+         |SELECT doc_id, label, round FROM (
+         |  SELECT id AS doc_id, label, CAST(1 AS BIGINT) AS round FROM w1
+         |  UNION ALL SELECT id, label, 2 FROM w2)
+         |ORDER BY doc_id""".stripMargin,
 
     "q129_scd2_join" ->
       """WITH d AS (SELECT user_id, event_id, ts,

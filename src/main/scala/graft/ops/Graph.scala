@@ -92,4 +92,46 @@ object Graph {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"),
         coalesce(col("out_deg"), lit(0L)).as("out_deg"))
   }
+
+  /** Semi-supervised majority-vote label propagation: seed labels spread
+    * along undirected edges for `nIter` rounds — each round every still-
+    * unlabeled node adjacent to labeled nodes takes the most common
+    * neighbor label (ties -> lexicographically smallest). The transfer-
+    * annotations-to-near-duplicates step (label one doc per cluster, spread
+    * to the rest), and a cheap community detector.
+    *
+    * Labels are MONOTONE (assigned once, never revised), so each round
+    * only touches the frontier: one join of edges against the labeled set,
+    * one partial/final (node, label) count, one per-node argmax — all
+    * shuffles on the 8-byte node id. Plan checkpointed per round.
+    * Returns (id, label, round) where round 0 = seed.
+    */
+  def labelPropagate(pairs: DataFrame, seeds: DataFrame,
+                     nIter: Int = 2): DataFrame = {
+    require(nIter >= 1)
+    val a = pairs.columns(0)
+    val b = pairs.columns(1)
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = seeds
+      .select(col(seeds.columns(0)).as("id"),
+        col(seeds.columns(1)).as("label"), lit(0L).as("round"))
+      .localCheckpoint(true)
+    for (r <- 1 to nIter) {
+      val votes = edges
+        .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+        .select(col("dst").as("id"), col("label"))
+        .join(labels.select(col("id")), Seq("id"), "left_anti")
+        .groupBy(col("id"), col("label")).agg(count(lit(1)).as("__c"))
+      val won = votes
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+            .orderBy(col("__c").desc, col("label"))))
+        .filter(col("__rn") === 1)
+        .select(col("id"), col("label"), lit(r.toLong).as("round"))
+      labels = labels.union(won).localCheckpoint(true)
+    }
+    labels
+  }
 }

@@ -70,4 +70,32 @@ object Profile {
           nBuckets).as("hi"),
         coalesce(col("n"), lit(0L)).as("n"))
   }
+
+  /** Join-cardinality statistics WITHOUT running the join — the planning
+    * number that decides broadcast vs shuffle vs pre-aggregation, and the
+    * skew audit (max_per_key / avg_per_key) that predicts a hot task. The
+    * exact figure is sum over common keys of cntA * cntB, computed from
+    * the two per-key count tables (each a partial-agg'd shuffle of 16-byte
+    * rows — never the payloads). est_join_rows is the same sum over the
+    * deterministic 1-in-`sampleMod` keyHash key sample, scaled back up:
+    * the constant-memory path when even the count tables are huge (both
+    * figures come from ONE aggregate over the joined counts). Counts are
+    * longs; at extreme scale sum(cntA*cntB) wants decimal(38,0) — the
+    * fixture-ranged long keeps output types engine-comparable.
+    */
+  def joinSizeStats(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+                    sampleMod: Int = 8): DataFrame = {
+    require(sampleMod >= 1)
+    val ca = a.groupBy(col(aKey).as("key")).agg(count(lit(1)).as("__ca"))
+    val cb = b.groupBy(col(bKey).as("key")).agg(count(lit(1)).as("__cb"))
+    ca.join(cb, Seq("key"))
+      .select(col("key"), (col("__ca") * col("__cb")).as("__p"))
+      .agg(
+        count(lit(1)).as("n_common_keys"),
+        sum(col("__p")).as("join_rows"),
+        (sum(when(pmod(Sampling.keyHash(col("key")), lit(sampleMod)) === 0,
+          col("__p")).otherwise(0L)) * sampleMod).as("est_join_rows"),
+        max(col("__p")).as("max_per_key"),
+        round(avg(col("__p")), 6).as("avg_per_key"))
+  }
 }

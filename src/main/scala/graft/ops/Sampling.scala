@@ -173,6 +173,50 @@ object Sampling {
         col("rank"))
   }
 
+  /** EXACTLY `n` rows total (when the corpus has that many), allocated
+    * across strata proportionally by the largest-remainder method and
+    * drawn within each stratum in engine-portable [[keyHash]] order —
+    * the deterministic "build a val set of exactly N docs matching the
+    * corpus mix" op ([[stratifiedSample]] is per-stratum capped,
+    * [[sampleByKey]] probabilistic; this one hits the total exactly).
+    *
+    * All-quota arithmetic is integer-exact: base quota n*cnt/total by
+    * integer division, remainders ranked (desc, stratum asc) and the
+    * leftover slots go to the top ranks — no float shares, so every
+    * engine allocates identically. A stratum smaller than its quota
+    * under-fills it (no reallocation) — callers wanting exact totals on
+    * pathological mixes should size n below the smallest-safe bound.
+    * Shape: one |strata|-row aggregate (windows run on that bounded
+    * frame, not the corpus) broadcast-joined back, then one per-stratum
+    * rank — a single corpus shuffle on the stratum key.
+    */
+  def exactStratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+                            n: Long): DataFrame = {
+    require(n >= 0, "n must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__cnt"))
+    val all = Window.partitionBy()
+    val quotas = counts
+      .withColumn("__total", sum(col("__cnt")).over(all))
+      // `div` = exact integral division (a double `/` + floor can land one
+      // ulp under an exact multiple and floor to quota-1)
+      .withColumn("__base", expr(s"(${n}L * __cnt) div __total"))
+      .withColumn("__rem",
+        lit(n) * col("__cnt") - col("__base") * col("__total"))
+      .withColumn("__rrank", row_number().over(
+        all.orderBy(col("__rem").desc, col(stratumCol))))
+      .withColumn("__left", lit(n) - sum(col("__base")).over(all))
+      .select(col(stratumCol),
+        (col("__base") + when(col("__rrank") <= col("__left"), 1L)
+          .otherwise(0L)).as("__quota"))
+    val ranked = df.join(broadcast(quotas), Seq(stratumCol))
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy(col(stratumCol))
+          .orderBy(keyHash(col(keyCol)), col(keyCol))))
+    ranked.filter(col("__rank") <= col("__quota"))
+      .drop("__quota", "__rank")
+  }
+
   def mixtureSample(df: DataFrame, groupCol: String, keyCol: String,
                     percents: Map[String, Int],
                     defaultPercent: Int = 100): DataFrame = {

@@ -54,4 +54,30 @@ class GraphSpec extends AnyFunSuite {
     val m = df.collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
     assert(m(2L) == ((2L, 0L)) && m(1L) == ((0L, 1L)) && m(3L) == ((0L, 1L)))
   }
+
+  test("labelPropagate: majority wins, ties break low, frontier advances by round") {
+    // seeds: 1->"a", 2->"a", 3->"b"; node 4 touches all three (majority a);
+    // node 5 only touches 4 (labeled in round 2); node 6 touches 2 and 3
+    // equally (tie -> "a")
+    val pairs = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 5L), (2L, 6L), (3L, 6L))
+      .toDF("idA", "idB")
+    val seeds = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "label")
+    val out = Graph.labelPropagate(pairs, seeds, nIter = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(4L) == (("a", 1L)))
+    assert(out(6L) == (("a", 1L)))
+    assert(out(5L) == (("a", 2L)))
+    assert(out(1L)._2 == 0L && out(3L) == (("b", 0L)))
+  }
+
+  test("labelPropagate never relabels a seed or an earlier round") {
+    // 10-"x" and many "y" neighbors: 10 keeps "x" even though every
+    // neighbor says "y"
+    val pairs = (1L to 5L).map(i => (i, 10L)).toDF("idA", "idB")
+    val seeds = ((1L to 5L).map(i => (i, "y")) :+ ((10L, "x"))).toDF("id", "label")
+    val out = Graph.labelPropagate(pairs, seeds, nIter = 2)
+      .filter($"id" === 10L).collect()
+    assert(out.length == 1 && out.head.getString(1) == "x" &&
+      out.head.getLong(2) == 0L)
+  }
 }
