@@ -1824,6 +1824,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q143_pmi_bigrams" -> ((s, dir) => {
+      // collocation mining: top-20 adjacent-token pairs by PMI (ranked on
+      // the ROUNDED score + lexicographic tiebreak so ln() ulps can't
+      // flip the order) — the phrase-detection / tokenizer-vocab pass.
+      // The final window ranks the bounded bigram-stats table, not rows.
+      val docs = t(s, dir, "documents")
+        .select(TF.normTokens(col("text")).as("toks"))
+      graft.ops.Collocations.pmiBigrams(docs, "toks", minCount = 5L)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("pmi").desc, col("w1"), col("w2"))).cast("long"))
+        .filter(col("rank") <= 20)
+        .orderBy(col("rank"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -3616,6 +3630,28 @@ object SparkEntry {
          |  SELECT id AS doc_id, label, CAST(1 AS BIGINT) AS round FROM w1
          |  UNION ALL SELECT id, label, 2 FROM w2)
          |ORDER BY doc_id""".stripMargin,
+
+    "q143_pmi_bigrams" ->
+      s"""WITH norm AS (SELECT $ntoksSql AS ntoks FROM documents),
+         |uni AS (SELECT w, count(*) AS c_w FROM (
+         |    SELECT unnest(ntoks) AS w FROM norm) GROUP BY w),
+         |big AS (SELECT w1, w2, count(*) AS c_bigram FROM (
+         |    SELECT ntoks[i+1] AS w1, ntoks[i+2] AS w2
+         |    FROM norm, unnest(range(len(ntoks) - 1)) AS u(i)) GROUP BY w1, w2),
+         |tot AS (SELECT (SELECT sum(c_w) FROM uni) AS n_tokens,
+         |               (SELECT sum(c_bigram) FROM big) AS n_bigrams),
+         |sc AS (SELECT b.w1, b.w2, b.c_bigram,
+         |    round(ln((b.c_bigram * 1.0 / t.n_bigrams) /
+         |      ((u1.c_w * 1.0 / t.n_tokens) * (u2.c_w * 1.0 / t.n_tokens))), 6)
+         |      AS pmi
+         |  FROM big b CROSS JOIN tot t
+         |  JOIN uni u1 ON b.w1 = u1.w
+         |  JOIN uni u2 ON b.w2 = u2.w
+         |  WHERE b.c_bigram >= 5),
+         |r AS (SELECT w1, w2, c_bigram, pmi,
+         |    row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank FROM sc)
+         |SELECT w1, w2, c_bigram, pmi, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     "q129_scd2_join" ->
       """WITH d AS (SELECT user_id, event_id, ts,
