@@ -1745,16 +1745,7 @@ object SparkEntry {
       // partial-agg sums). Output: learned coefficients + training-set
       // log-loss/accuracy, all replayed by the oracle's unrolled updates.
       import s.implicits._
-      val len = length(col("text")).cast("double")
-      val feat = t(s, dir, "documents").select(
-        lit(1.0).as("f_bias"),
-        (len / 100.0).as("f_len"),
-        ((len - length(regexp_replace(col("text"), " ", "")).cast("double")) / len)
-          .as("f_space"),
-        ((len - length(regexp_replace(col("text"), "[0-9]", "")).cast("double")) / len)
-          .as("f_digit"),
-        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
-      val cols = Seq("f_bias", "f_len", "f_space", "f_digit")
+      val (feat, cols) = classifierFeatures(s, dir)
       val w = graft.ops.LinearModel.logisticGd(feat, cols, "y",
         lr = 0.5, nIter = 3)
       val ev = graft.ops.LinearModel.logisticEval(feat, cols, "y", w).head()
@@ -1836,6 +1827,25 @@ object SparkEntry {
           Window.orderBy(col("pmi").desc, col("w1"), col("w2"))).cast("long"))
         .filter(col("rank") <= 20)
         .orderBy(col("rank"))
+    }),
+
+    "q144_calibration" -> ((s, dir) => {
+      // reliability diagram for the q138 classifier: decile-bin the
+      // predicted probability, compare mean prediction vs observed
+      // positive rate per bin — the "is the quality score a probability
+      // or just a ranking" audit. One aggregate over the scored corpus.
+      val (feat, cols) = classifierFeatures(s, dir)
+      val w = graft.ops.LinearModel.logisticGd(feat, cols, "y",
+        lr = 0.5, nIter = 3)
+      val z = cols.zip(w).map { case (c, wi) => col(c) * lit(wi) }
+        .reduce(_ + _)
+      feat.withColumn("p", lit(1.0) / (lit(1.0) + exp(-z)))
+        .withColumn("bin", least(floor(col("p") * 10), lit(9)).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("p")), 6).as("avg_p"),
+          round(avg(col("y")), 6).as("frac_pos"))
+        .orderBy(col("bin"))
     }),
 
     "q99_quantile_filter" -> ((s, dir) => {
@@ -2683,6 +2693,39 @@ object SparkEntry {
        |  score_micro / 1000000.0 AS score, rank
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** One unrolled logistic-GD epoch for the q138/q144 oracles: gradient
+    * g`i` under weights w`i-1`, update w`i`. Mirrors
+    * LinearModel.logisticGd's epoch exactly (lr 0.5, gradient / n).
+    */
+  private def lrStepSql(i: Int): String = {
+    val prev = s"w${i - 1}_"
+    val sig = "1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3)))"
+    val grads = (0 to 3)
+      .map(j => s"    sum(($sig - y)*f$j)/count(*) AS g$j").mkString(",\n")
+    val upds = (0 to 3).map(j => s"w.w$j - 0.5*g.g$j AS w$j").mkString(", ")
+    s"g${i}_ AS (SELECT\n$grads\n  FROM feat, $prev w),\n" +
+      s"w${i}_ AS (SELECT $upds FROM $prev w, g${i}_ g)"
+  }
+
+  /** Shared q138/q144 CTE chain: the classifier feature frame, 3 unrolled
+    * GD epochs, and the final per-row scores. Must mirror
+    * [[classifierFeatures]] + LinearModel exactly.
+    */
+  private val lrCtes: String =
+    s"""feat AS (SELECT 1.0 AS f0,
+       |    CAST(len(text) AS DOUBLE)/100.0 AS f1,
+       |    CAST(len(text) - len(replace(text, ' ', '')) AS DOUBLE)
+       |      / CAST(len(text) AS DOUBLE) AS f2,
+       |    CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+       |      / CAST(len(text) AS DOUBLE) AS f3,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents),
+       |w0_ AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+       |${(1 to 3).map(lrStepSql).mkString(",\n")},
+       |scored AS (SELECT y,
+       |    1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))) AS p
+       |  FROM feat, w3_ w)""".stripMargin
+
   /** One unrolled PageRank iteration for the q134 oracle: p`cur` from
     * p`prev`. The dangling-mass subquery and the incoming-contribution
     * aggregate mirror Graph.pageRank's round exactly.
@@ -2698,6 +2741,25 @@ object SparkEntry {
        |  LEFT JOIN (SELECT c.dst AS node, sum(c.frac * p.pr) AS s
        |             FROM contrib c JOIN p$prev p ON c.src = p.node
        |             GROUP BY c.dst) inc ON inc.node = n.node)""".stripMargin
+
+  /** The q138/q144 classifier's feature frame: engine-portable per-doc
+    * numerics (bias, scaled length, space ratio, digit ratio) + the
+    * lang=='en' label. Shared so the calibration query bins EXACTLY the
+    * model the training query learned.
+    */
+  private def classifierFeatures(s: SparkSession, dir: String)
+      : (DataFrame, Seq[String]) = {
+    val len = length(col("text")).cast("double")
+    val feat = t(s, dir, "documents").select(
+      lit(1.0).as("f_bias"),
+      (len / 100.0).as("f_len"),
+      ((len - length(regexp_replace(col("text"), " ", "")).cast("double")) / len)
+        .as("f_space"),
+      ((len - length(regexp_replace(col("text"), "[0-9]", "")).cast("double")) / len)
+        .as("f_digit"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    (feat, Seq("f_bias", "f_len", "f_space", "f_digit"))
+  }
 
   /** One unrolled greedy max-cover round for the q139 oracle: gains over
     * tokens not yet in c`i-1`, argmax w`i` (ties -> smaller id), covered
@@ -3501,42 +3563,7 @@ object SparkEntry {
         |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q138_quality_classifier" ->
-      """WITH feat AS (SELECT 1.0 AS f0,
-        |    CAST(len(text) AS DOUBLE)/100.0 AS f1,
-        |    CAST(len(text) - len(replace(text, ' ', '')) AS DOUBLE)
-        |      / CAST(len(text) AS DOUBLE) AS f2,
-        |    CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
-        |      / CAST(len(text) AS DOUBLE) AS f3,
-        |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-        |  FROM documents),
-        |w0_ AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
-        |g1_ AS (SELECT
-        |    sum((1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))) - y)*f0)/count(*) AS g0,
-        |    sum((1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))) - y)*f1)/count(*) AS g1,
-        |    sum((1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))) - y)*f2)/count(*) AS g2,
-        |    sum((1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))) - y)*f3)/count(*) AS g3
-        |  FROM feat, w0_ w),
-        |w1_ AS (SELECT w.w0 - 0.5*g.g0 AS w0, w.w1 - 0.5*g.g1 AS w1,
-        |    w.w2 - 0.5*g.g2 AS w2, w.w3 - 0.5*g.g3 AS w3 FROM w0_ w, g1_ g),
-        |g2_ AS (SELECT
-        |    sum((1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))) - y)*f0)/count(*) AS g0,
-        |    sum((1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))) - y)*f1)/count(*) AS g1,
-        |    sum((1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))) - y)*f2)/count(*) AS g2,
-        |    sum((1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))) - y)*f3)/count(*) AS g3
-        |  FROM feat, w1_ w),
-        |w2_ AS (SELECT w.w0 - 0.5*g.g0 AS w0, w.w1 - 0.5*g.g1 AS w1,
-        |    w.w2 - 0.5*g.g2 AS w2, w.w3 - 0.5*g.g3 AS w3 FROM w1_ w, g2_ g),
-        |g3_ AS (SELECT
-        |    sum((1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))) - y)*f0)/count(*) AS g0,
-        |    sum((1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))) - y)*f1)/count(*) AS g1,
-        |    sum((1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))) - y)*f2)/count(*) AS g2,
-        |    sum((1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))) - y)*f3)/count(*) AS g3
-        |  FROM feat, w2_ w),
-        |w3_ AS (SELECT w.w0 - 0.5*g.g0 AS w0, w.w1 - 0.5*g.g1 AS w1,
-        |    w.w2 - 0.5*g.g2 AS w2, w.w3 - 0.5*g.g3 AS w3 FROM w2_ w, g3_ g),
-        |scored AS (SELECT y,
-        |    1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))) AS p
-        |  FROM feat, w3_ w),
+      s"""WITH $lrCtes,
         |ev AS (SELECT avg(-(y*ln(p) + (1.0-y)*ln(1.0-p))) AS log_loss,
         |    avg(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END) AS acc
         |  FROM scored)
@@ -3652,6 +3679,13 @@ object SparkEntry {
          |    row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank FROM sc)
          |SELECT w1, w2, c_bigram, pmi, CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "q144_calibration" ->
+      s"""WITH $lrCtes
+         |SELECT CAST(greatest(least(floor(p * 10), 9), 0) AS BIGINT) AS bin,
+         |  count(*) AS n, round(avg(p), 6) AS avg_p,
+         |  round(avg(y), 6) AS frac_pos
+         |FROM scored GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "q129_scd2_join" ->
       """WITH d AS (SELECT user_id, event_id, ts,

@@ -317,6 +317,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming drift monitor: per-batch PSI tracks a planted shift, final equals batch") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val srcDir = TestSpark.tmpDir("drift-src")
+    val ckpt   = TestSpark.tmpDir("drift-ckpt")
+    val landed = TestSpark.tmpDir("drift-landed")
+    val ref = (1 to 500).map(i => ("k", i % 100 * 1.0)).toDF("k", "v")
+
+    def land(shift: Double, idBase: Long): Unit =
+      (1 to 500).map(i => (idBase + i, ts("2024-01-01 00:01:00"), 1L, "view",
+          i % 100 * 1.0 + shift, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+
+    val psis = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def run(): Unit = {
+      val q = EventStreams.readStream(spark, srcDir).writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          // the monitoring pattern: land the batch, re-score the PSI of
+          // everything landed so far against the frozen reference
+          b.write.mode("append").parquet(landed)
+          val cur = spark.read.parquet(landed)
+            .select(lit("k").as("k"), $"value".as("v"))
+          psis += graft.ops.Drift.psi(ref, cur, "k", "v", 10.0, 10)
+            .head().getDouble(3)
+          ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+
+    land(shift = 0.0, idBase = 0); run()     // matching distribution
+    land(shift = 40.0, idBase = 1000); run() // broken feed: 40% unit shift
+
+    assert(psis.size == 2, psis.toString)
+    assert(psis(0) < 0.01, s"clean batch scored ${psis(0)}")
+    assert(psis(1) > 0.1, s"post-shift mixed corpus scored only ${psis(1)}")
+    // restart-with-checkpoint parity: the final streaming figure equals the
+    // batch PSI over the same landed rows
+    val batchPsi = graft.ops.Drift.psi(ref,
+        spark.read.parquet(landed).select(lit("k").as("k"), $"value".as("v")),
+        "k", "v", 10.0, 10).head().getDouble(3)
+    assert(math.abs(psis(1) - batchPsi) < 1e-12)
+  }
+
   test("interval join applies identically in batch mode") {
     val batch = spark.read.parquet(streamDir)
     val clicks = batch.filter($"event_type" === "click")
