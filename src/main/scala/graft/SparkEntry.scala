@@ -1848,6 +1848,21 @@ object SparkEntry {
         .orderBy(col("bin"))
     }),
 
+    "q145_weighted_wor" -> ((s, dir) => {
+      // Efraimidis-Spirakis weighted sampling WITHOUT replacement: the 30
+      // largest u^(1/w) keys (u deterministic from keyHash, w = quality +
+      // 0.1) are an exact weighted no-replacement draw — the "pick N docs
+      // favoring quality, no duplicates, reproducible anywhere" op that
+      // Bernoulli q63 can't express (it can't hit a fixed N).
+      val docs = t(s, dir, "documents")
+        .withColumn("quality", TF.qualityScore(col("text")))
+        .withColumn("w", col("quality") + lit(0.1))
+      Sampling.weightedSampleWithoutReplacement(docs, "doc_id", "w", 30)
+        .select(col("doc_id"), col("lang"),
+          round(col("quality"), 6).as("quality"), col("rank"))
+        .orderBy(col("rank"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -3686,6 +3701,17 @@ object SparkEntry {
          |  count(*) AS n, round(avg(p), 6) AS avg_p,
          |  round(avg(y), 6) AS frac_pos
          |FROM scored GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q145_weighted_wor" ->
+      s"""${qualityCteSql(", lang")}
+         |SELECT doc_id, lang, round(quality, 6) AS quality, rank FROM (
+         |  SELECT doc_id, lang, quality,
+         |    CAST(row_number() OVER (ORDER BY
+         |      round(ln(((${graft.ops.Sampling.keyHashSql("doc_id")}) + 0.5)
+         |          / 4294967296.0) / (quality + 0.1), 6) DESC,
+         |      doc_id) AS BIGINT) AS rank
+         |  FROM q) r
+         |WHERE rank <= 30 ORDER BY rank""".stripMargin,
 
     "q129_scd2_join" ->
       """WITH d AS (SELECT user_id, event_id, ts,

@@ -300,6 +300,51 @@ object Stress {
       nVecs
     }
     }
+
+    if (section == "graph" || section == "all") {
+    // transition graph replicated factor-ways: each replica shifts users
+    // AND items into fresh id space, so nodes and edges both grow
+    // linearly with factor (disconnected replicas = the sharded-corpus
+    // shape). PageRank cost model: rounds x (|E| join + |V| agg).
+    val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+    val gedges = {
+      val exp = ev0.crossJoin(replicas).select(
+        (col("user_id") * factor + col("rep")).as("u"),
+        col("event_id"),
+        (col("item") + col("rep") * lit(100L)).as("item"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("u")).orderBy(col("event_id"))
+      exp.withColumn("src", lag(col("item"), 1).over(w))
+        .filter(col("src").isNotNull && col("src") =!= col("item"))
+        .groupBy(col("src"), col("item").as("dst"))
+        .agg(count(lit(1)).cast("double").as("w"))
+        .persist()
+    }
+    val nEdges = gedges.count()
+    println(s"[stress] graph edges: $nEdges (${100 * factor} item nodes)")
+    time("pagerank_5it") {
+      graft.ops.Graph.pageRank(gedges, nIter = 5).count()
+    }
+    time("label_prop_2it") {
+      val seeds = gedges.select(col("src").as("id")).distinct()
+        .filter(pmod(col("id"), lit(3)) === 0)
+        .select(col("id"), concat(lit("l"), pmod(col("id"), lit(5))).as("label"))
+      graft.ops.Graph.labelPropagate(
+        gedges.select(col("src"), col("dst")), seeds, nIter = 2).count()
+    }
+    time("greedy_cover_k3") {
+      val toks = graft.functions.TextFunctions.normTokens(col("text"))
+      val grams = when(size(toks) < 3, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", element_at(toks, i + 1),
+            element_at(toks, i + 2), element_at(toks, i + 3))))
+      graft.ops.Selection.greedyMaxCover(
+        corpus.select(col("doc_id"), explode(grams).as("item")), 3).count()
+    }
+    gedges.unpersist()
+    }
     spark.stop()
   }
 }

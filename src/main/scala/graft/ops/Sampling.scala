@@ -217,6 +217,28 @@ object Sampling {
       .drop("__quota", "__rank")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * assign each row the key u^(1/w) with u drawn deterministically from
+    * [[keyHash]]; the n largest keys ARE a weighted sample without
+    * replacement. Ranking uses ln(u)/w (same order, no tiny powers) and
+    * ROUNDS it so ln() ulps can't flip the cut on any engine; ties break
+    * on the key column. Top-n goes through TakeOrdered — no full sort —
+    * and the scan carries only (key, weight) until the final project.
+    * Weights must be strictly positive.
+    */
+  def weightedSampleWithoutReplacement(df: DataFrame, keyCol: String,
+                                       weightCol: String, n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val u = (keyHash(col(keyCol)) + lit(0.5)) / lit(4294967296.0)
+    val score = round(log(u) / col(weightCol), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__aes").desc, col(keyCol))
+    df.withColumn("__aes", score)
+      .orderBy(col("__aes").desc, col(keyCol)).limit(n)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .drop("__aes")
+  }
+
   def mixtureSample(df: DataFrame, groupCol: String, keyCol: String,
                     percents: Map[String, Int],
                     defaultPercent: Int = 100): DataFrame = {

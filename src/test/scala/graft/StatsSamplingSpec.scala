@@ -35,6 +35,22 @@ class StatsSamplingSpec extends AnyFunSuite {
       s2.select("id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("weightedSampleWithoutReplacement: exact n, deterministic, weight-biased") {
+    // ids 1..400: multiples of 4 get weight 50, the rest 0.05 — heavy rows
+    // dominate the draw (P(light outranks heavy) ~ u^1000-scale)
+    val df = (1 to 400).map(i =>
+      (i.toLong, if (i % 4 == 0) 50.0 else 0.05)).toDF("id", "w")
+    val s1 = Sampling.weightedSampleWithoutReplacement(df, "id", "w", 20)
+    val rows = s1.collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to 20L)) // dense ranks
+    assert(rows.count(_.getDouble(1) == 50.0) >= 18, "heavy rows must dominate")
+    val s2 = Sampling.weightedSampleWithoutReplacement(
+      df.repartition(17), "id", "w", 20)
+    assert(s1.select("id", "rank").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      s2.select("id", "rank").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
+
   test("exactStratifiedSample largest remainder: totals hit n when shares don't divide") {
     // 7, 11, 13 rows; n = 10 -> base quotas 2,3,4 (sum 9) + 1 largest-remainder slot
     val df = ((1 to 7).map(i => (i.toLong, "a")) ++
