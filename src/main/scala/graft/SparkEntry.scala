@@ -1863,6 +1863,24 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q146_correlated_scalar" -> ((s, dir) => {
+      // TPC-H Q17 shape: correlated scalar subquery (per-partkey average
+      // gates the outer rows); identical SQL text on both engines —
+      // Catalyst decorrelates into aggregate + join
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, dir, "part").createOrReplaceTempView("part")
+      s.sql(correlatedScalarSql)
+    }),
+
+    "q147_exists_chain" -> ((s, dir) => {
+      // TPC-H Q21 shape: EXISTS + NOT EXISTS correlated chain -> semi +
+      // anti joins after decorrelation; identical SQL text on both engines
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier")
+      s.sql(existsChainSql)
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -2596,6 +2614,45 @@ object SparkEntry {
       |  (l_returnflag), (l_linestatus), ())
       |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST,
       |  l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** TPC-H Q17-shape correlated SCALAR subquery (identical text on both
+    * engines; Catalyst decorrelates it into an aggregate + join — see
+    * PLANS_r3). l_quantity is integral, so each group's avg is exact in
+    * double on any engine and the `<` cut can't sit on a float boundary.
+    */
+  private val correlatedScalarSql: String =
+    """SELECT p.p_brand,
+      |  round(sum(l.l_extendedprice) / 7.0, 2) AS avg_weekly,
+      |  count(*) AS n_small
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE l.l_quantity < (
+      |  SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+      |  WHERE l2.l_partkey = l.l_partkey)
+      |GROUP BY p.p_brand
+      |ORDER BY p.p_brand""".stripMargin
+
+  /** TPC-H Q21-shape EXISTS / NOT EXISTS chain (sole-blame supplier per
+    * returned order), reformulated on the columns this fixture carries
+    * (returnflag instead of receipt lateness). Identical text on both
+    * engines; Catalyst turns the pair into semi/anti joins.
+    */
+  private val existsChainSql: String =
+    """SELECT s.s_name, count(*) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE o.o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s.s_name
+      |LIMIT 20""".stripMargin
 
   // --- DuckDB oracles ------------------------------------------------------
 
@@ -3712,6 +3769,10 @@ object SparkEntry {
          |      doc_id) AS BIGINT) AS rank
          |  FROM q) r
          |WHERE rank <= 30 ORDER BY rank""".stripMargin,
+
+    "q146_correlated_scalar" -> correlatedScalarSql,
+
+    "q147_exists_chain" -> existsChainSql,
 
     "q129_scd2_join" ->
       """WITH d AS (SELECT user_id, event_id, ts,
