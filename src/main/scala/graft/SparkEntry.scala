@@ -1881,6 +1881,22 @@ object SparkEntry {
       s.sql(existsChainSql)
     }),
 
+    "q148_assoc_rules" -> ((s, dir) => {
+      // market-basket association rules over per-user event property
+      // baskets (a-priori pruned: only items clearing the 20% relative
+      // support floor enter pair generation). Top-30 rules by ROUNDED
+      // lift + lexicographic tiebreak — engine-portable order.
+      val baskets = events(s, dir)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+      graft.ops.Association.pairRules(baskets, "user_id", "item", 0.2)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("lift").desc, col("antecedent"),
+            col("consequent"))).cast("long"))
+        .filter(col("rank") <= 30)
+        .orderBy(col("rank"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -3773,6 +3789,34 @@ object SparkEntry {
     "q146_correlated_scalar" -> correlatedScalarSql,
 
     "q147_exists_chain" -> existsChainSql,
+
+    "q148_assoc_rules" ->
+      """WITH b AS (SELECT DISTINCT user_id AS basket,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |  FROM events WHERE props IS NOT NULL),
+        |n AS (SELECT count(DISTINCT basket) AS n_baskets FROM b),
+        |freq AS (SELECT item, count(*) AS c_item FROM b GROUP BY item
+        |  HAVING count(*) >= ceil(0.2 * (SELECT n_baskets FROM n))),
+        |fb AS (SELECT b.basket, b.item FROM b JOIN freq USING (item)),
+        |pairs AS (SELECT x.item AS a, y.item AS b2, count(*) AS c_pair
+        |  FROM fb x JOIN fb y ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= ceil(0.2 * (SELECT n_baskets FROM n))),
+        |bidir AS (
+        |  SELECT a AS antecedent, b2 AS consequent, c_pair FROM pairs
+        |  UNION ALL SELECT b2, a, c_pair FROM pairs),
+        |r AS (SELECT t.antecedent, t.consequent, t.c_pair,
+        |    round(t.c_pair * 1.0 / n.n_baskets, 6) AS support,
+        |    round(t.c_pair * 1.0 / fa.c_item, 6) AS confidence,
+        |    round(n.n_baskets * 1.0 * t.c_pair /
+        |      (fa.c_item * 1.0 * fc.c_item), 6) AS lift
+        |  FROM bidir t CROSS JOIN n
+        |  JOIN freq fa ON t.antecedent = fa.item
+        |  JOIN freq fc ON t.consequent = fc.item)
+        |SELECT * FROM (SELECT *, CAST(row_number() OVER (
+        |    ORDER BY lift DESC, antecedent, consequent) AS BIGINT) AS rank
+        |  FROM r)
+        |WHERE rank <= 30 ORDER BY rank""".stripMargin,
 
     "q129_scd2_join" ->
       """WITH d AS (SELECT user_id, event_id, ts,
