@@ -1897,6 +1897,23 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q149_chi2_terms" -> ((s, dir) => {
+      // chi-squared feature selection: top-5 class-identifying tokens per
+      // language by the 2x2 contingency statistic over doc-level presence
+      // — ranked on the ROUNDED score + token tiebreak. Counts-only after
+      // one explode; class totals broadcast.
+      val docs = t(s, dir, "documents")
+        .select(col("lang"), TF.normTokens(col("text")).as("toks"))
+      graft.ops.FeatureSelection.chi2Terms(docs, "lang", "toks", minDocFreq = 5L)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("cls"))
+            .orderBy(col("chi2").desc, col("term"))).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("cls").as("lang"), col("term"), col("n_ct"),
+          col("chi2"), col("rank"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -3789,6 +3806,30 @@ object SparkEntry {
     "q146_correlated_scalar" -> correlatedScalarSql,
 
     "q147_exists_chain" -> existsChainSql,
+
+    "q149_chi2_terms" ->
+      s"""WITH norm AS (SELECT lang, $ntoksSql AS ntoks FROM documents),
+         |pres AS (SELECT lang AS cls, t.term
+         |  FROM norm, unnest(list_distinct(ntoks)) AS t(term)),
+         |lt AS (SELECT cls, term, count(*) AS n_ct FROM pres GROUP BY 1, 2),
+         |tok AS (SELECT term, CAST(sum(n_ct) AS BIGINT) AS n_t FROM lt
+         |  GROUP BY 1 HAVING CAST(sum(n_ct) AS BIGINT) >= 5),
+         |cls AS (SELECT lang AS cls, count(*) AS n_c FROM documents
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_c) AS BIGINT) AS n_docs FROM cls),
+         |sc AS (SELECT l.cls, l.term, l.n_ct,
+         |    round(t2.n_docs *
+         |      pow(l.n_ct * 1.0 * (t2.n_docs - c.n_c - (t.n_t - l.n_ct))
+         |        - (t.n_t - l.n_ct) * 1.0 * (c.n_c - l.n_ct), 2)
+         |      / (t.n_t * 1.0 * (t2.n_docs - t.n_t) * c.n_c *
+         |         (t2.n_docs - c.n_c)), 6) AS chi2
+         |  FROM lt l JOIN tok t USING (term) JOIN cls c USING (cls)
+         |  CROSS JOIN tot t2
+         |  WHERE t.n_t < t2.n_docs),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY cls
+         |    ORDER BY chi2 DESC, term) AS BIGINT) AS rank FROM sc)
+         |SELECT cls AS lang, term, n_ct, chi2, rank FROM r
+         |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
 
     "q148_assoc_rules" ->
       """WITH b AS (SELECT DISTINCT user_id AS basket,
