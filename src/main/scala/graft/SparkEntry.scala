@@ -1914,6 +1914,28 @@ object SparkEntry {
         .orderBy(col("lang"), col("rank"))
     }),
 
+    "q150_naive_bayes" -> ((s, dir) => {
+      // generative counterpart to the q138 logistic classifier:
+      // multinomial naive Bayes lang-id trained on the doc_id%5<4 split,
+      // confusion matrix on the held-out fifth. Scores are rounded before
+      // the per-doc argmax (lang tiebreak) so both engines rank alike.
+      val norm = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TF.normTokens(col("text")).as("toks"))
+      val train = norm.filter(col("doc_id") % 5 < 4)
+      val ev = norm.filter(col("doc_id") % 5 === 4)
+      val sc = graft.ops.NaiveBayes.scores(train, ev, "doc_id", "lang", "toks")
+      val pred = sc.withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("cls"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("cls").as("pred_lang"))
+      ev.select(col("doc_id"), col("lang").as("true_lang"))
+        .join(pred, Seq("doc_id"))
+        .groupBy(col("true_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("true_lang"), col("pred_lang"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -3806,6 +3828,38 @@ object SparkEntry {
     "q146_correlated_scalar" -> correlatedScalarSql,
 
     "q147_exists_chain" -> existsChainSql,
+
+    "q150_naive_bayes" ->
+      s"""WITH norm AS (SELECT doc_id, lang, $ntoksSql AS ntoks FROM documents),
+         |tr AS (SELECT * FROM norm WHERE doc_id % 5 < 4),
+         |ev AS (SELECT * FROM norm WHERE doc_id % 5 = 4),
+         |trt AS (SELECT lang AS cls, t.tok FROM tr, unnest(ntoks) AS t(tok)),
+         |lt AS (SELECT cls, tok, count(*) AS c_ct FROM trt GROUP BY 1, 2),
+         |totl AS (SELECT cls, CAST(sum(c_ct) AS BIGINT) AS tot_c FROM lt
+         |  GROUP BY 1),
+         |vocab AS (SELECT count(DISTINCT tok) AS v FROM lt),
+         |clsd AS (SELECT lang AS cls, count(*) AS n_c FROM tr GROUP BY 1),
+         |dd AS (SELECT CAST(sum(n_c) AS BIGINT) AS d FROM clsd),
+         |stats AS (SELECT c.cls, ln(c.n_c * 1.0 / dd.d) AS logprior,
+         |    ln(1.0 / (t.tot_c + v.v)) AS fallback
+         |  FROM clsd c JOIN totl t USING (cls) CROSS JOIN dd CROSS JOIN vocab v),
+         |evc AS (SELECT doc_id, t.tok, count(*) AS cnt
+         |  FROM ev, unnest(ntoks) AS t(tok) GROUP BY 1, 2),
+         |evtot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total_cnt
+         |  FROM evc GROUP BY 1),
+         |adj AS (SELECT e.doc_id, m.cls, sum(e.cnt * ln(m.c_ct + 1)) AS adj
+         |  FROM evc e JOIN lt m ON e.tok = m.tok GROUP BY 1, 2),
+         |sc AS (SELECT b.doc_id, s.cls,
+         |    round(s.logprior + b.total_cnt * s.fallback
+         |      + coalesce(a.adj, 0), 6) AS score
+         |  FROM evtot b CROSS JOIN stats s
+         |  LEFT JOIN adj a ON a.doc_id = b.doc_id AND a.cls = s.cls),
+         |pred AS (SELECT doc_id, cls AS pred_lang,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, cls) AS rn FROM sc)
+         |SELECT e.lang AS true_lang, p.pred_lang, count(*) AS n
+         |FROM ev e JOIN pred p ON e.doc_id = p.doc_id AND p.rn = 1
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q149_chi2_terms" ->
       s"""WITH norm AS (SELECT lang, $ntoksSql AS ntoks FROM documents),

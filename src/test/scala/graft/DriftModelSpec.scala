@@ -2,12 +2,14 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.ops.{Drift, LinearModel}
+import graft.ops.{Drift, LinearModel, NaiveBayes}
 
 /** Drift.psi calibration (identical distributions score near zero, a
-  * planted shift scores high, monotone in shift size) and LinearModel
+  * planted shift scores high, monotone in shift size), LinearModel
   * learning dynamics (loss decreases per epoch; a separable toy is
-  * classified perfectly).
+  * classified perfectly), and NaiveBayes semantics (class-exclusive
+  * vocabulary classifies perfectly, priors break even evidence, unseen
+  * tokens fall back per-class).
   */
 class DriftModelSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -48,5 +50,37 @@ class DriftModelSpec extends AnyFunSuite {
     val acc = LinearModel.logisticEval(df, Seq("b", "x"), "y", w)
       .head().getDouble(1)
     assert(acc == 1.0, s"separable toy accuracy $acc")
+  }
+
+  private def nbPred(sc: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    sc.collect().groupBy(_.getLong(0)).map { case (id, rows) =>
+      id -> rows.maxBy(r => (r.getDouble(2), r.getString(1)))(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering,
+          Ordering.String.reverse)).getString(1)
+    }
+
+  test("naive Bayes: class-exclusive vocab classifies a toy perfectly") {
+    val train = Seq.fill(10)(("a", Seq("alpha", "apple"))) ++
+      Seq.fill(10)(("b", Seq("beta", "banana")))
+    val ev = Seq((1L, Seq("alpha", "alpha", "apple")),
+      (2L, Seq("banana", "beta")), (3L, Seq("apple", "banana", "apple")))
+    val sc = NaiveBayes.scores(train.toDF("lang", "toks"),
+      ev.toDF("doc_id", "toks"), "doc_id", "lang", "toks")
+    val pred = nbPred(sc)
+    assert(pred(1L) == "a" && pred(2L) == "b" && pred(3L) == "a")
+  }
+
+  test("naive Bayes: priors decide when token evidence is symmetric; unseen tokens fall back") {
+    // 30 a-docs vs 10 b-docs over the SAME vocabulary distribution:
+    // an eval doc of unseen-only tokens must go to the bigger prior, and
+    // one seen-token doc with equal class counts likewise
+    val train = Seq.fill(30)(("a", Seq("shared"))) ++ Seq.fill(10)(("b", Seq("shared")))
+    val ev = Seq((1L, Seq("never_seen")), (2L, Seq("shared")))
+    val sc = NaiveBayes.scores(train.toDF("lang", "toks"),
+      ev.toDF("doc_id", "toks"), "doc_id", "lang", "toks")
+    // every eval doc gets a score row per train class (fallback included)
+    assert(sc.groupBy("doc_id").count().collect().forall(_.getLong(1) == 2L))
+    val pred = nbPred(sc)
+    assert(pred(1L) == "a" && pred(2L) == "a")
   }
 }
