@@ -1936,6 +1936,25 @@ object SparkEntry {
         .orderBy(col("true_lang"), col("pred_lang"))
     }),
 
+    "q151_decayed_engagement" -> ((s, dir) => {
+      // recency-weighted engagement: exponentially decayed purchase value
+      // per user, tau = 7 days against the corpus max event time, in
+      // exact microseconds on both engines. Top-20 on the ROUNDED score.
+      val ev = events(s, dir).filter(col("event_type") === "purchase")
+      graft.ops.Resample.decayedSum(ev, "user_id", "ts", "value", 7.0 * 86400)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("decayed_sum").desc, col("user_id"))).cast("long"))
+        .filter(col("rank") <= 20)
+        .orderBy(col("rank"))
+    }),
+
+    "q152_mutual_info" -> ((s, dir) => {
+      // column-dependency audit: mutual information + normalized MI
+      // between lang and source over documents — everything computed from
+      // the bounded joint count table, data shuffles once.
+      graft.ops.Profile.mutualInformation(t(s, dir, "documents"), "lang", "source")
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -3828,6 +3847,41 @@ object SparkEntry {
     "q146_correlated_scalar" -> correlatedScalarSql,
 
     "q147_exists_chain" -> existsChainSql,
+
+    "q151_decayed_engagement" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS t, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |r AS (SELECT max(t) AS t_ref FROM p),
+        |a AS (SELECT user_id,
+        |    round(sum(value * exp(-(r.t_ref - t) / 604800000000.0)), 4)
+        |      AS decayed_sum,
+        |    count(*) AS n_events
+        |  FROM p CROSS JOIN r GROUP BY user_id)
+        |SELECT * FROM (SELECT user_id, decayed_sum, n_events,
+        |    CAST(row_number() OVER (ORDER BY decayed_sum DESC, user_id)
+        |      AS BIGINT) AS rank FROM a)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "q152_mutual_info" ->
+      """WITH joint AS (SELECT lang AS a, source AS b, count(*) AS n_ab
+        |  FROM documents GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM joint
+        |  GROUP BY 1),
+        |mb AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS n_b FROM joint
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM joint),
+        |ha AS (SELECT -sum((n_a * 1.0 / n) * ln(n_a * 1.0 / n)) AS h_a
+        |  FROM ma CROSS JOIN tot),
+        |hb AS (SELECT -sum((n_b * 1.0 / n) * ln(n_b * 1.0 / n)) AS h_b
+        |  FROM mb CROSS JOIN tot),
+        |mi AS (SELECT sum((j.n_ab * 1.0 / t.n) *
+        |    ln((j.n_ab * 1.0 / t.n) /
+        |       ((ma.n_a * 1.0 / t.n) * (mb.n_b * 1.0 / t.n)))) AS mi
+        |  FROM joint j JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot t)
+        |SELECT round(h_a, 6) AS h_a, round(h_b, 6) AS h_b,
+        |  round(mi, 6) AS mi,
+        |  round(mi / sqrt(h_a * h_b), 6) AS nmi
+        |FROM ha CROSS JOIN hb CROSS JOIN mi""".stripMargin,
 
     "q150_naive_bayes" ->
       s"""WITH norm AS (SELECT doc_id, lang, $ntoksSql AS ntoks FROM documents),

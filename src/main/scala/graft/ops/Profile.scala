@@ -98,4 +98,39 @@ object Profile {
         max(col("__p")).as("max_per_key"),
         round(avg(col("__p")), 6).as("avg_per_key"))
   }
+
+  /** Column-dependency profiling: mutual information between two
+    * categorical columns, with marginal entropies and the normalized MI
+    * (MI / sqrt(H_a * H_b), in [0,1]) — the "is `source` just `lang` in
+    * disguise" redundancy audit over a schema. Everything reduces to the
+    * partial-agg'd joint count table (|A| x |B| cells); both margins
+    * re-aggregate it (no second scan) and join back broadcast, so data
+    * rows shuffle exactly once regardless of table size. Null categories
+    * count as their own level via the grouping keys. All figures rounded
+    * to 6 dp.
+    */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val joint = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val ma = joint.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
+    val mb = joint.groupBy(col("b")).agg(sum(col("n_ab")).as("n_b"))
+    val tot = joint.agg(sum(col("n_ab")).as("n"))
+    val cells = joint
+      .join(broadcast(ma), Seq("a")).join(broadcast(mb), Seq("b"))
+      .crossJoin(broadcast(tot))
+    val pAb = col("n_ab").cast("double") / col("n")
+    val pA = col("n_a").cast("double") / col("n")
+    val pB = col("n_b").cast("double") / col("n")
+    val hA = ma.crossJoin(broadcast(tot))
+      .agg(-sum((col("n_a").cast("double") / col("n")) *
+        log(col("n_a").cast("double") / col("n"))))
+    val hB = mb.crossJoin(broadcast(tot))
+      .agg(-sum((col("n_b").cast("double") / col("n")) *
+        log(col("n_b").cast("double") / col("n"))))
+    cells.agg(sum(pAb * log(pAb / (pA * pB))).as("mi"))
+      .crossJoin(broadcast(hA.toDF("h_a"))).crossJoin(broadcast(hB.toDF("h_b")))
+      .select(round(col("h_a"), 6).as("h_a"), round(col("h_b"), 6).as("h_b"),
+        round(col("mi"), 6).as("mi"),
+        round(col("mi") / sqrt(col("h_a") * col("h_b")), 6).as("nmi"))
+  }
 }

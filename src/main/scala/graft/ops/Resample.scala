@@ -53,4 +53,26 @@ object Resample {
       .select(col(keyCol), col("bucket"), col("v"), col("v_filled"),
         col("n"), col("is_gap"))
   }
+
+  /** Exponentially time-decayed sum per key: each event contributes
+    * value * exp(-(t_ref - t) / tauSeconds), t_ref = the global max event
+    * time — the recency-weighted engagement score (a "decayed count" when
+    * `valueCol` is 1). ONE aggregate over the rows; the reference instant
+    * is a broadcast 1-row frame, so no window and no self-join. The decay
+    * factors are identical-input doubles on any engine; the sum is
+    * rounded (4 dp) for engine-portable ranking. Time runs in exact
+    * microseconds (unix_micros — the DuckDB twin is epoch_us), not
+    * truncated seconds, so both engines feed the identical longs into
+    * the exp().
+    */
+  def decayedSum(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, tauSeconds: Double): DataFrame = {
+    val tRef = df.agg(max(unix_micros(col(tsCol))).as("__t_ref"))
+    df.crossJoin(broadcast(tRef))
+      .groupBy(col(keyCol))
+      .agg(round(sum(col(valueCol) *
+        exp(-(col("__t_ref") - unix_micros(col(tsCol))).cast("double") /
+          lit(tauSeconds * 1e6))), 4).as("decayed_sum"),
+        count(lit(1)).as("n_events"))
+  }
 }

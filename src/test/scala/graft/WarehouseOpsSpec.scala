@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{UrlFunctions => UF}
 import graft.llm.Search
-import graft.ops.{Resample, Sampling, Scd, ZOrder}
+import graft.ops.{Profile, Resample, Sampling, Scd, ZOrder}
 
 /** Warehouse-side operators added with q94–q99: BM25 search, SCD2 history,
   * gap-fill resampling, URL canonicalization, z-order layout, and
@@ -495,5 +495,32 @@ class WarehouseOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(2)).toSet
     val overlap = (exact & approx).size.toDouble / exact.size
     assert(overlap >= 0.95, s"approx/exact overlap $overlap")
+  }
+
+  // --- decayed sum / mutual information -----------------------------------
+
+  test("decayedSum weights recent events fully and old events negligibly") {
+    import java.sql.Timestamp
+    val day = 86400L * 1000
+    val now = 1700000000000L
+    val rows = Seq(
+      ("u1", new Timestamp(now), 100.0),          // decay 1.0
+      ("u1", new Timestamp(now - 7 * day), 100.0), // decay e^-1 ~ 36.8
+      ("u2", new Timestamp(now - 700 * day), 100.0)) // decay ~ 0
+    val out = Resample.decayedSum(rows.toDF("k", "ts", "v"), "k", "ts", "v",
+        tauSeconds = 7.0 * 86400)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out("u1") - (100.0 + 100.0 * math.exp(-1.0))) < 1e-3)
+    assert(out("u2") == 0.0) // rounds to 0 at 4 dp
+  }
+
+  test("mutual information: identical columns give NMI 1, independent give ~0") {
+    val dep = (1 to 400).map(i => (s"c${i % 4}", s"c${i % 4}")).toDF("a", "b")
+    val d = Profile.mutualInformation(dep, "a", "b").head()
+    assert(d.getDouble(0) == d.getDouble(2)) // MI == H when b == a
+    assert(d.getDouble(3) == 1.0)
+    val ind = (1 to 400).map(i => (s"x${i % 4}", s"y${i % 5}")).toDF("a", "b")
+    val n = Profile.mutualInformation(ind, "a", "b").head()
+    assert(math.abs(n.getDouble(2)) < 1e-6 && math.abs(n.getDouble(3)) < 1e-6)
   }
 }
