@@ -1955,6 +1955,22 @@ object SparkEntry {
       graft.ops.Profile.mutualInformation(t(s, dir, "documents"), "lang", "source")
     }),
 
+    "q153_triangles" -> ((s, dir) => {
+      // triangle membership over the 3-gram Jaccard near-dup graph —
+      // clique-density audit of dup clusters. Degree-ordered orientation
+      // bounds the wedge join; the oracle replays with id ordering (any
+      // total order finds each triangle exactly once).
+      val pairs = Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "text",
+          "doc_id", n = 3, threshold = 0.3, maxShingleFreq = 400)
+        .select(col("idA"), col("idB"))
+      graft.ops.Graph.triangleCounts(pairs, "idA", "idB")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n_triangles").desc, col("node"))).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("node").as("doc_id"), col("n_triangles"), col("rank"))
+        .orderBy(col("rank"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -3847,6 +3863,19 @@ object SparkEntry {
     "q146_correlated_scalar" -> correlatedScalarSql,
 
     "q147_exists_chain" -> existsChainSql,
+
+    "q153_triangles" ->
+      s"""WITH $ngramPairsCtes,
+         |e AS (SELECT idA AS a, idB AS b FROM pairs),
+         |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w FROM e e1
+         |  JOIN e e2 ON e1.b = e2.a
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |m AS (SELECT node, count(*) AS n_triangles FROM (
+         |    SELECT unnest([u, v, w]) AS node FROM tri) GROUP BY node)
+         |SELECT node AS doc_id, n_triangles, rank FROM (
+         |  SELECT node, n_triangles, CAST(row_number() OVER (
+         |    ORDER BY n_triangles DESC, node) AS BIGINT) AS rank FROM m)
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     "q151_decayed_engagement" ->
       """WITH p AS (SELECT user_id, epoch_us(ts) AS t, value FROM events

@@ -134,4 +134,39 @@ object Graph {
     }
     labels
   }
+
+  /** Per-node triangle membership counts over an undirected edge list —
+    * the local-clustering / community-density signal (a near-dup cluster
+    * that is a clique triangulates heavily; a star of coincidental
+    * matches does not).
+    *
+    * Scale shape: edges are canonicalized and deduped, then ORIENTED from
+    * the (degree, id)-smaller endpoint to the larger — under that total
+    * order every out-neighborhood is O(sqrt |E|), so the wedge join
+    * (oriented ⋈ oriented on the middle node) does O(|E|^1.5) work
+    * instead of sum-of-degree-squared; the closing edge check is one more
+    * equi-join. Each triangle materializes exactly once regardless of the
+    * order used (any strict total order picks out exactly one oriented
+    * wedge + closing edge per triangle), which is what lets an external
+    * oracle replay the count with plain id ordering. Every shuffle row is
+    * two-or-three 8-byte ids.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val oriented = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("lo"),
+        when(aFirst, col("b")).otherwise(col("a")).as("hi"))
+    val tri = oriented.select(col("lo").as("u"), col("hi").as("v"))
+      .join(oriented.select(col("lo").as("v"), col("hi").as("w")), Seq("v"))
+      .join(oriented.select(col("lo").as("u"), col("hi").as("w")), Seq("u", "w"))
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

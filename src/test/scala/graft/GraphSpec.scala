@@ -70,6 +70,25 @@ class GraphSpec extends AnyFunSuite {
     assert(out(1L)._2 == 0L && out(3L) == (("b", 0L)))
   }
 
+  test("triangleCounts: triangle, K4, square, star, and dirty edge lists") {
+    def triOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      Graph.triangleCounts(edges.toDF("s", "d"), "s", "d")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one triangle: every node in exactly 1
+    assert(triOf(Seq((1L, 2L), (2L, 3L), (3L, 1L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // K4: each node in C(3,2) = 3 triangles
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(triOf(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // square without diagonals: none
+    assert(triOf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))).isEmpty)
+    // star: none
+    assert(triOf(Seq((1L, 2L), (1L, 3L), (1L, 4L))).isEmpty)
+    // duplicates, reversed duplicates, self-loops all canonicalized away
+    assert(triOf(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L),
+      (2L, 3L))) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("labelPropagate never relabels a seed or an earlier round") {
     // 10-"x" and many "y" neighbors: 10 keeps "x" even though every
     // neighbor says "y"
