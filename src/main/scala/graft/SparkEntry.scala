@@ -1971,6 +1971,20 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q154_event_trigrams" -> ((s, dir) => {
+      // behavioral sequence mining: top-15 event-type trigrams along each
+      // user's (ts, event_id)-ordered stream — one window shuffle, runs
+      // collapse to partial-agg counts, total re-aggregates the bounded
+      // trigram table.
+      graft.ops.Sequence.ngramCounts(events(s, dir), "user_id", "ts",
+          "event_id", "event_type", 3)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("e1"), col("e2"), col("e3")))
+          .cast("long"))
+        .filter(col("rank") <= 15)
+        .orderBy(col("rank"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -3863,6 +3877,23 @@ object SparkEntry {
     "q146_correlated_scalar" -> correlatedScalarSql,
 
     "q147_exists_chain" -> existsChainSql,
+
+    "q154_event_trigrams" ->
+      """WITH runs AS (SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |counts AS (SELECT e1, e2, e3, count(*) AS cnt FROM runs
+        |  WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1, 2, 3),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts)
+        |SELECT e1, e2, e3, cnt, share, rank FROM (
+        |  SELECT c.e1, c.e2, c.e3, c.cnt,
+        |    round(c.cnt * 1.0 / t.total, 6) AS share,
+        |    CAST(row_number() OVER (ORDER BY c.cnt DESC, c.e1, c.e2, c.e3)
+        |      AS BIGINT) AS rank
+        |  FROM counts c CROSS JOIN tot t)
+        |WHERE rank <= 15 ORDER BY rank""".stripMargin,
 
     "q153_triangles" ->
       s"""WITH $ngramPairsCtes,

@@ -225,4 +225,21 @@ class OpsSpec extends AnyFunSuite {
     assert(graft.ops.Checks.orphans(
       child.filter($"id" =!= 3), "fk", parent, "pk").isEmpty)
   }
+
+  test("Sequence.ngramCounts: runs stay inside a key, order is by (ts, tie), shares sum to 1") {
+    // user A: x y x y  -> trigrams (x,y,x), (y,x,y); user B: z z -> none
+    val rows = Seq(("A", 1L, 1L, "x"), ("A", 2L, 2L, "y"), ("A", 3L, 3L, "x"),
+      ("A", 4L, 4L, "y"), ("B", 1L, 5L, "z"), ("B", 2L, 6L, "z"))
+    val out = Sequence.ngramCounts(rows.toDF("k", "ts", "id", "v"),
+        "k", "ts", "id", "v", 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    assert(out == Map(("x", "y", "x") -> (1L, 0.5), ("y", "x", "y") -> (1L, 0.5)))
+    // tie column decides equal timestamps deterministically
+    val tied = Seq(("A", 1L, 2L, "b"), ("A", 1L, 1L, "a"), ("A", 2L, 3L, "c"))
+    val t3 = Sequence.ngramCounts(tied.toDF("k", "ts", "id", "v"),
+        "k", "ts", "id", "v", 3).collect()
+    assert(t3.length == 1 &&
+      (t3(0).getString(0), t3(0).getString(1), t3(0).getString(2)) == ("a", "b", "c"))
+  }
 }
