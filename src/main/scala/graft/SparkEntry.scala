@@ -1985,6 +1985,15 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q155_winsorized" -> ((s, dir) => {
+      // tail-robust location estimates per event_type: winsorized (clamp
+      // into the exact p10-p90 band) and trimmed (drop outside it) means
+      // next to the plain mean — one percentile pass + one aggregate.
+      graft.ops.Outliers.winsorizedStats(events(s, dir), "event_type",
+          "value", 0.1, 0.9)
+        .orderBy(col("event_type"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -3877,6 +3886,21 @@ object SparkEntry {
     "q146_correlated_scalar" -> correlatedScalarSql,
 
     "q147_exists_chain" -> existsChainSql,
+
+    "q155_winsorized" ->
+      """WITH cuts AS (SELECT event_type,
+        |    quantile_cont(value, 0.1) AS lo, quantile_cont(value, 0.9) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(e.value) AS n,
+        |  round(avg(e.value), 4) AS mean,
+        |  round(avg(greatest(least(e.value, c.hi), c.lo)), 4) AS wins_mean,
+        |  round(avg(CASE WHEN e.value BETWEEN c.lo AND c.hi
+        |    THEN e.value END), 4) AS trim_mean,
+        |  CAST(sum(CASE WHEN e.value BETWEEN c.lo AND c.hi
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS trim_n,
+        |  round(max(c.lo), 4) AS p_lo, round(max(c.hi), 4) AS p_hi
+        |FROM events e JOIN cuts c USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "q154_event_trigrams" ->
       """WITH runs AS (SELECT event_type AS e1,

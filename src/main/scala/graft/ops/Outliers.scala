@@ -40,4 +40,33 @@ object Outliers {
       .withColumn("is_outlier",
         coalesce(col("abs_dev") > lit(z * MadToSigma) * col("mad"), lit(false)))
   }
+
+  /** Winsorized and trimmed means per key — the tail-robust location
+    * estimates that complement [[madFlag]]'s row-level screen: winsorizing
+    * CLAMPS values into the [pLo, pHi] exact-percentile band (every row
+    * still counts), trimming DROPS rows outside it. One percentile
+    * aggregate for both cut points (single buffer per group, the q44
+    * trade), broadcast join back, then one plain aggregate — two passes
+    * total, both partial-agg'd. Means rounded to 4 dp.
+    */
+  def winsorizedStats(df: DataFrame, keyCol: String, valCol: String,
+                      pLo: Double = 0.1, pHi: Double = 0.9): DataFrame = {
+    require(pLo < pHi, "pLo must be below pHi")
+    val cuts = df.groupBy(col(keyCol))
+      .agg(expr(s"percentile($valCol, array(${pLo}D, ${pHi}D))").as("__ps"))
+      .select(col(keyCol), element_at(col("__ps"), 1).as("__lo"),
+        element_at(col("__ps"), 2).as("__hi"))
+    df.join(broadcast(cuts), Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(count(col(valCol)).as("n"),
+        round(avg(col(valCol)), 4).as("mean"),
+        round(avg(greatest(least(col(valCol), col("__hi")), col("__lo"))), 4)
+          .as("wins_mean"),
+        round(avg(when(col(valCol).between(col("__lo"), col("__hi")),
+          col(valCol))), 4).as("trim_mean"),
+        sum(when(col(valCol).between(col("__lo"), col("__hi")), 1L)
+          .otherwise(0L)).as("trim_n"),
+        round(max(col("__lo")), 4).as("p_lo"),
+        round(max(col("__hi")), 4).as("p_hi"))
+  }
 }

@@ -45,4 +45,26 @@ class OutliersSpec extends AnyFunSuite {
       .filter($"is_outlier").select("k", "v").collect().toSet
     assert(exact == approx)
   }
+
+  test("winsorized/trimmed means shrug off a planted spike that wrecks the mean") {
+    // 1..100 plus a 1e6 spike: mean explodes, robust means barely move
+    val rows = ((1 to 100).map(_.toDouble) :+ 1e6).map(("k", _))
+    val r = Outliers.winsorizedStats(rows.toDF("k", "v"), "k", "v", 0.1, 0.9)
+      .head()
+    val (n, mean, wins, trim, trimN) =
+      (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5))
+    assert(n == 101L && mean > 9000)
+    assert(wins > 40 && wins < 60, s"winsorized $wins")
+    assert(trim > 40 && trim < 60, s"trimmed $trim")
+    // trimming drops both tails; winsorizing keeps every row in n
+    assert(trimN < n && trimN > (n * 0.75).toLong)
+  }
+
+  test("winsorized stats on symmetric clean data: all three means agree") {
+    val rows = (1 to 99).map(i => ("k", i.toDouble))
+    val r = Outliers.winsorizedStats(rows.toDF("k", "v"), "k", "v", 0.1, 0.9)
+      .head()
+    assert(r.getDouble(2) == 50.0 && r.getDouble(3) == 50.0 &&
+      r.getDouble(4) == 50.0)
+  }
 }
