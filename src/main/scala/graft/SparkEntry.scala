@@ -1994,6 +1994,17 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q156_benford" -> ((s, dir) => {
+      // fabricated-numbers screen: leading-digit distribution of value
+      // per event_type vs Benford expectation, per-digit chi-squared
+      // contribution; string-domain digit extraction (log10/pow can
+      // misround at powers of ten).
+      graft.ops.Profile.benfordAudit(events(s, dir), "event_type", "value")
+        .select(col("key").as("event_type"), col("digit"), col("n_d"),
+          col("obs_share"), col("benford_p"), col("chi2_term"))
+        .orderBy(col("event_type"), col("digit"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -3886,6 +3897,25 @@ object SparkEntry {
     "q146_correlated_scalar" -> correlatedScalarSql,
 
     "q147_exists_chain" -> existsChainSql,
+
+    "q156_benford" ->
+      """WITH c AS (SELECT event_type AS key,
+        |    CAST(substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), 1, 1)
+        |      AS BIGINT) AS digit,
+        |    count(*) AS n_d
+        |  FROM events WHERE value >= 1 GROUP BY 1, 2),
+        |tot AS (SELECT key, CAST(sum(n_d) AS BIGINT) AS n FROM c GROUP BY 1),
+        |grid AS (SELECT t.key, t.n, g.digit FROM tot t,
+        |  (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT) AS digit) g)
+        |SELECT g.key AS event_type, g.digit,
+        |  coalesce(c.n_d, 0) AS n_d,
+        |  round(coalesce(c.n_d, 0) * 1.0 / g.n, 6) AS obs_share,
+        |  round(ln(1.0 + 1.0 / g.digit) / ln(10.0), 6) AS benford_p,
+        |  round(pow(coalesce(c.n_d, 0) - g.n * (ln(1.0 + 1.0 / g.digit)
+        |      / ln(10.0)), 2)
+        |    / (g.n * (ln(1.0 + 1.0 / g.digit) / ln(10.0))), 6) AS chi2_term
+        |FROM grid g LEFT JOIN c ON g.key = c.key AND g.digit = c.digit
+        |ORDER BY event_type, g.digit""".stripMargin,
 
     "q155_winsorized" ->
       """WITH cuts AS (SELECT event_type,

@@ -99,6 +99,37 @@ object Profile {
         round(avg(col("__p")), 6).as("avg_per_key"))
   }
 
+  /** Benford first-digit audit: per key, the distribution of leading
+    * significant digits of `valCol` against Benford's law expectation
+    * p(d) = log10(1 + 1/d), with the per-digit chi-squared contribution —
+    * the classic fabricated-/synthetic-numbers screen for metric columns.
+    * Only values >= 1 participate; the first digit comes from the integer
+    * part rendered as a string (explicit floor -> string -> first char:
+    * floor, because double->int CASTS round on some engines and truncate
+    * on others), which is exact on any engine — a log10/pow extraction
+    * can misround at powers of ten and flip the digit. All digits 1-9 materialize per key
+    * (zero-count digits included, like histogram's empty buckets); counts
+    * partial-aggregate, the digit grid is bounded and broadcast.
+    */
+  def benfordAudit(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val counts = df.filter(col(valCol) >= 1)
+      .select(col(keyCol).as("key"),
+        substring(floor(col(valCol)).cast("string"), 1, 1)
+          .cast("long").as("digit"))
+      .groupBy(col("key"), col("digit")).agg(count(lit(1)).as("n_d"))
+    val totals = counts.groupBy(col("key")).agg(sum(col("n_d")).as("n"))
+    val grid = totals.select(col("key"), col("n"),
+      explode(sequence(lit(1L), lit(9L))).as("digit"))
+    val p = log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
+    grid.join(counts, Seq("key", "digit"), "left")
+      .withColumn("n_d", coalesce(col("n_d"), lit(0L)))
+      .select(col("key"), col("digit"), col("n_d"),
+        round(col("n_d").cast("double") / col("n"), 6).as("obs_share"),
+        round(p, 6).as("benford_p"),
+        round(pow(col("n_d").cast("double") - col("n") * p, 2) /
+          (col("n") * p), 6).as("chi2_term"))
+  }
+
   /** Column-dependency profiling: mutual information between two
     * categorical columns, with marginal entropies and the normalized MI
     * (MI / sqrt(H_a * H_b), in [0,1]) — the "is `source` just `lang` in

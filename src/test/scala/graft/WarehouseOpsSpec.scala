@@ -514,6 +514,23 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(out("u2") == 0.0) // rounds to 0 at 4 dp
   }
 
+  test("benfordAudit: exact digit extraction, zero digits materialized, conforming data scores ~0") {
+    // digits planted directly: 9.7 must read as 9 (floor, not round);
+    // digit 5 absent -> row with n_d 0 must still appear
+    val rows = Seq(1.0, 19.5, 100.0, 2.0, 250.0, 9.7, 0.5).map(("k", _))
+    val out = Profile.benfordAudit(rows.toDF("k", "v"), "k", "v")
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == (1L to 9L).toSet)
+    assert(out(1L)._1 == 3L && out(2L)._1 == 2L && out(9L)._1 == 1L)
+    assert(out(5L)._1 == 0L) // materialized zero
+    assert(out.values.map(_._1).sum == 6L) // 0.5 excluded (< 1)
+    // a geometric series is Benford-conforming: chi2 terms all small
+    val ben = (0 until 2000).map(i => ("g", math.pow(1.007, i)))
+    val chi = Profile.benfordAudit(ben.toDF("k", "v"), "k", "v")
+      .collect().map(_.getDouble(5)).sum
+    assert(chi < 17.0, s"conforming data chi2 $chi") // chi2_0.95,8 = 15.5
+  }
+
   test("mutual information: identical columns give NMI 1, independent give ~0") {
     val dep = (1 to 400).map(i => (s"c${i % 4}", s"c${i % 4}")).toDF("a", "b")
     val d = Profile.mutualInformation(dep, "a", "b").head()
