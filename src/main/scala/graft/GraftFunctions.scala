@@ -42,6 +42,7 @@ object GraftFunctions {
       intArg(es(1), "outDim"), if (es.length > 2) intArg(es(2), "seed") else 0)),
     "graft_nfc_normalize" -> (es => NfcNormalize(es(0))),
     "graft_char_entropy" -> (es => CharEntropy(es(0))),
+    "graft_jaro_winkler" -> (es => JaroWinkler(es(0), es(1))),
     // Spark ships codegen'd bloom-filter expressions but registers them for
     // internal (runtime-filter) use only; exposing them through the engine
     // registry gives users the explicit broadcast-blocklist pattern with no

@@ -2005,6 +2005,28 @@ object SparkEntry {
         .orderBy(col("event_type"), col("digit"))
     }),
 
+    "q157_jaro_winkler_er" -> ((s, dir) => {
+      // entity-resolution scoring: first-token-blocked Jaro-Winkler over
+      // distinct part names via the native codegen'd expression — the
+      // oracle re-scores the same pairs with DuckDB's INDEPENDENT
+      // jaro_winkler_similarity implementation (same standard parameters),
+      // a cross-implementation check, not a recompute.
+      val names = t(s, dir, "part").select(col("p_name")).distinct()
+        .withColumn("blk", substring_index(col("p_name"), " ", 1))
+      names.select(col("blk"), col("p_name").as("name_a"))
+        .join(names.select(col("blk"), col("p_name").as("name_b")), Seq("blk"))
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("jw", round(graft.expressions.TextExpressions
+          .jaroWinkler(col("name_a"), col("name_b")), 6))
+        .filter(col("jw") >= 0.85)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("jw").desc, col("name_a"), col("name_b")))
+          .cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("name_a"), col("name_b"), col("jw"), col("rank"))
+        .orderBy(col("rank"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -3897,6 +3919,19 @@ object SparkEntry {
     "q146_correlated_scalar" -> correlatedScalarSql,
 
     "q147_exists_chain" -> existsChainSql,
+
+    "q157_jaro_winkler_er" ->
+      """WITH names AS (SELECT DISTINCT p_name,
+        |    split_part(p_name, ' ', 1) AS blk FROM part),
+        |pairs AS (SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |    round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |  FROM names a JOIN names b
+        |    ON a.blk = b.blk AND a.p_name < b.p_name)
+        |SELECT name_a, name_b, jw, rank FROM (
+        |  SELECT name_a, name_b, jw, CAST(row_number() OVER (
+        |    ORDER BY jw DESC, name_a, name_b) AS BIGINT) AS rank
+        |  FROM pairs WHERE jw >= 0.85)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     "q156_benford" ->
       """WITH c AS (SELECT event_type AS key,

@@ -44,6 +44,18 @@ object TextExpressions {
   def charEntropy(text: Column): Column =
     ColumnShim.column(CharEntropy(ColumnShim.expression(text)))
 
+  /** Jaro-Winkler similarity in [0, 1] — the entity-resolution scoring
+    * function for short identifier-like strings (names, codes), where
+    * edit distance over-penalizes transpositions. Standard parameters
+    * (match window max(|a|,|b|)/2 - 1, prefix bonus up to 4 chars at 0.1,
+    * bonus only above Jaro 0.7) — byte-for-byte the definition DuckDB's
+    * jaro_winkler_similarity implements, so an external oracle can score
+    * the same pairs independently.
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    ColumnShim.column(JaroWinkler(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+
   private[expressions] def hashUtf8(s: org.apache.spark.unsafe.types.UTF8String): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
 }
@@ -157,6 +169,82 @@ object NgramHashes {
       i += 1
     }
     new GenericArrayData(out)
+  }
+}
+
+/** Jaro similarity + Winkler prefix bonus (window = max/2 - 1, prefix
+  * <= 4, scale 0.1, boost threshold 0.7). One primitive two-pointer pass
+  * per pair; generated code calls the static kernel, keeping blocked
+  * similarity joins inside whole-stage codegen.
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    JaroWinkler.compute(
+      l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.JaroWinkler.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object JaroWinkler {
+  def compute(ua: org.apache.spark.unsafe.types.UTF8String,
+              ub: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val a = ua.toString
+    val b = ub.toString
+    if (a == b) return 1.0
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val matchedA = new Array[Boolean](la)
+    val matchedB = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!matchedB(j) && a.charAt(i) == b.charAt(j)) {
+          matchedA(i) = true
+          matchedB(j) = true
+          m += 1
+          found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // transpositions: matched chars, in order, that disagree
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (matchedA(i)) {
+        while (!matchedB(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val jaro = (m.toDouble / la + m.toDouble / lb +
+      (m - t / 2.0) / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var prefix = 0
+    val maxPrefix = math.min(4, math.min(la, lb))
+    while (prefix < maxPrefix && a.charAt(prefix) == b.charAt(prefix)) prefix += 1
+    jaro + prefix * 0.1 * (1.0 - jaro)
   }
 }
 

@@ -245,4 +245,42 @@ class ExpressionsSpec extends AnyFunSuite {
       s"expected the static kernel call in generated code:\n${cg.take(800)}")
     assert(!cg.startsWith("Found 0 WholeStageCodegen"), cg.take(200))
   }
+
+  test("JaroWinkler matches the independent DuckDB implementation on probe pairs") {
+    // expectations computed with DuckDB jaro_winkler_similarity — the
+    // external implementation the oracle uses; any drift in window /
+    // transposition / boost-threshold semantics fails here first
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),  // transposition + prefix
+      ("DIXON", "DICKSONX", 0.8133333333333332), // prefix 2 bonus
+      ("ABCDEFG", "ABCXXXX", 0.6190476190476191), // jaro <= 0.7: NO bonus
+      ("aaapppp", "ap", 0.7857142857142857),      // window clipping
+      ("AB", "CD", 0.0), ("A", "A", 1.0), ("", "ABC", 0.0), ("", "", 1.0))
+    for ((a, b, want) <- cases) {
+      val got = graft.expressions.JaroWinkler.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      assert(math.abs(got - want) < 1e-12, s"jw($a, $b) = $got, want $want")
+      // symmetric
+      val rev = graft.expressions.JaroWinkler.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(b),
+        org.apache.spark.unsafe.types.UTF8String.fromString(a))
+      assert(math.abs(rev - got) < 1e-12, s"jw not symmetric on ($a, $b)")
+    }
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT graft_jaro_winkler('MARTHA', 'MARHTA')")
+      .collect()(0).getDouble(0)
+    assert(math.abs(viaSql - 0.9611111111111111) < 1e-12)
+  }
+
+  test("JaroWinkler participates in whole-stage codegen (no fallback)") {
+    val plan = spark.range(4)
+      .select(graft.expressions.TextExpressions.jaroWinkler(
+        concat(lit("ab"), $"id".cast("string")), lit("abc")).as("jw"))
+      .queryExecution.executedPlan
+    val cg = org.apache.spark.sql.execution.debug.codegenString(plan)
+    assert(cg.contains("JaroWinkler.compute"),
+      s"expected the static kernel call in generated code:\n${cg.take(800)}")
+    assert(!cg.startsWith("Found 0 WholeStageCodegen"), cg.take(200))
+  }
 }
