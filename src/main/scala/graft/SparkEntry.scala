@@ -2027,6 +2027,51 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q158_source_overlap" -> ((s, dir) => {
+      // corpus-diversity audit: pairwise vocabulary Jaccard between
+      // sources — posting-list self-join on the token key over the
+      // (source, token) presence table; sizes re-aggregate that table
+      // and broadcast back. |sources| is bounded, pairs are |S|^2/2.
+      val st = t(s, dir, "documents")
+        .select(col("source"), explode(TF.normTokens(col("text"))).as("tok"))
+        .distinct()
+      val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+      st.select(col("tok"), col("source").as("src_a"))
+        .join(st.select(col("tok"), col("source").as("src_b")), Seq("tok"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("i"))
+        .join(broadcast(sizes.select(col("source").as("src_a"),
+          col("sz").as("sz_a"))), Seq("src_a"))
+        .join(broadcast(sizes.select(col("source").as("src_b"),
+          col("sz").as("sz_b"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("i"),
+          round(col("i").cast("double") /
+            (col("sz_a") + col("sz_b") - col("i")), 6).as("jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    "q159_hits" -> ((s, dir) => {
+      // HITS hubs/authorities over the item-transition graph (referrer
+      // quality vs destination quality — PageRank q134 conflates them);
+      // 2 fixed mutual-reinforcement rounds, L2 norms folded in as
+      // broadcast 1-row frames. Top-15 authorities on ROUNDED scores.
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val edges = ev.withColumn("src", lag(col("item"), 1).over(byUser))
+        .filter(col("src").isNotNull && col("src") =!= col("item"))
+        .select(col("src"), col("item").as("dst"))
+      graft.ops.Graph.hits(edges, nIter = 2)
+        .select(col("node"), round(col("auth"), 6).as("auth"),
+          round(col("hub"), 6).as("hub"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("auth").desc, col("node"))).cast("long"))
+        .filter(col("rank") <= 15)
+        .orderBy(col("rank"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -3919,6 +3964,58 @@ object SparkEntry {
     "q146_correlated_scalar" -> correlatedScalarSql,
 
     "q147_exists_chain" -> existsChainSql,
+
+    "q159_hits" ->
+      s"""WITH ev AS (SELECT user_id, event_id, ts,
+         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),
+         |sq AS (SELECT item,
+         |    lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+         |  FROM ev),
+         |e AS (SELECT DISTINCT src, item AS dst FROM sq
+         |  WHERE src IS NOT NULL AND src <> item),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |a1r AS (SELECT dst AS node, CAST(count(*) AS DOUBLE) AS auth
+         |  FROM e GROUP BY dst),
+         |a1n AS (SELECT node, auth / (SELECT sqrt(sum(auth * auth)) FROM a1r)
+         |    AS auth FROM a1r),
+         |h1r AS (SELECT e.src AS node, sum(a.auth) AS hub
+         |  FROM e JOIN a1n a ON e.dst = a.node GROUP BY e.src),
+         |h1n AS (SELECT node, hub / (SELECT sqrt(sum(hub * hub)) FROM h1r)
+         |    AS hub FROM h1r),
+         |a2r AS (SELECT e.dst AS node, sum(h.hub) AS auth
+         |  FROM e JOIN h1n h ON e.src = h.node GROUP BY e.dst),
+         |a2n AS (SELECT node, auth / (SELECT sqrt(sum(auth * auth)) FROM a2r)
+         |    AS auth FROM a2r),
+         |h2r AS (SELECT e.src AS node, sum(a.auth) AS hub
+         |  FROM e JOIN a2n a ON e.dst = a.node GROUP BY e.src),
+         |h2n AS (SELECT node, hub / (SELECT sqrt(sum(hub * hub)) FROM h2r)
+         |    AS hub FROM h2r),
+         |fin AS (SELECT n.node, round(coalesce(a.auth, 0), 6) AS auth,
+         |    round(coalesce(h.hub, 0), 6) AS hub
+         |  FROM nodes n
+         |  LEFT JOIN a2n a ON n.node = a.node
+         |  LEFT JOIN h2n h ON n.node = h.node)
+         |SELECT node, auth, hub, rank FROM (
+         |  SELECT node, auth, hub, CAST(row_number() OVER (
+         |    ORDER BY auth DESC, node) AS BIGINT) AS rank FROM fin)
+         |WHERE rank <= 15 ORDER BY rank""".stripMargin,
+
+    "q158_source_overlap" ->
+      s"""WITH st AS (SELECT DISTINCT source, t.tok
+         |  FROM (SELECT source, $ntoksSql AS ntoks FROM documents),
+         |    unnest(ntoks) AS t(tok)),
+         |sizes AS (SELECT source, count(*) AS sz FROM st GROUP BY 1),
+         |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    count(*) AS i
+         |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT i.src_a, i.src_b, i.i,
+         |  round(i.i * 1.0 / (sa.sz + sb.sz - i.i), 6) AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON i.src_a = sa.source
+         |JOIN sizes sb ON i.src_b = sb.source
+         |ORDER BY src_a, src_b""".stripMargin,
 
     "q157_jaro_winkler_er" ->
       """WITH names AS (SELECT DISTINCT p_name,

@@ -135,6 +135,51 @@ object Graph {
     labels
   }
 
+  /** HITS hubs-and-authorities over a directed edge list — the
+    * bipartite-flavored companion to [[pageRank]]: authorities are nodes
+    * good sources point AT, hubs are nodes that point at good
+    * authorities (referrer quality vs destination quality in a
+    * transition graph; PageRank conflates the two).
+    *
+    * Fixed `nIter` mutual-reinforcement rounds, each: authority = in-sum
+    * of hub scores, L2-normalized; hub = out-sum of the new authorities,
+    * L2-normalized. Scale shape matches pageRank: state is |V| 16-byte
+    * rows, each half-round is one edge-vs-state equi-join on an 8-byte
+    * node id plus a partial/final aggregate; the L2 norm folds into the
+    * round as a broadcast 1-row cross join (no extra action), and the
+    * plan truncates per round via localCheckpoint. Returns (node, auth,
+    * hub) — nodes with no in-edges carry auth 0, no out-edges hub 0.
+    */
+  def hits(edges: DataFrame, nIter: Int = 3): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull).distinct()
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    def l2(df: DataFrame, c: String): DataFrame = {
+      val n = df.agg(sqrt(sum(col(c) * col(c))).as("__n"))
+      df.crossJoin(broadcast(n))
+        .select(col("node"), (col(c) / col("__n")).as(c))
+    }
+    var hub = nodes.select(col("node"), lit(1.0).as("hub"))
+    var auth = nodes.select(col("node"), lit(0.0).as("auth"))
+    for (_ <- 1 to nIter) {
+      val authRaw = e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("auth"))
+      auth = nodes.join(l2(authRaw, "auth"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("auth"), lit(0.0)).as("auth"))
+        .localCheckpoint(true)
+      val hubRaw = e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hub"))
+      hub = nodes.join(l2(hubRaw, "hub"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub"))
+        .localCheckpoint(true)
+    }
+    val out = auth.join(hub, Seq("node"))
+    e.unpersist(); nodes.unpersist()
+    out
+  }
+
   /** Per-node triangle membership counts over an undirected edge list —
     * the local-clustering / community-density signal (a near-dup cluster
     * that is a clique triangulates heavily; a star of coincidental

@@ -70,6 +70,26 @@ class GraphSpec extends AnyFunSuite {
     assert(out(1L)._2 == 0L && out(3L) == (("b", 0L)))
   }
 
+  test("hits: star concentrates authority on the hub-pointed center, cycle is uniform") {
+    def hitsMap(edges: Seq[(Long, Long)]) =
+      Graph.hits(edges.toDF("src", "dst"), nIter = 3)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // 4 spokes all point at node 9: 9 is the only authority (auth 1,
+    // hub 0); spokes are pure hubs (1/2 each after L2)
+    val star = hitsMap(Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L)))
+    assert(math.abs(star(9L)._1 - 1.0) < eps && star(9L)._2 == 0.0)
+    for (s <- 1L to 4L)
+      assert(star(s)._1 == 0.0 && math.abs(star(s)._2 - 0.5) < eps)
+    // directed 4-cycle: perfect symmetry, every score 1/2
+    val cyc = hitsMap(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    for (n <- 1L to 4L) {
+      assert(math.abs(cyc(n)._1 - 0.5) < eps && math.abs(cyc(n)._2 - 0.5) < eps)
+    }
+    // L2 invariant: both score vectors are unit length
+    assert(math.abs(cyc.values.map(v => v._1 * v._1).sum - 1.0) < eps)
+    assert(math.abs(cyc.values.map(v => v._2 * v._2).sum - 1.0) < eps)
+  }
+
   test("triangleCounts: triangle, K4, square, star, and dirty edge lists") {
     def triOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
       Graph.triangleCounts(edges.toDF("s", "d"), "s", "d")
