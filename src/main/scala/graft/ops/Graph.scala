@@ -200,6 +200,10 @@ object Graph {
     val e = edges.select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+      // the canonical edge list is consumed 4x (degree pass + three wedge
+      // sides): materialize it once, or an expensive upstream candidate
+      // generator (e.g. the n-gram pair join) re-runs per consumer
+      .localCheckpoint(true)
     val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
@@ -208,6 +212,7 @@ object Graph {
       .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
       .select(when(aFirst, col("a")).otherwise(col("b")).as("lo"),
         when(aFirst, col("b")).otherwise(col("a")).as("hi"))
+      .localCheckpoint(true) // three wedge-join sides read this
     val tri = oriented.select(col("lo").as("u"), col("hi").as("v"))
       .join(oriented.select(col("lo").as("v"), col("hi").as("w")), Seq("v"))
       .join(oriented.select(col("lo").as("u"), col("hi").as("w")), Seq("u", "w"))
