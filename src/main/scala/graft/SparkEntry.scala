@@ -2072,6 +2072,68 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q160_source_calibration" -> ((s, dir) => {
+      // per-source score calibration: each doc's GLOBAL quality percentile
+      // (two-phase distributed ranking — no single ordering task), then
+      // per-source mean percentile: a fair scorer gives every source ~0.5;
+      // systematic deviation = the source's quality prior, the
+      // up/down-weighting input for mixture sampling.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TF.qualityScore(col("text")).as("quality"))
+      val ranked = graft.ops.PrefixSum.globalRank(docs,
+        Seq(col("quality"), col("doc_id")), "grk")
+      val n = docs.agg(count(lit(1)).as("n_total"))
+      ranked.crossJoin(broadcast(n))
+        .withColumn("pr", (col("grk") - 1).cast("double") / (col("n_total") - 1))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("quality")), 6).as("avg_quality"),
+          round(avg(col("pr")), 6).as("avg_pctile"),
+          round(min(col("pr")), 6).as("min_pctile"),
+          round(max(col("pr")), 6).as("max_pctile"))
+        .orderBy(col("source"))
+    }),
+
+    "q161_rbo" -> ((s, dir) => {
+      // rank-biased overlap (p=0.9, depth 10) between the BM25 and
+      // embedding-cosine rankings — the "do the two retrieval systems
+      // agree" metric next to q128's fusion. Each common doc contributes
+      // the SUFFIX sum of (1-p)p^(d-1)/d from depth max(ra, rb): the
+      // depth table is 10 broadcast rows, the join is rank-pair sized.
+      import s.implicits._
+      val queries = Seq(
+        (1L, "spark window agg"),
+        (2L, "vector scan batch"),
+        (3L, "customer stream query")).toDF("query_id", "query_text")
+      val lex = Search.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+          queries, 10)
+        .select(col("query_id"), col("doc_id"),
+          col("rank").cast("long").as("ra"))
+      val emb = t(s, dir, "embeddings")
+      val sem = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id").isin(1L, 2L, 3L)), emb,
+          "embedding", "vec_id", k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").cast("long").as("rb"))
+      val suffix = s.range(1, 11).select(col("id").as("d"))
+        .withColumn("term", lit(0.1) * pow(lit(0.9), col("d") - 1) / col("d"))
+        .withColumn("suf", sum(col("term")).over(
+          Window.orderBy(col("d").desc)
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("d"), col("suf"))
+      val common = lex.join(sem, Seq("query_id", "doc_id"))
+        .withColumn("d", greatest(col("ra"), col("rb")))
+        .join(broadcast(suffix), Seq("d"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_common"), sum(col("suf")).as("rbo"))
+      queries.select(col("query_id")).join(common, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          round(coalesce(col("rbo"), lit(0.0)), 6).as("rbo"))
+        .orderBy(col("query_id"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -3964,6 +4026,56 @@ object SparkEntry {
     "q146_correlated_scalar" -> correlatedScalarSql,
 
     "q147_exists_chain" -> existsChainSql,
+
+    "q161_rbo" ->
+      s"""WITH ${bm25Ctes(
+             "(1, 'spark window agg'), (2, 'vector scan batch'), (3, 'customer stream query')")},
+         |bm AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         |        CAST(rank AS BIGINT) AS ra
+         |       FROM ranked WHERE rank <= 10),
+         |e AS (SELECT vec_id,
+         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |      FROM embeddings),
+         |cs AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |        CASE WHEN sqrt(list_dot_product(q.v, q.v)) *
+         |                  sqrt(list_dot_product(c.v, c.v)) = 0 THEN 0.0
+         |             ELSE list_dot_product(q.v, c.v) /
+         |               (sqrt(list_dot_product(q.v, q.v)) *
+         |                sqrt(list_dot_product(c.v, c.v))) END AS cosine
+         |       FROM e q JOIN e c
+         |         ON q.vec_id IN (1, 2, 3) AND q.vec_id <> c.vec_id),
+         |cr AS (SELECT query_id, doc_id,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cosine DESC, doc_id) AS rank FROM cs),
+         |sem AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         |        CAST(rank AS BIGINT) AS rb FROM cr WHERE rank <= 10),
+         |sfx AS (SELECT d, sum(0.1 * pow(0.9, d - 1) / d) OVER (
+         |        ORDER BY d DESC
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS suf
+         |      FROM (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT)
+         |              AS d)),
+         |common AS (SELECT b.query_id, count(*) AS n_common,
+         |        sum(s.suf) AS rbo
+         |      FROM bm b JOIN sem m
+         |        ON b.query_id = m.query_id AND b.doc_id = m.doc_id
+         |      JOIN sfx s ON s.d = greatest(b.ra, m.rb)
+         |      GROUP BY 1),
+         |ql AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS query_id)
+         |SELECT q.query_id, coalesce(c.n_common, 0) AS n_common,
+         |  round(coalesce(c.rbo, 0), 6) AS rbo
+         |FROM ql q LEFT JOIN common c ON q.query_id = c.query_id
+         |ORDER BY q.query_id""".stripMargin,
+
+    "q160_source_calibration" ->
+      s"""${qualityCteSql(", source")},
+         |r AS (SELECT doc_id, source, quality,
+         |    percent_rank() OVER (ORDER BY quality, doc_id) AS pr FROM q)
+         |SELECT source, count(*) AS n_docs,
+         |  round(avg(quality), 6) AS avg_quality,
+         |  round(avg(pr), 6) AS avg_pctile,
+         |  round(min(pr), 6) AS min_pctile,
+         |  round(max(pr), 6) AS max_pctile
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "q159_hits" ->
       s"""WITH ev AS (SELECT user_id, event_id, ts,
