@@ -2134,6 +2134,20 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    "q162_pareto_frontier" -> ((s, dir) => {
+      // skyline selection: the quality-vs-length trade-off curve (no doc
+      // on it is beaten on both axes) — distinct points via partial agg,
+      // then a two-phase range-partitioned prefix-max scan (no single
+      // global ordering task).
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"),
+          TF.tokenCount(col("text")).cast("long").as("ntok"))
+      graft.ops.Selection.paretoFrontier2d(docs, "quality", "ntok", "doc_id")
+        .select(round(col("x"), 6).as("quality"), col("y").as("ntok"),
+          col("min_id").as("min_doc"), col("n_rows").as("n_docs"))
+        .orderBy(col("quality").desc, col("ntok").desc, col("min_doc"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -4026,6 +4040,18 @@ object SparkEntry {
     "q146_correlated_scalar" -> correlatedScalarSql,
 
     "q147_exists_chain" -> existsChainSql,
+
+    "q162_pareto_frontier" ->
+      s"""${qualityCteSql("")},
+         |pts AS (SELECT quality AS x, ntok AS y, min(doc_id) AS min_id,
+         |    count(*) AS n_rows FROM q GROUP BY 1, 2),
+         |f AS (SELECT *, max(y) OVER (ORDER BY x DESC, y DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |  FROM pts)
+         |SELECT round(x, 6) AS quality, y AS ntok, min_id AS min_doc,
+         |  n_rows AS n_docs
+         |FROM f WHERE pm IS NULL OR pm < y
+         |ORDER BY quality DESC, ntok DESC, min_doc""".stripMargin,
 
     "q161_rbo" ->
       s"""WITH ${bm25Ctes(

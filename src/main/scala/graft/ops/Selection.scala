@@ -58,4 +58,46 @@ object Selection {
     spark.createDataFrame(
       spark.sparkContext.parallelize(picks.toSeq, 1), schema)
   }
+
+  /** 2-D Pareto frontier (skyline), both dimensions maximized — the
+    * "best quality at every length" trade-off curve (no point on it is
+    * beaten on both axes by any other). Returns the DISTINCT frontier
+    * points with a representative min id and multiplicity.
+    *
+    * Shape: points collapse to the distinct (x, y) grid first (partial
+    * agg), then one RANGE-partitioned two-phase prefix scan in
+    * (x desc, y desc) order — per-partition running max of y via a
+    * window, cross-partition offsets from the <= p-row per-partition max
+    * table broadcast back (the [[PrefixSum]] pattern: no single global
+    * ordering task). Over distinct points, dominated is EXACTLY
+    * "some prefix point has y >= mine", so one comparison decides.
+    */
+  def paretoFrontier2d(df: DataFrame, xCol: String, yCol: String,
+                       idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val pts = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(min(col(idCol)).as("min_id"), count(lit(1)).as("n_rows"))
+    val ranged = pts
+      .repartitionByRange(p, col("x").desc, col("y").desc)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("x").desc, col("y").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("__pid")).agg(max(col("y")).as("__pm"))
+      .withColumn("__off", max(col("__pm")).over(wOff))
+      .select(col("__pid"), col("__off"))
+    ranged
+      .withColumn("__wm", max(col("y")).over(wIn))
+      .join(broadcast(offsets), Seq("__pid"))
+      .filter(coalesce(greatest(col("__wm"), col("__off")),
+        col("__wm"), col("__off")).isNull ||
+        coalesce(greatest(col("__wm"), col("__off")),
+          col("__wm"), col("__off")) < col("y"))
+      .select(col("x"), col("y"), col("min_id"), col("n_rows"))
+  }
 }

@@ -33,4 +33,33 @@ class SelectionSpec extends AnyFunSuite {
     val first = Selection.greedyMaxCover(items, 1).collect().head
     assert(first.getString(1) == "x")
   }
+
+  test("paretoFrontier2d: staircase kept, dominated dropped, duplicates counted") {
+    val rows = Seq(
+      (1L, 1.0, 5L), (2L, 2.0, 4L), (3L, 3.0, 3L), // the frontier staircase
+      (4L, 1.0, 4L),  // dominated by (1.0, 5) and (2.0, 4)
+      (5L, 2.0, 4L),  // duplicate of the (2.0, 4) frontier point
+      (6L, 2.5, 3L))  // dominated by (3.0, 3)
+    val out = Selection.paretoFrontier2d(rows.toDF("id", "x", "y"), "x", "y", "id")
+      .collect().map(r => (r.getDouble(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == Set((1.0, 5L), (2.0, 4L), (3.0, 3L)))
+    assert(out((2.0, 4L)) == (2L, 2L)) // min id 2, multiplicity 2
+    assert(out((1.0, 5L)) == (1L, 1L))
+  }
+
+  test("paretoFrontier2d matches brute force on a random-ish cloud across partitions") {
+    val pts = (1 to 500).map { i =>
+      (i.toLong, (i * 37 % 101).toDouble, (i * 53 % 97).toLong)
+    }
+    val got = Selection.paretoFrontier2d(
+        pts.toDF("id", "x", "y").repartition(13), "x", "y", "id")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSet
+    val distinct = pts.map(p => (p._2, p._3)).distinct
+    val want = distinct.filter { case (x, y) =>
+      !distinct.exists { case (x2, y2) =>
+        x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.toSet
+    assert(got == want, s"got ${got.size} want ${want.size}")
+  }
 }
