@@ -2148,6 +2148,43 @@ object SparkEntry {
         .orderBy(col("quality").desc, col("ntok").desc, col("min_doc"))
     }),
 
+    "q163_markov_predict" -> ((s, dir) => {
+      // first-order Markov next-event prediction: transition counts from
+      // the first 80% of each user's stream (one window shuffle), argmax
+      // next per prev type, held-out accuracy on the remaining 20% —
+      // the sequence-model sanity baseline over behavioral data.
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val seq0 = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .withColumn("rn", row_number().over(byUser).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy(col("user_id"))))
+        .filter(col("prev").isNotNull)
+        .withColumn("is_train", col("rn") <= floor(col("cnt") * 0.8))
+      val model = seq0.filter(col("is_train"))
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("c"))
+      val pred = model.withColumn("r", row_number().over(
+          Window.partitionBy(col("prev"))
+            .orderBy(col("c").desc, col("next"))))
+        .filter(col("r") === 1)
+        .select(col("prev"), col("next").as("pred_next"))
+      val trainN = model.groupBy(col("prev")).agg(sum(col("c")).as("n_train"))
+      seq0.filter(!col("is_train"))
+        .join(broadcast(pred), Seq("prev"))
+        .join(broadcast(trainN), Seq("prev"))
+        .groupBy(col("prev").as("prev_type"), col("pred_next"),
+          col("n_train"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("event_type") === col("pred_next"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("accuracy",
+          round(col("n_correct").cast("double") / col("n_test"), 6))
+        .orderBy(col("prev_type"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -4040,6 +4077,33 @@ object SparkEntry {
     "q146_correlated_scalar" -> correlatedScalarSql,
 
     "q147_exists_chain" -> existsChainSql,
+
+    "q163_markov_predict" ->
+      """WITH s0 AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER w AS prev,
+        |    row_number() OVER w AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS cnt
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sq AS (SELECT *, rn <= floor(cnt * 0.8) AS is_train FROM s0
+        |  WHERE prev IS NOT NULL),
+        |model AS (SELECT prev, event_type AS next, count(*) AS c
+        |  FROM sq WHERE is_train GROUP BY 1, 2),
+        |pred AS (SELECT prev, next AS pred_next FROM (
+        |  SELECT prev, next, row_number() OVER (PARTITION BY prev
+        |    ORDER BY c DESC, next) AS r FROM model) WHERE r = 1),
+        |trn AS (SELECT prev, CAST(sum(c) AS BIGINT) AS n_train FROM model
+        |  GROUP BY 1)
+        |SELECT sq.prev AS prev_type, p.pred_next, t.n_train,
+        |  count(*) AS n_test,
+        |  CAST(sum(CASE WHEN sq.event_type = p.pred_next THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  round(sum(CASE WHEN sq.event_type = p.pred_next THEN 1 ELSE 0 END)
+        |    * 1.0 / count(*), 6) AS accuracy
+        |FROM sq JOIN pred p ON sq.prev = p.prev
+        |JOIN trn t ON sq.prev = t.prev
+        |WHERE NOT sq.is_train
+        |GROUP BY 1, 2, 3 ORDER BY prev_type""".stripMargin,
 
     "q162_pareto_frontier" ->
       s"""${qualityCteSql("")},
