@@ -28,6 +28,9 @@ object Association {
                 minSupportFrac: Double = 0.2): DataFrame = {
     val b = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
       .filter(col("item").isNotNull).distinct()
+      // consumed by the total, the item-support pass, and both sides of
+      // the pair self-join — materialize the dedup shuffle once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = b.agg(countDistinct(col("basket")).as("n_baskets"))
     val freq = b.groupBy(col("item")).agg(count(lit(1)).as("c_item"))
       .crossJoin(broadcast(n))
