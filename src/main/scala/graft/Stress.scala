@@ -343,6 +343,24 @@ object Stress {
       graft.ops.Selection.greedyMaxCover(
         corpus.select(col("doc_id"), explode(grams).as("item")), 3).count()
     }
+    time("hits_3it") {
+      graft.ops.Graph.hits(
+        gedges.select(col("src"), col("dst")), nIter = 3).count()
+    }
+    // triangle cost is what degree ordering bounds: the replicated
+    // transition graph keeps per-replica density, so wedge work grows
+    // linearly with factor
+    time("triangles") {
+      graft.ops.Graph.triangleCounts(
+        gedges.select(col("src"), col("dst")), "src", "dst").count()
+    }
+    // association baskets: (user, item) presence at factor-replicated
+    // user count — pair join bounded by the support floor
+    time("assoc_rules") {
+      val baskets = ev0.crossJoin(replicas).select(
+        (col("user_id") * factor + col("rep")).as("u"), col("item"))
+      graft.ops.Association.pairRules(baskets, "u", "item", 0.2).count()
+    }
     gedges.unpersist()
     }
     spark.stop()
