@@ -2185,6 +2185,20 @@ object SparkEntry {
         .orderBy(col("prev_type"))
     }),
 
+    "q164_tfidf_pairs" -> ((s, dir) => {
+      // lexical doc-doc near-match: sparse TF-IDF cosine over the
+      // df-pruned vocabulary on the planted near-dup corpus — the
+      // weighted complement of set-based n-gram Jaccard (q25). Top-20 on
+      // the ROUNDED cosine.
+      val pairs = Search.tfidfPairs(docsWithNearDups(s, dir), "text",
+        "doc_id", minDf = 2L, maxDf = 400L, threshold = 0.5)
+      pairs.withColumn("rank", row_number().over(
+          Window.orderBy(col("cosine").desc, col("idA"), col("idB")))
+          .cast("long"))
+        .filter(col("rank") <= 20)
+        .orderBy(col("rank"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -4077,6 +4091,34 @@ object SparkEntry {
     "q146_correlated_scalar" -> correlatedScalarSql,
 
     "q147_exists_chain" -> existsChainSql,
+
+    "q164_tfidf_pairs" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, substr(text, 21) FROM documents),
+        |tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+        |  FROM docs),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |nn AS (SELECT count(*) AS n FROM docs),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |  HAVING count(*) BETWEEN 2 AND 400),
+        |w AS (SELECT t.term, t.doc_id, t.tf * ln(nn.n * 1.0 / d.df) AS w
+        |  FROM tf t JOIN dft d USING (term) CROSS JOIN nn),
+        |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS idA, b.doc_id AS idB,
+        |    sum(a.w * b.w) AS dot
+        |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (SELECT idA, idB,
+        |    round(dot / (na.norm * nb.norm), 6) AS cosine
+        |  FROM dots JOIN norms na ON idA = na.doc_id
+        |  JOIN norms nb ON idB = nb.doc_id)
+        |SELECT idA, idB, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    ORDER BY cosine DESC, idA, idB) AS BIGINT) AS rank
+        |  FROM p WHERE cosine >= 0.5)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     "q163_markov_predict" ->
       """WITH s0 AS (SELECT user_id, event_id, ts, event_type,

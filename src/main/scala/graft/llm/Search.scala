@@ -160,4 +160,47 @@ object Search {
     */
   def searchTokensSqlFrom(table: String, idCol: String, textCol: String): String =
     s"SELECT $idCol, unnest(string_split_regex(lower($textCol), '[^a-z0-9]+')) AS term FROM $table"
+
+  /** Sparse TF-IDF cosine similarity between document PAIRS — the
+    * lexical doc-doc near-match pass (plagiarism / boilerplate family
+    * detection) next to the set-based n-gram Jaccard in Dedup and the
+    * dense embedding cosine in Similarity. idf = ln(N/df) over the
+    * df-pruned vocabulary; norms and dots both live in that pruned
+    * space, so the df cap (which bounds every posting list, and with it
+    * the pair join) is part of the scoring definition, not an
+    * approximation bolted on.
+    *
+    * Shape: one postings pass (text consumed map-side), df table
+    * re-aggregated from it; the pair join ships (term, id, weight) rows
+    * only, bounded per term by maxDf, then partial-aggregates straight
+    * to (idA, idB, dot). Threshold applies to the ROUNDED cosine so an
+    * external oracle keeps the identical pair set.
+    */
+  def tfidfPairs(docs: DataFrame, textCol: String, idCol: String,
+                 minDf: Long = 2L, maxDf: Long = 400L,
+                 threshold: Double = 0.3): DataFrame = {
+    val post = postings(docs, textCol, idCol)
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+    val w = post.join(dfT, Seq("term")).crossJoin(broadcast(n))
+      .select(col("term"), col("doc_id"),
+        (col("tf").cast("double") *
+          log(col("__n").cast("double") / col("df"))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+    w.select(col("term"), col("doc_id").as("idA"), col("w").as("wa"))
+      .join(w.select(col("term"), col("doc_id").as("idB"), col("w").as("wb")),
+        Seq("term"))
+      .filter(col("idA") < col("idB"))
+      .groupBy(col("idA"), col("idB")).agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.select(col("doc_id").as("idA"), col("norm").as("na")),
+        Seq("idA"))
+      .join(norms.select(col("doc_id").as("idB"), col("norm").as("nb")),
+        Seq("idB"))
+      .select(col("idA"), col("idB"),
+        round(col("dot") / (col("na") * col("nb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }

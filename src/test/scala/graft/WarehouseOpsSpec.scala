@@ -497,6 +497,25 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(overlap >= 0.95, s"approx/exact overlap $overlap")
   }
 
+  test("tfidfPairs: identical docs score 1, df cap silences ubiquitous terms, disjoint score nothing") {
+    // "stopword" is in every doc (df 12 > maxDf 10): it alone must not
+    // make a pair; docs 1/2 are identical -> cosine 1 on the pruned vocab
+    val docs = Seq(
+      (1L, "alpha beta stopword"), (2L, "alpha beta stopword"),
+      (3L, "gamma delta stopword"), (4L, "gamma epsilon stopword"),
+      (5L, "delta epsilon stopword")) ++
+      (6L to 12L).map(i => (i, s"filler$i stopword"))
+    val out = Search.tfidfPairs(docs.toDF("doc_id", "text"), "text", "doc_id",
+        minDf = 2L, maxDf = 10L, threshold = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == 1.0)
+    // 3 and 4 share only "gamma" (kept); both also carry an unshared
+    // surviving term (delta/epsilon, df 2) -> positive but below 1
+    assert(out((3L, 4L)) > 0 && out((3L, 4L)) < 1.0)
+    // pairs sharing ONLY the capped stopword never materialize
+    assert(!out.contains((1L, 3L)) && !out.contains((6L, 7L)))
+  }
+
   // --- decayed sum / mutual information -----------------------------------
 
   test("decayedSum weights recent events fully and old events negligibly") {
