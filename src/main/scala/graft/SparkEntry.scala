@@ -2199,6 +2199,90 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q165_entropy_rate" -> ((s, dir) => {
+      // entropy rate of user behavior: H(next | prev) from the transition
+      // counts (counts-only after one window shuffle), next to the
+      // unconditional H(next) — the gap is how much the previous event
+      // predicts the next one (the sequence-level twin of q152's MI).
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tr = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("c"))
+      val tot = tr.agg(sum(col("c")).as("n"))
+      val prevTot = tr.groupBy(col("prev")).agg(sum(col("c")).as("cp"))
+      val nextTot = tr.groupBy(col("next")).agg(sum(col("c")).as("cn"))
+      val hCond = tr.join(broadcast(prevTot), Seq("prev"))
+        .crossJoin(broadcast(tot))
+        .agg((-sum((col("c").cast("double") / col("n")) *
+          log(col("c").cast("double") / col("cp")))).as("h_cond"))
+      val hNext = nextTot.crossJoin(broadcast(tot))
+        .agg((-sum((col("cn").cast("double") / col("n")) *
+          log(col("cn").cast("double") / col("n")))).as("h_next"))
+      hNext.crossJoin(broadcast(hCond))
+        .select(round(col("h_next"), 6).as("h_next"),
+          round(col("h_cond"), 6).as("h_cond"),
+          round(col("h_next") - col("h_cond"), 6).as("info_gain"))
+    }),
+
+    "q166_trend_slopes" -> ((s, dir) => {
+      // per-type linear trend of value over time: closed-form least
+      // squares from ONE aggregate of (n, Σx, Σy, Σxy, Σx²) — x in days
+      // since the corpus start so the arithmetic is well-conditioned and
+      // identical on both engines.
+      val ev = events(s, dir)
+      val t0 = ev.agg(min(unix_micros(col("ts"))).as("t0"))
+      ev.crossJoin(broadcast(t0))
+        .withColumn("x", (unix_micros(col("ts")) - col("t0")).cast("double")
+          / lit(86400e6))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("value")).as("sy"),
+          sum(col("x") * col("value")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+          round((col("sy") - col("sx") *
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+             (col("n") * col("sxx") - col("sx") * col("sx")))) / col("n"), 6)
+            .as("intercept"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q167_correlations" -> ((s, dir) => {
+      // Pearson correlations between lineitem measures via the EXPLICIT
+      // sum formula (engine corr() aggregates differ in n vs n-1 and
+      // pairwise-null handling across engines; raw sums do not): one
+      // aggregate pass for all three pairs.
+      def r(x: String, y: String) = {
+        val n = col("n")
+        (n * col(s"s_${x}_$y") - col(s"s_$x") * col(s"s_$y")) /
+          sqrt((n * col(s"s_${x}_$x") - col(s"s_$x") * col(s"s_$x")) *
+            (n * col(s"s_${y}_$y") - col(s"s_$y") * col(s"s_$y")))
+      }
+      t(s, dir, "lineitem")
+        .select(col("l_quantity").cast("double").as("q"),
+          col("l_extendedprice").cast("double").as("p"),
+          col("l_discount").cast("double").as("d"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("q")).as("s_q"), sum(col("p")).as("s_p"),
+          sum(col("d")).as("s_d"),
+          sum(col("q") * col("q")).as("s_q_q"),
+          sum(col("p") * col("p")).as("s_p_p"),
+          sum(col("d") * col("d")).as("s_d_d"),
+          sum(col("q") * col("p")).as("s_q_p"),
+          sum(col("q") * col("d")).as("s_q_d"),
+          sum(col("p") * col("d")).as("s_p_d"))
+        .select(col("n").cast("long").as("n"),
+          round(r("q", "p"), 6).as("r_qty_price"),
+          round(r("q", "d"), 6).as("r_qty_disc"),
+          round(r("p", "d"), 6).as("r_price_disc"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -4091,6 +4175,60 @@ object SparkEntry {
     "q146_correlated_scalar" -> correlatedScalarSql,
 
     "q147_exists_chain" -> existsChainSql,
+
+    "q165_entropy_rate" ->
+      """WITH sq AS (SELECT event_type AS next,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |tr AS (SELECT prev, next, count(*) AS c FROM sq
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tr),
+        |pt AS (SELECT prev, CAST(sum(c) AS BIGINT) AS cp FROM tr GROUP BY 1),
+        |nt AS (SELECT next, CAST(sum(c) AS BIGINT) AS cn FROM tr GROUP BY 1),
+        |hc AS (SELECT -sum((t.c * 1.0 / o.n) * ln(t.c * 1.0 / p.cp))
+        |    AS h_cond
+        |  FROM tr t JOIN pt p USING (prev) CROSS JOIN tot o),
+        |hn AS (SELECT -sum((cn * 1.0 / o.n) * ln(cn * 1.0 / o.n)) AS h_next
+        |  FROM nt CROSS JOIN tot o)
+        |SELECT round(h_next, 6) AS h_next, round(h_cond, 6) AS h_cond,
+        |  round(h_next - h_cond, 6) AS info_gain
+        |FROM hn CROSS JOIN hc""".stripMargin,
+
+    "q166_trend_slopes" ->
+      """WITH t0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+        |b AS (SELECT event_type,
+        |    (epoch_us(ts) - t0.t0) / 86400000000.0 AS x, value AS y
+        |  FROM events CROSS JOIN t0),
+        |a AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM b GROUP BY 1)
+        |SELECT event_type, n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n,
+        |    6) AS intercept
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    "q167_correlations" ->
+      """WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS q,
+        |    CAST(l_extendedprice AS DOUBLE) AS p,
+        |    CAST(l_discount AS DOUBLE) AS d FROM lineitem),
+        |a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    sum(q) AS s_q, sum(p) AS s_p, sum(d) AS s_d,
+        |    sum(q * q) AS s_q_q, sum(p * p) AS s_p_p, sum(d * d) AS s_d_d,
+        |    sum(q * p) AS s_q_p, sum(q * d) AS s_q_d, sum(p * d) AS s_p_d
+        |  FROM b)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round((n * s_q_p - s_q * s_p) /
+        |    sqrt((n * s_q_q - s_q * s_q) * (n * s_p_p - s_p * s_p)), 6)
+        |    AS r_qty_price,
+        |  round((n * s_q_d - s_q * s_d) /
+        |    sqrt((n * s_q_q - s_q * s_q) * (n * s_d_d - s_d * s_d)), 6)
+        |    AS r_qty_disc,
+        |  round((n * s_p_d - s_p * s_d) /
+        |    sqrt((n * s_p_p - s_p * s_p) * (n * s_d_d - s_d * s_d)), 6)
+        |    AS r_price_disc
+        |FROM a""".stripMargin,
 
     "q164_tfidf_pairs" ->
       """WITH docs AS (SELECT doc_id, text FROM documents
