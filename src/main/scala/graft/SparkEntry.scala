@@ -2283,6 +2283,86 @@ object SparkEntry {
           round(r("p", "d"), 6).as("r_price_disc"))
     }),
 
+    "q168_ks_test" -> ((s, dir) => {
+      // two-sample Kolmogorov-Smirnov: en vs non-en quality distributions.
+      // Points collapse to the distinct-value count table FIRST (partial
+      // agg), cumulative counts via the two-phase prefix scan (unique
+      // order = the value itself), KS = max CDF gap — the
+      // exact-distribution drift gate next to binned PSI (q137).
+      val docs = t(s, dir, "documents")
+        .select(TF.qualityScore(col("text")).as("v"),
+          (col("lang") === "en").as("is_a"))
+      val pts = docs.groupBy(col("v"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+      val c1 = graft.ops.PrefixSum.groupedRunningSum(
+        pts.withColumn("__g", lit(1)), "__g", "v", col("ca"), "cum_a")
+      val cum = graft.ops.PrefixSum.groupedRunningSum(
+        c1, "__g", "v", col("cb"), "cum_b")
+      val tot = pts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("na"), col("nb"), col("v"),
+          round(abs(col("cum_a").cast("double") / col("na") -
+            col("cum_b").cast("double") / col("nb")), 6).as("gap"))
+        .groupBy(col("na"), col("nb"))
+        .agg(max(col("gap")).as("ks"),
+          round(max_by(col("v"), struct(col("gap"), -col("v"))), 6)
+            .as("ks_at"))
+        .select(col("na"), col("nb"), col("ks"), col("ks_at"))
+    }),
+
+    "q169_auc" -> ((s, dir) => {
+      // ROC AUC of the q138/q144 classifier via the tie-correct
+      // Mann-Whitney rank-sum: distinct-score table + one two-phase
+      // cumulative count gives average ranks without any global sort.
+      val (feat, cols) = classifierFeatures(s, dir)
+      val w = graft.ops.LinearModel.logisticGd(feat, cols, "y",
+        lr = 0.5, nIter = 3)
+      val z = cols.zip(w).map { case (c, wi) => col(c) * lit(wi) }
+        .reduce(_ + _)
+      val scored = feat.select(col("y"),
+        (lit(1.0) / (lit(1.0) + exp(-z))).as("p"))
+      val pts = scored.groupBy(col("p"))
+        .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("cpos"),
+          count(lit(1)).as("ctot"))
+      val cum = graft.ops.PrefixSum.groupedRunningSum(
+        pts.withColumn("__g", lit(1)), "__g", "p", col("ctot"), "cum_t")
+      val rsum = cum
+        .select((col("cpos").cast("double") *
+          (col("cum_t").cast("double") - (col("ctot") - 1).cast("double") / 2))
+          .as("rs"))
+        .agg(sum(col("rs")).as("rank_sum"))
+      val tot = pts.agg(sum(col("cpos")).as("n_pos"),
+        (sum(col("ctot")) - sum(col("cpos"))).as("n_neg"))
+      rsum.crossJoin(broadcast(tot))
+        .select(col("n_pos"), col("n_neg"),
+          round((col("rank_sum") - col("n_pos").cast("double") *
+            (col("n_pos") + 1) / 2) /
+            (col("n_pos").cast("double") * col("n_neg")), 6).as("auc"))
+    }),
+
+    "q170_gini" -> ((s, dir) => {
+      // engagement concentration: Gini over per-user total value via the
+      // two-phase global rank (no single ordering task) plus the top-10%
+      // share — the "how skewed is the corpus toward heavy users" audit.
+      val totals = events(s, dir)
+        .groupBy(col("user_id")).agg(sum(col("value")).as("t"))
+      val ranked = graft.ops.PrefixSum.globalRank(totals,
+        Seq(col("t"), col("user_id")), "rk")
+      val n = totals.agg(count(lit(1)).as("n_users"), sum(col("t")).as("total"))
+      ranked.crossJoin(broadcast(n))
+        .groupBy(col("n_users"), col("total"))
+        .agg(
+          round(lit(2.0) * sum(col("rk") * col("t")) /
+            (col("n_users") * col("total")) -
+            (col("n_users") + 1).cast("double") / col("n_users"), 6)
+            .as("gini"),
+          round(sum(when(col("rk") > col("n_users") * 0.9, col("t"))
+            .otherwise(0.0)) / col("total"), 6).as("top_decile_share"))
+        .select(col("n_users"), round(col("total"), 4).as("total"),
+          col("gini"), col("top_decile_share"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -4175,6 +4255,58 @@ object SparkEntry {
     "q146_correlated_scalar" -> correlatedScalarSql,
 
     "q147_exists_chain" -> existsChainSql,
+
+    "q168_ks_test" ->
+      s"""${qualityCteSql(", lang")},
+         |pts AS (SELECT quality AS v,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS ca,
+         |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS cb
+         |  FROM q GROUP BY 1),
+         |cumc AS (SELECT v, sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b
+         |  FROM pts WINDOW w AS (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |totk AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+         |    CAST(sum(cb) AS BIGINT) AS nb FROM pts),
+         |gapg AS (SELECT t.na, t.nb, cumc.v,
+         |    round(abs(cum_a * 1.0 / t.na - cum_b * 1.0 / t.nb), 6) AS gap
+         |  FROM cumc CROSS JOIN totk t),
+         |ksm AS (SELECT na, nb, max(gap) AS ks FROM gapg GROUP BY 1, 2),
+         |ksa AS (SELECT round(min(v), 6) AS ks_at FROM gapg JOIN ksm
+         |  ON gapg.gap = ksm.ks)
+         |SELECT na, nb, ks, ks_at FROM ksm CROSS JOIN ksa""".stripMargin,
+
+    "q169_auc" ->
+      s"""WITH $lrCtes,
+         |pts AS (SELECT p,
+         |    CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS cpos,
+         |    count(*) AS ctot FROM scored GROUP BY 1),
+         |c AS (SELECT p, cpos, ctot, sum(ctot) OVER (ORDER BY p
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_t
+         |  FROM pts),
+         |rs AS (SELECT sum(cpos * (cum_t - (ctot - 1) / 2.0)) AS rank_sum
+         |  FROM c),
+         |tot AS (SELECT CAST(sum(cpos) AS BIGINT) AS n_pos,
+         |    CAST(sum(ctot) - sum(cpos) AS BIGINT) AS n_neg FROM pts)
+         |SELECT n_pos, n_neg,
+         |  round((rank_sum - n_pos * (n_pos + 1) / 2.0) /
+         |    (n_pos * 1.0 * n_neg), 6) AS auc
+         |FROM rs CROSS JOIN tot""".stripMargin,
+
+    "q170_gini" ->
+      """WITH t AS (SELECT user_id, sum(value) AS t FROM events GROUP BY 1),
+        |r AS (SELECT user_id, t, CAST(row_number() OVER (
+        |    ORDER BY t, user_id) AS BIGINT) AS rk FROM t),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_users, sum(t) AS total
+        |  FROM t)
+        |SELECT n.n_users, round(n.total, 4) AS total,
+        |  round(2.0 * sum(r.rk * r.t) / (n.n_users * n.total)
+        |    - (n.n_users + 1) * 1.0 / n.n_users, 6) AS gini,
+        |  round(sum(CASE WHEN r.rk > n.n_users * 0.9 THEN r.t ELSE 0 END)
+        |    / n.total, 6) AS top_decile_share
+        |FROM r CROSS JOIN n GROUP BY n.n_users, n.total""".stripMargin,
 
     "q165_entropy_rate" ->
       """WITH sq AS (SELECT event_type AS next,
