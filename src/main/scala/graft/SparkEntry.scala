@@ -2363,6 +2363,14 @@ object SparkEntry {
           col("gini"), col("top_decile_share"))
     }),
 
+    "q171_window_gallery" -> ((s, dir) => {
+      // ranking-window gallery as identical SQL text on both engines:
+      // dense_rank/cume_dist are tie-stable by definition, nth_value runs
+      // over an explicit full frame with a total order.
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(windowGallerySql)
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -3102,6 +3110,25 @@ object SparkEntry {
     * PLANS_r3). l_quantity is integral, so each group's avg is exact in
     * double on any engine and the `<` cut can't sit on a float boundary.
     */
+  /** q171: identical ANSI text on both engines — the ranking-window
+    * gallery (dense_rank / cume_dist over a TIES-heavy order key, both
+    * well-defined under ties; nth_value over an explicit full frame with
+    * a total order). Completes window coverage next to row_number/rank
+    * (q08/q09), RANGE frames (q104), IGNORE NULLS last_value (q96).
+    */
+  private val windowGallerySql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(dense_rank() OVER wp AS BIGINT) AS priority_rank,
+      |  round(cume_dist() OVER wp, 6) AS priority_cume,
+      |  nth_value(o_orderkey, 2) OVER wf AS second_order_key
+      |FROM orders
+      |WHERE o_custkey <= 100
+      |WINDOW
+      |  wp AS (PARTITION BY o_custkey ORDER BY o_orderpriority),
+      |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin
+
   private val correlatedScalarSql: String =
     """SELECT p.p_brand,
       |  round(sum(l.l_extendedprice) / 7.0, 2) AS avg_weekly,
@@ -4255,6 +4282,8 @@ object SparkEntry {
     "q146_correlated_scalar" -> correlatedScalarSql,
 
     "q147_exists_chain" -> existsChainSql,
+
+    "q171_window_gallery" -> windowGallerySql,
 
     "q168_ks_test" ->
       s"""${qualityCteSql(", lang")},
