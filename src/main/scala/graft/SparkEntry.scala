@@ -2371,6 +2371,44 @@ object SparkEntry {
       s.sql(windowGallerySql)
     }),
 
+    "q172_equidepth_hist" -> ((s, dir) => {
+      // equal-mass deciles of extended price: equi-depth complement of the
+      // equi-width q103 — one percentile aggregate for all 9 edges, bin
+      // assignment by strict-compare count against the broadcast array.
+      graft.ops.Profile.equiDepthHistogram(
+          t(s, dir, "lineitem").select(
+            col("l_extendedprice").cast("double").as("v")), "v", 10)
+        .orderBy(col("bucket"))
+    }),
+
+    "q173_vocab_drift" -> ((s, dir) => {
+      // vocabulary drift between corpus halves (doc_id parity): KL(P||Q)
+      // over add-1-smoothed unigram distributions on the union vocab,
+      // plus the top-15 tokens by rounded KL contribution — the
+      // token-space twin of numeric PSI (q137).
+      val toks = t(s, dir, "documents")
+        .select((col("doc_id") % 2 === 0).as("is_p"),
+          explode(TF.normTokens(col("text"))).as("tok"))
+      val counts = toks.groupBy(col("tok"))
+        .agg(sum(when(col("is_p"), 1L).otherwise(0L)).as("cp"),
+          sum(when(!col("is_p"), 1L).otherwise(0L)).as("cq"))
+      val tot = counts.agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"),
+        count(lit(1)).as("v"))
+      val sc = counts.crossJoin(broadcast(tot))
+        .withColumn("p", (col("cp") + 1).cast("double") / (col("np") + col("v")))
+        .withColumn("q", (col("cq") + 1).cast("double") / (col("nq") + col("v")))
+        .withColumn("contrib", round(col("p") * log(col("p") / col("q")), 8))
+      val kl = sc.agg(round(sum(col("p") * log(col("p") / col("q"))), 6)
+        .as("kl_total"))
+      sc.withColumn("rank", row_number().over(
+          Window.orderBy(col("contrib").desc, col("tok"))).cast("long"))
+        .filter(col("rank") <= 15)
+        .crossJoin(broadcast(kl))
+        .select(col("rank"), col("tok"), col("cp"), col("cq"),
+          col("contrib"), col("kl_total"))
+        .orderBy(col("rank"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -4284,6 +4322,39 @@ object SparkEntry {
     "q147_exists_chain" -> existsChainSql,
 
     "q171_window_gallery" -> windowGallerySql,
+
+    "q172_equidepth_hist" ->
+      """WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+        |e AS (SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7,
+        |    0.8, 0.9]) AS edges FROM b)
+        |SELECT bucket, count(*) AS n, round(min(v), 4) AS min_v,
+        |  round(max(v), 4) AS max_v
+        |FROM (SELECT b.v, CAST(len(list_filter(e.edges, x -> b.v > x))
+        |    AS BIGINT) AS bucket
+        |  FROM b CROSS JOIN e)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q173_vocab_drift" ->
+      s"""WITH norm AS (SELECT doc_id % 2 = 0 AS is_p, t.tok
+         |  FROM (SELECT doc_id, $ntoksSql AS ntoks FROM documents),
+         |    unnest(ntoks) AS t(tok)),
+         |counts AS (SELECT tok,
+         |    CAST(sum(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         |    CAST(sum(CASE WHEN NOT is_p THEN 1 ELSE 0 END) AS BIGINT) AS cq
+         |  FROM norm GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+         |    CAST(sum(cq) AS BIGINT) AS nq, count(*) AS v FROM counts),
+         |sc AS (SELECT c.tok, c.cp, c.cq,
+         |    (c.cp + 1) * 1.0 / (t.np + t.v) AS p,
+         |    (c.cq + 1) * 1.0 / (t.nq + t.v) AS q
+         |  FROM counts c CROSS JOIN tot t),
+         |kl AS (SELECT round(sum(p * ln(p / q)), 6) AS kl_total FROM sc),
+         |r AS (SELECT tok, cp, cq, round(p * ln(p / q), 8) AS contrib,
+         |    CAST(row_number() OVER (ORDER BY round(p * ln(p / q), 8) DESC,
+         |      tok) AS BIGINT) AS rank
+         |  FROM sc)
+         |SELECT rank, tok, cp, cq, contrib, kl_total
+         |FROM r CROSS JOIN kl WHERE rank <= 15 ORDER BY rank""".stripMargin,
 
     "q168_ks_test" ->
       s"""${qualityCteSql(", lang")},

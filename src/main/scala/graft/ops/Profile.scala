@@ -99,6 +99,31 @@ object Profile {
         round(avg(col("__p")), 6).as("avg_per_key"))
   }
 
+  /** Equi-DEPTH histogram: bucket edges at exact quantiles so every
+    * bucket holds ~n/nBuckets rows — the complement of [[histogram]]'s
+    * equi-width bins (equal-mass bins expose distribution shape where
+    * equi-width ones collapse into one hot bucket under skew). One
+    * percentile aggregate for ALL edges (single buffer, the q44 trade),
+    * edges broadcast as one array, bin assignment is a strict-compare
+    * count against that array (identical doubles on any engine — the
+    * same interpolation parity as q44), then one partial-agg'd count
+    * pass. min/max per bucket come along for free as the de-facto edge
+    * audit.
+    */
+  def equiDepthHistogram(df: DataFrame, c: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, "need at least 2 buckets")
+    val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val edges = df.agg(
+      expr(s"percentile($c, array(${probs.mkString("D, ")}D))").as("__edges"))
+    df.filter(col(c).isNotNull).crossJoin(broadcast(edges))
+      .withColumn("bucket",
+        size(filter(col("__edges"), e => col(c) > e)).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col(c)), 4).as("min_v"),
+        round(max(col(c)), 4).as("max_v"))
+  }
+
   /** Benford first-digit audit: per key, the distribution of leading
     * significant digits of `valCol` against Benford's law expectation
     * p(d) = log10(1 + 1/d), with the per-digit chi-squared contribution —

@@ -436,6 +436,20 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(h.last.getAs[Double]("hi") == 10.0)
   }
 
+  test("equiDepthHistogram: equal mass on uniform data AND under heavy skew") {
+    val uni = (1 to 1000).map(i => Tuple1(i.toDouble)).toDF("v")
+    val u = Profile.equiDepthHistogram(uni, "v", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(u.keySet == (0L to 9L).toSet)
+    assert(u.values.forall(n => n >= 99 && n <= 101), u.toString)
+    // lognormal-ish skew: an equi-width histogram would collapse into one
+    // hot bucket; equi-depth must still split ~evenly
+    val skew = (1 to 1000).map(i => Tuple1(math.exp(i / 100.0))).toDF("v")
+    val s = Profile.equiDepthHistogram(skew, "v", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s.values.forall(n => n >= 99 && n <= 101), s.toString)
+  }
+
   test("histogram of a constant column lands everything in bucket 0") {
     val df = Seq(5.0, 5.0, 5.0).toDF("x")
     val h = graft.ops.Profile.histogram(df, "x", 4)
