@@ -2409,6 +2409,41 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q174_audio_decode" -> ((s, dir) => {
+      // REAL audio decode through the multimodal seam: planted RIFF/WAVE
+      // PCM tones (pure-JDK synth + parse — the audio twin of the q31/q117
+      // ImageIO path) decoded back to rate/duration/RMS and checked
+      // against the planted truth; non-audio payloads take the flagged
+      // deterministic fallback. Output = invariant metric row.
+      import s.implicits._
+      val amps = Seq(0.25, 0.5, 0.9)
+      val rates = Seq(8000, 16000, 44100)
+      val planted = (0 until 24).map { i =>
+        val rate = rates(i % 3); val millis = 100 * (1 + i % 2)
+        val amp = amps((i / 3) % 3)
+        (i.toLong, rate, millis, amp,
+          graft.llm.Multimodal.sineWav(rate, millis, 200.0 + 37 * i, amp))
+      }
+      val fakes = (24 until 30).map(i =>
+        (i.toLong, 0, 0, 0.0, s"not audio payload $i".getBytes("UTF-8")))
+      val df = (planted ++ fakes)
+        .toDF("id", "rate", "millis", "amp", "payload")
+      val dec = graft.llm.Multimodal.decodeAudioMetaKeyed(df, "id", "payload")
+      df.select(col("id"), col("rate"), col("millis"), col("amp"))
+        .join(dec, Seq("id"))
+        .agg(count(lit(1)).as("n_payloads"),
+          sum(when(col("is_real"), 1L).otherwise(0L)).as("n_real"),
+          sum(when(col("is_real") && col("sample_rate") === col("rate") &&
+            col("channels") === 1 && col("bits") === 16, 1L).otherwise(0L))
+            .as("n_rate_ok"),
+          sum(when(col("is_real") && col("duration_ms") === col("millis"),
+            1L).otherwise(0L)).as("n_dur_ok"),
+          sum(when(col("is_real") &&
+            abs(col("rms_milli") - round(col("amp") * lit(1000.0) /
+              math.sqrt(2.0))) <= 20, 1L).otherwise(0L)).as("n_rms_ok"),
+          sum(when(!col("is_real"), 1L).otherwise(0L)).as("n_fake_flagged"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -4322,6 +4357,12 @@ object SparkEntry {
     "q147_exists_chain" -> existsChainSql,
 
     "q171_window_gallery" -> windowGallerySql,
+
+    "q174_audio_decode" ->
+      """SELECT CAST(30 AS BIGINT) AS n_payloads, CAST(24 AS BIGINT) AS n_real,
+        |  CAST(24 AS BIGINT) AS n_rate_ok, CAST(24 AS BIGINT) AS n_dur_ok,
+        |  CAST(24 AS BIGINT) AS n_rms_ok,
+        |  CAST(6 AS BIGINT) AS n_fake_flagged""".stripMargin,
 
     "q172_equidepth_hist" ->
       """WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),

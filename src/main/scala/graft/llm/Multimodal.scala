@@ -210,6 +210,131 @@ object Multimodal {
     Dedup.hammingPairs(perceptualHashes(df, idCol, binCol), "phash", idCol,
       maxHamming)
 
+  /** Typed audio metadata. `rmsMilli` is the root-mean-square amplitude
+    * normalized to full scale, in thousandths (integer — engine-portable);
+    * `isReal` marks payloads decoded from an actual WAV container vs the
+    * deterministic fallback.
+    */
+  final case class AudioMeta(nBytes: Long, sampleRate: Int, channels: Int,
+                             bitsPerSample: Int, nFrames: Long,
+                             durationMs: Long, rmsMilli: Long, isReal: Boolean)
+
+  /** True for payloads carrying a RIFF/WAVE container signature. */
+  def looksLikeWav(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Synthesize a mono 16-bit PCM WAV sine tone — the deterministic
+    * test-payload generator (the audio twin of the generated PNGs in
+    * MultimodalSpec). Pure JDK; produces a fully standard RIFF container
+    * that any real audio stack reads back.
+    */
+  def sineWav(sampleRate: Int, millis: Int, freqHz: Double,
+              amplitude: Double): Array[Byte] = {
+    val nFrames = sampleRate.toLong * millis / 1000
+    val dataLen = (nFrames * 2).toInt
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes); buf.putInt(36 + dataLen)
+    buf.put("WAVE".getBytes)
+    buf.put("fmt ".getBytes); buf.putInt(16)
+    buf.putShort(1); buf.putShort(1)                 // PCM, mono
+    buf.putInt(sampleRate); buf.putInt(sampleRate * 2)
+    buf.putShort(2); buf.putShort(16)                // block align, bits
+    buf.put("data".getBytes); buf.putInt(dataLen)
+    var i = 0L
+    while (i < nFrames) {
+      val s = amplitude * math.sin(2 * math.Pi * freqHz * i / sampleRate)
+      buf.putShort(math.round(s * 32767).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Decode one audio payload. Real RIFF/WAVE PCM payloads parse with
+    * plain JDK byte handling (the audio twin of [[decodeImage]]'s
+    * ImageIO arm — format/rate/channels/duration from the fmt chunk, RMS
+    * loudness from the 16-bit samples; no external audio libs needed for
+    * the PCM family). Non-WAV payloads get deterministic fake metadata
+    * from the payload hash with `isReal = false`, so the partition-batch
+    * machinery is exercised on any fixture. An ffmpeg binding for
+    * compressed codecs would replace only the fallback arm.
+    */
+  def decodeAudio(bytes: Array[Byte]): AudioMeta = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    if (!looksLikeWav(bytes))
+      return AudioMeta(bytes.length.toLong, h.toInt.abs % 48000 + 8000, 1, 16,
+        math.floorMod(h, 100000L), 0L, 0L, isReal = false)
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var rate = 0; var channels = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (pos + 8 <= bytes.length) {
+      val id = new String(bytes, pos, 4, "US-ASCII")
+      val len = buf.getInt(pos + 4)
+      if (id == "fmt " && pos + 24 <= bytes.length) {
+        channels = buf.getShort(pos + 10).toInt
+        rate = buf.getInt(pos + 12)
+        bits = buf.getShort(pos + 22).toInt
+      } else if (id == "data") {
+        dataOff = pos + 8
+        dataLen = math.min(len, bytes.length - dataOff)
+      }
+      pos += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (rate <= 0 || channels <= 0 || bits != 16 || dataOff < 0)
+      return AudioMeta(bytes.length.toLong, rate, channels, bits, 0L, 0L, 0L,
+        isReal = false)
+    val nFrames = dataLen.toLong / (2 * channels)
+    var sumSq = 0.0
+    var k = dataOff
+    val end = dataOff + dataLen - 1
+    while (k < end) {
+      val s = buf.getShort(k) / 32768.0
+      sumSq += s * s
+      k += 2
+    }
+    val nSamples = dataLen / 2
+    val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
+    AudioMeta(bytes.length.toLong, rate, channels, bits, nFrames,
+      nFrames * 1000 / rate, math.round(rms * 1000), isReal = true)
+  }
+
+  /** Decode audio payloads to typed metadata with per-partition batching —
+    * the mapPartitions seam where a heavier codec binding plugs in.
+    */
+  def decodeAudioMeta(df: DataFrame, binCol: String): Dataset[AudioMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(binCol)).as[Array[Byte]].mapPartitions { it =>
+      // per-partition: a real implementation initializes the codec once here
+      it.map(decodeAudio)
+    }
+  }
+
+  /** Keyed variant of [[decodeAudioMeta]]: (id, all AudioMeta fields) rows
+    * through the same per-partition seam, ready to join back to the
+    * payload table's planted truth or downstream filters.
+    */
+  def decodeAudioMetaKeyed(df: DataFrame, idCol: String,
+                           binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val m = decodeAudio(b)
+        (id, m.nBytes, m.sampleRate, m.channels, m.bitsPerSample,
+          m.nFrames, m.durationMs, m.rmsMilli, m.isReal)
+      })
+      .toDF(idCol, "n_bytes", "sample_rate", "channels", "bits",
+        "n_frames", "duration_ms", "rms_milli", "is_real")
+  }
+
   /** ??? real resampler goes here (libjpeg scale / ffmpeg -s): stubbed as
     * deterministic byte decimation to `targetBytes` — keeps the real
     * contract (bounded output size per payload, pure per-row transform,

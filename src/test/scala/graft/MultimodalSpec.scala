@@ -121,4 +121,36 @@ class MultimodalSpec extends AnyFunSuite {
       .orderBy("doc_id").as[(Long, Int)].collect().toSeq
     assert(orig == kept)
   }
+
+  test("WAV synth -> decode round trip: rate/channels/duration exact, RMS = amp/sqrt(2)") {
+    val wav = Multimodal.sineWav(16000, 250, 440.0, 0.5)
+    assert(Multimodal.looksLikeWav(wav))
+    val m = Multimodal.decodeAudio(wav)
+    assert(m.isReal && m.sampleRate == 16000 && m.channels == 1 &&
+      m.bitsPerSample == 16)
+    assert(m.nFrames == 4000L && m.durationMs == 250L)
+    // sine RMS is amp/sqrt(2); 440 Hz over 250 ms = 110 whole cycles
+    assert(math.abs(m.rmsMilli - 0.5 / math.sqrt(2) * 1000) <= 5,
+      s"rms ${m.rmsMilli}")
+  }
+
+  test("non-WAV and truncated payloads take the flagged fallback, never throw") {
+    val fake = Multimodal.decodeAudio("just some text".getBytes("UTF-8"))
+    assert(!fake.isReal && fake.durationMs == 0L)
+    val cut = Multimodal.sineWav(8000, 100, 300.0, 0.9).take(30)
+    assert(!Multimodal.decodeAudio(cut).isReal) // header cut mid-fmt
+    assert(Multimodal.decodeAudio(Array.emptyByteArray).isReal == false)
+  }
+
+  test("decodeAudioMetaKeyed carries ids through the partition seam") {
+    val rows = Seq(
+      (1L, Multimodal.sineWav(8000, 100, 500.0, 0.9)),
+      (2L, "nope".getBytes("UTF-8")))
+    val out = Multimodal.decodeAudioMetaKeyed(
+        rows.toDF("id", "payload").repartition(2), "id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getLong(6), r.getBoolean(8))).toMap
+    assert(out(1L) == ((8000, 100L, true)))
+    assert(out(2L)._3 == false)
+  }
 }
