@@ -2444,6 +2444,101 @@ object SparkEntry {
           sum(when(!col("is_real"), 1L).otherwise(0L)).as("n_fake_flagged"))
     }),
 
+    "q175_acf" -> ((s, dir) => {
+      // autocorrelation of the daily engagement series at lags 1..3. The
+      // day-level reduction happens in a hash aggregate FIRST (series
+      // length is calendar-bounded, not corpus-bounded), the index comes
+      // from the two-phase global rank, and each lag is an equi-join on
+      // the shifted index — no window over raw events, no O(n²).
+      import s.implicits._
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("value")).as("y"))
+      val idx = graft.ops.PrefixSum.globalRank(daily, Seq(col("day")), "i")
+        .select(col("i"), col("y"))
+      val st = idx.agg(count(lit(1)).cast("double").as("n"),
+          sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"))
+        .select((col("sy") / col("n")).as("mu"),
+          (col("syy") - col("sy") * col("sy") / col("n")).as("denom"))
+      val shifted = idx.crossJoin(broadcast(Seq(1, 2, 3).toDF("lag")))
+        .select(col("lag"), (col("i") + col("lag")).as("i"),
+          col("y").as("y_lag"))
+      idx.join(shifted, Seq("i"))
+        .crossJoin(broadcast(st))
+        .groupBy(col("lag"), col("mu"), col("denom"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("y") - col("mu")) * (col("y_lag") - col("mu"))).as("num"))
+        .select(col("lag"), col("n_pairs"),
+          round(col("num") / col("denom"), 6).as("acf"))
+        .orderBy(col("lag"))
+    }),
+
+    "q176_cusum" -> ((s, dir) => {
+      // CUSUM changepoint over the daily revenue series: S_i = cum_i −
+      // i·mean, built from integer cents so the running state is EXACT
+      // long arithmetic (engine-portable; floats appear only in the final
+      // statistic, computed from identical longs on both engines). The
+      // two-phase prefix sum keeps every task range-partition-bounded;
+      // the argmax is a bounded top-1, not a global sort.
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5)).as("cents"))
+      val idx = graft.ops.PrefixSum.globalRank(daily, Seq(col("day")), "i")
+      val cum = graft.ops.PrefixSum.groupedRunningSum(
+        idx.withColumn("__g", lit(1)), "__g", "day", col("cents"),
+        "cum_cents")
+      val st = daily.agg(sum(col("cents")).cast("double").as("tot"),
+        count(lit(1)).cast("double").as("n"))
+      cum.crossJoin(broadcast(st))
+        .withColumn("s", col("cum_cents").cast("double") / 100.0 -
+          col("i").cast("double") * (col("tot") / 100.0) / col("n"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("i").as("day_idx"),
+          round(abs(col("s")), 4).as("abs_cusum"),
+          round(col("s"), 4).as("cusum"))
+        .orderBy(col("abs_cusum").desc, col("day"))
+        .limit(1)
+    }),
+
+    "q177_kaplan_meier" -> ((s, dir) => {
+      // Kaplan-Meier churn survival over customer order lifespans:
+      // duration = days first→last order, churn event = last order >90
+      // days before the corpus end (else right-censored). Risk sets are
+      // ONE suffix count over the distinct-duration table (calendar-
+      // bounded, so the product window is safe at any customer count);
+      // the product-limit estimator is exp(Σ ln((n−d)/n)) over event
+      // times — integer-derived ratios, 6-dp parity holds cross-engine.
+      val maxD = t(s, dir, "orders").agg(max(col("o_orderdate")).as("mx"))
+      val cust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("first"),
+          max(col("o_orderdate")).as("last"))
+        .crossJoin(broadcast(maxD))
+        .select(datediff(col("last"), col("first")).cast("long").as("dur"),
+          (datediff(col("mx"), col("last")) > 90).as("event"))
+      val byDur = cust.groupBy(col("dur"))
+        .agg(count(lit(1)).as("c_all"),
+          sum(when(col("event"), 1L).otherwise(0L)).as("d_events"))
+      val tot = byDur.agg(sum(col("c_all")).as("n_total"))
+      val risk = graft.ops.PrefixSum.groupedRunningSum(
+          byDur.withColumn("__g", lit(1)), "__g", "dur", col("c_all"),
+          "cum_all")
+        .crossJoin(broadcast(tot))
+        .withColumn("n_risk",
+          col("n_total") - (col("cum_all") - col("c_all")))
+      // n_risk == d_events can only happen at the maximal duration (no
+      // one outlives it) — excluded so ln stays finite on both engines.
+      val w = Window.orderBy(col("dur"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      risk.filter(col("d_events") > 0 && col("n_risk") > col("d_events"))
+        .withColumn("survival", round(exp(sum(log(
+          (col("n_risk") - col("d_events")).cast("double") /
+            col("n_risk").cast("double"))).over(w)), 6))
+        .select(col("dur").as("duration_days"), col("n_risk"),
+          col("d_events"), col("survival"))
+        .orderBy(col("duration_days"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -4363,6 +4458,63 @@ object SparkEntry {
         |  CAST(24 AS BIGINT) AS n_rate_ok, CAST(24 AS BIGINT) AS n_dur_ok,
         |  CAST(24 AS BIGINT) AS n_rms_ok,
         |  CAST(6 AS BIGINT) AS n_fake_flagged""".stripMargin,
+
+    "q175_acf" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS y
+        |  FROM events GROUP BY 1),
+        |ix AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+        |    y FROM daily),
+        |st AS (SELECT sum(y) / count(*) AS mu,
+        |    sum(y * y) - sum(y) * sum(y) / count(*) AS denom FROM ix),
+        |lg AS (SELECT unnest([1, 2, 3]) AS lag),
+        |pr AS (SELECT l.lag, a.y AS y, b.y AS y_lag
+        |  FROM ix a CROSS JOIN lg l JOIN ix b ON a.i = b.i + l.lag)
+        |SELECT p.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(sum((p.y - st.mu) * (p.y_lag - st.mu)) / min(st.denom), 6)
+        |    AS acf
+        |FROM pr p CROSS JOIN st GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q176_cusum" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |ix AS (SELECT day, cents,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+        |    CAST(sum(cents) OVER (ORDER BY day) AS BIGINT) AS cum_cents
+        |  FROM daily),
+        |st AS (SELECT CAST(sum(cents) AS DOUBLE) AS tot,
+        |    CAST(count(*) AS DOUBLE) AS n FROM daily),
+        |sc AS (SELECT day, i AS day_idx,
+        |    CAST(cum_cents AS DOUBLE) / 100.0 -
+        |      CAST(i AS DOUBLE) * (tot / 100.0) / n AS s
+        |  FROM ix CROSS JOIN st)
+        |SELECT CAST(day AS VARCHAR) AS day, day_idx,
+        |  round(abs(s), 4) AS abs_cusum, round(s, 4) AS cusum
+        |FROM sc ORDER BY abs_cusum DESC, day LIMIT 1""".stripMargin,
+
+    "q177_kaplan_meier" ->
+      """WITH mx AS (SELECT max(o_orderdate) AS mx FROM orders),
+        |cust AS (SELECT
+        |    CAST(date_diff('day', min(o_orderdate), max(o_orderdate))
+        |      AS BIGINT) AS dur,
+        |    date_diff('day', max(o_orderdate), min(mx.mx)) > 90 AS event
+        |  FROM orders CROSS JOIN mx GROUP BY o_custkey),
+        |byd AS (SELECT dur, CAST(count(*) AS BIGINT) AS c_all,
+        |    CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d_events
+        |  FROM cust GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_total FROM byd),
+        |cum AS (SELECT *, CAST(sum(c_all) OVER (ORDER BY dur) AS BIGINT)
+        |    AS cum_all FROM byd),
+        |risk AS (SELECT dur, c_all, d_events,
+        |    n_total - (cum_all - c_all) AS n_risk FROM cum CROSS JOIN tot),
+        |ev AS (SELECT dur, n_risk, d_events FROM risk
+        |  WHERE d_events > 0 AND n_risk > d_events)
+        |SELECT dur AS duration_days, n_risk, d_events,
+        |  round(exp(sum(ln(CAST(n_risk - d_events AS DOUBLE) /
+        |    CAST(n_risk AS DOUBLE))) OVER (ORDER BY dur)), 6) AS survival
+        |FROM ev ORDER BY duration_days""".stripMargin,
 
     "q172_equidepth_hist" ->
       """WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
