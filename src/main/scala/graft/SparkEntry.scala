@@ -2539,6 +2539,112 @@ object SparkEntry {
         .orderBy(col("duration_days"))
     }),
 
+    "q178_rfm" -> ((s, dir) => {
+      // RFM segmentation with PORTABLE quintiles: monetary in exact
+      // integer cents (double sums would wobble the sort at quintile
+      // boundaries), ranks from the two-phase global rank (no
+      // whole-table NTILE window), and the quintile as explicit integer
+      // arithmetic 1 + (rank−1)·5 div n — identical on any engine,
+      // every task range-partition-bounded at any customer count.
+      val maxD = t(s, dir, "orders").agg(max(col("o_orderdate")).as("mx"))
+      val cust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last"),
+          count(lit(1)).as("freq"),
+          sum(floor(col("o_totalprice") * 100 + 0.5)).as("cents"))
+        .crossJoin(broadcast(maxD))
+        .select(col("o_custkey"),
+          datediff(col("mx"), col("last")).cast("long").as("recency"),
+          col("freq"), col("cents"))
+      val tot = cust.agg(count(lit(1)).as("n_cust"))
+      def quint(df: DataFrame, rankCol: String, out: String) =
+        df.crossJoin(broadcast(tot))
+          // `div`, not `/`: Spark's `/` on longs yields DOUBLE
+          .withColumn(out, expr(s"1 + (($rankCol - 1) * 5) div n_cust"))
+          .drop(rankCol, "n_cust")
+      var scored = graft.ops.PrefixSum.globalRank(cust,
+        Seq(col("recency"), col("o_custkey")), "rr")
+      scored = quint(scored, "rr", "r_q")
+      scored = quint(graft.ops.PrefixSum.globalRank(scored,
+        Seq(-col("freq"), col("o_custkey")), "fr"), "fr", "f_q")
+      scored = quint(graft.ops.PrefixSum.globalRank(scored,
+        Seq(-col("cents"), col("o_custkey")), "mr"), "mr", "m_q")
+      scored.groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("cents")).cast("double") / 100.0, 2)
+            .as("monetary_total"))
+        .orderBy(col("r_q"), col("f_q"), col("m_q"))
+    }),
+
+    "q179_two_proportion" -> ((s, dir) => {
+      // two-proportion z-test: high-value order rate, BUILDING vs
+      // MACHINERY customers. ONE aggregate pass over the fact join; the
+      // statistic is computed from four integers so both engines see
+      // identical doubles.
+      val hv = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select((col("c_mktsegment") === "BUILDING").as("is_a"),
+          (col("o_totalprice") > 150000).as("hit"))
+      hv.agg(
+          sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("is_a") && col("hit"), 1L).otherwise(0L)).as("x_a"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(!col("is_a") && col("hit"), 1L).otherwise(0L)).as("x_b"))
+        .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+          round(col("x_a").cast("double") / col("n_a"), 6).as("p_a"),
+          round(col("x_b").cast("double") / col("n_b"), 6).as("p_b"),
+          round((col("x_a").cast("double") / col("n_a") -
+              col("x_b").cast("double") / col("n_b")) /
+            sqrt(((col("x_a") + col("x_b")).cast("double") /
+                (col("n_a") + col("n_b"))) *
+              (lit(1.0) - (col("x_a") + col("x_b")).cast("double") /
+                (col("n_a") + col("n_b"))) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4)
+            .as("z"))
+    }),
+
+    "q180_simpson" -> ((s, dir) => {
+      // Simpson's-paradox audit: does the BUILDING-vs-MACHINERY
+      // high-value rate gap hold inside every order-priority stratum, or
+      // does pooling reverse it? Counts-only per stratum + a pooled
+      // 'ALL' row; the reversal flag is integer-derived (rate
+      // comparison via cross-multiplication — no float division in the
+      // decision).
+      val base = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(col("o_orderpriority").as("stratum"),
+          (col("c_mktsegment") === "BUILDING").as("is_a"),
+          (col("o_totalprice") > 150000).as("hit"))
+      val per = base.groupBy(col("stratum"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("is_a") && col("hit"), 1L).otherwise(0L)).as("x_a"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(!col("is_a") && col("hit"), 1L).otherwise(0L)).as("x_b"))
+      val pooled = per.agg(sum(col("n_a")).as("n_a"),
+          sum(col("x_a")).as("x_a"), sum(col("n_b")).as("n_b"),
+          sum(col("x_b")).as("x_b"))
+        .withColumn("stratum", lit("ALL"))
+        .select(col("stratum"), col("n_a"), col("x_a"), col("n_b"),
+          col("x_b"))
+      per.select(col("stratum"), col("n_a"), col("x_a"), col("n_b"),
+          col("x_b"))
+        .unionByName(pooled)
+        .select(col("stratum"), col("n_a"), col("x_a"), col("n_b"),
+          col("x_b"),
+          round(col("x_a").cast("double") / col("n_a"), 6).as("rate_a"),
+          round(col("x_b").cast("double") / col("n_b"), 6).as("rate_b"),
+          // a leads iff x_a·n_b > x_b·n_a — exact cross-multiply in
+          // decimal so the comparison can't overflow long at any count
+          (col("x_a").cast("decimal(20,0)") * col("n_b").cast("decimal(20,0)") >
+            col("x_b").cast("decimal(20,0)") * col("n_a").cast("decimal(20,0)"))
+            .as("a_leads"))
+        .orderBy(col("stratum"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -4515,6 +4621,82 @@ object SparkEntry {
         |  round(exp(sum(ln(CAST(n_risk - d_events AS DOUBLE) /
         |    CAST(n_risk AS DOUBLE))) OVER (ORDER BY dur)), 6) AS survival
         |FROM ev ORDER BY duration_days""".stripMargin,
+
+    "q178_rfm" ->
+      """WITH mx AS (SELECT max(o_orderdate) AS mx FROM orders),
+        |cust AS (SELECT o_custkey,
+        |    CAST(date_diff('day', max(o_orderdate), min(mx.mx)) AS BIGINT)
+        |      AS recency,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders CROSS JOIN mx GROUP BY o_custkey),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cust FROM cust),
+        |rk AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY recency, o_custkey) AS BIGINT)
+        |      AS rr,
+        |    CAST(row_number() OVER (ORDER BY freq DESC, o_custkey)
+        |      AS BIGINT) AS fr,
+        |    CAST(row_number() OVER (ORDER BY cents DESC, o_custkey)
+        |      AS BIGINT) AS mr
+        |  FROM cust),
+        |qs AS (SELECT cents,
+        |    1 + (rr - 1) * 5 // n_cust AS r_q,
+        |    1 + (fr - 1) * 5 // n_cust AS f_q,
+        |    1 + (mr - 1) * 5 // n_cust AS m_q
+        |  FROM rk CROSS JOIN tot)
+        |SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_customers,
+        |  round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS monetary_total
+        |FROM qs GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q179_two_proportion" ->
+      """WITH b AS (SELECT c_mktsegment = 'BUILDING' AS is_a,
+        |    o_totalprice > 150000 AS hit
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN is_a AND hit THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS x_a,
+        |    CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN NOT is_a AND hit THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x_b
+        |  FROM b)
+        |SELECT n_a, x_a, n_b, x_b,
+        |  round(CAST(x_a AS DOUBLE) / n_a, 6) AS p_a,
+        |  round(CAST(x_b AS DOUBLE) / n_b, 6) AS p_b,
+        |  round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b) /
+        |    sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+        |      (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+        |      (1.0 / n_a + 1.0 / n_b)), 4) AS z
+        |FROM a""".stripMargin,
+
+    "q180_simpson" ->
+      """WITH b AS (SELECT o_orderpriority AS stratum,
+        |    c_mktsegment = 'BUILDING' AS is_a,
+        |    o_totalprice > 150000 AS hit
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |per AS (SELECT stratum,
+        |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN is_a AND hit THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS x_a,
+        |    CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN NOT is_a AND hit THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x_b
+        |  FROM b GROUP BY 1),
+        |allrows AS (SELECT stratum, n_a, x_a, n_b, x_b FROM per
+        |  UNION ALL
+        |  SELECT 'ALL', CAST(sum(n_a) AS BIGINT), CAST(sum(x_a) AS BIGINT),
+        |    CAST(sum(n_b) AS BIGINT), CAST(sum(x_b) AS BIGINT) FROM per)
+        |SELECT stratum, n_a, x_a, n_b, x_b,
+        |  round(CAST(x_a AS DOUBLE) / n_a, 6) AS rate_a,
+        |  round(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b,
+        |  CAST(x_a AS HUGEINT) * CAST(n_b AS HUGEINT) >
+        |    CAST(x_b AS HUGEINT) * CAST(n_a AS HUGEINT) AS a_leads
+        |FROM allrows ORDER BY stratum""".stripMargin,
 
     "q172_equidepth_hist" ->
       """WITH b AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
