@@ -2645,6 +2645,88 @@ object SparkEntry {
         .orderBy(col("stratum"))
     }),
 
+    "q181_snm_blocking" -> ((s, dir) => {
+      // sorted-neighborhood ER blocking — the classic alternative when
+      // key-blocking (q157's first-token blocks) skews: ONE global sort
+      // via the two-phase rank, then candidate pairs are the w=2 index
+      // neighbors (a shifted equi-join, so candidate count is exactly
+      // w·n — bounded by construction, no hot block can go quadratic).
+      // Scores come from the native codegen'd Jaro-Winkler; the oracle
+      // re-scores with DuckDB's independent implementation.
+      import s.implicits._
+      val names = t(s, dir, "part").select(col("p_name")).distinct()
+      val idx = graft.ops.PrefixSum.globalRank(names,
+        Seq(col("p_name")), "i")
+      val shifted = idx.crossJoin(broadcast(Seq(1, 2).toDF("off")))
+        .select((col("i") + col("off")).as("i"),
+          col("p_name").as("name_a"))
+      idx.select(col("i"), col("p_name").as("name_b"))
+        .join(shifted, Seq("i"))
+        .withColumn("jw", round(graft.expressions.TextExpressions
+          .jaroWinkler(col("name_a"), col("name_b")), 6))
+        .filter(col("jw") >= lit(0.88))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("jw").desc, col("name_a"), col("name_b")))
+          .cast("long"))
+        .filter(col("rank") <= 15)
+        .select(col("name_a"), col("name_b"), col("jw"), col("rank"))
+        .orderBy(col("rank"))
+    }),
+
+    "q182_weekday_chi2" -> ((s, dir) => {
+      // order-volume seasonality: weekday profile + chi-square uniformity
+      // terms. The weekday index is PORTABLE day-count arithmetic from a
+      // known Monday epoch (engine dayofweek() conventions differ); all
+      // floats derive from integer counts.
+      val dow = t(s, dir, "orders")
+        .select((datediff(col("o_orderdate"), lit("1990-01-01"))
+          .cast("long") % 7).as("dow_idx"))
+        .groupBy(col("dow_idx"))
+        .agg(count(lit(1)).as("n_orders"))
+      val tot = dow.agg(sum(col("n_orders")).cast("double").as("n"))
+      dow.crossJoin(broadcast(tot))
+        .select(col("dow_idx"), col("n_orders"),
+          round(col("n") / 7.0, 2).as("expected"),
+          round(pow(col("n_orders").cast("double") - col("n") / 7.0, 2.0) /
+            (col("n") / 7.0), 4).as("chi2_term"))
+        .orderBy(col("dow_idx"))
+    }),
+
+    "q183_fk_integrity" -> ((s, dir) => {
+      // referential-integrity audit over the warehouse FK graph: orphan
+      // counts via anti-joins (each one a shuffle or broadcast join on
+      // the FK key — the anti side never materializes the match). Small
+      // dimension parents (nation) broadcast; fact-to-fact edges shuffle
+      // on the key as they must.
+      def edge(name: String, child: DataFrame, key: String,
+               parent: DataFrame, pkey: String, bcast: Boolean) = {
+        val p0 = parent.select(col(pkey)).distinct()
+        val pp = if (bcast) broadcast(p0) else p0
+        val orphans = child.select(col(key))
+          .join(pp, col(key) === col(pkey), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        child.agg(count(lit(1)).as("n_child"))
+          .crossJoin(orphans)
+          .select(lit(name).as("fk_edge"), col("n_child"),
+            col("n_orphans"))
+      }
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      val p = t(s, dir, "part"); val n = t(s, dir, "nation")
+      edge("customer.nation", c, "c_nationkey", n, "n_nationkey", bcast = true)
+        .unionByName(edge("lineitem.orders", li, "l_orderkey", o,
+          "o_orderkey", bcast = false))
+        .unionByName(edge("lineitem.part", li, "l_partkey", p,
+          "p_partkey", bcast = false))
+        .unionByName(edge("lineitem.supplier", li, "l_suppkey", su,
+          "s_suppkey", bcast = false))
+        .unionByName(edge("orders.customer", o, "o_custkey", c,
+          "c_custkey", bcast = false))
+        .unionByName(edge("supplier.nation", su, "s_nationkey", n,
+          "n_nationkey", bcast = true))
+        .orderBy(col("fk_edge"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -4621,6 +4703,64 @@ object SparkEntry {
         |  round(exp(sum(ln(CAST(n_risk - d_events AS DOUBLE) /
         |    CAST(n_risk AS DOUBLE))) OVER (ORDER BY dur)), 6) AS survival
         |FROM ev ORDER BY duration_days""".stripMargin,
+
+    "q181_snm_blocking" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        |ix AS (SELECT p_name,
+        |    CAST(row_number() OVER (ORDER BY p_name) AS BIGINT) AS i
+        |  FROM names),
+        |off AS (SELECT unnest([1, 2]) AS off),
+        |pr AS (SELECT a.p_name AS name_a, b.p_name AS name_b
+        |  FROM ix a CROSS JOIN off o JOIN ix b ON b.i = a.i + o.off),
+        |sc AS (SELECT name_a, name_b,
+        |    round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
+        |  FROM pr),
+        |m AS (SELECT *, CAST(row_number() OVER (
+        |    ORDER BY jw DESC, name_a, name_b) AS BIGINT) AS rank
+        |  FROM sc WHERE jw >= 0.88)
+        |SELECT name_a, name_b, jw, rank FROM m
+        |WHERE rank <= 15 ORDER BY rank""".stripMargin,
+
+    "q182_weekday_chi2" ->
+      """WITH d AS (SELECT
+        |    CAST(date_diff('day', DATE '1990-01-01', o_orderdate)
+        |      AS BIGINT) % 7 AS dow_idx
+        |  FROM orders),
+        |g AS (SELECT dow_idx, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_orders) AS DOUBLE) AS n FROM g)
+        |SELECT dow_idx, n_orders, round(n / 7.0, 2) AS expected,
+        |  round(pow(CAST(n_orders AS DOUBLE) - n / 7.0, 2) / (n / 7.0), 4)
+        |    AS chi2_term
+        |FROM g CROSS JOIN tot ORDER BY dow_idx""".stripMargin,
+
+    "q183_fk_integrity" ->
+      """SELECT 'customer.nation' AS fk_edge,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_child,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |     WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+        |    AS n_orphans
+        |UNION ALL SELECT 'lineitem.orders',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |UNION ALL SELECT 'lineitem.part',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |     WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+        |UNION ALL SELECT 'lineitem.supplier',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |     WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+        |UNION ALL SELECT 'orders.customer',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |UNION ALL SELECT 'supplier.nation',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM supplier),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM supplier
+        |     WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+        |ORDER BY fk_edge""".stripMargin,
 
     "q178_rfm" ->
       """WITH mx AS (SELECT max(o_orderdate) AS mx FROM orders),
