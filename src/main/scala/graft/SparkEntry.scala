@@ -2727,6 +2727,79 @@ object SparkEntry {
         .orderBy(col("fk_edge"))
     }),
 
+    "q184_burst_days" -> ((s, dir) => {
+      // burst detection: days whose event count spikes vs the TRAILING
+      // 28-day window (current day excluded — no self-inflation). The
+      // rolling stats run over the calendar-bounded daily table (the
+      // heavy reduction already happened in the hash aggregate), and
+      // mean/σ derive from integer count sums, so both engines see
+      // identical doubles. Top-10 by rounded z with day tiebreak.
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("day")).rowsBetween(-28, -1)
+      daily
+        .withColumn("n_win", count(col("c")).over(w))
+        .withColumn("s1", sum(col("c")).over(w))
+        .withColumn("s2", sum(col("c") * col("c")).over(w))
+        .filter(col("n_win") >= 14)
+        .withColumn("mu", col("s1").cast("double") / col("n_win"))
+        .withColumn("var",
+          (col("s2").cast("double") -
+            col("s1").cast("double") * col("s1") / col("n_win")) /
+            col("n_win"))
+        .filter(col("var") > 0)
+        .withColumn("z", round((col("c").cast("double") - col("mu")) /
+          sqrt(col("var")), 4))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("z").desc, col("day"))).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("c").as("n_events"), round(col("mu"), 4).as("mu_28"),
+          col("z"), col("rank"))
+        .orderBy(col("rank"))
+    }),
+
+    "q185_sentence_stats" -> ((s, dir) => {
+      // per-language sentence profile: [.!?]+ segmentation, whitespace
+      // word counts, averaged per doc then per language. Fragment
+      // filtering (trim non-empty) is explicit on BOTH engines because
+      // split() edge semantics around trailing separators differ.
+      val frags = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), "[.!?]+")).as("frag"))
+        .withColumn("frag", trim(col("frag")))
+        .filter(length(col("frag")) > 0)
+        .withColumn("n_words", size(split(col("frag"), "\\s+")).cast("long"))
+      val perDoc = frags.groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_sent"), sum(col("n_words")).as("n_words"))
+      perDoc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("n_sent")).cast("double") / count(lit(1)), 4)
+            .as("avg_sentences"),
+          round(sum(col("n_words")).cast("double") / sum(col("n_sent")), 4)
+            .as("words_per_sentence"))
+        .orderBy(col("lang"))
+    }),
+
+    "q186_yoy_growth" -> ((s, dir) => {
+      // year-over-year revenue growth: yearly totals in exact integer
+      // cents, growth = self-join on year−1 (a tiny broadcast — years
+      // are calendar-bounded) — the float appears only in the final
+      // ratio, from identical longs on both engines.
+      val yearly = t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5)).as("cents"),
+          count(lit(1)).as("n_orders"))
+      yearly.join(broadcast(yearly.select((col("yr") + 1).as("yr"),
+          col("cents").as("prev_cents"))), Seq("yr"), "left")
+        .select(col("yr"), col("n_orders"),
+          round(col("cents").cast("double") / 100.0, 2).as("revenue"),
+          round((col("cents") - col("prev_cents")).cast("double") /
+            col("prev_cents").cast("double") * 100.0, 4).as("yoy_pct"))
+        .orderBy(col("yr"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -4703,6 +4776,60 @@ object SparkEntry {
         |  round(exp(sum(ln(CAST(n_risk - d_events AS DOUBLE) /
         |    CAST(n_risk AS DOUBLE))) OVER (ORDER BY dur)), 6) AS survival
         |FROM ev ORDER BY duration_days""".stripMargin,
+
+    "q184_burst_days" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |r AS (SELECT day, c,
+        |    count(c) OVER w AS n_win,
+        |    sum(c) OVER w AS s1,
+        |    sum(c * c) OVER w AS s2
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 28 PRECEDING
+        |    AND 1 PRECEDING)),
+        |st AS (SELECT day, c, n_win,
+        |    CAST(s1 AS DOUBLE) / n_win AS mu,
+        |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_win) / n_win
+        |      AS var
+        |  FROM r WHERE n_win >= 14),
+        |z AS (SELECT day, c,
+        |    round(mu, 4) AS mu_28,
+        |    round((CAST(c AS DOUBLE) - mu) / sqrt(var), 4) AS z
+        |  FROM st WHERE var > 0),
+        |rk AS (SELECT *, CAST(row_number() OVER (ORDER BY z DESC, day)
+        |    AS BIGINT) AS rank FROM z)
+        |SELECT CAST(day AS VARCHAR) AS day, c AS n_events, mu_28, z, rank
+        |FROM rk WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "q185_sentence_stats" ->
+      """WITH frags AS (SELECT doc_id, lang,
+        |    trim(unnest(string_split_regex(text, '[.!?]+'))) AS frag
+        |  FROM documents),
+        |keep AS (SELECT doc_id, lang, frag,
+        |    CAST(len(string_split_regex(frag, '\s+')) AS BIGINT) AS n_words
+        |  FROM frags WHERE length(frag) > 0),
+        |per AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_sent,
+        |    CAST(sum(n_words) AS BIGINT) AS n_words
+        |  FROM keep GROUP BY 1, 2)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(CAST(sum(n_sent) AS DOUBLE) / count(*), 4) AS avg_sentences,
+        |  round(CAST(sum(n_words) AS DOUBLE) / sum(n_sent), 4)
+        |    AS words_per_sentence
+        |FROM per GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "q186_yoy_growth" ->
+      """WITH yearly AS (SELECT
+        |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT a.yr, a.n_orders,
+        |  round(CAST(a.cents AS DOUBLE) / 100.0, 2) AS revenue,
+        |  round(CAST(a.cents - b.cents AS DOUBLE) /
+        |    CAST(b.cents AS DOUBLE) * 100.0, 4) AS yoy_pct
+        |FROM yearly a LEFT JOIN yearly b ON a.yr = b.yr + 1
+        |ORDER BY a.yr""".stripMargin,
 
     "q181_snm_blocking" ->
       """WITH names AS (SELECT DISTINCT p_name FROM part),
