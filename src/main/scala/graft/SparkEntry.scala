@@ -2800,6 +2800,85 @@ object SparkEntry {
         .orderBy(col("yr"))
     }),
 
+    "q187_stickiness" -> ((s, dir) => {
+      // DAU/MAU stickiness per month: two exact distinct-count
+      // reductions (day-level and month-level) joined on the month —
+      // counts stay integers until the final ratios.
+      val ev = events(s, dir)
+        .select(date_format(col("ts"), "yyyy-MM").as("month"),
+          to_date(col("ts")).as("day"), col("user_id"))
+      val dau = ev.select(col("month"), col("day"), col("user_id"))
+        .distinct()
+        .groupBy(col("month"), col("day"))
+        .agg(count(lit(1)).as("dau"))
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("dau_sum"))
+      val mau = ev.select(col("month"), col("user_id")).distinct()
+        .groupBy(col("month")).agg(count(lit(1)).as("mau"))
+      dau.join(mau, Seq("month"))
+        .select(col("month"), col("n_days"), col("mau"),
+          round(col("dau_sum").cast("double") / col("n_days"), 4)
+            .as("avg_dau"),
+          round(col("dau_sum").cast("double") / col("n_days") /
+            col("mau"), 4).as("stickiness"))
+        .orderBy(col("month"))
+    }),
+
+    "q188_weighted_quantiles" -> ((s, dir) => {
+      // quantity-weighted price quantiles: values collapse to the
+      // distinct-cents table first (hash agg), cumulative weights via the
+      // two-phase prefix sum, and each quantile is the min value whose
+      // cumulative weight clears an INTEGER ceil threshold — no float
+      // compare in the cut decision, portable at any scale.
+      import s.implicits._
+      val pts = t(s, dir, "lineitem")
+        .select(floor(col("l_extendedprice") * 100 + 0.5).as("cents"),
+          col("l_quantity").cast("long").as("w"))
+        .groupBy(col("cents")).agg(sum(col("w")).as("cw"))
+      val cum = graft.ops.PrefixSum.groupedRunningSum(
+        pts.withColumn("__g", lit(1)), "__g", "cents", col("cw"), "cum_w")
+      val tot = pts.agg(sum(col("cw")).as("tw"))
+      val qs = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+        .toDF("q_label", "num", "den")
+      val thr = broadcast(qs.crossJoin(tot)
+        .select(col("q_label"),
+          expr("(tw * num + den - 1) div den").as("thr")))
+      cum.crossJoin(thr)
+        .filter(col("cum_w") >= col("thr"))
+        .groupBy(col("q_label"))
+        .agg(round(min(col("cents")).cast("double") / 100.0, 2)
+          .as("weighted_price"))
+        .orderBy(col("q_label"))
+    }),
+
+    "q189_zipf_slope" -> ((s, dir) => {
+      // Zipf exponent of the corpus token distribution: frequency ranks
+      // from the two-phase global rank over the token-count table, slope
+      // of ln(freq) vs ln(rank) on the top 1000 by closed-form least
+      // squares (ONE aggregate) — a one-row corpus-health gauge next to
+      // the drift (q173) and entropy (q165) signals.
+      val tok = t(s, dir, "documents")
+        .select(explode(TF.normTokens(col("text"))).as("tokn"))
+        .groupBy(col("tokn")).agg(count(lit(1)).as("freq"))
+      val ranked = graft.ops.PrefixSum.globalRank(tok,
+          Seq(-col("freq"), col("tokn")), "rank")
+        .filter(col("rank") <= 1000)
+        .select(log(col("rank").cast("double")).as("x"),
+          log(col("freq").cast("double")).as("y"))
+      ranked.agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n").cast("long").as("n_tokens"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("zipf_slope"),
+          round((col("sy") - col("sx") *
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+             (col("n") * col("sxx") - col("sx") * col("sx")))) / col("n"),
+            6).as("intercept"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -4776,6 +4855,58 @@ object SparkEntry {
         |  round(exp(sum(ln(CAST(n_risk - d_events AS DOUBLE) /
         |    CAST(n_risk AS DOUBLE))) OVER (ORDER BY dur)), 6) AS survival
         |FROM ev ORDER BY duration_days""".stripMargin,
+
+    "q187_stickiness" ->
+      """WITH ev AS (SELECT strftime(ts, '%Y-%m') AS month,
+        |    CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (SELECT month, n_days, dau_sum FROM (
+        |  SELECT month, CAST(count(*) AS BIGINT) AS n_days,
+        |      CAST(sum(dau) AS BIGINT) AS dau_sum
+        |    FROM (SELECT month, day, CAST(count(DISTINCT user_id) AS BIGINT)
+        |        AS dau FROM ev GROUP BY 1, 2)
+        |    GROUP BY 1)),
+        |mau AS (SELECT month, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        |  FROM ev GROUP BY 1)
+        |SELECT d.month, d.n_days, m.mau,
+        |  round(CAST(d.dau_sum AS DOUBLE) / d.n_days, 4) AS avg_dau,
+        |  round(CAST(d.dau_sum AS DOUBLE) / d.n_days / m.mau, 4)
+        |    AS stickiness
+        |FROM dau d JOIN mau m USING (month) ORDER BY month""".stripMargin,
+
+    "q188_weighted_quantiles" ->
+      """WITH pts AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5)
+        |      AS BIGINT) AS cents,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS cw
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (SELECT cents, CAST(sum(cw) OVER (ORDER BY cents) AS BIGINT)
+        |    AS cum_w FROM pts),
+        |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS tw FROM pts),
+        |qs AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+        |    ('p99', 99, 100)) AS v(q_label, num, den)),
+        |thr AS (SELECT q_label, (tw * num + den - 1) // den AS thr
+        |  FROM qs CROSS JOIN tot)
+        |SELECT q_label,
+        |  round(CAST(min(cents) AS DOUBLE) / 100.0, 2) AS weighted_price
+        |FROM cum CROSS JOIN thr WHERE cum_w >= thr
+        |GROUP BY 1 ORDER BY q_label""".stripMargin,
+
+    "q189_zipf_slope" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(lower(text),
+        |      '[^a-z0-9]+')) AS tokn FROM documents),
+        |tc AS (SELECT tokn, CAST(count(*) AS BIGINT) AS freq FROM tok
+        |  WHERE tokn <> '' GROUP BY 1),
+        |rk AS (SELECT freq, CAST(row_number() OVER (
+        |    ORDER BY freq DESC, tokn) AS BIGINT) AS rank FROM tc),
+        |xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x,
+        |    ln(CAST(freq AS DOUBLE)) AS y FROM rk WHERE rank <= 1000),
+        |a AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n_tokens,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        |    AS zipf_slope,
+        |  round((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n,
+        |    6) AS intercept
+        |FROM a""".stripMargin,
 
     "q184_burst_days" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
