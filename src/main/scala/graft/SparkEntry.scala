@@ -2879,6 +2879,80 @@ object SparkEntry {
             6).as("intercept"))
     }),
 
+    "q190_ngram_novelty" -> ((s, dir) => {
+      // train/test 5-gram novelty — the generalization/memorization gauge:
+      // what fraction of the held-out half's distinct 5-grams never occur
+      // in the training half. Engine side ships ONLY 8-byte gram hashes
+      // (shuffle rows are (flag, hash)); the oracle rebuilds the same sets
+      // from the STRING grams — a cross-representation check.
+      val side = t(s, dir, "documents")
+        .select((col("doc_id") % 2 === 0).as("is_train"),
+          explode(graft.expressions.TextExpressions.ngramHashes(TF.normTokens(col("text")), 5)).as("g"))
+        .distinct()
+      side.groupBy(col("g"))
+        .agg(max(when(col("is_train"), 1L).otherwise(0L)).as("in_train"),
+          max(when(!col("is_train"), 1L).otherwise(0L)).as("in_test"))
+        .agg(sum(col("in_train")).as("n_train_grams"),
+          sum(col("in_test")).as("n_test_grams"),
+          sum(when(col("in_test") === 1 && col("in_train") === 0, 1L)
+            .otherwise(0L)).as("n_novel"))
+        .select(col("n_train_grams"), col("n_test_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_test_grams"), 6)
+            .as("novelty_rate"))
+    }),
+
+    "q191_template_coverage" -> ((s, dir) => {
+      // boilerplate/template detection: 5-grams shared by >=3 documents
+      // are "template" grams; a document's coverage is the share of its
+      // DISTINCT grams that are template. Only (doc_id, hash) rows
+      // shuffle; the df threshold is absolute (planted near-dup families
+      // hold it across scale factors, max df is fixture-bounded).
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.expressions.TextExpressions.ngramHashes(TF.normTokens(col("text")), 5)).as("g"))
+        .distinct()
+      val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val cov = grams.join(df, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_boiler"))
+        .withColumn("coverage",
+          col("n_boiler").cast("double") / col("n_grams"))
+      cov.agg(count(lit(1)).as("n_docs"),
+          sum(when(col("coverage") >= 0.5, 1L).otherwise(0L))
+            .as("n_flagged"),
+          round(sum(col("coverage")) / count(lit(1)), 6)
+            .as("avg_coverage"),
+          sum(col("n_boiler")).as("n_boiler_hits"))
+        .select(col("n_docs"), col("n_flagged"), col("n_boiler_hits"),
+          col("avg_coverage"))
+    }),
+
+    "q192_price_elasticity" -> ((s, dir) => {
+      // per-brand demand elasticity: closed-form least squares of
+      // ln(quantity) on ln(unit price) — the grouped log-log variant of
+      // the q166 trend machinery, ONE aggregate pass after the part join
+      // (broadcast: parts are dimension-sized).
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity").cast("double").as("q"),
+          (col("l_extendedprice") / col("l_quantity")).as("up"))
+        .filter(col("q") > 0 && col("up") > 0)
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), log(col("q")).as("y"),
+          log(col("up")).as("x"))
+      li.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("p_brand"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("elasticity"))
+        .orderBy(col("p_brand"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -4855,6 +4929,66 @@ object SparkEntry {
         |  round(exp(sum(ln(CAST(n_risk - d_events AS DOUBLE) /
         |    CAST(n_risk AS DOUBLE))) OVER (ORDER BY dur)), 6) AS survival
         |FROM ev ORDER BY duration_days""".stripMargin,
+
+    "q190_ngram_novelty" ->
+      s"""WITH norm AS (SELECT doc_id, $ntoksSql AS ntoks FROM documents),
+        |grams AS (SELECT doc_id % 2 = 0 AS is_train,
+        |    unnest(list_distinct(CASE WHEN len(ntoks) < 5 THEN []
+        |      ELSE list_transform(range(len(ntoks) - 4),
+        |        i -> ntoks[i+1] || ' ' || ntoks[i+2] || ' ' || ntoks[i+3]
+        |          || ' ' || ntoks[i+4] || ' ' || ntoks[i+5]) END)) AS g
+        |  FROM norm),
+        |side AS (SELECT DISTINCT is_train, g FROM grams),
+        |fl AS (SELECT g,
+        |    max(CASE WHEN is_train THEN 1 ELSE 0 END) AS in_train,
+        |    max(CASE WHEN NOT is_train THEN 1 ELSE 0 END) AS in_test
+        |  FROM side GROUP BY 1),
+        |a AS (SELECT CAST(sum(in_train) AS BIGINT) AS n_train_grams,
+        |    CAST(sum(in_test) AS BIGINT) AS n_test_grams,
+        |    CAST(sum(CASE WHEN in_test = 1 AND in_train = 0 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_novel
+        |  FROM fl)
+        |SELECT n_train_grams, n_test_grams, n_novel,
+        |  round(CAST(n_novel AS DOUBLE) / n_test_grams, 6) AS novelty_rate
+        |FROM a""".stripMargin,
+
+    "q191_template_coverage" ->
+      s"""WITH norm AS (SELECT doc_id, $ntoksSql AS ntoks FROM documents),
+        |grams AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(CASE WHEN len(ntoks) < 5 THEN []
+        |      ELSE list_transform(range(len(ntoks) - 4),
+        |        i -> ntoks[i+1] || ' ' || ntoks[i+2] || ' ' || ntoks[i+3]
+        |          || ' ' || ntoks[i+4] || ' ' || ntoks[i+5]) END)) AS g
+        |  FROM norm)),
+        |df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM grams
+        |  GROUP BY 1),
+        |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_boiler
+        |  FROM grams JOIN df USING (g) GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN CAST(n_boiler AS DOUBLE) / n_grams >= 0.5
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(sum(n_boiler) AS BIGINT) AS n_boiler_hits,
+        |  round(sum(CAST(n_boiler AS DOUBLE) / n_grams) / count(*), 6)
+        |    AS avg_coverage
+        |FROM cov""".stripMargin,
+
+    "q192_price_elasticity" ->
+      """WITH b AS (SELECT p_brand,
+        |    ln(CAST(l_quantity AS DOUBLE)) AS y,
+        |    ln(l_extendedprice / l_quantity) AS x
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_quantity > 0 AND l_extendedprice / l_quantity > 0),
+        |a AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx
+        |  FROM b GROUP BY 1)
+        |SELECT p_brand, n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        |    AS elasticity
+        |FROM a ORDER BY p_brand""".stripMargin,
 
     "q187_stickiness" ->
       """WITH ev AS (SELECT strftime(ts, '%Y-%m') AS month,
