@@ -2953,6 +2953,68 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    "q193_hhi_concentration" -> ((s, dir) => {
+      // market-concentration audit: Herfindahl index of supplier revenue
+      // share within each nation. Shares come from exact integer cents
+      // (two hash aggregates), so HHI is identical doubles on both
+      // engines; the nation dim broadcasts.
+      val bySupp = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100 + 0.5)).as("cents"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+      val byNation = bySupp.groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("cents")).as("tot"))
+      bySupp.join(broadcast(byNation), Seq("s_nationkey"))
+        .groupBy(col("s_nationkey"), col("n_suppliers"))
+        .agg(round(sum(pow(col("cents").cast("double") /
+          col("tot").cast("double"), 2.0)), 6).as("hhi"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("n_suppliers"), col("hhi"))
+        .orderBy(col("n_name"))
+    }),
+
+    "q194_interpurchase" -> ((s, dir) => {
+      // inter-purchase interval profile: per-customer consecutive-order
+      // gaps via a PARTITIONED lag window (key-bounded tasks), then exact
+      // global percentiles of the integer gap-days — the single counts
+      // buffer percentile, interpolation semantics shared by both
+      // engines (q44 precedent).
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"))
+        .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(datediff(col("o_orderdate"), col("prev")).cast("long")
+          .as("gap"))
+        .agg(count(lit(1)).as("n_gaps"),
+          expr("percentile(gap, array(0.25D, 0.5D, 0.75D))").as("ps"))
+        .select(col("n_gaps"),
+          round(element_at(col("ps"), 1), 4).as("p25"),
+          round(element_at(col("ps"), 2), 4).as("p50"),
+          round(element_at(col("ps"), 3), 4).as("p75"))
+    }),
+
+    "q195_cohort_ltv" -> ((s, dir) => {
+      // cohort lifetime value: customers grouped by first-order year,
+      // revenue in exact integer cents; two reductions, no windows.
+      val firstYr = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(year(min(col("o_orderdate"))).cast("long").as("cohort"),
+          sum(floor(col("o_totalprice") * 100 + 0.5)).as("cents"))
+      firstYr.groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("cents")).cast("double") / 100.0, 2)
+            .as("revenue"),
+          round(sum(col("cents")).cast("double") / 100.0 /
+            count(lit(1)), 2).as("ltv_per_customer"))
+        .orderBy(col("cohort"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -4929,6 +4991,47 @@ object SparkEntry {
         |  round(exp(sum(ln(CAST(n_risk - d_events AS DOUBLE) /
         |    CAST(n_risk AS DOUBLE))) OVER (ORDER BY dur)), 6) AS survival
         |FROM ev ORDER BY duration_days""".stripMargin,
+
+    "q193_hhi_concentration" ->
+      """WITH bys AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |sn AS (SELECT s_nationkey, cents FROM bys
+        |  JOIN supplier ON l_suppkey = s_suppkey),
+        |byn AS (SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |    CAST(sum(cents) AS BIGINT) AS tot FROM sn GROUP BY 1),
+        |h AS (SELECT sn.s_nationkey, byn.n_suppliers,
+        |    round(sum(pow(CAST(sn.cents AS DOUBLE) / CAST(byn.tot AS DOUBLE),
+        |      2)), 6) AS hhi
+        |  FROM sn JOIN byn USING (s_nationkey) GROUP BY 1, 2)
+        |SELECT n_name, n_suppliers, hhi FROM h
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin,
+
+    "q194_interpurchase" ->
+      """WITH g AS (SELECT CAST(date_diff('day',
+        |      lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate), o_orderdate) AS BIGINT) AS gap
+        |  FROM orders),
+        |k AS (SELECT gap FROM g WHERE gap IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+        |  round(quantile_cont(gap, 0.25), 4) AS p25,
+        |  round(quantile_cont(gap, 0.5), 4) AS p50,
+        |  round(quantile_cont(gap, 0.75), 4) AS p75
+        |FROM k""".stripMargin,
+
+    "q195_cohort_ltv" ->
+      """WITH f AS (SELECT o_custkey,
+        |    CAST(year(min(o_orderdate)) AS BIGINT) AS cohort,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers,
+        |  round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS revenue,
+        |  round(CAST(sum(cents) AS DOUBLE) / 100.0 / count(*), 2)
+        |    AS ltv_per_customer
+        |FROM f GROUP BY 1 ORDER BY cohort""".stripMargin,
 
     "q190_ngram_novelty" ->
       s"""WITH norm AS (SELECT doc_id, $ntoksSql AS ntoks FROM documents),
