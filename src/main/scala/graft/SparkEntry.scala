@@ -3015,6 +3015,86 @@ object SparkEntry {
         .orderBy(col("cohort"))
     }),
 
+    "q196_ship_lag" -> ((s, dir) => {
+      // fulfillment latency: order→ship lag in days per order priority —
+      // the fact-fact key join shuffles once on the order key, then the
+      // integer gap-days reduce per priority (count/avg/max + exact
+      // median via the shared-buffer percentile).
+      val lag0 = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+            .as("lag_days"))
+      lag0.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("lag_days")).cast("double") / count(lit(1)), 4)
+            .as("avg_lag"),
+          expr("percentile(lag_days, 0.5D)").as("med0"),
+          max(col("lag_days")).as("max_lag"))
+        .select(col("o_orderpriority"), col("n_lines"), col("avg_lag"),
+          round(col("med0"), 4).as("median_lag"), col("max_lag"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "q197_abc_analysis" -> ((s, dir) => {
+      // ABC inventory classification: parts ranked by revenue, class cut
+      // at 80% / 95% of CUMULATIVE revenue share — prefix sums in exact
+      // integer cents with the class decision as an integer
+      // cross-multiply (cum·100 vs threshold·total), no float compares.
+      val byPart = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100 + 0.5)).as("cents"))
+      val ranked = graft.ops.PrefixSum.globalRank(byPart,
+        Seq(-col("cents"), col("l_partkey")), "r")
+      val cum = graft.ops.PrefixSum.groupedRunningSum(
+        ranked.withColumn("__g", lit(1)), "__g", "r", col("cents"),
+        "cum_cents")
+      val tot = byPart.agg(sum(col("cents")).as("tot"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("abc_class",
+          when(col("cum_cents").cast("decimal(25,0)") * 100 <=
+              col("tot").cast("decimal(25,0)") * 80, "A")
+            .when(col("cum_cents").cast("decimal(25,0)") * 100 <=
+              col("tot").cast("decimal(25,0)") * 95, "B")
+            .otherwise("C"))
+        .groupBy(col("abc_class"))
+        .agg(count(lit(1)).as("n_parts"),
+          round(sum(col("cents")).cast("double") / 100.0, 2)
+            .as("revenue"))
+        .orderBy(col("abc_class"))
+    }),
+
+    "q198_return_rate" -> ((s, dir) => {
+      // per-brand return rate with a Wilson 95% interval — the
+      // skew-robust CI for proportions; everything derives from two
+      // integer counts per brand, so both engines compute identical
+      // doubles. Broadcast dim join, one reduction.
+      val z = 1.96
+      val base = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("x"))
+      val p = col("x").cast("double") / col("n")
+      val nD = col("n").cast("double")
+      val denom = lit(1.0) + lit(z * z) / nD
+      val center = p + lit(z * z) / (nD * 2)
+      val spread = sqrt(p * (lit(1.0) - p) / nD +
+        lit(z * z) / (nD * nD * 4)) * lit(z)
+      base.select(col("p_brand"), col("n"), col("x"),
+          round(p, 6).as("rate"),
+          round((center - spread) / denom, 6).as("wilson_lo"),
+          round((center + spread) / denom, 6).as("wilson_hi"))
+        .orderBy(col("p_brand"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -4991,6 +5071,56 @@ object SparkEntry {
         |  round(exp(sum(ln(CAST(n_risk - d_events AS DOUBLE) /
         |    CAST(n_risk AS DOUBLE))) OVER (ORDER BY dur)), 6) AS survival
         |FROM ev ORDER BY duration_days""".stripMargin,
+
+    "q196_ship_lag" ->
+      """WITH g AS (SELECT o_orderpriority,
+        |    CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)
+        |      AS lag_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        |  round(CAST(sum(lag_days) AS DOUBLE) / count(*), 4) AS avg_lag,
+        |  round(quantile_cont(lag_days, 0.5), 4) AS median_lag,
+        |  CAST(max(lag_days) AS BIGINT) AS max_lag
+        |FROM g GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "q197_abc_analysis" ->
+      """WITH byp AS (SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |rk AS (SELECT cents, CAST(row_number() OVER (
+        |    ORDER BY cents DESC, l_partkey) AS BIGINT) AS r FROM byp),
+        |cum AS (SELECT cents, CAST(sum(cents) OVER (ORDER BY r) AS BIGINT)
+        |    AS cum_cents FROM rk),
+        |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM byp),
+        |cl AS (SELECT cents,
+        |    CASE WHEN CAST(cum_cents AS HUGEINT) * 100 <=
+        |        CAST(tot AS HUGEINT) * 80 THEN 'A'
+        |      WHEN CAST(cum_cents AS HUGEINT) * 100 <=
+        |        CAST(tot AS HUGEINT) * 95 THEN 'B'
+        |      ELSE 'C' END AS abc_class
+        |  FROM cum CROSS JOIN tot)
+        |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+        |  round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS revenue
+        |FROM cl GROUP BY 1 ORDER BY abc_class""".stripMargin,
+
+    "q198_return_rate" ->
+      """WITH b AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1)
+        |SELECT p_brand, n, x,
+        |  round(CAST(x AS DOUBLE) / n, 6) AS rate,
+        |  round(((CAST(x AS DOUBLE) / n + 1.96 * 1.96 / (2 * n)) -
+        |    1.96 * sqrt((CAST(x AS DOUBLE) / n) * (1 - CAST(x AS DOUBLE) / n)
+        |      / n + 1.96 * 1.96 / (4.0 * n * n))) /
+        |    (1 + 1.96 * 1.96 / n), 6) AS wilson_lo,
+        |  round(((CAST(x AS DOUBLE) / n + 1.96 * 1.96 / (2 * n)) +
+        |    1.96 * sqrt((CAST(x AS DOUBLE) / n) * (1 - CAST(x AS DOUBLE) / n)
+        |      / n + 1.96 * 1.96 / (4.0 * n * n))) /
+        |    (1 + 1.96 * 1.96 / n), 6) AS wilson_hi
+        |FROM b ORDER BY p_brand""".stripMargin,
 
     "q193_hhi_concentration" ->
       """WITH bys AS (SELECT l_suppkey,
