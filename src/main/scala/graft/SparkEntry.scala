@@ -3095,6 +3095,52 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    "q199_dup_families" -> ((s, dir) => {
+      // exact-duplicate family-size histogram: family = identical text,
+      // histogram = families per size — the SHAPE of duplication, not
+      // just the rate (q50 reports the rate). Two hash aggregates; at
+      // scale the first keys on the 8-byte fingerprint (q19 machinery)
+      // instead of the full text — the string key here keeps the oracle
+      // byte-exact.
+      t(s, dir, "documents")
+        .groupBy(col("text")).agg(count(lit(1)).as("family_size"))
+        .groupBy(col("family_size"))
+        .agg(count(lit(1)).as("n_families"))
+        .select(col("family_size"), col("n_families"),
+          (col("family_size") * col("n_families")).as("n_docs"))
+        .orderBy(col("family_size"))
+    }),
+
+    "q200_filter_funnel" -> ((s, dir) => {
+      // the training-data cleaning funnel: cumulative survivors after
+      // each gate (length band → language → quality → exact dedup) in
+      // ONE aggregate pass over the scored corpus — conditional sums
+      // plus a distinct-on-survivors count, then stack() to rows. The
+      // per-rule drop report is the pipeline-ops view of q50's composed
+      // gate.
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", TF.tokenCount(col("text")).cast("long"))
+        .withColumn("lang_pred", TF.langIdHeuristic(col("text")))
+        .withColumn("quality", TF.qualityScore(col("text")))
+      val c1 = col("n_tokens").between(10, 10000)
+      val c2 = c1 && col("lang_pred") === "en"
+      val c3 = c2 && col("quality") >= 0.5
+      docs.agg(count(lit(1)).as("n0"),
+          sum(when(c1, 1L).otherwise(0L)).as("s1"),
+          sum(when(c2, 1L).otherwise(0L)).as("s2"),
+          sum(when(c3, 1L).otherwise(0L)).as("s3"),
+          countDistinct(when(c3, col("text"))).as("s4"))
+        .select(expr(
+          """stack(5,
+            |  0L, 'all', n0, 0L,
+            |  1L, 'length_band', s1, n0 - s1,
+            |  2L, 'lang_en', s2, s1 - s2,
+            |  3L, 'quality', s3, s2 - s3,
+            |  4L, 'exact_dedup', s4, s3 - s4)
+            |  AS (stage, rule, n_surviving, n_dropped)""".stripMargin))
+        .orderBy(col("stage"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -5071,6 +5117,64 @@ object SparkEntry {
         |  round(exp(sum(ln(CAST(n_risk - d_events AS DOUBLE) /
         |    CAST(n_risk AS DOUBLE))) OVER (ORDER BY dur)), 6) AS survival
         |FROM ev ORDER BY duration_days""".stripMargin,
+
+    "q199_dup_families" ->
+      """WITH fam AS (SELECT text, CAST(count(*) AS BIGINT) AS family_size
+        |  FROM documents GROUP BY text)
+        |SELECT family_size, CAST(count(*) AS BIGINT) AS n_families,
+        |  CAST(family_size * count(*) AS BIGINT) AS n_docs
+        |FROM fam GROUP BY 1 ORDER BY family_size""".stripMargin,
+
+    "q200_filter_funnel" -> {
+      val scores = TF.LangMarkers.map { case (lang, markers) =>
+        s"len(list_filter(ntoks, x -> list_contains(${sqlList(markers)}, x))) AS s_$lang"
+      }.mkString(",\n    ")
+      val langs = TF.LangMarkers.map(_._1)
+      val mx    = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN s_$l = mm THEN '$l'").mkString(" ")
+      s"""WITH b AS (SELECT doc_id, text, $toksSql AS toks,
+         |    $ntoksSql AS ntoks FROM documents),
+         |m0 AS (SELECT doc_id, text,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) * 1.0 / length(text) END AS pr,
+         |    CASE WHEN len(ntoks) = 0 THEN 0.0
+         |         ELSE len(list_filter(ntoks, x -> list_contains(${sqlList(TF.StopwordsEn)}, x))) * 1.0 / len(ntoks) END AS sw,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |         ELSE list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks) END AS mtl,
+         |    length(text) AS n, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    $scores
+         |  FROM b),
+         |m1 AS (SELECT doc_id, text, n_tokens,
+         |    least(sw * 4.0, 1.0) * 0.4 + greatest(1.0 - pr * 4.0, 0.0) * 0.3
+         |      + (CASE WHEN n BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.25 END) * 0.15
+         |      + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.25 END) * 0.15 AS quality,
+         |    $mx AS mm, ${langs.map(l => s"s_$l").mkString(", ")}
+         |  FROM m0),
+         |m2 AS (SELECT doc_id, text, n_tokens, quality,
+         |    CASE WHEN mm = 0 THEN 'und' $cases END AS lang_pred
+         |  FROM m1),
+         |fl AS (SELECT text,
+         |    n_tokens BETWEEN 10 AND 10000 AS c1,
+         |    n_tokens BETWEEN 10 AND 10000 AND lang_pred = 'en' AS c2,
+         |    n_tokens BETWEEN 10 AND 10000 AND lang_pred = 'en'
+         |      AND quality >= 0.5 AS c3
+         |  FROM m2),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+         |    CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         |    CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         |    CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         |    CAST(count(DISTINCT CASE WHEN c3 THEN text END) AS BIGINT)
+         |      AS s4
+         |  FROM fl)
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS stage, 'all' AS rule,
+         |    n0 AS n_surviving, CAST(0 AS BIGINT) AS n_dropped FROM a
+         |  UNION ALL SELECT 1, 'length_band', s1, n0 - s1 FROM a
+         |  UNION ALL SELECT 2, 'lang_en', s2, s1 - s2 FROM a
+         |  UNION ALL SELECT 3, 'quality', s3, s2 - s3 FROM a
+         |  UNION ALL SELECT 4, 'exact_dedup', s4, s3 - s4 FROM a)
+         |ORDER BY stage""".stripMargin
+    },
 
     "q196_ship_lag" ->
       """WITH g AS (SELECT o_orderpriority,
