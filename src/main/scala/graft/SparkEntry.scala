@@ -3141,6 +3141,174 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    "q201_rep_aware_sample" -> ((s, dir) => {
+      // repetition-aware downsampling: each exact-duplicate family keeps
+      // ceil(sqrt(size)) members — the soft-dedup recipe between "keep
+      // everything" and q19's "keep one", damping over-represented
+      // boilerplate while preserving that it WAS repeated. Survivors are
+      // chosen by the portable keyHash draw, so the same docs survive on
+      // any engine or cluster layout. The testdata corpus is all-distinct,
+      // so duplicate families are planted deterministically (keyHash-selected
+      // docs copied under shifted ids: sizes 1, 3 and 6); one window shuffle
+      // keyed on the family — the 8-byte fingerprint at scale, the string
+      // key here keeps the oracle byte-exact.
+      val d  = t(s, dir, "documents").select(col("doc_id"), col("text"), col("n_chars"))
+      val h  = pmod(graft.ops.Sampling.keyHash(col("doc_id")), lit(10L))
+      def cp(off: Long, cap: Long) = d.filter(h < cap)
+        .select((col("doc_id") + off).as("doc_id"), col("text"), col("n_chars"))
+      val corpus = d.union(cp(300000L, 4L)).union(cp(400000L, 4L))
+        .union(cp(500000L, 2L)).union(cp(600000L, 2L)).union(cp(700000L, 2L))
+      val w  = Window.partitionBy(col("text"))
+      val wr = w.orderBy(graft.ops.Sampling.keyHash(col("doc_id")), col("doc_id"))
+      corpus
+        .withColumn("fs", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(wr).cast("long"))
+        .withColumn("keep",
+          col("rn") <= ceil(sqrt(col("fs").cast("double"))).cast("long"))
+        .groupBy(col("text"), col("fs"))
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
+          sum(when(col("keep"), col("n_chars"))).as("ck"),
+          sum(col("n_chars")).as("ca"))
+        .groupBy(col("fs").as("family_size"))
+        .agg(count(lit(1)).as("n_families"),
+          sum(col("fs")).as("n_docs"),
+          sum(col("kept")).as("kept_docs"),
+          sum(col("ck")).as("chars_kept"),
+          sum(col("ca")).as("chars_total"))
+        .orderBy(col("family_size"))
+    }),
+
+    "q202_woe_iv" -> ((s, dir) => {
+      // weight-of-evidence / information-value feature screening against
+      // the return-flag label — the classic scorecard gauge of which
+      // features separate returned from kept lines. One stacked pass,
+      // one (feature, bin) shuffle of counts only; per-feature totals and
+      // the IV sum ride a window over the bounded post-aggregate bin table
+      // (<= ~30 rows regardless of input scale). Smoothing +0.5 per bin
+      // keeps ln finite on empty cells; woe/iv rounded at 6 dp (cross-
+      // engine ln parity holds there on these integer-derived shares).
+      val binned = t(s, dir, "lineitem").select(
+        (col("l_returnflag") === "R").as("bad"),
+        expr("""stack(4,
+          |  'quantity_band', concat('q', cast(floor((l_quantity - 1) / 10.0) as string)),
+          |  'discount_pct',  concat('d', cast(floor(l_discount * 100 + 0.5) as string)),
+          |  'tax_pct',       concat('t', cast(floor(l_tax * 100 + 0.5) as string)),
+          |  'price_band',    concat('p', cast(least(floor(l_extendedprice / 20000.0), 4L) as string)))
+          |  AS (feature, bin)""".stripMargin))
+      val w = Window.partitionBy(col("feature"))
+      binned.groupBy(col("feature"), col("bin"))
+        .agg(sum(when(!col("bad"), 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("bad"), 1L).otherwise(0L)).as("n_bad"))
+        .withColumn("gs", (col("n_good") + lit(0.5)) / sum(col("n_good")).over(w))
+        .withColumn("bs", (col("n_bad") + lit(0.5)) / sum(col("n_bad")).over(w))
+        .withColumn("woe_raw", log(col("gs") / col("bs")))
+        .withColumn("iv",
+          round(sum((col("gs") - col("bs")) * col("woe_raw")).over(w), 6))
+        .select(col("feature"), col("bin"), col("n_good"), col("n_bad"),
+          round(col("woe_raw"), 6).as("woe"), col("iv"))
+        .orderBy(col("feature"), col("bin"))
+    }),
+
+    "q203_attribution" -> ((s, dir) => {
+      // multi-touch marketing attribution: every purchase credits the
+      // non-purchase events ("touches") of the same user in the 7 days up
+      // to it — first-touch and last-touch as whole conversions, linear as
+      // 1/n split across the path. The conversion-touch pair join is an
+      // equi-join on user_id with a range predicate (per-user pair count is
+      // bounded by activity, not corpus size); path positions come from
+      // windows keyed on the conversion id. Time arithmetic in exact
+      // microseconds on both engines.
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("cid"), col("user_id").as("cu"),
+          col("us").as("cus"))
+      val touch = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id").as("tu"), col("event_id").as("tid"),
+          col("event_type").as("channel"), col("us").as("tus"))
+      val w = Window.partitionBy(col("cid"))
+      conv.join(touch, col("cu") === col("tu") &&
+          col("tus") <= col("cus") &&
+          col("tus") > col("cus") - lit(604800000000L))
+        .withColumn("rna", row_number().over(w.orderBy(col("tus"), col("tid"))))
+        .withColumn("rnd", row_number().over(
+          w.orderBy(col("tus").desc, col("tid").desc)))
+        .withColumn("nt", count(lit(1)).over(w))
+        .groupBy(col("channel"))
+        .agg(sum(when(col("rna") === 1, 1L).otherwise(0L)).as("first_touch"),
+          sum(when(col("rnd") === 1, 1L).otherwise(0L)).as("last_touch"),
+          round(sum(lit(1.0) / col("nt")), 4).as("linear_credit"),
+          count(lit(1)).as("n_touches"))
+        .orderBy(col("channel"))
+    }),
+
+    "q204_kcore" -> ((s, dir) => {
+      // 2-core peeling trajectory of the item-transition graph (q134's
+      // edge construction, symmetrized): how much of the graph is load-
+      // bearing structure vs fringe chains — the degeneracy audit dense-
+      // subgraph miners start from. Six fixed peel rounds, each one degree
+      // aggregate + two semi-joins on 8-byte ids, checkpoint-truncated;
+      // the oracle replays the rounds unrolled as plain SQL.
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val edges = ev.withColumn("src", lag(col("item"), 1).over(byUser))
+        .filter(col("src").isNotNull && col("item").isNotNull &&
+          col("src") =!= col("item"))
+        .select(col("src"), col("item").as("dst"))
+      graft.ops.Graph.kCorePeel(edges, k = 2, nRounds = 6)
+        .withColumn("converged", col("converged").cast("long"))
+    }),
+
+    "q205_bfs_hops" -> ((s, dir) => {
+      // BFS hop-distance histogram from the smallest item over the same
+      // undirected item graph — 8 rounds of integer min-plus relaxation
+      // (Bellman-Ford with unit weights): how tightly the item space is
+      // connected, and the reachable-radius profile. State is |V| 16-byte
+      // rows, one state-edge join per round.
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val edges = ev.withColumn("src", lag(col("item"), 1).over(byUser))
+        .filter(col("src").isNotNull && col("item").isNotNull &&
+          col("src") =!= col("item"))
+        .select(col("src"), col("item").as("dst"))
+      graft.ops.Graph.bfsDistances(edges, nRounds = 8)
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("dist"))
+    }),
+
+    "q206_peak_concurrency" -> ((s, dir) => {
+      // sweep-line peak concurrency: each event opens a 60-second activity
+      // interval; per day, the maximum number of simultaneously open
+      // intervals. Interval ends sort before starts at the same instant
+      // (half-open semantics) via the key encoding t*2+{0 end,1 start};
+      // the global running sum is the two-phase PrefixSum — NO single-
+      // partition window anywhere, every task bounded by the range-
+      // partition size. The classic ops capacity gauge.
+      val ev = events(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      val sweep = ev.select((col("us") * 2 + 1).as("key"), lit(1L).as("delta"))
+        .unionByName(ev.select(((col("us") + 60000000L) * 2).as("key"),
+          lit(-1L).as("delta")))
+      val perKey = sweep.groupBy(col("key"))
+        .agg(sum(col("delta")).as("d"),
+          sum(when(col("delta") > 0, 1L).otherwise(0L)).as("starts"))
+        .withColumn("g", lit(1))
+      PrefixSum.groupedRunningSum(perKey, "g", "key", col("d"), "run")
+        .withColumn("day",
+          date_format(timestamp_micros(expr("key div 2")), "yyyy-MM-dd"))
+        .groupBy(col("day"))
+        .agg(max(col("run")).as("peak"), sum(col("starts")).as("n_starts"))
+        .orderBy(col("day"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -6839,6 +7007,164 @@ object SparkEntry {
         |  coalesce(l_linestatus, 'ALL') AS l_linestatus, count(*) AS n
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
-        |ORDER BY coalesce(l_returnflag, 'ALL'), coalesce(l_linestatus, 'ALL')""".stripMargin
+        |ORDER BY coalesce(l_returnflag, 'ALL'), coalesce(l_linestatus, 'ALL')""".stripMargin,
+
+    "q201_rep_aware_sample" -> {
+      val kh = graft.ops.Sampling.keyHashSql("doc_id")
+      s"""WITH base AS (SELECT doc_id, text, n_chars FROM documents),
+         |hsel AS (SELECT doc_id, text, n_chars, ($kh) % 10 AS h FROM base),
+         |corpus AS (
+         |  SELECT doc_id, text, n_chars FROM base
+         |  UNION ALL SELECT doc_id + 300000, text, n_chars FROM hsel WHERE h < 4
+         |  UNION ALL SELECT doc_id + 400000, text, n_chars FROM hsel WHERE h < 4
+         |  UNION ALL SELECT doc_id + 500000, text, n_chars FROM hsel WHERE h < 2
+         |  UNION ALL SELECT doc_id + 600000, text, n_chars FROM hsel WHERE h < 2
+         |  UNION ALL SELECT doc_id + 700000, text, n_chars FROM hsel WHERE h < 2),
+         |r AS (SELECT text, n_chars,
+         |    CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS fs,
+         |    CAST(row_number() OVER (PARTITION BY text
+         |      ORDER BY ($kh), doc_id) AS BIGINT) AS rn
+         |  FROM corpus),
+         |k AS (SELECT text, fs, n_chars,
+         |    CASE WHEN rn <= CAST(ceil(sqrt(CAST(fs AS DOUBLE))) AS BIGINT)
+         |      THEN 1 ELSE 0 END AS keep
+         |  FROM r),
+         |fam AS (SELECT text, fs,
+         |    CAST(sum(keep) AS BIGINT) AS kept,
+         |    CAST(sum(CASE WHEN keep = 1 THEN n_chars END) AS BIGINT) AS ck,
+         |    CAST(sum(n_chars) AS BIGINT) AS ca
+         |  FROM k GROUP BY 1, 2)
+         |SELECT fs AS family_size, CAST(count(*) AS BIGINT) AS n_families,
+         |  CAST(sum(fs) AS BIGINT) AS n_docs,
+         |  CAST(sum(kept) AS BIGINT) AS kept_docs,
+         |  CAST(sum(ck) AS BIGINT) AS chars_kept,
+         |  CAST(sum(ca) AS BIGINT) AS chars_total
+         |FROM fam GROUP BY fs ORDER BY family_size""".stripMargin
+    },
+
+    "q202_woe_iv" -> {
+      val bad = "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"
+      s"""WITH raw AS (
+         |  SELECT 'quantity_band' AS feature,
+         |    'q' || CAST(CAST(floor((l_quantity - 1) / 10.0) AS BIGINT) AS VARCHAR) AS bin,
+         |    $bad AS bad FROM lineitem
+         |  UNION ALL SELECT 'discount_pct',
+         |    'd' || CAST(CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS VARCHAR),
+         |    $bad FROM lineitem
+         |  UNION ALL SELECT 'tax_pct',
+         |    't' || CAST(CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS VARCHAR),
+         |    $bad FROM lineitem
+         |  UNION ALL SELECT 'price_band',
+         |    'p' || CAST(CAST(least(floor(l_extendedprice / 20000.0), 4) AS BIGINT) AS VARCHAR),
+         |    $bad FROM lineitem),
+         |c AS (SELECT feature, bin,
+         |    CAST(sum(1 - bad) AS BIGINT) AS n_good,
+         |    CAST(sum(bad) AS BIGINT) AS n_bad
+         |  FROM raw GROUP BY 1, 2),
+         |sh AS (SELECT feature, bin, n_good, n_bad,
+         |    (CAST(n_good AS DOUBLE) + 0.5) /
+         |      CAST(sum(n_good) OVER (PARTITION BY feature) AS DOUBLE) AS gs,
+         |    (CAST(n_bad AS DOUBLE) + 0.5) /
+         |      CAST(sum(n_bad) OVER (PARTITION BY feature) AS DOUBLE) AS bs
+         |  FROM c),
+         |y AS (SELECT feature, bin, n_good, n_bad, gs, bs, ln(gs / bs) AS woe_raw
+         |  FROM sh)
+         |SELECT feature, bin, n_good, n_bad, round(woe_raw, 6) AS woe,
+         |  round(sum((gs - bs) * woe_raw) OVER (PARTITION BY feature), 6) AS iv
+         |FROM y ORDER BY feature, bin""".stripMargin
+    },
+
+    "q203_attribution" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |c AS (SELECT event_id AS cid, user_id AS cu, us AS cus FROM ev
+        |  WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id AS tu, event_id AS tid, event_type AS channel,
+        |    us AS tus FROM ev WHERE event_type <> 'purchase'),
+        |p AS (SELECT cid, channel, tid, tus FROM c JOIN tch ON cu = tu
+        |  AND tus <= cus AND tus > cus - 604800000000),
+        |r AS (SELECT channel,
+        |    row_number() OVER (PARTITION BY cid ORDER BY tus, tid) AS rna,
+        |    row_number() OVER (PARTITION BY cid ORDER BY tus DESC, tid DESC) AS rnd,
+        |    count(*) OVER (PARTITION BY cid) AS nt
+        |  FROM p)
+        |SELECT channel,
+        |  CAST(sum(CASE WHEN rna = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch,
+        |  CAST(sum(CASE WHEN rnd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch,
+        |  round(sum(CAST(1.0 AS DOUBLE) / nt), 4) AS linear_credit,
+        |  CAST(count(*) AS BIGINT) AS n_touches
+        |FROM r GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    "q204_kcore" -> {
+      // the engine's six peel rounds, unrolled: round i keeps edges whose
+      // both endpoints had degree >= 2 in round i-1's edge set
+      val rounds = (1 to 6).map { i =>
+        s"""dg$i AS MATERIALIZED (SELECT v, count(*) AS d FROM (
+           |    SELECT src AS v FROM e${i - 1} UNION ALL SELECT dst FROM e${i - 1})
+           |  GROUP BY 1),
+           |kp$i AS MATERIALIZED (SELECT v FROM dg$i WHERE d >= 2),
+           |e$i AS MATERIALIZED (SELECT src, dst FROM e${i - 1}
+           |  WHERE src IN (SELECT v FROM kp$i) AND dst IN (SELECT v FROM kp$i))""".stripMargin
+      }.mkString(",\n")
+      val sums = (0 to 6).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS round,
+           |    (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM (
+           |       SELECT src AS v FROM e$i UNION ALL SELECT dst FROM e$i)) AS n_vertices,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM e$i) AS n_edges""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH ev AS (SELECT user_id, event_id, ts,
+         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),
+         |tr AS (SELECT item,
+         |    lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+         |  FROM ev),
+         |e0 AS MATERIALIZED (SELECT DISTINCT least(src, item) AS src, greatest(src, item) AS dst
+         |  FROM tr WHERE src IS NOT NULL AND item IS NOT NULL AND src <> item),
+         |$rounds,
+         |traj AS ($sums)
+         |SELECT round, n_vertices, n_edges,
+         |  CAST(CASE WHEN round > 0 AND n_edges = lag(n_edges) OVER (ORDER BY round)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS converged
+         |FROM traj ORDER BY round""".stripMargin
+    },
+
+    "q205_bfs_hops" -> {
+      // eight min-plus relaxation rounds, unrolled over the symmetrized
+      // distinct edge list; source = smallest vertex id
+      val rounds = (1 to 8).map { i =>
+        s"""s$i AS MATERIALIZED (SELECT n, CAST(min(dist) AS BIGINT) AS dist FROM (
+           |    SELECT n, dist FROM s${i - 1}
+           |    UNION ALL SELECT e.dst AS n, st.dist + 1 AS dist
+           |      FROM s${i - 1} st JOIN eu e ON e.src = st.n)
+           |  GROUP BY n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (SELECT user_id, event_id, ts,
+         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),
+         |tr AS (SELECT item,
+         |    lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+         |  FROM ev),
+         |ed AS MATERIALIZED (SELECT src, item AS dst FROM tr
+         |  WHERE src IS NOT NULL AND item IS NOT NULL AND src <> item),
+         |eu AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM ed
+         |    UNION ALL SELECT dst AS src, src AS dst FROM ed)),
+         |s0 AS (SELECT (SELECT min(src) FROM eu) AS n, CAST(0 AS BIGINT) AS dist),
+         |$rounds
+         |SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM s8 GROUP BY dist ORDER BY dist""".stripMargin
+    },
+
+    "q206_peak_concurrency" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+        |sw AS (SELECT us * 2 + 1 AS key, 1 AS delta FROM ev
+        |  UNION ALL SELECT (us + 60000000) * 2, -1 FROM ev),
+        |k AS (SELECT key, CAST(sum(delta) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS starts
+        |  FROM sw GROUP BY 1),
+        |r AS (SELECT key, starts,
+        |    CAST(sum(d) OVER (ORDER BY key) AS BIGINT) AS run FROM k)
+        |SELECT strftime(make_timestamp(key // 2), '%Y-%m-%d') AS day,
+        |  CAST(max(run) AS BIGINT) AS peak,
+        |  CAST(sum(starts) AS BIGINT) AS n_starts
+        |FROM r GROUP BY 1 ORDER BY day""".stripMargin
   )
 }
