@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph ranking over an edge list — the link-analysis companion
@@ -218,5 +219,100 @@ object Graph {
       .join(oriented.select(col("lo").as("u"), col("hi").as("w")), Seq("u", "w"))
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Bounded-round k-core peeling: repeatedly delete vertices of degree
+    * < k (with their edges) for exactly `nRounds` rounds and report the
+    * per-round (n_vertices, n_edges) trajectory — the standard "how much
+    * of this graph is load-bearing vs fringe" audit, and the degeneracy
+    * preprocessing step dense-subgraph miners start from. Fixed rounds
+    * keep the output deterministic and oracle-replayable (an unrolled
+    * round is plain SQL); a `converged` flag on each row records whether
+    * the edge set had already stabilized, so callers see when the true
+    * k-core was reached within the budget.
+    *
+    * Scale shape: each round is one degree aggregation (partial+final on
+    * the 8-byte vertex id) and two semi-joins of the edge list against the
+    * surviving-vertex set — shuffle rows never exceed |E| 16-byte pairs,
+    * and the plan is checkpoint-truncated per round exactly like
+    * [[pageRank]]. Vertices are defined as edge endpoints (isolated
+    * vertices carry no edges and leave the trajectory unaffected).
+    *
+    * `edges` columns (src, dst), treated as undirected; canonicalized and
+    * deduplicated internally. Returns (round, n_vertices, n_edges,
+    * converged) for round = 0 (input) .. nRounds.
+    */
+  def kCorePeel(edges: DataFrame, k: Int, nRounds: Int): DataFrame = {
+    require(k >= 1 && nRounds >= 1)
+    def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    var cur = ckpt(edges
+      .select(least(col(edges.columns(0)), col(edges.columns(1))).as("src"),
+        greatest(col(edges.columns(0)), col(edges.columns(1))).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    def summary(round: Int, e: DataFrame): DataFrame = e
+      .select(explode(array(col("src"), col("dst"))).as("v"),
+        lit(1L).as("half"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_edges"),
+        countDistinct(col("v")).as("n_vertices"))
+      .select(lit(round.toLong).as("round"), col("n_vertices"), col("n_edges"))
+    var out = summary(0, cur)
+    var prevEdges = -1L
+    var round = 1
+    while (round <= nRounds) {
+      val deg = cur
+        .select(explode(array(col("src"), col("dst"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("v"))
+      cur = ckpt(cur
+        .join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")))
+      out = out.unionByName(summary(round, cur))
+      round += 1
+    }
+    // converged = this round's edge count equals the previous round's —
+    // a lag over the (nRounds+1)-row trajectory, not a per-round action
+    val w = Window.orderBy(col("round"))
+    out.withColumn("converged",
+        col("round") > 0 && col("n_edges") === lag(col("n_edges"), 1).over(w))
+      .orderBy(col("round"))
+  }
+
+  /** Unweighted single-source shortest paths (BFS hop distances) by
+    * `nRounds` of min-plus relaxation over the undirected edge list —
+    * Bellman-Ford with unit weights, in exact integer arithmetic. The
+    * source is the smallest vertex id (a deterministic, data-derived
+    * choice an oracle can replay). Returns one row per reached vertex:
+    * (node, dist); vertices not reached within the budget are absent
+    * (graphs of diameter <= nRounds get the exact BFS tree).
+    *
+    * Scale shape: the distance state is |V| 16-byte rows; each round is
+    * one equi-join of state against edges (shuffle on the 8-byte id) and
+    * one partial+final min — the same regime as [[pageRank]] rounds, plan
+    * checkpointed per round. Monotone (distances only decrease), so
+    * convergence within the budget is exact, not approximate.
+    */
+  def bfsDistances(edges: DataFrame, nRounds: Int): DataFrame = {
+    require(nRounds >= 1)
+    def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    val e = edges
+      .select(col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val sym = ckpt(e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct())
+    val srcId = sym.agg(min(col("src")).as("s"))
+    var dist = ckpt(sym.select(col("src").as("node")).distinct()
+      .crossJoin(broadcast(srcId))
+      .filter(col("node") === col("s"))
+      .select(col("node"), lit(0L).as("dist")))
+    var round = 0
+    while (round < nRounds) {
+      val relaxed = sym.join(dist.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      dist = ckpt(dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist")))
+      round += 1
+    }
+    dist
   }
 }

@@ -119,4 +119,43 @@ class GraphSpec extends AnyFunSuite {
     assert(out.length == 1 && out.head.getString(1) == "x" &&
       out.head.getLong(2) == 0L)
   }
+
+  test("kCorePeel: path endpoints peel one per side per round; cycle is stable") {
+    // path 1-2-3-4-5-6 at k=2: each round strips the two current endpoints
+    // (degree 1); 6 vertices/5 edges -> 4/3 -> 2/1 -> 0/0, converged after
+    val path = (1L to 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val rows = Graph.kCorePeel(path, k = 2, nRounds = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(rows(0L) == ((6L, 5L, false)))
+    assert(rows(1L) == ((4L, 3L, false)))
+    assert(rows(2L) == ((2L, 1L, false)))
+    assert(rows(3L) == ((0L, 0L, false)))
+    assert(rows(4L) == ((0L, 0L, true)))
+    // 4-cycle: every vertex has degree 2, nothing peels, converged at once
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val c = Graph.kCorePeel(cyc, k = 2, nRounds = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(c(0L) == ((4L, 4L, false)) && c(1L) == ((4L, 4L, true)) &&
+      c(2L) == ((4L, 4L, true)))
+  }
+
+  test("bfsDistances: exact hop counts on a path, min source, budget bound") {
+    // path 10-11-...-16, source = min id 10: dist = node - 10
+    val path = (10L to 15L).map(i => (i, i + 1)).toDF("src", "dst")
+    val d = Graph.bfsDistances(path, nRounds = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == (10L to 16L).map(i => i -> (i - 10L)).toMap)
+    // budget 2: only nodes within 2 hops are present (monotone frontier)
+    val d2 = Graph.bfsDistances(path, nRounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2 == Map(10L -> 0L, 11L -> 1L, 12L -> 2L))
+    // disconnected component never appears
+    val two = ((10L to 15L).map(i => (i, i + 1)) ++ Seq((100L, 101L)))
+      .toDF("src", "dst")
+    val d3 = Graph.bfsDistances(two, nRounds = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!d3.contains(100L) && !d3.contains(101L) && d3(16L) == 6L)
+  }
 }
