@@ -3309,6 +3309,125 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    "q207_ewma_forecast" -> ((s, dir) => {
+      // exponential-smoothing forecast backtest: per event type, predict
+      // each day's total value from the previous 20 calendar days with
+      // truncated-EWMA weights (1-a)^age (a=0.3, weights renormalized over
+      // the observed window) and score MAE against the naive carry-forward
+      // of the last observed day. The window join is bounded (<= 20 prior
+      // rows per scored day) and keyed on (type, day) — per-key state never
+      // grows with corpus size. The standard "is my smoother better than
+      // persistence" capacity-planning gauge.
+      val daily = events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day_num"))
+        .agg(sum(col("value")).as("v"))
+      val byType = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
+      val scored = daily
+        .withColumn("naive", lag(col("v"), 1).over(byType))
+        .filter(col("naive").isNotNull)
+        .select(col("event_type"), col("day_num").as("d"),
+          col("v").as("actual"), col("naive"))
+      val prior = daily.select(col("event_type"), col("day_num").as("i"),
+        col("v").as("xi"))
+      // explode the 20-day lookback into (type, i) equi-join keys: the join
+      // is linear (20 rows per scored day), not a per-type day x day cross
+      scored.withColumn("i", explode(expr("sequence(d - 20, d - 1)")))
+        .join(prior, Seq("event_type", "i"))
+        .withColumn("w", pow(lit(0.7), (col("d") - 1 - col("i")).cast("double")))
+        .groupBy(col("event_type"), col("d"), col("actual"), col("naive"))
+        .agg((sum(col("w") * col("xi")) / sum(col("w"))).as("f"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          round(avg(abs(col("f") - col("actual"))), 4).as("mae_ewma"),
+          round(avg(abs(col("naive") - col("actual"))), 4).as("mae_naive"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q208_golden_record" -> ((s, dir) => {
+      // MDM survivorship: the same customer arrives from three source
+      // systems with conflicting/missing fields (variants planted
+      // deterministically by keyHash — sys2 updates address but loses
+      // phone/balance, sys3 updates phone/balance but loses address);
+      // the golden record takes, per FIELD, the newest non-null value
+      // (first_value IGNORE NULLS over sys DESC, full-partition frame)
+      // plus per-field provenance. One window shuffle on the entity key;
+      // output bounded to a deterministic 1-in-20 key sample.
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_phone"), col("c_address"),
+          col("c_acctbal"))
+      val h = pmod(graft.ops.Sampling.keyHash(col("c_custkey")), lit(10L))
+      val v1 = base.select(col("c_custkey"), lit(1L).as("sys"),
+        col("c_phone"), col("c_address"), col("c_acctbal"))
+      val v2 = base.filter(h < 5).select(col("c_custkey"), lit(2L).as("sys"),
+        lit(null).cast("string").as("c_phone"),
+        concat(lit("UPDATED "), col("c_address")).as("c_address"),
+        lit(null).cast("double").as("c_acctbal"))
+      val v3 = base.filter(h < 2).select(col("c_custkey"), lit(3L).as("sys"),
+        concat(lit("999-"), col("c_phone")).as("c_phone"),
+        lit(null).cast("string").as("c_address"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"))
+      val w = Window.partitionBy(col("c_custkey")).orderBy(col("sys").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      def newest(c: String) = first(col(c), ignoreNulls = true).over(w)
+      def src(c: String) =
+        first(when(col(c).isNotNull, col("sys")), ignoreNulls = true).over(w)
+      v1.unionByName(v2).unionByName(v3)
+        .withColumn("g_phone", newest("c_phone"))
+        .withColumn("g_address", newest("c_address"))
+        .withColumn("g_acctbal", newest("c_acctbal"))
+        .withColumn("phone_src", src("c_phone"))
+        .withColumn("addr_src", src("c_address"))
+        .withColumn("bal_src", src("c_acctbal"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("c_custkey")).orderBy(col("sys").desc)))
+        .filter(col("rn") === 1 &&
+          pmod(graft.ops.Sampling.keyHash(col("c_custkey")), lit(20L)) === 0)
+        .select(col("c_custkey"), col("g_phone"), col("g_address"),
+          round(col("g_acctbal"), 2).as("g_acctbal"),
+          col("phone_src"), col("addr_src"), col("bal_src"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q209_theil_sen" -> ((s, dir) => {
+      // robust per-brand revenue trend: Theil-Sen slope (median of all
+      // pairwise monthly slopes) next to the OLS slope from the q166
+      // closed form — the robust/parametric pair for spike-contaminated
+      // series. Monthly cents are EXACT integers, so every pairwise slope
+      // is an identical double on any engine and the interpolated median
+      // is deterministic; the pair join is per-brand over <= ~84 monthly
+      // rows (bounded state, shuffle on the brand key only).
+      val monthly = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+          ((year(col("l_shipdate")) - 1992) * 12 + month(col("l_shipdate")) - 1)
+            .cast("long").as("m"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+          .as("cents"))
+      val a = monthly.select(col("p_brand"), col("m").as("m1"), col("cents").as("y1"))
+      val b = monthly.select(col("p_brand"), col("m").as("m2"), col("cents").as("y2"))
+      val ts = a.join(b, Seq("p_brand")).filter(col("m1") < col("m2"))
+        .withColumn("slope",
+          (col("y2") - col("y1")).cast("double") /
+            (col("m2") - col("m1")).cast("double"))
+        .groupBy(col("p_brand"))
+        .agg(expr("percentile(slope, 0.5)").as("ts_slope"))
+      val ols = monthly.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_months"), sum(col("m")).as("sx"),
+          sum(col("cents")).as("sy"), sum(col("m") * col("cents")).as("sxy"),
+          sum(col("m") * col("m")).as("sxx"))
+        .select(col("p_brand"), col("n_months"),
+          ((col("n_months") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n_months") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("ols_raw"))
+      ts.join(ols, Seq("p_brand"))
+        .select(col("p_brand"), col("n_months"),
+          round(col("ts_slope"), 4).as("ts_slope"),
+          round(col("ols_raw"), 4).as("ols_slope"))
+        .orderBy(col("p_brand"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -7165,6 +7284,82 @@ object SparkEntry {
         |SELECT strftime(make_timestamp(key // 2), '%Y-%m-%d') AS day,
         |  CAST(max(run) AS BIGINT) AS peak,
         |  CAST(sum(starts) AS BIGINT) AS n_starts
-        |FROM r GROUP BY 1 ORDER BY day""".stripMargin
+        |FROM r GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q207_ewma_forecast" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day_num, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |sc AS (SELECT event_type, day_num AS d, v AS actual,
+        |    lag(v) OVER (PARTITION BY event_type ORDER BY day_num) AS naive
+        |  FROM daily),
+        |f AS (SELECT s.event_type, s.d, s.actual, s.naive,
+        |    sum(pow(0.7, CAST(s.d - 1 - p.day_num AS DOUBLE)) * p.v) /
+        |      sum(pow(0.7, CAST(s.d - 1 - p.day_num AS DOUBLE))) AS f
+        |  FROM sc s JOIN daily p ON p.event_type = s.event_type
+        |    AND p.day_num >= s.d - 20 AND p.day_num < s.d
+        |  WHERE s.naive IS NOT NULL
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  round(avg(abs(f - actual)), 4) AS mae_ewma,
+        |  round(avg(abs(naive - actual)), 4) AS mae_naive
+        |FROM f GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q208_golden_record" -> {
+      val kh = graft.ops.Sampling.keyHashSql("c_custkey")
+      s"""WITH base AS (SELECT c_custkey, c_phone, c_address, c_acctbal,
+         |    ($kh) % 10 AS h FROM customer),
+         |v AS (SELECT c_custkey, CAST(1 AS BIGINT) AS sys, c_phone,
+         |    c_address, c_acctbal FROM base
+         |  UNION ALL SELECT c_custkey, 2, NULL, 'UPDATED ' || c_address, NULL
+         |    FROM base WHERE h < 5
+         |  UNION ALL SELECT c_custkey, 3, '999-' || c_phone, NULL,
+         |    c_acctbal + 100.0 FROM base WHERE h < 2),
+         |g AS (SELECT c_custkey, sys,
+         |    first_value(c_phone IGNORE NULLS) OVER wfull AS g_phone,
+         |    first_value(c_address IGNORE NULLS) OVER wfull AS g_address,
+         |    first_value(c_acctbal IGNORE NULLS) OVER wfull AS g_acctbal,
+         |    first_value(CASE WHEN c_phone IS NOT NULL THEN sys END
+         |      IGNORE NULLS) OVER wfull AS phone_src,
+         |    first_value(CASE WHEN c_address IS NOT NULL THEN sys END
+         |      IGNORE NULLS) OVER wfull AS addr_src,
+         |    first_value(CASE WHEN c_acctbal IS NOT NULL THEN sys END
+         |      IGNORE NULLS) OVER wfull AS bal_src,
+         |    row_number() OVER (PARTITION BY c_custkey ORDER BY sys DESC) AS rn
+         |  FROM v
+         |  WINDOW wfull AS (PARTITION BY c_custkey ORDER BY sys DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         |SELECT c_custkey, g_phone, g_address,
+         |  round(g_acctbal, 2) AS g_acctbal,
+         |  CAST(phone_src AS BIGINT) AS phone_src,
+         |  CAST(addr_src AS BIGINT) AS addr_src,
+         |  CAST(bal_src AS BIGINT) AS bal_src
+         |FROM g WHERE rn = 1 AND ($kh) % 20 = 0
+         |ORDER BY c_custkey""".stripMargin
+    },
+
+    "q209_theil_sen" ->
+      """WITH monthly AS (SELECT p_brand,
+        |    CAST((year(l_shipdate) - 1992) * 12 + month(l_shipdate) - 1
+        |      AS BIGINT) AS m,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+        |tsj AS (SELECT a.p_brand, quantile_cont(
+        |      CAST(b.cents - a.cents AS DOUBLE) / CAST(b.m - a.m AS DOUBLE),
+        |      0.5) AS ts_slope
+        |  FROM monthly a JOIN monthly b
+        |    ON a.p_brand = b.p_brand AND a.m < b.m
+        |  GROUP BY 1),
+        |ols AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_months,
+        |    CAST(sum(m) AS BIGINT) AS sx, CAST(sum(cents) AS BIGINT) AS sy,
+        |    CAST(sum(m * cents) AS BIGINT) AS sxy,
+        |    CAST(sum(m * m) AS BIGINT) AS sxx
+        |  FROM monthly GROUP BY 1)
+        |SELECT o.p_brand, o.n_months, round(t.ts_slope, 4) AS ts_slope,
+        |  round(CAST(o.n_months * o.sxy - o.sx * o.sy AS DOUBLE) /
+        |    CAST(o.n_months * o.sxx - o.sx * o.sx AS DOUBLE), 4) AS ols_slope
+        |FROM ols o JOIN tsj t ON o.p_brand = t.p_brand
+        |ORDER BY o.p_brand""".stripMargin
   )
 }
