@@ -43,17 +43,24 @@ object SparkEntry {
     root.getAbsolutePath
   }
 
-  /** events with `ts` normalized to TimestampType. The testdata parquet
-    * stores TIMESTAMP(NANOS), which Spark reads as a nanos long under
-    * `spark.sql.legacy.parquet.nanosAsLong`; `div 1000` (integral) keeps
-    * microsecond precision exactly — a double division would lose precision
-    * above 2^53 ns.
+  /** events with `ts` normalized to TimestampType, whatever the generator
+    * emitted: TIMESTAMP(NANOS) reads as a nanos long under
+    * `spark.sql.legacy.parquet.nanosAsLong` (`div 1000` integral keeps
+    * microsecond precision exactly); TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * reads as TIMESTAMP_NTZ and is cast in the UTC session.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     val df = t(s, dir, "events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // timestamp[us] with isAdjustedToUTC=false reads as NTZ; the session
+        // time zone is UTC, so the cast to TimestampType preserves the wall
+        // clock and unix_micros matches DuckDB's epoch_us on the same file.
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   /** documents ∪ mutated near-duplicate copies (id+100000, first 20 chars
@@ -3319,8 +3326,8 @@ object SparkEntry {
       // grows with corpus size. The standard "is my smoother better than
       // persistence" capacity-planning gauge.
       val daily = events(s, dir)
-        .groupBy(col("event_type"),
-          expr("unix_micros(ts) div 86400000000").as("day_num"))
+        .withColumn("us", unix_micros(col("ts")))
+        .groupBy(col("event_type"), expr("us div 86400000000").as("day_num"))
         .agg(sum(col("value")).as("v"))
       val byType = Window.partitionBy(col("event_type")).orderBy(col("day_num"))
       val scored = daily
@@ -3347,25 +3354,25 @@ object SparkEntry {
     "q208_golden_record" -> ((s, dir) => {
       // MDM survivorship: the same customer arrives from three source
       // systems with conflicting/missing fields (variants planted
-      // deterministically by keyHash — sys2 updates address but loses
-      // phone/balance, sys3 updates phone/balance but loses address);
+      // deterministically by keyHash — sys2 updates the segment but loses
+      // name/balance, sys3 updates name/balance but loses the segment);
       // the golden record takes, per FIELD, the newest non-null value
       // (first_value IGNORE NULLS over sys DESC, full-partition frame)
       // plus per-field provenance. One window shuffle on the entity key;
       // output bounded to a deterministic 1-in-20 key sample.
       val base = t(s, dir, "customer")
-        .select(col("c_custkey"), col("c_phone"), col("c_address"),
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
           col("c_acctbal"))
       val h = pmod(graft.ops.Sampling.keyHash(col("c_custkey")), lit(10L))
       val v1 = base.select(col("c_custkey"), lit(1L).as("sys"),
-        col("c_phone"), col("c_address"), col("c_acctbal"))
+        col("c_name"), col("c_mktsegment"), col("c_acctbal"))
       val v2 = base.filter(h < 5).select(col("c_custkey"), lit(2L).as("sys"),
-        lit(null).cast("string").as("c_phone"),
-        concat(lit("UPDATED "), col("c_address")).as("c_address"),
+        lit(null).cast("string").as("c_name"),
+        concat(lit("UPDATED "), col("c_mktsegment")).as("c_mktsegment"),
         lit(null).cast("double").as("c_acctbal"))
       val v3 = base.filter(h < 2).select(col("c_custkey"), lit(3L).as("sys"),
-        concat(lit("999-"), col("c_phone")).as("c_phone"),
-        lit(null).cast("string").as("c_address"),
+        concat(lit("MERGED "), col("c_name")).as("c_name"),
+        lit(null).cast("string").as("c_mktsegment"),
         (col("c_acctbal") + 100.0).as("c_acctbal"))
       val w = Window.partitionBy(col("c_custkey")).orderBy(col("sys").desc)
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -3373,19 +3380,19 @@ object SparkEntry {
       def src(c: String) =
         first(when(col(c).isNotNull, col("sys")), ignoreNulls = true).over(w)
       v1.unionByName(v2).unionByName(v3)
-        .withColumn("g_phone", newest("c_phone"))
-        .withColumn("g_address", newest("c_address"))
+        .withColumn("g_name", newest("c_name"))
+        .withColumn("g_segment", newest("c_mktsegment"))
         .withColumn("g_acctbal", newest("c_acctbal"))
-        .withColumn("phone_src", src("c_phone"))
-        .withColumn("addr_src", src("c_address"))
+        .withColumn("name_src", src("c_name"))
+        .withColumn("seg_src", src("c_mktsegment"))
         .withColumn("bal_src", src("c_acctbal"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("c_custkey")).orderBy(col("sys").desc)))
         .filter(col("rn") === 1 &&
           pmod(graft.ops.Sampling.keyHash(col("c_custkey")), lit(20L)) === 0)
-        .select(col("c_custkey"), col("g_phone"), col("g_address"),
+        .select(col("c_custkey"), col("g_name"), col("g_segment"),
           round(col("g_acctbal"), 2).as("g_acctbal"),
-          col("phone_src"), col("addr_src"), col("bal_src"))
+          col("name_src"), col("seg_src"), col("bal_src"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -7307,32 +7314,32 @@ object SparkEntry {
 
     "q208_golden_record" -> {
       val kh = graft.ops.Sampling.keyHashSql("c_custkey")
-      s"""WITH base AS (SELECT c_custkey, c_phone, c_address, c_acctbal,
+      s"""WITH base AS (SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
          |    ($kh) % 10 AS h FROM customer),
-         |v AS (SELECT c_custkey, CAST(1 AS BIGINT) AS sys, c_phone,
-         |    c_address, c_acctbal FROM base
-         |  UNION ALL SELECT c_custkey, 2, NULL, 'UPDATED ' || c_address, NULL
-         |    FROM base WHERE h < 5
-         |  UNION ALL SELECT c_custkey, 3, '999-' || c_phone, NULL,
+         |v AS (SELECT c_custkey, CAST(1 AS BIGINT) AS sys, c_name,
+         |    c_mktsegment, c_acctbal FROM base
+         |  UNION ALL SELECT c_custkey, 2, NULL, 'UPDATED ' || c_mktsegment,
+         |    NULL FROM base WHERE h < 5
+         |  UNION ALL SELECT c_custkey, 3, 'MERGED ' || c_name, NULL,
          |    c_acctbal + 100.0 FROM base WHERE h < 2),
          |g AS (SELECT c_custkey, sys,
-         |    first_value(c_phone IGNORE NULLS) OVER wfull AS g_phone,
-         |    first_value(c_address IGNORE NULLS) OVER wfull AS g_address,
+         |    first_value(c_name IGNORE NULLS) OVER wfull AS g_name,
+         |    first_value(c_mktsegment IGNORE NULLS) OVER wfull AS g_segment,
          |    first_value(c_acctbal IGNORE NULLS) OVER wfull AS g_acctbal,
-         |    first_value(CASE WHEN c_phone IS NOT NULL THEN sys END
-         |      IGNORE NULLS) OVER wfull AS phone_src,
-         |    first_value(CASE WHEN c_address IS NOT NULL THEN sys END
-         |      IGNORE NULLS) OVER wfull AS addr_src,
+         |    first_value(CASE WHEN c_name IS NOT NULL THEN sys END
+         |      IGNORE NULLS) OVER wfull AS name_src,
+         |    first_value(CASE WHEN c_mktsegment IS NOT NULL THEN sys END
+         |      IGNORE NULLS) OVER wfull AS seg_src,
          |    first_value(CASE WHEN c_acctbal IS NOT NULL THEN sys END
          |      IGNORE NULLS) OVER wfull AS bal_src,
          |    row_number() OVER (PARTITION BY c_custkey ORDER BY sys DESC) AS rn
          |  FROM v
          |  WINDOW wfull AS (PARTITION BY c_custkey ORDER BY sys DESC
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
-         |SELECT c_custkey, g_phone, g_address,
+         |SELECT c_custkey, g_name, g_segment,
          |  round(g_acctbal, 2) AS g_acctbal,
-         |  CAST(phone_src AS BIGINT) AS phone_src,
-         |  CAST(addr_src AS BIGINT) AS addr_src,
+         |  CAST(name_src AS BIGINT) AS name_src,
+         |  CAST(seg_src AS BIGINT) AS seg_src,
          |  CAST(bal_src AS BIGINT) AS bal_src
          |FROM g WHERE rn = 1 AND ($kh) % 20 = 0
          |ORDER BY c_custkey""".stripMargin
