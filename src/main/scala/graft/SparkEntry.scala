@@ -3435,6 +3435,104 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    "q210_copurchase" -> ((s, dir) => {
+      // market-basket brand affinity: for every brand pair bought in the
+      // same order, support (co-orders) and lift vs independence. The
+      // self-join is keyed on the ORDER key, so the pair blow-up is bounded
+      // by basket size (<= lines per order), never corpus size; everything
+      // after the distinct is counts-only. Lift factors are divided as
+      // doubles term-by-term (counts < 2^53 stay exact, no long overflow
+      // at any scale).
+      val baskets = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+        .distinct()
+      val nOrders = baskets.agg(
+        countDistinct(col("ok")).cast("double").as("n_orders"))
+      val brandN = baskets.groupBy(col("b")).agg(count(lit(1)).as("n"))
+      val pairs = baskets.as("x")
+        .join(baskets.as("y"), col("x.ok") === col("y.ok") &&
+          col("x.b") < col("y.b"))
+        .groupBy(col("x.b").as("b1"), col("y.b").as("b2"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(brandN.select(col("b").as("b1"), col("n").as("n_a"))), "b1")
+        .join(broadcast(brandN.select(col("b").as("b2"), col("n").as("n_b"))), "b2")
+        .crossJoin(broadcast(nOrders))
+        .select(col("b1"), col("b2"), col("n_ab"),
+          round(col("n_ab").cast("double") * col("n_orders") /
+            (col("n_a").cast("double") * col("n_b").cast("double")), 4)
+            .as("lift"))
+        .orderBy(col("n_ab").desc, col("b1"), col("b2"))
+        .limit(20)
+    }),
+
+    "q211_rev_rec" -> ((s, dir) => {
+      // deferred revenue recognition: each order's total (exact cents) is
+      // recognized over 3 calendar months starting at the order month —
+      // cents div 3 per month, the remainder cents landing one-per-month
+      // from the first. A 3-way explode then one counts-only aggregate on
+      // the month index; integer arithmetic end-to-end so any engine sums
+      // to the identical cent.
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"),
+          ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+            .cast("long").as("m0"))
+        .withColumn("i", explode(sequence(lit(0L), lit(2L))))
+        .select((col("m0") + col("i")).as("month_idx"),
+          (expr("cents div 3") +
+            when(col("i") < pmod(col("cents"), lit(3L)), lit(1L))
+              .otherwise(lit(0L))).as("amt"))
+        .groupBy(col("month_idx"))
+        .agg(sum(col("amt")).as("recognized_cents"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("month_idx"))
+    }),
+
+    "q212_minhash_setsim" -> ((s, dir) => {
+      // sketch-accuracy gauge: per event-type pair, the k=64 minwise
+      // estimate of user-set Jaccard next to the exact value. Signatures
+      // are ONE number per (type, seed) — 64 seeds x |types| rows of
+      // state regardless of corpus size — and the exact side self-joins
+      // on user_id (each user carries <= |types| rows, so the pair fan-out
+      // is bounded per key). The hash is the engine's portable keyHash,
+      // seed-mixed additively, so DuckDB reproduces every signature bit.
+      val ue = events(s, dir)
+        .select(col("event_type").as("et"), col("user_id").as("u"))
+        .distinct()
+      val seeds = s.range(64).select(col("id").as("sd"))
+      val mh = ue.crossJoin(broadcast(seeds))
+        .select(col("et"), col("sd"),
+          graft.ops.Sampling.keyHash(col("u") + col("sd") * lit(1000003L))
+            .as("h"))
+        .groupBy(col("et"), col("sd")).agg(min(col("h")).as("mn"))
+      val est = mh.as("a")
+        .join(mh.as("b"), col("a.sd") === col("b.sd") &&
+          col("a.et") < col("b.et"))
+        .groupBy(col("a.et").as("t1"), col("b.et").as("t2"))
+        .agg((sum(when(col("a.mn") === col("b.mn"), 1L).otherwise(0L))
+          .cast("double") / lit(64.0)).as("est_raw"))
+      val cnt = ue.groupBy(col("et")).agg(count(lit(1)).as("n"))
+      val inter = ue.as("x")
+        .join(ue.as("y"), col("x.u") === col("y.u") &&
+          col("x.et") < col("y.et"))
+        .groupBy(col("x.et").as("t1"), col("y.et").as("t2"))
+        .agg(count(lit(1)).as("n_ab"))
+      inter
+        .join(broadcast(cnt.select(col("et").as("t1"), col("n").as("n1"))), "t1")
+        .join(broadcast(cnt.select(col("et").as("t2"), col("n").as("n2"))), "t2")
+        .join(est, Seq("t1", "t2"))
+        .select(col("t1"), col("t2"), col("n_ab"),
+          round(col("n_ab").cast("double") /
+            (col("n1") + col("n2") - col("n_ab")).cast("double"), 4)
+            .as("exact_jaccard"),
+          round(col("est_raw"), 4).as("minhash_est"))
+        .orderBy(col("t1"), col("t2"))
+    }),
+
     "q99_quantile_filter" -> ((s, dir) => {
       // per-language top-20% quality cut (exact percent_rank semantics —
       // the cut point is a rational, never a float threshold; the
@@ -7367,6 +7465,62 @@ object SparkEntry {
         |  round(CAST(o.n_months * o.sxy - o.sx * o.sy AS DOUBLE) /
         |    CAST(o.n_months * o.sxx - o.sx * o.sx AS DOUBLE), 4) AS ols_slope
         |FROM ols o JOIN tsj t ON o.p_brand = t.p_brand
-        |ORDER BY o.p_brand""".stripMargin
+        |ORDER BY o.p_brand""".stripMargin,
+
+    "q210_copurchase" ->
+      """WITH baskets AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT CAST(count(DISTINCT ok) AS DOUBLE) AS n_orders
+        |  FROM baskets),
+        |bn AS (SELECT b, CAST(count(*) AS BIGINT) AS nb FROM baskets
+        |  GROUP BY 1),
+        |pairs AS (SELECT x.b AS b1, y.b AS b2,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM baskets x JOIN baskets y ON x.ok = y.ok AND x.b < y.b
+        |  GROUP BY 1, 2)
+        |SELECT b1, b2, n_ab,
+        |  round(CAST(n_ab AS DOUBLE) * n.n_orders /
+        |    (CAST(a.nb AS DOUBLE) * CAST(c.nb AS DOUBLE)), 4) AS lift
+        |FROM pairs JOIN bn a ON a.b = b1 JOIN bn c ON c.b = b2
+        |  CROSS JOIN n
+        |ORDER BY n_ab DESC, b1, b2 LIMIT 20""".stripMargin,
+
+    "q211_rev_rec" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
+        |      AS BIGINT) AS m0
+        |  FROM orders),
+        |sp AS (SELECT m0 + i AS month_idx,
+        |    cents // 3 + CASE WHEN i < cents % 3 THEN 1 ELSE 0 END AS amt
+        |  FROM o CROSS JOIN (SELECT CAST(range AS BIGINT) AS i
+        |    FROM range(3)) t)
+        |SELECT month_idx, CAST(sum(amt) AS BIGINT) AS recognized_cents,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM sp GROUP BY 1 ORDER BY month_idx""".stripMargin,
+
+    "q212_minhash_setsim" -> {
+      val kh = graft.ops.Sampling.keyHashSql("(u + sd * 1000003)")
+      s"""WITH ue AS (SELECT DISTINCT event_type AS et, user_id AS u
+         |  FROM events),
+         |seeds AS (SELECT CAST(range AS BIGINT) AS sd FROM range(64)),
+         |mh AS (SELECT et, sd, min($kh) AS mn
+         |  FROM ue CROSS JOIN seeds GROUP BY 1, 2),
+         |est AS (SELECT a.et AS t1, b.et AS t2,
+         |    CAST(sum(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / 64.0 AS est_raw
+         |  FROM mh a JOIN mh b ON a.sd = b.sd AND a.et < b.et GROUP BY 1, 2),
+         |cnt AS (SELECT et, CAST(count(*) AS BIGINT) AS n FROM ue GROUP BY 1),
+         |inter AS (SELECT x.et AS t1, y.et AS t2,
+         |    CAST(count(*) AS BIGINT) AS n_ab
+         |  FROM ue x JOIN ue y ON x.u = y.u AND x.et < y.et GROUP BY 1, 2)
+         |SELECT i.t1, i.t2, i.n_ab,
+         |  round(CAST(i.n_ab AS DOUBLE) / CAST(c1.n + c2.n - i.n_ab AS DOUBLE),
+         |    4) AS exact_jaccard,
+         |  round(e.est_raw, 4) AS minhash_est
+         |FROM inter i JOIN cnt c1 ON c1.et = i.t1 JOIN cnt c2 ON c2.et = i.t2
+         |  JOIN est e ON e.t1 = i.t1 AND e.t2 = i.t2
+         |ORDER BY i.t1, i.t2""".stripMargin
+    }
   )
 }
