@@ -3492,6 +3492,91 @@ object SparkEntry {
         .orderBy(col("month_idx"))
     }),
 
+    "q213_ccf" -> ((s, dir) => {
+      // cross-correlogram: Pearson correlation between every ordered pair
+      // of event-type daily-total series at lags 0..5 (does type A lead
+      // type B?). The lag join is an equi-join on the SHIFTED day index —
+      // |lags| x |days| x |type-pairs| rows, never corpus-sized — and each
+      // correlation is one closed-form aggregate of exact daily sums.
+      val daily = events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .groupBy(col("event_type"), expr("us div 86400000000").as("d"))
+        .agg(sum(col("value")).as("v"))
+      val lags = s.range(6).select(col("id").as("lag_d"))
+      val a = daily.select(col("event_type").as("t1"), col("d"), col("v").as("x"))
+      val b = daily.select(col("event_type").as("t2"), col("d").as("db"),
+        col("v").as("y"))
+      a.crossJoin(broadcast(lags))
+        .join(b, col("db") === col("d") + col("lag_d"))
+        .filter(col("t1") =!= col("t2"))
+        .groupBy(col("t1"), col("t2"), col("lag_d"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("t1"), col("t2"), col("lag_d"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("r"))
+        .orderBy(col("t1"), col("t2"), col("lag_d"))
+    }),
+
+    "q214_croston" -> ((s, dir) => {
+      // Croston intermittent-demand forecast at the part grain: weekly
+      // demand is sparse per part, so the estimate is mean nonzero demand
+      // size z over mean inter-demand interval p (= weeks span / n active
+      // weeks), next to the dense naive mean. One (part, week) aggregate
+      // then one per-part aggregate — bounded state, counts-only shuffles;
+      // output a deterministic 1-in-50 key sample.
+      val weekly = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"),
+          ((year(col("l_shipdate")) - 1992) * 53 + weekofyear(col("l_shipdate")))
+            .cast("long").as("wk"))
+        .agg(sum(col("l_quantity")).as("q"))
+      val span = weekly.agg((max(col("wk")) - min(col("wk")) + 1)
+        .cast("double").as("total_weeks"))
+      weekly.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_active"), sum(col("q")).as("total_q"),
+          avg(col("q")).as("z"))
+        .crossJoin(broadcast(span))
+        .select(col("l_partkey"), col("n_active"),
+          round(col("z"), 4).as("z"),
+          round(col("total_weeks") / col("n_active").cast("double"), 4).as("p"),
+          round(col("z") * col("n_active").cast("double") / col("total_weeks"), 4)
+            .as("croston_f"),
+          round(col("total_q") / col("total_weeks"), 4).as("naive_f"))
+        .filter(pmod(graft.ops.Sampling.keyHash(col("l_partkey")), lit(50L)) === 0)
+        .orderBy(col("l_partkey"))
+    }),
+
+    "q215_skew_audit" -> ((s, dir) => {
+      // join-key skew report — the pre-flight for SkewJoin/AQE decisions:
+      // for each candidate join key, the per-key count distribution (p50/
+      // p99/max), the top-key share, and the salt factor that would level
+      // the hottest key to the median task. Two counts-only phases: per-key
+      // counts (partial aggs absorb the skew being measured), then one
+      // bounded stats row per audited key column.
+      def audit(df: DataFrame, key: String): DataFrame = {
+        val counts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+        counts.agg(
+          count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+          expr("CAST(percentile(c, 0.5) AS DOUBLE)").as("p50"),
+          expr("CAST(percentile(c, 0.99) AS DOUBLE)").as("p99"),
+          max(col("c")).as("max_c"))
+          .select(lit(key).as("key_col"), col("n_keys"), col("n_rows"),
+            col("p50"), col("p99"), col("max_c"),
+            round(col("max_c").cast("double") / col("n_rows").cast("double"), 6)
+              .as("top_share"),
+            ceil(col("max_c").cast("double") / col("p50")).cast("long")
+              .as("salt_factor"))
+      }
+      val li = t(s, dir, "lineitem")
+      audit(li, "l_partkey")
+        .unionByName(audit(li, "l_suppkey"))
+        .unionByName(audit(t(s, dir, "orders"), "o_custkey"))
+        .orderBy(col("key_col"))
+    }),
+
     "q212_minhash_setsim" -> ((s, dir) => {
       // sketch-accuracy gauge: per event-type pair, the k=64 minwise
       // estimate of user-set Jaccard next to the exact value. Signatures
@@ -7498,6 +7583,68 @@ object SparkEntry {
         |SELECT month_idx, CAST(sum(amt) AS BIGINT) AS recognized_cents,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM sp GROUP BY 1 ORDER BY month_idx""".stripMargin,
+
+    "q213_ccf" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS d, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT CAST(range AS BIGINT) AS lag_d FROM range(6)),
+        |g AS (SELECT a.event_type AS t1, b.event_type AS t2, l.lag_d,
+        |    CAST(count(*) AS BIGINT) AS n, sum(a.v) AS sx, sum(b.v) AS sy,
+        |    sum(a.v * b.v) AS sxy, sum(a.v * a.v) AS sxx,
+        |    sum(b.v * b.v) AS syy
+        |  FROM daily a CROSS JOIN l JOIN daily b
+        |    ON b.d = a.d + l.lag_d AND a.event_type <> b.event_type
+        |  GROUP BY 1, 2, 3)
+        |SELECT t1, t2, lag_d,
+        |  round((n * sxy - sx * sy) /
+        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r
+        |FROM g ORDER BY t1, t2, lag_d""".stripMargin,
+
+    "q214_croston" -> {
+      val kh = graft.ops.Sampling.keyHashSql("l_partkey")
+      s"""WITH weekly AS (SELECT l_partkey,
+         |    CAST((year(l_shipdate) - 1992) * 53 + weekofyear(l_shipdate)
+         |      AS BIGINT) AS wk,
+         |    sum(l_quantity) AS q
+         |  FROM lineitem GROUP BY 1, 2),
+         |span AS (SELECT CAST(max(wk) - min(wk) + 1 AS DOUBLE)
+         |    AS total_weeks FROM weekly),
+         |per AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_active,
+         |    sum(q) AS total_q, avg(q) AS z
+         |  FROM weekly GROUP BY 1)
+         |SELECT l_partkey, n_active, round(z, 4) AS z,
+         |  round(total_weeks / CAST(n_active AS DOUBLE), 4) AS p,
+         |  round(z * CAST(n_active AS DOUBLE) / total_weeks, 4) AS croston_f,
+         |  round(total_q / total_weeks, 4) AS naive_f
+         |FROM per CROSS JOIN span
+         |WHERE ($kh) % 50 = 0 ORDER BY l_partkey""".stripMargin
+    },
+
+    "q215_skew_audit" ->
+      """WITH c1 AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |c2 AS (SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |c3 AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |s1 AS (SELECT 'l_partkey' AS key_col, CAST(count(*) AS BIGINT)
+        |    AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+        |    quantile_cont(c, 0.5) AS p50, quantile_cont(c, 0.99) AS p99,
+        |    CAST(max(c) AS BIGINT) AS max_c FROM c1),
+        |s2 AS (SELECT 'l_suppkey', CAST(count(*) AS BIGINT),
+        |    CAST(sum(c) AS BIGINT), quantile_cont(c, 0.5),
+        |    quantile_cont(c, 0.99), CAST(max(c) AS BIGINT) FROM c2),
+        |s3 AS (SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+        |    CAST(sum(c) AS BIGINT), quantile_cont(c, 0.5),
+        |    quantile_cont(c, 0.99), CAST(max(c) AS BIGINT) FROM c3),
+        |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |  UNION ALL SELECT * FROM s3)
+        |SELECT key_col, n_keys, n_rows, p50, p99, max_c,
+        |  round(CAST(max_c AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |    AS top_share,
+        |  CAST(ceil(CAST(max_c AS DOUBLE) / p50) AS BIGINT) AS salt_factor
+        |FROM u ORDER BY key_col""".stripMargin,
 
     "q212_minhash_setsim" -> {
       val kh = graft.ops.Sampling.keyHashSql("(u + sd * 1000003)")
