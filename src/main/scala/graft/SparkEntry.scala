@@ -3492,6 +3492,105 @@ object SparkEntry {
         .orderBy(col("month_idx"))
     }),
 
+    "q216_seasonal_decompose" -> ((s, dir) => {
+      // classical additive decomposition of the daily event-value series:
+      // trend = centered 7-day moving average (full windows only),
+      // seasonal = day-of-week mean of the detrended series, residual sd
+      // per dow. The dow comes from pure epoch-day arithmetic ((d+3)%7,
+      // Monday=0) — engine dayofweek() conventions differ, integer math
+      // doesn't. The global window runs over the DAILY series (calendar-
+      // bounded, ~tens of rows), never over raw events.
+      val daily = events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .groupBy(expr("us div 86400000000").as("d"))
+        .agg(sum(col("value")).as("v"))
+      val w = Window.orderBy(col("d")).rowsBetween(-3, 3)
+      val detr = daily
+        .withColumn("trend", avg(col("v")).over(w))
+        .withColumn("wn", count(lit(1)).over(w))
+        .filter(col("wn") === 7)
+        .select(pmod(col("d") + 3, lit(7L)).as("dow"),
+          (col("v") - col("trend")).as("detr"))
+      val dowMean = detr.groupBy(col("dow"))
+        .agg(avg(col("detr")).as("seasonal"), count(lit(1)).as("n_days"))
+      detr.join(broadcast(dowMean), "dow")
+        .groupBy(col("dow"))
+        .agg(first(col("n_days")).as("n_days"),
+          round(first(col("seasonal")), 4).as("seasonal"),
+          round(sqrt(avg((col("detr") - col("seasonal")) *
+            (col("detr") - col("seasonal")))), 4).as("resid_sd"))
+        .orderBy(col("dow"))
+    }),
+
+    "q217_jackknife_ci" -> ((s, dir) => {
+      // delete-one-bucket jackknife CI for the mean order value: 50
+      // deterministic hash buckets, leave-one-out means from (bucket sum,
+      // bucket n) against broadcast totals, SE = sqrt((B-1)/B * sum
+      // (m_i - mbar)^2). Two counts-only aggregate phases and a broadcast
+      // scalar — the resampling classic with zero data re-shuffles, exact
+      // cents until the final divisions.
+      val b = t(s, dir, "orders")
+        .select(pmod(graft.ops.Sampling.keyHash(col("o_orderkey")), lit(50L))
+          .as("bk"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+        .groupBy(col("bk"))
+        .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+      val tot = b.agg(sum(col("s")).as("st"), sum(col("n")).as("nt"),
+        count(lit(1)).as("nb"))
+      val loo = b.crossJoin(broadcast(tot))
+        .select(col("st"), col("nt"), col("nb"),
+          ((col("st") - col("s")).cast("double") /
+            (col("nt") - col("n")).cast("double")).as("m_i"))
+      // centered sum of squares (mbar broadcast back) — the uncentered
+      // sq - B*mbar^2 form cancels catastrophically when the loo spread is
+      // tiny relative to the mean and flips the 4th decimal across engines
+      val mb = loo.agg(avg(col("m_i")).as("mbar"))
+      loo.crossJoin(broadcast(mb))
+        .groupBy(col("st"), col("nt"), col("nb"))
+        .agg(sum((col("m_i") - col("mbar")) * (col("m_i") - col("mbar")))
+          .as("ss"))
+        .select(col("nt").as("n_orders"),
+          round(col("st").cast("double") / col("nt").cast("double") / 100.0, 4)
+            .as("mean_value"),
+          round(sqrt((col("nb") - 1).cast("double") / col("nb").cast("double") *
+            col("ss")) / 100.0, 4)
+            .as("jk_se"))
+        .select(col("n_orders"), col("mean_value"), col("jk_se"),
+          round(col("mean_value") - lit(1.96) * col("jk_se"), 4).as("ci_lo"),
+          round(col("mean_value") + lit(1.96) * col("jk_se"), 4).as("ci_hi"))
+    }),
+
+    "q218_assortativity" -> ((s, dir) => {
+      // degree assortativity of the customer-supplier purchase graph: do
+      // high-degree customers buy from high-degree suppliers? Distinct
+      // edge list from one join, per-side degree counts, then Pearson r
+      // over edge endpoint degrees in ONE closed-form aggregate. Degrees
+      // join back by key (broadcast-sized dims at this sf, shuffle joins
+      // at scale) — integer sums stay exact throughout.
+      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+      val dc = edges.groupBy(col("c")).agg(count(lit(1)).as("dc"))
+      val ds = edges.groupBy(col("sp")).agg(count(lit(1)).as("ds"))
+      edges.join(dc, "c").join(ds, "sp")
+        .agg(count(lit(1)).as("n_edges"),
+          countDistinct(col("c")).as("n_cust"),
+          countDistinct(col("sp")).as("n_supp"),
+          sum(col("dc")).as("sx"), sum(col("ds")).as("sy"),
+          sum(col("dc") * col("ds")).as("sxy"),
+          sum(col("dc") * col("dc")).as("sxx"),
+          sum(col("ds") * col("ds")).as("syy"))
+        .select(col("n_edges"), col("n_cust"), col("n_supp"),
+          round((col("n_edges") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            sqrt((col("n_edges") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") *
+              (col("n_edges") * col("syy") - col("sy") * col("sy"))
+                .cast("double")), 4).as("assortativity"))
+    }),
+
     "q213_ccf" -> ((s, dir) => {
       // cross-correlogram: Pearson correlation between every ordered pair
       // of event-type daily-total series at lags 0..5 (does type A lead
@@ -7583,6 +7682,78 @@ object SparkEntry {
         |SELECT month_idx, CAST(sum(amt) AS BIGINT) AS recognized_cents,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM sp GROUP BY 1 ORDER BY month_idx""".stripMargin,
+
+    "q216_seasonal_decompose" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+        |    sum(value) AS v
+        |  FROM events GROUP BY 1),
+        |tr AS (SELECT d, v,
+        |    avg(v) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3
+        |      FOLLOWING) AS trend,
+        |    count(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3
+        |      FOLLOWING) AS wn
+        |  FROM daily),
+        |detr AS (SELECT (d + 3) % 7 AS dow, v - trend AS detr
+        |  FROM tr WHERE wn = 7),
+        |dm AS (SELECT dow, avg(detr) AS seasonal,
+        |    CAST(count(*) AS BIGINT) AS n_days
+        |  FROM detr GROUP BY 1)
+        |SELECT t.dow, any_value(m.n_days) AS n_days,
+        |  round(any_value(m.seasonal), 4) AS seasonal,
+        |  round(sqrt(avg((t.detr - m.seasonal) * (t.detr - m.seasonal))), 4)
+        |    AS resid_sd
+        |FROM detr t JOIN dm m ON m.dow = t.dow
+        |GROUP BY t.dow ORDER BY t.dow""".stripMargin,
+
+    "q217_jackknife_ci" -> {
+      val kh = graft.ops.Sampling.keyHashSql("o_orderkey")
+      s"""WITH b AS (SELECT ($kh) % 50 AS bk,
+         |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS s,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM orders GROUP BY 1),
+         |tot AS (SELECT CAST(sum(s) AS BIGINT) AS st,
+         |    CAST(sum(n) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS nb
+         |  FROM b),
+         |loo AS (SELECT st, nt, nb,
+         |    CAST(st - s AS DOUBLE) / CAST(nt - n AS DOUBLE) AS m_i
+         |  FROM b CROSS JOIN tot),
+         |mb AS (SELECT avg(m_i) AS mbar FROM loo),
+         |jk AS (SELECT st, nt, nb,
+         |    sum((m_i - mbar) * (m_i - mbar)) AS ss
+         |  FROM loo CROSS JOIN mb GROUP BY 1, 2, 3),
+         |o AS (SELECT nt AS n_orders,
+         |    round(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) / 100.0, 4)
+         |      AS mean_value,
+         |    round(sqrt(CAST(nb - 1 AS DOUBLE) / CAST(nb AS DOUBLE) *
+         |      ss) / 100.0, 4) AS jk_se
+         |  FROM jk)
+         |SELECT n_orders, mean_value, jk_se,
+         |  round(mean_value - 1.96 * jk_se, 4) AS ci_lo,
+         |  round(mean_value + 1.96 * jk_se, 4) AS ci_hi FROM o""".stripMargin
+    },
+
+    "q218_assortativity" ->
+      """WITH edges AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |dc AS (SELECT c, CAST(count(*) AS BIGINT) AS dc FROM edges
+        |  GROUP BY 1),
+        |ds AS (SELECT sp, CAST(count(*) AS BIGINT) AS ds FROM edges
+        |  GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |    CAST(count(DISTINCT e.c) AS BIGINT) AS n_cust,
+        |    CAST(count(DISTINCT e.sp) AS BIGINT) AS n_supp,
+        |    CAST(sum(dc.dc) AS BIGINT) AS sx,
+        |    CAST(sum(ds.ds) AS BIGINT) AS sy,
+        |    CAST(sum(dc.dc * ds.ds) AS BIGINT) AS sxy,
+        |    CAST(sum(dc.dc * dc.dc) AS BIGINT) AS sxx,
+        |    CAST(sum(ds.ds * ds.ds) AS BIGINT) AS syy
+        |  FROM edges e JOIN dc ON dc.c = e.c JOIN ds ON ds.sp = e.sp)
+        |SELECT n_edges, n_cust, n_supp,
+        |  round(CAST(n_edges * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE) *
+        |      CAST(n_edges * syy - sy * sy AS DOUBLE)), 4) AS assortativity
+        |FROM g""".stripMargin,
 
     "q213_ccf" ->
       """WITH daily AS (SELECT event_type,
