@@ -3492,6 +3492,80 @@ object SparkEntry {
         .orderBy(col("month_idx"))
     }),
 
+    "q219_readability" -> ((s, dir) => {
+      // Flesch reading-ease profile per language: words as letter runs,
+      // sentences as terminal-punctuation marks (clamped >= 1), syllables
+      // approximated as vowel groups — every count from
+      // regexp_extract_all with an EXPLICIT group 0 (Spark defaults to
+      // group 1, DuckDB to 0; the shared dialect is spelled out). One
+      // narrow projection then one aggregate per language.
+      t(s, dir, "documents")
+        .select(col("lang"),
+          size(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).as("w"),
+          greatest(size(expr("regexp_extract_all(text, '[.!?]', 0)")), lit(1))
+            .as("snt"),
+          size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+            .as("syl"))
+        .filter(col("w") > 0)
+        .withColumn("flesch",
+          lit(206.835) - lit(1.015) * col("w").cast("double") / col("snt").cast("double") -
+            lit(84.6) * col("syl").cast("double") / col("w").cast("double"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("w").cast("double") / col("snt").cast("double")), 4)
+            .as("words_per_sentence"),
+          round(avg(col("syl").cast("double") / col("w").cast("double")), 4)
+            .as("syllables_per_word"),
+          round(avg(col("flesch")), 4).as("avg_flesch"))
+        .orderBy(col("lang"))
+    }),
+
+    "q220_price_index" -> ((s, dir) => {
+      // Laspeyres price index by ship year: base-year (corpus minimum)
+      // part quantities weight each later year's unit prices, index_t =
+      // sum(p_t q_0) / sum(p_0 q_0) over parts present in both years.
+      // One (part, year) aggregate, the base-year slice joined back by
+      // part key, one counts+sums pass per year — no row ever carries
+      // more than its own part's state.
+      val py = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("pk"),
+          year(col("l_shipdate")).cast("long").as("yr"))
+        .agg((sum(col("l_extendedprice")) / sum(col("l_quantity"))).as("p"),
+          sum(col("l_quantity")).as("q"))
+      val y0 = py.agg(min(col("yr")).as("base_yr"))
+      val base = py.crossJoin(broadcast(y0))
+        .filter(col("yr") === col("base_yr"))
+        .select(col("pk"), col("p").as("p0"), col("q").as("q0"))
+      py.join(base, "pk")
+        .groupBy(col("yr"))
+        .agg(count(lit(1)).as("n_parts"),
+          round(sum(col("p") * col("q0")) / sum(col("p0") * col("q0")), 4)
+            .as("laspeyres"))
+        .orderBy(col("yr"))
+    }),
+
+    "q221_calendar_anomalies" -> ((s, dir) => {
+      // calendar anomaly screen: each day's total scored against its
+      // day-of-week baseline (mean/sd over the whole series, portable
+      // epoch-day dow arithmetic); top 10 |z| days. The baseline join is
+      // 7 broadcast rows; the series is calendar-bounded.
+      val daily = events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .groupBy(expr("us div 86400000000").as("d"))
+        .agg(sum(col("value")).as("v"))
+        .withColumn("dow", pmod(col("d") + 3, lit(7L)))
+      val base = daily.groupBy(col("dow"))
+        .agg(avg(col("v")).as("mu"),
+          sqrt(avg(col("v") * col("v")) - avg(col("v")) * avg(col("v")))
+            .as("sd"))
+      daily.join(broadcast(base), "dow")
+        .filter(col("sd") > 0)
+        .select(col("d"), col("dow"), round(col("v"), 2).as("v"),
+          round((col("v") - col("mu")) / col("sd"), 4).as("z"))
+        .orderBy(abs(col("z")).desc, col("d"))
+        .limit(10)
+    }),
+
     "q216_seasonal_decompose" -> ((s, dir) => {
       // classical additive decomposition of the daily event-value series:
       // trend = centered 7-day moving average (full windows only),
@@ -7682,6 +7756,47 @@ object SparkEntry {
         |SELECT month_idx, CAST(sum(amt) AS BIGINT) AS recognized_cents,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM sp GROUP BY 1 ORDER BY month_idx""".stripMargin,
+
+    "q219_readability" ->
+      """WITH c AS (SELECT lang,
+        |    len(regexp_extract_all(text, '[A-Za-z]+', 0)) AS w,
+        |    greatest(len(regexp_extract_all(text, '[.!?]', 0)), 1) AS snt,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS syl
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(CAST(w AS DOUBLE) / CAST(snt AS DOUBLE)), 4)
+        |    AS words_per_sentence,
+        |  round(avg(CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)), 4)
+        |    AS syllables_per_word,
+        |  round(avg(206.835 - 1.015 * CAST(w AS DOUBLE) / CAST(snt AS DOUBLE)
+        |    - 84.6 * CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)), 4)
+        |    AS avg_flesch
+        |FROM c WHERE w > 0 GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "q220_price_index" ->
+      """WITH py AS (SELECT l_partkey AS pk,
+        |    CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |    sum(l_extendedprice) / sum(l_quantity) AS p,
+        |    sum(l_quantity) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |y0 AS (SELECT min(yr) AS base_yr FROM py),
+        |base AS (SELECT pk, p AS p0, q AS q0 FROM py CROSS JOIN y0
+        |  WHERE yr = base_yr)
+        |SELECT yr, CAST(count(*) AS BIGINT) AS n_parts,
+        |  round(sum(p * q0) / sum(p0 * q0), 4) AS laspeyres
+        |FROM py JOIN base USING (pk) GROUP BY 1 ORDER BY yr""".stripMargin,
+
+    "q221_calendar_anomalies" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+        |    sum(value) AS v
+        |  FROM events GROUP BY 1),
+        |dd AS (SELECT d, v, (d + 3) % 7 AS dow FROM daily),
+        |base AS (SELECT dow, avg(v) AS mu,
+        |    sqrt(avg(v * v) - avg(v) * avg(v)) AS sd
+        |  FROM dd GROUP BY 1)
+        |SELECT d, dow, round(v, 2) AS v, round((v - mu) / sd, 4) AS z
+        |FROM dd JOIN base USING (dow) WHERE sd > 0
+        |ORDER BY abs((v - mu) / sd) DESC, d LIMIT 10""".stripMargin,
 
     "q216_seasonal_decompose" ->
       """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
