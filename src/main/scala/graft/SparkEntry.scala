@@ -3449,6 +3449,7 @@ object SparkEntry {
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
         .distinct()
+        .persist()  // 4 downstream uses (pair self-join x2, brand counts, total)
       val nOrders = baskets.agg(
         countDistinct(col("ok")).cast("double").as("n_orders"))
       val brandN = baskets.groupBy(col("b")).agg(count(lit(1)).as("n"))
@@ -3532,6 +3533,7 @@ object SparkEntry {
           year(col("l_shipdate")).cast("long").as("yr"))
         .agg((sum(col("l_extendedprice")) / sum(col("l_quantity"))).as("p"),
           sum(col("l_quantity")).as("q"))
+        .persist()  // base-year slice + per-year pass (one lineitem scan)
       val y0 = py.agg(min(col("yr")).as("base_yr"))
       val base = py.crossJoin(broadcast(y0))
         .filter(col("yr") === col("base_yr"))
@@ -3554,6 +3556,7 @@ object SparkEntry {
         .groupBy(expr("us div 86400000000").as("d"))
         .agg(sum(col("value")).as("v"))
         .withColumn("dow", pmod(col("d") + 3, lit(7L)))
+        .persist()  // baseline aggregate + the scored join
       val base = daily.groupBy(col("dow"))
         .agg(avg(col("v")).as("mu"),
           sqrt(avg(col("v") * col("v")) - avg(col("v")) * avg(col("v")))
@@ -3585,6 +3588,7 @@ object SparkEntry {
         .filter(col("wn") === 7)
         .select(pmod(col("d") + 3, lit(7L)).as("dow"),
           (col("v") - col("trend")).as("detr"))
+        .persist()  // dow means + residual pass
       val dowMean = detr.groupBy(col("dow"))
         .agg(avg(col("detr")).as("seasonal"), count(lit(1)).as("n_days"))
       detr.join(broadcast(dowMean), "dow")
@@ -3609,6 +3613,7 @@ object SparkEntry {
           expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
         .groupBy(col("bk"))
         .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+        .persist()  // totals + leave-one-out rows (one orders scan, not two)
       val tot = b.agg(sum(col("s")).as("st"), sum(col("n")).as("nt"),
         count(lit(1)).as("nb"))
       val loo = b.crossJoin(broadcast(tot))
@@ -3646,6 +3651,7 @@ object SparkEntry {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
         .distinct()
+        .persist()  // degree counts x2 + the edge-level join
       val dc = edges.groupBy(col("c")).agg(count(lit(1)).as("dc"))
       val ds = edges.groupBy(col("sp")).agg(count(lit(1)).as("ds"))
       edges.join(dc, "c").join(ds, "sp")
@@ -3675,6 +3681,7 @@ object SparkEntry {
         .withColumn("us", unix_micros(col("ts")))
         .groupBy(col("event_type"), expr("us div 86400000000").as("d"))
         .agg(sum(col("value")).as("v"))
+        .persist()  // both sides of the lag join
       val lags = s.range(6).select(col("id").as("lag_d"))
       val a = daily.select(col("event_type").as("t1"), col("d"), col("v").as("x"))
       val b = daily.select(col("event_type").as("t2"), col("d").as("db"),
@@ -3706,6 +3713,7 @@ object SparkEntry {
           ((year(col("l_shipdate")) - 1992) * 53 + weekofyear(col("l_shipdate")))
             .cast("long").as("wk"))
         .agg(sum(col("l_quantity")).as("q"))
+        .persist()  // span scalar + per-part rollup
       val span = weekly.agg((max(col("wk")) - min(col("wk")) + 1)
         .cast("double").as("total_weeks"))
       weekly.groupBy(col("l_partkey"))
@@ -3761,12 +3769,14 @@ object SparkEntry {
       val ue = events(s, dir)
         .select(col("event_type").as("et"), col("user_id").as("u"))
         .distinct()
+        .persist()  // feeds signatures, per-type counts, and the exact self-join
       val seeds = s.range(64).select(col("id").as("sd"))
       val mh = ue.crossJoin(broadcast(seeds))
         .select(col("et"), col("sd"),
           graft.ops.Sampling.keyHash(col("u") + col("sd") * lit(1000003L))
             .as("h"))
         .groupBy(col("et"), col("sd")).agg(min(col("h")).as("mn"))
+        .persist()  // both sides of the signature self-join
       val est = mh.as("a")
         .join(mh.as("b"), col("a.sd") === col("b.sd") &&
           col("a.et") < col("b.et"))
