@@ -3493,6 +3493,87 @@ object SparkEntry {
         .orderBy(col("month_idx"))
     }),
 
+    "q222_late_arrival" -> ((s, dir) => {
+      // out-of-orderness profile — the measurement that sizes a streaming
+      // watermark: replay each type's events in arrival order (event_id),
+      // track the running max timestamp, and score every event's lateness
+      // against it. Per-type windows only (bounded by type cardinality,
+      // never a global sort); percentile parity with quantile_cont is the
+      // established q44 contract.
+      val ev = events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("late_s",
+          (max(col("us")).over(w) - col("us")).cast("double") / lit(1e6))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(avg(when(col("late_s") > 0, 1.0).otherwise(0.0)), 4)
+            .as("pct_late"),
+          round(expr("percentile(late_s, 0.95)"), 4).as("p95_late_s"),
+          round(max(col("late_s")), 4).as("max_late_s"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q223_lsh_planner" -> ((s, dir) => {
+      // LSH parameter planner: for each (bands, rows-per-band) config, the
+      // s-curve collision probability 1-(1-j^r)^b integrated over the
+      // corpus's MEASURED pair-similarity distribution — expected candidate
+      // volume vs recall on the high-sim (>= 0.5) stratum. Reuses the exact
+      // df-filtered n-gram pair machinery; the grid is 6 broadcast rows, so
+      // the whole planner is one counts-only aggregate over pairs x grid.
+      import s.implicits._
+      val pairs = Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "text",
+          "doc_id", n = 3, threshold = 0.3, maxShingleFreq = 400)
+        .select(round(col("jaccard"), 6).as("j"))
+      val grid = Seq((4, 4), (8, 4), (8, 8), (16, 4), (16, 8), (32, 4))
+        .toDF("bands", "rpb")
+      pairs.crossJoin(broadcast(grid))
+        .withColumn("p", lit(1.0) -
+          pow(lit(1.0) - pow(col("j"), col("rpb").cast("double")),
+            col("bands").cast("double")))
+        .groupBy(col("bands"), col("rpb"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("p")), 2).as("exp_cands"),
+          sum(when(col("j") >= 0.5, 1L).otherwise(0L)).as("n_pairs_05"),
+          round(sum(when(col("j") >= 0.5, col("p"))) /
+            sum(when(col("j") >= 0.5, 1.0)), 4).as("recall_05"))
+        .orderBy(col("bands"), col("rpb"))
+    }),
+
+    "q224_encoding_audit" -> ((s, dir) => {
+      // storage-layout encodability audit: per column, the distinct ratio
+      // (dictionary-encodability) and mean run length in the table's
+      // physical sort (RLE-ability), runs counted within each order's
+      // line sequence — a per-order window, never a global sort. Counts
+      // only; values are compared in their NATIVE type (a string cast
+      // would couple the audit to engine float formatting).
+      // (l_orderkey, l_linenumber) is NOT unique in this generator — the
+      // window order must extend to (partkey, suppkey) to be total, or the
+      // run counts become engine-tie-order-dependent
+      val li = t(s, dir, "lineitem")
+      def audit(c: String): DataFrame = {
+        val w = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        li.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col(c).as("v"))
+          .withColumn("prev", lag(col("v"), 1).over(w))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("v")).as("n_distinct"),
+            sum(when(col("prev").isNull || col("prev") =!= col("v"), 1L)
+              .otherwise(0L)).as("n_runs"))
+          .select(lit(c).as("column_name"), col("n_rows"), col("n_distinct"),
+            round(col("n_distinct").cast("double") / col("n_rows").cast("double"), 6)
+              .as("distinct_ratio"),
+            round(col("n_rows").cast("double") / col("n_runs").cast("double"), 4)
+              .as("avg_run_len"))
+      }
+      audit("l_returnflag").unionByName(audit("l_linestatus"))
+        .unionByName(audit("l_quantity")).unionByName(audit("l_partkey"))
+        .orderBy(col("column_name"))
+    }),
+
     "q219_readability" -> ((s, dir) => {
       // Flesch reading-ease profile per language: words as letter runs,
       // sentences as terminal-punctuation marks (clamped >= 1), syllables
@@ -7766,6 +7847,55 @@ object SparkEntry {
         |SELECT month_idx, CAST(sum(amt) AS BIGINT) AS recognized_cents,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM sp GROUP BY 1 ORDER BY month_idx""".stripMargin,
+
+    "q222_late_arrival" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |w AS (SELECT event_type, us,
+        |    max(us) OVER (PARTITION BY event_type ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm
+        |  FROM e),
+        |l AS (SELECT event_type, CAST(wm - us AS DOUBLE) / 1e6 AS late_s
+        |  FROM w)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(avg(CASE WHEN late_s > 0 THEN 1.0 ELSE 0.0 END), 4)
+        |    AS pct_late,
+        |  round(quantile_cont(late_s, 0.95), 4) AS p95_late_s,
+        |  round(max(late_s), 4) AS max_late_s
+        |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q223_lsh_planner" ->
+      s"""WITH $ngramPairsCtes,
+         |grid AS (SELECT * FROM (VALUES (4, 4), (8, 4), (8, 8), (16, 4),
+         |  (16, 8), (32, 4)) g(bands, rpb)),
+         |sc AS (SELECT bands, rpb, jaccard AS j,
+         |    1 - pow(1 - pow(jaccard, CAST(rpb AS DOUBLE)),
+         |      CAST(bands AS DOUBLE)) AS p
+         |  FROM pairs CROSS JOIN grid)
+         |SELECT bands, rpb, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(sum(p), 2) AS exp_cands,
+         |  CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pairs_05,
+         |  round(sum(CASE WHEN j >= 0.5 THEN p END) /
+         |    sum(CASE WHEN j >= 0.5 THEN 1.0 END), 4) AS recall_05
+         |FROM sc GROUP BY 1, 2 ORDER BY bands, rpb""".stripMargin,
+
+    "q224_encoding_audit" -> {
+      def auditSql(c: String): String =
+        s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |    CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |    round(CAST(count(DISTINCT $c) AS DOUBLE) /
+           |      CAST(count(*) AS DOUBLE), 6) AS distinct_ratio,
+           |    round(CAST(count(*) AS DOUBLE) /
+           |      CAST(sum(CASE WHEN prev IS NULL OR prev <> $c THEN 1
+           |        ELSE 0 END) AS DOUBLE), 4) AS avg_run_len
+           |  FROM (SELECT $c, lag($c) OVER (PARTITION BY l_orderkey
+           |    ORDER BY l_linenumber, l_partkey, l_suppkey) AS prev
+           |    FROM lineitem)""".stripMargin
+      Seq("l_returnflag", "l_linestatus", "l_quantity", "l_partkey")
+        .map(auditSql)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
 
     "q219_readability" ->
       """WITH c AS (SELECT lang,
