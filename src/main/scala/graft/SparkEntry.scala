@@ -3493,6 +3493,84 @@ object SparkEntry {
         .orderBy(col("month_idx"))
     }),
 
+    "q225_dedup_threshold_curve" -> ((s, dir) => {
+      // dedup operating curve: how many candidate pairs and distinct
+      // member docs survive each similarity threshold — the table you read
+      // before committing a cluster-merge cutoff. Pair-bounded counts only
+      // (the pair set is the df-filtered n-gram join, never O(n^2)).
+      import s.implicits._
+      val pairs = Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "text",
+          "doc_id", n = 3, threshold = 0.3, maxShingleFreq = 400)
+        .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("j"))
+        .persist()  // one pair generation, six threshold slices
+      val grid = Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8).toDF("thresh")
+      val st = pairs.crossJoin(broadcast(grid)).filter(col("j") >= col("thresh"))
+      val np = st.groupBy(col("thresh")).agg(count(lit(1)).as("n_pairs"))
+      val nd = st.select(col("thresh"),
+          explode(array(col("idA"), col("idB"))).as("id"))
+        .groupBy(col("thresh")).agg(countDistinct(col("id")).as("n_docs"))
+      np.join(nd, "thresh").orderBy(col("thresh"))
+    }),
+
+    "q226_sequential_ab" -> ((s, dir) => {
+      // sequential-testing peeking curve: users hash-split A/B, the
+      // two-sample z for mean event value recomputed at each day from
+      // CUMULATIVE prefix sums (one day-grain window over the calendar-
+      // bounded daily aggregate — never over raw events). The curve shows
+      // what peeking does to a fixed-horizon test.
+      val ev = events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .select(expr("us div 86400000000").as("d"),
+          pmod(graft.ops.Sampling.keyHash(col("user_id")), lit(2L)).as("arm"),
+          col("value").as("v"))
+      val daily = ev.groupBy(col("d"))
+        .agg(sum(when(col("arm") === 0, col("v"))).as("sa"),
+          sum(when(col("arm") === 0, col("v") * col("v"))).as("ssa"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("arm") === 1, col("v"))).as("sb"),
+          sum(when(col("arm") === 1, col("v") * col("v"))).as("ssb"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"))
+      val w = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .select(col("d"), sum(col("sa")).over(w).as("csa"),
+          sum(col("ssa")).over(w).as("cssa"), sum(col("na")).over(w).as("cna"),
+          sum(col("sb")).over(w).as("csb"), sum(col("ssb")).over(w).as("cssb"),
+          sum(col("nb")).over(w).as("cnb"))
+        .filter(col("cna") > 1 && col("cnb") > 1)
+        .select(col("d"), (col("cna") + col("cnb")).as("n_total"),
+          round((col("csa") / col("cna") - col("csb") / col("cnb")) /
+            sqrt(
+              (col("cssa") - col("csa") * col("csa") / col("cna")) /
+                (col("cna") - 1) / col("cna") +
+              (col("cssb") - col("csb") * col("csb") / col("cnb")) /
+                (col("cnb") - 1) / col("cnb")), 4).as("z"))
+        .orderBy(col("d"))
+    }),
+
+    "q227_watermark_sim" -> ((s, dir) => {
+      // allowed-lateness decision table: for candidate watermark delays,
+      // the fraction of each type's events a streaming job would drop —
+      // q222's lateness measurement crossed with a 5-row broadcast grid,
+      // one counts-only aggregate.
+      import s.implicits._
+      val ev = events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val late = ev.withColumn("late_s",
+        (max(col("us")).over(w) - col("us")).cast("double") / lit(1e6))
+      val grid = Seq(0L, 30L, 60L, 300L, 900L).toDF("delay_s")
+      late.crossJoin(broadcast(grid))
+        .groupBy(col("event_type"), col("delay_s"))
+        .agg(sum(when(col("late_s") > col("delay_s").cast("double"), 1L)
+            .otherwise(0L)).as("n_dropped"),
+          round(avg(when(col("late_s") > col("delay_s").cast("double"), 1.0)
+            .otherwise(0.0)), 6).as("drop_rate"))
+        .orderBy(col("event_type"), col("delay_s"))
+    }),
+
     "q222_late_arrival" -> ((s, dir) => {
       // out-of-orderness profile — the measurement that sizes a streaming
       // watermark: replay each type's events in arrival order (event_id),
@@ -7847,6 +7925,69 @@ object SparkEntry {
         |SELECT month_idx, CAST(sum(amt) AS BIGINT) AS recognized_cents,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM sp GROUP BY 1 ORDER BY month_idx""".stripMargin,
+
+    "q225_dedup_threshold_curve" ->
+      s"""WITH $ngramPairsCtes,
+         |pj AS (SELECT idA, idB, jaccard AS j FROM pairs),
+         |grid AS (SELECT CAST(x AS DOUBLE) AS thresh FROM (VALUES (0.3),
+         |  (0.4), (0.5), (0.6), (0.7), (0.8)) g(x)),
+         |st AS (SELECT thresh, idA, idB FROM pj CROSS JOIN grid
+         |  WHERE j >= thresh),
+         |np AS (SELECT thresh, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM st GROUP BY 1),
+         |nd AS (SELECT thresh, CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+         |  FROM (SELECT thresh, idA AS id FROM st
+         |    UNION ALL SELECT thresh, idB FROM st)
+         |  GROUP BY 1)
+         |SELECT np.thresh, np.n_pairs, nd.n_docs
+         |FROM np JOIN nd ON np.thresh = nd.thresh
+         |ORDER BY np.thresh""".stripMargin,
+
+    "q226_sequential_ab" -> {
+      val kh = graft.ops.Sampling.keyHashSql("user_id")
+      s"""WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS d,
+         |    ($kh) % 2 AS arm, value AS v
+         |  FROM events),
+         |daily AS (SELECT d,
+         |    sum(CASE WHEN arm = 0 THEN v END) AS sa,
+         |    sum(CASE WHEN arm = 0 THEN v * v END) AS ssa,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |    sum(CASE WHEN arm = 1 THEN v END) AS sb,
+         |    sum(CASE WHEN arm = 1 THEN v * v END) AS ssb,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+         |  FROM ev GROUP BY 1),
+         |c AS (SELECT d,
+         |    sum(sa) OVER wc AS csa, sum(ssa) OVER wc AS cssa,
+         |    sum(na) OVER wc AS cna, sum(sb) OVER wc AS csb,
+         |    sum(ssb) OVER wc AS cssb, sum(nb) OVER wc AS cnb
+         |  FROM daily
+         |  WINDOW wc AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |    CURRENT ROW))
+         |SELECT d, CAST(cna + cnb AS BIGINT) AS n_total,
+         |  round((csa / cna - csb / cnb) /
+         |    sqrt((cssa - csa * csa / cna) / (cna - 1) / cna +
+         |      (cssb - csb * csb / cnb) / (cnb - 1) / cnb), 4) AS z
+         |FROM c WHERE cna > 1 AND cnb > 1 ORDER BY d""".stripMargin
+    },
+
+    "q227_watermark_sim" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |w AS (SELECT event_type, us,
+        |    max(us) OVER (PARTITION BY event_type ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm
+        |  FROM e),
+        |l AS (SELECT event_type, CAST(wm - us AS DOUBLE) / 1e6 AS late_s
+        |  FROM w),
+        |grid AS (SELECT CAST(x AS BIGINT) AS delay_s
+        |  FROM (VALUES (0), (30), (60), (300), (900)) g(x))
+        |SELECT event_type, delay_s,
+        |  CAST(sum(CASE WHEN late_s > CAST(delay_s AS DOUBLE) THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  round(avg(CASE WHEN late_s > CAST(delay_s AS DOUBLE) THEN 1.0
+        |    ELSE 0.0 END), 6) AS drop_rate
+        |FROM l CROSS JOIN grid
+        |GROUP BY 1, 2 ORDER BY event_type, delay_s""".stripMargin,
 
     "q222_late_arrival" ->
       """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us
