@@ -3493,6 +3493,134 @@ object SparkEntry {
         .orderBy(col("month_idx"))
     }),
 
+    "q228_predicate_correlation" -> ((s, dir) => {
+      // CBO-statistics gauge: actual conjunctive selectivity vs the
+      // independence-assumption estimate for three predicate pairs — the
+      // correlation factor an optimizer would need multi-column stats to
+      // see. All six indicators + three conjunctions ride ONE scan/
+      // aggregate; the report is three stacked rows.
+      val li = t(s, dir, "lineitem")
+      val a = li.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .cast("double").as("a1"),
+        sum(when(col("l_linestatus") === "F", 1L).otherwise(0L))
+          .cast("double").as("b1"),
+        sum(when(col("l_returnflag") === "R" && col("l_linestatus") === "F",
+          1L).otherwise(0L)).cast("double").as("ab1"),
+        sum(when(year(col("l_shipdate")) >= 1995, 1L).otherwise(0L))
+          .cast("double").as("a2"),
+        sum(when(col("l_quantity") > 25, 1L).otherwise(0L))
+          .cast("double").as("b2"),
+        sum(when(year(col("l_shipdate")) >= 1995 && col("l_quantity") > 25,
+          1L).otherwise(0L)).cast("double").as("ab2"),
+        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L))
+          .cast("double").as("a3"),
+        sum(when(col("l_tax") > 0.04, 1L).otherwise(0L))
+          .cast("double").as("b3"),
+        sum(when(col("l_discount") > 0.05 && col("l_tax") > 0.04, 1L)
+          .otherwise(0L)).cast("double").as("ab3"))
+      def row(label: String, sa: String, sb: String, sab: String) =
+        a.select(lit(label).as("predicate_pair"),
+          round(col(sa) / col("n"), 6).as("sel_a"),
+          round(col(sb) / col("n"), 6).as("sel_b"),
+          round(col(sab) / col("n"), 6).as("sel_actual"),
+          round(col(sa) * col(sb) / (col("n") * col("n")), 6).as("sel_indep"),
+          round(col(sab) * col("n") / (col(sa) * col(sb)), 4)
+            .as("corr_factor"))
+      row("returnflag_linestatus", "a1", "b1", "ab1")
+        .unionByName(row("shipyear_quantity", "a2", "b2", "ab2"))
+        .unionByName(row("discount_tax", "a3", "b3", "ab3"))
+        .orderBy(col("predicate_pair"))
+    }),
+
+    "q229_ipw_balance" -> ((s, dir) => {
+      // inverse-propensity weighting balance check: treatment = deep
+      // discount, covariate = quantity, propensity = treated share within
+      // (returnflag, linestatus) strata. Standardized mean difference
+      // before vs after weighting — the causal-analysis pre-flight. One
+      // stratum aggregate (broadcast back, <= 6 rows) then one weighted
+      // aggregate; weighted moments from Σw/Σwx/Σwx² (quantity is O(50),
+      // no cancellation regime).
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+          when(col("l_discount") >= 0.06, 1).otherwise(0).as("tr"),
+          col("l_quantity").as("x"))
+      val strata = li.groupBy(col("rf"), col("ls"))
+        .agg(avg(col("tr").cast("double")).as("e"))
+      val wted = li.join(broadcast(strata), Seq("rf", "ls"))
+        .filter(col("e") > 0 && col("e") < 1)
+        .withColumn("w", when(col("tr") === 1, lit(1.0) / col("e"))
+          .otherwise(lit(1.0) / (lit(1.0) - col("e"))))
+      val m = wted.agg(
+        sum(when(col("tr") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("tr") === 0, 1L).otherwise(0L)).as("n_c"),
+        avg(when(col("tr") === 1, col("x"))).as("mt"),
+        avg(when(col("tr") === 0, col("x"))).as("mc"),
+        avg(when(col("tr") === 1, col("x") * col("x"))).as("st"),
+        avg(when(col("tr") === 0, col("x") * col("x"))).as("sc"),
+        sum(when(col("tr") === 1, col("w"))).as("wt"),
+        sum(when(col("tr") === 0, col("w"))).as("wc"),
+        sum(when(col("tr") === 1, col("w") * col("x"))).as("wxt"),
+        sum(when(col("tr") === 0, col("w") * col("x"))).as("wxc"),
+        sum(when(col("tr") === 1, col("w") * col("x") * col("x"))).as("wxxt"),
+        sum(when(col("tr") === 0, col("w") * col("x") * col("x"))).as("wxxc"))
+      m.select(col("n_t"), col("n_c"),
+        round((col("mt") - col("mc")) /
+          sqrt(((col("st") - col("mt") * col("mt")) +
+            (col("sc") - col("mc") * col("mc"))) / 2.0), 4).as("smd_before"),
+        round((col("wxt") / col("wt") - col("wxc") / col("wc")) /
+          sqrt(((col("wxxt") / col("wt") -
+            (col("wxt") / col("wt")) * (col("wxt") / col("wt"))) +
+            (col("wxxc") / col("wc") -
+              (col("wxc") / col("wc")) * (col("wxc") / col("wc")))) / 2.0), 4)
+          .as("smd_after"))
+    }),
+
+    "q230_did" -> ((s, dir) => {
+      // difference-in-differences: ASIA-nation customers (treated) vs rest,
+      // order values before/after the 1995 policy year — four cell means
+      // from exact cents in ONE conditional aggregate after broadcast dim
+      // joins, DiD and its pooled SE in closed form.
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"),
+          when(col("r_name") === "ASIA", 1).otherwise(0).as("treat"))
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          when(year(col("o_orderdate")) >= 1995, 1).otherwise(0).as("post"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .cast("double").as("cents"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+      def cell(t0: Int, p0: Int, c: String) =
+        when(col("treat") === t0 && col("post") === p0, col(c))
+      val m = o.agg(
+        count(when(col("treat") === 1 && col("post") === 1, 1L)).as("n_t1"),
+        count(when(col("treat") === 1 && col("post") === 0, 1L)).as("n_t0"),
+        count(when(col("treat") === 0 && col("post") === 1, 1L)).as("n_c1"),
+        count(when(col("treat") === 0 && col("post") === 0, 1L)).as("n_c0"),
+        avg(cell(1, 1, "cents")).as("m_t1"), avg(cell(1, 0, "cents")).as("m_t0"),
+        avg(cell(0, 1, "cents")).as("m_c1"), avg(cell(0, 0, "cents")).as("m_c0"),
+        avg(cell(1, 1, "cents") * cell(1, 1, "cents")).as("s_t1"),
+        avg(cell(1, 0, "cents") * cell(1, 0, "cents")).as("s_t0"),
+        avg(cell(0, 1, "cents") * cell(0, 1, "cents")).as("s_c1"),
+        avg(cell(0, 0, "cents") * cell(0, 0, "cents")).as("s_c0"))
+      def v(mm: String, ss: String, nn: String) =
+        (col(ss) - col(mm) * col(mm)) * col(nn).cast("double") /
+          (col(nn) - 1).cast("double") / col(nn).cast("double")
+      m.select(col("n_t1"), col("n_t0"), col("n_c1"), col("n_c0"),
+        round(col("m_t1") / 100.0, 4).as("mean_treat_post"),
+        round(col("m_t0") / 100.0, 4).as("mean_treat_pre"),
+        round(col("m_c1") / 100.0, 4).as("mean_ctrl_post"),
+        round(col("m_c0") / 100.0, 4).as("mean_ctrl_pre"),
+        round((col("m_t1") - col("m_t0") - (col("m_c1") - col("m_c0"))) / 100.0,
+          4).as("did"),
+        round(sqrt(v("m_t1", "s_t1", "n_t1") + v("m_t0", "s_t0", "n_t0") +
+          v("m_c1", "s_c1", "n_c1") + v("m_c0", "s_c0", "n_c0")) / 100.0, 4)
+          .as("did_se"))
+    }),
+
     "q225_dedup_threshold_curve" -> ((s, dir) => {
       // dedup operating curve: how many candidate pairs and distinct
       // member docs survive each similarity threshold — the table you read
@@ -7925,6 +8053,126 @@ object SparkEntry {
         |SELECT month_idx, CAST(sum(amt) AS BIGINT) AS recognized_cents,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM sp GROUP BY 1 ORDER BY month_idx""".stripMargin,
+
+    "q228_predicate_correlation" ->
+      """WITH a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS a1,
+        |    CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS b1,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F'
+        |      THEN 1 ELSE 0 END) AS DOUBLE) AS ab1,
+        |    CAST(sum(CASE WHEN year(l_shipdate) >= 1995 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS a2,
+        |    CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS b2,
+        |    CAST(sum(CASE WHEN year(l_shipdate) >= 1995 AND l_quantity > 25
+        |      THEN 1 ELSE 0 END) AS DOUBLE) AS ab2,
+        |    CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS a3,
+        |    CAST(sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS b3,
+        |    CAST(sum(CASE WHEN l_discount > 0.05 AND l_tax > 0.04
+        |      THEN 1 ELSE 0 END) AS DOUBLE) AS ab3
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'returnflag_linestatus' AS predicate_pair,
+        |    round(a1 / n, 6) AS sel_a, round(b1 / n, 6) AS sel_b,
+        |    round(ab1 / n, 6) AS sel_actual,
+        |    round(a1 * b1 / (n * n), 6) AS sel_indep,
+        |    round(ab1 * n / (a1 * b1), 4) AS corr_factor FROM a
+        |  UNION ALL
+        |  SELECT 'shipyear_quantity', round(a2 / n, 6), round(b2 / n, 6),
+        |    round(ab2 / n, 6), round(a2 * b2 / (n * n), 6),
+        |    round(ab2 * n / (a2 * b2), 4) FROM a
+        |  UNION ALL
+        |  SELECT 'discount_tax', round(a3 / n, 6), round(b3 / n, 6),
+        |    round(ab3 / n, 6), round(a3 * b3 / (n * n), 6),
+        |    round(ab3 * n / (a3 * b3), 4) FROM a)
+        |ORDER BY predicate_pair""".stripMargin,
+
+    "q229_ipw_balance" ->
+      """WITH li AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |    CASE WHEN l_discount >= 0.06 THEN 1 ELSE 0 END AS tr,
+        |    l_quantity AS x
+        |  FROM lineitem),
+        |stt AS (SELECT rf, ls, avg(CAST(tr AS DOUBLE)) AS e FROM li
+        |  GROUP BY 1, 2),
+        |w AS (SELECT tr, x,
+        |    CASE WHEN tr = 1 THEN 1.0 / e ELSE 1.0 / (1 - e) END AS w
+        |  FROM li JOIN stt USING (rf, ls) WHERE e > 0 AND e < 1),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN tr = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(sum(CASE WHEN tr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |    avg(CASE WHEN tr = 1 THEN x END) AS mt,
+        |    avg(CASE WHEN tr = 0 THEN x END) AS mc,
+        |    avg(CASE WHEN tr = 1 THEN x * x END) AS qt,
+        |    avg(CASE WHEN tr = 0 THEN x * x END) AS qc,
+        |    sum(CASE WHEN tr = 1 THEN w END) AS wt,
+        |    sum(CASE WHEN tr = 0 THEN w END) AS wc,
+        |    sum(CASE WHEN tr = 1 THEN w * x END) AS wxt,
+        |    sum(CASE WHEN tr = 0 THEN w * x END) AS wxc,
+        |    sum(CASE WHEN tr = 1 THEN w * x * x END) AS wxxt,
+        |    sum(CASE WHEN tr = 0 THEN w * x * x END) AS wxxc
+        |  FROM w)
+        |SELECT n_t, n_c,
+        |  round((mt - mc) / sqrt(((qt - mt * mt) + (qc - mc * mc)) / 2.0), 4)
+        |    AS smd_before,
+        |  round((wxt / wt - wxc / wc) /
+        |    sqrt(((wxxt / wt - (wxt / wt) * (wxt / wt)) +
+        |      (wxxc / wc - (wxc / wc) * (wxc / wc))) / 2.0), 4)
+        |    AS smd_after
+        |FROM m""".stripMargin,
+
+    "q230_did" ->
+      """WITH cu AS (SELECT c_custkey,
+        |    CASE WHEN r_name = 'ASIA' THEN 1 ELSE 0 END AS treat
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey),
+        |o AS (SELECT treat,
+        |    CASE WHEN year(o_orderdate) >= 1995 THEN 1 ELSE 0 END AS post,
+        |    CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS DOUBLE)
+        |      AS cents
+        |  FROM orders JOIN cu ON o_custkey = c_custkey),
+        |m AS (SELECT
+        |    CAST(count(CASE WHEN treat = 1 AND post = 1 THEN 1 END)
+        |      AS BIGINT) AS n_t1,
+        |    CAST(count(CASE WHEN treat = 1 AND post = 0 THEN 1 END)
+        |      AS BIGINT) AS n_t0,
+        |    CAST(count(CASE WHEN treat = 0 AND post = 1 THEN 1 END)
+        |      AS BIGINT) AS n_c1,
+        |    CAST(count(CASE WHEN treat = 0 AND post = 0 THEN 1 END)
+        |      AS BIGINT) AS n_c0,
+        |    avg(CASE WHEN treat = 1 AND post = 1 THEN cents END) AS m_t1,
+        |    avg(CASE WHEN treat = 1 AND post = 0 THEN cents END) AS m_t0,
+        |    avg(CASE WHEN treat = 0 AND post = 1 THEN cents END) AS m_c1,
+        |    avg(CASE WHEN treat = 0 AND post = 0 THEN cents END) AS m_c0,
+        |    avg(CASE WHEN treat = 1 AND post = 1 THEN cents * cents END)
+        |      AS s_t1,
+        |    avg(CASE WHEN treat = 1 AND post = 0 THEN cents * cents END)
+        |      AS s_t0,
+        |    avg(CASE WHEN treat = 0 AND post = 1 THEN cents * cents END)
+        |      AS s_c1,
+        |    avg(CASE WHEN treat = 0 AND post = 0 THEN cents * cents END)
+        |      AS s_c0
+        |  FROM o)
+        |SELECT n_t1, n_t0, n_c1, n_c0,
+        |  round(m_t1 / 100.0, 4) AS mean_treat_post,
+        |  round(m_t0 / 100.0, 4) AS mean_treat_pre,
+        |  round(m_c1 / 100.0, 4) AS mean_ctrl_post,
+        |  round(m_c0 / 100.0, 4) AS mean_ctrl_pre,
+        |  round((m_t1 - m_t0 - (m_c1 - m_c0)) / 100.0, 4) AS did,
+        |  round(sqrt(
+        |    (s_t1 - m_t1 * m_t1) * CAST(n_t1 AS DOUBLE) /
+        |      CAST(n_t1 - 1 AS DOUBLE) / CAST(n_t1 AS DOUBLE) +
+        |    (s_t0 - m_t0 * m_t0) * CAST(n_t0 AS DOUBLE) /
+        |      CAST(n_t0 - 1 AS DOUBLE) / CAST(n_t0 AS DOUBLE) +
+        |    (s_c1 - m_c1 * m_c1) * CAST(n_c1 AS DOUBLE) /
+        |      CAST(n_c1 - 1 AS DOUBLE) / CAST(n_c1 AS DOUBLE) +
+        |    (s_c0 - m_c0 * m_c0) * CAST(n_c0 AS DOUBLE) /
+        |      CAST(n_c0 - 1 AS DOUBLE) / CAST(n_c0 AS DOUBLE)) / 100.0, 4)
+        |    AS did_se
+        |FROM m""".stripMargin,
 
     "q225_dedup_threshold_curve" ->
       s"""WITH $ngramPairsCtes,
