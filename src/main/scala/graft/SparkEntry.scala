@@ -3493,6 +3493,77 @@ object SparkEntry {
         .orderBy(col("month_idx"))
     }),
 
+    "q231_string_agg" -> ((s, dir) => {
+      // ordered list/string aggregation parity: collect_list is
+      // UNORDERED in a distributed engine — the portable contract is
+      // sort_array before rendering (vs DuckDB's string_agg ORDER BY).
+      // One nation-key shuffle; list size bounded by suppliers-per-nation.
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          concat_ws(",", sort_array(collect_list(col("s_name"))))
+            .as("supplier_csv"),
+          round(sum(col("s_acctbal")), 2).as("total_bal"))
+        .orderBy(col("n_name"))
+    }),
+
+    "q232_span_corruption" -> ((s, dir) => {
+      // T5-style span-corruption bookkeeping: tokens partitioned into
+      // 20-token blocks, one 3-token mask per full block, span offset
+      // drawn per (doc, block) from the portable keyHash — so mask count,
+      // sentinel count, AND the exact offset checksum are all engine-
+      // reproducible. The per-block explode is bounded by nt/20, and the
+      // final shape is one per-language aggregate.
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(expr("regexp_extract_all(text, '[^ ]+', 0)")).cast("long")
+            .as("nt"))
+        .withColumn("n_blocks", expr("nt div 20"))
+        .persist()  // block explode + the per-doc join-back
+      val blocks = d.filter(col("n_blocks") > 0)
+        .withColumn("b", explode(expr("sequence(0L, n_blocks - 1)")))
+        .select(col("doc_id"), col("lang"),
+          pmod(graft.ops.Sampling.keyHash(col("doc_id") * lit(131L) + col("b")),
+            lit(18L)).as("off"))
+      val perDoc = blocks.groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_spans"), sum(col("off")).as("off_sum"))
+      d.join(perDoc.select(col("doc_id"), col("n_spans"), col("off_sum")),
+          Seq("doc_id"), "left")
+        .select(col("lang"), col("nt"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("off_sum"), lit(0L)).as("off_sum"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"),
+          sum(col("n_spans")).as("total_sentinels"),
+          sum(col("n_spans") * 3).as("masked_tokens"),
+          round(sum(col("n_spans") * 3).cast("double") /
+            sum(col("nt")).cast("double"), 6).as("mask_frac"),
+          sum(col("off_sum")).as("offset_checksum"))
+        .orderBy(col("lang"))
+    }),
+
+    "q233_class_reweight" -> ((s, dir) => {
+      // class-imbalance reweighting for the language mix: weights
+      // proportional to 1/sqrt(n) normalized so the weighted corpus size
+      // equals N — the standard temperature-0.5 rebalance — with the
+      // before/after share table. Counts-only aggregate + one broadcast
+      // normalization scalar.
+      val cnt = t(s, dir, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.agg(sum(col("n")).cast("double").as("nn"),
+        sum(sqrt(col("n").cast("double"))).as("ssq"))
+      cnt.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n"),
+          round(col("nn") / col("ssq") / sqrt(col("n").cast("double")), 6)
+            .as("weight"),
+          round(col("n").cast("double") / col("nn"), 6).as("share_before"),
+          round(sqrt(col("n").cast("double")) / col("ssq"), 6)
+            .as("share_after"))
+        .orderBy(col("lang"))
+    }),
+
     "q228_predicate_correlation" -> ((s, dir) => {
       // CBO-statistics gauge: actual conjunctive selectivity vs the
       // independence-assumption estimate for three predicate pairs — the
@@ -8053,6 +8124,49 @@ object SparkEntry {
         |SELECT month_idx, CAST(sum(amt) AS BIGINT) AS recognized_cents,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM sp GROUP BY 1 ORDER BY month_idx""".stripMargin,
+
+    "q231_string_agg" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |  string_agg(s_name, ',' ORDER BY s_name) AS supplier_csv,
+        |  round(sum(s_acctbal), 2) AS total_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY n_name""".stripMargin,
+
+    "q232_span_corruption" -> {
+      val kh = graft.ops.Sampling.keyHashSql("(doc_id * 131 + b)")
+      s"""WITH d0 AS (SELECT doc_id, lang,
+         |    CAST(len(regexp_extract_all(text, '[^ ]+', 0)) AS BIGINT)
+         |      AS nt
+         |  FROM documents),
+         |d AS (SELECT doc_id, lang, nt, nt // 20 AS n_blocks FROM d0),
+         |bx AS (SELECT doc_id,
+         |    CAST(unnest(generate_series(0, n_blocks - 1)) AS BIGINT) AS b
+         |  FROM d WHERE n_blocks > 0),
+         |bl AS (SELECT doc_id, ($kh) % 18 AS off FROM bx),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(off) AS BIGINT) AS off_sum
+         |  FROM bl GROUP BY 1)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+         |  CAST(sum(coalesce(n_spans, 0)) AS BIGINT) AS total_sentinels,
+         |  CAST(sum(coalesce(n_spans, 0) * 3) AS BIGINT) AS masked_tokens,
+         |  round(CAST(sum(coalesce(n_spans, 0) * 3) AS DOUBLE) /
+         |    CAST(sum(nt) AS DOUBLE), 6) AS mask_frac,
+         |  CAST(sum(coalesce(off_sum, 0)) AS BIGINT) AS offset_checksum
+         |FROM d LEFT JOIN pd USING (doc_id)
+         |GROUP BY 1 ORDER BY lang""".stripMargin
+    },
+
+    "q233_class_reweight" ->
+      """WITH cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn,
+        |    sum(sqrt(CAST(n AS DOUBLE))) AS ssq FROM cnt)
+        |SELECT lang, n,
+        |  round(nn / ssq / sqrt(CAST(n AS DOUBLE)), 6) AS weight,
+        |  round(CAST(n AS DOUBLE) / nn, 6) AS share_before,
+        |  round(sqrt(CAST(n AS DOUBLE)) / ssq, 6) AS share_after
+        |FROM cnt CROSS JOIN tot ORDER BY lang""".stripMargin,
 
     "q228_predicate_correlation" ->
       """WITH a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
