@@ -3493,6 +3493,95 @@ object SparkEntry {
         .orderBy(col("month_idx"))
     }),
 
+    "q234_bom_rollup" -> ((s, dir) => {
+      // hierarchy rollup without recursion: ancestors of a part are its
+      // decimal prefixes (pk div 10^k), so the whole bill-of-materials
+      // rollup is ONE 6-row broadcast explode + one aggregate — counts
+      // and exact-cents cost per ancestor node, top 20 by subtree size.
+      // The closed-form ancestor join replaces an iterative climb at any
+      // scale (depth is log10-bounded).
+      import s.implicits._
+      val levels = Seq(1 -> 10L, 2 -> 100L, 3 -> 1000L, 4 -> 10000L,
+        5 -> 100000L, 6 -> 1000000L).toDF("k", "divisor")
+      t(s, dir, "part")
+        .select(col("p_partkey").as("pk"),
+          expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)").as("cents"))
+        .crossJoin(broadcast(levels))
+        .withColumn("anc", expr("pk div divisor"))
+        .filter(col("anc") > 0)
+        .groupBy(col("anc"))
+        .agg(count(lit(1)).as("n_desc"), sum(col("cents")).as("cost_cents"))
+        .orderBy(col("n_desc").desc, col("anc"))
+        .limit(20)
+    }),
+
+    "q235_dp_counts" -> ((s, dir) => {
+      // differential-privacy noise gauge with a DETERMINISTIC Laplace
+      // draw: u from the portable keyHash of the language's rank (strings
+      // never hashed — engine string hashes differ), noise = -b*sign(u-½)*
+      // ln(1-2|u-½|) at b=10 (ε=0.1 per count). Both engines reproduce
+      // the exact noisy value, so the privacy/utility table is
+      // oracle-checkable — the point is the bookkeeping, not secrecy.
+      val cnt = t(s, dir, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("lang"))
+      cnt.withColumn("lid", row_number().over(w).cast("long"))
+        .withColumn("u",
+          (graft.ops.Sampling.keyHash(col("lid")) + 0.5) / lit(4294967296.0))
+        .withColumn("lap", lit(-10.0) * signum(col("u") - 0.5) *
+          log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)))
+        .select(col("lang"), col("n"),
+          round(col("n") + col("lap"), 4).as("noisy_n"),
+          round(abs(col("lap")), 4).as("abs_err"))
+        .orderBy(col("lang"))
+    }),
+
+    "q236_ndcg" -> ((s, dir) => {
+      // retrieval quality eval: BM25 top-10 scored against exact
+      // contains-all-terms relevance labels — P@10 and NDCG@10 per query,
+      // IDCG from the true relevant count. Labels come from the same
+      // posting join the ranker uses (term-keyed, bounded), never a scan
+      // of docs x queries.
+      import s.implicits._
+      val queries = Seq(
+        (1L, "spark window agg"),
+        (2L, "vector scan batch"),
+        (3L, "customer stream query")).toDF("query_id", "query_text")
+      val docs = t(s, dir, "documents")
+      val ranked = Search.bm25TopK(docs, "text", "doc_id", queries, 10)
+      val qt = queries.select(col("query_id"), explode(expr(
+        "array_distinct(filter(split(lower(query_text), '[^a-z0-9]+'), x -> x <> ''))"))
+        .as("term"))
+      val nq = qt.groupBy(col("query_id")).agg(count(lit(1)).as("n_terms"))
+      val dt = docs.select(col("doc_id"), explode(expr(
+        "array_distinct(filter(split(lower(text), '[^a-z0-9]+'), x -> x <> ''))"))
+        .as("term"))
+      val rel = qt.join(dt, "term")
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("nmatch"))
+        .join(broadcast(nq), "query_id")
+        .filter(col("nmatch") === col("n_terms"))
+        .select(col("query_id"), col("doc_id"), lit(1).as("rel"))
+        .persist()  // totals + the top-10 join
+      val ntot = rel.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_relevant"))
+      val dcg = ranked.join(rel, Seq("query_id", "doc_id"), "left")
+        .withColumn("r", coalesce(col("rel"), lit(0)).cast("double"))
+        .groupBy(col("query_id"))
+        .agg(sum(col("r")).as("n_hits"),
+          sum(col("r") / log2(col("rank").cast("double") + 1.0)).as("dcg"))
+      val idcg = ntot
+        .withColumn("i", explode(expr("sequence(1L, least(10L, n_relevant))")))
+        .groupBy(col("query_id"), col("n_relevant"))
+        .agg(sum(lit(1.0) / log2(col("i").cast("double") + 1.0)).as("idcg"))
+      dcg.join(idcg, "query_id")
+        .select(col("query_id"), col("n_relevant"),
+          round(col("n_hits") / 10.0, 4).as("p_at_10"),
+          round(when(col("idcg") > 0, col("dcg") / col("idcg"))
+            .otherwise(lit(0.0)), 4).as("ndcg_at_10"))
+        .orderBy(col("query_id"))
+    }),
+
     "q231_string_agg" -> ((s, dir) => {
       // ordered list/string aggregation parity: collect_list is
       // UNORDERED in a distributed engine — the portable contract is
@@ -8124,6 +8213,69 @@ object SparkEntry {
         |SELECT month_idx, CAST(sum(amt) AS BIGINT) AS recognized_cents,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM sp GROUP BY 1 ORDER BY month_idx""".stripMargin,
+
+    "q234_bom_rollup" ->
+      """WITH lv AS (SELECT * FROM (VALUES (1, 10), (2, 100), (3, 1000),
+        |  (4, 10000), (5, 100000), (6, 1000000)) l(k, divisor)),
+        |p AS (SELECT p_partkey AS pk,
+        |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM part)
+        |SELECT pk // divisor AS anc, CAST(count(*) AS BIGINT) AS n_desc,
+        |  CAST(sum(cents) AS BIGINT) AS cost_cents
+        |FROM p CROSS JOIN lv WHERE pk // divisor > 0
+        |GROUP BY 1 ORDER BY n_desc DESC, anc LIMIT 20""".stripMargin,
+
+    "q235_dp_counts" -> {
+      val kh = graft.ops.Sampling.keyHashSql("lid")
+      s"""WITH cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1),
+         |l AS (SELECT lang, n,
+         |    CAST(row_number() OVER (ORDER BY lang) AS BIGINT) AS lid
+         |  FROM cnt),
+         |u AS (SELECT lang, n, (($kh) + 0.5) / 4294967296.0 AS u FROM l),
+         |lp AS (SELECT lang, n,
+         |    -10.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)) AS lap
+         |  FROM u)
+         |SELECT lang, n, round(n + lap, 4) AS noisy_n,
+         |  round(abs(lap), 4) AS abs_err
+         |FROM lp ORDER BY lang""".stripMargin
+    },
+
+    "q236_ndcg" -> {
+      val qv = "(1, 'spark window agg'), (2, 'vector scan batch'), " +
+        "(3, 'customer stream query')"
+      s"""WITH ${bm25Ctes(qv)},
+         |nq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms
+         |  FROM qt GROUP BY 1),
+         |dterm AS (SELECT DISTINCT doc_id, term FROM tk),
+         |rel AS (SELECT q2.query_id, d.doc_id
+         |  FROM qt q2 JOIN dterm d USING (term)
+         |  GROUP BY 1, 2
+         |  HAVING count(*) = (SELECT n_terms FROM nq WHERE
+         |    nq.query_id = q2.query_id)),
+         |ntot AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant
+         |  FROM rel GROUP BY 1),
+         |dcg AS (SELECT r.query_id,
+         |    sum(CASE WHEN rl.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END)
+         |      AS n_hits,
+         |    sum(CASE WHEN rl.doc_id IS NOT NULL THEN
+         |      1.0 / log2(CAST(r.rank AS DOUBLE) + 1.0) ELSE 0.0 END) AS dcg
+         |  FROM ranked r LEFT JOIN rel rl
+         |    ON rl.query_id = r.query_id AND rl.doc_id = r.doc_id
+         |  WHERE r.rank <= 10 GROUP BY 1),
+         |idcg AS (SELECT n.query_id, n.n_relevant,
+         |    sum(1.0 / log2(CAST(i AS DOUBLE) + 1.0)) AS idcg
+         |  FROM (SELECT query_id, n_relevant,
+         |      unnest(generate_series(1, least(10, n_relevant))) AS i
+         |    FROM ntot) n
+         |  GROUP BY 1, 2)
+         |SELECT CAST(d.query_id AS BIGINT) AS query_id, i.n_relevant,
+         |  round(d.n_hits / 10.0, 4) AS p_at_10,
+         |  round(CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg ELSE 0.0 END, 4)
+         |    AS ndcg_at_10
+         |FROM dcg d JOIN idcg i ON i.query_id = d.query_id
+         |ORDER BY query_id""".stripMargin
+    },
 
     "q231_string_agg" ->
       """SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
