@@ -3493,6 +3493,83 @@ object SparkEntry {
         .orderBy(col("month_idx"))
     }),
 
+    "q237_ordered_set_aggs" -> ((s, dir) => {
+      // ordered-set aggregates with PORTABLE tie semantics: builtin mode()
+      // and percentile_disc() tie-break differently across engines, so
+      // both are spelled as two-phase reductions over the per-value count
+      // table — mode = (count desc, value asc) argmax, discrete median =
+      // smallest value whose doubled cumulative count reaches n. Counts
+      // only after the first aggregate.
+      val cnt = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("rf"), col("l_quantity").as("q"))
+        .agg(count(lit(1)).as("c"))
+        .persist()  // mode argmax + cumulative median pass
+      val wRank = Window.partitionBy(col("rf"))
+        .orderBy(col("c").desc, col("q"))
+      val mode = cnt.withColumn("rn", row_number().over(wRank))
+        .filter(col("rn") === 1)
+        .select(col("rf"), col("q").as("mode_qty"))
+      val wCum = Window.partitionBy(col("rf")).orderBy(col("q"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = cnt.groupBy(col("rf")).agg(sum(col("c")).as("n"))
+      val med = cnt.withColumn("cum", sum(col("c")).over(wCum))
+        .join(broadcast(tot), "rf")
+        .filter(col("cum") * 2 >= col("n"))
+        .groupBy(col("rf")).agg(min(col("q")).as("median_disc"))
+      tot.join(mode, "rf").join(med, "rf")
+        .select(col("rf"), col("n"), col("mode_qty"), col("median_disc"))
+        .orderBy(col("rf"))
+    }),
+
+    "q238_calendar_gallery" -> ((s, dir) => {
+      // calendar-function parity gallery: per order month, quarter (pure
+      // arithmetic — engine quarter() conventions are safe but arithmetic
+      // is self-evident), days-in-month via last_day, day-of-year of the
+      // 1st, ISO week of the 15th (mid-month dodges year-boundary ISO
+      // divergence). The frame is the bounded month table, one aggregate
+      // ahead of the date math.
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n_orders"))
+        .select(col("y"), col("m"), col("n_orders"),
+          ((col("m") + 2) / 3).cast("int").as("quarter"),
+          dayofmonth(last_day(make_date(col("y"), col("m"), lit(1))))
+            .as("days_in_month"),
+          dayofyear(make_date(col("y"), col("m"), lit(1))).as("doy_first"),
+          weekofyear(make_date(col("y"), col("m"), lit(15))).as("iso_week_mid"))
+        .orderBy(col("y"), col("m"))
+    }),
+
+    "q239_scd2_amplification" -> ((s, dir) => {
+      // warehouse-economics gauge: SCD2 history rows vs daily full
+      // snapshots for the user-type dimension. Snapshot volume has a
+      // closed form (each user contributes max_day - first_day + 1 rows),
+      // so no day explode; SCD2 rows come from the same change-collapse
+      // the q95 history uses. One user-keyed shuffle + broadcast scalars.
+      val ev = events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_type"), col("us"),
+          expr("us div 86400000000").as("d"), col("event_id"))
+        .persist()  // change-collapse + span scalar + per-user first-day
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val scd2 = ev
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .agg(sum(when(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"), 1L).otherwise(0L))
+          .as("scd2_rows"))
+      val span = ev.agg(max(col("d")).as("dmax"))
+      val snap = ev.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+        .crossJoin(broadcast(span))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("dmax") - col("d0") + 1).as("snapshot_rows"))
+      snap.crossJoin(broadcast(scd2))
+        .select(col("n_users"), col("scd2_rows"), col("snapshot_rows"),
+          round(col("snapshot_rows").cast("double") /
+            col("scd2_rows").cast("double"), 4).as("amplification"))
+    }),
+
     "q234_bom_rollup" -> ((s, dir) => {
       // hierarchy rollup without recursion: ancestors of a part are its
       // decimal prefixes (pk div 10^k), so the whole bill-of-materials
@@ -8213,6 +8290,56 @@ object SparkEntry {
         |SELECT month_idx, CAST(sum(amt) AS BIGINT) AS recognized_cents,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM sp GROUP BY 1 ORDER BY month_idx""".stripMargin,
+
+    "q237_ordered_set_aggs" ->
+      """WITH cnt AS (SELECT l_returnflag AS rf, l_quantity AS q,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |md AS (SELECT rf, q AS mode_qty FROM (SELECT rf, q,
+        |    row_number() OVER (PARTITION BY rf ORDER BY c DESC, q) AS rn
+        |  FROM cnt) WHERE rn = 1),
+        |tot AS (SELECT rf, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+        |cum AS (SELECT rf, q,
+        |    sum(c) OVER (PARTITION BY rf ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM cnt),
+        |med AS (SELECT c2.rf, min(c2.q) AS median_disc
+        |  FROM cum c2 JOIN tot ON tot.rf = c2.rf
+        |  WHERE c2.cum * 2 >= tot.n GROUP BY 1)
+        |SELECT tot.rf, tot.n, md.mode_qty, med.median_disc
+        |FROM tot JOIN md ON md.rf = tot.rf JOIN med ON med.rf = tot.rf
+        |ORDER BY tot.rf""".stripMargin,
+
+    "q238_calendar_gallery" ->
+      """WITH m AS (SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT CAST(y AS INT) AS y, CAST(m AS INT) AS m, n_orders,
+        |  CAST((m + 2) // 3 AS INT) AS quarter,
+        |  CAST(day(last_day(make_date(y, m, 1))) AS INT) AS days_in_month,
+        |  CAST(dayofyear(make_date(y, m, 1)) AS INT) AS doy_first,
+        |  CAST(weekofyear(make_date(y, m, 15)) AS INT) AS iso_week_mid
+        |FROM m ORDER BY y, m""".stripMargin,
+
+    "q239_scd2_amplification" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    epoch_us(ts) // 86400000000 AS d, event_id
+        |  FROM events),
+        |ch AS (SELECT CAST(sum(CASE WHEN prev_type IS NULL OR
+        |      prev_type <> event_type THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS scd2_rows
+        |  FROM (SELECT event_type, lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+        |    FROM ev)),
+        |sp AS (SELECT max(d) AS dmax FROM ev),
+        |u AS (SELECT user_id, min(d) AS d0 FROM ev GROUP BY 1),
+        |sn AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(dmax - d0 + 1) AS BIGINT) AS snapshot_rows
+        |  FROM u CROSS JOIN sp)
+        |SELECT n_users, scd2_rows, snapshot_rows,
+        |  round(CAST(snapshot_rows AS DOUBLE) / CAST(scd2_rows AS DOUBLE), 4)
+        |    AS amplification
+        |FROM sn CROSS JOIN ch""".stripMargin,
 
     "q234_bom_rollup" ->
       """WITH lv AS (SELECT * FROM (VALUES (1, 10), (2, 100), (3, 1000),
