@@ -3493,6 +3493,108 @@ object SparkEntry {
         .orderBy(col("month_idx"))
     }),
 
+    "q240_zonemap_prune" -> ((s, dir) => {
+      // zone-map pruning estimator: per month partition, (min, max, rows)
+      // stats; for three date-range predicates, how many partitions a
+      // stats-pruned scan touches and how many rows it saves vs the
+      // actual match count. Epoch-day arithmetic end-to-end (bounds are
+      // precomputed day numbers: 1994 = [8766, 9130], 1995H1 =
+      // [9131, 9311], 1996-03 = [9556, 9586]). The stats table is
+      // month-bounded; everything after is broadcast-grid counts.
+      import s.implicits._
+      val o = t(s, dir, "orders")
+        .select(((year(col("o_orderdate")) - 1992) * 12 +
+          month(col("o_orderdate")) - 1).as("mpart"),
+          expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400")
+            .as("d"))
+        .persist()  // zone-map stats + actual match counts
+      val zones = o.groupBy(col("mpart"))
+        .agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"),
+          count(lit(1)).as("rows"))
+      val preds = Seq(("y1994", 8766L, 9130L), ("h1_1995", 9131L, 9311L),
+        ("m1996_03", 9556L, 9586L)).toDF("pred", "lo", "hi")
+      val scan = zones.crossJoin(broadcast(preds))
+        .groupBy(col("pred"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("partitions_total"),
+          sum(when(col("dmin") <= col("hi") && col("dmax") >= col("lo"), 1L)
+            .otherwise(0L)).as("partitions_scanned"),
+          sum(when(col("dmin") <= col("hi") && col("dmax") >= col("lo"),
+            col("rows")).otherwise(0L)).as("rows_scanned"),
+          sum(col("rows")).as("rows_total"))
+      val actual = o.crossJoin(broadcast(preds))
+        .filter(col("d") >= col("lo") && col("d") <= col("hi"))
+        .groupBy(col("pred")).agg(count(lit(1)).as("rows_matching"))
+      scan.join(actual, "pred")
+        .select(col("pred"), col("partitions_total"),
+          col("partitions_scanned"), col("rows_total"), col("rows_scanned"),
+          col("rows_matching"),
+          round(lit(1.0) - col("rows_scanned").cast("double") /
+            col("rows_total").cast("double"), 6).as("prune_ratio"))
+        .orderBy(col("pred"))
+    }),
+
+    "q241_join_fanout" -> ((s, dir) => {
+      // join-multiplicity audit for the four warehouse FK edges: per
+      // parent key the child match count (zero-match parents included via
+      // left join), then avg/p99/max fan-out — the numbers that predict
+      // join output size and AQE skew handling. Two counts-only phases
+      // per edge.
+      def edge(name: String, parent: DataFrame, pk: String,
+               child: DataFrame, fk: String): DataFrame = {
+        val cc = child.groupBy(col(fk).as("k")).agg(count(lit(1)).as("c"))
+        parent.select(col(pk).as("k"))
+          .join(cc, Seq("k"), "left")
+          .select(coalesce(col("c"), lit(0L)).as("c"))
+          .agg(count(lit(1)).as("n_parents"),
+            sum(when(col("c") === 0, 1L).otherwise(0L)).as("n_childless"),
+            round(avg(col("c").cast("double")), 4).as("avg_fanout"),
+            expr("CAST(percentile(c, 0.99) AS DOUBLE)").as("p99_raw"),
+            max(col("c")).as("max_fanout"))
+          .select(lit(name).as("edge"), col("n_parents"), col("n_childless"),
+            col("avg_fanout"), round(col("p99_raw"), 4).as("p99_fanout"),
+            col("max_fanout"))
+      }
+      val li = t(s, dir, "lineitem")
+      edge("orders_lineitem", t(s, dir, "orders"), "o_orderkey", li, "l_orderkey")
+        .unionByName(edge("part_lineitem", t(s, dir, "part"), "p_partkey",
+          li, "l_partkey"))
+        .unionByName(edge("supplier_lineitem", t(s, dir, "supplier"),
+          "s_suppkey", li, "l_suppkey"))
+        .unionByName(edge("customer_orders", t(s, dir, "customer"),
+          "c_custkey", t(s, dir, "orders"), "o_custkey"))
+        .orderBy(col("edge"))
+    }),
+
+    "q242_rolling_retention" -> ((s, dir) => {
+      // classic day-k retention (k = 1, 7, 28): a user counts as retained
+      // if active exactly on first_day + k; eligibility requires the
+      // horizon to fit the corpus. Distinct (user, day) activity and the
+      // per-user first day are each one aggregate; the retention check is
+      // an equi-join on (user, day+k) — no window over raw events.
+      import s.implicits._
+      val act = events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("user_id"), expr("us div 86400000000").as("d"))
+        .distinct()
+        .persist()  // first-day aggregate + the day+k probe side
+      val first = act.groupBy(col("user_id")).agg(min(col("d")).as("f"))
+      val dmax = act.agg(max(col("d")).as("dmax"))
+      val ks = Seq(1L, 7L, 28L).toDF("k")
+      val elig = first.crossJoin(broadcast(ks))
+        .crossJoin(broadcast(dmax))
+        .filter(col("f") + col("k") <= col("dmax"))
+      val probe = act.select(col("user_id").as("uid2"), col("d").as("dk"))
+      elig.join(probe,
+          col("user_id") === col("uid2") &&
+            col("dk") === col("f") + col("k"), "left")
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_eligible"),
+          sum(when(col("dk").isNotNull, 1L).otherwise(0L)).as("n_retained"),
+          round(avg(when(col("dk").isNotNull, 1.0).otherwise(0.0)), 6)
+            .as("retention_rate"))
+        .orderBy(col("k"))
+    }),
+
     "q237_ordered_set_aggs" -> ((s, dir) => {
       // ordered-set aggregates with PORTABLE tie semantics: builtin mode()
       // and percentile_disc() tie-break differently across engines, so
@@ -8290,6 +8392,77 @@ object SparkEntry {
         |SELECT month_idx, CAST(sum(amt) AS BIGINT) AS recognized_cents,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM sp GROUP BY 1 ORDER BY month_idx""".stripMargin,
+
+    "q240_zonemap_prune" ->
+      """WITH o AS (SELECT
+        |    CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
+        |      AS BIGINT) AS mpart,
+        |    CAST(floor(extract(epoch FROM o_orderdate)) AS BIGINT) // 86400
+        |      AS d
+        |  FROM orders),
+        |z AS (SELECT mpart, min(d) AS dmin, max(d) AS dmax,
+        |    CAST(count(*) AS BIGINT) AS rows_
+        |  FROM o GROUP BY 1),
+        |preds AS (SELECT * FROM (VALUES ('y1994', 8766, 9130),
+        |  ('h1_1995', 9131, 9311), ('m1996_03', 9556, 9586)) p(pred, lo, hi)),
+        |scan AS (SELECT pred, lo, hi,
+        |    CAST(count(*) AS BIGINT) AS partitions_total,
+        |    CAST(sum(CASE WHEN dmin <= hi AND dmax >= lo THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS partitions_scanned,
+        |    CAST(sum(CASE WHEN dmin <= hi AND dmax >= lo THEN rows_
+        |      ELSE 0 END) AS BIGINT) AS rows_scanned,
+        |    CAST(sum(rows_) AS BIGINT) AS rows_total
+        |  FROM z CROSS JOIN preds GROUP BY 1, 2, 3),
+        |act AS (SELECT pred, CAST(count(*) AS BIGINT) AS rows_matching
+        |  FROM o CROSS JOIN preds WHERE d >= lo AND d <= hi GROUP BY 1)
+        |SELECT s.pred, s.partitions_total, s.partitions_scanned,
+        |  s.rows_total, s.rows_scanned, a.rows_matching,
+        |  round(1.0 - CAST(s.rows_scanned AS DOUBLE) /
+        |    CAST(s.rows_total AS DOUBLE), 6) AS prune_ratio
+        |FROM scan s JOIN act a ON a.pred = s.pred
+        |ORDER BY s.pred""".stripMargin,
+
+    "q241_join_fanout" -> {
+      def edgeSql(name: String, parent: String, pk: String,
+                  child: String, fk: String): String =
+        s"""SELECT '$name' AS edge, CAST(count(*) AS BIGINT) AS n_parents,
+           |    CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_childless,
+           |    round(avg(CAST(c AS DOUBLE)), 4) AS avg_fanout,
+           |    round(quantile_cont(c, 0.99), 4) AS p99_fanout,
+           |    CAST(max(c) AS BIGINT) AS max_fanout
+           |  FROM (SELECT coalesce(cc.c, 0) AS c FROM $parent p
+           |    LEFT JOIN (SELECT $fk AS k, CAST(count(*) AS BIGINT) AS c
+           |      FROM $child GROUP BY 1) cc ON cc.k = p.$pk)""".stripMargin
+      Seq(
+        edgeSql("orders_lineitem", "orders", "o_orderkey",
+          "lineitem", "l_orderkey"),
+        edgeSql("part_lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+        edgeSql("supplier_lineitem", "supplier", "s_suppkey",
+          "lineitem", "l_suppkey"),
+        edgeSql("customer_orders", "customer", "c_custkey",
+          "orders", "o_custkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+    },
+
+    "q242_rolling_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS d
+        |  FROM events),
+        |f AS (SELECT user_id, min(d) AS f FROM act GROUP BY 1),
+        |mx AS (SELECT max(d) AS dmax FROM act),
+        |ks AS (SELECT CAST(x AS BIGINT) AS k FROM (VALUES (1), (7), (28))
+        |  t(x)),
+        |elig AS (SELECT f.user_id, f.f, ks.k FROM f CROSS JOIN ks
+        |  CROSS JOIN mx WHERE f.f + ks.k <= mx.dmax),
+        |j AS (SELECT e.k, CASE WHEN a.user_id IS NOT NULL THEN 1 ELSE 0 END
+        |    AS r
+        |  FROM elig e LEFT JOIN act a
+        |    ON a.user_id = e.user_id AND a.d = e.f + e.k)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_eligible,
+        |  CAST(sum(r) AS BIGINT) AS n_retained,
+        |  round(avg(CAST(r AS DOUBLE)), 6) AS retention_rate
+        |FROM j GROUP BY 1 ORDER BY k""".stripMargin,
 
     "q237_ordered_set_aggs" ->
       """WITH cnt AS (SELECT l_returnflag AS rf, l_quantity AS q,
