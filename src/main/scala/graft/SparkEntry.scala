@@ -3493,6 +3493,98 @@ object SparkEntry {
         .orderBy(col("month_idx"))
     }),
 
+    "q243_seasonality_strength" -> ((s, dir) => {
+      // STL-style strength measures per event type: trend strength =
+      // 1 - var(detrended)/var(series), seasonal strength =
+      // 1 - var(residual)/var(detrended), from the q216 decomposition
+      // run per type (windows partitioned by type over the calendar-
+      // bounded daily table; dow means join back broadcast).
+      val daily = events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .groupBy(col("event_type"), expr("us div 86400000000").as("d"))
+        .agg(sum(col("value")).as("v"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        .rowsBetween(-3, 3)
+      val detr = daily
+        .withColumn("trend", avg(col("v")).over(w))
+        .withColumn("wn", count(lit(1)).over(w))
+        .filter(col("wn") === 7)
+        .select(col("event_type"), col("v"),
+          pmod(col("d") + 3, lit(7L)).as("dow"),
+          (col("v") - col("trend")).as("detr"))
+        .persist()  // dow means + the strength aggregate
+      val dowMean = detr.groupBy(col("event_type"), col("dow"))
+        .agg(avg(col("detr")).as("sdow"))
+      detr.join(broadcast(dowMean), Seq("event_type", "dow"))
+        .withColumn("resid", col("detr") - col("sdow"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          (avg(col("v") * col("v")) - avg(col("v")) * avg(col("v")))
+            .as("var_v"),
+          (avg(col("detr") * col("detr")) - avg(col("detr")) * avg(col("detr")))
+            .as("var_d"),
+          (avg(col("resid") * col("resid")) - avg(col("resid")) * avg(col("resid")))
+            .as("var_r"))
+        .select(col("event_type"), col("n_days"),
+          round(greatest(lit(0.0), lit(1.0) - col("var_d") / col("var_v")), 4)
+            .as("trend_strength"),
+          round(greatest(lit(0.0), lit(1.0) - col("var_r") / col("var_d")), 4)
+            .as("seasonal_strength"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q244_uncertainty_sample" -> ((s, dir) => {
+      // active-learning selection: the 20 docs the q138 classifier is
+      // least sure about (|p - 0.5| smallest). The model trains in 3
+      // one-aggregate GD epochs; scoring broadcasts the 4 learned
+      // coefficients as literals, so selection is one scan + bounded
+      // top-k. Margins are rounded BEFORE ordering so the cut is
+      // engine-stable.
+      val (feat, cols) = classifierFeatures(s, dir)
+      val wts = graft.ops.LinearModel.logisticGd(feat, cols, "y",
+        lr = 0.5, nIter = 3)
+      val len = length(col("text")).cast("double")
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        (lit(wts(0)) + lit(wts(1)) * (len / 100.0) +
+          lit(wts(2)) * ((len - length(regexp_replace(col("text"), " ", ""))
+            .cast("double")) / len) +
+          lit(wts(3)) * ((len - length(regexp_replace(col("text"), "[0-9]", ""))
+            .cast("double")) / len)).as("logit"))
+        .select(col("doc_id"),
+          (lit(1.0) / (lit(1.0) + exp(-col("logit")))).as("p"))
+      scored.select(col("doc_id"), round(col("p"), 6).as("p"),
+          round(abs(col("p") - 0.5), 6).as("margin"))
+        .orderBy(col("margin"), col("doc_id"))
+        .limit(20)
+    }),
+
+    "q245_broadcast_advisor" -> ((s, dir) => {
+      // broadcast-join advisor: estimated in-memory bytes per dimension
+      // table (fixed-width columns + measured string octet lengths) vs
+      // the 10 MB auto-broadcast threshold. One aggregate per table,
+      // five stacked advice rows — the planner input you check before
+      // forcing a join strategy.
+      def advise(name: String, df: DataFrame, fixed: Int,
+                 strCols: Seq[String]): DataFrame = {
+        val strBytes = strCols.map(c => octet_length(col(c)).cast("long"))
+          .reduceOption(_ + _).getOrElse(lit(0L))
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(strBytes + fixed.toLong).as("est_bytes"))
+          .select(lit(name).as("table_name"), col("n_rows"), col("est_bytes"),
+            when(col("est_bytes") < 10485760L, 1L).otherwise(0L)
+              .as("broadcastable"))
+      }
+      advise("region", t(s, dir, "region"), 4, Seq("r_name"))
+        .unionByName(advise("nation", t(s, dir, "nation"), 8, Seq("n_name")))
+        .unionByName(advise("supplier", t(s, dir, "supplier"), 20,
+          Seq("s_name")))
+        .unionByName(advise("customer", t(s, dir, "customer"), 20,
+          Seq("c_name", "c_mktsegment")))
+        .unionByName(advise("part", t(s, dir, "part"), 20,
+          Seq("p_name", "p_brand", "p_type")))
+        .orderBy(col("table_name"))
+    }),
+
     "q240_zonemap_prune" -> ((s, dir) => {
       // zone-map pruning estimator: per month partition, (min, max, rows)
       // stats; for three date-range predicates, how many partitions a
@@ -8392,6 +8484,69 @@ object SparkEntry {
         |SELECT month_idx, CAST(sum(amt) AS BIGINT) AS recognized_cents,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM sp GROUP BY 1 ORDER BY month_idx""".stripMargin,
+
+    "q243_seasonality_strength" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+        |    sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |tr AS (SELECT event_type, d, v,
+        |    avg(v) OVER wt AS trend, count(*) OVER wt AS wn
+        |  FROM daily
+        |  WINDOW wt AS (PARTITION BY event_type ORDER BY d
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |detr AS (SELECT event_type, v, (d + 3) % 7 AS dow, v - trend AS detr
+        |  FROM tr WHERE wn = 7),
+        |dm AS (SELECT event_type, dow, avg(detr) AS sdow FROM detr
+        |  GROUP BY 1, 2),
+        |r AS (SELECT t.event_type, t.v, t.detr, t.detr - m.sdow AS resid
+        |  FROM detr t JOIN dm m ON m.event_type = t.event_type
+        |    AND m.dow = t.dow),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    avg(v * v) - avg(v) * avg(v) AS var_v,
+        |    avg(detr * detr) - avg(detr) * avg(detr) AS var_d,
+        |    avg(resid * resid) - avg(resid) * avg(resid) AS var_r
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  round(greatest(0.0, 1.0 - var_d / var_v), 4) AS trend_strength,
+        |  round(greatest(0.0, 1.0 - var_r / var_d), 4) AS seasonal_strength
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q244_uncertainty_sample" ->
+      s"""WITH $lrCtes,
+         |featid AS (SELECT doc_id, 1.0 AS f0,
+         |    CAST(len(text) AS DOUBLE)/100.0 AS f1,
+         |    CAST(len(text) - len(replace(text, ' ', '')) AS DOUBLE)
+         |      / CAST(len(text) AS DOUBLE) AS f2,
+         |    CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
+         |      AS DOUBLE) / CAST(len(text) AS DOUBLE) AS f3
+         |  FROM documents),
+         |si AS (SELECT doc_id,
+         |    1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))) AS p
+         |  FROM featid, w3_ w)
+         |SELECT doc_id, round(p, 6) AS p,
+         |  round(abs(p - 0.5), 6) AS margin
+         |FROM si ORDER BY round(abs(p - 0.5), 6), doc_id
+         |LIMIT 20""".stripMargin,
+
+    "q245_broadcast_advisor" -> {
+      def adviseSql(name: String, table: String, fixed: Int,
+                    strCols: Seq[String]): String = {
+        val sb = (strCols.map(c => s"strlen($c)") :+ fixed.toString)
+          .mkString(" + ")
+        s"""SELECT '$name' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |    CAST(sum($sb) AS BIGINT) AS est_bytes,
+           |    CASE WHEN CAST(sum($sb) AS BIGINT) < 10485760
+           |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+           |      AS broadcastable
+           |  FROM $table""".stripMargin
+      }
+      Seq(adviseSql("region", "region", 4, Seq("r_name")),
+        adviseSql("nation", "nation", 8, Seq("n_name")),
+        adviseSql("supplier", "supplier", 20, Seq("s_name")),
+        adviseSql("customer", "customer", 20, Seq("c_name", "c_mktsegment")),
+        adviseSql("part", "part", 20, Seq("p_name", "p_brand", "p_type")))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+    },
 
     "q240_zonemap_prune" ->
       """WITH o AS (SELECT
