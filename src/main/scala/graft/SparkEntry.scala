@@ -3493,6 +3493,90 @@ object SparkEntry {
         .orderBy(col("month_idx"))
     }),
 
+    "q246_storage_tiering" -> ((s, dir) => {
+      // lifecycle tiering plan: month partitions classed hot (< 1y old),
+      // warm (< 2y), cold by age against the corpus max day, with row and
+      // estimated byte volumes per tier (fixed widths + measured string
+      // bytes). The month-stats table is calendar-bounded; the tier
+      // decision is pure integer arithmetic.
+      val li = t(s, dir, "lineitem")
+        .select(((year(col("l_shipdate")) - 1992) * 12 +
+          month(col("l_shipdate")) - 1).cast("long").as("mpart"),
+          expr("CAST(CAST(l_shipdate AS TIMESTAMP) AS LONG) div 86400")
+            .as("d"),
+          (lit(68L) + octet_length(col("l_returnflag")).cast("long") +
+            octet_length(col("l_linestatus")).cast("long")).as("bytes"))
+      val parts = li.groupBy(col("mpart"))
+        .agg(count(lit(1)).as("rows"), sum(col("bytes")).as("est_bytes"),
+          max(col("d")).as("dpart_max"))
+      val gmax = parts.agg(max(col("dpart_max")).as("dmax"))
+      parts.crossJoin(broadcast(gmax))
+        .withColumn("age_days", col("dmax") - col("dpart_max"))
+        .withColumn("tier", when(col("age_days") <= 365, "hot")
+          .when(col("age_days") <= 730, "warm").otherwise("cold"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_partitions"), sum(col("rows")).as("rows"),
+          sum(col("est_bytes")).as("est_bytes"),
+          min(col("age_days")).as("min_age_days"),
+          max(col("age_days")).as("max_age_days"))
+        .orderBy(col("tier"))
+    }),
+
+    "q247_embedding_drift" -> ((s, dir) => {
+      // vector-space drift: per label, the cosine between the centroid of
+      // even-id vectors and odd-id vectors, plus the norm ratio — the
+      // embedding twin of numeric PSI (q137) and token KL (q173). The
+      // explode is |vectors| x 64 dims but reduces immediately to a
+      // (label, dim) aggregate; the final reduction is per label.
+      val e = t(s, dir, "embeddings")
+        .select(col("label"), pmod(col("vec_id"), lit(2L)).as("half"),
+          posexplode(col("embedding")))
+        .select(col("label"), col("half"), col("pos").as("i"),
+          col("col").cast("double").as("v"))
+      val cent = e.groupBy(col("label"), col("i"))
+        .agg(avg(when(col("half") === 0, col("v"))).as("ca"),
+          avg(when(col("half") === 1, col("v"))).as("cb"))
+      val cnt = t(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(sum(when(pmod(col("vec_id"), lit(2L)) === 0, 1L).otherwise(0L))
+            .as("n_even"),
+          sum(when(pmod(col("vec_id"), lit(2L)) === 1, 1L).otherwise(0L))
+            .as("n_odd"))
+      cent.groupBy(col("label"))
+        .agg(sum(col("ca") * col("cb")).as("dot"),
+          sum(col("ca") * col("ca")).as("na"),
+          sum(col("cb") * col("cb")).as("nb"))
+        .join(broadcast(cnt), "label")
+        .select(col("label"), col("n_even"), col("n_odd"),
+          round(col("dot") / sqrt(col("na") * col("nb")), 6)
+            .as("centroid_cosine"),
+          round(sqrt(col("na") / col("nb")), 6).as("norm_ratio"))
+        .orderBy(col("label"))
+    }),
+
+    "q248_survivor_policy" -> ((s, dir) => {
+      // dedup survivorship policy comparison on planted 2-member families
+      // (original + clipped copy): keep-min-id vs keep-best-quality. The
+      // quality delta is real (clipping changes the score), so the report
+      // shows how much quality a naive min-id policy leaves behind. One
+      // family-keyed aggregate; comparisons on ROUNDED quality so the
+      // differing-family count is engine-stable.
+      val docs = docsWithNearDups(s, dir)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(100000L)).as("fam"),
+          TF.qualityScore(col("text")).as("quality"))
+      docs.groupBy(col("fam"))
+        .agg(min(struct(col("doc_id"), col("quality"))).as("minid"),
+          max(col("quality")).as("best_q"), count(lit(1)).as("sz"))
+        .select(col("fam"), col("sz"),
+          col("minid").getField("quality").as("minid_q"), col("best_q"))
+        .agg(count(lit(1)).as("n_families"),
+          sum(when(round(col("best_q"), 6) > round(col("minid_q"), 6), 1L)
+            .otherwise(0L)).as("n_differing"),
+          round(avg(col("minid_q")), 6).as("avg_q_minid"),
+          round(avg(col("best_q")), 6).as("avg_q_best"),
+          round(avg(col("best_q") - col("minid_q")), 6).as("avg_gain"))
+    }),
+
     "q243_seasonality_strength" -> ((s, dir) => {
       // STL-style strength measures per event type: trend strength =
       // 1 - var(detrended)/var(series), seasonal strength =
@@ -5356,9 +5440,10 @@ object SparkEntry {
     * oracle proves parity to 6 dp). `q` exposes (doc_id{extraCols}, ntok,
     * quality).
     */
-  private def qualityCteSql(extraCols: String): String =
+  private def qualityCteSql(extraCols: String,
+                            source: String = "documents"): String =
     s"""WITH b AS (
-       |  SELECT doc_id$extraCols, text, $toksSql AS toks, $ntoksSql AS ntoks FROM documents),
+       |  SELECT doc_id$extraCols, text, $toksSql AS toks, $ntoksSql AS ntoks FROM $source),
        |m AS (
        |  SELECT doc_id$extraCols,
        |    CASE WHEN length(text) = 0 THEN 0.0
@@ -8484,6 +8569,67 @@ object SparkEntry {
         |SELECT month_idx, CAST(sum(amt) AS BIGINT) AS recognized_cents,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM sp GROUP BY 1 ORDER BY month_idx""".stripMargin,
+
+    "q246_storage_tiering" ->
+      """WITH li AS (SELECT
+        |    CAST((year(l_shipdate) - 1992) * 12 + month(l_shipdate) - 1
+        |      AS BIGINT) AS mpart,
+        |    CAST(floor(extract(epoch FROM l_shipdate)) AS BIGINT) // 86400
+        |      AS d,
+        |    68 + strlen(l_returnflag) + strlen(l_linestatus) AS bytes
+        |  FROM lineitem),
+        |p AS (SELECT mpart, CAST(count(*) AS BIGINT) AS rows_,
+        |    CAST(sum(bytes) AS BIGINT) AS est_bytes, max(d) AS dpm
+        |  FROM li GROUP BY 1),
+        |g AS (SELECT max(dpm) AS dmax FROM p),
+        |tp AS (SELECT CASE WHEN dmax - dpm <= 365 THEN 'hot'
+        |    WHEN dmax - dpm <= 730 THEN 'warm' ELSE 'cold' END AS tier,
+        |    rows_, est_bytes, dmax - dpm AS age
+        |  FROM p CROSS JOIN g)
+        |SELECT tier, CAST(count(*) AS BIGINT) AS n_partitions,
+        |  CAST(sum(rows_) AS BIGINT) AS "rows",
+        |  CAST(sum(est_bytes) AS BIGINT) AS est_bytes,
+        |  CAST(min(age) AS BIGINT) AS min_age_days,
+        |  CAST(max(age) AS BIGINT) AS max_age_days
+        |FROM tp GROUP BY 1 ORDER BY tier""".stripMargin,
+
+    "q247_embedding_drift" ->
+      """WITH e AS (SELECT label, vec_id % 2 AS half,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |cent AS (SELECT label, i,
+        |    avg(CASE WHEN half = 0 THEN v END) AS ca,
+        |    avg(CASE WHEN half = 1 THEN v END) AS cb
+        |  FROM e GROUP BY 1, 2),
+        |cnt AS (SELECT label,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_even,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_odd
+        |  FROM embeddings GROUP BY 1),
+        |r AS (SELECT label, sum(ca * cb) AS dot, sum(ca * ca) AS na,
+        |    sum(cb * cb) AS nb
+        |  FROM cent GROUP BY 1)
+        |SELECT r.label, c.n_even, c.n_odd,
+        |  round(dot / sqrt(na * nb), 6) AS centroid_cosine,
+        |  round(sqrt(na / nb), 6) AS norm_ratio
+        |FROM r JOIN cnt c ON c.label = r.label ORDER BY r.label""".stripMargin,
+
+    "q248_survivor_policy" ->
+      s"""${qualityCteSql("",
+             "(SELECT doc_id, text FROM documents UNION ALL " +
+             "SELECT doc_id + 100000, substr(text, 21) FROM documents)")},
+         |fam AS (SELECT doc_id % 100000 AS fam, doc_id, quality FROM q),
+         |gg AS (SELECT fam, arg_min(quality, doc_id) AS minid_q,
+         |    max(quality) AS best_q FROM fam GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_families,
+         |  CAST(sum(CASE WHEN round(best_q, 6) > round(minid_q, 6)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_differing,
+         |  round(avg(minid_q), 6) AS avg_q_minid,
+         |  round(avg(best_q), 6) AS avg_q_best,
+         |  round(avg(best_q - minid_q), 6) AS avg_gain
+         |FROM gg""".stripMargin,
 
     "q243_seasonality_strength" ->
       """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d,
