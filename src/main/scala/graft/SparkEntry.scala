@@ -3493,6 +3493,74 @@ object SparkEntry {
         .orderBy(col("month_idx"))
     }),
 
+    "q249_semantics_gallery" -> ((s, dir) => {
+      // cross-engine semantics gallery — the traps a portability layer
+      // must spell out, each asserted as a data-derived metric: NULL join
+      // keys never match; GROUP BY folds NULLs into one group; negative
+      // modulo needs pmod (engine % signs differ from mathematical mod);
+      // integer division toward zero vs floor MUST be spelled as explicit
+      // trunc()/floor() — native operators disagree AND unary-minus
+      // precedence flips `-7 // 2` to -(7//2); out-of-range substring is
+      // '' not NULL; least() skips NULLs on both engines.
+      import s.implicits._
+      val c = t(s, dir, "customer")
+        .select(expr("nullif(c_nationkey, 3)").as("nk"))
+      val joinMatches = c.join(broadcast(t(s, dir, "nation")),
+          col("nk") === col("n_nationkey"))
+        .agg(count(lit(1)).as("v"))
+        .select(lit("null_keys_drop_from_join").as("metric"), col("v"))
+      val groups = c.groupBy(col("nk")).agg(count(lit(1)))
+        .agg(count(lit(1)).as("v"))
+        .select(lit("null_forms_one_group").as("metric"), col("v"))
+      val sup = t(s, dir, "supplier")
+      val scalarTraps = sup.agg(
+          max(pmod(lit(-7), lit(3))).cast("long").as("pmod_neg"),
+          max(expr("-7 div 2")).cast("long").as("trunc_div_neg"),
+          max(floor(lit(-7.0) / 2.0)).cast("long").as("floor_div_neg"),
+          sum(when(expr("substring(s_name, 100, 10)") === "", 1L)
+            .otherwise(0L)).as("oob_substr_empty"),
+          sum(when(least(expr("nullif(s_nationkey, s_nationkey)"),
+            col("s_nationkey")).isNotNull, 1L).otherwise(0L))
+            .as("least_skips_null"))
+      def m(label: String, cname: String) = scalarTraps
+        .select(lit(label).as("metric"), col(cname).as("v"))
+      joinMatches.unionByName(groups)
+        .unionByName(m("pmod_negative", "pmod_neg"))
+        .unionByName(m("trunc_div_negative", "trunc_div_neg"))
+        .unionByName(m("floor_div_negative", "floor_div_neg"))
+        .unionByName(m("oob_substring_is_empty", "oob_substr_empty"))
+        .unionByName(m("least_skips_nulls", "least_skips_null"))
+        .orderBy(col("metric"))
+    }),
+
+    "q250_release_manifest" -> ((s, dir) => {
+      // corpus release manifest (the data card a training run pins): per
+      // table, row count, key cardinality, uniqueness flag, and key
+      // range — one aggregate per table, ten stacked rows. The capstone
+      // "what exactly shipped" artifact.
+      def card(name: String, df: DataFrame, key: String): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+            countDistinct(col(key)).as("n_distinct_key"),
+            min(col(key)).cast("long").as("min_key"),
+            max(col(key)).cast("long").as("max_key"))
+          .select(lit(name).as("table_name"), col("n_rows"),
+            col("n_distinct_key"),
+            when(col("n_rows") === col("n_distinct_key"), 1L).otherwise(0L)
+              .as("key_unique"),
+            col("min_key"), col("max_key"))
+      card("region", t(s, dir, "region"), "r_regionkey")
+        .unionByName(card("nation", t(s, dir, "nation"), "n_nationkey"))
+        .unionByName(card("customer", t(s, dir, "customer"), "c_custkey"))
+        .unionByName(card("supplier", t(s, dir, "supplier"), "s_suppkey"))
+        .unionByName(card("part", t(s, dir, "part"), "p_partkey"))
+        .unionByName(card("orders", t(s, dir, "orders"), "o_orderkey"))
+        .unionByName(card("lineitem", t(s, dir, "lineitem"), "l_orderkey"))
+        .unionByName(card("events", t(s, dir, "events"), "event_id"))
+        .unionByName(card("documents", t(s, dir, "documents"), "doc_id"))
+        .unionByName(card("embeddings", t(s, dir, "embeddings"), "vec_id"))
+        .orderBy(col("table_name"))
+    }),
+
     "q246_storage_tiering" -> ((s, dir) => {
       // lifecycle tiering plan: month partitions classed hot (< 1y old),
       // warm (< 2y), cold by age against the corpus max day, with row and
@@ -8569,6 +8637,56 @@ object SparkEntry {
         |SELECT month_idx, CAST(sum(amt) AS BIGINT) AS recognized_cents,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM sp GROUP BY 1 ORDER BY month_idx""".stripMargin,
+
+    "q249_semantics_gallery" ->
+      """WITH c AS (SELECT nullif(c_nationkey, 3) AS nk FROM customer),
+        |jm AS (SELECT 'null_keys_drop_from_join' AS metric,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM c JOIN nation ON nk = n_nationkey),
+        |gp AS (SELECT 'null_forms_one_group',
+        |    CAST(count(*) AS BIGINT)
+        |  FROM (SELECT nk, count(*) FROM c GROUP BY nk)),
+        |sc AS (SELECT
+        |    CAST(((-7 % 3) + 3) % 3 AS BIGINT) AS pmod_neg,
+        |    CAST(trunc(-7.0 / 2) AS BIGINT) AS trunc_div_neg,
+        |    CAST(floor(-7.0 / 2) AS BIGINT) AS floor_div_neg,
+        |    CAST(sum(CASE WHEN substr(s_name, 100, 10) = '' THEN 1
+        |      ELSE 0 END) AS BIGINT) AS oob_substr_empty,
+        |    CAST(sum(CASE WHEN least(nullif(s_nationkey, s_nationkey),
+        |      s_nationkey) IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS least_skips_null
+        |  FROM supplier)
+        |SELECT * FROM jm
+        |UNION ALL SELECT * FROM gp
+        |UNION ALL SELECT 'pmod_negative', pmod_neg FROM sc
+        |UNION ALL SELECT 'trunc_div_negative', trunc_div_neg FROM sc
+        |UNION ALL SELECT 'floor_div_negative', floor_div_neg FROM sc
+        |UNION ALL SELECT 'oob_substring_is_empty', oob_substr_empty FROM sc
+        |UNION ALL SELECT 'least_skips_nulls', least_skips_null FROM sc
+        |ORDER BY metric""".stripMargin,
+
+    "q250_release_manifest" -> {
+      def cardSql(name: String, table: String, key: String): String =
+        s"""SELECT '$name' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |    CAST(count(DISTINCT $key) AS BIGINT) AS n_distinct_key,
+           |    CASE WHEN count(*) = count(DISTINCT $key)
+           |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+           |      AS key_unique,
+           |    CAST(min($key) AS BIGINT) AS min_key,
+           |    CAST(max($key) AS BIGINT) AS max_key
+           |  FROM $table""".stripMargin
+      Seq(cardSql("region", "region", "r_regionkey"),
+        cardSql("nation", "nation", "n_nationkey"),
+        cardSql("customer", "customer", "c_custkey"),
+        cardSql("supplier", "supplier", "s_suppkey"),
+        cardSql("part", "part", "p_partkey"),
+        cardSql("orders", "orders", "o_orderkey"),
+        cardSql("lineitem", "lineitem", "l_orderkey"),
+        cardSql("events", "events", "event_id"),
+        cardSql("documents", "documents", "doc_id"),
+        cardSql("embeddings", "embeddings", "vec_id"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+    },
 
     "q246_storage_tiering" ->
       """WITH li AS (SELECT
