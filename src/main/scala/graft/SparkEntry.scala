@@ -3493,6 +3493,74 @@ object SparkEntry {
         .orderBy(col("month_idx"))
     }),
 
+    "q251_array_gallery" -> ((s, dir) => {
+      // higher-order array-function parity gallery over the embedding
+      // column: slice + fold (aggregate), zip_with against the reversed
+      // vector, array max — the lambda-function surface a vector pipeline
+      // leans on, each reduced per label so the output is bounded. Floats
+      // widen to double BEFORE any arithmetic on both engines.
+      t(s, dir, "embeddings")
+        .select(col("label"),
+          expr("aggregate(slice(embedding, 1, 4), CAST(0.0 AS DOUBLE), " +
+            "(a, x) -> a + CAST(x AS DOUBLE))").as("head4_sum"),
+          expr("aggregate(zip_with(embedding, reverse(embedding), " +
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+            "CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("rev_dot"),
+          expr("CAST(array_max(embedding) AS DOUBLE)").as("mx"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("head4_sum")), 6).as("avg_head4_sum"),
+          round(avg(col("rev_dot")), 6).as("avg_rev_dot"),
+          round(avg(col("mx")), 6).as("avg_max"))
+        .orderBy(col("label"))
+    }),
+
+    "q252_path_entropy" -> ((s, dir) => {
+      // behavioral diversity by activity level: per-user Shannon entropy
+      // of the event-type mix, averaged within log2 activity buckets —
+      // do heavy users do more kinds of things? Two counts-only
+      // aggregates ((user, type) then user) and one bounded bucket
+      // rollup; entropy from exact integer counts.
+      val ut = events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val ent = ut.groupBy(col("user_id"))
+        .agg(sum(col("c")).as("n"),
+          (log(sum(col("c")).cast("double")) -
+            sum(col("c").cast("double") * log(col("c").cast("double"))) /
+              sum(col("c")).cast("double")).as("h"))
+      ent.withColumn("bucket", floor(log2(col("n").cast("double")))
+          .cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_users"),
+          round(avg(col("n").cast("double")), 4).as("avg_events"),
+          round(avg(col("h")), 6).as("avg_entropy"))
+        .orderBy(col("bucket"))
+    }),
+
+    "q253_drawdown" -> ((s, dir) => {
+      // max drawdown of the daily order-revenue series: running peak via
+      // a prefix-max window over the calendar-bounded daily table (exact
+      // cents), drawdown depth and the day it bottoms. Top-1 selection
+      // with a day tiebreak, following the q176 CUSUM argmax contract.
+      val daily = t(s, dir, "orders")
+        .groupBy(expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400")
+          .as("d"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .as("cents"))
+      val w = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.withColumn("peak", max(col("cents")).over(w))
+        .withColumn("dd", col("peak") - col("cents"))
+        .orderBy(col("dd").desc, col("d"))
+        .limit(1)
+        .select(col("d").as("trough_day"),
+          col("peak").as("peak_cents"), col("cents").as("trough_cents"),
+          col("dd").as("drawdown_cents"),
+          round(col("dd").cast("double") / col("peak").cast("double"), 6)
+            .as("drawdown_frac"))
+    }),
+
     "q249_semantics_gallery" -> ((s, dir) => {
       // cross-engine semantics gallery — the traps a portability layer
       // must spell out, each asserted as a data-derived metric: NULL join
@@ -8637,6 +8705,49 @@ object SparkEntry {
         |SELECT month_idx, CAST(sum(amt) AS BIGINT) AS recognized_cents,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM sp GROUP BY 1 ORDER BY month_idx""".stripMargin,
+
+    "q251_array_gallery" ->
+      """SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(list_sum(list_transform(embedding[1:4],
+        |    x -> CAST(x AS DOUBLE)))), 6) AS avg_head4_sum,
+        |  round(avg(list_dot_product(
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |    list_reverse(list_transform(embedding, x -> CAST(x AS DOUBLE))))),
+        |    6) AS avg_rev_dot,
+        |  round(avg(CAST(list_max(embedding) AS DOUBLE)), 6) AS avg_max
+        |FROM embeddings GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "q252_path_entropy" ->
+      """WITH ut AS (SELECT user_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |ent AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+        |    ln(CAST(sum(c) AS DOUBLE)) -
+        |      sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) /
+        |        CAST(sum(c) AS DOUBLE) AS h
+        |  FROM ut GROUP BY 1)
+        |SELECT CAST(floor(log2(CAST(n AS DOUBLE))) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  round(avg(CAST(n AS DOUBLE)), 4) AS avg_events,
+        |  round(avg(h), 6) AS avg_entropy
+        |FROM ent GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q253_drawdown" ->
+      """WITH daily AS (SELECT
+        |    CAST(floor(extract(epoch FROM o_orderdate)) AS BIGINT) // 86400
+        |      AS d,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT d, cents,
+        |    max(cents) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS peak
+        |  FROM daily)
+        |SELECT d AS trough_day, peak AS peak_cents, cents AS trough_cents,
+        |  peak - cents AS drawdown_cents,
+        |  round(CAST(peak - cents AS DOUBLE) / CAST(peak AS DOUBLE), 6)
+        |    AS drawdown_frac
+        |FROM p ORDER BY peak - cents DESC, d LIMIT 1""".stripMargin,
 
     "q249_semantics_gallery" ->
       """WITH c AS (SELECT nullif(c_nationkey, 3) AS nk FROM customer),
