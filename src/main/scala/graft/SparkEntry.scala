@@ -3493,6 +3493,69 @@ object SparkEntry {
         .orderBy(col("month_idx"))
     }),
 
+    "q254_revenue_waterfall" -> ((s, dir) => {
+      // FP&A waterfall: the 1995→1996 revenue delta decomposed into price,
+      // volume, and cross effects over parts traded in BOTH years —
+      // price = Σ q95·Δp, volume = Σ p95·Δq, cross = Σ Δp·Δq, an exact
+      // algebraic identity with the matched total. One (part, year)
+      // aggregate, a part-keyed self-join of the two year slices, one
+      // closed-form reduction.
+      val py = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")).isin(1995, 1996))
+        .groupBy(col("l_partkey").as("pk"),
+          year(col("l_shipdate")).as("yr"))
+        .agg(sum(col("l_quantity")).as("q"),
+          sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+            .cast("double").as("c"))
+        .withColumn("p", col("c") / col("q"))
+        .persist()  // both year slices
+      val a = py.filter(col("yr") === 1995)
+        .select(col("pk"), col("q").as("q0"), col("c").as("c0"),
+          col("p").as("p0"))
+      val b = py.filter(col("yr") === 1996)
+        .select(col("pk"), col("q").as("q1"), col("c").as("c1"),
+          col("p").as("p1"))
+      a.join(b, "pk")
+        .agg(count(lit(1)).as("n_parts"),
+          round(sum(col("c1") - col("c0")) / 100.0, 2).as("delta_total"),
+          round(sum(col("q0") * (col("p1") - col("p0"))) / 100.0, 2)
+            .as("price_effect"),
+          round(sum(col("p0") * (col("q1") - col("q0"))) / 100.0, 2)
+            .as("volume_effect"),
+          round(sum((col("p1") - col("p0")) * (col("q1") - col("q0"))) / 100.0,
+            2).as("cross_effect"))
+    }),
+
+    "q255_dkw_band" -> ((s, dir) => {
+      // distribution-free CI on the median: the DKW inequality puts the
+      // true median inside the empirical quantiles at 0.5 ± ε, ε =
+      // sqrt(ln(2/α)/2n). ε varies per brand, so the band quantiles are
+      // discrete rank lookups (conditional min/max over the ranked price
+      // table — engine percentile() requires a CONSTANT fraction), all
+      // from one brand-partitioned window.
+      val pr = t(s, dir, "part")
+        .select(col("p_brand"), col("p_retailprice").as("v"))
+      val ranked = pr
+        .withColumn("rk", row_number().over(Window.partitionBy(col("p_brand"))
+          .orderBy(col("v"))))
+      val nn = ranked.groupBy(col("p_brand"))
+        .agg(max(col("rk")).cast("long").as("n"))
+      ranked.join(broadcast(nn), "p_brand")
+        .withColumn("eps", sqrt(log(lit(2.0) / 0.05) /
+          (lit(2.0) * col("n").cast("double"))))
+        .withColumn("lo_k", greatest(lit(1L),
+          ceil((lit(0.5) - col("eps")) * col("n").cast("double")).cast("long")))
+        .withColumn("hi_k", least(col("n").cast("long"),
+          ceil((lit(0.5) + col("eps")) * col("n").cast("double")).cast("long")))
+        .groupBy(col("p_brand"))
+        .agg(first(col("n")).as("n"),
+          round(first(col("eps")), 6).as("dkw_eps"),
+          min(when(col("rk") >= col("lo_k"), col("v"))).as("band_lo"),
+          max(when(col("rk") <= col("hi_k"), col("v"))).as("band_hi"),
+          round(expr("percentile(v, 0.5)"), 4).as("median"))
+        .orderBy(col("p_brand"))
+    }),
+
     "q251_array_gallery" -> ((s, dir) => {
       // higher-order array-function parity gallery over the embedding
       // column: slice + fold (aggregate), zip_with against the reversed
@@ -8705,6 +8768,46 @@ object SparkEntry {
         |SELECT month_idx, CAST(sum(amt) AS BIGINT) AS recognized_cents,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM sp GROUP BY 1 ORDER BY month_idx""".stripMargin,
+
+    "q254_revenue_waterfall" ->
+      """WITH py AS (SELECT l_partkey AS pk, year(l_shipdate) AS yr,
+        |    sum(l_quantity) AS q,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS DOUBLE) AS c
+        |  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+        |  GROUP BY 1, 2),
+        |a AS (SELECT pk, q AS q0, c AS c0, c / q AS p0 FROM py
+        |  WHERE yr = 1995),
+        |b AS (SELECT pk, q AS q1, c AS c1, c / q AS p1 FROM py
+        |  WHERE yr = 1996)
+        |SELECT CAST(count(*) AS BIGINT) AS n_parts,
+        |  round(sum(c1 - c0) / 100.0, 2) AS delta_total,
+        |  round(sum(q0 * (p1 - p0)) / 100.0, 2) AS price_effect,
+        |  round(sum(p0 * (q1 - q0)) / 100.0, 2) AS volume_effect,
+        |  round(sum((p1 - p0) * (q1 - q0)) / 100.0, 2) AS cross_effect
+        |FROM a JOIN b USING (pk)""".stripMargin,
+
+    "q255_dkw_band" ->
+      """WITH pr AS (SELECT p_brand, p_retailprice AS v FROM part),
+        |r AS (SELECT p_brand, v, row_number() OVER (PARTITION BY p_brand
+        |    ORDER BY v) AS rk
+        |  FROM pr),
+        |nn AS (SELECT p_brand, CAST(max(rk) AS BIGINT) AS n FROM r
+        |  GROUP BY 1),
+        |x AS (SELECT r.p_brand, r.v, r.rk, nn.n,
+        |    sqrt(ln(2.0 / 0.05) / (2.0 * CAST(nn.n AS DOUBLE))) AS eps
+        |  FROM r JOIN nn USING (p_brand)),
+        |y AS (SELECT *, greatest(1,
+        |    CAST(ceil((0.5 - eps) * CAST(n AS DOUBLE)) AS BIGINT)) AS lo_k,
+        |    least(n, CAST(ceil((0.5 + eps) * CAST(n AS DOUBLE)) AS BIGINT))
+        |      AS hi_k
+        |  FROM x)
+        |SELECT p_brand, any_value(n) AS n, round(any_value(eps), 6)
+        |    AS dkw_eps,
+        |  min(CASE WHEN rk >= lo_k THEN v END) AS band_lo,
+        |  max(CASE WHEN rk <= hi_k THEN v END) AS band_hi,
+        |  round(quantile_cont(v, 0.5), 4) AS median
+        |FROM y GROUP BY 1 ORDER BY p_brand""".stripMargin,
 
     "q251_array_gallery" ->
       """SELECT label, CAST(count(*) AS BIGINT) AS n,
