@@ -3493,6 +3493,80 @@ object SparkEntry {
         .orderBy(col("month_idx"))
     }),
 
+    "q256_precedence_matrix" -> ((s, dir) => {
+      // directional precedence: for each event-type pair, on how many
+      // user-days does A's first occurrence precede B's? First-occurrence
+      // frame keyed (user, day, type), pair self-join bounded by types²
+      // per user-day, exact microsecond compares with ties reported —
+      // the order-of-operations evidence behind funnel hypotheses.
+      val ft = events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .groupBy(col("user_id"), expr("us div 86400000000").as("d"),
+          col("event_type"))
+        .agg(min(col("us")).as("fus"))
+        .persist()  // both sides of the pair self-join
+      val a = ft.select(col("user_id"), col("d"), col("event_type").as("t1"),
+        col("fus").as("us1"))
+      val b = ft.select(col("user_id"), col("d"), col("event_type").as("t2"),
+        col("fus").as("us2"))
+      a.join(b, Seq("user_id", "d")).filter(col("t1") < col("t2"))
+        .groupBy(col("t1"), col("t2"))
+        .agg(count(lit(1)).as("n_userdays"),
+          sum(when(col("us1") < col("us2"), 1L).otherwise(0L)).as("t1_first"),
+          sum(when(col("us1") > col("us2"), 1L).otherwise(0L)).as("t2_first"),
+          sum(when(col("us1") === col("us2"), 1L).otherwise(0L)).as("ties"))
+        .withColumn("t1_share",
+          round(col("t1_first").cast("double") /
+            col("n_userdays").cast("double"), 4))
+        .orderBy(col("t1"), col("t2"))
+    }),
+
+    "q257_price_endings" -> ((s, dir) => {
+      // psychological-pricing audit: the distribution of retail-price
+      // cent endings (.99 spikes and friends) with per-ending chi-square
+      // terms against uniform — Benford's charm-price cousin (q156).
+      // Counts only; top 10 endings by frequency.
+      val e = t(s, dir, "part")
+        .select(pmod(expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)"),
+          lit(100L)).as("ending"))
+        .groupBy(col("ending")).agg(count(lit(1)).as("n"))
+      val tot = e.agg(sum(col("n")).cast("double").as("nt"))
+      e.crossJoin(broadcast(tot))
+        .select(col("ending"), col("n"),
+          round(col("n").cast("double") / col("nt"), 6).as("share"),
+          round(pow(col("n").cast("double") - col("nt") / 100.0, 2) /
+            (col("nt") / 100.0), 4).as("chi2_term"))
+        .orderBy(col("n").desc, col("ending"))
+        .limit(10)
+    }),
+
+    "q258_breach_streaks" -> ((s, dir) => {
+      // gaps-and-islands on the revenue calendar: longest consecutive run
+      // of days below 80% of the mean daily take. Island id = d - rank
+      // among below-days (the classic idiom), windows over the
+      // calendar-bounded daily table only; earliest-start tiebreak.
+      val daily = t(s, dir, "orders")
+        .groupBy(expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400")
+          .as("d"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .as("cents"))
+        .persist()  // threshold scalar + the flagged series
+      val thr = daily.agg((avg(col("cents")) * 0.8).as("thr"))
+      val below = daily.crossJoin(broadcast(thr))
+        .filter(col("cents").cast("double") < col("thr"))
+      val isl = below
+        .withColumn("grp", col("d") - row_number().over(Window.orderBy(col("d"))))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("len"), min(col("d")).as("start_d"),
+          max(col("d")).as("end_d"))
+      val nTot = below.agg(count(lit(1)).as("n_below_days"))
+        .crossJoin(isl.agg(count(lit(1)).as("n_streaks")))
+      isl.orderBy(col("len").desc, col("start_d")).limit(1)
+        .crossJoin(broadcast(nTot))
+        .select(col("n_below_days"), col("n_streaks"),
+          col("len").as("max_streak_len"), col("start_d"), col("end_d"))
+    }),
+
     "q254_revenue_waterfall" -> ((s, dir) => {
       // FP&A waterfall: the 1995→1996 revenue delta decomposed into price,
       // volume, and cross effects over parts traded in BOTH years —
@@ -8768,6 +8842,60 @@ object SparkEntry {
         |SELECT month_idx, CAST(sum(amt) AS BIGINT) AS recognized_cents,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM sp GROUP BY 1 ORDER BY month_idx""".stripMargin,
+
+    "q256_precedence_matrix" ->
+      """WITH ft AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+        |    event_type, min(epoch_us(ts)) AS fus
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT a.event_type AS t1, b.event_type AS t2,
+        |  CAST(count(*) AS BIGINT) AS n_userdays,
+        |  CAST(sum(CASE WHEN a.fus < b.fus THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS t1_first,
+        |  CAST(sum(CASE WHEN a.fus > b.fus THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS t2_first,
+        |  CAST(sum(CASE WHEN a.fus = b.fus THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS ties,
+        |  round(CAST(sum(CASE WHEN a.fus < b.fus THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS t1_share
+        |FROM ft a JOIN ft b ON a.user_id = b.user_id AND a.d = b.d
+        |  AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY t1, t2""".stripMargin,
+
+    "q257_price_endings" ->
+      """WITH e AS (SELECT
+        |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) % 100
+        |      AS ending,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM part GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nt FROM e)
+        |SELECT ending, n, round(CAST(n AS DOUBLE) / nt, 6) AS share,
+        |  round(pow(CAST(n AS DOUBLE) - nt / 100.0, 2) / (nt / 100.0), 4)
+        |    AS chi2_term
+        |FROM e CROSS JOIN tot
+        |ORDER BY n DESC, ending LIMIT 10""".stripMargin,
+
+    "q258_breach_streaks" ->
+      """WITH daily AS (SELECT
+        |    CAST(floor(extract(epoch FROM o_orderdate)) AS BIGINT) // 86400
+        |      AS d,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |thr AS (SELECT avg(cents) * 0.8 AS thr FROM daily),
+        |below AS (SELECT d FROM daily CROSS JOIN thr
+        |  WHERE CAST(cents AS DOUBLE) < thr),
+        |isl AS (SELECT d - row_number() OVER (ORDER BY d) AS grp, d
+        |  FROM below),
+        |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS len,
+        |    min(d) AS start_d, max(d) AS end_d
+        |  FROM isl GROUP BY 1),
+        |tops AS (SELECT * FROM g ORDER BY len DESC, start_d LIMIT 1),
+        |nt AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM below)
+        |    AS n_below_days,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_streaks)
+        |SELECT n_below_days, n_streaks, len AS max_streak_len, start_d,
+        |  end_d
+        |FROM tops CROSS JOIN nt""".stripMargin,
 
     "q254_revenue_waterfall" ->
       """WITH py AS (SELECT l_partkey AS pk, year(l_shipdate) AS yr,
