@@ -3493,6 +3493,98 @@ object SparkEntry {
         .orderBy(col("month_idx"))
     }),
 
+    "q259_seasonal_naive" -> ((s, dir) => {
+      // forecast-baseline shootout: same-day-last-week (seasonal naive)
+      // vs yesterday (naive) MAE per event type, over days where both
+      // baselines exist — the sanity check that tells you whether q207's
+      // smoother beats the cheapest seasonal memory. Per-type lag windows
+      // over the calendar-bounded daily table.
+      val daily = events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .groupBy(col("event_type"), expr("us div 86400000000").as("d"))
+        .agg(sum(col("value")).as("v"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      daily
+        .withColumn("naive", lag(col("v"), 1).over(w))
+        .withColumn("snaive", lag(col("v"), 7).over(w))
+        .filter(col("naive").isNotNull && col("snaive").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          round(avg(abs(col("v") - col("naive"))), 4).as("mae_naive"),
+          round(avg(abs(col("v") - col("snaive"))), 4).as("mae_snaive"))
+        .withColumn("snaive_better",
+          when(col("mae_snaive") < col("mae_naive"), 1L).otherwise(0L))
+        .orderBy(col("event_type"))
+    }),
+
+    "q260_cohen_kappa" -> ((s, dir) => {
+      // inter-labeler agreement: two weak labelers (lang tag vs printable-
+      // ASCII ratio) scored with Cohen's kappa — observed agreement
+      // corrected for chance from the marginals, all from ONE confusion-
+      // count aggregate. The ASCII class is the literal [ -~] range,
+      // identical in Java regex and RE2.
+      val lab = t(s, dir, "documents")
+        .select(when(col("lang") === "en", 1).otherwise(0).as("a"),
+          when(length(regexp_replace(col("text"), "[^ -~]", ""))
+            .cast("double") / length(col("text")).cast("double") > 0.9, 1)
+            .otherwise(0).as("b"))
+      lab.agg(count(lit(1)).as("n"),
+          sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L)).as("n11"),
+          sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L)).as("n10"),
+          sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L)).as("n01"),
+          sum(when(col("a") === 0 && col("b") === 0, 1L).otherwise(0L)).as("n00"))
+        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          round((col("n11") + col("n00")).cast("double") / col("n").cast("double"),
+            6).as("po"),
+          round(((col("n11") + col("n10")).cast("double") *
+            (col("n11") + col("n01")).cast("double") +
+            (col("n01") + col("n00")).cast("double") *
+            (col("n10") + col("n00")).cast("double")) /
+            (col("n").cast("double") * col("n").cast("double")), 6).as("pe"))
+        .withColumn("kappa", round((col("po") - col("pe")) /
+          (lit(1.0) - col("pe")), 6))
+    }),
+
+    "q261_gain_curve" -> ((s, dir) => {
+      // cumulative-gains table for the q138 classifier: corpus ranked by
+      // ROUNDED score (6 dp — unrounded ulp ties would let engines
+      // disagree on the decile boundary), deciles via the two-phase
+      // global ranker (no whole-table window), cumulative positive share
+      // and lift per decile.
+      val (feat, cols) = classifierFeatures(s, dir)
+      val wts = graft.ops.LinearModel.logisticGd(feat, cols, "y",
+        lr = 0.5, nIter = 3)
+      val len = length(col("text")).cast("double")
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        round(lit(1.0) / (lit(1.0) + exp(-(lit(wts(0)) +
+          lit(wts(1)) * (len / 100.0) +
+          lit(wts(2)) * ((len - length(regexp_replace(col("text"), " ", ""))
+            .cast("double")) / len) +
+          lit(wts(3)) * ((len - length(regexp_replace(col("text"), "[0-9]", ""))
+            .cast("double")) / len)))), 6).as("p"))
+      val ranked = graft.ops.PrefixSum.globalRank(scored,
+        Seq(col("p").desc, col("doc_id")), "rk")
+      val tot = ranked.agg(count(lit(1)).as("nt"), sum(col("y")).as("pt"))
+      val byDec = ranked.crossJoin(broadcast(tot))
+        .withColumn("decile", expr("((rk - 1) * 10) div nt"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+          first(col("nt")).as("nt"), first(col("pt")).as("pt"))
+      val wc = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byDec
+        .withColumn("cum_n", sum(col("n")).over(wc))
+        .withColumn("cum_pos", sum(col("n_pos")).over(wc))
+        .select(col("decile"), col("n"), col("n_pos"),
+          round(col("cum_pos").cast("double") / col("pt").cast("double"), 6)
+            .as("cum_gain"),
+          round((col("cum_pos").cast("double") / col("cum_n").cast("double")) /
+            (col("pt").cast("double") / col("nt").cast("double")), 4)
+            .as("lift"))
+        .orderBy(col("decile"))
+    }),
+
     "q256_precedence_matrix" -> ((s, dir) => {
       // directional precedence: for each event-type pair, on how many
       // user-days does A's first occurrence precede B's? First-occurrence
@@ -8842,6 +8934,88 @@ object SparkEntry {
         |SELECT month_idx, CAST(sum(amt) AS BIGINT) AS recognized_cents,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM sp GROUP BY 1 ORDER BY month_idx""".stripMargin,
+
+    "q259_seasonal_naive" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+        |    sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, v,
+        |    lag(v, 1) OVER w AS naive, lag(v, 7) OVER w AS snaive
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    round(avg(abs(v - naive)), 4) AS mae_naive,
+        |    round(avg(abs(v - snaive)), 4) AS mae_snaive
+        |  FROM l WHERE naive IS NOT NULL AND snaive IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT event_type, n_days, mae_naive, mae_snaive,
+        |  CASE WHEN mae_snaive < mae_naive THEN CAST(1 AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS snaive_better
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    "q260_cohen_kappa" ->
+      """WITH lab AS (SELECT
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN CAST(length(regexp_replace(text, '[^ -~]', '', 'g'))
+        |      AS DOUBLE) / CAST(length(text) AS DOUBLE) > 0.9 THEN 1
+        |      ELSE 0 END AS b
+        |  FROM documents),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n11,
+        |    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n10,
+        |    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n01,
+        |    CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n00
+        |  FROM lab),
+        |o AS (SELECT n, n11, n10, n01, n00,
+        |    round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+        |    round((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE) +
+        |      CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe
+        |  FROM m)
+        |SELECT n, n11, n10, n01, n00, po, pe,
+        |  round((po - pe) / (1.0 - pe), 6) AS kappa
+        |FROM o""".stripMargin,
+
+    "q261_gain_curve" ->
+      s"""WITH $lrCtes,
+         |featid AS (SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END AS y, 1.0 AS f0,
+         |    CAST(len(text) AS DOUBLE)/100.0 AS f1,
+         |    CAST(len(text) - len(replace(text, ' ', '')) AS DOUBLE)
+         |      / CAST(len(text) AS DOUBLE) AS f2,
+         |    CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
+         |      AS DOUBLE) / CAST(len(text) AS DOUBLE) AS f3
+         |  FROM documents),
+         |si AS (SELECT doc_id, y,
+         |    round(1.0/(1.0+exp(-(w.w0*f0+w.w1*f1+w.w2*f2+w.w3*f3))), 6)
+         |      AS p
+         |  FROM featid, w3_ w),
+         |r AS (SELECT doc_id, y, p,
+         |    CAST(row_number() OVER (ORDER BY p DESC, doc_id) AS BIGINT)
+         |      AS rk
+         |  FROM si),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+         |    CAST(sum(y) AS BIGINT) AS pt FROM r),
+         |bd AS (SELECT ((rk - 1) * 10) // nt AS decile,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+         |    any_value(nt) AS nt, any_value(pt) AS pt
+         |  FROM r CROSS JOIN tot GROUP BY 1),
+         |c AS (SELECT decile, n, n_pos, nt, pt,
+         |    sum(n) OVER wd AS cum_n, sum(n_pos) OVER wd AS cum_pos
+         |  FROM bd
+         |  WINDOW wd AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND CURRENT ROW))
+         |SELECT decile, n, n_pos,
+         |  round(CAST(cum_pos AS DOUBLE) / CAST(pt AS DOUBLE), 6)
+         |    AS cum_gain,
+         |  round((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)) /
+         |    (CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE)), 4) AS lift
+         |FROM c ORDER BY decile""".stripMargin,
 
     "q256_precedence_matrix" ->
       """WITH ft AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
