@@ -3493,6 +3493,90 @@ object SparkEntry {
         .orderBy(col("month_idx"))
     }),
 
+    "q262_hill_tail" -> ((s, dir) => {
+      // heavy-tail diagnosis: the Hill estimator over the top 100 order
+      // values — gamma = mean ln(x_i / x_ref) against the rank-101
+      // reference, tail index alpha = 1/gamma. Ranking runs through the
+      // two-phase global ranker on (exact cents desc, key) so the top
+      // set is total-ordered on any engine.
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      val ranked = graft.ops.PrefixSum.globalRank(o,
+        Seq(col("cents").desc, col("o_orderkey")), "rk")
+        .filter(col("rk") <= 101)
+        .persist()  // reference row + the top-100 aggregate
+      val ref = ranked.filter(col("rk") === 101)
+        .select(col("cents").as("ref_cents"))
+      ranked.filter(col("rk") <= 100)
+        .crossJoin(broadcast(ref))
+        .agg(count(lit(1)).as("k"),
+          first(col("ref_cents")).as("x_ref_cents"),
+          avg(log(col("cents").cast("double") / col("ref_cents").cast("double")))
+            .as("gamma_raw"))
+        .select(col("k"), col("x_ref_cents"),
+          round(col("gamma_raw"), 6).as("hill_gamma"),
+          round(lit(1.0) / col("gamma_raw"), 4).as("tail_alpha"))
+    }),
+
+    "q263_kendall_tau" -> ((s, dir) => {
+      // rank stability: Kendall's tau between brand revenue rankings in
+      // 1995 and 1996 — concordant minus discordant brand pairs over the
+      // bounded brand table (RBO's classic cousin, q161). Exact cents,
+      // total-ordered ranks, one self-join over <= |brands|^2 rows.
+      val byYear = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")).isin(1995, 1996))
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), year(col("l_shipdate")).as("yr"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+          .as("cents"))
+      val w = Window.partitionBy(col("yr"))
+        .orderBy(col("cents").desc, col("p_brand"))
+      val rk = byYear.withColumn("r", row_number().over(w))
+      val r95 = rk.filter(col("yr") === 1995)
+        .select(col("p_brand"), col("r").as("ra"))
+      val r96 = rk.filter(col("yr") === 1996)
+        .select(col("p_brand"), col("r").as("rb"))
+      val both = r95.join(r96, "p_brand").persist()
+      val x = both.select(col("p_brand").as("b1"), col("ra").as("ra1"),
+        col("rb").as("rb1"))
+      val y = both.select(col("p_brand").as("b2"), col("ra").as("ra2"),
+        col("rb").as("rb2"))
+      x.join(y, col("b1") < col("b2"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when((col("ra1") - col("ra2")) * (col("rb1") - col("rb2")) > 0,
+            1L).otherwise(0L)).as("concordant"),
+          sum(when((col("ra1") - col("ra2")) * (col("rb1") - col("rb2")) < 0,
+            1L).otherwise(0L)).as("discordant"))
+        .select(col("n_pairs"), col("concordant"), col("discordant"),
+          round((col("concordant") - col("discordant")).cast("double") /
+            col("n_pairs").cast("double"), 6).as("kendall_tau"))
+    }),
+
+    "q264_weighted_ess" -> ((s, dir) => {
+      // effective sample size under the q233 temperature-0.5 language
+      // weights: ESS = (Σw)²/Σw² — how much of the corpus the rebalanced
+      // mixture actually uses. Weights broadcast per language; one
+      // weighted aggregate.
+      val cnt = t(s, dir, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.agg(sum(col("n")).cast("double").as("nn"),
+        sum(sqrt(col("n").cast("double"))).as("ssq"))
+      val wts = cnt.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          (col("nn") / col("ssq") / sqrt(col("n").cast("double"))).as("w"))
+      t(s, dir, "documents").select(col("lang"))
+        .join(broadcast(wts), "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sw"),
+          sum(col("w") * col("w")).as("sww"))
+        .select(col("n_docs"),
+          round(col("sw") * col("sw") / col("sww"), 4).as("ess"),
+          round(col("sw") * col("sw") / col("sww") /
+            col("n_docs").cast("double"), 6).as("ess_ratio"))
+    }),
+
     "q259_seasonal_naive" -> ((s, dir) => {
       // forecast-baseline shootout: same-day-last-week (seasonal naive)
       // vs yesterday (naive) MAE per event type, over days where both
@@ -8934,6 +9018,61 @@ object SparkEntry {
         |SELECT month_idx, CAST(sum(amt) AS BIGINT) AS recognized_cents,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM sp GROUP BY 1 ORDER BY month_idx""".stripMargin,
+
+    "q262_hill_tail" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (SELECT cents,
+        |    CAST(row_number() OVER (ORDER BY cents DESC, o_orderkey)
+        |      AS BIGINT) AS rk
+        |  FROM o),
+        |ref AS (SELECT cents AS ref_cents FROM r WHERE rk = 101)
+        |SELECT CAST(count(*) AS BIGINT) AS k,
+        |  any_value(ref_cents) AS x_ref_cents,
+        |  round(avg(ln(CAST(cents AS DOUBLE) / CAST(ref_cents AS DOUBLE))),
+        |    6) AS hill_gamma,
+        |  round(1.0 / avg(ln(CAST(cents AS DOUBLE) /
+        |    CAST(ref_cents AS DOUBLE))), 4) AS tail_alpha
+        |FROM r CROSS JOIN ref WHERE rk <= 100""".stripMargin,
+
+    "q263_kendall_tau" ->
+      """WITH by_ AS (SELECT p_brand, year(l_shipdate) AS yr,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE year(l_shipdate) IN (1995, 1996) GROUP BY 1, 2),
+        |rk AS (SELECT p_brand, yr,
+        |    row_number() OVER (PARTITION BY yr ORDER BY cents DESC, p_brand)
+        |      AS r
+        |  FROM by_),
+        |b AS (SELECT a.p_brand, a.r AS ra, c.r AS rb
+        |  FROM rk a JOIN rk c ON a.p_brand = c.p_brand
+        |  WHERE a.yr = 1995 AND c.yr = 1996)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0 THEN 1
+        |    ELSE 0 END) AS BIGINT) AS concordant,
+        |  CAST(sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) < 0 THEN 1
+        |    ELSE 0 END) AS BIGINT) AS discordant,
+        |  round(CAST(sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0 THEN 1
+        |    ELSE 0 END) - sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) < 0
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS kendall_tau
+        |FROM b x JOIN b y ON x.p_brand < y.p_brand""".stripMargin,
+
+    "q264_weighted_ess" ->
+      """WITH cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn,
+        |    sum(sqrt(CAST(n AS DOUBLE))) AS ssq FROM cnt),
+        |wts AS (SELECT lang, nn / ssq / sqrt(CAST(n AS DOUBLE)) AS w
+        |  FROM cnt CROSS JOIN tot),
+        |j AS (SELECT w FROM documents d JOIN wts ON wts.lang = d.lang)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(sum(w) * sum(w) / sum(w * w), 4) AS ess,
+        |  round(sum(w) * sum(w) / sum(w * w) / CAST(count(*) AS DOUBLE), 6)
+        |    AS ess_ratio
+        |FROM j""".stripMargin,
 
     "q259_seasonal_naive" ->
       """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d,
