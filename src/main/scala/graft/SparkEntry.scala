@@ -3493,6 +3493,84 @@ object SparkEntry {
         .orderBy(col("month_idx"))
     }),
 
+    "q265_mde_power" -> ((s, dir) => {
+      // experiment-design pre-flight: the minimum detectable effect for
+      // the q179-style two-proportion test at the CURRENT segment sizes,
+      // at 80% and 90% power (z constants literal) — the number that says
+      // whether running the test is worth it. One conditional aggregate.
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(when(col("c_mktsegment") === "BUILDING", 1).otherwise(0)
+          .as("arm"),
+          when(col("c_acctbal") > 5000.0, 1L).otherwise(0L).as("hit"))
+      c.agg(
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n2"),
+          sum(col("hit")).as("hits"), count(lit(1)).as("n"))
+        .select(col("n1"), col("n2"),
+          round(col("hits").cast("double") / col("n").cast("double"), 6)
+            .as("pooled_rate"),
+          round(lit(1.96 + 0.8416) *
+            sqrt((col("hits").cast("double") / col("n").cast("double")) *
+              (lit(1.0) - col("hits").cast("double") / col("n").cast("double")) *
+              (lit(1.0) / col("n1").cast("double") +
+                lit(1.0) / col("n2").cast("double"))), 6).as("mde_80"),
+          round(lit(1.96 + 1.2816) *
+            sqrt((col("hits").cast("double") / col("n").cast("double")) *
+              (lit(1.0) - col("hits").cast("double") / col("n").cast("double")) *
+              (lit(1.0) / col("n1").cast("double") +
+                lit(1.0) / col("n2").cast("double"))), 6).as("mde_90"))
+    }),
+
+    "q266_design_effect" -> ((s, dir) => {
+      // clustered-sampling design effect: user-level clustering of event
+      // values via one-way ANOVA — ICC from between/within mean squares
+      // (unequal cluster sizes use the n0 correction), DEFF = 1+(n0-1)ICC.
+      // Two counts-only phases: per-user moments, then one closed-form
+      // reduction.
+      val u = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("double").as("ni"), sum(col("value")).as("si"),
+          sum(col("value") * col("value")).as("qi"))
+      u.agg(sum(col("ni")).as("nn"), count(lit(1)).cast("double").as("k"),
+          sum(col("ni") * col("ni")).as("n2"), sum(col("si")).as("s"),
+          sum(col("qi")).as("q"),
+          sum(col("si") * col("si") / col("ni")).as("sb"))
+        .select(col("nn").cast("long").as("n_events"),
+          col("k").cast("long").as("n_users"),
+          ((col("q") - col("sb")) / (col("nn") - col("k"))).as("msw"),
+          ((col("sb") - col("s") * col("s") / col("nn")) / (col("k") - 1))
+            .as("msb"),
+          ((col("nn") - col("n2") / col("nn")) / (col("k") - 1)).as("n0"))
+        .select(col("n_events"), col("n_users"), round(col("n0"), 4).as("n0"),
+          round((col("msb") - col("msw")) /
+            (col("msb") + (col("n0") - 1) * col("msw")), 6).as("icc"),
+          round(lit(1.0) + (col("n0") - 1) *
+            ((col("msb") - col("msw")) /
+              (col("msb") + (col("n0") - 1) * col("msw"))), 4).as("deff"))
+    }),
+
+    "q267_neyman_allocation" -> ((s, dir) => {
+      // stratified-sampling design: Neyman allocation of a 100-doc budget
+      // across languages proportional to N_l * sd_l (sd from EXACT integer
+      // n_chars sums, so both engines derive identical doubles). One
+      // per-stratum aggregate + a broadcast normalizer.
+      val st = t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"),
+          sum(col("n_chars") * col("n_chars")).as("q"))
+        .withColumn("sd", sqrt((col("q") - col("s") * col("s") /
+          col("n")).cast("double") / (col("n") - 1).cast("double")))
+      val tot = st.agg(sum(col("n").cast("double") * col("sd")).as("z"))
+      st.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n"), round(col("sd"), 4).as("sd"),
+          round(col("n").cast("double") * col("sd") / col("z"), 6)
+            .as("neyman_share"),
+          expr("CAST(floor(100 * (CAST(n AS DOUBLE) * sd / z) + 0.5) AS BIGINT)")
+            .as("alloc_100"))
+        .orderBy(col("lang"))
+    }),
+
     "q262_hill_tail" -> ((s, dir) => {
       // heavy-tail diagnosis: the Hill estimator over the top 100 order
       // values — gamma = mean ln(x_i / x_ref) against the rank-101
@@ -9018,6 +9096,67 @@ object SparkEntry {
         |SELECT month_idx, CAST(sum(amt) AS BIGINT) AS recognized_cents,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM sp GROUP BY 1 ORDER BY month_idx""".stripMargin,
+
+    "q265_mde_power" ->
+      """WITH c AS (SELECT
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS arm,
+        |    CASE WHEN c_acctbal > 5000.0 THEN 1 ELSE 0 END AS hit
+        |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(hit) AS BIGINT) AS hits,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM c)
+        |SELECT n1, n2,
+        |  round(CAST(hits AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pooled_rate,
+        |  round((1.96 + 0.8416) * sqrt(
+        |    (CAST(hits AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    (1.0 - CAST(hits AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 6)
+        |    AS mde_80,
+        |  round((1.96 + 1.2816) * sqrt(
+        |    (CAST(hits AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    (1.0 - CAST(hits AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 6)
+        |    AS mde_90
+        |FROM m""".stripMargin,
+
+    "q266_design_effect" ->
+      """WITH u AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS ni,
+        |    sum(value) AS si, sum(value * value) AS qi
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT sum(ni) AS nn, CAST(count(*) AS DOUBLE) AS k,
+        |    sum(ni * ni) AS n2, sum(si) AS s, sum(qi) AS q,
+        |    sum(si * si / ni) AS sb
+        |  FROM u),
+        |d AS (SELECT CAST(nn AS BIGINT) AS n_events, CAST(k AS BIGINT)
+        |      AS n_users,
+        |    (q - sb) / (nn - k) AS msw,
+        |    (sb - s * s / nn) / (k - 1) AS msb,
+        |    (nn - n2 / nn) / (k - 1) AS n0
+        |  FROM m)
+        |SELECT n_events, n_users, round(n0, 4) AS n0,
+        |  round((msb - msw) / (msb + (n0 - 1) * msw), 6) AS icc,
+        |  round(1.0 + (n0 - 1) * ((msb - msw) / (msb + (n0 - 1) * msw)), 4)
+        |    AS deff
+        |FROM d""".stripMargin,
+
+    "q267_neyman_allocation" ->
+      """WITH st AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS s,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS q
+        |  FROM documents GROUP BY 1),
+        |sd AS (SELECT lang, n,
+        |    sqrt(CAST(q - s * s / n AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+        |      AS sd
+        |  FROM st),
+        |tot AS (SELECT sum(CAST(n AS DOUBLE) * sd) AS z FROM sd)
+        |SELECT lang, n, round(sd, 4) AS sd,
+        |  round(CAST(n AS DOUBLE) * sd / z, 6) AS neyman_share,
+        |  CAST(floor(100 * (CAST(n AS DOUBLE) * sd / z) + 0.5) AS BIGINT)
+        |    AS alloc_100
+        |FROM sd CROSS JOIN tot ORDER BY lang""".stripMargin,
 
     "q262_hill_tail" ->
       """WITH o AS (SELECT o_orderkey,
