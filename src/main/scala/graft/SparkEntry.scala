@@ -3571,6 +3571,107 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "q268_spearman" -> ((s, dir) => {
+      // rank-correlation cousin of Kendall q263: Spearman rho between
+      // per-supplier revenue and shipped quantity. Both rankings run
+      // through the two-phase global ranker on (exact integer measure,
+      // suppkey) so the total order — and hence every rank difference —
+      // is integer-identical on any engine; rho = 1 - 6*sum(d^2) /
+      // (n(n^2-1)) from exact longs, floats only in the final division.
+      val per = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * " +
+          "(1 - l_discount) * 100 + 0.5) AS BIGINT)")).as("rev_cents"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+        .persist()  // feeds both rankings
+      val rx = graft.ops.PrefixSum.globalRank(per,
+          Seq(col("rev_cents").desc, col("l_suppkey")), "rx")
+        .select(col("l_suppkey"), col("rx"))
+      val ry = graft.ops.PrefixSum.globalRank(
+          per.select(col("l_suppkey"), col("qty")),
+          Seq(col("qty").desc, col("l_suppkey")), "ry")
+        .select(col("l_suppkey").as("sk"), col("ry"))
+      rx.join(ry, col("l_suppkey") === col("sk"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("d2"))
+        .select(col("n"), col("d2").as("sum_d2"),
+          round(lit(1.0) - lit(6.0) * col("d2").cast("double") /
+            (col("n").cast("double") *
+              (col("n").cast("double") * col("n").cast("double") - 1.0)), 6)
+            .as("spearman_rho"))
+    }),
+
+    "q269_welch_ttest" -> ((s, dir) => {
+      // Welch's unequal-variance t-test on account balance between the
+      // BUILDING and MACHINERY segments: moments from exact integer cents
+      // (sum, sum-of-squares as longs) so both engines derive identical
+      // doubles; t-statistic + Welch-Satterthwaite degrees of freedom in
+      // one conditional aggregate — the mean-scale companion of the
+      // two-proportion z gauge (q179) and the MDE pre-flight (q265).
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(when(col("c_mktsegment") === "BUILDING", 1).otherwise(0)
+          .as("arm"),
+          expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("cents"))
+      c.agg(
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 1, col("cents")).otherwise(0L)).as("s1"),
+          sum(when(col("arm") === 1, col("cents") * col("cents"))
+            .otherwise(0L)).as("q1"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("arm") === 0, col("cents")).otherwise(0L)).as("s2"),
+          sum(when(col("arm") === 0, col("cents") * col("cents"))
+            .otherwise(0L)).as("q2"))
+        .select(col("n1"), col("n2"),
+          (col("s1").cast("double") / col("n1")).as("m1"),
+          (col("s2").cast("double") / col("n2")).as("m2"),
+          ((col("q1").cast("double") - col("s1").cast("double") *
+            col("s1").cast("double") / col("n1")) / (col("n1") - 1))
+            .as("v1"),
+          ((col("q2").cast("double") - col("s2").cast("double") *
+            col("s2").cast("double") / col("n2")) / (col("n2") - 1))
+            .as("v2"))
+        .select(col("n1"), col("n2"),
+          round(col("m1") / 100.0, 4).as("mean_building"),
+          round(col("m2") / 100.0, 4).as("mean_machinery"),
+          round((col("m1") - col("m2")) /
+            sqrt(col("v1") / col("n1") + col("v2") / col("n2")), 6)
+            .as("welch_t"),
+          round(pow(col("v1") / col("n1") + col("v2") / col("n2"), 2.0) /
+            (pow(col("v1") / col("n1"), 2.0) / (col("n1") - 1) +
+              pow(col("v2") / col("n2"), 2.0) / (col("n2") - 1)), 2)
+            .as("welch_df"))
+    }),
+
+    "q270_js_divergence" -> ((s, dir) => {
+      // distribution-drift gauge: Jensen-Shannon divergence between the
+      // language mix of the even-doc_id and odd-doc_id corpus halves.
+      // One joint conditional aggregate per lang (0-count terms contribute
+      // 0 by the p*ln(p/m) limit), totals folded back as a 1-row
+      // broadcast; exact integer counts -> identical doubles. Bounded by
+      // |langs|, symmetric and finite unlike raw KL.
+      val per = t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("cb"))
+        .persist()  // feeds the totals row and the per-lang terms
+      val tot = per.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      val terms = per.crossJoin(broadcast(tot))
+        .select((col("ca").cast("double") / col("na")).as("p"),
+          (col("cb").cast("double") / col("nb")).as("q"))
+        .select(col("p"), col("q"),
+          ((col("p") + col("q")) / 2.0).as("m"))
+        .select(
+          when(col("p") > 0.0, col("p") * log(col("p") / col("m")))
+            .otherwise(0.0).as("tp"),
+          when(col("q") > 0.0, col("q") * log(col("q") / col("m")))
+            .otherwise(0.0).as("tq"))
+      terms.agg(count(lit(1)).as("n_langs"),
+          round((sum(col("tp")) + sum(col("tq"))) / 2.0, 6).as("js_nats"))
+        .select(col("n_langs"), col("js_nats"),
+          round(col("js_nats") / math.log(2.0), 6).as("js_bits"))
+    }),
+
     "q262_hill_tail" -> ((s, dir) => {
       // heavy-tail diagnosis: the Hill estimator over the top 100 order
       // values — gamma = mean ln(x_i / x_ref) against the rank-101
@@ -9157,6 +9258,80 @@ object SparkEntry {
         |  CAST(floor(100 * (CAST(n AS DOUBLE) * sd / z) + 0.5) AS BIGINT)
         |    AS alloc_100
         |FROM sd CROSS JOIN tot ORDER BY lang""".stripMargin,
+
+    "q268_spearman" ->
+      """WITH per AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1),
+        |rx AS (SELECT l_suppkey, CAST(row_number() OVER
+        |    (ORDER BY rev_cents DESC, l_suppkey) AS BIGINT) AS rx FROM per),
+        |ry AS (SELECT l_suppkey, CAST(row_number() OVER
+        |    (ORDER BY qty DESC, l_suppkey) AS BIGINT) AS ry FROM per)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+        |  round(1.0 - 6.0 * CAST(sum((rx - ry) * (rx - ry)) AS DOUBLE) /
+        |    (CAST(count(*) AS DOUBLE) *
+        |      (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) - 1.0)),
+        |    6) AS spearman_rho
+        |FROM rx JOIN ry USING (l_suppkey)""".stripMargin,
+
+    "q269_welch_ttest" ->
+      """WITH c AS (SELECT
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS arm,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT)
+        |      AS s1,
+        |    CAST(sum(CASE WHEN arm = 1 THEN cents * cents ELSE 0 END)
+        |      AS BIGINT) AS q1,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT)
+        |      AS s2,
+        |    CAST(sum(CASE WHEN arm = 0 THEN cents * cents ELSE 0 END)
+        |      AS BIGINT) AS q2
+        |  FROM c),
+        |d AS (SELECT n1, n2,
+        |    CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
+        |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |      / n1) / (n1 - 1) AS v1,
+        |    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |      / n2) / (n2 - 1) AS v2
+        |  FROM m)
+        |SELECT n1, n2,
+        |  round(m1 / 100.0, 4) AS mean_building,
+        |  round(m2 / 100.0, 4) AS mean_machinery,
+        |  round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS welch_t,
+        |  round(pow(v1 / n1 + v2 / n2, 2.0) /
+        |    (pow(v1 / n1, 2.0) / (n1 - 1) + pow(v2 / n2, 2.0) / (n2 - 1)),
+        |    2) AS welch_df
+        |FROM d""".stripMargin,
+
+    "q270_js_divergence" ->
+      """WITH per AS (SELECT lang,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM per),
+        |pq AS (SELECT CAST(ca AS DOUBLE) / na AS p,
+        |    CAST(cb AS DOUBLE) / nb AS q
+        |  FROM per CROSS JOIN tot),
+        |terms AS (SELECT
+        |    CASE WHEN p > 0.0 THEN p * ln(p / ((p + q) / 2.0))
+        |      ELSE 0.0 END AS tp,
+        |    CASE WHEN q > 0.0 THEN q * ln(q / ((p + q) / 2.0))
+        |      ELSE 0.0 END AS tq
+        |  FROM pq),
+        |j AS (SELECT CAST(count(*) AS BIGINT) AS n_langs,
+        |    round((sum(tp) + sum(tq)) / 2.0, 6) AS js_nats FROM terms)
+        |SELECT n_langs, js_nats, round(js_nats / ln(2.0), 6) AS js_bits
+        |FROM j""".stripMargin,
 
     "q262_hill_tail" ->
       """WITH o AS (SELECT o_orderkey,
