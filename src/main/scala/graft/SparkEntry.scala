@@ -3672,6 +3672,129 @@ object SparkEntry {
           round(col("js_nats") / math.log(2.0), 6).as("js_bits"))
     }),
 
+    "q271_bh_fdr" -> ((s, dir) => {
+      // multiple-testing control: per-segment two-proportion z-tests
+      // (segment vs rest, hit = acctbal > 5000) -> normal p-values via the
+      // Abramowitz-Stegun 7.1.26 erf polynomial (LITERAL constants, so
+      // both engines evaluate the identical expression tree) ->
+      // Benjamini-Hochberg at alpha = 0.10: reject p_(i) <= i/m * alpha up
+      // to the largest satisfying rank. Counts are one conditional
+      // aggregate; the BH cutoff folds back as a 1-row broadcast.
+      val tot = t(s, dir, "customer")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(when(col("c_acctbal") > 5000.0, 1L).otherwise(0L))
+            .cast("double").as("h"))
+      val per = t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).cast("double").as("n1"),
+          sum(when(col("c_acctbal") > 5000.0, 1L).otherwise(0L))
+            .cast("double").as("h1"))
+        .crossJoin(broadcast(tot))
+        .select(col("c_mktsegment"), col("n1"),
+          (col("h") / col("n")).as("pp"),
+          ((col("h1") / col("n1") - (col("h") - col("h1")) /
+            (col("n") - col("n1"))) /
+            sqrt((col("h") / col("n")) * (lit(1.0) - col("h") / col("n")) *
+              (lit(1.0) / col("n1") +
+                lit(1.0) / (col("n") - col("n1"))))).as("z"))
+      // p = 2*(1 - Phi(|z|)) = 1 - erf(|z|/sqrt(2)), and with the A&S
+      // 7.1.26 polynomial erf(x) ~= 1 - poly(t)*exp(-x^2) that collapses
+      // to p = poly(t)*exp(-x^2) — computed DIRECTLY (not via 1-(1-...),
+      // which double-rounds small p) with left-associated products so the
+      // oracle's expression tree is bit-identical.
+      val x = abs(col("z")) / math.sqrt(2.0)
+      val tt = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+      val withP = per.select(col("c_mktsegment"), col("z"),
+          ((lit(0.254829592) * tt - lit(0.284496736) *
+            tt * tt + lit(1.421413741) * tt * tt * tt - lit(1.453152027) *
+            tt * tt * tt * tt + lit(1.061405429) * tt * tt * tt * tt * tt) *
+            exp(-x * x)).as("p"))
+      val ranked = graft.ops.PrefixSum.globalRank(withP,
+          Seq(col("p"), col("c_mktsegment")), "rk")
+        .withColumn("m", lit(5.0))
+        .withColumn("bh_crit", col("rk").cast("double") / col("m") * 0.10)
+        .persist()  // feeds the cutoff row and the per-test verdicts
+      val cutoff = ranked.filter(col("p") <= col("bh_crit"))
+        .agg(coalesce(max(col("rk")), lit(0L)).as("k"))
+      ranked.crossJoin(broadcast(cutoff))
+        .select(col("c_mktsegment"), round(col("z"), 4).as("z"),
+          round(col("p"), 6).as("p_two_sided"), col("rk").as("p_rank"),
+          round(col("bh_crit"), 4).as("bh_crit"),
+          (col("rk") <= col("k")).as("rejected"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q272_burstiness" -> ((s, dir) => {
+      // traffic-shape gauge: per-event-type burstiness B = (sd - mean) /
+      // (sd + mean) of per-user inter-arrival times (B -> -1 periodic,
+      // 0 Poisson, +1 bursty). Gaps in EXACT integer minutes (micros div,
+      // no overflow under ANSI at any sf) from a per-(user,type) lag
+      // window — partitioned by the stream key, never a global sort;
+      // moments from exact long sums, floats only in the final statistic.
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts"),
+          lag(col("ts"), 1).over(w).as("prev_ts"))
+        .filter(col("prev_ts").isNotNull)
+        .select(col("event_type"),
+          expr("(unix_micros(ts) - unix_micros(prev_ts)) div 60000000")
+            .as("gap_min"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("gap_min")).as("sg"),
+          sum(col("gap_min") * col("gap_min")).as("qg"))
+        .filter(col("n_gaps") > 1)
+        .select(col("event_type"), col("n_gaps"),
+          (col("sg").cast("double") / col("n_gaps")).as("mu"),
+          sqrt((col("qg").cast("double") - col("sg").cast("double") *
+            col("sg").cast("double") / col("n_gaps")) /
+            (col("n_gaps") - 1)).as("sd"))
+        .select(col("event_type"), col("n_gaps"),
+          round(col("mu"), 4).as("mean_gap_min"),
+          round(col("sd"), 4).as("sd_gap_min"),
+          round((col("sd") - col("mu")) / (col("sd") + col("mu")), 6)
+            .as("burstiness"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q273_cramers_v" -> ((s, dir) => {
+      // categorical-association audit: Cramér's V between customer nation
+      // and market segment. Joint counts partial-aggregate once; margins
+      // RE-AGGREGATE the 125-row joint table (no second scan); the full
+      // r x c grid (zero cells contribute their expected count) comes from
+      // a margin cross join left-joined back to the observed cells — all
+      // broadcast-sized. Exact integer counts -> identical doubles.
+      val joint = t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("o"))
+        .persist()  // margins + observed lookup both read it
+      val rm = joint.groupBy(col("c_nationkey"))
+        .agg(sum(col("o")).as("rn"))
+      val cm = joint.groupBy(col("c_mktsegment"))
+        .agg(sum(col("o")).as("cn"))
+      val tot = joint.agg(sum(col("o")).cast("double").as("n"),
+        countDistinct(col("c_nationkey")).as("r"),
+        countDistinct(col("c_mktsegment")).as("c"))
+      val grid = rm.crossJoin(cm)
+        .join(joint, Seq("c_nationkey", "c_mktsegment"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("n"), col("r"), col("c"),
+          coalesce(col("o"), lit(0L)).cast("double").as("obs"),
+          (col("rn").cast("double") * col("cn").cast("double") / col("n"))
+            .as("e"))
+      grid.agg(first(col("n")).cast("long").as("n"),
+          first(col("r")).as("n_nations"), first(col("c")).as("n_segments"),
+          sum((col("obs") - col("e")) * (col("obs") - col("e")) / col("e"))
+            .as("chi2"),
+          first((col("r") - 1) * (col("c") - 1)).as("dof"))
+        .select(col("n"), col("n_nations"), col("n_segments"), col("dof"),
+          round(col("chi2"), 4).as("chi2"),
+          round(sqrt(col("chi2") / (col("n").cast("double") *
+            least(col("n_nations") - 1, col("n_segments") - 1)
+              .cast("double"))), 6).as("cramers_v"))
+    }),
+
     "q262_hill_tail" -> ((s, dir) => {
       // heavy-tail diagnosis: the Hill estimator over the top 100 order
       // values — gamma = mean ln(x_i / x_ref) against the rank-101
@@ -9332,6 +9455,89 @@ object SparkEntry {
         |    round((sum(tp) + sum(tq)) / 2.0, 6) AS js_nats FROM terms)
         |SELECT n_langs, js_nats, round(js_nats / ln(2.0), 6) AS js_bits
         |FROM j""".stripMargin,
+
+    "q271_bh_fdr" ->
+      """WITH tot AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CASE WHEN c_acctbal > 5000.0 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS h
+        |  FROM customer),
+        |per AS (SELECT c_mktsegment, CAST(count(*) AS DOUBLE) AS n1,
+        |    CAST(sum(CASE WHEN c_acctbal > 5000.0 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS h1
+        |  FROM customer GROUP BY 1),
+        |z AS (SELECT c_mktsegment,
+        |    (h1 / n1 - (h - h1) / (n - n1)) /
+        |      sqrt((h / n) * (1.0 - h / n) * (1.0 / n1 + 1.0 / (n - n1)))
+        |      AS z
+        |  FROM per CROSS JOIN tot),
+        |xt AS (SELECT c_mktsegment, z, abs(z) / sqrt(2.0) AS x,
+        |    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+        |  FROM z),
+        |p AS (SELECT c_mktsegment, z,
+        |    (0.254829592 * t - 0.284496736 * t * t
+        |      + 1.421413741 * t * t * t - 1.453152027 * t * t * t * t
+        |      + 1.061405429 * t * t * t * t * t) * exp(-x * x) AS p
+        |  FROM xt),
+        |ranked AS (SELECT c_mktsegment, z, p,
+        |    CAST(row_number() OVER (ORDER BY p, c_mktsegment) AS BIGINT)
+        |      AS rk
+        |  FROM p),
+        |cut AS (SELECT coalesce(max(CASE WHEN p <= CAST(rk AS DOUBLE) /
+        |      5.0 * 0.10 THEN rk END), 0) AS k
+        |  FROM ranked)
+        |SELECT c_mktsegment, round(z, 4) AS z,
+        |  round(p, 6) AS p_two_sided, rk AS p_rank,
+        |  round(CAST(rk AS DOUBLE) / 5.0 * 0.10, 4) AS bh_crit,
+        |  rk <= k AS rejected
+        |FROM ranked CROSS JOIN cut ORDER BY c_mktsegment""".stripMargin,
+
+    "q272_burstiness" ->
+      """WITH g AS (SELECT event_type,
+        |    (epoch_us(ts) - epoch_us(lag(ts, 1) OVER
+        |      (PARTITION BY user_id, event_type ORDER BY ts, event_id)))
+        |      // 60000000 AS gap_min
+        |  FROM events),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(gap_min) AS BIGINT) AS sg,
+        |    CAST(sum(gap_min * gap_min) AS BIGINT) AS qg
+        |  FROM g WHERE gap_min IS NOT NULL GROUP BY 1
+        |  HAVING count(*) > 1),
+        |d AS (SELECT event_type, n_gaps,
+        |    CAST(sg AS DOUBLE) / n_gaps AS mu,
+        |    sqrt((CAST(qg AS DOUBLE) - CAST(sg AS DOUBLE) *
+        |      CAST(sg AS DOUBLE) / n_gaps) / (n_gaps - 1)) AS sd
+        |  FROM m)
+        |SELECT event_type, n_gaps, round(mu, 4) AS mean_gap_min,
+        |  round(sd, 4) AS sd_gap_min,
+        |  round((sd - mu) / (sd + mu), 6) AS burstiness
+        |FROM d ORDER BY event_type""".stripMargin,
+
+    "q273_cramers_v" ->
+      """WITH joint AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM customer GROUP BY 1, 2),
+        |rm AS (SELECT c_nationkey, CAST(sum(o) AS BIGINT) AS rn
+        |  FROM joint GROUP BY 1),
+        |cm AS (SELECT c_mktsegment, CAST(sum(o) AS BIGINT) AS cn
+        |  FROM joint GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS DOUBLE) AS n,
+        |    CAST(count(DISTINCT c_nationkey) AS BIGINT) AS r,
+        |    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS c
+        |  FROM joint),
+        |grid AS (SELECT n, r, c,
+        |    CAST(coalesce(o, 0) AS DOUBLE) AS obs,
+        |    CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / n AS e
+        |  FROM rm CROSS JOIN cm
+        |  LEFT JOIN joint USING (c_nationkey, c_mktsegment)
+        |  CROSS JOIN tot)
+        |SELECT CAST(any_value(n) AS BIGINT) AS n,
+        |  any_value(r) AS n_nations, any_value(c) AS n_segments,
+        |  any_value((r - 1) * (c - 1)) AS dof,
+        |  round(sum((obs - e) * (obs - e) / e), 4) AS chi2,
+        |  round(sqrt(sum((obs - e) * (obs - e) / e) /
+        |    (any_value(n) * CAST(least(any_value(r) - 1, any_value(c) - 1)
+        |      AS DOUBLE))), 6) AS cramers_v
+        |FROM grid""".stripMargin,
 
     "q262_hill_tail" ->
       """WITH o AS (SELECT o_orderkey,
