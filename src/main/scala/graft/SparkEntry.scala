@@ -3795,6 +3795,138 @@ object SparkEntry {
               .cast("double"))), 6).as("cramers_v"))
     }),
 
+    "q274_heaps_law" -> ((s, dir) => {
+      // vocabulary-growth law: Heaps exponent beta (V ~ K * N^beta) from
+      // 10 corpus checkpoints in doc_id order. The token table collapses
+      // to per-doc counts and per-token FIRST-occurrence docs (two partial
+      // aggs, no re-scan); each checkpoint's (N, V) then comes from a
+      // 10-row broadcast grid joined against those bounded count tables —
+      // cumulative work without any global running state. ln-ln OLS
+      // closed form, integer checkpoint arithmetic ((k*n+9) div 10) so
+      // both engines pick identical cut docs. Companion to Zipf q189.
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TF.normTokens(col("text"))).as("tokn"))
+        .persist()  // per-doc counts + first-occurrence both read it
+      val nd = t(s, dir, "documents").agg(count(lit(1)).as("nd"))
+      val ranked = graft.ops.PrefixSum.globalRank(
+        t(s, dir, "documents").select(col("doc_id")),
+        Seq(col("doc_id")), "rk")
+      val cps = s.range(1, 11).toDF("k")
+        .crossJoin(broadcast(nd))
+        .select(col("k"), expr("(k * nd + 9) div 10").as("cp_rk"))
+        .join(ranked, col("cp_rk") === col("rk"))
+        .select(col("k"), col("doc_id").as("cp"))
+      val dt = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("tc"))
+      val ft = tok.groupBy(col("tokn")).agg(min(col("doc_id")).as("fd"))
+      val nk = dt.crossJoin(broadcast(cps))
+        .filter(col("doc_id") <= col("cp"))
+        .groupBy(col("k")).agg(sum(col("tc")).as("nn"))
+      val vk = ft.crossJoin(broadcast(cps))
+        .filter(col("fd") <= col("cp"))
+        .groupBy(col("k")).agg(count(lit(1)).as("vv"))
+      nk.join(vk, "k")
+        .select(log(col("nn").cast("double")).as("x"),
+          log(col("vv").cast("double")).as("y"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n").cast("long").as("n_points"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("heaps_beta"),
+          round(exp((col("sy") - col("sx") *
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+             (col("n") * col("sxx") - col("sx") * col("sx")))) / col("n")),
+            4).as("heaps_k"))
+    }),
+
+    "q275_hurst_exponent" -> ((s, dir) => {
+      // long-range-dependence gauge: Hurst exponent of the daily revenue
+      // series by the aggregated-variance method — variance of block-mean
+      // revenue at block sizes m in {1,2,4,8,16}, slope of ln Var(m) vs
+      // ln m = 2H-2. Daily cents collapse to whole units and are CENTERED
+      // by the integer global mean (shift leaves variance unchanged)
+      // before squaring, so block moments stay exact longs far from
+      // overflow; the day-grain series is calendar-bounded (~90 rows), so
+      // its index window is fine. Incomplete trailing blocks are dropped.
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(expr("CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS " +
+          "BIGINT)) div 100 AS BIGINT)").as("units"))
+      val st = daily.agg(sum(col("units")).as("tot"),
+        count(lit(1)).as("n"))
+      val idx = daily
+        .withColumn("i", row_number().over(Window.orderBy(col("day")))
+          .cast("long"))
+        .crossJoin(broadcast(st))
+        .select(col("i"), (col("units") - expr("tot div n")).as("c"))
+      val blocks = idx
+        .select(col("i"), col("c"),
+          explode(array(lit(1L), lit(2L), lit(4L), lit(8L), lit(16L)))
+            .as("m"))
+        .groupBy(col("m"), expr("(i - 1) div m").as("blk"))
+        .agg(count(lit(1)).as("cnt"), sum(col("c")).as("bs"))
+        .filter(col("cnt") === col("m"))
+      blocks.groupBy(col("m"))
+        .agg(count(lit(1)).as("kb"), sum(col("bs")).as("ss"),
+          sum(col("bs") * col("bs")).as("qq"))
+        .select(log(col("m").cast("double")).as("x"),
+          log(((col("qq").cast("double") - col("ss").cast("double") *
+            col("ss").cast("double") / col("kb")) / (col("kb") - 1)) /
+            (col("m").cast("double") * col("m").cast("double"))).as("y"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n").cast("long").as("n_scales"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("var_slope"),
+          round(lit(1.0) + ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))) / 2.0, 4)
+            .as("hurst_h"))
+    }),
+
+    "q276_runs_test" -> ((s, dir) => {
+      // Wald-Wolfowitz runs test for randomness of the daily revenue
+      // series around its mean: above/below decided by the EXACT integer
+      // comparison cents*n > total (no rational mean materialized), runs
+      // counted from a lag over the calendar-bounded day series, then the
+      // closed-form normal approximation z = (R - mu_R)/sigma_R from the
+      // integer (n1, n2) counts — floats only in the final statistic.
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(expr("CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS " +
+          "BIGINT)) AS BIGINT)").as("cents"))
+      val st = daily.agg(sum(col("cents")).as("tot"),
+        count(lit(1)).as("n"))
+      val signed = daily.crossJoin(broadcast(st))
+        .select(col("day"), col("n"),
+          when(col("cents") * col("n") > col("tot"), 1L).otherwise(0L)
+            .as("above"))
+      val runs = signed
+        .withColumn("prev",
+          lag(col("above"), 1).over(Window.orderBy(col("day"))))
+        .agg(first(col("n")).as("n_days"),
+          sum(col("above")).as("n1"),
+          (first(col("n")) - sum(col("above"))).as("n2"),
+          (sum(when(col("prev").isNull ||
+            col("prev") =!= col("above"), 1L).otherwise(0L))).as("r"))
+      runs
+        .select(col("n_days"), col("n1"), col("n2"), col("r").as("runs"),
+          (lit(1.0) + lit(2.0) * col("n1") * col("n2") /
+            col("n_days").cast("double")).as("mu"),
+          (lit(2.0) * col("n1") * col("n2") *
+            (lit(2.0) * col("n1") * col("n2") - col("n_days")) /
+            (col("n_days").cast("double") * col("n_days") *
+              (col("n_days") - 1))).as("s2"))
+        .select(col("n_days"), col("n1"), col("n2"), col("runs"),
+          round(col("mu"), 4).as("expected_runs"),
+          round((col("runs").cast("double") - col("mu")) / sqrt(col("s2")),
+            6).as("z"))
+    }),
+
     "q262_hill_tail" -> ((s, dir) => {
       // heavy-tail diagnosis: the Hill estimator over the top 100 order
       // values — gamma = mean ln(x_i / x_ref) against the rank-101
@@ -9538,6 +9670,96 @@ object SparkEntry {
         |    (any_value(n) * CAST(least(any_value(r) - 1, any_value(c) - 1)
         |      AS DOUBLE))), 6) AS cramers_v
         |FROM grid""".stripMargin,
+
+    "q274_heaps_law" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text),
+        |      '[^a-z0-9]+')) AS tokn FROM documents),
+        |tkc AS (SELECT doc_id, tokn FROM tok WHERE tokn <> ''),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |rkd AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id)
+        |    AS BIGINT) AS rk FROM documents),
+        |cps AS (SELECT CAST(x + 1 AS BIGINT) AS k, doc_id AS cp
+        |  FROM range(10) t(x) CROSS JOIN nd
+        |  JOIN rkd ON rkd.rk = (CAST(x + 1 AS BIGINT) * nd + 9) // 10),
+        |dt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tc
+        |  FROM tkc GROUP BY 1),
+        |ft AS (SELECT tokn, CAST(min(doc_id) AS BIGINT) AS fd
+        |  FROM tkc GROUP BY 1),
+        |nk AS (SELECT k, CAST(sum(tc) AS BIGINT) AS nn
+        |  FROM dt CROSS JOIN cps WHERE doc_id <= cp GROUP BY 1),
+        |vk AS (SELECT k, CAST(count(*) AS BIGINT) AS vv
+        |  FROM ft CROSS JOIN cps WHERE fd <= cp GROUP BY 1),
+        |xy AS (SELECT ln(CAST(nn AS DOUBLE)) AS x,
+        |    ln(CAST(vv AS DOUBLE)) AS y FROM nk JOIN vk USING (k)),
+        |a AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n_points,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        |    AS heaps_beta,
+        |  round(exp((sy - sx * ((n * sxy - sx * sy) /
+        |    (n * sxx - sx * sx))) / n), 4) AS heaps_k
+        |FROM a""".stripMargin,
+
+    "q275_hurst_exponent" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      // 100 AS BIGINT) AS units
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT CAST(sum(units) AS BIGINT) AS tot,
+        |    CAST(count(*) AS BIGINT) AS n FROM daily),
+        |idx AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+        |      AS i, units - tot // n AS c
+        |  FROM daily CROSS JOIN st),
+        |blk AS (SELECT m, (i - 1) // m AS blk,
+        |    CAST(count(*) AS BIGINT) AS cnt, CAST(sum(c) AS BIGINT) AS bs
+        |  FROM idx CROSS JOIN (SELECT CAST(unnest([1, 2, 4, 8, 16])
+        |    AS BIGINT) AS m) g
+        |  GROUP BY 1, 2 HAVING count(*) = m),
+        |vm AS (SELECT m, CAST(count(*) AS BIGINT) AS kb,
+        |    CAST(sum(bs) AS BIGINT) AS ss,
+        |    CAST(sum(bs * bs) AS BIGINT) AS qq
+        |  FROM blk GROUP BY 1),
+        |xy AS (SELECT ln(CAST(m AS DOUBLE)) AS x,
+        |    ln(((CAST(qq AS DOUBLE) - CAST(ss AS DOUBLE) *
+        |      CAST(ss AS DOUBLE) / kb) / (kb - 1)) /
+        |      (CAST(m AS DOUBLE) * CAST(m AS DOUBLE))) AS y
+        |  FROM vm),
+        |a AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n_scales,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        |    AS var_slope,
+        |  round(1.0 + ((n * sxy - sx * sy) / (n * sxx - sx * sx)) / 2.0,
+        |    4) AS hurst_h
+        |FROM a""".stripMargin,
+
+    "q276_runs_test" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT CAST(sum(cents) AS BIGINT) AS tot,
+        |    CAST(count(*) AS BIGINT) AS n FROM daily),
+        |sg AS (SELECT day, n,
+        |    CASE WHEN cents * n > tot THEN 1 ELSE 0 END AS above
+        |  FROM daily CROSS JOIN st),
+        |lagged AS (SELECT n, above,
+        |    lag(above, 1) OVER (ORDER BY day) AS prev
+        |  FROM sg),
+        |r AS (SELECT CAST(any_value(n) AS BIGINT) AS n_days,
+        |    CAST(sum(above) AS BIGINT) AS n1,
+        |    CAST(any_value(n) - sum(above) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN prev IS NULL OR prev <> above THEN 1
+        |      ELSE 0 END) AS BIGINT) AS runs
+        |  FROM lagged),
+        |m AS (SELECT n_days, n1, n2, runs,
+        |    1.0 + 2.0 * n1 * n2 / CAST(n_days AS DOUBLE) AS mu,
+        |    2.0 * n1 * n2 * (2.0 * n1 * n2 - n_days) /
+        |      (CAST(n_days AS DOUBLE) * n_days * (n_days - 1)) AS s2
+        |  FROM r)
+        |SELECT n_days, n1, n2, runs, round(mu, 4) AS expected_runs,
+        |  round((CAST(runs AS DOUBLE) - mu) / sqrt(s2), 6) AS z
+        |FROM m""".stripMargin,
 
     "q262_hill_tail" ->
       """WITH o AS (SELECT o_orderkey,
