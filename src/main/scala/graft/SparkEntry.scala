@@ -3824,7 +3824,7 @@ object SparkEntry {
       val vk = ft.crossJoin(broadcast(cps))
         .filter(col("fd") <= col("cp"))
         .groupBy(col("k")).agg(count(lit(1)).as("vv"))
-      nk.join(vk, "k")
+      nk.join(broadcast(vk), "k")
         .select(log(col("nn").cast("double")).as("x"),
           log(col("vv").cast("double")).as("y"))
         .agg(count(lit(1)).cast("double").as("n"),
