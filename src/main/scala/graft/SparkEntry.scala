@@ -3927,6 +3927,374 @@ object SparkEntry {
             6).as("z"))
     }),
 
+    "q277_dsir_weights" -> ((s, dir) => {
+      // DSIR-style data selection (importance resampling over unigram LM
+      // features, Xie et al. 2023 — public method): add-1-smoothed unigram
+      // models of the target domain (lang='en') and the raw pool over the
+      // shared >=5-count vocabulary; every raw-pool doc scored by its
+      // length-normalized log-likelihood ratio; per-language keep rates at
+      // the w>0 gate. The vocab/LLR table is a df-bounded aggregate and
+      // the scoring pass is one token equi-join (AQE broadcasts it at this
+      // scale; at 100 TB it degrades gracefully to a shuffle hash join) —
+      // no pairwise work anywhere.
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), (col("lang") === "en").as("tgt"),
+          explode(TF.normTokens(col("text"))).as("tok"))
+      val counts = toks.groupBy(col("tok"))
+        .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+          sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
+        .filter(col("ct") + col("cr") >= 5)
+      val sums = counts.agg(count(lit(1)).as("v"), sum(col("ct")).as("nt"),
+        sum(col("cr")).as("nr"))
+      val llr = counts.crossJoin(broadcast(sums))
+        .select(col("tok"),
+          (log((col("ct") + 1).cast("double") / (col("nt") + col("v"))) -
+            log((col("cr") + 1).cast("double") / (col("nr") + col("v"))))
+            .as("llr"))
+      val scored = toks.filter(!col("tgt"))
+        .groupBy(col("doc_id"), col("lang"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .join(llr, Seq("tok"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg((sum(col("c") * col("llr")) / sum(col("c"))).as("w"))
+      scored.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("w") > 0, 1L).otherwise(0L)).as("n_keep"),
+          round(avg(col("w")), 6).as("avg_w"))
+        .orderBy(col("lang"))
+    }),
+
+    "q278_mann_whitney" -> ((s, dir) => {
+      // Mann-Whitney U (Wilcoxon rank-sum) comparing BUILDING vs
+      // MACHINERY order values — the distribution-free two-sample test.
+      // Exact tied-rank machinery in integers: group by exact cents,
+      // cumulative counts via the two-phase prefix sum (no global
+      // window), average ranks carried as 2x-scaled BIGINTs; floats only
+      // in the final tie-corrected normal approximation. Also reports the
+      // rank-biserial AUC effect size (U / (n_a * n_b)).
+      val pool = t(s, dir, "orders")
+        .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment"))
+            .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY")),
+          col("o_custkey") === col("c_custkey"))
+        .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"),
+          (col("c_mktsegment") === "BUILDING").as("is_a"))
+      val byVal = pool.groupBy(col("cents"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"),
+          count(lit(1)).as("cnt"))
+      val cum = PrefixSum.groupedRunningSum(
+        byVal.withColumn("g", lit(1)), "g", "cents", col("cnt"), "run")
+      cum.agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+          sum(col("na") *
+            (lit(2) * (col("run") - col("cnt")) + col("cnt") + 1)).as("rs2"),
+          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+            .as("tie_term"))
+        .select(col("n_a"), col("n_b"),
+          (col("rs2") - col("n_a") * (col("n_a") + 1)).as("u2"),
+          col("tie_term"))
+        .select(col("n_a"), col("n_b"), col("u2"), col("tie_term"),
+          round(col("u2") / lit(2.0) / (col("n_a") * col("n_b")), 6)
+            .as("auc"),
+          round((col("u2") / lit(2.0) -
+              col("n_a") * col("n_b") / lit(2.0)) /
+            sqrt(col("n_a") * col("n_b") / lit(12.0) *
+              ((col("n_a") + col("n_b") + 1) - col("tie_term") /
+                ((col("n_a") + col("n_b")).cast("double") *
+                  (col("n_a") + col("n_b") - 1)))), 6).as("z"))
+    }),
+
+    "q279_periodogram" -> ((s, dir) => {
+      // Discrete-Fourier periodogram of the daily order-count series —
+      // the spectral seasonality detector (annual harmonic near k=7 for
+      // this ~6.6-year calendar). Residuals are exact integers scaled by
+      // D (y_t = D*n_t - total); the day x frequency expansion is
+      // calendar-bounded (D<=2400 rows regardless of SF — the only
+      // data-sized pass is the daily aggregate); powers are rounded
+      // BEFORE the top-5 ranking so float trig can't reorder near-ties
+      // across engines. Day index comes from the two-phase global ranker.
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val idx = PrefixSum.globalRank(daily, Seq(col("day")), "tpos")
+      val st = idx.agg(count(lit(1)).as("d"), sum(col("n")).as("tot"))
+      val ks = s.range(1, 367).select(col("id").as("k"))
+      val terms = idx.crossJoin(broadcast(st))
+        .select(col("tpos"), col("d"),
+          (col("n") * col("d") - col("tot")).as("y"))
+        .crossJoin(broadcast(ks))
+        .select(col("k"), col("d"),
+          (col("y").cast("double") / col("d")).as("yc"),
+          (lit(2 * math.Pi) * col("k") * col("tpos") / col("d"))
+            .as("theta"))
+      terms.groupBy(col("k"))
+        .agg(first(col("d")).as("d"),
+          sum(col("yc") * cos(col("theta"))).as("a"),
+          sum(col("yc") * sin(col("theta"))).as("b"))
+        .select(col("k"),
+          round(col("d").cast("double") / col("k"), 2).as("period_days"),
+          round((col("a") * col("a") + col("b") * col("b")) * 2 / col("d"),
+            2).as("pwr"))
+        .orderBy(col("pwr").desc, col("k")).limit(5)
+    }),
+
+    "q280_logrank_test" -> ((s, dir) => {
+      // Log-rank test comparing the q177 churn-survival curves of the
+      // BUILDING vs MACHINERY segments: per distinct duration, at-risk
+      // counts for each group from the same two-phase prefix-sum
+      // machinery (chained — one pass for the pooled count, one for the
+      // group count), then O-E and the hypergeometric variance summed
+      // into the chi-square. Everything is integer ratios until the
+      // final statistics; the duration table is calendar-bounded.
+      val maxD = t(s, dir, "orders").agg(max(col("o_orderdate")).as("mx"))
+      val cust = t(s, dir, "orders")
+        .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment"))
+            .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_custkey"), col("c_mktsegment"))
+        .agg(min(col("o_orderdate")).as("first"),
+          max(col("o_orderdate")).as("last"))
+        .crossJoin(broadcast(maxD))
+        .select(datediff(col("last"), col("first")).cast("long").as("dur"),
+          (datediff(col("mx"), col("last")) > 90).as("event"),
+          (col("c_mktsegment") === "BUILDING").as("is_a"))
+      val byDur = cust.groupBy(col("dur"))
+        .agg(count(lit(1)).as("c_all"),
+          sum(when(col("event"), 1L).otherwise(0L)).as("d_all"),
+          sum(when(col("is_a"), 1L).otherwise(0L)).as("c_a"),
+          sum(when(col("is_a") && col("event"), 1L).otherwise(0L))
+            .as("d_a"))
+        .withColumn("__g", lit(1))
+      val cum = PrefixSum.groupedRunningSum(
+        PrefixSum.groupedRunningSum(byDur, "__g", "dur", col("c_all"),
+          "cum_all"), "__g", "dur", col("c_a"), "cum_a")
+      val tot = byDur.agg(sum(col("c_all")).as("n_total"),
+        sum(col("c_a")).as("n_a_total"))
+      val risk = cum.crossJoin(broadcast(tot))
+        .select(col("dur"), col("d_all"), col("d_a"),
+          col("n_a_total"), (col("n_total") - col("n_a_total")).as("n_b_total"),
+          (col("n_total") - (col("cum_all") - col("c_all"))).as("n_r"),
+          (col("n_a_total") - (col("cum_a") - col("c_a"))).as("n_ra"))
+        .filter(col("d_all") > 0 && col("n_r") > 1)
+      risk.agg(first(col("n_a_total")).as("n_a"),
+          first(col("n_b_total")).as("n_b"),
+          sum(col("d_a")).as("observed_a"),
+          sum(col("d_all") * col("n_ra") / col("n_r").cast("double"))
+            .as("e1"),
+          sum(col("d_all") * (col("n_ra") / col("n_r").cast("double")) *
+            (lit(1.0) - col("n_ra") / col("n_r").cast("double")) *
+            (col("n_r") - col("d_all")) / (col("n_r") - 1)).as("v1"))
+        .select(col("n_a"), col("n_b"), col("observed_a"),
+          round(col("e1"), 4).as("expected_a"),
+          round(pow(col("observed_a") - col("e1"), 2) / col("v1"), 4)
+            .as("chi2"),
+          round((col("observed_a") - col("e1")) / sqrt(col("v1")), 4)
+            .as("z"))
+    }),
+
+    "q281_modularity" -> ((s, dir) => {
+      // Newman modularity of the co-purchase graph under the brand
+      // partition — "do parts of the same brand co-occur in orders more
+      // than chance": per-brand Q contribution w_intra/W - (K_c/2W)^2.
+      // Edges come from the q210-style basket-bounded self-join (pairs
+      // within one order only — never a global cross product); degrees
+      // and intra-community weights are one pass over the symmetric
+      // endpoint expansion. Brand dimension broadcasts.
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val brands = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))
+      val e0 = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+        .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")),
+          Seq("l_orderkey"))
+        .filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("w"))
+      val eb = e0
+        .join(broadcast(brands.select(col("p_partkey").as("p1"),
+          col("p_brand").as("b1"))), Seq("p1"))
+        .join(broadcast(brands.select(col("p_partkey").as("p2"),
+          col("p_brand").as("b2"))), Seq("p2"))
+      val ends = eb.select(col("b1").as("b"), col("b2").as("other"),
+          col("w"))
+        .unionAll(eb.select(col("b2").as("b"), col("b1").as("other"),
+          col("w")))
+      val wTot = e0.agg(sum(col("w")).as("w_total"))
+      ends.groupBy(col("b"))
+        .agg(sum(col("w")).as("k_c"),
+          sum(when(col("b") === col("other"), col("w")).otherwise(0L))
+            .as("intra2"))
+        .crossJoin(broadcast(wTot))
+        .select(col("b").as("p_brand"), col("k_c"),
+          (col("intra2") / lit(2)).cast("long").as("w_intra"),
+          round(col("intra2") / (lit(2.0) * col("w_total")) -
+            pow(col("k_c") / (lit(2.0) * col("w_total")), 2), 6)
+            .as("q_contrib"))
+        .orderBy(col("p_brand"))
+    }),
+
+    "q282_abc_xyz" -> ((s, dir) => {
+      // ABC-XYZ inventory matrix: parts classed by cumulative revenue
+      // share (A<=80%, B<=95%, C) x monthly-demand variability
+      // (X: CV<=0.5, Y: CV<=1, Z). Every class decision is EXACT integer
+      // arithmetic — revenue cuts as 5*cum<=4*tot / 20*cum<=19*tot over
+      // the two-phase rank + prefix sum, CV cuts as 4*(M*SS-S^2)<=S^2
+      // with zero months included implicitly (S, SS over observed
+      // months, denominator M = corpus months) — so no float can flip a
+      // class at any scale.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          date_trunc("month", col("l_shipdate")).as("mth"),
+          expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("qty"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"))
+      val monthly = li.groupBy(col("l_partkey"), col("mth"))
+        .agg(sum(col("qty")).as("s_m"), sum(col("cents")).as("c_m"))
+      val months = li.agg(countDistinct(col("mth")).as("m"))
+      val parts = monthly.groupBy(col("l_partkey"))
+        .agg(sum(col("s_m")).as("s"),
+          sum(col("s_m") * col("s_m")).as("ss"),
+          sum(col("c_m")).as("cents"))
+      val ranked = PrefixSum.groupedRunningSum(
+        PrefixSum.globalRank(parts,
+            Seq(col("cents").desc, col("l_partkey")), "rk")
+          .withColumn("__g", lit(1)),
+        "__g", "rk", col("cents"), "cum")
+      val tot = parts.agg(sum(col("cents")).as("ctot"))
+      ranked.crossJoin(broadcast(tot)).crossJoin(broadcast(months))
+        .select(
+          when(lit(5) * col("cum") <= lit(4) * col("ctot"), "A")
+            .when(lit(20) * col("cum") <= lit(19) * col("ctot"), "B")
+            .otherwise("C").as("abc"),
+          when(lit(4) * (col("m") * col("ss") - col("s") * col("s")) <=
+              col("s") * col("s"), "X")
+            .when(col("m") * col("ss") - col("s") * col("s") <=
+              col("s") * col("s"), "Y")
+            .otherwise("Z").as("xyz"),
+          col("cents"))
+        .groupBy(col("abc"), col("xyz"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("cents"))
+          .as("revenue_cents"))
+        .orderBy(col("abc"), col("xyz"))
+    }),
+
+    "q283_newsvendor" -> ((s, dir) => {
+      // Newsvendor stocking levels per brand: Q* = the 75% critical
+      // fractile (underage 3 : overage 1) of the daily-demand
+      // distribution, picked EXACTLY as the smallest q with 4*cum >= 3*n
+      // over per-brand cumulative counts (grouped two-phase prefix sum —
+      // the group key rides the range partitioner, so a mega-brand can't
+      // funnel one task), then the expected daily mismatch cost at Q*
+      // from one integer join-back pass. Floats only in the final
+      // per-day average.
+      val daily = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), to_date(col("l_shipdate")).as("day"))
+        .agg(sum(expr("CAST(floor(l_quantity + 0.5) AS BIGINT)")).as("d"))
+      val byVal = daily.groupBy(col("p_brand"), col("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = PrefixSum.groupedRunningSum(byVal, "p_brand", "d",
+        col("cnt"), "cum")
+      val n = daily.groupBy(col("p_brand")).agg(count(lit(1)).as("n_days"))
+      val qstar = cum.join(n, Seq("p_brand"))
+        .filter(lit(4) * col("cum") >= lit(3) * col("n_days"))
+        .groupBy(col("p_brand")).agg(min(col("d")).as("q_star"))
+      byVal.join(qstar, Seq("p_brand"))
+        .groupBy(col("p_brand"))
+        .agg(first(col("q_star")).as("q_star"),
+          sum(col("cnt")).as("n_days"),
+          sum(col("cnt") * (lit(3) * greatest(col("d") - col("q_star"),
+            lit(0L)) + greatest(col("q_star") - col("d"), lit(0L))))
+            .as("cost_total"))
+        .select(col("p_brand"), col("n_days"), col("q_star"),
+          round(col("cost_total") / col("n_days").cast("double"), 4)
+            .as("avg_daily_cost"))
+        .orderBy(col("p_brand"))
+    }),
+
+    "q284_gumbel_returns" -> ((s, dir) => {
+      // Extreme-value sizing: Gumbel fit over monthly maxima of daily
+      // revenue (block maxima, method of moments — beta = s*sqrt(6)/pi,
+      // mu = xbar - 0.57721...*beta), then the 12- and 60-month return
+      // levels mu - beta*ln(-ln(1-1/T)). Maxima are exact integer
+      // dollars (cents div 100 so squares can't overflow at any SF);
+      // the block table is calendar-bounded, so every float is a fixed
+      // expression over exact longs — bit-stable across engines.
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(expr("CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS " +
+          "BIGINT)) AS BIGINT)").as("cents"))
+      val blocks = daily
+        .groupBy(date_trunc("month", col("day")).as("mth"))
+        .agg(max(expr("cents div 100")).as("mx"))
+      blocks.agg(count(lit(1)).as("n"), sum(col("mx")).as("s"),
+          sum(col("mx") * col("mx")).as("ss"))
+        .select(col("n"),
+          (col("s").cast("double") / col("n")).as("xbar"),
+          sqrt((col("n") * col("ss") - col("s") * col("s")).cast("double") /
+            (col("n").cast("double") * (col("n") - 1))).as("sd"))
+        .select(col("n").as("n_blocks"),
+          (col("sd") * sqrt(lit(6.0)) / lit(math.Pi)).as("beta"),
+          col("xbar"))
+        .select(col("n_blocks"),
+          (col("xbar") - lit(0.5772156649015329) * col("beta")).as("mu"),
+          col("beta"))
+        .select(col("n_blocks"), round(col("mu"), 2).as("gumbel_mu"),
+          round(col("beta"), 2).as("gumbel_beta"),
+          round(col("mu") - col("beta") *
+            log(-log(lit(1.0) - lit(1.0) / 12)), 2).as("rl_12mo"),
+          round(col("mu") - col("beta") *
+            log(-log(lit(1.0) - lit(1.0) / 60)), 2).as("rl_60mo"))
+    }),
+
+    "q285_rdd" -> ((s, dir) => {
+      // Sharp regression discontinuity at acctbal = 0: local linear fits
+      // on each side of the cutoff (bandwidth 1000 dollars), effect =
+      // the jump between the two intercepts. Running variable in exact
+      // integer cents, outcome = per-customer order count; the per-side
+      // OLS closed form runs over exact long sums (magnitudes bounded so
+      // nothing overflows), so the division is the only float — one
+      // aggregate pass, no iteration.
+      val y = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+      val side = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("x"))
+        .filter(col("x") >= -100000 && col("x") < 100000)
+        .join(y, col("c_custkey") === col("o_custkey"), "left")
+        .select((col("x") >= 0).as("right"), col("x"),
+          coalesce(col("cnt"), lit(0L)).as("yv"))
+      val fits = side.groupBy(col("right"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("yv")).as("sy"), sum(col("x") * col("yv")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("right"), col("n"),
+          ((col("sy").cast("double") * col("sxx") -
+            col("sx").cast("double") * col("sxy")) /
+            (col("n").cast("double") * col("sxx") -
+              col("sx").cast("double") * col("sx"))).as("icpt"),
+          ((col("n").cast("double") * col("sxy") -
+            col("sx").cast("double") * col("sy")) /
+            (col("n").cast("double") * col("sxx") -
+              col("sx").cast("double") * col("sx"))).as("slope"))
+      val l = fits.filter(!col("right"))
+        .select(col("n").as("n_left"), col("icpt").as("il"),
+          col("slope").as("sl"))
+      val r = fits.filter(col("right"))
+        .select(col("n").as("n_right"), col("icpt").as("ir"),
+          col("slope").as("sr"))
+      l.crossJoin(r)
+        .select(col("n_left"), col("n_right"),
+          round(col("il"), 4).as("intercept_left"),
+          round(col("ir"), 4).as("intercept_right"),
+          round(lit(1e7) * col("sl"), 4).as("slope_left_e7"),
+          round(lit(1e7) * col("sr"), 4).as("slope_right_e7"),
+          round(col("ir") - col("il"), 4).as("rd_effect"))
+    }),
+
     "q262_hill_tail" -> ((s, dir) => {
       // heavy-tail diagnosis: the Hill estimator over the top 100 order
       // values — gamma = mean ln(x_i / x_ref) against the rank-101
@@ -9760,6 +10128,250 @@ object SparkEntry {
         |SELECT n_days, n1, n2, runs, round(mu, 4) AS expected_runs,
         |  round((CAST(runs AS DOUBLE) - mu) / sqrt(s2), 6) AS z
         |FROM m""".stripMargin,
+
+    "q277_dsir_weights" ->
+      s"""WITH toks AS (SELECT doc_id, lang, lang = 'en' AS tgt,
+        |    unnest($ntoksSql) AS tok FROM documents),
+        |counts AS (SELECT tok,
+        |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS BIGINT) AS cr
+        |  FROM toks GROUP BY 1 HAVING count(*) >= 5),
+        |sums AS (SELECT CAST(count(*) AS BIGINT) AS v,
+        |    CAST(sum(ct) AS BIGINT) AS nt,
+        |    CAST(sum(cr) AS BIGINT) AS nr FROM counts),
+        |llr AS (SELECT tok,
+        |    ln(CAST(ct + 1 AS DOUBLE) / (nt + v)) -
+        |      ln(CAST(cr + 1 AS DOUBLE) / (nr + v)) AS llr
+        |  FROM counts CROSS JOIN sums),
+        |dtc AS (SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks WHERE NOT tgt GROUP BY 1, 2, 3),
+        |scored AS (SELECT doc_id, lang, sum(c * llr) / sum(c) AS w
+        |  FROM dtc JOIN llr USING (tok) GROUP BY 1, 2)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  round(avg(w), 6) AS avg_w
+        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q278_mann_whitney" ->
+      """WITH pool AS (SELECT
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    c_mktsegment = 'BUILDING' AS is_a
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |byval AS (SELECT cents,
+        |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM pool GROUP BY 1),
+        |cum AS (SELECT *, CAST(sum(cnt) OVER (ORDER BY cents) AS BIGINT)
+        |    AS run FROM byval),
+        |agg AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+        |    CAST(sum(nb) AS BIGINT) AS n_b,
+        |    CAST(sum(na * (2 * (run - cnt) + cnt + 1)) AS BIGINT) AS rs2,
+        |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
+        |  FROM cum)
+        |SELECT n_a, n_b,
+        |  CAST(rs2 - n_a * (n_a + 1) AS BIGINT) AS u2, tie_term,
+        |  round((rs2 - n_a * (n_a + 1)) / 2.0 / (n_a * n_b), 6) AS auc,
+        |  round(((rs2 - n_a * (n_a + 1)) / 2.0 - n_a * n_b / 2.0) /
+        |    sqrt(n_a * n_b / 12.0 * ((n_a + n_b + 1) -
+        |      tie_term / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))),
+        |    6) AS z
+        |FROM agg""".stripMargin,
+
+    "q279_periodogram" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1),
+        |idx AS (SELECT n,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS tpos
+        |  FROM daily),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS d,
+        |    CAST(sum(n) AS BIGINT) AS tot FROM idx),
+        |ks AS (SELECT CAST(unnest(range(1, 367)) AS BIGINT) AS k),
+        |terms AS (SELECT k, d,
+        |    CAST(n * d - tot AS DOUBLE) / d AS yc,
+        |    2 * pi() * k * tpos / CAST(d AS DOUBLE) AS theta
+        |  FROM idx CROSS JOIN st CROSS JOIN ks),
+        |pw AS (SELECT k, any_value(d) AS d,
+        |    sum(yc * cos(theta)) AS a, sum(yc * sin(theta)) AS b
+        |  FROM terms GROUP BY 1)
+        |SELECT k, round(CAST(d AS DOUBLE) / k, 2) AS period_days,
+        |  round((a * a + b * b) * 2 / d, 2) AS pwr
+        |FROM pw ORDER BY pwr DESC, k LIMIT 5""".stripMargin,
+
+    "q280_logrank_test" ->
+      """WITH mx AS (SELECT max(o_orderdate) AS mx FROM orders),
+        |cust AS (SELECT o_custkey, c_mktsegment,
+        |    CAST(datediff('day', min(o_orderdate), max(o_orderdate))
+        |      AS BIGINT) AS dur,
+        |    datediff('day', max(o_orderdate), any_value(mx.mx)) > 90
+        |      AS event,
+        |    c_mktsegment = 'BUILDING' AS is_a
+        |  FROM orders JOIN customer ON o_custkey = c_custkey CROSS JOIN mx
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |  GROUP BY o_custkey, c_mktsegment),
+        |bydur AS (SELECT dur, CAST(count(*) AS BIGINT) AS c_all,
+        |    CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d_all,
+        |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(sum(CASE WHEN is_a AND event THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d_a
+        |  FROM cust GROUP BY 1),
+        |cum AS (SELECT *,
+        |    CAST(sum(c_all) OVER (ORDER BY dur) AS BIGINT) AS cum_all,
+        |    CAST(sum(c_a) OVER (ORDER BY dur) AS BIGINT) AS cum_a
+        |  FROM bydur),
+        |tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_total,
+        |    CAST(sum(c_a) AS BIGINT) AS n_a_total FROM bydur),
+        |risk AS (SELECT dur, d_all, d_a, n_a_total,
+        |    n_total - n_a_total AS n_b_total,
+        |    n_total - (cum_all - c_all) AS n_r,
+        |    n_a_total - (cum_a - c_a) AS n_ra
+        |  FROM cum CROSS JOIN tot
+        |  WHERE d_all > 0 AND n_total - (cum_all - c_all) > 1),
+        |agg AS (SELECT any_value(n_a_total) AS n_a,
+        |    any_value(n_b_total) AS n_b,
+        |    CAST(sum(d_a) AS BIGINT) AS observed_a,
+        |    sum(d_all * n_ra / CAST(n_r AS DOUBLE)) AS e1,
+        |    sum(d_all * (n_ra / CAST(n_r AS DOUBLE)) *
+        |      (1.0 - n_ra / CAST(n_r AS DOUBLE)) *
+        |      (n_r - d_all) / (n_r - 1)) AS v1
+        |  FROM risk)
+        |SELECT n_a, n_b, observed_a, round(e1, 4) AS expected_a,
+        |  round(pow(observed_a - e1, 2) / v1, 4) AS chi2,
+        |  round((observed_a - e1) / sqrt(v1), 4) AS z
+        |FROM agg""".stripMargin,
+
+    "q281_modularity" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
+        |  FROM lineitem),
+        |e0 AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |eb AS (SELECT e0.*, ba.p_brand AS b1, bb.p_brand AS b2
+        |  FROM e0 JOIN part ba ON p1 = ba.p_partkey
+        |    JOIN part bb ON p2 = bb.p_partkey),
+        |ends AS (SELECT b1 AS b, b2 AS other, w FROM eb
+        |  UNION ALL SELECT b2 AS b, b1 AS other, w FROM eb),
+        |wt AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM e0)
+        |SELECT b AS p_brand, CAST(sum(w) AS BIGINT) AS k_c,
+        |  CAST(sum(CASE WHEN b = other THEN w ELSE 0 END) / 2 AS BIGINT)
+        |    AS w_intra,
+        |  round(sum(CASE WHEN b = other THEN w ELSE 0 END) /
+        |      (2.0 * any_value(w_total)) -
+        |    pow(sum(w) / (2.0 * any_value(w_total)), 2), 6) AS q_contrib
+        |FROM ends CROSS JOIN wt GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q282_abc_xyz" ->
+      """WITH li AS (SELECT l_partkey,
+        |    date_trunc('month', l_shipdate) AS mth,
+        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |monthly AS (SELECT l_partkey, mth, CAST(sum(qty) AS BIGINT) AS s_m,
+        |    CAST(sum(cents) AS BIGINT) AS c_m
+        |  FROM li GROUP BY 1, 2),
+        |months AS (SELECT CAST(count(DISTINCT mth) AS BIGINT) AS m
+        |  FROM li),
+        |parts AS (SELECT l_partkey, CAST(sum(s_m) AS BIGINT) AS s,
+        |    CAST(sum(s_m * s_m) AS BIGINT) AS ss,
+        |    CAST(sum(c_m) AS BIGINT) AS cents
+        |  FROM monthly GROUP BY 1),
+        |ranked AS (SELECT *, CAST(sum(cents)
+        |      OVER (ORDER BY cents DESC, l_partkey) AS BIGINT) AS cum
+        |  FROM parts),
+        |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS ctot FROM parts)
+        |SELECT CASE WHEN 5 * cum <= 4 * ctot THEN 'A'
+        |    WHEN 20 * cum <= 19 * ctot THEN 'B' ELSE 'C' END AS abc,
+        |  CASE WHEN 4 * (m * ss - s * s) <= s * s THEN 'X'
+        |    WHEN m * ss - s * s <= s * s THEN 'Y' ELSE 'Z' END AS xyz,
+        |  CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM ranked CROSS JOIN tot CROSS JOIN months
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q283_newsvendor" ->
+      """WITH daily AS (SELECT p_brand, CAST(l_shipdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS d
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |byval AS (SELECT p_brand, d, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM daily GROUP BY 1, 2),
+        |cum AS (SELECT *, CAST(sum(cnt)
+        |      OVER (PARTITION BY p_brand ORDER BY d) AS BIGINT) AS cum
+        |  FROM byval),
+        |n AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1),
+        |qstar AS (SELECT p_brand, CAST(min(d) AS BIGINT) AS q_star
+        |  FROM cum JOIN n USING (p_brand)
+        |  WHERE 4 * cum >= 3 * n_days GROUP BY 1)
+        |SELECT p_brand, CAST(sum(cnt) AS BIGINT) AS n_days,
+        |  any_value(q_star) AS q_star,
+        |  round(sum(cnt * (3 * greatest(d - q_star, 0) +
+        |      greatest(q_star - d, 0))) / CAST(sum(cnt) AS DOUBLE), 4)
+        |    AS avg_daily_cost
+        |FROM byval JOIN qstar USING (p_brand)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q284_gumbel_returns" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |blocks AS (SELECT date_trunc('month', day) AS mth,
+        |    CAST(max(cents // 100) AS BIGINT) AS mx
+        |  FROM daily GROUP BY 1),
+        |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(mx) AS BIGINT) AS s,
+        |    CAST(sum(mx * mx) AS BIGINT) AS ss FROM blocks),
+        |fit0 AS (SELECT n, CAST(s AS DOUBLE) / n AS xbar,
+        |    sqrt(CAST(n * ss - s * s AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * (n - 1))) AS sd
+        |  FROM mom),
+        |fit1 AS (SELECT n AS n_blocks, sd * sqrt(6.0) / pi() AS beta,
+        |    xbar FROM fit0),
+        |fit AS (SELECT n_blocks,
+        |    xbar - 0.5772156649015329 * beta AS mu, beta FROM fit1)
+        |SELECT n_blocks, round(mu, 2) AS gumbel_mu,
+        |  round(beta, 2) AS gumbel_beta,
+        |  round(mu - beta * ln(-ln(1.0 - 1.0 / 12)), 2) AS rl_12mo,
+        |  round(mu - beta * ln(-ln(1.0 - 1.0 / 60)), 2) AS rl_60mo
+        |FROM fit""".stripMargin,
+
+    "q285_rdd" ->
+      """WITH y AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1),
+        |side AS (SELECT x >= 0 AS is_right, x,
+        |    CAST(coalesce(cnt, 0) AS BIGINT) AS yv
+        |  FROM (SELECT c_custkey,
+        |      CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS x
+        |    FROM customer) c
+        |  LEFT JOIN y ON c_custkey = o_custkey
+        |  WHERE x >= -100000 AND x < 100000),
+        |fits AS (SELECT is_right, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+        |    CAST(sum(x * yv) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM side GROUP BY 1),
+        |sol AS (SELECT is_right, n,
+        |    (CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy) /
+        |      (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |      AS icpt,
+        |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |      (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |      AS slope
+        |  FROM fits)
+        |SELECT l.n AS n_left, r.n AS n_right,
+        |  round(l.icpt, 4) AS intercept_left,
+        |  round(r.icpt, 4) AS intercept_right,
+        |  round(1e7 * l.slope, 4) AS slope_left_e7,
+        |  round(1e7 * r.slope, 4) AS slope_right_e7,
+        |  round(r.icpt - l.icpt, 4) AS rd_effect
+        |FROM (SELECT * FROM sol WHERE NOT is_right) l
+        |CROSS JOIN (SELECT * FROM sol WHERE is_right) r""".stripMargin,
 
     "q262_hill_tail" ->
       """WITH o AS (SELECT o_orderkey,
