@@ -4295,6 +4295,275 @@ object SparkEntry {
           round(col("ir") - col("il"), 4).as("rd_effect"))
     }),
 
+    "q286_littles_law" -> ((s, dir) => {
+      // Little's law consistency gauge over 30-min-gap sessions: exact
+      // time-averaged concurrency L (session-microseconds over the span)
+      // vs the hourly point-sampled estimate ops dashboards actually
+      // compute. The sampler is a sweep-line union (start +1 / end -1 /
+      // mark 0 rows, tie priority start<end<mark so a mark counts
+      // [start, end) sessions) — one prefix-sum pass, never a
+      // sessions x marks join; the mark grid is span-bounded.
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val sess = events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("new_sess",
+          when(lag(col("us"), 1).over(byUser).isNull ||
+            col("us") - lag(col("us"), 1).over(byUser) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("us")).as("s0"), max(col("us")).as("s1"))
+      val span = sess.agg(min(col("s0")).as("smin"),
+        max(col("s1")).as("smax"), count(lit(1)).as("n_sess"),
+        sum(col("s1") - col("s0")).as("dur_us"))
+      val marks = span.select(explode(sequence(
+          expr("(smin + 3599999999L) div 3600000000L"),
+          expr("smax div 3600000000L"))).as("h"))
+        .select((col("h") * 3600000000L).as("us"), lit(2L).as("pri"),
+          lit(0L).as("delta"))
+      val deltas = sess
+        .select(col("s0").as("us"), lit(0L).as("pri"), lit(1L).as("delta"))
+        .unionAll(sess.select(col("s1").as("us"), lit(1L).as("pri"),
+          lit(-1L).as("delta")))
+      val swept = PrefixSum.groupedRunningSum(
+        marks.unionAll(deltas)
+          .select((col("us") * 4 + col("pri")).as("k"), col("pri"),
+            col("delta"))
+          .withColumn("__g", lit(1)),
+        "__g", "k", col("delta"), "open")
+      val sampled = swept.filter(col("pri") === 2)
+        .agg(count(lit(1)).as("n_marks"),
+          avg(col("open").cast("double")).as("l_sampled"))
+      span.crossJoin(broadcast(sampled))
+        .select(col("n_sess").as("n_sessions"),
+          round((col("smax") - col("smin")) / lit(3.6e9), 2)
+            .as("span_hours"),
+          round(col("n_sess") * lit(3.6e9) /
+            (col("smax") - col("smin")).cast("double"), 4)
+            .as("lambda_per_hr"),
+          round(col("dur_us") / (col("n_sess") * lit(6e7)), 4)
+            .as("w_minutes"),
+          round(col("dur_us") / (col("smax") - col("smin")).cast("double"),
+            4).as("l_exact"),
+          round(col("l_sampled"), 4).as("l_sampled"))
+    }),
+
+    "q287_shapley_attribution" -> ((s, dir) => {
+      // Game-theoretic channel attribution: Shapley values of the four
+      // non-purchase channels, coalition value v(S) = purchases by users
+      // whose touch-set is contained in S. Users collapse to a 4-bit
+      // mask (16 cells), so the subset lattice, marginal contributions
+      // and 4! permutation weights are all exact integers over a
+      // broadcast-sized table — phi is a single rational rounded at the
+      // end. One data-sized pass (the per-user mask aggregate).
+      val users = events(s, dir)
+        .select(col("user_id"),
+          when(col("event_type") === "click", 1L)
+            .when(col("event_type") === "error", 2L)
+            .when(col("event_type") === "signup", 4L)
+            .when(col("event_type") === "view", 8L)
+            .otherwise(0L).as("chan"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("purch"))
+        .groupBy(col("user_id"))
+        .agg(expr("bit_or(chan)").as("mask"), max(col("purch")).as("cv"))
+      val cells = users.groupBy(col("mask"))
+        .agg(count(lit(1)).as("n_users"), sum(col("cv")).as("conv"))
+      val subsets = s.range(0, 16).select(col("id").as("smask"))
+      val v = subsets.join(broadcast(cells),
+          expr("(mask & smask) = mask"), "left")
+        .groupBy(col("smask"))
+        .agg(coalesce(sum(col("conv")), lit(0L)).as("v"))
+      val channels = s.range(0, 4)
+        .select(element_at(array(lit("click"), lit("error"), lit("signup"),
+          lit("view")), (col("id") + 1).cast("int")).as("channel"),
+          when(col("id") === 0, 1L).when(col("id") === 1, 2L)
+            .when(col("id") === 2, 4L).otherwise(8L).as("bit"))
+      val vs = v.select(col("smask"), col("v").as("v_s"))
+      val vsc = v.select(col("smask").as("cmask"), col("v").as("v_sc"))
+      channels.crossJoin(broadcast(vs))
+        .filter(col("smask").bitwiseAND(col("bit")) === 0)
+        .join(broadcast(vsc),
+          col("cmask") === col("smask").bitwiseOR(col("bit")))
+        .withColumn("wnum",
+          when(expr("bit_count(smask)") === 0, 6L)
+            .when(expr("bit_count(smask)") === 3, 6L).otherwise(2L))
+        .groupBy(col("channel"))
+        .agg(round(sum((col("v_sc") - col("v_s")) * col("wnum")) /
+          lit(24.0), 6).as("shapley_conversions"))
+        .orderBy(col("channel"))
+    }),
+
+    "q288_ipf_raking" -> ((s, dir) => {
+      // Survey raking (iterative proportional fitting): the positive-
+      // balance customer subsample is raked to the FULL population's
+      // segment and region margins, three unrolled IPF rounds over the
+      // 5x5 cell table (bounded — everything after the two data-sized
+      // counting passes is broadcast arithmetic). Scaling order and
+      // operand order are fixed (w * margin / total) so the float
+      // trajectory is identical on any engine.
+      val geo = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_mktsegment").as("seg"), col("r_name").as("reg"),
+          col("c_acctbal"))
+      val popSeg = geo.groupBy(col("seg")).agg(count(lit(1)).as("p_seg"))
+      val popReg = geo.groupBy(col("reg")).agg(count(lit(1)).as("p_reg"))
+      val popCell = geo.groupBy(col("seg"), col("reg"))
+        .agg(count(lit(1)).as("n_pop"))
+      val cells0 = geo.filter(col("c_acctbal") > 0)
+        .groupBy(col("seg"), col("reg"))
+        .agg(count(lit(1)).as("n_sample"))
+        .withColumn("w", lit(1.0))
+      val raked = (1 to 3).foldLeft(cells0) { (c, _) =>
+        val segT = c.groupBy(col("seg"))
+          .agg(sum(col("n_sample") * col("w")).as("t_seg"))
+        val c1 = c.join(broadcast(segT), Seq("seg"))
+          .join(broadcast(popSeg), Seq("seg"))
+          .withColumn("w", col("w") * col("p_seg") / col("t_seg"))
+          .drop("t_seg", "p_seg")
+        val regT = c1.groupBy(col("reg"))
+          .agg(sum(col("n_sample") * col("w")).as("t_reg"))
+        c1.join(broadcast(regT), Seq("reg"))
+          .join(broadcast(popReg), Seq("reg"))
+          .withColumn("w", col("w") * col("p_reg") / col("t_reg"))
+          .drop("t_reg", "p_reg")
+      }
+      raked.join(broadcast(popCell), Seq("seg", "reg"))
+        .select(col("seg").as("c_mktsegment"), col("reg").as("r_name"),
+          col("n_sample"), col("n_pop"), round(col("w"), 6).as("weight"),
+          round(col("n_sample") * col("w"), 2).as("weighted_n"))
+        .orderBy(col("c_mktsegment"), col("r_name"))
+    }),
+
+    "q289_iv_wald" -> ((s, dir) => {
+      // Instrumental-variable Wald estimator, completing the causal
+      // gallery (q229 IPW, q230 DiD, q285 RDD): binary instrument
+      // z = even nation, treatment x = heavy buyer (>5 orders), outcome
+      // y = lifetime spend. beta_IV = ITT_y / first-stage — every group
+      // moment is an exact integer sum, the two divisions are the only
+      // floats, fixed operand order on both engines. One aggregate pass
+      // after the customer-order rollup.
+      val spend = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_ord"),
+          sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .as("cents"))
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"), (col("c_nationkey") % 2 === 0).as("z"))
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("z"),
+          when(coalesce(col("n_ord"), lit(0L)) > 5, 1L).otherwise(0L)
+            .as("x"),
+          coalesce(col("cents"), lit(0L)).as("y"))
+      val g = base.groupBy(col("z"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"))
+      val z1 = g.filter(col("z"))
+        .select(col("n").as("n1"), col("sx").as("sx1"), col("sy").as("sy1"))
+      val z0 = g.filter(!col("z"))
+        .select(col("n").as("n0"), col("sx").as("sx0"), col("sy").as("sy0"))
+      z1.crossJoin(z0)
+        .select(col("n1").as("n_z1"), col("n0").as("n_z0"),
+          round(col("sy1").cast("double") / col("n1") -
+            col("sy0").cast("double") / col("n0"), 4).as("itt_y_cents"),
+          round(col("sx1").cast("double") / col("n1") -
+            col("sx0").cast("double") / col("n0"), 6).as("first_stage"),
+          round((col("sy1").cast("double") / col("n1") -
+              col("sy0").cast("double") / col("n0")) /
+            (col("sx1").cast("double") / col("n1") -
+              col("sx0").cast("double") / col("n0")), 4)
+            .as("beta_iv_cents"))
+    }),
+
+    "q290_item_cf" -> ((s, dir) => {
+      // Item-item collaborative filtering: cosine similarity
+      // co/sqrt(pop_i*pop_j) over order-basket co-occurrence, top-3
+      // neighbors for the 10 most popular parts. The pair pass is the
+      // q210 basket-bounded self-join (never a global cross product);
+      // popularity and target selection are exact integer ranks; the
+      // neighbor ranking orders by ROUNDED cosine with integer
+      // tie-breaks so float sqrt can't reorder candidates across
+      // engines. The neighbor window is bounded (10 targets).
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pop = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("pop"))
+      val targets = PrefixSum.globalRank(pop,
+          Seq(col("pop").desc, col("l_partkey")), "prk")
+        .filter(col("prk") <= 10)
+        .select(col("l_partkey").as("tgt"), col("pop").as("pop_t"))
+      val co = items.select(col("l_orderkey"), col("l_partkey").as("tgt"))
+        .join(broadcast(targets), Seq("tgt"))
+        .join(items.select(col("l_orderkey"), col("l_partkey").as("nbr")),
+          Seq("l_orderkey"))
+        .filter(col("nbr") =!= col("tgt"))
+        .groupBy(col("tgt"), col("pop_t"), col("nbr"))
+        .agg(count(lit(1)).as("co"))
+      val scored = co.join(pop.select(col("l_partkey").as("nbr"),
+          col("pop").as("pop_n")), Seq("nbr"))
+        .select(col("tgt"), col("nbr"), col("co"), col("pop_t"),
+          col("pop_n"),
+          round(col("co") / sqrt((col("pop_t") * col("pop_n"))
+            .cast("double")), 6).as("cosine"))
+      val w = Window.partitionBy(col("tgt"))
+        .orderBy(col("cosine").desc, col("co").desc, col("nbr"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("tgt").as("p_partkey"), col("rank"),
+          col("nbr").as("neighbor"), col("co"), col("cosine"))
+        .orderBy(col("p_partkey"), col("rank"))
+    }),
+
+    "q291_block_bootstrap" -> ((s, dir) => {
+      // Moving-block bootstrap CI for mean daily revenue: 200 replicates
+      // of 24 length-7 blocks, block starts from an explicit 31-bit LCG
+      // on (rep, block) — identical integer arithmetic on any engine, so
+      // the "randomness" is reproducible and oracle-checkable. Replicate
+      // sums stay exact BIGINTs; the CI bounds are picked by integer
+      // rank over (sum, rep), so no float ever decides an ordering. The
+      // only data-sized pass is the daily aggregate + the position
+      // equi-join (200*168 bounded rows).
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(expr("CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS " +
+          "BIGINT)) AS BIGINT)").as("cents"))
+      val idx = PrefixSum.globalRank(daily, Seq(col("day")), "tpos")
+      val st = idx.agg(count(lit(1)).as("nd"))
+      val pos = s.range(1, 201).select(col("id").as("rep"))
+        .crossJoin(s.range(0, 24).select(col("id").as("k")))
+        .crossJoin(broadcast(st))
+        .select(col("rep"), expr(
+          "1 + ((1103515245 * (rep * 1009 + k * 9176) + 12345) % " +
+            "2147483648) % (nd - 6)").as("start"))
+      val expand = pos
+        .crossJoin(s.range(0, 7).select(col("id").as("off")))
+        .select(col("rep"), (col("start") + col("off")).as("tpos"))
+      val repSums = expand.join(idx.select(col("tpos"), col("cents")),
+          Seq("tpos"))
+        .groupBy(col("rep"))
+        .agg(sum(col("cents")).as("sc"), count(lit(1)).as("nb"))
+      // 200 bounded rows: a plain window is safe here by construction
+      val rk = repSums.withColumn("rn",
+        row_number().over(Window.orderBy(col("sc"), col("rep"))))
+      val ci = rk.agg(
+        sum(when(col("rn") === 10, col("sc"))).as("lo"),
+        sum(when(col("rn") === 191, col("sc"))).as("hi"),
+        sum(col("sc")).as("tot"), count(lit(1)).as("n_reps"),
+        first(col("nb")).as("nb"))
+      ci.crossJoin(broadcast(st))
+        .select(col("nd").as("n_days"), col("n_reps"),
+          round(col("tot") / (col("n_reps") * col("nb") * lit(100.0)), 2)
+            .as("boot_mean_daily"),
+          round(col("lo") / (col("nb") * lit(100.0)), 2).as("ci5_daily"),
+          round(col("hi") / (col("nb") * lit(100.0)), 2).as("ci95_daily"))
+    }),
+
     "q262_hill_tail" -> ((s, dir) => {
       // heavy-tail diagnosis: the Hill estimator over the top 100 order
       // values — gamma = mean ln(x_i / x_ref) against the rank-101
@@ -10291,6 +10560,200 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS revenue_cents
         |FROM ranked CROSS JOIN tot CROSS JOIN months
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q289_iv_wald" ->
+      """WITH spend AS (SELECT o_custkey, CAST(count(*) AS BIGINT)
+        |      AS n_ord,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |base AS (SELECT c_nationkey % 2 = 0 AS z,
+        |    CASE WHEN coalesce(n_ord, 0) > 5 THEN 1 ELSE 0 END AS x,
+        |    CAST(coalesce(cents, 0) AS BIGINT) AS y
+        |  FROM customer LEFT JOIN spend ON c_custkey = o_custkey),
+        |g AS (SELECT z, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+        |  FROM base GROUP BY 1)
+        |SELECT z1.n AS n_z1, z0.n AS n_z0,
+        |  round(CAST(z1.sy AS DOUBLE) / z1.n -
+        |    CAST(z0.sy AS DOUBLE) / z0.n, 4) AS itt_y_cents,
+        |  round(CAST(z1.sx AS DOUBLE) / z1.n -
+        |    CAST(z0.sx AS DOUBLE) / z0.n, 6) AS first_stage,
+        |  round((CAST(z1.sy AS DOUBLE) / z1.n -
+        |      CAST(z0.sy AS DOUBLE) / z0.n) /
+        |    (CAST(z1.sx AS DOUBLE) / z1.n -
+        |      CAST(z0.sx AS DOUBLE) / z0.n), 4) AS beta_iv_cents
+        |FROM (SELECT * FROM g WHERE z) z1
+        |CROSS JOIN (SELECT * FROM g WHERE NOT z) z0""".stripMargin,
+
+    "q290_item_cf" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
+        |  FROM lineitem),
+        |pop AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS pop
+        |  FROM items GROUP BY 1),
+        |targets AS (SELECT l_partkey AS tgt, pop AS pop_t FROM (
+        |  SELECT *, row_number() OVER (ORDER BY pop DESC, l_partkey)
+        |      AS prk
+        |  FROM pop) WHERE prk <= 10),
+        |co AS (SELECT t.tgt, t.pop_t, b.l_partkey AS nbr,
+        |    CAST(count(*) AS BIGINT) AS co
+        |  FROM items a JOIN targets t ON a.l_partkey = t.tgt
+        |  JOIN items b ON a.l_orderkey = b.l_orderkey
+        |    AND b.l_partkey <> t.tgt
+        |  GROUP BY 1, 2, 3),
+        |scored AS (SELECT tgt, nbr, co.co, pop_t, p.pop AS pop_n,
+        |    round(co.co / sqrt(CAST(pop_t * p.pop AS DOUBLE)), 6)
+        |      AS cosine
+        |  FROM co JOIN pop p ON nbr = p.l_partkey)
+        |SELECT tgt AS p_partkey, rank, nbr AS neighbor, co, cosine
+        |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY tgt
+        |    ORDER BY cosine DESC, co DESC, nbr) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY p_partkey, rank""".stripMargin,
+
+    "q291_block_bootstrap" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT cents,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS tpos
+        |  FROM daily),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM idx),
+        |pos AS (SELECT rep,
+        |    1 + ((1103515245 * (rep * 1009 + k * 9176) + 12345) %
+        |      2147483648) % (nd - 6) AS start
+        |  FROM (SELECT CAST(unnest(range(1, 201)) AS BIGINT) AS rep)
+        |  CROSS JOIN (SELECT CAST(unnest(range(0, 24)) AS BIGINT) AS k)
+        |  CROSS JOIN st),
+        |expand AS (SELECT rep, start + off AS tpos
+        |  FROM pos CROSS JOIN
+        |    (SELECT CAST(unnest(range(0, 7)) AS BIGINT) AS off)),
+        |repsums AS (SELECT rep, CAST(sum(cents) AS BIGINT) AS sc,
+        |    CAST(count(*) AS BIGINT) AS nb
+        |  FROM expand JOIN idx USING (tpos) GROUP BY 1),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY sc, rep) AS rn
+        |  FROM repsums),
+        |ci AS (SELECT CAST(sum(CASE WHEN rn = 10 THEN sc END) AS BIGINT)
+        |      AS lo,
+        |    CAST(sum(CASE WHEN rn = 191 THEN sc END) AS BIGINT) AS hi,
+        |    CAST(sum(sc) AS BIGINT) AS tot,
+        |    CAST(count(*) AS BIGINT) AS n_reps,
+        |    CAST(any_value(nb) AS BIGINT) AS nb
+        |  FROM rk)
+        |SELECT nd AS n_days, n_reps,
+        |  round(tot / (n_reps * nb * 100.0), 2) AS boot_mean_daily,
+        |  round(lo / (nb * 100.0), 2) AS ci5_daily,
+        |  round(hi / (nb * 100.0), 2) AS ci95_daily
+        |FROM ci CROSS JOIN st""".stripMargin,
+
+    "q286_littles_law" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |lagd AS (SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us, 1) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id) IS NULL
+        |      OR us - lag(us, 1) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id) > 1800000000 THEN 1 ELSE 0 END
+        |      AS new_sess
+        |  FROM ev),
+        |sid AS (SELECT user_id, us, CAST(sum(new_sess)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM lagd),
+        |sess AS (SELECT user_id, sid, CAST(min(us) AS BIGINT) AS s0,
+        |    CAST(max(us) AS BIGINT) AS s1
+        |  FROM sid GROUP BY 1, 2),
+        |span AS (SELECT CAST(min(s0) AS BIGINT) AS smin,
+        |    CAST(max(s1) AS BIGINT) AS smax,
+        |    CAST(count(*) AS BIGINT) AS n_sess,
+        |    CAST(sum(s1 - s0) AS BIGINT) AS dur_us FROM sess),
+        |marks AS (SELECT h * 3600000000 AS us, CAST(2 AS BIGINT) AS pri,
+        |    CAST(0 AS BIGINT) AS delta
+        |  FROM span, unnest(generate_series(
+        |    (smin + 3599999999) // 3600000000,
+        |    smax // 3600000000)) AS t(h)),
+        |deltas AS (SELECT s0 AS us, CAST(0 AS BIGINT) AS pri,
+        |    CAST(1 AS BIGINT) AS delta FROM sess
+        |  UNION ALL SELECT s1, 1, -1 FROM sess),
+        |swept AS (SELECT pri, CAST(sum(delta) OVER (ORDER BY us * 4 + pri
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open
+        |  FROM (SELECT * FROM marks UNION ALL SELECT * FROM deltas)),
+        |sampled AS (SELECT CAST(count(*) AS BIGINT) AS n_marks,
+        |    avg(CAST(open AS DOUBLE)) AS l_sampled
+        |  FROM swept WHERE pri = 2)
+        |SELECT n_sess AS n_sessions,
+        |  round((smax - smin) / 3.6e9, 2) AS span_hours,
+        |  round(n_sess * 3.6e9 / CAST(smax - smin AS DOUBLE), 4)
+        |    AS lambda_per_hr,
+        |  round(dur_us / (n_sess * 6e7), 4) AS w_minutes,
+        |  round(dur_us / CAST(smax - smin AS DOUBLE), 4) AS l_exact,
+        |  round(l_sampled, 4) AS l_sampled
+        |FROM span CROSS JOIN sampled""".stripMargin,
+
+    "q287_shapley_attribution" ->
+      """WITH users AS (SELECT user_id,
+        |    CAST(bit_or(CASE event_type WHEN 'click' THEN 1
+        |      WHEN 'error' THEN 2 WHEN 'signup' THEN 4
+        |      WHEN 'view' THEN 8 ELSE 0 END) AS BIGINT) AS mask,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cv
+        |  FROM events GROUP BY 1),
+        |cells AS (SELECT mask, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(cv) AS BIGINT) AS conv FROM users GROUP BY 1),
+        |subsets AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS smask),
+        |v AS (SELECT smask,
+        |    CAST(coalesce(sum(conv), 0) AS BIGINT) AS v
+        |  FROM subsets LEFT JOIN cells ON (mask & smask) = mask
+        |  GROUP BY 1),
+        |channels AS (SELECT ['click', 'error', 'signup', 'view'][i + 1]
+        |      AS channel, CAST(1 << i AS BIGINT) AS bit
+        |  FROM (SELECT unnest(range(0, 4)) AS i)),
+        |pairs AS (SELECT channel, vs.smask, vs.v AS v_s, vsc.v AS v_sc,
+        |    CASE WHEN bit_count(vs.smask) IN (0, 3) THEN 6 ELSE 2 END
+        |      AS wnum
+        |  FROM channels JOIN v vs ON (vs.smask & bit) = 0
+        |  JOIN v vsc ON vsc.smask = (vs.smask | bit))
+        |SELECT channel,
+        |  round(sum((v_sc - v_s) * wnum) / 24.0, 6)
+        |    AS shapley_conversions
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q288_ipf_raking" ->
+      """WITH geo AS (SELECT c_mktsegment AS seg, r_name AS reg, c_acctbal
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |popseg AS (SELECT seg, CAST(count(*) AS BIGINT) AS p_seg
+        |  FROM geo GROUP BY 1),
+        |popreg AS (SELECT reg, CAST(count(*) AS BIGINT) AS p_reg
+        |  FROM geo GROUP BY 1),
+        |popcell AS (SELECT seg, reg, CAST(count(*) AS BIGINT) AS n_pop
+        |  FROM geo GROUP BY 1, 2),
+        |c0 AS (SELECT seg, reg, CAST(count(*) AS BIGINT) AS n_sample,
+        |    1.0 AS w
+        |  FROM geo WHERE c_acctbal > 0 GROUP BY 1, 2),
+        |a1 AS (SELECT seg, sum(n_sample * w) AS t_seg FROM c0 GROUP BY 1),
+        |c1 AS (SELECT c0.seg, reg, n_sample, w * p_seg / t_seg AS w
+        |  FROM c0 JOIN a1 USING (seg) JOIN popseg USING (seg)),
+        |b1 AS (SELECT reg, sum(n_sample * w) AS t_reg FROM c1 GROUP BY 1),
+        |c2 AS (SELECT seg, c1.reg, n_sample, w * p_reg / t_reg AS w
+        |  FROM c1 JOIN b1 USING (reg) JOIN popreg USING (reg)),
+        |a2 AS (SELECT seg, sum(n_sample * w) AS t_seg FROM c2 GROUP BY 1),
+        |c3 AS (SELECT c2.seg, reg, n_sample, w * p_seg / t_seg AS w
+        |  FROM c2 JOIN a2 USING (seg) JOIN popseg USING (seg)),
+        |b2 AS (SELECT reg, sum(n_sample * w) AS t_reg FROM c3 GROUP BY 1),
+        |c4 AS (SELECT seg, c3.reg, n_sample, w * p_reg / t_reg AS w
+        |  FROM c3 JOIN b2 USING (reg) JOIN popreg USING (reg)),
+        |a3 AS (SELECT seg, sum(n_sample * w) AS t_seg FROM c4 GROUP BY 1),
+        |c5 AS (SELECT c4.seg, reg, n_sample, w * p_seg / t_seg AS w
+        |  FROM c4 JOIN a3 USING (seg) JOIN popseg USING (seg)),
+        |b3 AS (SELECT reg, sum(n_sample * w) AS t_reg FROM c5 GROUP BY 1),
+        |c6 AS (SELECT seg, c5.reg, n_sample, w * p_reg / t_reg AS w
+        |  FROM c5 JOIN b3 USING (reg) JOIN popreg USING (reg))
+        |SELECT seg AS c_mktsegment, reg AS r_name, n_sample, n_pop,
+        |  round(w, 6) AS weight, round(n_sample * w, 2) AS weighted_n
+        |FROM c6 JOIN popcell USING (seg, reg)
+        |ORDER BY 1, 2""".stripMargin,
 
     "q283_newsvendor" ->
       """WITH daily AS (SELECT p_brand, CAST(l_shipdate AS DATE) AS day,
