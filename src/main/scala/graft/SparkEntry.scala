@@ -4564,6 +4564,415 @@ object SparkEntry {
           round(col("hi") / (col("nb") * lit(100.0)), 2).as("ci95_daily"))
     }),
 
+    "q292_decision_stump" -> ((s, dir) => {
+      // Decision-stump induction — the single CART split step: candidate
+      // thresholds are the exact acctbal deciles (integer ranks i*n div
+      // 10 from the two-phase ranker), each scored by Gini gain for the
+      // heavy-buyer target via one conditional-aggregate pass over the
+      // broadcast threshold set (9 rows — the data never self-joins).
+      // Gains are rounded before the top-3 ranking; counts stay exact.
+      val y = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_ord"))
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("x"))
+        .join(y, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("x"),
+          when(coalesce(col("n_ord"), lit(0L)) > 5, 1L).otherwise(0L)
+            .as("yv"))
+      val ranked = PrefixSum.globalRank(base,
+        Seq(col("x"), col("yv"), monotonically_increasing_id()), "rk")
+      val n = base.agg(count(lit(1)).as("n"), sum(col("yv")).as("pos"))
+      val cuts = ranked.crossJoin(broadcast(n))
+        .join(broadcast(s.range(1, 10).select(col("id").as("i"))),
+          col("rk") === expr("(i * n) div 10"))
+        .select(col("x").as("thr")).distinct()
+      val splits = base.crossJoin(broadcast(cuts))
+        .groupBy(col("thr"))
+        .agg(sum(when(col("x") <= col("thr"), 1L).otherwise(0L))
+            .as("n_l"),
+          sum(when(col("x") <= col("thr"), col("yv")).otherwise(0L))
+            .as("p_l"))
+      val scored = splits.crossJoin(broadcast(n))
+        .select(col("thr"), col("n_l"), col("p_l"),
+          (col("n") - col("n_l")).as("n_r"),
+          (col("pos") - col("p_l")).as("p_r"), col("n"), col("pos"))
+        .filter(col("n_l") > 0 && col("n_r") > 0)
+        .select(col("thr"), col("n_l"), col("p_l"), col("n_r"),
+          col("p_r"),
+          round(
+            (lit(1.0) -
+              pow(col("pos").cast("double") / col("n"), 2) -
+              pow((col("n") - col("pos")).cast("double") / col("n"), 2)) -
+            (col("n_l") * (lit(1.0) -
+                pow(col("p_l").cast("double") / col("n_l"), 2) -
+                pow((col("n_l") - col("p_l")).cast("double") / col("n_l"),
+                  2)) +
+              col("n_r") * (lit(1.0) -
+                pow(col("p_r").cast("double") / col("n_r"), 2) -
+                pow((col("n_r") - col("p_r")).cast("double") / col("n_r"),
+                  2))) / col("n"), 6).as("gini_gain"))
+      // bounded candidate set (<=9 rows): plain window is safe
+      scored.withColumn("rank", row_number().over(
+          Window.orderBy(col("gini_gain").desc, col("thr"))).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("rank"), col("thr").as("threshold_cents"),
+          col("n_l"), col("p_l"), col("n_r"), col("p_r"),
+          col("gini_gain"))
+        .orderBy(col("rank"))
+    }),
+
+    "q293_energy_distance" -> ((s, dir) => {
+      // Energy distance between the ASIA and EUROPE acctbal
+      // distributions: 2E|X-Y| - E|X-X'| - E|Y-Y'|, with every pairwise
+      // |x-y| sum computed EXACTLY in integers from value-grouped
+      // prefix sums (the sorted-ranks identity - no pair enumeration,
+      // one chained two-phase prefix-sum pass over the distinct-value
+      // table), so the only floats are the three final divisions.
+      // Complements KS (q168), JS (q270) and Mann-Whitney (q278).
+      val geo = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name").isin("ASIA", "EUROPE"))
+        .select(expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+          .as("v"), (col("r_name") === "ASIA").as("is_a"))
+      val byVal = geo.groupBy(col("v"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+        .withColumn("__g", lit(1))
+      val cum = Seq[(org.apache.spark.sql.Column, String)](
+        (col("ca"), "cca"), (col("cb"), "ccb"),
+        (col("v") * col("ca"), "sva"), (col("v") * col("cb"), "svb"))
+        .foldLeft(byVal) { case (df, (v, out)) =>
+          PrefixSum.groupedRunningSum(df, "__g", "v", v, out)
+        }
+      val terms = cum.select(col("v"), col("ca"), col("cb"),
+        (col("cca") - col("ca")).as("ka"), (col("ccb") - col("cb")).as("kb"),
+        (col("sva") - col("v") * col("ca")).as("ta"),
+        (col("svb") - col("v") * col("cb")).as("tb"))
+      terms.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+          sum(col("ca") * (col("v") * col("kb") - col("tb")) +
+            col("cb") * (col("v") * col("ka") - col("ta"))).as("sab"),
+          sum(col("ca") * (col("v") * col("ka") - col("ta"))).as("saa"),
+          sum(col("cb") * (col("v") * col("kb") - col("tb"))).as("sbb"))
+        .select(col("n_a"), col("n_b"),
+          round(col("sab") / (col("n_a") * col("n_b")).cast("double"), 4)
+            .as("e_xy"),
+          round(lit(2.0) * col("saa") /
+            (col("n_a") * col("n_a")).cast("double"), 4).as("e_xx"),
+          round(lit(2.0) * col("sbb") /
+            (col("n_b") * col("n_b")).cast("double"), 4).as("e_yy"),
+          round(lit(2.0) * col("sab") /
+              (col("n_a") * col("n_b")).cast("double") -
+            lit(2.0) * col("saa") /
+              (col("n_a") * col("n_a")).cast("double") -
+            lit(2.0) * col("sbb") /
+              (col("n_b") * col("n_b")).cast("double"), 4)
+            .as("energy_dist"))
+    }),
+
+    "q294_cuped" -> ((s, dir) => {
+      // CUPED variance reduction for the events A/B harness (treatment =
+      // even user_id): per-user pre-period (first 15 days) spend is the
+      // covariate, theta = cov(pre,post)/var(pre) from exact integer-
+      // cent sums, adjusted effect = raw ATE - theta * pre-period
+      // imbalance, plus the corr^2 variance-reduction factor. One
+      // user-level aggregate; every moment is an exact BIGINT.
+      val ev = events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          expr("CAST(floor(value + 0.5) AS BIGINT)").as("dol"))
+      val t0 = ev.agg(min(col("us")).as("smin"))
+      val users = ev.crossJoin(broadcast(t0))
+        .select(col("user_id"),
+          when(col("us") < col("smin") + 1296000000000L, col("dol"))
+            .otherwise(0L).as("pre"),
+          when(col("us") >= col("smin") + 1296000000000L, col("dol"))
+            .otherwise(0L).as("post"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("pre")).as("pre"), sum(col("post")).as("post"))
+        .select((col("user_id") % 2 === 0).as("treat"), col("pre"),
+          col("post"))
+      val mom = users.agg(count(lit(1)).as("n"),
+        sum(col("pre")).as("sp"), sum(col("post")).as("sq"),
+        sum(col("pre") * col("pre")).as("spp"),
+        sum(col("post") * col("post")).as("sqq"),
+        sum(col("pre") * col("post")).as("spq"),
+        sum(when(col("treat"), 1L).otherwise(0L)).as("nt"),
+        sum(when(col("treat"), col("pre")).otherwise(0L)).as("spt"),
+        sum(when(col("treat"), col("post")).otherwise(0L)).as("sqt"))
+      mom.select(col("nt").as("n_treat"),
+          (col("n") - col("nt")).as("n_ctrl"),
+          ((col("n") * col("spq") - col("sp") * col("sq")).cast("double") /
+            (col("n") * col("spp") - col("sp") * col("sp"))).as("theta"),
+          ((col("n") * col("spq") - col("sp") * col("sq")).cast("double") *
+            (col("n") * col("spq") - col("sp") * col("sq")) /
+            ((col("n") * col("spp") - col("sp") * col("sp"))
+              .cast("double") *
+              (col("n") * col("sqq") - col("sq") * col("sq"))))
+            .as("r2"),
+          (col("sqt").cast("double") / col("nt") -
+            (col("sq") - col("sqt")).cast("double") /
+              (col("n") - col("nt"))).as("ate_raw"),
+          (col("spt").cast("double") / col("nt") -
+            (col("sp") - col("spt")).cast("double") /
+              (col("n") - col("nt"))).as("pre_imb"))
+        .select(col("n_treat"), col("n_ctrl"),
+          round(col("theta"), 6).as("theta"),
+          round(col("r2"), 6).as("var_reduction"),
+          round(col("ate_raw"), 2).as("ate_raw_dollars"),
+          round(col("ate_raw") - col("theta") * col("pre_imb"), 2)
+            .as("ate_cuped_dollars"))
+    }),
+
+    "q295_mediation" -> ((s, dir) => {
+      // Causal mediation (product-of-coefficients): does account balance
+      // drive spend THROUGH order frequency? a = slope(M~X), (b, c') from
+      // the closed-form two-regressor OLS of Y on (M, X), indirect = a*b,
+      // plus the proportion mediated. All centered moments are exact
+      // BIGINTs (x in dollars, y in kilodollars so n*sums stay in long
+      // range at any SF); the regression algebra is fixed-order doubles
+      // over those exact sums. One aggregate pass.
+      val spend = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("m"),
+          sum(expr("CAST(floor(o_totalprice) AS BIGINT)")).as("ydol"))
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          expr("CAST(floor(c_acctbal + 0.5) AS BIGINT)").as("x"))
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("x"), coalesce(col("m"), lit(0L)).as("m"),
+          expr("coalesce(ydol, 0L) div 1000L").as("y"))
+      val mom = base.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("m")).as("sm"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("m") * col("m")).as("smm"),
+        sum(col("x") * col("m")).as("sxm"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("m") * col("y")).as("smy"))
+      val c = mom.select(col("n"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("cxx"),
+        (col("n") * col("smm") - col("sm") * col("sm")).as("cmm"),
+        (col("n") * col("sxm") - col("sx") * col("sm")).as("cxm"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cxy"),
+        (col("n") * col("smy") - col("sm") * col("sy")).as("cmy"))
+      c.select(col("n"),
+          (col("cxm").cast("double") / col("cxx")).as("a"),
+          ((col("cxx").cast("double") * col("cmy") -
+            col("cxm").cast("double") * col("cxy")) /
+            (col("cxx").cast("double") * col("cmm") -
+              col("cxm").cast("double") * col("cxm"))).as("b"),
+          ((col("cmm").cast("double") * col("cxy") -
+            col("cxm").cast("double") * col("cmy")) /
+            (col("cxx").cast("double") * col("cmm") -
+              col("cxm").cast("double") * col("cxm"))).as("cp"),
+          (col("cxy").cast("double") / col("cxx")).as("ctot"))
+        .select(col("n"), round(col("a"), 6).as("a_mx"),
+          round(col("b"), 6).as("b_ym"),
+          round(col("cp"), 6).as("direct"),
+          round(col("ctot"), 6).as("total"),
+          round(col("a") * col("b"), 6).as("indirect"),
+          round(col("a") * col("b") / col("ctot"), 4)
+            .as("prop_mediated"))
+    }),
+
+    "q296_empirical_bayes" -> ((s, dir) => {
+      // Empirical-Bayes shrinkage ranking (beta-binomial): per-part
+      // return rates shrunk toward the corpus prior fitted by method of
+      // moments on the raw rates, so low-volume parts can't top the
+      // ranking on noise. Counts are exact integers; the prior and the
+      // shrunk rates are fixed-order doubles rounded BEFORE the top-5
+      // ordering (integer tie-breaks). Two aggregate passes, no joins
+      // beyond the broadcast prior.
+      val parts = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("n_returns"))
+        .filter(col("n_lines") >= 5)
+      val prior = parts
+        .select((col("n_returns").cast("double") / col("n_lines"))
+          .as("r"))
+        .agg(count(lit(1)).as("np"), avg(col("r")).as("mu"),
+          (sum(col("r") * col("r")) / count(lit(1))).as("m2"))
+        .select(col("np"), col("mu"),
+          (col("m2") - col("mu") * col("mu")).as("v"))
+        .select(col("np"), col("mu"),
+          (col("mu") * (lit(1.0) - col("mu")) / col("v") - 1).as("k"))
+        .select(col("np"), (col("mu") * col("k")).as("alpha"),
+          ((lit(1.0) - col("mu")) * col("k")).as("beta"))
+      val shrunk = parts.crossJoin(broadcast(prior))
+        .select(col("l_partkey"), col("n_lines"), col("n_returns"),
+          round(col("n_returns").cast("double") / col("n_lines"), 6)
+            .as("raw_rate"),
+          round((col("n_returns") + col("alpha")) /
+            (col("n_lines") + col("alpha") + col("beta")), 6)
+            .as("shrunk_rate"),
+          round(col("alpha"), 4).as("prior_alpha"),
+          round(col("beta"), 4).as("prior_beta"))
+      PrefixSum.globalRank(shrunk,
+          Seq(col("shrunk_rate").desc, col("n_lines").desc,
+            col("l_partkey")), "rk")
+        .filter(col("rk") <= 5)
+        .select(col("rk").as("rank"), col("l_partkey"), col("n_lines"),
+          col("n_returns"), col("raw_rate"), col("shrunk_rate"),
+          col("prior_alpha"), col("prior_beta"))
+        .orderBy(col("rank"))
+    }),
+
+    "q297_overdispersion" -> ((s, dir) => {
+      // Poisson overdispersion audit of daily event counts per type:
+      // index of dispersion s^2/mean from exact integer day-count
+      // moments — the count-data QA gate (index >> 1 means a Poisson
+      // rate model or Poisson-based alerting threshold is wrong for
+      // that stream). One grouped aggregate over the per-day rollup.
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("c")).as("total"),
+          sum(col("c") * col("c")).as("ss"))
+        .select(col("event_type"), col("n_days"), col("total"),
+          round(col("total").cast("double") / col("n_days"), 4)
+            .as("mean_per_day"),
+          round((col("n_days") * col("ss") - col("total") * col("total"))
+            .cast("double") /
+            (col("n_days").cast("double") * (col("n_days") - 1)), 4)
+            .as("variance"),
+          round((col("n_days") * col("ss") - col("total") * col("total"))
+            .cast("double") /
+            (col("n_days").cast("double") * (col("n_days") - 1)) /
+            (col("total").cast("double") / col("n_days")), 4)
+            .as("dispersion_index"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q298_pca_2d" -> ((s, dir) => {
+      // Closed-form 2-D PCA of (account balance, lifetime spend): the
+      // covariance eigenpair from trace/determinant, explained-variance
+      // ratio and the first-PC angle 0.5*atan2(2cxy, cxx-cyy). Centered
+      // moments are exact BIGINTs (dollar/kilodollar units keep n*sums
+      // in long range at any SF, as q295); everything after is a fixed
+      // float expression over those exact longs. One aggregate pass.
+      val spend = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(floor(o_totalprice) AS BIGINT)")).as("ydol"))
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          expr("CAST(floor(c_acctbal + 0.5) AS BIGINT)").as("x"))
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("x"), expr("coalesce(ydol, 0L) div 1000L").as("y"))
+      val mom = base.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      val c = mom.select(col("n"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("cxx"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("cyy"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cxy"))
+      c.select(col("n"), col("cxx"), col("cyy"), col("cxy"),
+          sqrt(pow(col("cxx").cast("double") - col("cyy"), 2) +
+            lit(4.0) * col("cxy") * col("cxy")).as("disc"),
+          (col("n").cast("double") * (col("n") - 1)).as("den"))
+        .select(col("n"),
+          round(col("cxy") / sqrt(col("cxx").cast("double") * col("cyy")),
+            6).as("corr"),
+          round(((col("cxx") + col("cyy")) + col("disc")) /
+            (lit(2.0) * col("den")), 4).as("lambda1"),
+          round(((col("cxx") + col("cyy")) - col("disc")) /
+            (lit(2.0) * col("den")), 4).as("lambda2"),
+          round(((col("cxx") + col("cyy")) + col("disc")) /
+            (lit(2.0) * (col("cxx") + col("cyy")).cast("double")), 6)
+            .as("evr1"),
+          round(lit(0.5) * atan2(lit(2.0) * col("cxy"),
+            (col("cxx") - col("cyy")).cast("double")) *
+            lit(180.0 / math.Pi), 4).as("pc1_angle_deg"))
+    }),
+
+    "q299_morans_i" -> ((s, dir) => {
+      // Moran's I network autocorrelation: do brands that co-occur in
+      // orders have similar price points? Weights = the q281 co-purchase
+      // brand graph (off-diagonal), attribute = brand mean line price.
+      // The only data-sized passes are the basket pair join and the
+      // brand rollup; the I statistic itself runs over the bounded
+      // brand x brand table. Expected value -1/(N-1) reported alongside.
+      val li = t(s, dir, "lineitem")
+      val brands = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val attr = li
+        .join(broadcast(brands), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg((sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS " +
+          "BIGINT)")).cast("double") /
+          (count(lit(1)) * lit(100.0))).as("price"))
+      val xbar = attr.agg(avg(col("price")).as("mu"),
+        count(lit(1)).as("nb"))
+      val z = attr.crossJoin(broadcast(xbar))
+        .select(col("p_brand"), (col("price") - col("mu")).as("z"),
+          col("nb"))
+      val items = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+        .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")),
+          Seq("l_orderkey"))
+        .filter(col("p1") < col("p2"))
+        .join(broadcast(brands.select(col("p_partkey").as("p1"),
+          col("p_brand").as("b1"))), Seq("p1"))
+        .join(broadcast(brands.select(col("p_partkey").as("p2"),
+          col("p_brand").as("b2"))), Seq("p2"))
+        .filter(col("b1") =!= col("b2"))
+        .groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("w"))
+      val cross = pairs
+        .join(broadcast(z.select(col("p_brand").as("b1"),
+          col("z").as("z1"))), Seq("b1"))
+        .join(broadcast(z.select(col("p_brand").as("b2"),
+          col("z").as("z2"), col("nb"))), Seq("b2"))
+        .agg(first(col("nb")).as("nb"),
+          (lit(2.0) * sum(col("w"))).as("sw"),
+          (lit(2.0) * sum(col("w") * col("z1") * col("z2"))).as("wzz"))
+      val den = z.agg(sum(col("z") * col("z")).as("zz"))
+      cross.crossJoin(broadcast(den))
+        .select(col("nb").as("n_brands"),
+          col("sw").cast("long").as("sum_w"),
+          round(col("nb") * col("wzz") / (col("sw") * col("zz")), 4)
+            .as("morans_i"),
+          round(lit(-1.0) / (col("nb") - 1), 4).as("expected_i"))
+    }),
+
+    "q300_winners_curse" -> ((s, dir) => {
+      // Winner's-curse audit for "pick the best segment" decisions: the
+      // top segment by split-A mean order value (orderkey parity split)
+      // is re-measured honestly on split B — the gap is the
+      // post-selection optimism a naive dashboard ships. Means are exact
+      // integer-cent sums divided once; the argmax runs over the five
+      // bounded segment rows.
+      val seg = t(s, dir, "orders")
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          (col("o_orderkey") % 2 === 0).as("in_a"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"))
+      val bySplit = seg.groupBy(col("segment"))
+        .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("in_a"), col("cents")).otherwise(0L)).as("s_a"),
+          sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(!col("in_a"), col("cents")).otherwise(0L)).as("s_b"))
+        .select(col("segment"), col("n_a"), col("n_b"),
+          (col("s_a").cast("double") / col("n_a")).as("mean_a"),
+          (col("s_b").cast("double") / col("n_b")).as("mean_b"))
+      // 5 bounded segment rows: plain window is safe
+      bySplit.withColumn("rk", row_number().over(
+          Window.orderBy(col("mean_a").desc, col("segment"))).cast("long"))
+        .filter(col("rk") === 1)
+        .select(col("segment").as("winner_segment"), col("n_a"),
+          col("n_b"), round(col("mean_a"), 2).as("mean_a_cents"),
+          round(col("mean_b"), 2).as("mean_b_cents"),
+          round(col("mean_a") - col("mean_b"), 2).as("optimism_cents"))
+    }),
+
     "q262_hill_tail" -> ((s, dir) => {
       // heavy-tail diagnosis: the Hill estimator over the top 100 order
       // values — gamma = mean ln(x_i / x_ref) against the rank-101
@@ -10560,6 +10969,293 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS revenue_cents
         |FROM ranked CROSS JOIN tot CROSS JOIN months
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q298_pca_2d" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+        |      AS ydol
+        |  FROM orders GROUP BY 1),
+        |base AS (SELECT
+        |    CAST(floor(c_acctbal + 0.5) AS BIGINT) AS x,
+        |    coalesce(ydol, 0) // 1000 AS y
+        |  FROM customer LEFT JOIN spend ON c_custkey = o_custkey),
+        |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM base),
+        |c AS (SELECT n, n * sxx - sx * sx AS cxx,
+        |    n * syy - sy * sy AS cyy, n * sxy - sx * sy AS cxy
+        |  FROM mom),
+        |d AS (SELECT n, cxx, cyy, cxy,
+        |    sqrt(pow(CAST(cxx AS DOUBLE) - cyy, 2) +
+        |      4.0 * cxy * cxy) AS disc,
+        |    CAST(n AS DOUBLE) * (n - 1) AS den
+        |  FROM c)
+        |SELECT n,
+        |  round(cxy / sqrt(CAST(cxx AS DOUBLE) * cyy), 6) AS corr,
+        |  round(((cxx + cyy) + disc) / (2.0 * den), 4) AS lambda1,
+        |  round(((cxx + cyy) - disc) / (2.0 * den), 4) AS lambda2,
+        |  round(((cxx + cyy) + disc) /
+        |    (2.0 * CAST(cxx + cyy AS DOUBLE)), 6) AS evr1,
+        |  round(0.5 * atan2(2.0 * cxy, CAST(cxx - cyy AS DOUBLE)) *
+        |    (180.0 / pi()), 4) AS pc1_angle_deg
+        |FROM d""".stripMargin,
+
+    "q299_morans_i" ->
+      """WITH attr AS (SELECT p_brand,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / (count(*) * 100.0) AS price
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1),
+        |xbar AS (SELECT avg(price) AS mu, CAST(count(*) AS BIGINT) AS nb
+        |  FROM attr),
+        |z AS (SELECT p_brand, price - mu AS z, nb
+        |  FROM attr CROSS JOIN xbar),
+        |items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (SELECT ba.p_brand AS b1, bb.p_brand AS b2,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  JOIN part ba ON a.l_partkey = ba.p_partkey
+        |  JOIN part bb ON b.l_partkey = bb.p_partkey
+        |  WHERE ba.p_brand <> bb.p_brand
+        |  GROUP BY 1, 2),
+        |cr AS (SELECT any_value(z2.nb) AS nb,
+        |    2.0 * sum(w) AS sw,
+        |    2.0 * sum(w * z1.z * z2.z) AS wzz
+        |  FROM pairs JOIN z z1 ON b1 = z1.p_brand
+        |  JOIN z z2 ON b2 = z2.p_brand),
+        |den AS (SELECT sum(z * z) AS zz FROM z)
+        |SELECT nb AS n_brands, CAST(sw AS BIGINT) AS sum_w,
+        |  round(nb * wzz / (sw * zz), 4) AS morans_i,
+        |  round(-1.0 / (nb - 1), 4) AS expected_i
+        |FROM cr CROSS JOIN den""".stripMargin,
+
+    "q300_winners_curse" ->
+      """WITH seg AS (SELECT c_mktsegment AS segment,
+        |    o_orderkey % 2 = 0 AS in_a,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |bysplit AS (SELECT segment,
+        |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN in_a THEN cents ELSE 0 END) AS DOUBLE) /
+        |      sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS mean_a,
+        |    CAST(sum(CASE WHEN NOT in_a THEN cents ELSE 0 END)
+        |        AS DOUBLE) /
+        |      sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS mean_b
+        |  FROM seg GROUP BY 1)
+        |SELECT segment AS winner_segment, n_a, n_b,
+        |  round(mean_a, 2) AS mean_a_cents,
+        |  round(mean_b, 2) AS mean_b_cents,
+        |  round(mean_a - mean_b, 2) AS optimism_cents
+        |FROM (SELECT *, row_number() OVER (ORDER BY mean_a DESC,
+        |    segment) AS rk FROM bysplit)
+        |WHERE rk = 1""".stripMargin,
+
+    "q295_mediation" ->
+      """WITH spend AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+        |      AS ydol
+        |  FROM orders GROUP BY 1),
+        |base AS (SELECT
+        |    CAST(floor(c_acctbal + 0.5) AS BIGINT) AS x,
+        |    CAST(coalesce(m, 0) AS BIGINT) AS m,
+        |    coalesce(ydol, 0) // 1000 AS y
+        |  FROM customer LEFT JOIN spend ON c_custkey = o_custkey),
+        |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(m) AS BIGINT) AS sm,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(m * m) AS BIGINT) AS smm,
+        |    CAST(sum(x * m) AS BIGINT) AS sxm,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(m * y) AS BIGINT) AS smy
+        |  FROM base),
+        |c AS (SELECT n, n * sxx - sx * sx AS cxx,
+        |    n * smm - sm * sm AS cmm, n * sxm - sx * sm AS cxm,
+        |    n * sxy - sx * sy AS cxy, n * smy - sm * sy AS cmy
+        |  FROM mom),
+        |sol AS (SELECT n, CAST(cxm AS DOUBLE) / cxx AS a,
+        |    (CAST(cxx AS DOUBLE) * cmy - CAST(cxm AS DOUBLE) * cxy) /
+        |      (CAST(cxx AS DOUBLE) * cmm - CAST(cxm AS DOUBLE) * cxm)
+        |      AS b,
+        |    (CAST(cmm AS DOUBLE) * cxy - CAST(cxm AS DOUBLE) * cmy) /
+        |      (CAST(cxx AS DOUBLE) * cmm - CAST(cxm AS DOUBLE) * cxm)
+        |      AS cp,
+        |    CAST(cxy AS DOUBLE) / cxx AS ctot
+        |  FROM c)
+        |SELECT n, round(a, 6) AS a_mx, round(b, 6) AS b_ym,
+        |  round(cp, 6) AS direct, round(ctot, 6) AS total,
+        |  round(a * b, 6) AS indirect,
+        |  round(a * b / ctot, 4) AS prop_mediated
+        |FROM sol""".stripMargin,
+
+    "q296_empirical_bayes" ->
+      """WITH parts AS (SELECT l_partkey,
+        |    CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_returns
+        |  FROM lineitem GROUP BY 1 HAVING count(*) >= 5),
+        |rates AS (SELECT CAST(n_returns AS DOUBLE) / n_lines AS r
+        |  FROM parts),
+        |p0 AS (SELECT CAST(count(*) AS BIGINT) AS np, avg(r) AS mu,
+        |    sum(r * r) / count(*) AS m2 FROM rates),
+        |p1 AS (SELECT np, mu, m2 - mu * mu AS v FROM p0),
+        |p2 AS (SELECT np, mu, mu * (1.0 - mu) / v - 1 AS k FROM p1),
+        |prior AS (SELECT np, mu * k AS alpha, (1.0 - mu) * k AS beta
+        |  FROM p2),
+        |shrunk AS (SELECT l_partkey, n_lines, n_returns,
+        |    round(CAST(n_returns AS DOUBLE) / n_lines, 6) AS raw_rate,
+        |    round((n_returns + alpha) / (n_lines + alpha + beta), 6)
+        |      AS shrunk_rate,
+        |    round(alpha, 4) AS prior_alpha, round(beta, 4) AS prior_beta
+        |  FROM parts CROSS JOIN prior)
+        |SELECT rank, l_partkey, n_lines, n_returns, raw_rate,
+        |  shrunk_rate, prior_alpha, prior_beta
+        |FROM (SELECT *, CAST(row_number() OVER (ORDER BY shrunk_rate
+        |    DESC, n_lines DESC, l_partkey) AS BIGINT) AS rank
+        |  FROM shrunk)
+        |WHERE rank <= 5 ORDER BY rank""".stripMargin,
+
+    "q297_overdispersion" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(c) AS BIGINT) AS total,
+        |    CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, total,
+        |  round(CAST(total AS DOUBLE) / n_days, 4) AS mean_per_day,
+        |  round(CAST(n_days * ss - total * total AS DOUBLE) /
+        |    (CAST(n_days AS DOUBLE) * (n_days - 1)), 4) AS variance,
+        |  round(CAST(n_days * ss - total * total AS DOUBLE) /
+        |    (CAST(n_days AS DOUBLE) * (n_days - 1)) /
+        |    (CAST(total AS DOUBLE) / n_days), 4) AS dispersion_index
+        |FROM g ORDER BY 1""".stripMargin,
+
+    "q292_decision_stump" ->
+      """WITH y AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
+        |  FROM orders GROUP BY 1),
+        |base AS (SELECT
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS x,
+        |    CASE WHEN coalesce(n_ord, 0) > 5 THEN 1 ELSE 0 END AS yv
+        |  FROM customer LEFT JOIN y ON c_custkey = o_custkey),
+        |ranked AS (SELECT x,
+        |    CAST(row_number() OVER (ORDER BY x, yv) AS BIGINT) AS rk
+        |  FROM base),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(yv) AS BIGINT) AS pos FROM base),
+        |cuts AS (SELECT DISTINCT x AS thr
+        |  FROM ranked CROSS JOIN n
+        |  JOIN (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS i)
+        |    ON rk = (i * n) // 10),
+        |splits AS (SELECT thr,
+        |    CAST(sum(CASE WHEN x <= thr THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_l,
+        |    CAST(sum(CASE WHEN x <= thr THEN yv ELSE 0 END) AS BIGINT)
+        |      AS p_l
+        |  FROM base CROSS JOIN cuts GROUP BY 1),
+        |scored AS (SELECT thr, n_l, p_l, n - n_l AS n_r,
+        |    pos - p_l AS p_r,
+        |    round((1.0 - pow(CAST(pos AS DOUBLE) / n, 2) -
+        |        pow(CAST(n - pos AS DOUBLE) / n, 2)) -
+        |      (n_l * (1.0 - pow(CAST(p_l AS DOUBLE) / n_l, 2) -
+        |          pow(CAST(n_l - p_l AS DOUBLE) / n_l, 2)) +
+        |        (n - n_l) * (1.0 -
+        |          pow(CAST(pos - p_l AS DOUBLE) / (n - n_l), 2) -
+        |          pow(CAST((n - n_l) - (pos - p_l) AS DOUBLE) /
+        |            (n - n_l), 2))) / n, 6) AS gini_gain
+        |  FROM splits CROSS JOIN n
+        |  WHERE n_l > 0 AND n - n_l > 0)
+        |SELECT rank, thr AS threshold_cents, n_l, p_l, n_r, p_r,
+        |  gini_gain
+        |FROM (SELECT *, CAST(row_number()
+        |    OVER (ORDER BY gini_gain DESC, thr) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY rank""".stripMargin,
+
+    "q293_energy_distance" ->
+      """WITH geo AS (SELECT
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v,
+        |    r_name = 'ASIA' AS is_a
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name IN ('ASIA', 'EUROPE')),
+        |byval AS (SELECT v,
+        |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM geo GROUP BY 1),
+        |cum AS (SELECT *,
+        |    CAST(sum(ca) OVER w AS BIGINT) AS cca,
+        |    CAST(sum(cb) OVER w AS BIGINT) AS ccb,
+        |    CAST(sum(v * ca) OVER w AS BIGINT) AS sva,
+        |    CAST(sum(v * cb) OVER w AS BIGINT) AS svb
+        |  FROM byval WINDOW w AS (ORDER BY v)),
+        |terms AS (SELECT v, ca, cb, cca - ca AS ka, ccb - cb AS kb,
+        |    sva - v * ca AS ta, svb - v * cb AS tb FROM cum),
+        |agg AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b,
+        |    CAST(sum(ca * (v * kb - tb) + cb * (v * ka - ta)) AS BIGINT)
+        |      AS sab,
+        |    CAST(sum(ca * (v * ka - ta)) AS BIGINT) AS saa,
+        |    CAST(sum(cb * (v * kb - tb)) AS BIGINT) AS sbb
+        |  FROM terms)
+        |SELECT n_a, n_b,
+        |  round(sab / CAST(n_a * n_b AS DOUBLE), 4) AS e_xy,
+        |  round(2.0 * saa / CAST(n_a * n_a AS DOUBLE), 4) AS e_xx,
+        |  round(2.0 * sbb / CAST(n_b * n_b AS DOUBLE), 4) AS e_yy,
+        |  round(2.0 * sab / CAST(n_a * n_b AS DOUBLE) -
+        |    2.0 * saa / CAST(n_a * n_a AS DOUBLE) -
+        |    2.0 * sbb / CAST(n_b * n_b AS DOUBLE), 4) AS energy_dist
+        |FROM agg""".stripMargin,
+
+    "q294_cuped" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(floor(value + 0.5) AS BIGINT) AS dol FROM events),
+        |t0 AS (SELECT CAST(min(us) AS BIGINT) AS smin FROM ev),
+        |users AS (SELECT user_id % 2 = 0 AS treat,
+        |    CAST(sum(CASE WHEN us < smin + 1296000000000 THEN dol
+        |      ELSE 0 END) AS BIGINT) AS pre,
+        |    CAST(sum(CASE WHEN us >= smin + 1296000000000 THEN dol
+        |      ELSE 0 END) AS BIGINT) AS post
+        |  FROM ev CROSS JOIN t0 GROUP BY user_id),
+        |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(pre) AS BIGINT) AS sp,
+        |    CAST(sum(post) AS BIGINT) AS sq,
+        |    CAST(sum(pre * pre) AS BIGINT) AS spp,
+        |    CAST(sum(post * post) AS BIGINT) AS sqq,
+        |    CAST(sum(pre * post) AS BIGINT) AS spq,
+        |    CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nt,
+        |    CAST(sum(CASE WHEN treat THEN pre ELSE 0 END) AS BIGINT)
+        |      AS spt,
+        |    CAST(sum(CASE WHEN treat THEN post ELSE 0 END) AS BIGINT)
+        |      AS sqt
+        |  FROM users),
+        |sol AS (SELECT nt AS n_treat, n - nt AS n_ctrl,
+        |    CAST(n * spq - sp * sq AS DOUBLE) /
+        |      (n * spp - sp * sp) AS theta,
+        |    CAST(n * spq - sp * sq AS DOUBLE) *
+        |      (n * spq - sp * sq) /
+        |      (CAST(n * spp - sp * sp AS DOUBLE) *
+        |        (n * sqq - sq * sq)) AS r2,
+        |    CAST(sqt AS DOUBLE) / nt -
+        |      CAST(sq - sqt AS DOUBLE) / (n - nt) AS ate_raw,
+        |    CAST(spt AS DOUBLE) / nt -
+        |      CAST(sp - spt AS DOUBLE) / (n - nt) AS pre_imb
+        |  FROM mom)
+        |SELECT n_treat, n_ctrl, round(theta, 6) AS theta,
+        |  round(r2, 6) AS var_reduction,
+        |  round(ate_raw, 2) AS ate_raw_dollars,
+        |  round(ate_raw - theta * pre_imb, 2) AS ate_cuped_dollars
+        |FROM sol""".stripMargin,
 
     "q289_iv_wald" ->
       """WITH spend AS (SELECT o_custkey, CAST(count(*) AS BIGINT)
