@@ -4414,29 +4414,29 @@ object SparkEntry {
           col("n_regionkey") === col("r_regionkey"))
         .select(col("c_mktsegment").as("seg"), col("r_name").as("reg"),
           col("c_acctbal"))
-      val popSeg = geo.groupBy(col("seg")).agg(count(lit(1)).as("p_seg"))
-      val popReg = geo.groupBy(col("reg")).agg(count(lit(1)).as("p_reg"))
+      // ONE data pass builds the 5x5 cell table (population + sample
+      // counts); margins and every IPF scaling total are WINDOW sums
+      // over that bounded table — a single linear lineage with 25-row
+      // exchanges, no join/broadcast stages per round (the join-per-
+      // round formulation spent seconds on stage scheduling alone).
       val popCell = geo.groupBy(col("seg"), col("reg"))
-        .agg(count(lit(1)).as("n_pop"))
-      val cells0 = geo.filter(col("c_acctbal") > 0)
-        .groupBy(col("seg"), col("reg"))
-        .agg(count(lit(1)).as("n_sample"))
+        .agg(count(lit(1)).as("n_pop"),
+          sum(when(col("c_acctbal") > 0, 1L).otherwise(0L))
+            .as("n_sample"))
+      val wSeg = Window.partitionBy(col("seg"))
+      val wReg = Window.partitionBy(col("reg"))
+      val cells0 = popCell
+        .withColumn("p_seg", sum(col("n_pop")).over(wSeg))
+        .withColumn("p_reg", sum(col("n_pop")).over(wReg))
+        .filter(col("n_sample") > 0)
         .withColumn("w", lit(1.0))
       val raked = (1 to 3).foldLeft(cells0) { (c, _) =>
-        val segT = c.groupBy(col("seg"))
-          .agg(sum(col("n_sample") * col("w")).as("t_seg"))
-        val c1 = c.join(broadcast(segT), Seq("seg"))
-          .join(broadcast(popSeg), Seq("seg"))
-          .withColumn("w", col("w") * col("p_seg") / col("t_seg"))
-          .drop("t_seg", "p_seg")
-        val regT = c1.groupBy(col("reg"))
-          .agg(sum(col("n_sample") * col("w")).as("t_reg"))
-        c1.join(broadcast(regT), Seq("reg"))
-          .join(broadcast(popReg), Seq("reg"))
-          .withColumn("w", col("w") * col("p_reg") / col("t_reg"))
-          .drop("t_reg", "p_reg")
+        c.withColumn("w", col("w") * col("p_seg") /
+            sum(col("n_sample") * col("w")).over(wSeg))
+          .withColumn("w", col("w") * col("p_reg") /
+            sum(col("n_sample") * col("w")).over(wReg))
       }
-      raked.join(broadcast(popCell), Seq("seg", "reg"))
+      raked
         .select(col("seg").as("c_mktsegment"), col("reg").as("r_name"),
           col("n_sample"), col("n_pop"), round(col("w"), 6).as("weight"),
           round(col("n_sample") * col("w"), 2).as("weighted_n"))
@@ -4971,6 +4971,110 @@ object SparkEntry {
           col("n_b"), round(col("mean_a"), 2).as("mean_a_cents"),
           round(col("mean_b"), 2).as("mean_b_cents"),
           round(col("mean_a") - col("mean_b"), 2).as("optimism_cents"))
+    }),
+
+    "q301_conformal" -> ((s, dir) => {
+      // Split-conformal prediction interval for order value: per-segment
+      // mean fitted on the calibration half (orderkey parity), the 90%
+      // residual quantile picked at the EXACT integer rank
+      // ceil(0.9*(n+1)) via the two-phase ranker, honest coverage
+      // measured on the other half. Residuals are doubles but derive
+      // from identical exact sums on both engines, so ranks and the
+      // coverage comparison agree bit-for-bit.
+      val seg = t(s, dir, "orders")
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment").as("sg"),
+          (col("o_orderkey") % 2 === 0).as("cal"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"))
+      val model = seg.filter(col("cal")).groupBy(col("sg"))
+        .agg((sum(col("cents")).cast("double") / count(lit(1))).as("m"))
+      val resid = seg.join(broadcast(model), Seq("sg"))
+        .select(col("o_orderkey"), col("cal"),
+          abs(col("cents") - col("m")).as("r"))
+      val calR = resid.filter(col("cal"))
+      val nc = calR.agg(count(lit(1)).as("n_cal"))
+      val qhat = PrefixSum.globalRank(calR,
+          Seq(col("r"), col("o_orderkey")), "rk")
+        .crossJoin(broadcast(nc))
+        .filter(col("rk") === expr("(9 * (n_cal + 1) + 9) div 10"))
+        .select(col("n_cal"), col("r").as("qhat"))
+      resid.filter(!col("cal")).crossJoin(broadcast(qhat))
+        .agg(first(col("n_cal")).as("n_cal"),
+          count(lit(1)).as("n_test"),
+          round(first(col("qhat")), 2).as("qhat_cents"),
+          round(avg(when(col("r") <= col("qhat"), 1.0).otherwise(0.0)), 4)
+            .as("coverage"))
+    }),
+
+    "q302_wasserstein" -> ((s, dir) => {
+      // Exact 1-D Wasserstein (earth-mover) distance between the ASIA
+      // and EUROPE acctbal distributions: integral |F_a - F_b| as
+      // Sum |CA*nb - CB*na| * (v_next - v) over the distinct-value
+      // table — EXACT integers until one final division by na*nb (the
+      // transport-cost companion to q293's energy distance). Value gaps
+      // come from a rank self-join (two-phase ranker), never a global
+      // lead window.
+      val geo = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name").isin("ASIA", "EUROPE"))
+        .select(expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+          .as("v"), (col("r_name") === "ASIA").as("is_a"))
+      val byVal = geo.groupBy(col("v"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+        .withColumn("__g", lit(1))
+      val cum = PrefixSum.groupedRunningSum(
+        PrefixSum.groupedRunningSum(byVal, "__g", "v", col("ca"), "cca"),
+        "__g", "v", col("cb"), "ccb")
+      val ranked = PrefixSum.globalRank(cum, Seq(col("v")), "rk")
+      val nxt = ranked.select((col("rk") - 1).as("rk"), col("v").as("vn"))
+      val tot = byVal.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      ranked.join(nxt, Seq("rk"))
+        .crossJoin(broadcast(tot))
+        .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
+          sum(abs(col("cca") * col("nb") - col("ccb") * col("na")) *
+            (col("vn") - col("v"))).as("num"))
+        .select(col("n_a"), col("n_b"),
+          round(col("num") / (col("n_a") * col("n_b")).cast("double") /
+            lit(100.0), 4).as("w1_dollars"))
+    }),
+
+    "q303_term_burstiness" -> ((s, dir) => {
+      // Church-Gale term burstiness: for the 10 highest-frequency terms,
+      // observed document frequency vs the Poisson prediction
+      // D*(1-exp(-cf/D)) — burstiness below 1 means occurrences CLUMP
+      // into few documents (adaptation), the corpus-linguistics signal
+      // behind df-based boilerplate filters. One token explode + one
+      // per-term aggregate; ranking by exact integer (cf, term).
+      val docs = t(s, dir, "documents")
+      val nD = docs.agg(count(lit(1)).as("d"))
+      val terms = docs
+        .select(col("doc_id"), explode(TF.normTokens(col("text")))
+          .as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("term"))
+        .agg(sum(col("c")).as("cf"), count(lit(1)).as("df"))
+      PrefixSum.globalRank(terms, Seq(col("cf").desc, col("term")), "rk")
+        .filter(col("rk") <= 10)
+        .crossJoin(broadcast(nD))
+        .select(col("rk").as("rank"), col("term"), col("cf"), col("df"),
+          round(col("cf").cast("double") / col("df"), 4)
+            .as("adaptation"),
+          round(col("d") * (lit(1.0) -
+            exp(-col("cf").cast("double") / col("d"))), 2).as("df_pred"),
+          round(col("d") * (lit(1.0) -
+            exp(-col("cf").cast("double") / col("d"))) / col("df"), 4)
+            .as("burstiness"))
+        .orderBy(col("rank"))
     }),
 
     "q262_hill_tail" -> ((s, dir) => {
@@ -10969,6 +11073,77 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS revenue_cents
         |FROM ranked CROSS JOIN tot CROSS JOIN months
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q301_conformal" ->
+      """WITH seg AS (SELECT o_orderkey, c_mktsegment AS sg,
+        |    o_orderkey % 2 = 0 AS cal,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |model AS (SELECT sg,
+        |    CAST(sum(cents) AS DOUBLE) / count(*) AS m
+        |  FROM seg WHERE cal GROUP BY 1),
+        |resid AS (SELECT o_orderkey, cal, abs(cents - m) AS r
+        |  FROM seg JOIN model USING (sg)),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM resid
+        |  WHERE cal),
+        |qhat AS (SELECT n_cal, r AS qhat FROM (
+        |    SELECT r, CAST(row_number() OVER (ORDER BY r, o_orderkey)
+        |      AS BIGINT) AS rk
+        |    FROM resid WHERE cal) CROSS JOIN nc
+        |  WHERE rk = (9 * (n_cal + 1) + 9) // 10)
+        |SELECT any_value(n_cal) AS n_cal,
+        |  CAST(count(*) AS BIGINT) AS n_test,
+        |  round(any_value(qhat), 2) AS qhat_cents,
+        |  round(avg(CASE WHEN r <= qhat THEN 1.0 ELSE 0.0 END), 4)
+        |    AS coverage
+        |FROM resid CROSS JOIN qhat WHERE NOT cal""".stripMargin,
+
+    "q302_wasserstein" ->
+      """WITH geo AS (SELECT
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v,
+        |    r_name = 'ASIA' AS is_a
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name IN ('ASIA', 'EUROPE')),
+        |byval AS (SELECT v,
+        |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM geo GROUP BY 1),
+        |cum AS (SELECT v,
+        |    CAST(sum(ca) OVER w AS BIGINT) AS cca,
+        |    CAST(sum(cb) OVER w AS BIGINT) AS ccb,
+        |    lead(v) OVER (ORDER BY v) AS vn
+        |  FROM byval WINDOW w AS (ORDER BY v)),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM byval)
+        |SELECT na AS n_a, nb AS n_b,
+        |  round(CAST(sum(abs(cca * nb - ccb * na) * (vn - v)) AS DOUBLE)
+        |    / (na * nb) / 100.0, 4) AS w1_dollars
+        |FROM cum CROSS JOIN tot WHERE vn IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q303_term_burstiness" ->
+      s"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS d
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest($ntoksSql) AS term
+        |  FROM documents),
+        |perdoc AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY 1, 2),
+        |terms AS (SELECT term, CAST(sum(c) AS BIGINT) AS cf,
+        |    CAST(count(*) AS BIGINT) AS df
+        |  FROM perdoc GROUP BY 1),
+        |ranked AS (SELECT *, CAST(row_number()
+        |      OVER (ORDER BY cf DESC, term) AS BIGINT) AS rank
+        |  FROM terms)
+        |SELECT rank, term, cf, df,
+        |  round(CAST(cf AS DOUBLE) / df, 4) AS adaptation,
+        |  round(d * (1.0 - exp(-(CAST(cf AS DOUBLE) / d))), 2)
+        |    AS df_pred,
+        |  round(d * (1.0 - exp(-(CAST(cf AS DOUBLE) / d))) / df, 4)
+        |    AS burstiness
+        |FROM ranked CROSS JOIN nd WHERE rank <= 10
+        |ORDER BY rank""".stripMargin,
 
     "q298_pca_2d" ->
       """WITH spend AS (SELECT o_custkey,
