@@ -5077,6 +5077,282 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q304_circular_stats" -> ((s, dir) => {
+      // Circular statistics of event time-of-day: mean direction and
+      // resultant length on the 24 h circle per event type, plus the
+      // Rayleigh uniformity test (z = nR^2, p ~ exp(-z)) — the correct
+      // way to average times that wrap at midnight (a 23:00/01:00 mix
+      // averages to 00:00, not 12:00). Angles from exact integer
+      // minute-of-day; one aggregate pass per type.
+      val ev = events(s, dir)
+        .select(col("event_type"),
+          (expr("(unix_micros(ts) div 60000000) % 1440"))
+            .as("m"))
+        .select(col("event_type"),
+          (lit(2 * math.Pi) * col("m") / lit(1440.0)).as("theta"))
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cos(col("theta"))).as("c"),
+          sum(sin(col("theta"))).as("ss"))
+        .select(col("event_type"), col("n"),
+          (sqrt(col("c") * col("c") + col("ss") * col("ss")) / col("n"))
+            .as("r"),
+          atan2(col("ss"), col("c")).as("ang"))
+        .select(col("event_type"), col("n"), round(col("r"), 6)
+            .as("resultant_r"),
+          round((when(col("ang") < 0, col("ang") + lit(2 * math.Pi))
+            .otherwise(col("ang")) * lit(24.0 / (2 * math.Pi))), 4)
+            .as("mean_hour"),
+          round(col("n") * col("r") * col("r"), 4).as("rayleigh_z"),
+          round(exp(-col("n") * col("r") * col("r")), 6).as("p_uniform"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q305_twfe" -> ((s, dir) => {
+      // Two-way fixed-effects (within) estimator on the brand x year
+      // revenue/quantity panel: double-demeaned ln-ln slope — the
+      // workhorse panel elasticity with brand and year effects swept
+      // out. The panel is bounded (|brands| x |years|), so the demeaning
+      // means are window sums over it (q288 pattern); the only
+      // data-sized pass is the panel rollup in exact integer cents.
+      val panel = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), year(col("l_shipdate")).as("yr"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS " +
+          "BIGINT)")).as("cents"),
+          sum(expr("CAST(floor(l_quantity + 0.5) AS BIGINT)")).as("qty"))
+        .select(col("p_brand"), col("yr"),
+          log(col("cents").cast("double")).as("y"),
+          log(col("qty").cast("double")).as("x"))
+      val wB = Window.partitionBy(col("p_brand"))
+      val wY = Window.partitionBy(col("yr"))
+      val g = panel.agg(avg(col("y")).as("gy"), avg(col("x")).as("gx"),
+        count(lit(1)).as("n_cells"))
+      val dm = panel
+        .withColumn("by_", avg(col("y")).over(wB))
+        .withColumn("bx", avg(col("x")).over(wB))
+        .withColumn("yy", avg(col("y")).over(wY))
+        .withColumn("yx", avg(col("x")).over(wY))
+        .crossJoin(broadcast(g))
+        .select(col("n_cells"),
+          (col("y") - col("by_") - col("yy") + col("gy")).as("yt"),
+          (col("x") - col("bx") - col("yx") + col("gx")).as("xt"))
+      dm.groupBy(col("n_cells"))
+        .agg(sum(col("xt") * col("yt")).as("sxy"),
+          sum(col("xt") * col("xt")).as("sxx"),
+          sum(col("yt") * col("yt")).as("syy"))
+        .select(col("n_cells"),
+          round(col("sxy") / col("sxx"), 6).as("twfe_slope"),
+          round(col("sxy") * col("sxy") / (col("sxx") * col("syy")), 6)
+            .as("within_r2"))
+    }),
+
+    "q306_root_cause" -> ((s, dir) => {
+      // Adtributor-style root-cause attribution for a month-over-month
+      // revenue move (1995-07 -> 1995-08): per dimension value
+      // (segment and region, stacked), explanatory power
+      // (a_i - f_i)/(A - F) and the pointwise Jensen-Shannon surprise
+      // between composition shares. Dimension tables are bounded; the
+      // data-sized passes are the two monthly rollups in exact cents.
+      val geo = t(s, dir, "orders")
+        .filter(expr("o_orderdate >= TIMESTAMP '1995-07-01 00:00:00' " +
+          "AND o_orderdate < TIMESTAMP '1995-09-01 00:00:00'"))
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_mktsegment").as("seg"), col("r_name").as("reg"),
+          (month(col("o_orderdate")) === 7).as("before"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"))
+      val stacked = geo
+        .select(lit("segment").as("dimension"), col("seg").as("value"),
+          col("before"), col("cents"))
+        .unionAll(geo.select(lit("region").as("dimension"),
+          col("reg").as("value"), col("before"), col("cents")))
+      val cells = stacked.groupBy(col("dimension"), col("value"))
+        .agg(sum(when(col("before"), col("cents")).otherwise(0L))
+            .as("f"),
+          sum(when(!col("before"), col("cents")).otherwise(0L)).as("a"))
+      val wD = Window.partitionBy(col("dimension"))
+      cells
+        .withColumn("tf", sum(col("f")).over(wD))
+        .withColumn("ta", sum(col("a")).over(wD))
+        .select(col("dimension"), col("value"), col("f").as("f_cents"),
+          col("a").as("a_cents"),
+          round((col("a") - col("f")).cast("double") /
+            (col("ta") - col("tf")), 4).as("explanatory_power"),
+          round(
+            (when(col("f") === 0, lit(0.0)).otherwise(
+              col("f").cast("double") / col("tf") *
+              log(lit(2.0) * (col("f").cast("double") / col("tf")) /
+                (col("f").cast("double") / col("tf") +
+                  col("a").cast("double") / col("ta")))) +
+             when(col("a") === 0, lit(0.0)).otherwise(
+              col("a").cast("double") / col("ta") *
+              log(lit(2.0) * (col("a").cast("double") / col("ta")) /
+                (col("f").cast("double") / col("tf") +
+                  col("a").cast("double") / col("ta"))))) * lit(0.5), 6)
+            .as("js_surprise"))
+        .orderBy(col("dimension"), col("value"))
+    }),
+
+    "q307_gravity_model" -> ((s, dir) => {
+      // Trade-gravity regression on the customer-nation x supplier-
+      // nation flow matrix: ln(flow) on (ln origin mass, ln destination
+      // mass) via the closed-form two-regressor OLS (q295 machinery).
+      // Masses are window sums over the bounded nation x nation cell
+      // table; the only data-sized pass is the flow rollup in exact
+      // cents. The textbook b1~b2~1 gravity shape is the check.
+      val flows = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey").as("cn")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey").as("sn"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("cn"), col("sn"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS " +
+          "BIGINT)")).as("cents"))
+      val wC = Window.partitionBy(col("cn"))
+      val wS = Window.partitionBy(col("sn"))
+      val cells = flows
+        .withColumn("mc", sum(col("cents")).over(wC))
+        .withColumn("ms", sum(col("cents")).over(wS))
+        .select(log(col("cents").cast("double")).as("y"),
+          log(col("mc").cast("double")).as("x1"),
+          log(col("ms").cast("double")).as("x2"))
+      val mom = cells.agg(count(lit(1)).as("n"),
+        avg(col("y")).as("my"), avg(col("x1")).as("m1"),
+        avg(col("x2")).as("m2"),
+        (sum(col("x1") * col("x1")) / count(lit(1))).as("e11"),
+        (sum(col("x2") * col("x2")) / count(lit(1))).as("e22"),
+        (sum(col("x1") * col("x2")) / count(lit(1))).as("e12"),
+        (sum(col("x1") * col("y")) / count(lit(1))).as("e1y"),
+        (sum(col("x2") * col("y")) / count(lit(1))).as("e2y"))
+      val c = mom.select(col("n"), col("my"), col("m1"), col("m2"),
+        (col("e11") - col("m1") * col("m1")).as("c11"),
+        (col("e22") - col("m2") * col("m2")).as("c22"),
+        (col("e12") - col("m1") * col("m2")).as("c12"),
+        (col("e1y") - col("m1") * col("my")).as("c1y"),
+        (col("e2y") - col("m2") * col("my")).as("c2y"))
+      c.select(col("n").as("n_cells"),
+          ((col("c22") * col("c1y") - col("c12") * col("c2y")) /
+            (col("c11") * col("c22") - col("c12") * col("c12")))
+            .as("b1"),
+          ((col("c11") * col("c2y") - col("c12") * col("c1y")) /
+            (col("c11") * col("c22") - col("c12") * col("c12")))
+            .as("b2"), col("my"), col("m1"), col("m2"))
+        .select(col("n_cells"), round(col("b1"), 6).as("beta_origin"),
+          round(col("b2"), 6).as("beta_dest"),
+          round(col("my") - col("b1") * col("m1") -
+            col("b2") * col("m2"), 4).as("intercept"))
+    }),
+
+    "q308_chain_ladder" -> ((s, dir) => {
+      // Actuarial chain-ladder on the order-cohort x ship-lag
+      // development triangle: cumulative cents C(cohort, dev) via a
+      // per-cohort window over the bounded dev axis, volume-weighted
+      // link factors f_j from every (j, j+1) pair both observable at
+      // the calendar edge, and the cumulative-to-ultimate product per
+      // dev. Exact integers until the factor divisions; the triangle
+      // itself is calendar-bounded.
+      val base = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("coh"),
+          (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) -
+            year(col("o_orderdate")) * 12 - month(col("o_orderdate")))
+            .cast("long").as("dev"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"))
+        // the synthetic ship dates carry outlier lags (incl. negative);
+        // a development triangle is defined on the 0..6-month window
+        .filter(col("dev") >= 0 && col("dev") <= 6)
+      val tri = base.groupBy(col("coh"), col("dev"))
+        .agg(sum(col("cents")).as("x"))
+      val mx = base.agg(max(col("coh") + col("dev")).as("mcal"))
+      // per-cohort dev axis is bounded (ship lag <= a few months)
+      val wCum = Window.partitionBy(col("coh")).orderBy(col("dev"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = tri.withColumn("c", sum(col("x")).over(wCum))
+      val nxt = cum.select(col("coh"), (col("dev") - 1).as("dev"),
+        col("c").as("c_next"))
+      val fac = cum.join(nxt, Seq("coh", "dev"))
+        .crossJoin(broadcast(mx))
+        .filter(col("coh") + col("dev") + 1 <= col("mcal"))
+        .groupBy(col("dev"))
+        .agg(count(lit(1)).as("n_cohorts"), sum(col("c")).as("sc"),
+          sum(col("c_next")).as("sn"))
+        .select(col("dev"), col("n_cohorts"),
+          (col("sn").cast("double") / col("sc")).as("f"))
+      // bounded dev rows: suffix product via ln-sum window
+      fac.withColumn("cum_to_ult",
+          exp(sum(log(col("f"))).over(
+            Window.orderBy(col("dev").desc)
+              .rowsBetween(Window.unboundedPreceding, 0))))
+        .select(col("dev").as("dev_month"), col("n_cohorts"),
+          round(col("f"), 6).as("link_factor"),
+          round(col("cum_to_ult"), 6).as("to_ultimate"))
+        .orderBy(col("dev_month"))
+    }),
+
+    "q309_rake_keywords" -> ((s, dir) => {
+      // RAKE keyword extraction: candidate phrases are maximal stopword-
+      // free token runs (gaps-and-islands via a running stopword count),
+      // word score = degree/frequency over phrase co-occurrence, phrase
+      // score = sum of member word scores; global top-10. Per-doc
+      // windows are document-bounded; word scores are exact-integer
+      // ratios; the final ranking orders by the ROUNDED score with
+      // string/id tie-breaks.
+      val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+        "is", "on", "for", "with", "as", "by", "at", "it", "this",
+        "that", "be", "are", "was", "from")
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TF.normTokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("is_stop", col("tok").isInCollection(stop))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val words = toks
+        .withColumn("run",
+          sum(when(col("is_stop"), 1L).otherwise(0L)).over(wDoc))
+        .filter(!col("is_stop"))
+      val wRun = Window.partitionBy(col("doc_id"), col("run"))
+      val withLen = words.withColumn("plen", count(lit(1)).over(wRun))
+      val wscore = withLen.groupBy(col("tok"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .select(col("tok"),
+          (col("deg").cast("double") / col("freq")).as("ws"))
+      val phrases = withLen.join(wscore, Seq("tok"))
+        .groupBy(col("doc_id"), col("run"))
+        .agg(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("phrase"),
+          count(lit(1)).as("n_words"), sum(col("ws")).as("score"))
+      PrefixSum.globalRank(
+          phrases.withColumn("score_r", round(col("score"), 4)),
+          Seq(col("score_r").desc, col("phrase"), col("doc_id"),
+            col("run")), "rk")
+        .filter(col("rk") <= 10)
+        .select(col("rk").as("rank"), col("phrase"), col("doc_id"),
+          col("n_words"), col("score_r").as("score"))
+        .orderBy(col("rank"))
+    }),
+
     "q262_hill_tail" -> ((s, dir) => {
       // heavy-tail diagnosis: the Hill estimator over the top 100 order
       // values — gamma = mean ln(x_i / x_ref) against the rank-101
@@ -11073,6 +11349,176 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS revenue_cents
         |FROM ranked CROSS JOIN tot CROSS JOIN months
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q307_gravity_model" ->
+      """WITH flows AS (SELECT c_nationkey AS cn, s_nationkey AS sn,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |cells AS (SELECT ln(CAST(cents AS DOUBLE)) AS y,
+        |    ln(CAST(sum(cents) OVER (PARTITION BY cn) AS DOUBLE)) AS x1,
+        |    ln(CAST(sum(cents) OVER (PARTITION BY sn) AS DOUBLE)) AS x2
+        |  FROM flows),
+        |mom AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(y) AS my,
+        |    avg(x1) AS m1, avg(x2) AS m2,
+        |    sum(x1 * x1) / count(*) AS e11,
+        |    sum(x2 * x2) / count(*) AS e22,
+        |    sum(x1 * x2) / count(*) AS e12,
+        |    sum(x1 * y) / count(*) AS e1y,
+        |    sum(x2 * y) / count(*) AS e2y
+        |  FROM cells),
+        |c AS (SELECT n, my, m1, m2, e11 - m1 * m1 AS c11,
+        |    e22 - m2 * m2 AS c22, e12 - m1 * m2 AS c12,
+        |    e1y - m1 * my AS c1y, e2y - m2 * my AS c2y
+        |  FROM mom),
+        |sol AS (SELECT n, my, m1, m2,
+        |    (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+        |    (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+        |  FROM c)
+        |SELECT n AS n_cells, round(b1, 6) AS beta_origin,
+        |  round(b2, 6) AS beta_dest,
+        |  round(my - b1 * m1 - b2 * m2, 4) AS intercept
+        |FROM sol""".stripMargin,
+
+    "q308_chain_ladder" ->
+      """WITH base AS (SELECT
+        |    year(o_orderdate) * 12 + month(o_orderdate) AS coh,
+        |    year(l_shipdate) * 12 + month(l_shipdate) -
+        |      year(o_orderdate) * 12 - month(o_orderdate) AS dev,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |clip AS (SELECT CAST(coh AS BIGINT) AS coh,
+        |    CAST(dev AS BIGINT) AS dev, cents FROM base
+        |  WHERE dev BETWEEN 0 AND 6),
+        |tri AS (SELECT coh, dev, CAST(sum(cents) AS BIGINT) AS x
+        |  FROM clip GROUP BY 1, 2),
+        |mx AS (SELECT CAST(max(coh + dev) AS BIGINT) AS mcal FROM clip),
+        |cum AS (SELECT coh, dev, CAST(sum(x) OVER (PARTITION BY coh
+        |      ORDER BY dev ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        |  FROM tri),
+        |fac AS (SELECT a.dev, CAST(count(*) AS BIGINT) AS n_cohorts,
+        |    CAST(sum(a.c) AS BIGINT) AS sc,
+        |    CAST(sum(b.c) AS BIGINT) AS sn
+        |  FROM cum a JOIN cum b ON a.coh = b.coh AND b.dev = a.dev + 1
+        |  CROSS JOIN mx WHERE a.coh + a.dev + 1 <= mcal
+        |  GROUP BY 1),
+        |ff AS (SELECT dev, n_cohorts,
+        |    CAST(sn AS DOUBLE) / sc AS f FROM fac)
+        |SELECT dev AS dev_month, n_cohorts, round(f, 6) AS link_factor,
+        |  round(exp(sum(ln(f)) OVER (ORDER BY dev DESC
+        |    ROWS UNBOUNDED PRECEDING)), 6) AS to_ultimate
+        |FROM ff ORDER BY 1""".stripMargin,
+
+    "q309_rake_keywords" ->
+      s"""WITH norm AS (SELECT doc_id, $ntoksSql AS ntoks
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(ntoks) AS tok,
+        |    CAST(generate_subscripts(ntoks, 1) AS BIGINT) AS pos
+        |  FROM norm),
+        |marked AS (SELECT *, tok IN ('the', 'a', 'an', 'and', 'or',
+        |    'of', 'to', 'in', 'is', 'on', 'for', 'with', 'as', 'by',
+        |    'at', 'it', 'this', 'that', 'be', 'are', 'was', 'from')
+        |    AS is_stop
+        |  FROM toks),
+        |runs AS (SELECT *, CAST(sum(CASE WHEN is_stop THEN 1 ELSE 0
+        |      END) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |  FROM marked),
+        |words AS (SELECT doc_id, pos, tok, run FROM runs
+        |  WHERE NOT is_stop),
+        |wl AS (SELECT *, CAST(count(*) OVER (PARTITION BY doc_id, run)
+        |      AS BIGINT) AS plen
+        |  FROM words),
+        |ws AS (SELECT tok, CAST(sum(plen) AS DOUBLE) / count(*) AS ws
+        |  FROM wl GROUP BY 1),
+        |ph AS (SELECT doc_id, run,
+        |    string_agg(tok, ' ' ORDER BY pos) AS phrase,
+        |    CAST(count(*) AS BIGINT) AS n_words,
+        |    round(sum(ws), 4) AS score_r
+        |  FROM wl JOIN ws USING (tok) GROUP BY 1, 2)
+        |SELECT rank, phrase, doc_id, n_words, score_r AS score
+        |FROM (SELECT *, CAST(row_number() OVER (ORDER BY score_r DESC,
+        |    phrase, doc_id, run) AS BIGINT) AS rank FROM ph)
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "q304_circular_stats" ->
+      """WITH ev AS (SELECT event_type,
+        |    2 * pi() * ((epoch_us(ts) // 60000000) % 1440) / 1440.0
+        |      AS theta
+        |  FROM events),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(cos(theta)) AS c, sum(sin(theta)) AS ss
+        |  FROM ev GROUP BY 1),
+        |rr AS (SELECT event_type, n,
+        |    sqrt(c * c + ss * ss) / n AS r, atan2(ss, c) AS ang
+        |  FROM g)
+        |SELECT event_type, n, round(r, 6) AS resultant_r,
+        |  round((CASE WHEN ang < 0 THEN ang + 2 * pi() ELSE ang END) *
+        |    (24.0 / (2 * pi())), 4) AS mean_hour,
+        |  round(n * r * r, 4) AS rayleigh_z,
+        |  round(exp(-(n * r * r)), 6) AS p_uniform
+        |FROM rr ORDER BY 1""".stripMargin,
+
+    "q305_twfe" ->
+      """WITH panel AS (SELECT p_brand, year(l_shipdate) AS yr,
+        |    ln(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+        |      AS BIGINT)) AS DOUBLE)) AS y,
+        |    ln(CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+        |      AS DOUBLE)) AS x
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |g AS (SELECT avg(y) AS gy, avg(x) AS gx,
+        |    CAST(count(*) AS BIGINT) AS n_cells FROM panel),
+        |dm AS (SELECT n_cells,
+        |    y - avg(y) OVER (PARTITION BY p_brand) -
+        |      avg(y) OVER (PARTITION BY yr) + gy AS yt,
+        |    x - avg(x) OVER (PARTITION BY p_brand) -
+        |      avg(x) OVER (PARTITION BY yr) + gx AS xt
+        |  FROM panel CROSS JOIN g)
+        |SELECT n_cells, round(sum(xt * yt) / sum(xt * xt), 6)
+        |    AS twfe_slope,
+        |  round(sum(xt * yt) * sum(xt * yt) /
+        |    (sum(xt * xt) * sum(yt * yt)), 6) AS within_r2
+        |FROM dm GROUP BY 1""".stripMargin,
+
+    "q306_root_cause" ->
+      """WITH geo AS (SELECT c_mktsegment AS seg, r_name AS reg,
+        |    month(o_orderdate) = 7 AS before,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1995-09-01 00:00:00'),
+        |stacked AS (SELECT 'segment' AS dimension, seg AS value,
+        |    before, cents FROM geo
+        |  UNION ALL SELECT 'region', reg, before, cents FROM geo),
+        |cells AS (SELECT dimension, value,
+        |    CAST(sum(CASE WHEN before THEN cents ELSE 0 END) AS BIGINT)
+        |      AS f,
+        |    CAST(sum(CASE WHEN NOT before THEN cents ELSE 0 END)
+        |      AS BIGINT) AS a
+        |  FROM stacked GROUP BY 1, 2),
+        |tt AS (SELECT *, CAST(sum(f) OVER (PARTITION BY dimension)
+        |      AS BIGINT) AS tf,
+        |    CAST(sum(a) OVER (PARTITION BY dimension) AS BIGINT) AS ta
+        |  FROM cells)
+        |SELECT dimension, value, f AS f_cents, a AS a_cents,
+        |  round(CAST(a - f AS DOUBLE) / (ta - tf), 4)
+        |    AS explanatory_power,
+        |  round((CASE WHEN f = 0 THEN 0.0 ELSE
+        |      CAST(f AS DOUBLE) / tf *
+        |      ln(2.0 * (CAST(f AS DOUBLE) / tf) /
+        |        (CAST(f AS DOUBLE) / tf + CAST(a AS DOUBLE) / ta)) END +
+        |    CASE WHEN a = 0 THEN 0.0 ELSE
+        |      CAST(a AS DOUBLE) / ta *
+        |      ln(2.0 * (CAST(a AS DOUBLE) / ta) /
+        |        (CAST(f AS DOUBLE) / tf + CAST(a AS DOUBLE) / ta)) END) *
+        |    0.5, 6) AS js_surprise
+        |FROM tt ORDER BY 1, 2""".stripMargin,
 
     "q301_conformal" ->
       """WITH seg AS (SELECT o_orderkey, c_mktsegment AS sg,
