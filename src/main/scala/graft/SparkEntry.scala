@@ -5353,6 +5353,136 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q310_control_chart" -> ((s, dir) => {
+      // Shewhart X-bar/R control chart over weekly subgroups (n=7) of
+      // daily revenue: centerline and A2/D4 limits from the published
+      // n=7 constants, out-of-control and range-violation counts.
+      // Subgroup stats stay exact integers (weekly totals, integer
+      // ranges); the limits are fixed-order doubles, so the violation
+      // comparisons agree across engines. Calendar-bounded week table.
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(expr("CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS " +
+          "BIGINT)) AS BIGINT)").as("cents"))
+      val d0 = daily.agg(min(col("day")).as("dmin"))
+      val weeks = daily.crossJoin(broadcast(d0))
+        .select(expr("datediff(day, dmin) div 7").as("wk"), col("cents"))
+        .groupBy(col("wk"))
+        .agg(count(lit(1)).as("nd"), sum(col("cents")).as("tot"),
+          (max(col("cents")) - min(col("cents"))).as("r"))
+        .filter(col("nd") === 7)
+      val lims = weeks.agg(count(lit(1)).as("n_weeks"),
+          (sum(col("tot")).cast("double") /
+            (count(lit(1)) * 7)).as("xbb"),
+          (sum(col("r")).cast("double") / count(lit(1))).as("rbar"))
+        .select(col("n_weeks"), col("xbb"), col("rbar"),
+          (col("xbb") + lit(0.419) * col("rbar")).as("ucl"),
+          (col("xbb") - lit(0.419) * col("rbar")).as("lcl"),
+          (lit(1.924) * col("rbar")).as("ucl_r"))
+      weeks.crossJoin(broadcast(lims))
+        .agg(first(col("n_weeks")).as("n_weeks"),
+          round(first(col("xbb")) / 100, 2).as("center_daily"),
+          round(first(col("ucl")) / 100, 2).as("ucl_daily"),
+          round(first(col("lcl")) / 100, 2).as("lcl_daily"),
+          sum(when(col("tot").cast("double") > lit(7.0) * col("ucl"),
+            1L).otherwise(0L)).as("n_above"),
+          sum(when(col("tot").cast("double") < lit(7.0) * col("lcl"),
+            1L).otherwise(0L)).as("n_below"),
+          sum(when(col("r").cast("double") > col("ucl_r"), 1L)
+            .otherwise(0L)).as("n_range_viol"))
+    }),
+
+    "q311_fairness_audit" -> ((s, dir) => {
+      // Group-fairness audit of the "balance above median" heavy-buyer
+      // screen across regions: per-region selection rate (demographic
+      // parity), TPR and FPR (equalized odds), with the corpus-wide
+      // max-min parity gap as a constant column via a window over the
+      // bounded region rows. Median threshold from the exact integer
+      // rank n div 2; every rate is an exact-count ratio.
+      val y = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_ord"))
+      val geo = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("r_name"),
+          expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("x"))
+      val nTot = geo.agg(count(lit(1)).as("n"))
+      val med = PrefixSum.globalRank(geo,
+          Seq(col("x"), col("c_custkey")), "rk")
+        .crossJoin(broadcast(nTot))
+        .filter(col("rk") === expr("n div 2"))
+        .select(col("x").as("thr"))
+      val base = geo.crossJoin(broadcast(med))
+        .join(y, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("r_name"), (col("x") > col("thr")).as("pred"),
+          (coalesce(col("n_ord"), lit(0L)) > 5).as("pos"))
+      val byG = base.groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred"), 1L).otherwise(0L)).as("sel"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+          sum(when(col("pred") && col("pos"), 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("pred") && !col("pos"), 1L).otherwise(0L))
+            .as("fp"))
+        .select(col("r_name"), col("n"),
+          (col("sel").cast("double") / col("n")).as("sr"),
+          when(col("np") === 0, lit(null))
+            .otherwise(col("tp").cast("double") / col("np")).as("tpr"),
+          when(col("n") === col("np"), lit(null))
+            .otherwise(col("fp").cast("double") /
+              (col("n") - col("np"))).as("fpr"))
+      // bounded region rows: whole-set window for the corpus gap
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      byG.select(col("r_name"), col("n"), round(col("sr"), 6)
+            .as("selection_rate"),
+          round(col("tpr"), 6).as("tpr"), round(col("fpr"), 6).as("fpr"),
+          round(max(col("sr")).over(wAll) - min(col("sr")).over(wAll), 6)
+            .as("parity_gap"))
+        .orderBy(col("r_name"))
+    }),
+
+    "q312_mobility_matrix" -> ((s, dir) => {
+      // Customer spend-quintile transition matrix 1995 -> 1996 with the
+      // Shorrocks mobility index (k - trace)/(k-1): quintiles per year
+      // from exact global ranks (q178 arithmetic: 1 + (rank-1)*5 div n),
+      // transitions over customers active both years, row shares and
+      // the trace via windows over the bounded 5x5 matrix.
+      val yearly = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")).isin(1995, 1996))
+        .groupBy(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .as("cents"))
+      def quintiles(yr: Int): DataFrame = {
+        val sub = yearly.filter(col("yr") === yr)
+        val n = sub.agg(count(lit(1)).as("n"))
+        PrefixSum.globalRank(sub,
+            Seq(col("cents").desc, col("o_custkey")), "rk")
+          .crossJoin(broadcast(n))
+          .select(col("o_custkey"),
+            expr("1 + ((rk - 1) * 5) div n").as(s"q$yr"))
+      }
+      val both = quintiles(1995).join(quintiles(1996), "o_custkey")
+      val cells = both.groupBy(col("q1995"), col("q1996"))
+        .agg(count(lit(1)).as("n"))
+      val wRow = Window.partitionBy(col("q1995"))
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      cells
+        .withColumn("share",
+          col("n").cast("double") / sum(col("n")).over(wRow))
+        .withColumn("mobility", round((lit(5.0) -
+          sum(when(col("q1995") === col("q1996"), col("share"))
+            .otherwise(0.0)).over(wAll)) / 4, 6))
+        .select(col("q1995"), col("q1996"), col("n"),
+          round(col("share"), 4).as("share"), col("mobility"))
+        .orderBy(col("q1995"), col("q1996"))
+    }),
+
     "q262_hill_tail" -> ((s, dir) => {
       // heavy-tail diagnosis: the Hill estimator over the top 100 order
       // values — gamma = mean ln(x_i / x_ref) against the rank-101
@@ -11349,6 +11479,99 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS revenue_cents
         |FROM ranked CROSS JOIN tot CROSS JOIN months
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q310_control_chart" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |d0 AS (SELECT min(day) AS dmin FROM daily),
+        |weeks AS (SELECT datediff('day', dmin, day) // 7 AS wk,
+        |    CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(cents) AS BIGINT) AS tot,
+        |    CAST(max(cents) - min(cents) AS BIGINT) AS r
+        |  FROM daily CROSS JOIN d0 GROUP BY 1 HAVING count(*) = 7),
+        |lims AS (SELECT CAST(count(*) AS BIGINT) AS n_weeks,
+        |    CAST(sum(tot) AS DOUBLE) / (count(*) * 7) AS xbb,
+        |    CAST(sum(r) AS DOUBLE) / count(*) AS rbar
+        |  FROM weeks),
+        |l2 AS (SELECT n_weeks, xbb, rbar, xbb + 0.419 * rbar AS ucl,
+        |    xbb - 0.419 * rbar AS lcl, 1.924 * rbar AS ucl_r FROM lims)
+        |SELECT any_value(n_weeks) AS n_weeks,
+        |  round(any_value(xbb) / 100, 2) AS center_daily,
+        |  round(any_value(ucl) / 100, 2) AS ucl_daily,
+        |  round(any_value(lcl) / 100, 2) AS lcl_daily,
+        |  CAST(sum(CASE WHEN CAST(tot AS DOUBLE) > 7.0 * ucl THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_above,
+        |  CAST(sum(CASE WHEN CAST(tot AS DOUBLE) < 7.0 * lcl THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_below,
+        |  CAST(sum(CASE WHEN CAST(r AS DOUBLE) > ucl_r THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_range_viol
+        |FROM weeks CROSS JOIN l2""".stripMargin,
+
+    "q311_fairness_audit" ->
+      """WITH y AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
+        |  FROM orders GROUP BY 1),
+        |geo AS (SELECT c_custkey, r_name,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS x
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM geo),
+        |med AS (SELECT x AS thr FROM (
+        |    SELECT x, CAST(row_number() OVER (ORDER BY x, c_custkey)
+        |      AS BIGINT) AS rk FROM geo) CROSS JOIN nt
+        |  WHERE rk = n // 2),
+        |base AS (SELECT r_name, x > thr AS pred,
+        |    coalesce(n_ord, 0) > 5 AS pos
+        |  FROM geo CROSS JOIN med
+        |  LEFT JOIN y ON c_custkey = o_custkey),
+        |byg AS (SELECT r_name, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN pred THEN 1 ELSE 0 END) AS DOUBLE) /
+        |      count(*) AS sr,
+        |    CASE WHEN sum(CASE WHEN pos THEN 1 ELSE 0 END) = 0
+        |      THEN NULL ELSE
+        |      CAST(sum(CASE WHEN pred AND pos THEN 1 ELSE 0 END)
+        |        AS DOUBLE) /
+        |      sum(CASE WHEN pos THEN 1 ELSE 0 END) END AS tpr,
+        |    CASE WHEN count(*) = sum(CASE WHEN pos THEN 1 ELSE 0 END)
+        |      THEN NULL ELSE
+        |      CAST(sum(CASE WHEN pred AND NOT pos THEN 1 ELSE 0 END)
+        |        AS DOUBLE) /
+        |      (count(*) - sum(CASE WHEN pos THEN 1 ELSE 0 END)) END
+        |      AS fpr
+        |  FROM base GROUP BY 1)
+        |SELECT r_name, n, round(sr, 6) AS selection_rate,
+        |  round(tpr, 6) AS tpr, round(fpr, 6) AS fpr,
+        |  round(max(sr) OVER () - min(sr) OVER (), 6) AS parity_gap
+        |FROM byg ORDER BY 1""".stripMargin,
+
+    "q312_mobility_matrix" ->
+      """WITH yearly AS (SELECT o_custkey, year(o_orderdate) AS yr,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+        |  GROUP BY 1, 2),
+        |q95 AS (SELECT o_custkey, 1 + ((rk - 1) * 5) // n AS q1995
+        |  FROM (SELECT o_custkey, CAST(row_number() OVER (ORDER BY
+        |      cents DESC, o_custkey) AS BIGINT) AS rk
+        |    FROM yearly WHERE yr = 1995)
+        |  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM yearly
+        |    WHERE yr = 1995)),
+        |q96 AS (SELECT o_custkey, 1 + ((rk - 1) * 5) // n AS q1996
+        |  FROM (SELECT o_custkey, CAST(row_number() OVER (ORDER BY
+        |      cents DESC, o_custkey) AS BIGINT) AS rk
+        |    FROM yearly WHERE yr = 1996)
+        |  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM yearly
+        |    WHERE yr = 1996)),
+        |cells AS (SELECT q1995, q1996, CAST(count(*) AS BIGINT) AS n
+        |  FROM q95 JOIN q96 USING (o_custkey) GROUP BY 1, 2),
+        |sh AS (SELECT *, CAST(n AS DOUBLE) /
+        |      sum(n) OVER (PARTITION BY q1995) AS share
+        |  FROM cells)
+        |SELECT q1995, q1996, n, round(share, 4) AS share,
+        |  round((5.0 - sum(CASE WHEN q1995 = q1996 THEN share ELSE 0.0
+        |    END) OVER ()) / 4, 6) AS mobility
+        |FROM sh ORDER BY 1, 2""".stripMargin,
 
     "q307_gravity_model" ->
       """WITH flows AS (SELECT c_nationkey AS cn, s_nationkey AS sn,
