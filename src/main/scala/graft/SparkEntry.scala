@@ -5483,6 +5483,123 @@ object SparkEntry {
         .orderBy(col("q1995"), col("q1996"))
     }),
 
+    "q313_threshold_opt" -> ((s, dir) => {
+      // Decision-threshold optimization for the balance -> heavy-buyer
+      // screen: sweep EVERY distinct score as a cut via prefix sums
+      // over the value-grouped table (no per-threshold rescan), pick
+      // the F1-optimal and Youden-J-optimal operating points. Counts
+      // are exact; objectives are rounded before the argmax ranking so
+      // float division can't flip the winner across engines.
+      val y = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_ord"))
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"),
+          expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("x"))
+        .join(y, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("x"),
+          when(coalesce(col("n_ord"), lit(0L)) > 5, 1L).otherwise(0L)
+            .as("pos"))
+      val byVal = base.groupBy(col("x"))
+        .agg(count(lit(1)).as("nv"), sum(col("pos")).as("pv"))
+        .withColumn("__g", lit(1))
+      val cum = PrefixSum.groupedRunningSum(
+        PrefixSum.groupedRunningSum(byVal, "__g", "x", col("nv"), "cn"),
+        "__g", "x", col("pv"), "cp")
+      val tot = byVal.agg(sum(col("nv")).as("n"), sum(col("pv")).as("p"))
+      val pts = cum.crossJoin(broadcast(tot))
+        .select(col("x").as("thr"),
+          (col("p") - col("cp")).as("tp"),
+          ((col("n") - col("cn")) - (col("p") - col("cp"))).as("fp"),
+          col("cp").as("fn"), col("n"), col("p"))
+        .select(col("thr"), col("tp"), col("fp"), col("fn"),
+          round(lit(2.0) * col("tp") /
+            (lit(2.0) * col("tp") + col("fp") + col("fn")), 6).as("f1"),
+          round(col("tp").cast("double") / col("p") -
+            col("fp").cast("double") / (col("n") - col("p")), 6).as("j"))
+      val bestF1 = PrefixSum.globalRank(pts,
+          Seq(col("f1").desc, col("thr")), "rk")
+        .filter(col("rk") === 1)
+        .select(col("thr").as("f1_threshold_cents"), col("f1"),
+          col("tp"), col("fp"), col("fn"))
+      val bestJ = PrefixSum.globalRank(pts,
+          Seq(col("j").desc, col("thr")), "rk")
+        .filter(col("rk") === 1)
+        .select(col("thr").as("youden_threshold_cents"),
+          col("j").as("youden_j"))
+      bestF1.crossJoin(bestJ)
+    }),
+
+    "q314_records_test" -> ((s, dir) => {
+      // Records test for i.i.d.-ness of daily revenue: the number of
+      // running-maximum record days vs the H_n = sum 1/k expectation
+      // (variance sum 1/k - 1/k^2) — record-value theory says trends
+      // inflate the count. Running max over the calendar-bounded day
+      // series; harmonic sums from the exact day index, one pass.
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(expr("CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS " +
+          "BIGINT)) AS BIGINT)").as("cents"))
+      // calendar-bounded series: a global ordered window is safe here
+      val wPrev = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val idx = PrefixSum.globalRank(daily, Seq(col("day")), "k")
+        .withColumn("isrec",
+          when(col("cents") > coalesce(max(col("cents")).over(wPrev),
+            lit(Long.MinValue)), 1L).otherwise(0L))
+      idx.agg(count(lit(1)).as("n_days"),
+          sum(col("isrec")).as("n_records"),
+          sum(lit(1.0) / col("k")).as("h"),
+          sum(lit(1.0) / col("k") -
+            lit(1.0) / (col("k") * col("k"))).as("v"),
+          max(when(col("isrec") === 1, col("day"))).as("last_record_day"))
+        .select(col("n_days"), col("n_records"),
+          round(col("h"), 4).as("expected_records"),
+          round((col("n_records") - col("h")) / sqrt(col("v")), 4)
+            .as("z"),
+          date_format(col("last_record_day"), "yyyy-MM-dd")
+            .as("last_record_day"))
+    }),
+
+    "q315_erlang_c" -> ((s, dir) => {
+      // Erlang-C staffing table from the event arrival stream: offered
+      // load A = lambda * 3-minute mean handle time, wait probability
+      // and average speed of answer for 1..10 agents — the queueing-
+      // theory capacity planner. The only data-sized pass is the
+      // arrival-count aggregate; the c x k factorial expansion is a
+      // bounded 55-row grid (Spark/DuckDB share exact factorial and
+      // pow semantics at these magnitudes).
+      val span = events(s, dir)
+        .agg(count(lit(1)).as("ne"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            .as("span_us"))
+        .select((col("ne") * lit(3.6e9) / col("span_us"))
+          .as("lam_hr"))
+        .select(col("lam_hr"), (col("lam_hr") * lit(0.05)).as("a"))
+      val cs = s.range(1, 11).select(col("id").as("c"))
+      val ks = s.range(0, 10).select(col("id").as("k"))
+      val sums = cs.join(ks, col("k") < col("c"))
+        .crossJoin(broadcast(span))
+        .select(col("c"), col("a"),
+          (pow(col("a"), col("k").cast("double")) /
+            factorial(col("k").cast("int")).cast("double")).as("term"))
+        .groupBy(col("c"), col("a"))
+        .agg(sum(col("term")).as("s0"))
+      sums
+        .select(col("c"), col("a"), col("s0"),
+          (pow(col("a"), col("c").cast("double")) /
+            factorial(col("c").cast("int")).cast("double")).as("tc"),
+          (col("a") / col("c").cast("double")).as("rho"))
+        .filter(col("rho") < 1)
+        .select(col("c"), round(col("a"), 4).as("offered_erlangs"),
+          round(col("rho"), 4).as("rho"),
+          round(col("tc") / ((lit(1.0) - col("rho")) * col("s0") +
+            col("tc")), 6).as("p_wait"),
+          round(col("tc") / ((lit(1.0) - col("rho")) * col("s0") +
+            col("tc")) * lit(3.0) /
+            (col("c").cast("double") - col("a")), 6).as("asa_minutes"))
+        .orderBy(col("c"))
+    }),
+
     "q262_hill_tail" -> ((s, dir) => {
       // heavy-tail diagnosis: the Hill estimator over the top 100 order
       // values — gamma = mean ln(x_i / x_ref) against the rank-101
@@ -11479,6 +11596,78 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS revenue_cents
         |FROM ranked CROSS JOIN tot CROSS JOIN months
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q313_threshold_opt" ->
+      """WITH y AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
+        |  FROM orders GROUP BY 1),
+        |base AS (SELECT
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS x,
+        |    CASE WHEN coalesce(n_ord, 0) > 5 THEN 1 ELSE 0 END AS pos
+        |  FROM customer LEFT JOIN y ON c_custkey = o_custkey),
+        |byval AS (SELECT x, CAST(count(*) AS BIGINT) AS nv,
+        |    CAST(sum(pos) AS BIGINT) AS pv
+        |  FROM base GROUP BY 1),
+        |cum AS (SELECT x, CAST(sum(nv) OVER w AS BIGINT) AS cn,
+        |    CAST(sum(pv) OVER w AS BIGINT) AS cp
+        |  FROM byval WINDOW w AS (ORDER BY x)),
+        |tot AS (SELECT CAST(sum(nv) AS BIGINT) AS n,
+        |    CAST(sum(pv) AS BIGINT) AS p FROM byval),
+        |pts AS (SELECT x AS thr, p - cp AS tp,
+        |    (n - cn) - (p - cp) AS fp, cp AS fn,
+        |    round(2.0 * (p - cp) /
+        |      (2.0 * (p - cp) + ((n - cn) - (p - cp)) + cp), 6) AS f1,
+        |    round(CAST(p - cp AS DOUBLE) / p -
+        |      CAST((n - cn) - (p - cp) AS DOUBLE) / (n - p), 6) AS j
+        |  FROM cum CROSS JOIN tot),
+        |bf AS (SELECT thr AS f1_threshold_cents, f1, tp, fp, fn
+        |  FROM (SELECT *, row_number() OVER (ORDER BY f1 DESC, thr)
+        |      AS rk FROM pts) WHERE rk = 1),
+        |bj AS (SELECT thr AS youden_threshold_cents, j AS youden_j
+        |  FROM (SELECT *, row_number() OVER (ORDER BY j DESC, thr)
+        |      AS rk FROM pts) WHERE rk = 1)
+        |SELECT * FROM bf CROSS JOIN bj""".stripMargin,
+
+    "q314_records_test" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT day, cents,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+        |    CASE WHEN cents > coalesce(max(cents) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -9223372036854775808) THEN 1 ELSE 0 END AS isrec
+        |  FROM daily)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(isrec) AS BIGINT) AS n_records,
+        |  round(sum(1.0 / k), 4) AS expected_records,
+        |  round((sum(isrec) - sum(1.0 / k)) /
+        |    sqrt(sum(1.0 / k - 1.0 / (k * k))), 4) AS z,
+        |  strftime(max(CASE WHEN isrec = 1 THEN day END), '%Y-%m-%d')
+        |    AS last_record_day
+        |FROM idx""".stripMargin,
+
+    "q315_erlang_c" ->
+      """WITH span AS (SELECT CAST(count(*) AS BIGINT) * 3.6e9 /
+        |      (max(epoch_us(ts)) - min(epoch_us(ts))) AS lam_hr
+        |  FROM events),
+        |ld AS (SELECT lam_hr, lam_hr * 0.05 AS a FROM span),
+        |cs AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS c),
+        |ks AS (SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS k),
+        |sums AS (SELECT c, a, sum(pow(a, CAST(k AS DOUBLE)) /
+        |      CAST(factorial(CAST(k AS INTEGER)) AS DOUBLE)) AS s0
+        |  FROM cs JOIN ks ON k < c CROSS JOIN ld
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT c, a, s0,
+        |    pow(a, CAST(c AS DOUBLE)) /
+        |      CAST(factorial(CAST(c AS INTEGER)) AS DOUBLE) AS tc,
+        |    a / CAST(c AS DOUBLE) AS rho
+        |  FROM sums)
+        |SELECT c, round(a, 4) AS offered_erlangs, round(rho, 4) AS rho,
+        |  round(tc / ((1.0 - rho) * s0 + tc), 6) AS p_wait,
+        |  round(tc / ((1.0 - rho) * s0 + tc) * 3.0 /
+        |    (CAST(c AS DOUBLE) - a), 6) AS asa_minutes
+        |FROM pt WHERE rho < 1 ORDER BY c""".stripMargin,
 
     "q310_control_chart" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
