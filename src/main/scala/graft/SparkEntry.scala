@@ -5600,6 +5600,113 @@ object SparkEntry {
         .orderBy(col("c"))
     }),
 
+    "q316_esd_outliers" -> ((s, dir) => {
+      // Generalized-ESD (Grubbs-iterated) outlier hunt on monthly
+      // revenue: three unrolled rounds, each recomputing mean/sd from
+      // exact integer-dollar moments, scoring R = max|v-mean|/sd and
+      // removing the winner (values in exact integer kilodollars so
+      // squares stay in long range at any SF). The month table is
+      // calendar-bounded, so
+      // every round is broadcast arithmetic; deviations are identical
+      // float expressions on both engines, rounded before the argmax.
+      val monthly = t(s, dir, "orders")
+        .groupBy((year(col("o_orderdate")) * 100 +
+          month(col("o_orderdate"))).cast("long").as("mid"))
+        .agg(expr("CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS " +
+          "BIGINT)) div 100000 AS BIGINT)").as("v"))
+      def esdRound(df: DataFrame, i: Int): (DataFrame, DataFrame) = {
+        val st = df.agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+          sum(col("v") * col("v")).as("ss"))
+        val scored = df.crossJoin(broadcast(st))
+          .select(col("mid"), col("v"),
+            round(abs(col("v") - col("s").cast("double") / col("n")) /
+              sqrt((col("n") * col("ss") - col("s") * col("s"))
+                .cast("double") /
+                (col("n").cast("double") * (col("n") - 1))), 6)
+              .as("r_stat"))
+        val ranked = PrefixSum.globalRank(scored,
+          Seq(col("r_stat").desc, col("mid")), "rk")
+        (ranked.filter(col("rk") === 1)
+          .select(lit(i.toLong).as("round"), col("mid").as("month_id"),
+            col("v").as("value_kusd"), col("r_stat")),
+          ranked.filter(col("rk") =!= 1).select(col("mid"), col("v")))
+      }
+      val (o1, r1) = esdRound(monthly, 1)
+      val (o2, r2) = esdRound(r1, 2)
+      val (o3, _) = esdRound(r2, 3)
+      o1.unionAll(o2).unionAll(o3).orderBy(col("round"))
+    }),
+
+    "q317_quantile_norm" -> ((s, dir) => {
+      // Quantile normalization (the batch-effect corrector): each
+      // region's acctbal deciles are mapped onto the cross-region mean
+      // decile curve; the report is the per-(region, decile) shift.
+      // Per-region ranks come from the grouped two-phase prefix sum
+      // over a synthesized unique order key (no region-sized window
+      // task); decile picks are exact integer ranks.
+      val geo = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"),
+          expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("x"),
+          col("c_custkey"))
+        // unique in-group order key; custkey < 2^24 at these SFs
+        .select(col("r_name"), col("x"),
+          (col("x") * lit(16777216L) + col("c_custkey")).as("ok"))
+      val ranked = PrefixSum.groupedRunningSum(
+        geo.withColumn("one", lit(1L)), "r_name", "ok", col("one"), "rk")
+      val nR = geo.groupBy(col("r_name")).agg(count(lit(1)).as("nr"))
+      val cuts = ranked.join(broadcast(nR), Seq("r_name"))
+        .join(broadcast(s.range(1, 10).select(col("id").as("d"))),
+          col("rk") === expr("(d * nr) div 10"))
+        .select(col("r_name"), col("d"), col("x"))
+      val target = cuts.groupBy(col("d"))
+        .agg((sum(col("x")).cast("double") / count(lit(1))).as("tgt"))
+      cuts.join(broadcast(target), Seq("d"))
+        .select(col("r_name"), col("d").as("decile"),
+          round(col("x") / lit(100.0), 2).as("value_dollars"),
+          round(col("tgt") / 100, 2).as("target_dollars"),
+          round((col("x") - col("tgt")) / 100, 2).as("shift_dollars"))
+        .orderBy(col("r_name"), col("decile"))
+    }),
+
+    "q318_order_reconciliation" -> ((s, dir) => {
+      // Finance reconciliation audit: recompute each order's total from
+      // its lines (extprice * (1-disc) * (1+tax), rounded to cents per
+      // line) and diff against o_totalprice. One grouped pass; the
+      // worst offender is picked by rounded relative gap with an
+      // integer tie-break. The header-vs-detail mismatch census every
+      // billing pipeline needs.
+      val lines = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * (1 - l_discount) * " +
+          "(1 + l_tax) * 100 + 0.5) AS BIGINT)")).as("calc"))
+      val recon = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("stated"))
+        .join(lines, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("stated"),
+          (col("calc") - col("stated")).as("gap"),
+          round(abs(col("calc") - col("stated")).cast("double") /
+            col("stated"), 6).as("rel_gap"))
+      val summary = recon.agg(count(lit(1)).as("n_orders"),
+        sum(when(col("gap") === 0, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("rel_gap") > 0.01, 1L).otherwise(0L))
+          .as("n_flagged"),
+        sum(abs(col("gap"))).as("total_abs_gap_cents"))
+      val worst = PrefixSum.globalRank(recon,
+          Seq(col("rel_gap").desc, col("o_orderkey")), "rk")
+        .filter(col("rk") === 1)
+        .select(col("o_orderkey").as("worst_orderkey"),
+          col("rel_gap").as("worst_rel_gap"))
+      summary.crossJoin(broadcast(worst))
+    }),
+
     "q262_hill_tail" -> ((s, dir) => {
       // heavy-tail diagnosis: the Hill estimator over the top 100 order
       // values — gamma = mean ln(x_i / x_ref) against the rank-101
@@ -11596,6 +11703,106 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS revenue_cents
         |FROM ranked CROSS JOIN tot CROSS JOIN months
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q316_esd_outliers" ->
+      """WITH m0 AS (SELECT CAST(year(o_orderdate) * 100 +
+        |      month(o_orderdate) AS BIGINT) AS mid,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      // 100000 AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |s1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s,
+        |    CAST(sum(v * v) AS BIGINT) AS ss FROM m0),
+        |sc1 AS (SELECT mid, v, round(abs(v - CAST(s AS DOUBLE) / n) /
+        |      sqrt(CAST(n * ss - s * s AS DOUBLE) /
+        |        (CAST(n AS DOUBLE) * (n - 1))), 6) AS r_stat,
+        |    row_number() OVER (ORDER BY round(abs(v - CAST(s AS DOUBLE)
+        |      / n) / sqrt(CAST(n * ss - s * s AS DOUBLE) /
+        |        (CAST(n AS DOUBLE) * (n - 1))), 6) DESC, mid) AS rk
+        |  FROM m0 CROSS JOIN s1),
+        |o1 AS (SELECT CAST(1 AS BIGINT) AS round, mid AS month_id,
+        |    v AS value_kusd, r_stat FROM sc1 WHERE rk = 1),
+        |m1 AS (SELECT mid, v FROM sc1 WHERE rk <> 1),
+        |s2 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s,
+        |    CAST(sum(v * v) AS BIGINT) AS ss FROM m1),
+        |sc2 AS (SELECT mid, v, round(abs(v - CAST(s AS DOUBLE) / n) /
+        |      sqrt(CAST(n * ss - s * s AS DOUBLE) /
+        |        (CAST(n AS DOUBLE) * (n - 1))), 6) AS r_stat,
+        |    row_number() OVER (ORDER BY round(abs(v - CAST(s AS DOUBLE)
+        |      / n) / sqrt(CAST(n * ss - s * s AS DOUBLE) /
+        |        (CAST(n AS DOUBLE) * (n - 1))), 6) DESC, mid) AS rk
+        |  FROM m1 CROSS JOIN s2),
+        |o2 AS (SELECT CAST(2 AS BIGINT) AS round, mid, v, r_stat
+        |  FROM sc2 WHERE rk = 1),
+        |m2 AS (SELECT mid, v FROM sc2 WHERE rk <> 1),
+        |s3 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s,
+        |    CAST(sum(v * v) AS BIGINT) AS ss FROM m2),
+        |sc3 AS (SELECT mid, v, round(abs(v - CAST(s AS DOUBLE) / n) /
+        |      sqrt(CAST(n * ss - s * s AS DOUBLE) /
+        |        (CAST(n AS DOUBLE) * (n - 1))), 6) AS r_stat,
+        |    row_number() OVER (ORDER BY round(abs(v - CAST(s AS DOUBLE)
+        |      / n) / sqrt(CAST(n * ss - s * s AS DOUBLE) /
+        |        (CAST(n AS DOUBLE) * (n - 1))), 6) DESC, mid) AS rk
+        |  FROM m2 CROSS JOIN s3),
+        |o3 AS (SELECT CAST(3 AS BIGINT) AS round, mid, v, r_stat
+        |  FROM sc3 WHERE rk = 1)
+        |SELECT round, month_id, value_kusd, r_stat FROM o1
+        |UNION ALL SELECT * FROM o2 UNION ALL SELECT * FROM o3
+        |ORDER BY round""".stripMargin,
+
+    "q317_quantile_norm" ->
+      """WITH geo AS (SELECT r_name,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS x,
+        |    c_custkey
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |ranked AS (SELECT r_name, x,
+        |    CAST(row_number() OVER (PARTITION BY r_name
+        |      ORDER BY x * 16777216 + c_custkey) AS BIGINT) AS rk
+        |  FROM geo),
+        |nr AS (SELECT r_name, CAST(count(*) AS BIGINT) AS nr
+        |  FROM geo GROUP BY 1),
+        |cuts AS (SELECT r_name, d, x
+        |  FROM ranked JOIN nr USING (r_name)
+        |  JOIN (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS d)
+        |    ON rk = (d * nr) // 10),
+        |tgt AS (SELECT d, CAST(sum(x) AS DOUBLE) / count(*) AS tgt
+        |  FROM cuts GROUP BY 1)
+        |SELECT r_name, d AS decile,
+        |  round(x / 100.0, 2) AS value_dollars,
+        |  round(tgt / 100, 2) AS target_dollars,
+        |  round((x - tgt) / 100, 2) AS shift_dollars
+        |FROM cuts JOIN tgt USING (d)
+        |ORDER BY r_name, decile""".stripMargin,
+
+    "q318_order_reconciliation" ->
+      """WITH lines AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) *
+        |      (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS calc
+        |  FROM lineitem GROUP BY 1),
+        |recon AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS stated,
+        |    calc - CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |      AS gap,
+        |    round(CAST(abs(calc - CAST(floor(o_totalprice * 100 + 0.5)
+        |      AS BIGINT)) AS DOUBLE) /
+        |      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 6)
+        |      AS rel_gap
+        |  FROM orders JOIN lines ON o_orderkey = l_orderkey),
+        |summary AS (SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CASE WHEN gap = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_exact,
+        |    CAST(sum(CASE WHEN rel_gap > 0.01 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_flagged,
+        |    CAST(sum(abs(gap)) AS BIGINT) AS total_abs_gap_cents
+        |  FROM recon),
+        |worst AS (SELECT o_orderkey AS worst_orderkey,
+        |    rel_gap AS worst_rel_gap
+        |  FROM (SELECT *, row_number() OVER (ORDER BY rel_gap DESC,
+        |      o_orderkey) AS rk FROM recon) WHERE rk = 1)
+        |SELECT * FROM summary CROSS JOIN worst""".stripMargin,
 
     "q313_threshold_opt" ->
       """WITH y AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
