@@ -5707,6 +5707,146 @@ object SparkEntry {
       summary.crossJoin(broadcast(worst))
     }),
 
+    "q319_kruskal_wallis" -> ((s, dir) => {
+      // Kruskal-Wallis k-sample rank test: do the five market segments
+      // draw acctbal from one distribution? Tied average ranks stay
+      // exact integers (ar2 = 2*cumBefore + cnt + 1) over the
+      // value-grouped table, per-segment rank sums are one aggregate,
+      // and the tie-corrected H with its closed-form df=4 chi-square
+      // survival exp(-x/2)(1+x/2) is broadcast arithmetic. The prefix
+      // sum is the two-phase ranker — no data-sized window task.
+      val base = t(s, dir, "customer")
+        .select(col("c_mktsegment").as("sg"),
+          expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("v"))
+      val byVS = base.groupBy(col("v"), col("sg"))
+        .agg(count(lit(1)).as("c"))
+      val byV = byVS.groupBy(col("v")).agg(sum(col("c")).as("cv"))
+        .withColumn("__g", lit(1))
+      val cum = PrefixSum.groupedRunningSum(byV, "__g", "v", col("cv"),
+          "run")
+        .select(col("v"), col("cv"), (col("run") - col("cv")).as("bef"))
+      val perSeg = byVS.join(cum, Seq("v"))
+        .select(col("sg"), col("c"),
+          (lit(2L) * col("bef") + col("cv") + lit(1L)).as("ar2"))
+        .groupBy(col("sg"))
+        .agg(sum(col("c")).as("n_g"), sum(col("c") * col("ar2")).as("r2"))
+      val ties = cum.agg(
+        sum(col("cv") * col("cv") * col("cv") - col("cv")).as("tc"))
+      val stat = perSeg
+        .agg(sum(col("n_g")).as("n"),
+          sum(col("r2").cast("double") * col("r2") /
+            (lit(4.0) * col("n_g"))).as("sr"))
+        .crossJoin(broadcast(ties))
+        .select(col("n").as("n_total"),
+          ((lit(12.0) / (col("n").cast("double") * (col("n") + 1)) *
+            col("sr") - lit(3.0) * (col("n") + 1)) /
+            (lit(1.0) - col("tc").cast("double") /
+              (col("n") * col("n") * col("n") - col("n")))).as("hc"))
+        .select(col("n_total"), round(col("hc"), 4).as("h_tied"),
+          round(exp(-col("hc") / 2) * (lit(1.0) + col("hc") / 2), 6)
+            .as("p_value"))
+      perSeg.crossJoin(broadcast(stat))
+        .select(col("sg").as("segment"), col("n_g").as("n"),
+          round(col("r2").cast("double") / (lit(2.0) * col("n_g")), 2)
+            .as("mean_rank"),
+          col("n_total"), col("h_tied"), col("p_value"))
+        .orderBy(col("segment"))
+    }),
+
+    "q320_spatial_grid_join" -> ((s, dir) => {
+      // Grid-bucketed spatial radius join — the scale-safe point-radius
+      // pattern: deterministic LCG coordinates on a 1M x 1M integer
+      // grid, cell id = coord div radius, the SMALL side (suppliers)
+      // expanded to its 3x3 neighbor cells, equi-join on the cell id,
+      // then an EXACT integer dx^2+dy^2 <= r^2 verify. No cross join at
+      // any scale: the shuffle key is the cell, candidate volume is
+      // bounded by local density, and the 9x expansion rides the
+      // smaller side only.
+      val r = 40000L
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("ck"),
+          pmod(col("c_custkey") * 1103515245L + 12345L, lit(1000000L))
+            .as("x"),
+          pmod(col("c_custkey") * 69069L + 1L, lit(1000000L)).as("y"))
+        .withColumn("cx", expr(s"x div $r"))
+        .withColumn("cy", expr(s"y div $r"))
+      val supp = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("sk"),
+          pmod(col("s_suppkey") * 48271L + 99991L, lit(1000000L))
+            .as("sx"),
+          pmod(col("s_suppkey") * 16807L + 12347L, lit(1000000L))
+            .as("sy"))
+      val offs = s.range(-1, 2).select(col("id").as("dx"))
+        .crossJoin(s.range(-1, 2).select(col("id").as("dy")))
+      val supx = supp.crossJoin(broadcast(offs))
+        .select(col("sk"), col("sx"), col("sy"),
+          (expr(s"sx div $r") + col("dx")).as("cx"),
+          (expr(s"sy div $r") + col("dy")).as("cy"))
+      val pairs = cust.join(supx, Seq("cx", "cy"))
+        .select(col("ck"), col("sk"),
+          ((col("x") - col("sx")) * (col("x") - col("sx")) +
+            (col("y") - col("sy")) * (col("y") - col("sy"))).as("d2"))
+        .filter(col("d2") <= lit(r * r))
+      val summary = pairs.agg(count(lit(1)).as("n_pairs"),
+        round(avg(sqrt(col("d2").cast("double"))), 2).as("avg_dist"))
+      PrefixSum.globalRank(pairs,
+          Seq(col("d2"), col("ck"), col("sk")), "rk")
+        .filter(col("rk") <= 5)
+        .crossJoin(broadcast(summary))
+        .select(col("rk").as("rank"), col("ck").as("custkey"),
+          col("sk").as("suppkey"),
+          round(sqrt(col("d2").cast("double")), 2).as("dist"),
+          col("n_pairs"), col("avg_dist"))
+        .orderBy(col("rank"))
+    }),
+
+    "q321_poisson_bootstrap" -> ((s, dir) => {
+      // Poisson bootstrap — the bootstrap that scales: instead of
+      // resampling passes, every row draws an independent Poisson(1)
+      // weight per replicate (inverse CDF over a 31-bit LCG uniform
+      // computed with exact integer arithmetic on both engines), so 200
+      // replicates are one map-side explode + one partial-aggregating
+      // pass; nothing data-sized is ever re-shuffled per replicate.
+      // The replicate table is 200 bounded rows; the 95% CI is an exact
+      // rank pick over it (u = m/2^31 is exact in double: power-of-two
+      // denominator).
+      val pois = "CASE WHEN u < 0.36787944117144233 THEN 0 " +
+        "WHEN u < 0.7357588823428847 THEN 1 " +
+        "WHEN u < 0.9196986029286058 THEN 2 " +
+        "WHEN u < 0.9810118431238462 THEN 3 " +
+        "WHEN u < 0.9963401531726563 THEN 4 " +
+        "WHEN u < 0.9994058151824183 THEN 5 " +
+        "WHEN u < 0.9999167588507119 THEN 6 " +
+        "WHEN u < 0.9999897508033253 THEN 7 " +
+        "WHEN u < 0.9999988805718283 THEN 8 ELSE 9 END"
+      val base = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"))
+      val perRep = base
+        .withColumn("rep", explode(expr("sequence(0, 199)")))
+        .withColumn("u",
+          pmod(col("k") * 1103515245L + col("rep") * 40503L + 12345L,
+            lit(2147483648L)).cast("double") / lit(2.147483648e9))
+        .withColumn("w", expr(pois).cast("long"))
+        .groupBy(col("rep"))
+        .agg(sum(col("w") * col("cents")).as("sw"),
+          sum(col("w")).as("m"))
+        .select(col("rep"),
+          round(col("sw").cast("double") / col("m") / 100.0, 4)
+            .as("mean_d"))
+      // 200 bounded replicate rows: plain window is safe
+      val ranked = perRep.withColumn("rk", row_number().over(
+        Window.orderBy(col("mean_d"), col("rep"))).cast("long"))
+      val lo = ranked.filter(col("rk") === 5)
+        .select(col("mean_d").as("ci_lo_dollars"))
+      val hi = ranked.filter(col("rk") === 196)
+        .select(col("mean_d").as("ci_hi_dollars"))
+      base.agg(count(lit(1)).as("n_orders"),
+          round(sum(col("cents")).cast("double") / count(lit(1)) / 100.0,
+            4).as("mean_dollars"))
+        .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+    }),
+
     "q262_hill_tail" -> ((s, dir) => {
       // heavy-tail diagnosis: the Hill estimator over the top 100 order
       // values — gamma = mean ln(x_i / x_ref) against the rank-101
@@ -11803,6 +11943,98 @@ object SparkEntry {
         |  FROM (SELECT *, row_number() OVER (ORDER BY rel_gap DESC,
         |      o_orderkey) AS rk FROM recon) WHERE rk = 1)
         |SELECT * FROM summary CROSS JOIN worst""".stripMargin,
+
+    "q319_kruskal_wallis" ->
+      """WITH base AS (SELECT c_mktsegment AS sg,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v
+        |  FROM customer),
+        |byvs AS (SELECT v, sg, CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2),
+        |cum AS (SELECT v, cv,
+        |    CAST(sum(cv) OVER (ORDER BY v) - cv AS BIGINT) AS bef
+        |  FROM (SELECT v, CAST(sum(c) AS BIGINT) AS cv
+        |    FROM byvs GROUP BY 1)),
+        |perseg AS (SELECT sg, CAST(sum(c) AS BIGINT) AS n_g,
+        |    CAST(sum(c * (2 * bef + cv + 1)) AS BIGINT) AS r2
+        |  FROM byvs JOIN cum USING (v) GROUP BY 1),
+        |ties AS (SELECT CAST(sum(cv * cv * cv - cv) AS BIGINT) AS tc
+        |  FROM cum),
+        |stat AS (SELECT n AS n_total, round(hc, 4) AS h_tied,
+        |    round(exp(-hc / 2) * (1.0 + hc / 2), 6) AS p_value
+        |  FROM (SELECT n,
+        |      (12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sr
+        |        - 3.0 * (n + 1)) /
+        |      (1.0 - CAST(tc AS DOUBLE) / (n * n * n - n)) AS hc
+        |    FROM (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+        |        sum(CAST(r2 AS DOUBLE) * r2 / (4.0 * n_g)) AS sr
+        |      FROM perseg) CROSS JOIN ties))
+        |SELECT sg AS segment, n_g AS n,
+        |  round(CAST(r2 AS DOUBLE) / (2.0 * n_g), 2) AS mean_rank,
+        |  n_total, h_tied, p_value
+        |FROM perseg CROSS JOIN stat
+        |ORDER BY segment""".stripMargin,
+
+    "q320_spatial_grid_join" ->
+      """WITH cust AS (SELECT c_custkey AS ck,
+        |    (c_custkey * 1103515245 + 12345) % 1000000 AS x,
+        |    (c_custkey * 69069 + 1) % 1000000 AS y
+        |  FROM customer),
+        |supp AS (SELECT s_suppkey AS sk,
+        |    (s_suppkey * 48271 + 99991) % 1000000 AS sx,
+        |    (s_suppkey * 16807 + 12347) % 1000000 AS sy
+        |  FROM supplier),
+        |offs AS (SELECT dx.range AS dx, dy.range AS dy
+        |  FROM range(-1, 2) dx, range(-1, 2) dy),
+        |supx AS (SELECT sk, sx, sy, sx // 40000 + dx AS cx,
+        |    sy // 40000 + dy AS cy
+        |  FROM supp CROSS JOIN offs),
+        |pairs AS (SELECT ck, sk,
+        |    (x - sx) * (x - sx) + (y - sy) * (y - sy) AS d2
+        |  FROM cust JOIN supx
+        |    ON x // 40000 = cx AND y // 40000 = cy
+        |  WHERE (x - sx) * (x - sx) + (y - sy) * (y - sy)
+        |    <= 1600000000),
+        |summary AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    round(avg(sqrt(CAST(d2 AS DOUBLE))), 2) AS avg_dist
+        |  FROM pairs)
+        |SELECT rk AS rank, ck AS custkey, sk AS suppkey,
+        |  round(sqrt(CAST(d2 AS DOUBLE)), 2) AS dist, n_pairs, avg_dist
+        |FROM (SELECT *, CAST(row_number()
+        |    OVER (ORDER BY d2, ck, sk) AS BIGINT) AS rk FROM pairs)
+        |CROSS JOIN summary WHERE rk <= 5 ORDER BY rk""".stripMargin,
+
+    "q321_poisson_bootstrap" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |reps AS (SELECT cents, r.range AS rep,
+        |    CAST((k * 1103515245 + r.range * 40503 + 12345)
+        |      % 2147483648 AS DOUBLE) / 2147483648.0 AS u
+        |  FROM base CROSS JOIN range(0, 200) r),
+        |wtd AS (SELECT rep, cents,
+        |    CAST(CASE WHEN u < 0.36787944117144233 THEN 0
+        |      WHEN u < 0.7357588823428847 THEN 1
+        |      WHEN u < 0.9196986029286058 THEN 2
+        |      WHEN u < 0.9810118431238462 THEN 3
+        |      WHEN u < 0.9963401531726563 THEN 4
+        |      WHEN u < 0.9994058151824183 THEN 5
+        |      WHEN u < 0.9999167588507119 THEN 6
+        |      WHEN u < 0.9999897508033253 THEN 7
+        |      WHEN u < 0.9999988805718283 THEN 8 ELSE 9 END
+        |      AS BIGINT) AS w
+        |  FROM reps),
+        |perrep AS (SELECT rep,
+        |    round(CAST(sum(w * cents) AS DOUBLE) / sum(w) / 100.0, 4)
+        |      AS mean_d
+        |  FROM wtd GROUP BY 1),
+        |ranked AS (SELECT mean_d, CAST(row_number()
+        |    OVER (ORDER BY mean_d, rep) AS BIGINT) AS rk FROM perrep)
+        |SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(CAST(sum(cents) AS DOUBLE) / count(*) / 100.0, 4)
+        |    AS mean_dollars,
+        |  (SELECT mean_d FROM ranked WHERE rk = 5) AS ci_lo_dollars,
+        |  (SELECT mean_d FROM ranked WHERE rk = 196) AS ci_hi_dollars
+        |FROM base""".stripMargin,
 
     "q313_threshold_opt" ->
       """WITH y AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
