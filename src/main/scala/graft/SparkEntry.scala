@@ -5847,6 +5847,571 @@ object SparkEntry {
         .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
     }),
 
+    "q322_isotonic_pava" -> ((s, dir) => {
+      // Isotonic regression (pool-adjacent-violators) of P(order has
+      // >= 4 lines) on the order-value bin, via the exact minimax
+      // identity g(k) = max_{i<=k} min_{j>=k} avg(i,j) over the 20-bin
+      // table — the entire PAVA solve is bounded-grid arithmetic on
+      // exact integer prefix sums; only the per-order line count ever
+      // touches data-sized rows. The monotone fit is what a
+      // score-calibration layer ships when raw bin rates zig-zag.
+      val lines = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("nl"))
+      val base = t(s, dir, "orders")
+        .join(lines, col("o_orderkey") === col("l_orderkey"))
+        .select(least(lit(19L),
+            expr("CAST(floor(o_totalprice / 25000) AS BIGINT)")).as("b"),
+          when(col("nl") >= 4, 1L).otherwise(0L).as("y"))
+      val bins = base.groupBy(col("b"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("yy"))
+      // 20 bounded bin rows: plain windows are safe
+      val w = Window.orderBy(col("b"))
+      val cum = bins.withColumn("cn", sum(col("n")).over(w))
+        .withColumn("cy", sum(col("yy")).over(w))
+      val pairs = cum.select(col("b").as("i"),
+          (col("cn") - col("n")).as("bn"), (col("cy") - col("yy")).as("by"))
+        .join(cum.select(col("b").as("j"), col("cn"), col("cy")),
+          col("i") <= col("j"))
+        .select(col("i"), col("j"),
+          ((col("cy") - col("by")).cast("double") /
+            (col("cn") - col("bn"))).as("a"))
+      val iso = bins.select(col("b").as("k"))
+        .join(pairs, col("i") <= col("k") && col("k") <= col("j"))
+        .groupBy(col("k"), col("i")).agg(min(col("a")).as("ma"))
+        .groupBy(col("k")).agg(max(col("ma")).as("g"))
+      bins.join(iso, col("b") === col("k"))
+        .select(col("b").as("bin"), col("n"), col("yy").as("events"),
+          round(col("yy").cast("double") / col("n"), 4).as("raw_rate"),
+          round(col("g"), 4).as("iso_rate"))
+        .orderBy(col("bin"))
+    }),
+
+    "q323_durbin_watson" -> ((s, dir) => {
+      // Durbin-Watson serial-correlation test on the residuals of the
+      // daily-revenue-vs-time OLS line: slope/intercept from exact
+      // integer moments (dollars x day index), residual lag over the
+      // calendar-bounded day table, DW = sum (e_t - e_{t-1})^2 /
+      // sum e_t^2 with rho ~ 1 - DW/2. The autocorrelation gauge every
+      // trend regression should report before anyone trusts its SEs.
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(expr("CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) " +
+          "AS BIGINT)").as("rev"))
+      // calendar-bounded day table: plain windows are safe
+      val idx = daily.withColumn("tt",
+        row_number().over(Window.orderBy(col("d"))).cast("long"))
+      val mom = idx.agg(count(lit(1)).as("n"), sum(col("tt")).as("st"),
+        sum(col("tt") * col("tt")).as("stt"), sum(col("rev")).as("sy"),
+        sum(col("tt") * col("rev")).as("sty"))
+        .select(col("n"),
+          ((col("n") * col("sty") - col("st") * col("sy")).cast("double") /
+            (col("n") * col("stt") - col("st") * col("st"))).as("beta"),
+          col("st"), col("sy"))
+        .select(col("n"), col("beta"),
+          ((col("sy") - col("beta") * col("st")) / col("n").cast("double"))
+            .as("alpha"))
+      val resid = idx.crossJoin(broadcast(mom))
+        .select(col("tt"), col("n"),
+          (col("rev").cast("double") - col("alpha") -
+            col("beta") * col("tt")).as("e"),
+          col("beta"))
+      val lagged = resid.withColumn("ep",
+        lag(col("e"), 1).over(Window.orderBy(col("tt"))))
+      lagged.agg(first(col("n")).as("n_days"),
+          round(first(col("beta")), 2).as("slope_per_day"),
+          (sum(when(col("ep").isNotNull,
+            (col("e") - col("ep")) * (col("e") - col("ep")))
+            .otherwise(0.0)) / sum(col("e") * col("e"))).as("dw"))
+        .select(col("n_days"), col("slope_per_day"),
+          round(col("dw"), 4).as("dw"),
+          round(lit(1.0) - col("dw") / 2, 4).as("rho_lag1"))
+    }),
+
+    "q324_cochran_armitage" -> ((s, dir) => {
+      // Cochran-Armitage trend test: does the fraction of fully-shipped
+      // ('F') orders TREND across the five ordered priority levels?
+      // Chi-square-on-the-grid ignores the ordering; CA weights each
+      // level by its rank score and is the standard dose-response
+      // screen. T* = N*sum(w*y) - Y*sum(w*n) stays exact integer; the
+      // single z division happens once in double with fixed operand
+      // order on both engines.
+      val cat = t(s, dir, "orders")
+        .select(expr("CAST(substr(o_orderpriority, 1, 1) AS BIGINT)")
+            .as("k"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_k"), sum(col("y")).as("y_k"))
+      val stat = cat.agg(sum(col("n_k")).as("n"), sum(col("y_k")).as("yy"),
+          sum(col("k") * col("n_k")).as("swn"),
+          sum(col("k") * col("y_k")).as("swy"),
+          sum(col("k") * col("k") * col("n_k")).as("swwn"))
+        .select(col("n").as("n_total"),
+          (col("n") * col("swy") - col("yy") * col("swn")).as("tstar"),
+          (col("yy").cast("double") * (col("n") - col("yy")) *
+            (col("n").cast("double") * col("swwn") -
+              col("swn").cast("double") * col("swn"))).as("vstar"))
+        .select(col("n_total"),
+          round(col("tstar").cast("double") *
+            sqrt(col("n_total").cast("double") / col("vstar")), 4)
+            .as("z_trend"),
+          round(col("tstar").cast("double") * col("tstar") *
+            col("n_total") / col("vstar"), 4).as("z2"))
+      cat.crossJoin(broadcast(stat))
+        .select(col("k").as("priority"), col("n_k").as("n"),
+          round(col("y_k").cast("double") / col("n_k"), 4).as("rate_f"),
+          col("n_total"), col("z_trend"), col("z2"))
+        .orderBy(col("priority"))
+    }),
+
+    "q325_ratio_delta" -> ((s, dir) => {
+      // Delta-method CI for a RATIO metric (dollars per order at the
+      // customer grain) — the experimentation-platform staple: naive
+      // per-order SEs are wrong because orders cluster within
+      // customers; the delta method propagates customer-level
+      // (x, y) = (spend, orders) covariance into Var(sum x / sum y).
+      // All six moments are exact integers per segment; the variance
+      // assembly happens once in double with fixed operand order.
+      val perCust = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("sg"), col("c_custkey"))
+        .agg(sum(expr("CAST(floor(o_totalprice) AS BIGINT)")).as("x"),
+          count(lit(1)).as("y"))
+      val mom = perCust.groupBy(col("sg"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+      mom.select(col("sg"), col("n"),
+          (col("sx").cast("double") / col("sy")).as("r"),
+          ((col("n").cast("double") * col("sxx") -
+            col("sx").cast("double") * col("sx")) /
+            (col("n").cast("double") * (col("n") - 1))).as("vx"),
+          ((col("n").cast("double") * col("syy") -
+            col("sy").cast("double") * col("sy")) /
+            (col("n").cast("double") * (col("n") - 1))).as("vy"),
+          ((col("n").cast("double") * col("sxy") -
+            col("sx").cast("double") * col("sy")) /
+            (col("n").cast("double") * (col("n") - 1))).as("cxy"),
+          (col("sy").cast("double") / col("n")).as("muy"))
+        .select(col("sg"), col("n"), col("r"),
+          sqrt((col("vx") - lit(2.0) * col("r") * col("cxy") +
+            col("r") * col("r") * col("vy")) /
+            (col("n") * col("muy") * col("muy"))).as("se"))
+        .select(col("sg").as("segment"), col("n").as("n_cust"),
+          round(col("r"), 4).as("dollars_per_order"),
+          round(col("se"), 4).as("se"),
+          round(col("r") - lit(1.96) * col("se"), 4).as("ci_lo"),
+          round(col("r") + lit(1.96) * col("se"), 4).as("ci_hi"))
+        .orderBy(col("segment"))
+    }),
+
+    "q326_pettitt" -> ((s, dir) => {
+      // Pettitt change-point test on daily revenue: U_t = 2*sum(r_i,
+      // i<=t) - t(n+1) with tied AVERAGE ranks kept exact via the
+      // 2x-scaled integer trick (ar2 = 2*cumBefore + cnt + 1, summed
+      // once per day), K = max|U_t|, p = 2exp(-6K^2/(n^3+n^2)). The
+      // day table is calendar-bounded so every window is safe; the
+      // only data-sized pass is the daily aggregate.
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(expr("CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) " +
+          "AS BIGINT)").as("rev"))
+      // calendar-bounded: plain windows safe below
+      val byV = daily.groupBy(col("rev")).agg(count(lit(1)).as("cv"))
+        .withColumn("bef",
+          coalesce(sum(col("cv")).over(Window.orderBy(col("rev"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("rev"),
+          (lit(2L) * col("bef") + col("cv") + lit(1L)).as("ar2"))
+      val u = daily.join(byV, Seq("rev"))
+        .withColumn("t", row_number().over(Window.orderBy(col("d")))
+          .cast("long"))
+        .withColumn("cum", sum(col("ar2")).over(Window.orderBy(col("d"))))
+      val n = daily.agg(count(lit(1)).as("n"))
+      val ut = u.crossJoin(broadcast(n))
+        .filter(col("t") < col("n"))
+        .select(col("d"), col("n"),
+          (col("cum") - col("t") * (col("n") + 1)).as("u_t"))
+      PrefixSum.globalRank(ut,
+          Seq(abs(col("u_t")).desc, col("d")), "rk")
+        .filter(col("rk") === 1)
+        .select(col("n").as("n_days"),
+          date_format(col("d"), "yyyy-MM-dd").as("change_date"),
+          abs(col("u_t")).as("k_stat"),
+          round(lit(2.0) * exp(lit(-6.0) * abs(col("u_t")).cast("double")
+            * abs(col("u_t")) /
+            (col("n").cast("double") * col("n") * col("n") +
+              col("n").cast("double") * col("n"))), 6).as("p_value"))
+    }),
+
+    "q327_theil_decomposition" -> ((s, dir) => {
+      // Theil-T inequality of customer spend, DECOMPOSED into between-
+      // nation and within-nation parts — the additivity Gini lacks and
+      // the reason Theil is the inequality-audit workhorse. Per-nation
+      // T_g = sum(x ln x)/(X_g) - ln(mu_g) needs only three per-group
+      // aggregates; the between term is bounded-grid arithmetic over
+      // the 25 nation rows.
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(floor(o_totalprice) AS BIGINT)")).as("x"))
+        .filter(col("x") > 0)
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nat"), col("x"))
+      val perNat = spend.groupBy(col("nat"))
+        .agg(count(lit(1)).as("ng"), sum(col("x")).as("xg"),
+          sum(col("x").cast("double") * log(col("x").cast("double")))
+            .as("xlx"))
+        .select(col("nat"), col("ng"), col("xg"),
+          (col("xlx") / col("xg") -
+            log(col("xg").cast("double") / col("ng"))).as("tg"))
+      val tot = perNat.agg(sum(col("ng")).as("n"), sum(col("xg")).as("xx"))
+      val parts = perNat.crossJoin(broadcast(tot))
+        .select(col("nat"), col("ng"), col("xg"), col("tg"),
+          (col("xg").cast("double") / col("xx")).as("share"),
+          ((col("xg").cast("double") / col("xx")) *
+            log((col("xg").cast("double") / col("xx")) /
+              (col("ng").cast("double") / col("n")))).as("btw_term"),
+          ((col("xg").cast("double") / col("xx")) * col("tg"))
+            .as("win_term"))
+      val stat = parts.agg(
+          round(sum(col("btw_term")), 6).as("theil_between"),
+          round(sum(col("win_term")), 6).as("theil_within_total"))
+        .select(col("theil_between"), col("theil_within_total"),
+          round(col("theil_between") + col("theil_within_total"), 6)
+            .as("theil_total"))
+      parts.crossJoin(broadcast(stat))
+        .select(col("nat").as("nation"), col("ng").as("n_cust"),
+          round(col("share"), 4).as("spend_share"),
+          round(col("tg"), 6).as("theil_within"),
+          col("theil_between"), col("theil_within_total"),
+          col("theil_total"))
+        .orderBy(col("nation"))
+    }),
+
+    "q328_mcnemar" -> ((s, dir) => {
+      // McNemar's paired test: did the population of ACTIVE customers
+      // change between 1995 and 1996? The unit is the customer (its
+      // two years are the matched pair), so only the DISCORDANT cells
+      // b (active 95, quiet 96) and c (quiet 95, active 96) carry
+      // information. Continuity-corrected chi2 = (|b-c|-1)^2/(b+c);
+      // p via the A&S 7.1.26 erf polynomial at x = sqrt(stat/2)
+      // (chi2 df=1 survival = 1 - erf(sqrt(x/2))). One grouped pass
+      // over orders, then scalar arithmetic.
+      val flags = t(s, dir, "customer").select(col("c_custkey"))
+        .join(t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(when(year(col("o_orderdate")) === 1995, 1L)
+            .otherwise(0L)).as("a95"),
+            sum(when(year(col("o_orderdate")) === 1996, 1L)
+              .otherwise(0L)).as("a96")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("a95"), lit(0L)).as("a95"),
+          coalesce(col("a96"), lit(0L)).as("a96"))
+      val cells = flags.agg(count(lit(1)).as("n_cust"),
+        sum(when(col("a95") > 0 && col("a96") === 0, 1L).otherwise(0L))
+          .as("b"),
+        sum(when(col("a95") === 0 && col("a96") > 0, 1L).otherwise(0L))
+          .as("c"),
+        sum(when(col("a95") > 0 && col("a96") > 0, 1L).otherwise(0L))
+          .as("both_active"))
+      val withStat = cells.withColumn("stat",
+        (abs(col("b") - col("c")) - 1).cast("double") *
+          (abs(col("b") - col("c")) - 1) / (col("b") + col("c")))
+      val x = sqrt(col("stat") / 2)
+      val tt = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+      withStat.select(col("n_cust"), col("b").as("lost_95"),
+        col("c").as("gained_96"), col("both_active"),
+        round(col("stat"), 4).as("chi2_cc"),
+        round((lit(0.254829592) * tt - lit(0.284496736) * tt * tt +
+          lit(1.421413741) * tt * tt * tt - lit(1.453152027) *
+          tt * tt * tt * tt + lit(1.061405429) * tt * tt * tt * tt * tt) *
+          exp(-x * x), 6).as("p_value"))
+    }),
+
+    "q329_cramer_von_mises" -> ((s, dir) => {
+      // Two-sample Cramer-von-Mises on the ASIA-vs-EUROPE acctbal
+      // fixture (the L2 companion to q302's L1 Wasserstein and q168's
+      // sup-norm KS): T = nm/(n+m)^2 * sum over all N points of
+      // (F_n - G_m)^2, computed over the value-grouped table with the
+      // same exact-integer prefix-sum CDFs — (CA*m - CB*n)^2 squares
+      // once in double, weighted by the value's multiplicity.
+      val geo = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name").isin("ASIA", "EUROPE"))
+        .select(expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+          .as("v"), (col("r_name") === "ASIA").as("is_a"))
+      val byVal = geo.groupBy(col("v"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+        .withColumn("__g", lit(1))
+      val cum = PrefixSum.groupedRunningSum(
+        PrefixSum.groupedRunningSum(byVal, "__g", "v", col("ca"), "cca"),
+        "__g", "v", col("cb"), "ccb")
+      val tot = byVal.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      cum.crossJoin(broadcast(tot))
+        .agg(first(col("na")).as("n_asia"), first(col("nb")).as("n_europe"),
+          sum((col("cca").cast("double") * col("nb") -
+            col("ccb").cast("double") * col("na")) *
+            (col("cca").cast("double") * col("nb") -
+              col("ccb").cast("double") * col("na")) *
+            (col("ca") + col("cb"))).as("u"))
+        .select(col("n_asia"), col("n_europe"),
+          round(col("u") /
+            (col("n_asia").cast("double") * col("n_europe")) /
+            ((col("n_asia") + col("n_europe")).cast("double") *
+              (col("n_asia") + col("n_europe"))), 6).as("t_stat"))
+    }),
+
+    "q330_haar_variance" -> ((s, dir) => {
+      // Haar wavelet variance of daily revenue — the multi-resolution
+      // energy split (which time scales carry the variation?) behind
+      // scalogram anomaly detectors. For level j the detail energy is
+      // sum over complete 2^j-day blocks of (S_left - S_right)^2 / 2^j
+      // with S exact integer half-block sums; the day axis is
+      // calendar-bounded so all eight levels are unions of tiny
+      // aggregates over one shared daily table.
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(expr("CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) " +
+          "AS BIGINT)").as("rev"))
+        // calendar-bounded: plain window safe
+        .withColumn("t",
+          (row_number().over(Window.orderBy(col("d"))) - 1).cast("long"))
+        .persist()
+      val nDays = daily.agg(count(lit(1)).as("nd"))
+      val levels = (1 to 8).map { j =>
+        val span = 1L << j
+        val half = 1L << (j - 1)
+        daily.crossJoin(broadcast(nDays))
+          .filter(col("t") < expr(s"(nd div $span) * $span"))
+          .groupBy(expr(s"t div $span").as("blk"))
+          .agg(sum(when(pmod(col("t"), lit(span)) < half, col("rev"))
+            .otherwise(0L)).as("sl"),
+            sum(when(pmod(col("t"), lit(span)) >= half, col("rev"))
+              .otherwise(0L)).as("sr"))
+          .agg(count(lit(1)).as("n_blocks"),
+            sum((col("sl") - col("sr")).cast("double") *
+              (col("sl") - col("sr")) / span).as("energy"))
+          .select(lit(j.toLong).as("level"), col("n_blocks"),
+            col("energy"))
+      }.reduce(_.unionAll(_))
+      val totE = levels.agg(sum(col("energy")).as("te"))
+      levels.crossJoin(broadcast(totE))
+        .select(col("level"), col("n_blocks"),
+          round(col("energy") / 1.0e6, 2).as("energy_musd2"),
+          round(col("energy") / col("te"), 4).as("energy_share"))
+        .orderBy(col("level"))
+    }),
+
+    "q331_caliper_matching" -> ((s, dir) => {
+      // Nearest-neighbor caliper matching (with replacement) on a
+      // balancing score — the observational-causal workhorse: every
+      // BUILDING-segment customer is matched to its nearest
+      // other-segment control within a $10 acctbal caliper, then ATT =
+      // mean(treated spend - matched control spend). The 1-D analogue
+      // of q320's grid join: bucket = score div caliper, the TREATED
+      // side (the small one) expands to 3 neighbor buckets, candidates
+      // equi-join on the bucket, argmin by exact integer
+      // (|score diff|, control key) via one min(struct) aggregate — no
+      // sort, no data-sized window, no cross join.
+      val spend = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(floor(o_totalprice) AS BIGINT)")).as("sp"))
+      val cust = t(s, dir, "customer")
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey").as("ck"),
+          (col("c_mktsegment") === "BUILDING").as("treated"),
+          expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("v"),
+          coalesce(col("sp"), lit(0L)).as("outcome"))
+      val controls = cust.filter(!col("treated"))
+        .select(expr("v div 1000").as("bk"), col("v").as("cv"),
+          col("ck").as("cck"), col("outcome").as("cout"))
+      val treated = cust.filter(col("treated"))
+      val expanded = treated
+        .crossJoin(broadcast(s.range(-1, 2).select(col("id").as("off"))))
+        .select(col("ck"), col("v"), col("outcome"),
+          (expr("v div 1000") + col("off")).as("bk"))
+      val best = expanded.join(controls, Seq("bk"))
+        .filter(abs(col("v") - col("cv")) <= 1000)
+        .groupBy(col("ck"), col("v"), col("outcome"))
+        .agg(min(struct(abs(col("v") - col("cv")).as("ad"),
+          col("cck"), col("cout"))).as("m"))
+        .select(col("ck"), col("outcome"),
+          col("m.ad").as("ad"), col("m.cout").as("cout"))
+      val nT = treated.agg(count(lit(1)).as("n_treated"))
+      best.agg(count(lit(1)).as("n_matched"),
+          round(avg((col("outcome") - col("cout")).cast("double")), 2)
+            .as("att_dollars"),
+          round(avg(col("ad").cast("double")) / 100, 4)
+            .as("mean_score_gap_dollars"))
+        .crossJoin(broadcast(nT))
+        .select(col("n_treated"), col("n_matched"),
+          round(col("n_matched").cast("double") / col("n_treated"), 4)
+            .as("match_rate"),
+          col("att_dollars"), col("mean_score_gap_dollars"))
+    }),
+
+    "q332_granger" -> ((s, dir) => {
+      // 1-lag Granger causality between weekly EUROPE and ASIA revenue,
+      // both directions: F-test of adding the other region's lag to the
+      // own-lag AR(1). Weeks are exact integer day-diff buckets (no
+      // engine-specific week-of-year), the regressor matrix lives on
+      // the calendar-bounded week table, and the two-regressor solve is
+      // the closed-form Cramer arithmetic over exact centered moments
+      // (kilodollar units keep every long in range); only the final
+      // determinant products run in double.
+      val weekly = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy(datediff(to_date(col("o_orderdate")),
+            to_date(lit("1992-01-01"))).cast("long").as("wd"),
+          col("r_name"))
+        .agg(expr("CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) " +
+          "div 1000 AS BIGINT)").as("kd"))
+        .groupBy(expr("wd div 7").as("w"))
+        .agg(sum(when(col("r_name") === "ASIA", col("kd"))
+          .otherwise(0L)).as("asia"),
+          sum(when(col("r_name") === "EUROPE", col("kd"))
+            .otherwise(0L)).as("europe"))
+      // calendar-bounded week table: plain window safe
+      val lagged = weekly
+        .withColumn("asia_l", lag(col("asia"), 1)
+          .over(Window.orderBy(col("w"))))
+        .withColumn("europe_l", lag(col("europe"), 1)
+          .over(Window.orderBy(col("w"))))
+        .filter(col("asia_l").isNotNull)
+      def granger(yc: String, ylc: String, xlc: String, dirn: String) = {
+        val m = lagged.agg(count(lit(1)).as("n"),
+          sum(col(yc)).as("sy"), sum(col(ylc)).as("su"),
+          sum(col(xlc)).as("sv"),
+          sum(col(ylc) * col(ylc)).as("suu"),
+          sum(col(xlc) * col(xlc)).as("svv"),
+          sum(col(ylc) * col(xlc)).as("suv"),
+          sum(col(ylc) * col(yc)).as("suy"),
+          sum(col(xlc) * col(yc)).as("svy"),
+          sum(col(yc) * col(yc)).as("syy"))
+        m.select(col("n"),
+            (col("n") * col("suu") - col("su") * col("su")).as("cuu"),
+            (col("n") * col("svv") - col("sv") * col("sv")).as("cvv"),
+            (col("n") * col("suv") - col("su") * col("sv")).as("cuv"),
+            (col("n") * col("suy") - col("su") * col("sy")).as("cuy"),
+            (col("n") * col("svy") - col("sv") * col("sy")).as("cvy"),
+            (col("n") * col("syy") - col("sy") * col("sy")).as("cyy"))
+          .select(col("n"),
+            ((col("cvv").cast("double") * col("cuy") -
+              col("cuv").cast("double") * col("cvy")) /
+              (col("cuu").cast("double") * col("cvv") -
+                col("cuv").cast("double") * col("cuv"))).as("b"),
+            ((col("cuu").cast("double") * col("cvy") -
+              col("cuv").cast("double") * col("cuy")) /
+              (col("cuu").cast("double") * col("cvv") -
+                col("cuv").cast("double") * col("cuv"))).as("c"),
+            col("cuy"), col("cvy"), col("cyy"), col("cuu"))
+          .select(col("n"),
+            lit(dirn).as("direction"), col("b"), col("c"),
+            ((col("cyy") - col("b") * col("cuy") - col("c") * col("cvy"))
+              / col("n").cast("double")).as("rss_u"),
+            ((col("cyy") - col("cuy").cast("double") * col("cuy") /
+              col("cuu")) / col("n").cast("double")).as("rss_r"))
+          .select(col("direction"), col("n").as("n_weeks"),
+            round(col("b"), 4).as("own_lag_coef"),
+            round(col("c"), 4).as("cross_lag_coef"),
+            round((col("rss_r") - col("rss_u")) /
+              (col("rss_u") / (col("n") - 3)), 4).as("f_stat"))
+      }
+      granger("asia", "asia_l", "europe_l", "europe_to_asia")
+        .unionAll(
+          granger("europe", "europe_l", "asia_l", "asia_to_europe"))
+        .orderBy(col("direction"))
+    }),
+
+    "q333_fellegi_sunter" -> ((s, dir) => {
+      // Fellegi-Sunter probabilistic record linkage: candidate pairs
+      // (key-blocked, bounded fan-out) are reduced to an agreement
+      // PATTERN over three fields (nation, segment, balance within
+      // $10), each pattern scored by the sum of log2(m/u) /
+      // log2((1-m)/(1-u)) field weights. The u-probabilities are NOT
+      // guessed: nation/segment come exactly from the marginal counts,
+      // and the balance-band u from a 1-D bucket join over the
+      // value-grouped table (the q320 pattern, so no O(N^2) pass).
+      // Output is the 8-row pattern table every linkage engine ships.
+      val cust = t(s, dir, "customer").select(col("c_custkey").as("ck"),
+        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("v"))
+      val n = cust.agg(count(lit(1)).as("n"))
+      val uNat = cust.groupBy(col("nat")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * (col("c") - 1)).as("agree"))
+        .crossJoin(broadcast(n))
+        .select((col("agree").cast("double") /
+          (col("n").cast("double") * (col("n") - 1))).as("u_nat"))
+      val uSeg = cust.groupBy(col("seg")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * (col("c") - 1)).as("agree"))
+        .crossJoin(broadcast(n))
+        .select((col("agree").cast("double") /
+          (col("n").cast("double") * (col("n") - 1))).as("u_seg"))
+      val vals = cust.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      val uBal = vals
+        .crossJoin(broadcast(s.range(-1, 2).select(col("id").as("off"))))
+        .select(col("v"), col("c"), (expr("v div 1000") + col("off"))
+          .as("bk"))
+        .join(vals.select(expr("v div 1000").as("bk"), col("v").as("w"),
+          col("c").as("cw")), Seq("bk"))
+        .filter(abs(col("v") - col("w")) <= 1000)
+        .agg(sum(col("c") * col("cw")).as("inband"))
+        .crossJoin(broadcast(n))
+        .select(((col("inband") - col("n")).cast("double") /
+          (col("n").cast("double") * (col("n") - 1))).as("u_bal"))
+      val us = uNat.crossJoin(uSeg).crossJoin(uBal)
+      val pairs = cust.withColumn("bk", expr("ck div 10"))
+        .as("a")
+        .join(cust.withColumn("bk", expr("ck div 10")).as("b"),
+          col("a.bk") === col("b.bk") &&
+            col("a.ck") < col("b.ck"))
+        .select((col("a.nat") === col("b.nat")).as("na"),
+          (col("a.seg") === col("b.seg")).as("sa"),
+          (abs(col("a.v") - col("b.v")) <= 1000).as("ba"))
+      val patterns = pairs.groupBy(col("na"), col("sa"), col("ba"))
+        .agg(count(lit(1)).as("n_pairs"))
+      def fw(agree: Column, m: Double, u: Column) =
+        when(agree, log(lit(m) / u)).otherwise(
+          log((lit(1.0) - m) / (lit(1.0) - u)))
+      patterns.crossJoin(broadcast(us))
+        .select(col("na").as("nation_agree"),
+          col("sa").as("segment_agree"), col("ba").as("balance_agree"),
+          col("n_pairs"),
+          round(col("u_nat"), 6).as("u_nation"),
+          round(col("u_bal"), 6).as("u_balance"),
+          round(fw(col("na"), 0.95, col("u_nat")) +
+            fw(col("sa"), 0.90, col("u_seg")) +
+            fw(col("ba"), 0.85, col("u_bal")), 4).as("weight"))
+        .withColumn("decision",
+          when(col("weight") >= 4.0, "match")
+            .when(col("weight") >= -2.0, "possible")
+            .otherwise("non_match"))
+        .orderBy(col("nation_agree"), col("segment_agree"),
+          col("balance_agree"))
+    }),
+
     "q262_hill_tail" -> ((s, dir) => {
       // heavy-tail diagnosis: the Hill estimator over the top 100 order
       // values — gamma = mean ln(x_i / x_ref) against the rank-101
@@ -12035,6 +12600,412 @@ object SparkEntry {
         |  (SELECT mean_d FROM ranked WHERE rk = 5) AS ci_lo_dollars,
         |  (SELECT mean_d FROM ranked WHERE rk = 196) AS ci_hi_dollars
         |FROM base""".stripMargin,
+
+    "q322_isotonic_pava" ->
+      """WITH lines AS (SELECT l_orderkey, CAST(count(*) AS BIGINT)
+        |    AS nl FROM lineitem GROUP BY 1),
+        |base AS (SELECT least(19, CAST(floor(o_totalprice / 25000)
+        |      AS BIGINT)) AS b,
+        |    CASE WHEN nl >= 4 THEN 1 ELSE 0 END AS y
+        |  FROM orders JOIN lines ON o_orderkey = l_orderkey),
+        |bins AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS yy FROM base GROUP BY 1),
+        |cum AS (SELECT b, n, yy,
+        |    CAST(sum(n) OVER (ORDER BY b) AS BIGINT) AS cn,
+        |    CAST(sum(yy) OVER (ORDER BY b) AS BIGINT) AS cy
+        |  FROM bins),
+        |pairs AS (SELECT l.b AS i, r.b AS j,
+        |    CAST(r.cy - (l.cy - l.yy) AS DOUBLE) /
+        |      (r.cn - (l.cn - l.n)) AS a
+        |  FROM cum l JOIN cum r ON l.b <= r.b),
+        |iso AS (SELECT k, max(ma) AS g FROM (
+        |    SELECT bins.b AS k, i, min(a) AS ma
+        |    FROM bins JOIN pairs ON i <= bins.b AND bins.b <= j
+        |    GROUP BY 1, 2) GROUP BY 1)
+        |SELECT b AS bin, n, yy AS events,
+        |  round(CAST(yy AS DOUBLE) / n, 4) AS raw_rate,
+        |  round(g, 4) AS iso_rate
+        |FROM bins JOIN iso ON b = k ORDER BY bin""".stripMargin,
+
+    "q323_durbin_watson" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+        |      AS rev
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT rev, CAST(row_number() OVER (ORDER BY d)
+        |    AS BIGINT) AS tt FROM daily),
+        |mom AS (SELECT n, beta, (sy - beta * st) / CAST(n AS DOUBLE)
+        |    AS alpha
+        |  FROM (SELECT n, st, sy,
+        |      CAST(n * sty - st * sy AS DOUBLE) /
+        |        (n * stt - st * st) AS beta
+        |    FROM (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(tt) AS BIGINT) AS st,
+        |        CAST(sum(tt * tt) AS BIGINT) AS stt,
+        |        CAST(sum(rev) AS BIGINT) AS sy,
+        |        CAST(sum(tt * rev) AS BIGINT) AS sty FROM idx))),
+        |resid AS (SELECT tt, n, beta,
+        |    CAST(rev AS DOUBLE) - alpha - beta * tt AS e
+        |  FROM idx CROSS JOIN mom),
+        |lagged AS (SELECT n, beta, e,
+        |    lag(e, 1) OVER (ORDER BY tt) AS ep FROM resid),
+        |dw AS (SELECT any_value(n) AS n_days,
+        |    round(any_value(beta), 2) AS slope_per_day,
+        |    sum(CASE WHEN ep IS NOT NULL THEN (e - ep) * (e - ep)
+        |      ELSE 0.0 END) / sum(e * e) AS dw
+        |  FROM lagged)
+        |SELECT n_days, slope_per_day, round(dw, 4) AS dw,
+        |  round(1.0 - dw / 2, 4) AS rho_lag1 FROM dw""".stripMargin,
+
+    "q324_cochran_armitage" ->
+      """WITH cat AS (SELECT
+        |    CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS k,
+        |    CAST(count(*) AS BIGINT) AS n_k,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y_k
+        |  FROM orders GROUP BY 1),
+        |stat AS (SELECT n_total,
+        |    round(CAST(tstar AS DOUBLE) *
+        |      sqrt(CAST(n_total AS DOUBLE) / vstar), 4) AS z_trend,
+        |    round(CAST(tstar AS DOUBLE) * tstar * n_total / vstar, 4)
+        |      AS z2
+        |  FROM (SELECT n AS n_total,
+        |      n * swy - yy * swn AS tstar,
+        |      CAST(yy AS DOUBLE) * (n - yy) *
+        |        (CAST(n AS DOUBLE) * swwn - CAST(swn AS DOUBLE) * swn)
+        |        AS vstar
+        |    FROM (SELECT CAST(sum(n_k) AS BIGINT) AS n,
+        |        CAST(sum(y_k) AS BIGINT) AS yy,
+        |        CAST(sum(k * n_k) AS BIGINT) AS swn,
+        |        CAST(sum(k * y_k) AS BIGINT) AS swy,
+        |        CAST(sum(k * k * n_k) AS BIGINT) AS swwn FROM cat)))
+        |SELECT k AS priority, n_k AS n,
+        |  round(CAST(y_k AS DOUBLE) / n_k, 4) AS rate_f,
+        |  n_total, z_trend, z2
+        |FROM cat CROSS JOIN stat ORDER BY priority""".stripMargin,
+
+    "q325_ratio_delta" ->
+      """WITH percust AS (SELECT c_mktsegment AS sg, o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+        |      AS x,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |mom AS (SELECT sg, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM percust GROUP BY 1),
+        |var1 AS (SELECT sg, n, CAST(sx AS DOUBLE) / sy AS r,
+        |    (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) /
+        |      (CAST(n AS DOUBLE) * (n - 1)) AS vx,
+        |    (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) /
+        |      (CAST(n AS DOUBLE) * (n - 1)) AS vy,
+        |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |      (CAST(n AS DOUBLE) * (n - 1)) AS cxy,
+        |    CAST(sy AS DOUBLE) / n AS muy
+        |  FROM mom),
+        |var2 AS (SELECT sg, n, r,
+        |    sqrt((vx - 2.0 * r * cxy + r * r * vy) /
+        |      (n * muy * muy)) AS se
+        |  FROM var1)
+        |SELECT sg AS segment, n AS n_cust,
+        |  round(r, 4) AS dollars_per_order, round(se, 4) AS se,
+        |  round(r - 1.96 * se, 4) AS ci_lo,
+        |  round(r + 1.96 * se, 4) AS ci_hi
+        |FROM var2 ORDER BY segment""".stripMargin,
+
+    "q326_pettitt" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+        |      AS rev
+        |  FROM orders GROUP BY 1),
+        |byv AS (SELECT rev,
+        |    2 * (CAST(sum(cv) OVER (ORDER BY rev) AS BIGINT) - cv)
+        |      + cv + 1 AS ar2
+        |  FROM (SELECT rev, CAST(count(*) AS BIGINT) AS cv
+        |    FROM daily GROUP BY 1)),
+        |u AS (SELECT d,
+        |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+        |    CAST(sum(ar2) OVER (ORDER BY d) AS BIGINT) AS cum
+        |  FROM daily JOIN byv USING (rev)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        |ut AS (SELECT d, n, cum - t * (n + 1) AS u_t
+        |  FROM u CROSS JOIN nn WHERE t < n)
+        |SELECT n AS n_days, strftime(d, '%Y-%m-%d') AS change_date,
+        |  abs(u_t) AS k_stat,
+        |  round(2.0 * exp(-6.0 * CAST(abs(u_t) AS DOUBLE) * abs(u_t) /
+        |    (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n)), 6)
+        |    AS p_value
+        |FROM (SELECT *, row_number()
+        |    OVER (ORDER BY abs(u_t) DESC, d) AS rk FROM ut)
+        |WHERE rk = 1""".stripMargin,
+
+    "q327_theil_decomposition" ->
+      """WITH spend AS (SELECT n_name AS nat, x FROM (
+        |    SELECT o_custkey,
+        |      CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+        |        AS x
+        |    FROM orders GROUP BY 1) s
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE x > 0),
+        |pernat AS (SELECT nat, ng, xg,
+        |    xlx / xg - ln(CAST(xg AS DOUBLE) / ng) AS tg
+        |  FROM (SELECT nat, CAST(count(*) AS BIGINT) AS ng,
+        |      CAST(sum(x) AS BIGINT) AS xg,
+        |      sum(CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE))) AS xlx
+        |    FROM spend GROUP BY 1)),
+        |tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(xg) AS BIGINT) AS xx FROM pernat),
+        |parts AS (SELECT nat, ng, xg, tg,
+        |    CAST(xg AS DOUBLE) / xx AS share,
+        |    (CAST(xg AS DOUBLE) / xx) *
+        |      ln((CAST(xg AS DOUBLE) / xx) / (CAST(ng AS DOUBLE) / n))
+        |      AS btw_term,
+        |    (CAST(xg AS DOUBLE) / xx) * tg AS win_term
+        |  FROM pernat CROSS JOIN tot),
+        |stat AS (SELECT theil_between, theil_within_total,
+        |    round(theil_between + theil_within_total, 6) AS theil_total
+        |  FROM (SELECT round(sum(btw_term), 6) AS theil_between,
+        |      round(sum(win_term), 6) AS theil_within_total
+        |    FROM parts))
+        |SELECT nat AS nation, ng AS n_cust, round(share, 4)
+        |    AS spend_share,
+        |  round(tg, 6) AS theil_within, theil_between,
+        |  theil_within_total, theil_total
+        |FROM parts CROSS JOIN stat ORDER BY nation""".stripMargin,
+
+    "q328_mcnemar" ->
+      """WITH flags AS (SELECT
+        |    coalesce(a95, 0) AS a95, coalesce(a96, 0) AS a96
+        |  FROM customer LEFT JOIN (SELECT o_custkey,
+        |      CAST(sum(CASE WHEN year(o_orderdate) = 1995 THEN 1
+        |        ELSE 0 END) AS BIGINT) AS a95,
+        |      CAST(sum(CASE WHEN year(o_orderdate) = 1996 THEN 1
+        |        ELSE 0 END) AS BIGINT) AS a96
+        |    FROM orders GROUP BY 1) o ON c_custkey = o_custkey),
+        |cells AS (SELECT CAST(count(*) AS BIGINT) AS n_cust,
+        |    CAST(sum(CASE WHEN a95 > 0 AND a96 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN a95 = 0 AND a96 > 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN a95 > 0 AND a96 > 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS both_active
+        |  FROM flags),
+        |st AS (SELECT *, CAST(abs(b - c) - 1 AS DOUBLE) *
+        |    (abs(b - c) - 1) / (b + c) AS stat FROM cells),
+        |ax AS (SELECT *, sqrt(stat / 2) AS x,
+        |    1.0 / (1.0 + 0.3275911 * sqrt(stat / 2)) AS tt FROM st)
+        |SELECT n_cust, b AS lost_95, c AS gained_96, both_active,
+        |  round(stat, 4) AS chi2_cc,
+        |  round((0.254829592 * tt - 0.284496736 * tt * tt +
+        |    1.421413741 * tt * tt * tt - 1.453152027 * tt * tt * tt * tt
+        |    + 1.061405429 * tt * tt * tt * tt * tt) * exp(-x * x), 6)
+        |    AS p_value
+        |FROM ax""".stripMargin,
+
+    "q329_cramer_von_mises" ->
+      """WITH geo AS (SELECT
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v,
+        |    r_name = 'ASIA' AS is_a
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name IN ('ASIA', 'EUROPE')),
+        |byval AS (SELECT v,
+        |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM geo GROUP BY 1),
+        |cum AS (SELECT v, ca, cb,
+        |    CAST(sum(ca) OVER w AS BIGINT) AS cca,
+        |    CAST(sum(cb) OVER w AS BIGINT) AS ccb
+        |  FROM byval WINDOW w AS (ORDER BY v)),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM byval),
+        |uu AS (SELECT any_value(na) AS n_asia, any_value(nb)
+        |      AS n_europe,
+        |    sum((CAST(cca AS DOUBLE) * nb - CAST(ccb AS DOUBLE) * na) *
+        |      (CAST(cca AS DOUBLE) * nb - CAST(ccb AS DOUBLE) * na) *
+        |      (ca + cb)) AS u
+        |  FROM cum CROSS JOIN tot)
+        |SELECT n_asia, n_europe,
+        |  round(u / (CAST(n_asia AS DOUBLE) * n_europe) /
+        |    (CAST(n_asia + n_europe AS DOUBLE) * (n_asia + n_europe)),
+        |    6) AS t_stat
+        |FROM uu""".stripMargin,
+
+    "q330_haar_variance" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+        |      AS rev
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT rev, CAST(row_number() OVER (ORDER BY d) - 1
+        |    AS BIGINT) AS t FROM daily),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM daily),
+        |lv AS (SELECT CAST(j.range AS BIGINT) AS level,
+        |    CAST(power(2, j.range) AS BIGINT) AS span,
+        |    CAST(power(2, j.range - 1) AS BIGINT) AS half
+        |  FROM range(1, 9) j),
+        |blocks AS (SELECT level, span, t // span AS blk,
+        |    CAST(sum(CASE WHEN t % span < half THEN rev ELSE 0 END)
+        |      AS BIGINT) AS sl,
+        |    CAST(sum(CASE WHEN t % span >= half THEN rev ELSE 0 END)
+        |      AS BIGINT) AS sr
+        |  FROM idx CROSS JOIN lv CROSS JOIN nn
+        |  WHERE t < (nd // span) * span
+        |  GROUP BY 1, 2, 3),
+        |levels AS (SELECT level, CAST(count(*) AS BIGINT) AS n_blocks,
+        |    sum(CAST(sl - sr AS DOUBLE) * (sl - sr) / span) AS energy
+        |  FROM blocks GROUP BY 1),
+        |te AS (SELECT sum(energy) AS tot FROM levels)
+        |SELECT level, n_blocks, round(energy / 1.0e6, 2)
+        |    AS energy_musd2,
+        |  round(energy / tot, 4) AS energy_share
+        |FROM levels CROSS JOIN te ORDER BY level""".stripMargin,
+
+    "q331_caliper_matching" ->
+      """WITH spend AS (SELECT o_custkey, CAST(sum(CAST(floor(
+        |      o_totalprice) AS BIGINT)) AS BIGINT) AS sp
+        |  FROM orders GROUP BY 1),
+        |cust AS (SELECT c_custkey AS ck,
+        |    c_mktsegment = 'BUILDING' AS treated,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v,
+        |    coalesce(sp, 0) AS outcome
+        |  FROM customer LEFT JOIN spend ON c_custkey = o_custkey),
+        |controls AS (SELECT v // 1000 AS bk, v AS cv, ck AS cck,
+        |    outcome AS cout FROM cust WHERE NOT treated),
+        |expanded AS (SELECT ck, v, outcome, v // 1000 + off.range AS bk
+        |  FROM cust CROSS JOIN range(-1, 2) off WHERE treated),
+        |pairs AS (SELECT ck, outcome, ad, cout FROM (
+        |    SELECT ck, outcome, abs(v - cv) AS ad, cck, cout,
+        |      row_number() OVER (PARTITION BY ck
+        |        ORDER BY abs(v - cv), cck) AS rn
+        |    FROM expanded JOIN controls USING (bk)
+        |    WHERE abs(v - cv) <= 1000) WHERE rn = 1),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_treated
+        |  FROM cust WHERE treated)
+        |SELECT n_treated, CAST(count(*) AS BIGINT) AS n_matched,
+        |  round(CAST(count(*) AS DOUBLE) / n_treated, 4) AS match_rate,
+        |  round(avg(CAST(outcome - cout AS DOUBLE)), 2) AS att_dollars,
+        |  round(avg(CAST(ad AS DOUBLE)) / 100, 4)
+        |    AS mean_score_gap_dollars
+        |FROM pairs CROSS JOIN nt
+        |GROUP BY n_treated""".stripMargin,
+
+    "q332_granger" ->
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS wd,
+        |    r_name,
+        |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) // 1000
+        |      AS BIGINT) AS kd
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name IN ('ASIA', 'EUROPE') GROUP BY 1, 2),
+        |weekly AS (SELECT wd // 7 AS w,
+        |    CAST(sum(CASE WHEN r_name = 'ASIA' THEN kd ELSE 0 END)
+        |      AS BIGINT) AS asia,
+        |    CAST(sum(CASE WHEN r_name = 'EUROPE' THEN kd ELSE 0 END)
+        |      AS BIGINT) AS europe
+        |  FROM daily GROUP BY 1),
+        |lagged AS (SELECT * FROM (SELECT asia, europe,
+        |    lag(asia) OVER (ORDER BY w) AS asia_l,
+        |    lag(europe) OVER (ORDER BY w) AS europe_l
+        |  FROM weekly) WHERE asia_l IS NOT NULL),
+        |dirs AS (
+        |  SELECT 'europe_to_asia' AS direction, asia AS y,
+        |    asia_l AS u, europe_l AS v FROM lagged
+        |  UNION ALL
+        |  SELECT 'asia_to_europe' AS direction, europe AS y,
+        |    europe_l AS u, asia_l AS v FROM lagged),
+        |mom AS (SELECT direction, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(u) AS BIGINT) AS su,
+        |    CAST(sum(v) AS BIGINT) AS sv,
+        |    CAST(sum(u * u) AS BIGINT) AS suu,
+        |    CAST(sum(v * v) AS BIGINT) AS svv,
+        |    CAST(sum(u * v) AS BIGINT) AS suv,
+        |    CAST(sum(u * y) AS BIGINT) AS suy,
+        |    CAST(sum(v * y) AS BIGINT) AS svy,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM dirs GROUP BY 1),
+        |cen AS (SELECT direction, n,
+        |    n * suu - su * su AS cuu, n * svv - sv * sv AS cvv,
+        |    n * suv - su * sv AS cuv, n * suy - su * sy AS cuy,
+        |    n * svy - sv * sy AS cvy, n * syy - sy * sy AS cyy
+        |  FROM mom),
+        |coefs AS (SELECT direction, n, cuy, cvy, cyy, cuu,
+        |    (CAST(cvv AS DOUBLE) * cuy - CAST(cuv AS DOUBLE) * cvy) /
+        |      (CAST(cuu AS DOUBLE) * cvv - CAST(cuv AS DOUBLE) * cuv)
+        |      AS b,
+        |    (CAST(cuu AS DOUBLE) * cvy - CAST(cuv AS DOUBLE) * cuy) /
+        |      (CAST(cuu AS DOUBLE) * cvv - CAST(cuv AS DOUBLE) * cuv)
+        |      AS c
+        |  FROM cen),
+        |rss AS (SELECT direction, n, b, c,
+        |    (cyy - b * cuy - c * cvy) / CAST(n AS DOUBLE) AS rss_u,
+        |    (cyy - CAST(cuy AS DOUBLE) * cuy / cuu) / CAST(n AS DOUBLE)
+        |      AS rss_r
+        |  FROM coefs)
+        |SELECT direction, n AS n_weeks, round(b, 4) AS own_lag_coef,
+        |  round(c, 4) AS cross_lag_coef,
+        |  round((rss_r - rss_u) / (rss_u / (n - 3)), 4) AS f_stat
+        |FROM rss ORDER BY direction""".stripMargin,
+
+    "q333_fellegi_sunter" ->
+      """WITH cust AS (SELECT c_custkey AS ck, c_nationkey AS nat,
+        |    c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v
+        |  FROM customer),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cust),
+        |unat AS (SELECT CAST(agree AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * (n - 1)) AS u_nat
+        |  FROM (SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS agree
+        |    FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM cust
+        |      GROUP BY nat)) CROSS JOIN nn),
+        |useg AS (SELECT CAST(agree AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * (n - 1)) AS u_seg
+        |  FROM (SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS agree
+        |    FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM cust
+        |      GROUP BY seg)) CROSS JOIN nn),
+        |vals AS (SELECT v, CAST(count(*) AS BIGINT) AS c
+        |  FROM cust GROUP BY 1),
+        |ubal AS (SELECT CAST(inband - n AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * (n - 1)) AS u_bal
+        |  FROM (SELECT CAST(sum(a.c * b.cw) AS BIGINT) AS inband
+        |    FROM (SELECT v, c, v // 1000 + off.range AS bk
+        |      FROM vals CROSS JOIN range(-1, 2) off) a
+        |    JOIN (SELECT v // 1000 AS bk, v AS w, c AS cw
+        |      FROM vals) b USING (bk)
+        |    WHERE abs(a.v - b.w) <= 1000) CROSS JOIN nn),
+        |us AS (SELECT * FROM unat CROSS JOIN useg CROSS JOIN ubal),
+        |pairs AS (SELECT a.nat = b.nat AS na, a.seg = b.seg AS sa,
+        |    abs(a.v - b.v) <= 1000 AS ba
+        |  FROM (SELECT *, ck // 10 AS bk FROM cust) a
+        |  JOIN (SELECT *, ck // 10 AS bk FROM cust) b
+        |    ON a.bk = b.bk AND a.ck < b.ck),
+        |patterns AS (SELECT na, sa, ba, CAST(count(*) AS BIGINT)
+        |    AS n_pairs FROM pairs GROUP BY 1, 2, 3),
+        |scored AS (SELECT na AS nation_agree, sa AS segment_agree,
+        |    ba AS balance_agree, n_pairs,
+        |    round(u_nat, 6) AS u_nation, round(u_bal, 6) AS u_balance,
+        |    round(
+        |      (CASE WHEN na THEN ln(0.95 / u_nat)
+        |        ELSE ln((1.0 - 0.95) / (1.0 - u_nat)) END) +
+        |      (CASE WHEN sa THEN ln(0.9 / u_seg)
+        |        ELSE ln((1.0 - 0.9) / (1.0 - u_seg)) END) +
+        |      (CASE WHEN ba THEN ln(0.85 / u_bal)
+        |        ELSE ln((1.0 - 0.85) / (1.0 - u_bal)) END), 4)
+        |      AS weight
+        |  FROM patterns CROSS JOIN us)
+        |SELECT *, CASE WHEN weight >= 4.0 THEN 'match'
+        |    WHEN weight >= -2.0 THEN 'possible'
+        |    ELSE 'non_match' END AS decision
+        |FROM scored
+        |ORDER BY nation_agree, segment_agree, balance_agree"""
+        .stripMargin,
 
     "q313_threshold_opt" ->
       """WITH y AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
