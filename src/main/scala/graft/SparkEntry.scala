@@ -6412,6 +6412,466 @@ object SparkEntry {
           col("balance_agree"))
     }),
 
+    "q334_dtw" -> ((s, dir) => {
+      // Dynamic time warping between the 1995 and 1996 monthly revenue
+      // curves — the shape-aware series distance. The 12x12 DP is
+      // folded COLUMN BY COLUMN via the identity D(i,j) = CS_j(i) +
+      // min_{k<=i}(E(k) - CS_j(k-1)) with E(k) = min(D(k,j-1),
+      // D(k-1,j-1)): each of the 11 unrolled steps is two windows over
+      // a 12-row frame, so the whole warp is bounded-grid arithmetic
+      // in exact integer kilodollars; only the monthly aggregate
+      // touches data-sized rows.
+      def monthly(yr: Int, idx: String, v: String) =
+        t(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === yr)
+          .groupBy(month(col("o_orderdate")).cast("long").as(idx))
+          .agg(expr("CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) " +
+            "div 1000 AS BIGINT)").as(v))
+      val cost = monthly(1995, "i", "va")
+        .crossJoin(monthly(1996, "j", "vb"))
+        .select(col("i"), col("j"),
+          abs(col("va") - col("vb")).as("c"))
+        .persist()
+      // 12-row frames: plain windows safe throughout
+      val w = Window.orderBy(col("i"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+      var d = cost.filter(col("j") === 1)
+        .withColumn("d", sum(col("c")).over(wRun))
+        .select(col("i"), col("d"))
+      for (j <- 2 to 12) {
+        val e = d.withColumn("dl", lag(col("d"), 1).over(w))
+          .select(col("i"),
+            least(col("d"), coalesce(col("dl"), col("d"))).as("e"))
+        d = cost.filter(col("j") === j)
+          .withColumn("cs", sum(col("c")).over(wRun))
+          .join(e, Seq("i"))
+          .withColumn("rm",
+            min(col("e") - col("cs") + col("c")).over(wRun))
+          .select(col("i"), (col("cs") + col("rm")).as("d"))
+      }
+      d.filter(col("i") === 12)
+        .select(lit(12L).as("n_months"), col("d").as("dtw_kusd"))
+    }),
+
+    "q335_binary_segmentation" -> ((s, dir) => {
+      // Binary segmentation, two rounds: the first split minimizes
+      // total SSE of daily revenue (exact integer prefix sums S1/S2 in
+      // kilodollars; only the per-candidate division runs in double,
+      // rounded before the argmin), the second split re-scans BOTH
+      // sides with the first boundary fixed. The classic multiple-
+      // change-point scheme on top of one shared cumulative table —
+      // day axis calendar-bounded, data touched once.
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(expr("CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) " +
+          "div 1000 AS BIGINT)").as("y"))
+      // calendar-bounded: plain windows safe
+      val w = Window.orderBy(col("d"))
+      val cum = daily
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("s1", sum(col("y")).over(w))
+        .withColumn("s2", sum(col("y") * col("y")).over(w))
+        .persist()
+      val tot = cum.agg(max(col("t")).as("n"), max(col("s1")).as("g1"),
+        max(col("s2")).as("g2"))
+      def seg(s2b: Column, s2a: Column, s1b: Column, s1a: Column,
+              len: Column) =
+        (s2b - s2a).cast("double") -
+          (s1b - s1a).cast("double") * (s1b - s1a) / len
+      val c1 = cum.crossJoin(broadcast(tot)).filter(col("t") < col("n"))
+        .select(col("d"), col("t"), col("n"), col("g1"), col("g2"),
+          round(seg(col("s2"), lit(0L), col("s1"), lit(0L), col("t")) +
+            seg(col("g2"), col("s2"), col("g1"), col("s1"),
+              col("n") - col("t")), 4).as("sse"))
+      val best1 = PrefixSum.globalRank(c1, Seq(col("sse"), col("t")), "rk")
+        .filter(col("rk") === 1)
+        .select(col("t").as("t1"), col("d").as("d1"),
+          col("sse").as("sse1"))
+      val t1row = cum.join(broadcast(best1), col("t") === col("t1"))
+        .select(col("t1"), col("s1").as("p1"), col("s2").as("p2"))
+      val c2 = cum.crossJoin(broadcast(tot))
+        .crossJoin(broadcast(t1row))
+        .filter(col("t") < col("n") && col("t") =!= col("t1"))
+        .select(col("d"), col("t"), col("t1"),
+          round(when(col("t") < col("t1"),
+            seg(col("s2"), lit(0L), col("s1"), lit(0L), col("t")) +
+              seg(col("p2"), col("s2"), col("p1"), col("s1"),
+                col("t1") - col("t")) +
+              seg(col("g2"), col("p2"), col("g1"), col("p1"),
+                col("n") - col("t1")))
+          .otherwise(
+            seg(col("p2"), lit(0L), col("p1"), lit(0L), col("t1")) +
+              seg(col("s2"), col("p2"), col("s1"), col("p1"),
+                col("t") - col("t1")) +
+              seg(col("g2"), col("s2"), col("g1"), col("s1"),
+                col("n") - col("t"))), 4).as("sse"))
+      val best2 = PrefixSum.globalRank(c2, Seq(col("sse"), col("t")), "rk")
+        .filter(col("rk") === 1)
+        .select(col("t").as("t2"), col("d").as("d2"),
+          col("sse").as("sse2"))
+      val sse0 = tot.select(col("n"),
+        round(seg(col("g2"), lit(0L), col("g1"), lit(0L), col("n")), 4)
+          .as("sse0"))
+      sse0.crossJoin(broadcast(best1)).crossJoin(broadcast(best2))
+        .select(col("n").as("n_days"),
+          date_format(least(col("d1"), col("d2")), "yyyy-MM-dd")
+            .as("change_1"),
+          date_format(greatest(col("d1"), col("d2")), "yyyy-MM-dd")
+            .as("change_2"),
+          col("sse0"), col("sse1"), col("sse2"),
+          round(lit(1.0) - col("sse2") / col("sse0"), 6)
+            .as("var_explained"))
+    }),
+
+    "q336_anova_f" -> ((s, dir) => {
+      // One-way ANOVA F across the five market segments on acctbal —
+      // the parametric companion to q319's Kruskal-Wallis. SSB/SSW
+      // assemble from per-group exact integer moments (sum, sumsq,
+      // count) in one partial-aggregating pass; eta^2 gives the effect
+      // size and the df-4 chi-square survival of 4F the large-sample
+      // p. Everything after the group aggregate is broadcast
+      // arithmetic.
+      val g = t(s, dir, "customer")
+        .select(col("c_mktsegment").as("sg"),
+          expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("v"))
+        .groupBy(col("sg"))
+        .agg(count(lit(1)).as("ng"), sum(col("v")).as("sg1"),
+          sum(col("v") * col("v")).as("sg2"))
+      val stat = g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+          sum(col("sg1")).as("s1"), sum(col("sg2")).as("s2"),
+          sum(col("sg1").cast("double") * col("sg1") / col("ng"))
+            .as("sb"))
+        .select(col("k"), col("n"),
+          (col("sb") - col("s1").cast("double") * col("s1") / col("n"))
+            .as("ssb"),
+          (col("s2").cast("double") - col("sb")).as("ssw"))
+        .select(col("k"), col("n"), col("ssb"), col("ssw"),
+          ((col("ssb") / (col("k") - 1)) /
+            (col("ssw") / (col("n") - col("k")))).as("f"))
+      val x = col("f") * 4
+      stat.select(col("n").as("n_cust"), col("k").as("k_groups"),
+        round(col("f"), 4).as("f_stat"),
+        round(col("ssb") / (col("ssb") + col("ssw")), 6).as("eta_sq"),
+        round(exp(-x / 2) * (lit(1.0) + x / 2), 6).as("p_approx"))
+    }),
+
+    "q337_brown_forsythe" -> ((s, dir) => {
+      // Brown-Forsythe variance-homogeneity test (Levene with MEDIAN
+      // centers — robust to the heavy tails that wreck the plain
+      // F-ratio): per-segment medians picked at the exact integer rank
+      // (ng+1) div 2 via the grouped two-phase prefix sum, deviations
+      // |v - med| stay exact integers, then the one-way ANOVA assembly
+      // of q336 runs on the deviations. The gatekeeper to trusting any
+      // pooled-variance test.
+      val base = t(s, dir, "customer")
+        .select(col("c_mktsegment").as("sg"),
+          expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("v"),
+          col("c_custkey"))
+        .select(col("sg"), col("v"),
+          (col("v") * lit(16777216L) + col("c_custkey")).as("ok"))
+      val ranked = PrefixSum.groupedRunningSum(
+        base.withColumn("one", lit(1L)), "sg", "ok", col("one"), "rk")
+      val ngs = base.groupBy(col("sg")).agg(count(lit(1)).as("ng"))
+      val med = ranked.join(broadcast(ngs), Seq("sg"))
+        .filter(col("rk") === expr("(ng + 1) div 2"))
+        .select(col("sg"), col("v").as("med"))
+      val g = base.join(broadcast(med), Seq("sg"))
+        .select(col("sg"), abs(col("v") - col("med")).as("z"))
+        .groupBy(col("sg"))
+        .agg(count(lit(1)).as("ng"), sum(col("z")).as("sg1"),
+          sum(col("z") * col("z")).as("sg2"))
+      val stat = g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+          sum(col("sg1")).as("s1"), sum(col("sg2")).as("s2"),
+          sum(col("sg1").cast("double") * col("sg1") / col("ng"))
+            .as("sb"))
+        .select(col("k"), col("n"),
+          (col("sb") - col("s1").cast("double") * col("s1") / col("n"))
+            .as("ssb"),
+          (col("s2").cast("double") - col("sb")).as("ssw"))
+        .select(col("k"), col("n"),
+          ((col("ssb") / (col("k") - 1)) /
+            (col("ssw") / (col("n") - col("k")))).as("f"))
+      val x = col("f") * 4
+      stat.select(col("n").as("n_cust"), col("k").as("k_groups"),
+        round(col("f"), 4).as("w_stat"),
+        round(exp(-x / 2) * (lit(1.0) + x / 2), 6).as("p_approx"))
+    }),
+
+    "q338_tukey_hsd" -> ((s, dir) => {
+      // Tukey HSD post-hoc: after q336's ANOVA says "segments differ",
+      // WHICH pairs differ? The studentized-range q for all 10 segment
+      // pairs from one set of per-group exact moments plus the pooled
+      // MSE — the bounded 5x5 pair grid is broadcast arithmetic, and
+      // the df=inf k=5 critical value 3.86 flags significance.
+      val g = t(s, dir, "customer")
+        .select(col("c_mktsegment").as("sg"),
+          expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("v"))
+        .groupBy(col("sg"))
+        .agg(count(lit(1)).as("ng"), sum(col("v")).as("sg1"),
+          sum(col("v") * col("v")).as("sg2"))
+      val mse = g.agg(sum(col("ng")).as("n"), count(lit(1)).as("k"),
+          sum(col("sg2")).as("s2"),
+          sum(col("sg1").cast("double") * col("sg1") / col("ng"))
+            .as("sb"))
+        .select(((col("s2").cast("double") - col("sb")) /
+          (col("n") - col("k")).cast("double")).as("mse"))
+      g.select(col("sg").as("seg_a"), col("ng").as("na"),
+          (col("sg1").cast("double") / col("ng")).as("ma"))
+        .join(g.select(col("sg").as("seg_b"), col("ng").as("nb"),
+          (col("sg1").cast("double") / col("ng")).as("mb")),
+          col("seg_a") < col("seg_b"))
+        .crossJoin(broadcast(mse))
+        .select(col("seg_a"), col("seg_b"),
+          round((col("ma") - col("mb")) / 100, 2).as("mean_diff_dollars"),
+          round((col("ma") - col("mb")) /
+            sqrt(col("mse") / 2 *
+              (lit(1.0) / col("na") + lit(1.0) / col("nb"))), 4)
+            .as("q_stat"))
+        .withColumn("significant", abs(col("q_stat")) > 3.86)
+        .orderBy(col("seg_a"), col("seg_b"))
+    }),
+
+    "q339_bland_altman" -> ((s, dir) => {
+      // Bland-Altman agreement between the stated order total and the
+      // line-rebuilt total (q318's reconciliation fixture, asked the
+      // method-comparison way): bias = mean difference, 95% limits of
+      // agreement = bias +/- 1.96 sd, and the share of orders outside
+      // their own limits. Moments are exact integer cents in one
+      // grouped pass; the limits comparison re-uses the same frame.
+      val diffs = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * (1 - l_discount) * " +
+          "(1 + l_tax) * 100 + 0.5) AS BIGINT)")).as("calc"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("stated")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("calc") - col("stated")).as("diff"))
+      // diff^2 can pass 2^63 at scale: accumulate the square sum as
+      // DECIMAL(38,0) (exact, overflow-free) and go double only once
+      val mom = diffs.agg(count(lit(1)).as("n"), sum(col("diff")).as("s1"),
+          sum(col("diff").cast("decimal(19,0)") *
+            col("diff").cast("decimal(19,0)")).as("s2"))
+        .select(col("n"),
+          (col("s1").cast("double") / col("n")).as("bias"),
+          sqrt((col("n").cast("double") * col("s2").cast("double") -
+            col("s1").cast("double") * col("s1")) /
+            (col("n").cast("double") * (col("n") - 1))).as("sd"))
+      diffs.crossJoin(broadcast(mom))
+        .agg(first(col("n")).as("n_orders"),
+          round(first(col("bias")), 4).as("bias_cents"),
+          round(first(col("bias")) - lit(1.96) * first(col("sd")), 4)
+            .as("loa_lo_cents"),
+          round(first(col("bias")) + lit(1.96) * first(col("sd")), 4)
+            .as("loa_hi_cents"),
+          round(avg(when(col("diff") < col("bias") - lit(1.96) * col("sd"),
+            1.0).when(col("diff") > col("bias") + lit(1.96) * col("sd"),
+            1.0).otherwise(0.0)), 6).as("frac_outside"))
+    }),
+
+    "q340_markov_attribution" -> ((s, dir) => {
+      // Markov removal-effect attribution — the data-driven multi-touch
+      // model (vs q203's positional rules): user journeys up to first
+      // purchase become a 6-state transition matrix, conversion
+      // probability from 'start' is solved by a 20-step fixed-point
+      // fold, and each channel's credit is how much conversion DROPS
+      // when its state is redirected to 'null'. All five scenarios
+      // (base + 4 removals) ride ONE bounded wide frame (5 rows x 25
+      // prob columns) whose iteration is pure fixed-operand-order
+      // column arithmetic — deterministic on both engines; only the
+      // journey extraction touches data-sized rows (per-user windows,
+      // bounded by activity).
+      val chans = Seq("click", "view", "signup", "error")
+      val ev = events(s, dir).select(col("user_id"),
+        col("event_type").as("et"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      val minp = ev.filter(col("et") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("us")).as("mp"))
+      val touches = ev.join(minp, Seq("user_id"), "left")
+        .filter(col("et") =!= "purchase" &&
+          (col("mp").isNull || col("us") < col("mp")))
+      val wU = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val seq0 = touches
+        .withColumn("rn", row_number().over(wU).cast("long"))
+        .withColumn("nt",
+          count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .withColumn("nx", lead(col("et"), 1).over(wU))
+        .withColumn("conv", col("mp").isNotNull)
+      val trans = seq0.filter(col("rn") === 1)
+          .select(lit("start").as("f"), col("et").as("tt"))
+        .unionAll(seq0.filter(col("nx").isNotNull)
+          .select(col("et").as("f"), col("nx").as("tt")))
+        .unionAll(seq0.filter(col("rn") === col("nt"))
+          .select(col("et").as("f"),
+            when(col("conv"), "conv").otherwise("null").as("tt")))
+        .unionAll(minp.join(touches.select(col("user_id")).distinct(),
+            Seq("user_id"), "left_anti")
+          .select(lit("start").as("f"), lit("conv").as("tt")))
+        .groupBy(col("f"), col("tt")).agg(count(lit(1)).as("c"))
+      val probs = trans
+        .join(trans.groupBy(col("f")).agg(sum(col("c")).as("tot")),
+          Seq("f"))
+        .select(col("f"), col("tt"),
+          (col("c").cast("double") / col("tot")).as("p"))
+      val scens = ("base" +: chans)
+        .map(c => s.range(1).select(lit(c).as("scen")))
+        .reduce(_.unionAll(_))
+      val redirected = scens.crossJoin(probs)
+        .select(col("scen"), col("f"),
+          when(col("tt") === col("scen"), "null").otherwise(col("tt"))
+            .as("tt"), col("p"))
+      val froms = "start" +: chans
+      val tos = chans :+ "conv"
+      val aggs = froms.flatMap(f => tos.map(tt =>
+        sum(when(col("f") === f && col("tt") === tt, col("p"))
+          .otherwise(0.0)).as(s"t_${f}_$tt")))
+      var cur = redirected.groupBy(col("scen"))
+        .agg(aggs.head, aggs.tail: _*)
+      chans.foreach(c => cur = cur.withColumn(s"p_$c", lit(0.0)))
+      for (_ <- 1 to 20) {
+        val keep = col("scen") +:
+          froms.flatMap(f => tos.map(tt => col(s"t_${f}_$tt")))
+        val ps = chans.map { c =>
+          chans.foldLeft(col(s"t_${c}_conv"))((acc, d) =>
+            acc + col(s"t_${c}_$d") * col(s"p_$d")).as(s"p_$c")
+        }
+        cur = cur.select(keep ++ ps: _*)
+      }
+      val fin = cur.select(col("scen"),
+        chans.foldLeft(col("t_start_conv"))((acc, d) =>
+          acc + col(s"t_start_$d") * col(s"p_$d")).as("p_start"))
+      val wideF = fin.groupBy()
+        .agg(sum(when(col("scen") === "base", col("p_start"))
+          .otherwise(0.0)).as("p_base"),
+          chans.map(c => sum(when(col("scen") === c, col("p_start"))
+            .otherwise(0.0)).as(s"p_rm_$c")): _*)
+      val withRe = chans.foldLeft(wideF)((df, c) =>
+        df.withColumn(s"re_$c",
+          (col("p_base") - col(s"p_rm_$c")) / col("p_base")))
+      val nJ = ev.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_journeys"))
+      withRe
+        .withColumn("re_sum", chans.map(c => col(s"re_$c"))
+          .reduce(_ + _))
+        .crossJoin(broadcast(nJ))
+        .select(Seq(col("n_journeys"),
+          round(col("p_base"), 6).as("base_cvr")) ++
+          chans.map(c => round(col(s"re_$c"), 6).as(s"re_$c")) ++
+          chans.map(c => round(col(s"re_$c") / col("re_sum"), 6)
+            .as(s"share_$c")): _*)
+    }),
+
+    "q341_qini_uplift" -> ((s, dir) => {
+      // Qini curve + coefficient — the uplift-model report card:
+      // customers ranked by the targeting score (acctbal, descending
+      // exact global rank), split into deciles, with the incremental
+      // conversions cyt - cyc*cnt/cnc accumulated down the ranking
+      // against the random-targeting diagonal. Counts stay exact
+      // integers through the cumulative table; the trapezoid area runs
+      // over 10 bounded rows in rank order on both engines.
+      val y96 = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1996)
+        .select(col("o_custkey")).distinct()
+      val base = t(s, dir, "customer")
+        .join(y96, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey").as("ck"),
+          expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("v"),
+          (col("c_custkey") % 2 === 0).as("tr"),
+          when(col("o_custkey").isNotNull, 1L).otherwise(0L).as("y"))
+      val n = base.agg(count(lit(1)).as("n"))
+      val dec = PrefixSum.globalRank(base,
+          Seq(col("v").desc, col("ck")), "rk")
+        .crossJoin(broadcast(n))
+        .select(expr("CAST(1 + ((rk - 1) * 10) div n AS BIGINT)")
+          .as("decile"), col("tr"), col("y"), col("n"))
+      val per = dec.groupBy(col("decile"))
+        .agg(first(col("n")).as("n"),
+          sum(when(col("tr"), 1L).otherwise(0L)).as("nt"),
+          sum(when(!col("tr"), 1L).otherwise(0L)).as("nc"),
+          sum(when(col("tr"), col("y")).otherwise(0L)).as("yt"),
+          sum(when(!col("tr"), col("y")).otherwise(0L)).as("yc"))
+      // 10 bounded decile rows: plain windows safe
+      val w = Window.orderBy(col("decile"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val cum = per
+        .withColumn("cnt", sum(col("nt")).over(w))
+        .withColumn("cnc", sum(col("nc")).over(w))
+        .withColumn("cyt", sum(col("yt")).over(w))
+        .withColumn("cyc", sum(col("yc")).over(w))
+        .withColumn("qini", col("cyt").cast("double") -
+          col("cyc").cast("double") * col("cnt") / col("cnc"))
+        .withColumn("x", (col("cnt") + col("cnc")).cast("double") /
+          col("n"))
+      val curve = cum
+        .withColumn("ql", coalesce(lag(col("qini"), 1).over(w), lit(0.0)))
+        .withColumn("xl", coalesce(lag(col("x"), 1).over(w), lit(0.0)))
+        .withColumn("contrib",
+          (col("qini") + col("ql")) / 2 * (col("x") - col("xl")))
+        .withColumn("area", sum(col("contrib")).over(wAll))
+        .withColumn("u_total",
+          sum(when(col("decile") === 10, col("qini")).otherwise(0.0))
+            .over(wAll))
+      curve.select(col("decile"), col("nt").as("n_t"),
+          col("nc").as("n_c"), col("yt").as("y_t"), col("yc").as("y_c"),
+          round(col("qini"), 4).as("qini_k"),
+          round(col("area"), 4).as("qini_area"),
+          round(col("area") - col("u_total") / 2, 4).as("qini_coef"))
+        .orderBy(col("decile"))
+    }),
+
+    "q342_friedman" -> ((s, dir) => {
+      // Friedman test on the complete nation x segment block design
+      // (cell value = total acctbal cents, absent cells exactly 0):
+      // within-block tied AVERAGE ranks via pair counting over the
+      // bounded 5-cell blocks (ar2 = 2*less + eq + 1 stays integer),
+      // chi2_F = 12/(bk(k+1)) * sum R_j^2 - 3b(k+1) on the halved rank
+      // sums, df=4 survival in closed form. The repeated-measures
+      // answer to q319's independent-samples Kruskal-Wallis.
+      val segs = t(s, dir, "customer").select(col("c_mktsegment"))
+        .distinct().select(col("c_mktsegment").as("seg"))
+      val grid = t(s, dir, "nation")
+        .select(col("n_nationkey").as("nk")).crossJoin(broadcast(segs))
+      val sums = t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nk"),
+          col("c_mktsegment").as("seg"))
+        .agg(sum(expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)"))
+          .as("sv"))
+      val cells = grid.join(sums, Seq("nk", "seg"), "left")
+        .select(col("nk"), col("seg"), coalesce(col("sv"), lit(0L))
+          .as("v"))
+      val ranked = cells.as("a")
+        .join(cells.as("b"), col("a.nk") === col("b.nk"))
+        .groupBy(col("a.nk").as("nk"), col("a.seg").as("seg"))
+        .agg((lit(2L) * sum(when(col("b.v") < col("a.v"), 1L)
+          .otherwise(0L)) +
+          sum(when(col("b.v") === col("a.v"), 1L).otherwise(0L)) + 1L)
+          .as("ar2"))
+      val perSeg = ranked.groupBy(col("seg"))
+        .agg(sum(col("ar2")).as("r2"))
+      val bk = cells.agg(
+        countDistinct(col("nk")).as("b"),
+        countDistinct(col("seg")).as("k"))
+      val stat = perSeg.agg(sum(col("r2") * col("r2")).as("sr2"))
+        .crossJoin(broadcast(bk))
+        .select(col("b"), col("k"),
+          (lit(12.0) / (col("b").cast("double") * col("k") *
+            (col("k") + 1)) * (col("sr2").cast("double") / 4) -
+            lit(3.0) * col("b") * (col("k") + 1)).as("chi2"))
+        .select(col("b").as("n_blocks"), col("k").as("k_treatments"),
+          round(col("chi2"), 4).as("chi2_f"),
+          round(exp(-col("chi2") / 2) * (lit(1.0) + col("chi2") / 2), 6)
+            .as("p_value"))
+      perSeg.crossJoin(broadcast(stat))
+        .select(col("seg").as("segment"),
+          round(col("r2").cast("double") /
+            (lit(2.0) * col("n_blocks")), 2).as("mean_rank"),
+          col("n_blocks"), col("k_treatments"), col("chi2_f"),
+          col("p_value"))
+        .orderBy(col("segment"))
+    }),
+
     "q262_hill_tail" -> ((s, dir) => {
       // heavy-tail diagnosis: the Hill estimator over the top 100 order
       // values — gamma = mean ln(x_i / x_ref) against the rank-101
@@ -13006,6 +13466,362 @@ object SparkEntry {
         |FROM scored
         |ORDER BY nation_agree, segment_agree, balance_agree"""
         .stripMargin,
+
+    "q334_dtw" -> {
+      // the 11 column-fold steps are unrolled as generated CTEs — the
+      // same bounded DP the engine runs, in DuckDB's own dialect
+      val head =
+        """WITH am AS (SELECT CAST(month(o_orderdate) AS BIGINT) AS i,
+          |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) // 1000
+          |      AS BIGINT) AS va
+          |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+          |bm AS (SELECT CAST(month(o_orderdate) AS BIGINT) AS j,
+          |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) // 1000
+          |      AS BIGINT) AS vb
+          |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+          |cost AS (SELECT i, j, abs(va - vb) AS c
+          |  FROM am CROSS JOIN bm),
+          |d1 AS (SELECT i, CAST(sum(c) OVER (ORDER BY i) AS BIGINT)
+          |    AS d FROM cost WHERE j = 1)""".stripMargin
+      val steps = (2 to 12).map { j =>
+        s"""e$j AS (SELECT i, least(d, coalesce(lag(d)
+           |    OVER (ORDER BY i), d)) AS e FROM d${j - 1}),
+           |c$j AS (SELECT i, c, CAST(sum(c) OVER (ORDER BY i)
+           |    AS BIGINT) AS cs FROM cost WHERE j = $j),
+           |d$j AS (SELECT c$j.i AS i, cs + min(e - cs + c)
+           |    OVER (ORDER BY c$j.i) AS d
+           |  FROM c$j JOIN e$j ON c$j.i = e$j.i)""".stripMargin
+      }.mkString(",\n")
+      head + ",\n" + steps +
+        "\nSELECT CAST(12 AS BIGINT) AS n_months, " +
+        "CAST(d AS BIGINT) AS dtw_kusd FROM d12 WHERE i = 12"
+    },
+
+    "q335_binary_segmentation" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) // 1000
+        |      AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |cum AS (SELECT d,
+        |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+        |    CAST(sum(y) OVER (ORDER BY d) AS BIGINT) AS s1,
+        |    CAST(sum(y * y) OVER (ORDER BY d) AS BIGINT) AS s2
+        |  FROM daily),
+        |tot AS (SELECT max(t) AS n, max(s1) AS g1, max(s2) AS g2
+        |  FROM cum),
+        |c1 AS (SELECT d, t, n, g1, g2,
+        |    round(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / t +
+        |      (CAST(g2 - s2 AS DOUBLE) - CAST(g1 - s1 AS DOUBLE) *
+        |        (g1 - s1) / (n - t)), 4) AS sse
+        |  FROM cum CROSS JOIN tot WHERE t < n),
+        |best1 AS (SELECT t AS t1, d AS d1, sse AS sse1 FROM (
+        |    SELECT *, row_number() OVER (ORDER BY sse, t) AS rk
+        |    FROM c1) WHERE rk = 1),
+        |t1row AS (SELECT t1, d1, sse1, s1 AS p1, s2 AS p2
+        |  FROM cum JOIN best1 ON t = t1),
+        |c2 AS (SELECT d, t,
+        |    round(CASE WHEN t < t1 THEN
+        |      CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / t +
+        |      (CAST(p2 - s2 AS DOUBLE) - CAST(p1 - s1 AS DOUBLE) *
+        |        (p1 - s1) / (t1 - t)) +
+        |      (CAST(g2 - p2 AS DOUBLE) - CAST(g1 - p1 AS DOUBLE) *
+        |        (g1 - p1) / (n - t1))
+        |    ELSE
+        |      CAST(p2 AS DOUBLE) - CAST(p1 AS DOUBLE) * p1 / t1 +
+        |      (CAST(s2 - p2 AS DOUBLE) - CAST(s1 - p1 AS DOUBLE) *
+        |        (s1 - p1) / (t - t1)) +
+        |      (CAST(g2 - s2 AS DOUBLE) - CAST(g1 - s1 AS DOUBLE) *
+        |        (g1 - s1) / (n - t))
+        |    END, 4) AS sse
+        |  FROM cum CROSS JOIN tot CROSS JOIN t1row
+        |  WHERE t < n AND t <> t1),
+        |best2 AS (SELECT t AS t2, d AS d2, sse AS sse2 FROM (
+        |    SELECT *, row_number() OVER (ORDER BY sse, t) AS rk
+        |    FROM c2) WHERE rk = 1),
+        |sse0 AS (SELECT n,
+        |    round(CAST(g2 AS DOUBLE) - CAST(g1 AS DOUBLE) * g1 / n, 4)
+        |      AS sse0
+        |  FROM tot)
+        |SELECT n AS n_days,
+        |  strftime(least(d1, d2), '%Y-%m-%d') AS change_1,
+        |  strftime(greatest(d1, d2), '%Y-%m-%d') AS change_2,
+        |  sse0, sse1, sse2,
+        |  round(1.0 - sse2 / sse0, 6) AS var_explained
+        |FROM sse0 CROSS JOIN t1row CROSS JOIN best2""".stripMargin,
+
+    "q336_anova_f" ->
+      """WITH g AS (SELECT c_mktsegment AS sg,
+        |    CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS sg1,
+        |    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) *
+        |      CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sg2
+        |  FROM customer GROUP BY 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(sg1) AS BIGINT) AS s1,
+        |    CAST(sum(sg2) AS BIGINT) AS s2,
+        |    sum(CAST(sg1 AS DOUBLE) * sg1 / ng) AS sb
+        |  FROM g),
+        |ss AS (SELECT k, n,
+        |    sb - CAST(s1 AS DOUBLE) * s1 / n AS ssb,
+        |    CAST(s2 AS DOUBLE) - sb AS ssw
+        |  FROM agg),
+        |f AS (SELECT k, n, ssb, ssw,
+        |    (ssb / (k - 1)) / (ssw / (n - k)) AS f FROM ss)
+        |SELECT n AS n_cust, k AS k_groups, round(f, 4) AS f_stat,
+        |  round(ssb / (ssb + ssw), 6) AS eta_sq,
+        |  round(exp(-(f * 4) / 2) * (1.0 + (f * 4) / 2), 6)
+        |    AS p_approx
+        |FROM f""".stripMargin,
+
+    "q337_brown_forsythe" ->
+      """WITH base AS (SELECT c_mktsegment AS sg,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * 16777216
+        |      + c_custkey AS ok
+        |  FROM customer),
+        |ranked AS (SELECT sg, v, CAST(row_number()
+        |    OVER (PARTITION BY sg ORDER BY ok) AS BIGINT) AS rk
+        |  FROM base),
+        |ngs AS (SELECT sg, CAST(count(*) AS BIGINT) AS ng
+        |  FROM base GROUP BY 1),
+        |med AS (SELECT sg, v AS med FROM ranked JOIN ngs USING (sg)
+        |  WHERE rk = (ng + 1) // 2),
+        |g AS (SELECT sg, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(abs(v - med)) AS BIGINT) AS sg1,
+        |    CAST(sum(abs(v - med) * abs(v - med)) AS BIGINT) AS sg2
+        |  FROM base JOIN med USING (sg) GROUP BY 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(sg1) AS BIGINT) AS s1,
+        |    CAST(sum(sg2) AS BIGINT) AS s2,
+        |    sum(CAST(sg1 AS DOUBLE) * sg1 / ng) AS sb
+        |  FROM g),
+        |f AS (SELECT k, n,
+        |    ((sb - CAST(s1 AS DOUBLE) * s1 / n) / (k - 1)) /
+        |      ((CAST(s2 AS DOUBLE) - sb) / (n - k)) AS f
+        |  FROM agg)
+        |SELECT n AS n_cust, k AS k_groups, round(f, 4) AS w_stat,
+        |  round(exp(-(f * 4) / 2) * (1.0 + (f * 4) / 2), 6)
+        |    AS p_approx
+        |FROM f""".stripMargin,
+
+    "q338_tukey_hsd" ->
+      """WITH g AS (SELECT c_mktsegment AS sg,
+        |    CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS sg1,
+        |    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) *
+        |      CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sg2
+        |  FROM customer GROUP BY 1),
+        |mse AS (SELECT (CAST(s2 AS DOUBLE) - sb) /
+        |    CAST(n - k AS DOUBLE) AS mse
+        |  FROM (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |      CAST(count(*) AS BIGINT) AS k,
+        |      CAST(sum(sg2) AS BIGINT) AS s2,
+        |      sum(CAST(sg1 AS DOUBLE) * sg1 / ng) AS sb FROM g))
+        |SELECT a.sg AS seg_a, b.sg AS seg_b,
+        |  round((CAST(a.sg1 AS DOUBLE) / a.ng -
+        |    CAST(b.sg1 AS DOUBLE) / b.ng) / 100, 2)
+        |    AS mean_diff_dollars,
+        |  round((CAST(a.sg1 AS DOUBLE) / a.ng -
+        |    CAST(b.sg1 AS DOUBLE) / b.ng) /
+        |    sqrt(mse / 2 * (1.0 / a.ng + 1.0 / b.ng)), 4) AS q_stat,
+        |  abs(round((CAST(a.sg1 AS DOUBLE) / a.ng -
+        |    CAST(b.sg1 AS DOUBLE) / b.ng) /
+        |    sqrt(mse / 2 * (1.0 / a.ng + 1.0 / b.ng)), 4)) > 3.86
+        |    AS significant
+        |FROM g a JOIN g b ON a.sg < b.sg CROSS JOIN mse
+        |ORDER BY seg_a, seg_b""".stripMargin,
+
+    "q339_bland_altman" ->
+      """WITH diffs AS (SELECT calc - stated AS diff
+        |  FROM (SELECT l_orderkey, CAST(sum(CAST(floor(
+        |      l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS calc
+        |    FROM lineitem GROUP BY 1) l
+        |  JOIN (SELECT o_orderkey,
+        |      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |        AS stated FROM orders) o
+        |    ON l_orderkey = o_orderkey),
+        |mom AS (SELECT n, CAST(s1 AS DOUBLE) / n AS bias,
+        |    sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) -
+        |      CAST(s1 AS DOUBLE) * s1) /
+        |      (CAST(n AS DOUBLE) * (n - 1))) AS sd
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS n,
+        |      CAST(sum(diff) AS BIGINT) AS s1,
+        |      sum(CAST(diff AS HUGEINT) * diff) AS s2 FROM diffs))
+        |SELECT any_value(n) AS n_orders,
+        |  round(any_value(bias), 4) AS bias_cents,
+        |  round(any_value(bias) - 1.96 * any_value(sd), 4)
+        |    AS loa_lo_cents,
+        |  round(any_value(bias) + 1.96 * any_value(sd), 4)
+        |    AS loa_hi_cents,
+        |  round(avg(CASE WHEN diff < bias - 1.96 * sd THEN 1.0
+        |    WHEN diff > bias + 1.96 * sd THEN 1.0 ELSE 0.0 END), 6)
+        |    AS frac_outside
+        |FROM diffs CROSS JOIN mom""".stripMargin,
+
+    "q340_markov_attribution" -> {
+      // the 20 fixed-point steps and the 25-column wide matrix are
+      // generated — identical fixed operand order to the engine's fold
+      val chans = Seq("click", "view", "signup", "error")
+      val froms = "start" +: chans
+      val tos = chans :+ "conv"
+      val tCols = froms.flatMap(f => tos.map(tt => s"t_${f}_$tt"))
+        .mkString(", ")
+      val aggCols = froms.flatMap(f => tos.map(tt =>
+        s"sum(CASE WHEN f = '$f' AND tt = '$tt' THEN p ELSE 0.0 END)" +
+          s" AS t_${f}_$tt")).mkString(",\n    ")
+      val p0Cols = chans.map(c => s"0.0 AS p_$c").mkString(", ")
+      val iters = (1 to 20).map { k =>
+        val ps = chans.map { c =>
+          chans.foldLeft(s"t_${c}_conv")((acc, d) =>
+            s"$acc + t_${c}_$d * p_$d") + s" AS p_$c"
+        }.mkString(",\n    ")
+        s"p$k AS (SELECT scen, $tCols,\n    $ps FROM p${k - 1})"
+      }.mkString(",\n")
+      val pStart = chans.foldLeft("t_start_conv")((acc, d) =>
+        s"$acc + t_start_$d * p_$d")
+      val wideCols = ("sum(CASE WHEN scen = 'base' THEN p_start " +
+        "ELSE 0.0 END) AS p_base") +: chans.map(c =>
+        s"sum(CASE WHEN scen = '$c' THEN p_start ELSE 0.0 END)" +
+          s" AS p_rm_$c")
+      val reCols = chans.map(c =>
+        s"(p_base - p_rm_$c) / p_base AS re_$c").mkString(", ")
+      val reSum = chans.map(c => s"re_$c").mkString(" + ")
+      val outCols = (chans.map(c => s"round(re_$c, 6) AS re_$c") ++
+        chans.map(c => s"round(re_$c / ($reSum), 6) AS share_$c"))
+        .mkString(",\n  ")
+      s"""WITH ev AS (SELECT user_id, event_type AS et,
+        |    epoch_us(ts) AS us, event_id FROM events),
+        |minp AS (SELECT user_id, CAST(min(us) AS BIGINT) AS mp
+        |  FROM ev WHERE et = 'purchase' GROUP BY 1),
+        |touches AS (SELECT ev.user_id, et, us, event_id, mp
+        |  FROM ev LEFT JOIN minp USING (user_id)
+        |  WHERE et <> 'purchase' AND (mp IS NULL OR us < mp)),
+        |seq AS (SELECT *, row_number() OVER
+        |    (PARTITION BY user_id ORDER BY us, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS nt,
+        |    lead(et) OVER
+        |      (PARTITION BY user_id ORDER BY us, event_id) AS nx,
+        |    mp IS NOT NULL AS conv FROM touches),
+        |tr AS (
+        |  SELECT 'start' AS f, et AS tt FROM seq WHERE rn = 1
+        |  UNION ALL SELECT et, nx FROM seq WHERE nx IS NOT NULL
+        |  UNION ALL SELECT et, CASE WHEN conv THEN 'conv'
+        |    ELSE 'null' END FROM seq WHERE rn = nt
+        |  UNION ALL SELECT 'start', 'conv' FROM minp
+        |    WHERE user_id NOT IN (SELECT user_id FROM touches)),
+        |tc AS (SELECT f, tt, CAST(count(*) AS BIGINT) AS c
+        |  FROM tr GROUP BY 1, 2),
+        |probs AS (SELECT f, tt, CAST(c AS DOUBLE) / tot AS p
+        |  FROM tc JOIN (SELECT f, CAST(sum(c) AS BIGINT) AS tot
+        |    FROM tc GROUP BY 1) tots USING (f)),
+        |scens AS (SELECT unnest(
+        |    ['base', 'click', 'view', 'signup', 'error']) AS scen),
+        |red AS (SELECT scen, f,
+        |    CASE WHEN tt = scen THEN 'null' ELSE tt END AS tt, p
+        |  FROM scens CROSS JOIN probs),
+        |tw AS (SELECT scen,
+        |    $aggCols
+        |  FROM red GROUP BY 1),
+        |p0 AS (SELECT *, $p0Cols FROM tw),
+        |$iters,
+        |fin AS (SELECT scen, $pStart AS p_start FROM p20),
+        |wide AS (SELECT ${wideCols.mkString(",\n    ")} FROM fin),
+        |re AS (SELECT p_base, $reCols FROM wide),
+        |nj AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+        |    AS n_journeys FROM events)
+        |SELECT n_journeys, round(p_base, 6) AS base_cvr,
+        |  $outCols
+        |FROM re CROSS JOIN nj""".stripMargin
+    },
+
+    "q341_qini_uplift" ->
+      """WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE year(o_orderdate) = 1996),
+        |base AS (SELECT c_custkey AS ck,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v,
+        |    c_custkey % 2 = 0 AS tr,
+        |    CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+        |  FROM customer LEFT JOIN y96 ON c_custkey = o_custkey),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        |dec AS (SELECT CAST(1 + (rk - 1) * 10 // n AS BIGINT)
+        |      AS decile, tr, y, n
+        |  FROM (SELECT *, CAST(row_number()
+        |      OVER (ORDER BY v DESC, ck) AS BIGINT) AS rk FROM base)
+        |    CROSS JOIN nn),
+        |per AS (SELECT decile, any_value(n) AS n,
+        |    CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nc,
+        |    CAST(sum(CASE WHEN tr THEN y ELSE 0 END) AS BIGINT) AS yt,
+        |    CAST(sum(CASE WHEN NOT tr THEN y ELSE 0 END) AS BIGINT)
+        |      AS yc
+        |  FROM dec GROUP BY 1),
+        |cum AS (SELECT *,
+        |    CAST(cyt AS DOUBLE) - CAST(cyc AS DOUBLE) * cnt / cnc
+        |      AS qini,
+        |    CAST(cnt + cnc AS DOUBLE) / n AS x
+        |  FROM (SELECT *,
+        |      CAST(sum(nt) OVER w AS BIGINT) AS cnt,
+        |      CAST(sum(nc) OVER w AS BIGINT) AS cnc,
+        |      CAST(sum(yt) OVER w AS BIGINT) AS cyt,
+        |      CAST(sum(yc) OVER w AS BIGINT) AS cyc
+        |    FROM per WINDOW w AS (ORDER BY decile))),
+        |curve AS (SELECT *,
+        |    sum((qini + ql) / 2 * (x - xl)) OVER wa AS area,
+        |    sum(CASE WHEN decile = 10 THEN qini ELSE 0.0 END) OVER wa
+        |      AS u_total
+        |  FROM (SELECT *,
+        |      coalesce(lag(qini) OVER (ORDER BY decile), 0.0) AS ql,
+        |      coalesce(lag(x) OVER (ORDER BY decile), 0.0) AS xl
+        |    FROM cum)
+        |  WINDOW wa AS (ORDER BY decile ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT decile, nt AS n_t, nc AS n_c, yt AS y_t, yc AS y_c,
+        |  round(qini, 4) AS qini_k, round(area, 4) AS qini_area,
+        |  round(area - u_total / 2, 4) AS qini_coef
+        |FROM curve ORDER BY decile""".stripMargin,
+
+    "q342_friedman" ->
+      """WITH segs AS (SELECT DISTINCT c_mktsegment AS seg
+        |  FROM customer),
+        |grid AS (SELECT n_nationkey AS nk, seg
+        |  FROM nation CROSS JOIN segs),
+        |sums AS (SELECT c_nationkey AS nk, c_mktsegment AS seg,
+        |    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS sv
+        |  FROM customer GROUP BY 1, 2),
+        |cells AS (SELECT nk, seg, coalesce(sv, 0) AS v
+        |  FROM grid LEFT JOIN sums USING (nk, seg)),
+        |ranked AS (SELECT a.nk, a.seg,
+        |    2 * CAST(sum(CASE WHEN b.v < a.v THEN 1 ELSE 0 END)
+        |      AS BIGINT) +
+        |    CAST(sum(CASE WHEN b.v = a.v THEN 1 ELSE 0 END)
+        |      AS BIGINT) + 1 AS ar2
+        |  FROM cells a JOIN cells b ON a.nk = b.nk
+        |  GROUP BY 1, 2),
+        |perseg AS (SELECT seg, CAST(sum(ar2) AS BIGINT) AS r2
+        |  FROM ranked GROUP BY 1),
+        |bk AS (SELECT CAST(count(DISTINCT nk) AS BIGINT) AS b,
+        |    CAST(count(DISTINCT seg) AS BIGINT) AS k FROM cells),
+        |stat AS (SELECT b AS n_blocks, k AS k_treatments,
+        |    round(chi2, 4) AS chi2_f,
+        |    round(exp(-chi2 / 2) * (1.0 + chi2 / 2), 6) AS p_value
+        |  FROM (SELECT b, k,
+        |      12.0 / (CAST(b AS DOUBLE) * k * (k + 1)) *
+        |        (CAST(sr2 AS DOUBLE) / 4) - 3.0 * b * (k + 1) AS chi2
+        |    FROM (SELECT CAST(sum(r2 * r2) AS BIGINT) AS sr2
+        |      FROM perseg) CROSS JOIN bk))
+        |SELECT seg AS segment,
+        |  round(CAST(r2 AS DOUBLE) / (2.0 * n_blocks), 2) AS mean_rank,
+        |  n_blocks, k_treatments, chi2_f, p_value
+        |FROM perseg CROSS JOIN stat ORDER BY segment""".stripMargin,
 
     "q313_threshold_opt" ->
       """WITH y AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
