@@ -6872,6 +6872,397 @@ object SparkEntry {
         .orderBy(col("segment"))
     }),
 
+    "q343_smd_balance" -> ((s, dir) => {
+      // Covariate-balance audit (the "love plot" table) for q331's
+      // caliper matching: standardized mean differences of acctbal,
+      // order count and spend between BUILDING-segment customers and
+      // controls, BEFORE matching (raw populations) and AFTER (matched
+      // pairs, with replacement). All moments are exact integers; the
+      // matching core is the same bucket join + min(struct) argmin.
+      // SMD < 0.1 after matching is the standard pass bar.
+      val spend = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(floor(o_totalprice) AS BIGINT)")).as("sp"),
+          count(lit(1)).as("no"))
+      val cust = t(s, dir, "customer")
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey").as("ck"),
+          (col("c_mktsegment") === "BUILDING").as("treated"),
+          expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("v"),
+          coalesce(col("sp"), lit(0L)).as("x_spend"),
+          coalesce(col("no"), lit(0L)).as("x_orders"))
+      val controls = cust.filter(!col("treated"))
+        .select(expr("v div 1000").as("bk"), col("v").as("cv"),
+          col("ck").as("cck"), col("x_spend").as("c_spend"),
+          col("x_orders").as("c_orders"))
+      val matched = cust.filter(col("treated"))
+        .crossJoin(broadcast(s.range(-1, 2).select(col("id").as("off"))))
+        .select(col("ck"), col("v"), col("x_spend"), col("x_orders"),
+          (expr("v div 1000") + col("off")).as("bk"))
+        .join(controls, Seq("bk"))
+        .filter(abs(col("v") - col("cv")) <= 1000)
+        .groupBy(col("ck"), col("v"), col("x_spend"), col("x_orders"))
+        .agg(min(struct(abs(col("v") - col("cv")).as("ad"), col("cck"),
+          col("cv").as("mcv"), col("c_spend").as("mcs"),
+          col("c_orders").as("mco"))).as("m"))
+      def mom(df: DataFrame, c: Column, pre: String) =
+        df.agg(count(lit(1)).as(s"${pre}_n"), sum(c).as(s"${pre}_s1"),
+          sum(c.cast("decimal(19,0)") * c.cast("decimal(19,0)"))
+            .as(s"${pre}_s2"))
+      def smd(tn: Column, ts1: Column, ts2: Column,
+              cn: Column, cs1: Column, cs2: Column) = {
+        val mt = ts1.cast("double") / tn
+        val mc = cs1.cast("double") / cn
+        val vt = (tn.cast("double") * ts2.cast("double") -
+          ts1.cast("double") * ts1) / (tn.cast("double") * (tn - 1))
+        val vc = (cn.cast("double") * cs2.cast("double") -
+          cs1.cast("double") * cs1) / (cn.cast("double") * (cn - 1))
+        (mt - mc) / sqrt((vt + vc) / 2)
+      }
+      val tAll = cust.filter(col("treated"))
+      val cAll = cust.filter(!col("treated"))
+      val wide = Seq(
+        ("acctbal", col("v"), col("m.mcv")),
+        ("orders", col("x_orders"), col("m.mco")),
+        ("spend", col("x_spend"), col("m.mcs"))).map { case (nm, rc, mc) =>
+        mom(tAll, rc, "tb").crossJoin(mom(cAll, rc, "cb"))
+          .crossJoin(mom(matched, rc, "ta"))
+          .crossJoin(mom(matched, mc, "ca"))
+          .select(lit(nm).as("covariate"),
+            round(smd(col("tb_n"), col("tb_s1"), col("tb_s2"),
+              col("cb_n"), col("cb_s1"), col("cb_s2")), 4)
+              .as("smd_before"),
+            round(smd(col("ta_n"), col("ta_s1"), col("ta_s2"),
+              col("ca_n"), col("ca_s1"), col("ca_s2")), 4)
+              .as("smd_after"))
+      }.reduce(_.unionAll(_))
+      wide.select(col("covariate"), col("smd_before"), col("smd_after"),
+          round(lit(1.0) - abs(col("smd_after")) / abs(col("smd_before")),
+            4).as("reduction"))
+        .orderBy(col("covariate"))
+    }),
+
+    "q344_process_capability" -> ((s, dir) => {
+      // Process-capability indices Cp/Cpk on the order-reconciliation
+      // gap (q339's fixture) against a +/-$1.00 spec: the
+      // manufacturing-quality lens on a billing pipeline. Moments are
+      // exact (decimal square sum), the normal out-of-spec prediction
+      // uses the A&S 7.1.26 erf polynomial, and observed ppm is an
+      // exact integer count.
+      val diffs = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * (1 - l_discount) * " +
+          "(1 + l_tax) * 100 + 0.5) AS BIGINT)")).as("calc"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("stated")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("calc") - col("stated")).as("diff"))
+      val lim = 100.0
+      val mom = diffs.agg(count(lit(1)).as("n"), sum(col("diff")).as("s1"),
+          sum(col("diff").cast("decimal(19,0)") *
+            col("diff").cast("decimal(19,0)")).as("s2"),
+          sum(when(abs(col("diff")) > lim, 1L).otherwise(0L)).as("oos"))
+        .select(col("n"), col("oos"),
+          (col("s1").cast("double") / col("n")).as("mu"),
+          sqrt((col("n").cast("double") * col("s2").cast("double") -
+            col("s1").cast("double") * col("s1")) /
+            (col("n").cast("double") * (col("n") - 1))).as("sd"))
+      def phiTail(z: Column) = {
+        // upper-tail 1 - Phi(z) for z >= 0 via A&S erf polynomial
+        val x = z / math.sqrt(2.0)
+        val tt = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+        (lit(0.254829592) * tt - lit(0.284496736) * tt * tt +
+          lit(1.421413741) * tt * tt * tt - lit(1.453152027) *
+          tt * tt * tt * tt + lit(1.061405429) * tt * tt * tt * tt * tt) *
+          exp(-x * x) / 2
+      }
+      mom.select(col("n").as("n_orders"),
+        round(col("mu"), 4).as("mean_gap_cents"),
+        round(col("sd"), 4).as("sd_cents"),
+        round(lit(2 * lim) / (col("sd") * 6), 4).as("cp"),
+        round(least(lit(lim) - col("mu"), col("mu") + lim) /
+          (col("sd") * 3), 4).as("cpk"),
+        round(col("oos").cast("double") / col("n") * 1e6, 2)
+          .as("ppm_observed"),
+        round((phiTail((lit(lim) - col("mu")) / col("sd")) +
+          phiTail((col("mu") + lim) / col("sd"))) * 1e6, 2)
+          .as("ppm_normal_pred"))
+    }),
+
+    "q345_wald_sprt" -> ((s, dir) => {
+      // Wald sequential probability ratio test replayed over the daily
+      // order stream: H0 p=0.32 vs H1 p=0.34 on the fully-shipped
+      // share, alpha = beta = 0.05. The log-likelihood-ratio walk is a
+      // prefix sum over the calendar-bounded day table; the verdict is
+      // the FIRST day the walk leaves (ln(0.05/0.95), ln(19)) — the
+      // always-valid early-stopping monitor dashboards pretend to be.
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("nd"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("x"))
+      // calendar-bounded: plain window safe
+      val llr = daily
+        .withColumn("inc",
+          col("x") * math.log(0.34 / 0.32) +
+            (col("nd") - col("x")) * math.log(0.66 / 0.68))
+        .withColumn("cum", sum(col("inc")).over(Window.orderBy(col("d"))))
+      val a = math.log(0.95 / 0.05)
+      val b = math.log(0.05 / 0.95)
+      val ends = llr.agg(count(lit(1)).as("n_days"),
+        min(when(col("cum") >= a, col("d"))).as("d_up"),
+        min(when(col("cum") <= b, col("d"))).as("d_dn"),
+        round(sum(col("inc")), 4).as("llr_final"))
+      ends.select(col("n_days"),
+        date_format(col("d_up"), "yyyy-MM-dd").as("first_h1_cross"),
+        date_format(col("d_dn"), "yyyy-MM-dd").as("first_h0_cross"),
+        when(col("d_up").isNull && col("d_dn").isNull, "continue")
+          .when(col("d_dn").isNull || (col("d_up").isNotNull &&
+            col("d_up") < col("d_dn")), "accept_h1")
+          .otherwise("accept_h0").as("decision"),
+        col("llr_final"))
+    }),
+
+    "q346_cindex" -> ((s, dir) => {
+      // Harrell's concordance index for "order frequency predicts
+      // churn survival" on q177's lifespan fixture — WITHOUT pair
+      // enumeration: units collapse to the (duration x score) grid
+      // (calendar-bounded x activity-bounded), per-score suffix counts
+      // over duration give "outlived" tallies, a bounded prefix along
+      // the score axis splits them into concordant / tied / discordant,
+      // and every pair count stays an exact integer product until the
+      // final division. The survival-model AUC, at any corpus size.
+      val maxD = t(s, dir, "orders").agg(max(col("o_orderdate")).as("mx"))
+      val units = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("first"),
+          max(col("o_orderdate")).as("last"), count(lit(1)).as("no"))
+        .crossJoin(broadcast(maxD))
+        .select(datediff(col("last"), col("first")).cast("long")
+            .as("dur"),
+          (datediff(col("mx"), col("last")) > 90).as("event"),
+          least(col("no"), lit(60L)).as("sc"))
+      val cells = units.groupBy(col("dur"), col("sc"))
+        .agg(count(lit(1)).as("c_all"),
+          sum(when(col("event"), 1L).otherwise(0L)).as("d_ev"))
+      val grid = cells.select(col("dur")).distinct()
+        .crossJoin(cells.select(col("sc")).distinct())
+        .join(cells, Seq("dur", "sc"), "left")
+        .select(col("dur"), col("sc"),
+          coalesce(col("c_all"), lit(0L)).as("cnt"),
+          coalesce(col("d_ev"), lit(0L)).as("d_ev"))
+      val scTot = grid.groupBy(col("sc")).agg(sum(col("cnt")).as("tot"))
+      val withSuf = PrefixSum.groupedRunningSum(grid, "sc", "dur",
+          col("cnt"), "run")
+        .join(broadcast(scTot), Seq("sc"))
+        .withColumn("s_gt", col("tot") - col("run"))
+      // score axis bounded (<=60 values): per-dur window safe
+      val wSc = Window.partitionBy(col("dur")).orderBy(col("sc"))
+      val split = withSuf
+        .withColumn("p_lt", coalesce(sum(col("s_gt")).over(
+          wSc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("t_all", sum(col("s_gt")).over(
+          wSc.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      split.filter(col("d_ev") > 0)
+        .agg(sum(col("d_ev") *
+            (col("t_all") - col("p_lt") - col("s_gt"))).as("conc"),
+          sum(col("d_ev") * col("s_gt")).as("tied"),
+          sum(col("d_ev") * col("p_lt")).as("disc"),
+          sum(col("d_ev") * col("t_all")).as("comparable"))
+        .select(col("conc"), col("tied"), col("disc"), col("comparable"),
+          round((col("conc").cast("double") +
+            lit(0.5) * col("tied")) / col("comparable"), 6).as("c_index"))
+    }),
+
+    "q347_tost_equivalence" -> ((s, dir) => {
+      // TOST equivalence test: are BUILDING and MACHINERY mean order
+      // values equivalent within +/-$5000? Two one-sided z tests
+      // against the margins — the regulatory-grade way to CLAIM "no
+      // difference" (a big p on a t-test never does). Exact integer
+      // dollar moments per segment; the A&S erf polynomial turns each
+      // z into its one-sided p; verdict at alpha 0.05.
+      val g = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select((col("c_mktsegment") === "BUILDING").as("is_a"),
+          expr("CAST(floor(o_totalprice) AS BIGINT)").as("v"))
+        .groupBy(col("is_a"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+          sum(col("v") * col("v")).as("s2"))
+      val wide = g.agg(
+        sum(when(col("is_a"), col("n")).otherwise(0L)).as("na"),
+        sum(when(col("is_a"), col("s1")).otherwise(0L)).as("sa1"),
+        sum(when(col("is_a"), col("s2")).otherwise(0L)).as("sa2"),
+        sum(when(!col("is_a"), col("n")).otherwise(0L)).as("nb"),
+        sum(when(!col("is_a"), col("s1")).otherwise(0L)).as("sb1"),
+        sum(when(!col("is_a"), col("s2")).otherwise(0L)).as("sb2"))
+      def v(n: Column, s1: Column, s2: Column) =
+        (n.cast("double") * s2.cast("double") -
+          s1.cast("double") * s1) / (n.cast("double") * (n - 1))
+      val base = wide.select(col("na"), col("nb"),
+          (col("sa1").cast("double") / col("na") -
+            col("sb1").cast("double") / col("nb")).as("diff"),
+          sqrt(v(col("na"), col("sa1"), col("sa2")) / col("na") +
+            v(col("nb"), col("sb1"), col("sb2")) / col("nb")).as("se"))
+      def pUpper(z: Column) = {
+        // one-sided upper-tail p for a NEGATIVE-or-any z: 1 - Phi(z)
+        // computed as erfc-half via A&S on |z|, reflected for z < 0
+        val x = abs(z) / math.sqrt(2.0)
+        val tt = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+        val half = (lit(0.254829592) * tt - lit(0.284496736) * tt * tt +
+          lit(1.421413741) * tt * tt * tt - lit(1.453152027) *
+          tt * tt * tt * tt + lit(1.061405429) * tt * tt * tt * tt * tt) *
+          exp(-x * x) / 2
+        when(z >= 0, half).otherwise(lit(1.0) - half)
+      }
+      val margin = 5000.0
+      base.select(col("na").as("n_building"), col("nb").as("n_machinery"),
+          round(col("diff"), 2).as("diff_dollars"),
+          round(col("se"), 2).as("se"),
+          round(pUpper((col("diff") + margin) / col("se")), 6)
+            .as("p_lower"),
+          round(pUpper((lit(margin) - col("diff")) / col("se")), 6)
+            .as("p_upper"))
+        .withColumn("p_tost", greatest(col("p_lower"), col("p_upper")))
+        .withColumn("equivalent", col("p_tost") < 0.05)
+    }),
+
+    "q348_rmst" -> ((s, dir) => {
+      // Restricted mean survival time at tau = 365 days over q177's
+      // Kaplan-Meier churn curve: the area under S(t) up to tau — the
+      // "average retained days in year one" number execs actually want
+      // from a survival model. Step integration over the bounded
+      // event-time table: width x S(previous step), plus the tail
+      // rectangle to tau; S is the same exact-ratio product-limit
+      // prefix.
+      val maxD = t(s, dir, "orders").agg(max(col("o_orderdate")).as("mx"))
+      val cust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("first"),
+          max(col("o_orderdate")).as("last"))
+        .crossJoin(broadcast(maxD))
+        .select(datediff(col("last"), col("first")).cast("long")
+          .as("dur"),
+          (datediff(col("mx"), col("last")) > 90).as("event"))
+      val byDur = cust.groupBy(col("dur"))
+        .agg(count(lit(1)).as("c_all"),
+          sum(when(col("event"), 1L).otherwise(0L)).as("d_events"))
+      val tot = byDur.agg(sum(col("c_all")).as("n_total"))
+      val risk = PrefixSum.groupedRunningSum(
+          byDur.withColumn("__g", lit(1)), "__g", "dur", col("c_all"),
+          "cum_all")
+        .crossJoin(broadcast(tot))
+        .withColumn("n_risk",
+          col("n_total") - (col("cum_all") - col("c_all")))
+      val w = Window.orderBy(col("dur"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val surv = risk
+        .filter(col("d_events") > 0 && col("n_risk") > col("d_events"))
+        .withColumn("s", exp(sum(log(
+          (col("n_risk") - col("d_events")).cast("double") /
+            col("n_risk").cast("double"))).over(w)))
+        .filter(col("dur") <= 365)
+      val steps = surv
+        .withColumn("pd", coalesce(lag(col("dur"), 1)
+          .over(Window.orderBy(col("dur"))), lit(0L)))
+        .withColumn("ps", coalesce(lag(col("s"), 1)
+          .over(Window.orderBy(col("dur"))), lit(1.0)))
+        .withColumn("contrib",
+          col("ps") * (col("dur") - col("pd")).cast("double"))
+      steps.agg(count(lit(1)).as("n_steps"),
+          sum(col("contrib")).as("area"),
+          max(col("dur")).as("last_t"))
+        .crossJoin(broadcast(surv
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("dur").desc)).cast("long"))
+          .filter(col("rk") === 1).select(col("s").as("s_last"))))
+        .select(lit(365L).as("tau_days"), col("n_steps"),
+          round(col("area") +
+            col("s_last") * (lit(365L) - col("last_t")).cast("double"),
+            4).as("rmst_days"))
+    }),
+
+    "q349_capture_recapture" -> ((s, dir) => {
+      // Lincoln-Petersen / Chapman capture-recapture: estimate the
+      // active customer population from two "captures" (ordered in
+      // 1995, ordered in 1996) and the recapture overlap — the
+      // ecology-grade estimator for "how many users do we really
+      // have" when any one window undercounts. Exact integer counts,
+      // Chapman's bias-corrected point estimate and its closed-form
+      // SE, compared against the directly-observed population.
+      val flags = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(when(year(col("o_orderdate")) === 1995, 1L)
+          .otherwise(0L)).as("a"),
+          max(when(year(col("o_orderdate")) === 1996, 1L)
+            .otherwise(0L)).as("b"))
+      flags.agg(count(lit(1)).as("n_ever"),
+          sum(col("a")).as("n1"), sum(col("b")).as("n2"),
+          sum(col("a") * col("b")).as("m"))
+        .select(col("n_ever"), col("n1"), col("n2"), col("m"),
+          round((col("n1") + 1).cast("double") * (col("n2") + 1) /
+            (col("m") + 1) - 1, 2).as("n_hat_chapman"),
+          round(sqrt((col("n1") + 1).cast("double") * (col("n2") + 1) *
+            (col("n1") - col("m")) * (col("n2") - col("m")) /
+            ((col("m") + 1).cast("double") * (col("m") + 1) *
+              (col("m") + 2))), 2).as("se"))
+    }),
+
+    "q350_xirr_bisection" -> ((s, dir) => {
+      // IRR per market segment via 30-step bisection — the finance
+      // closer for the 350-query surface: treat each segment's 1996-H2
+      // revenue as the investment and its 12 monthly 1997 revenues as
+      // returns, and solve NPV(r) = 0 for the monthly rate. The cash
+      // flows pivot to a WIDE 5-row frame (13 exact-kilodollar
+      // columns), so every bisection step is one fixed-operand-order
+      // NPV expression + interval update — pure column arithmetic,
+      // deterministic on both engines (q340's fold pattern).
+      val seg = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+      val c0 = seg.filter(year(col("o_orderdate")) === 1996 &&
+          month(col("o_orderdate")) >= 7)
+        .groupBy(col("c_mktsegment").as("sg"))
+        .agg(expr("CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) " +
+          "div 1000 AS BIGINT)").as("c0"))
+      val months = (1 to 12).map(mm =>
+        sum(when(month(col("o_orderdate")) === mm,
+          expr("CAST(floor(o_totalprice) AS BIGINT)")).otherwise(0L))
+          .as(s"raw$mm"))
+      val cf = seg.filter(year(col("o_orderdate")) === 1997)
+        .groupBy(col("c_mktsegment").as("sg"))
+        .agg(months.head, months.tail: _*)
+        .select(col("sg") +: (1 to 12).map(mm =>
+          expr(s"CAST(raw$mm div 1000 AS BIGINT)").as(s"cf$mm")): _*)
+      def npv(r: Column) = (1 to 12).foldLeft(col("c0").cast("double")
+          * -1.0)((acc, mm) =>
+        acc + col(s"cf$mm") / pow(r + 1.0, mm.toDouble))
+      var cur = c0.join(cf, Seq("sg"))
+        .withColumn("lo", lit(0.0)).withColumn("hi", lit(1.0))
+      for (_ <- 1 to 30) {
+        cur = cur
+          .withColumn("mid", (col("lo") + col("hi")) / 2)
+          .withColumn("pos", npv(col("mid")) > 0)
+          .withColumn("lo2", when(col("pos"), col("mid"))
+            .otherwise(col("lo")))
+          .withColumn("hi2", when(col("pos"), col("hi"))
+            .otherwise(col("mid")))
+          .drop("lo", "hi", "mid", "pos")
+          .withColumnRenamed("lo2", "lo").withColumnRenamed("hi2", "hi")
+      }
+      cur.select(col("sg").as("segment"), col("c0").as("c0_kusd"),
+          (1 to 12).map(mm => col(s"cf$mm")).reduce(_ + _)
+            .as("total_return_kusd"),
+          round((col("lo") + col("hi")) / 2, 8).as("irr_monthly"))
+        .withColumn("irr_annual",
+          round(pow(col("irr_monthly") + 1.0, 12.0) - 1.0, 6))
+        .orderBy(col("segment"))
+    }),
+
     "q262_hill_tail" -> ((s, dir) => {
       // heavy-tail diagnosis: the Hill estimator over the top 100 order
       // values — gamma = mean ln(x_i / x_ref) against the rank-101
@@ -13822,6 +14213,335 @@ object SparkEntry {
         |  round(CAST(r2 AS DOUBLE) / (2.0 * n_blocks), 2) AS mean_rank,
         |  n_blocks, k_treatments, chi2_f, p_value
         |FROM perseg CROSS JOIN stat ORDER BY segment""".stripMargin,
+
+    "q343_smd_balance" -> {
+      // moment CTEs and SMD expressions generated per covariate —
+      // identical operand order to the engine's smd() helper
+      val covs = Seq(("acctbal", "v", "mcv"), ("orders", "x_orders",
+        "mco"), ("spend", "x_spend", "mcs"))
+      def momCte(tag: String, src: String, c: String) =
+        s"$tag AS (SELECT CAST(count(*) AS BIGINT) AS ${tag}_n, " +
+          s"CAST(sum($c) AS BIGINT) AS ${tag}_s1, " +
+          s"sum(CAST($c AS HUGEINT) * $c) AS ${tag}_s2 FROM $src)"
+      def smdExpr(t: String, c: String) =
+        s"(CAST(${t}_s1 AS DOUBLE) / ${t}_n - " +
+          s"CAST(${c}_s1 AS DOUBLE) / ${c}_n) / " +
+          s"sqrt(((CAST(${t}_n AS DOUBLE) * CAST(${t}_s2 AS DOUBLE) - " +
+          s"CAST(${t}_s1 AS DOUBLE) * ${t}_s1) / " +
+          s"(CAST(${t}_n AS DOUBLE) * (${t}_n - 1)) + " +
+          s"(CAST(${c}_n AS DOUBLE) * CAST(${c}_s2 AS DOUBLE) - " +
+          s"CAST(${c}_s1 AS DOUBLE) * ${c}_s1) / " +
+          s"(CAST(${c}_n AS DOUBLE) * (${c}_n - 1))) / 2)"
+      val momCtes = covs.flatMap { case (nm, raw, m) => Seq(
+        momCte(s"tb_$nm", "tall", raw), momCte(s"cb_$nm", "call", raw),
+        momCte(s"ta_$nm", "matched", raw),
+        momCte(s"ca_$nm", "matched", m))
+      }.mkString(",\n")
+      val rows = covs.map { case (nm, _, _) =>
+        s"SELECT '$nm' AS covariate, " +
+          s"round(${smdExpr(s"tb_$nm", s"cb_$nm")}, 4) AS smd_before, " +
+          s"round(${smdExpr(s"ta_$nm", s"ca_$nm")}, 4) AS smd_after " +
+          s"FROM tb_$nm CROSS JOIN cb_$nm CROSS JOIN ta_$nm " +
+          s"CROSS JOIN ca_$nm"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH spend AS (SELECT o_custkey, CAST(sum(CAST(floor(
+        |      o_totalprice) AS BIGINT)) AS BIGINT) AS sp,
+        |    CAST(count(*) AS BIGINT) AS no FROM orders GROUP BY 1),
+        |cust AS (SELECT c_custkey AS ck,
+        |    c_mktsegment = 'BUILDING' AS treated,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v,
+        |    coalesce(sp, 0) AS x_spend, coalesce(no, 0) AS x_orders
+        |  FROM customer LEFT JOIN spend ON c_custkey = o_custkey),
+        |controls AS (SELECT v // 1000 AS bk, v AS cv, ck AS cck,
+        |    x_spend AS c_spend, x_orders AS c_orders
+        |  FROM cust WHERE NOT treated),
+        |matched AS (SELECT ck, v, x_spend, x_orders, mcv, mcs, mco
+        |  FROM (SELECT t.ck, t.v, t.x_spend, t.x_orders, c.cv AS mcv,
+        |      c.c_spend AS mcs, c.c_orders AS mco,
+        |      row_number() OVER (PARTITION BY t.ck
+        |        ORDER BY abs(t.v - c.cv), c.cck) AS rn
+        |    FROM (SELECT ck, v, x_spend, x_orders,
+        |        v // 1000 + off.range AS bk
+        |      FROM cust CROSS JOIN range(-1, 2) off WHERE treated) t
+        |    JOIN controls c USING (bk)
+        |    WHERE abs(t.v - c.cv) <= 1000) WHERE rn = 1),
+        |tall AS (SELECT * FROM cust WHERE treated),
+        |call AS (SELECT * FROM cust WHERE NOT treated),
+        |$momCtes
+        |SELECT covariate, smd_before, smd_after,
+        |  round(1.0 - abs(smd_after) / abs(smd_before), 4)
+        |    AS reduction
+        |FROM ($rows)
+        |ORDER BY covariate""".stripMargin
+    },
+
+    "q344_process_capability" ->
+      """WITH diffs AS (SELECT calc - stated AS diff
+        |  FROM (SELECT l_orderkey, CAST(sum(CAST(floor(
+        |      l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS calc
+        |    FROM lineitem GROUP BY 1) l
+        |  JOIN (SELECT o_orderkey,
+        |      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |        AS stated FROM orders) o
+        |    ON l_orderkey = o_orderkey),
+        |mom AS (SELECT n, oos, CAST(s1 AS DOUBLE) / n AS mu,
+        |    sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) -
+        |      CAST(s1 AS DOUBLE) * s1) /
+        |      (CAST(n AS DOUBLE) * (n - 1))) AS sd
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS n,
+        |      CAST(sum(diff) AS BIGINT) AS s1,
+        |      sum(CAST(diff AS HUGEINT) * diff) AS s2,
+        |      CAST(sum(CASE WHEN abs(diff) > 100.0 THEN 1 ELSE 0 END)
+        |        AS BIGINT) AS oos FROM diffs)),
+        |tails AS (SELECT *,
+        |    (100.0 - mu) / sd / sqrt(2.0) AS xu,
+        |    (mu + 100.0) / sd / sqrt(2.0) AS xl
+        |  FROM mom),
+        |poly AS (SELECT *,
+        |    1.0 / (1.0 + 0.3275911 * xu) AS tu,
+        |    1.0 / (1.0 + 0.3275911 * xl) AS tl
+        |  FROM tails)
+        |SELECT n AS n_orders, round(mu, 4) AS mean_gap_cents,
+        |  round(sd, 4) AS sd_cents,
+        |  round(200.0 / (6 * sd), 4) AS cp,
+        |  round(least(100.0 - mu, mu + 100.0) / (3 * sd), 4) AS cpk,
+        |  round(CAST(oos AS DOUBLE) / n * 1e6, 2) AS ppm_observed,
+        |  round(((0.254829592 * tu - 0.284496736 * tu * tu +
+        |    1.421413741 * tu * tu * tu - 1.453152027 * tu * tu * tu *
+        |    tu + 1.061405429 * tu * tu * tu * tu * tu) *
+        |    exp(-xu * xu) / 2 +
+        |    (0.254829592 * tl - 0.284496736 * tl * tl +
+        |    1.421413741 * tl * tl * tl - 1.453152027 * tl * tl * tl *
+        |    tl + 1.061405429 * tl * tl * tl * tl * tl) *
+        |    exp(-xl * xl) / 2) * 1e6, 2) AS ppm_normal_pred
+        |FROM poly""".stripMargin,
+
+    "q345_wald_sprt" -> {
+      // LLR multipliers and boundaries interpolated as the SAME double
+      // constants the engine uses — no cross-engine ln() dependence
+      val c1 = math.log(0.34 / 0.32)
+      val c2 = math.log(0.66 / 0.68)
+      val ua = math.log(0.95 / 0.05)
+      val ub = math.log(0.05 / 0.95)
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |llr AS (SELECT d, x * $c1 + (nd - x) * $c2 AS inc,
+        |    sum(x * $c1 + (nd - x) * $c2) OVER (ORDER BY d) AS cum
+        |  FROM daily),
+        |ends AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |    min(CASE WHEN cum >= $ua THEN d END) AS d_up,
+        |    min(CASE WHEN cum <= $ub THEN d END) AS d_dn,
+        |    round(sum(inc), 4) AS llr_final
+        |  FROM llr)
+        |SELECT n_days,
+        |  strftime(d_up, '%Y-%m-%d') AS first_h1_cross,
+        |  strftime(d_dn, '%Y-%m-%d') AS first_h0_cross,
+        |  CASE WHEN d_up IS NULL AND d_dn IS NULL THEN 'continue'
+        |    WHEN d_dn IS NULL OR (d_up IS NOT NULL AND d_up < d_dn)
+        |    THEN 'accept_h1' ELSE 'accept_h0' END AS decision,
+        |  llr_final
+        |FROM ends""".stripMargin
+    },
+
+    "q346_cindex" ->
+      """WITH maxd AS (SELECT max(o_orderdate) AS mx FROM orders),
+        |units AS (SELECT
+        |    date_diff('day', first, last) AS dur,
+        |    date_diff('day', last, mx) > 90 AS event,
+        |    least(no, 60) AS sc
+        |  FROM (SELECT min(o_orderdate) AS first,
+        |      max(o_orderdate) AS last, CAST(count(*) AS BIGINT) AS no
+        |    FROM orders GROUP BY o_custkey) CROSS JOIN maxd),
+        |cells AS (SELECT dur, sc, CAST(count(*) AS BIGINT) AS c_all,
+        |    CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d_ev
+        |  FROM units GROUP BY 1, 2),
+        |grid AS (SELECT d.dur, s.sc, coalesce(c_all, 0) AS cnt,
+        |    coalesce(d_ev, 0) AS d_ev
+        |  FROM (SELECT DISTINCT dur FROM cells) d
+        |  CROSS JOIN (SELECT DISTINCT sc FROM cells) s
+        |  LEFT JOIN cells ON d.dur = cells.dur AND s.sc = cells.sc),
+        |suf AS (SELECT *,
+        |    CAST(sum(cnt) OVER (PARTITION BY sc) -
+        |      sum(cnt) OVER (PARTITION BY sc ORDER BY dur) AS BIGINT)
+        |      AS s_gt
+        |  FROM grid),
+        |split AS (SELECT *,
+        |    CAST(coalesce(sum(s_gt) OVER (PARTITION BY dur
+        |      ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      1 PRECEDING), 0) AS BIGINT) AS p_lt,
+        |    CAST(sum(s_gt) OVER (PARTITION BY dur) AS BIGINT) AS t_all
+        |  FROM suf)
+        |SELECT CAST(sum(d_ev * (t_all - p_lt - s_gt)) AS BIGINT)
+        |    AS conc,
+        |  CAST(sum(d_ev * s_gt) AS BIGINT) AS tied,
+        |  CAST(sum(d_ev * p_lt) AS BIGINT) AS disc,
+        |  CAST(sum(d_ev * t_all) AS BIGINT) AS comparable,
+        |  round((CAST(sum(d_ev * (t_all - p_lt - s_gt)) AS DOUBLE) +
+        |    0.5 * sum(d_ev * s_gt)) / sum(d_ev * t_all), 6) AS c_index
+        |FROM split WHERE d_ev > 0""".stripMargin,
+
+    "q347_tost_equivalence" ->
+      """WITH g AS (SELECT c_mktsegment = 'BUILDING' AS is_a,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+        |      AS s1,
+        |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT) *
+        |      CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS s2
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |  GROUP BY 1),
+        |wide AS (SELECT
+        |    CAST(sum(CASE WHEN is_a THEN n ELSE 0 END) AS BIGINT)
+        |      AS na,
+        |    CAST(sum(CASE WHEN is_a THEN s1 ELSE 0 END) AS BIGINT)
+        |      AS sa1,
+        |    CAST(sum(CASE WHEN is_a THEN s2 ELSE 0 END) AS BIGINT)
+        |      AS sa2,
+        |    CAST(sum(CASE WHEN NOT is_a THEN n ELSE 0 END) AS BIGINT)
+        |      AS nb,
+        |    CAST(sum(CASE WHEN NOT is_a THEN s1 ELSE 0 END) AS BIGINT)
+        |      AS sb1,
+        |    CAST(sum(CASE WHEN NOT is_a THEN s2 ELSE 0 END) AS BIGINT)
+        |      AS sb2
+        |  FROM g),
+        |base AS (SELECT na, nb,
+        |    CAST(sa1 AS DOUBLE) / na - CAST(sb1 AS DOUBLE) / nb
+        |      AS diff,
+        |    sqrt((CAST(na AS DOUBLE) * CAST(sa2 AS DOUBLE) -
+        |      CAST(sa1 AS DOUBLE) * sa1) /
+        |      (CAST(na AS DOUBLE) * (na - 1)) / na +
+        |      (CAST(nb AS DOUBLE) * CAST(sb2 AS DOUBLE) -
+        |      CAST(sb1 AS DOUBLE) * sb1) /
+        |      (CAST(nb AS DOUBLE) * (nb - 1)) / nb) AS se
+        |  FROM wide),
+        |zs AS (SELECT *, (diff + 5000.0) / se AS z1,
+        |    (5000.0 - diff) / se AS z2 FROM base),
+        |ps AS (SELECT *,
+        |    abs(z1) / sqrt(2.0) AS x1, abs(z2) / sqrt(2.0) AS x2,
+        |    1.0 / (1.0 + 0.3275911 * (abs(z1) / sqrt(2.0))) AS t1,
+        |    1.0 / (1.0 + 0.3275911 * (abs(z2) / sqrt(2.0))) AS t2
+        |  FROM zs),
+        |pv AS (SELECT na, nb, diff, se,
+        |    CASE WHEN z1 >= 0 THEN h1 ELSE 1.0 - h1 END AS p_lower,
+        |    CASE WHEN z2 >= 0 THEN h2 ELSE 1.0 - h2 END AS p_upper
+        |  FROM (SELECT *,
+        |      (0.254829592 * t1 - 0.284496736 * t1 * t1 +
+        |       1.421413741 * t1 * t1 * t1 - 1.453152027 * t1 * t1 *
+        |       t1 * t1 + 1.061405429 * t1 * t1 * t1 * t1 * t1) *
+        |       exp(-x1 * x1) / 2 AS h1,
+        |      (0.254829592 * t2 - 0.284496736 * t2 * t2 +
+        |       1.421413741 * t2 * t2 * t2 - 1.453152027 * t2 * t2 *
+        |       t2 * t2 + 1.061405429 * t2 * t2 * t2 * t2 * t2) *
+        |       exp(-x2 * x2) / 2 AS h2
+        |    FROM ps))
+        |SELECT na AS n_building, nb AS n_machinery,
+        |  round(diff, 2) AS diff_dollars, round(se, 2) AS se,
+        |  round(p_lower, 6) AS p_lower, round(p_upper, 6) AS p_upper,
+        |  greatest(round(p_lower, 6), round(p_upper, 6)) AS p_tost,
+        |  greatest(round(p_lower, 6), round(p_upper, 6)) < 0.05
+        |    AS equivalent
+        |FROM pv""".stripMargin,
+
+    "q348_rmst" ->
+      """WITH maxd AS (SELECT max(o_orderdate) AS mx FROM orders),
+        |cust AS (SELECT date_diff('day', first, last) AS dur,
+        |    date_diff('day', last, mx) > 90 AS event
+        |  FROM (SELECT min(o_orderdate) AS first,
+        |      max(o_orderdate) AS last
+        |    FROM orders GROUP BY o_custkey) CROSS JOIN maxd),
+        |bydur AS (SELECT dur, CAST(count(*) AS BIGINT) AS c_all,
+        |    CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d_events
+        |  FROM cust GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_total
+        |  FROM bydur),
+        |risk AS (SELECT dur, d_events,
+        |    n_total - (CAST(sum(c_all) OVER (ORDER BY dur) AS BIGINT)
+        |      - c_all) AS n_risk
+        |  FROM bydur CROSS JOIN tot),
+        |surv AS (SELECT dur,
+        |    exp(sum(ln(CAST(n_risk - d_events AS DOUBLE) / n_risk))
+        |      OVER (ORDER BY dur)) AS s
+        |  FROM risk WHERE d_events > 0 AND n_risk > d_events),
+        |steps AS (SELECT dur, s,
+        |    coalesce(lag(dur) OVER (ORDER BY dur), 0) AS pd,
+        |    coalesce(lag(s) OVER (ORDER BY dur), 1.0) AS ps
+        |  FROM surv WHERE dur <= 365),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_steps,
+        |    sum(ps * CAST(dur - pd AS DOUBLE)) AS area,
+        |    CAST(max(dur) AS BIGINT) AS last_t
+        |  FROM steps),
+        |slast AS (SELECT s AS s_last FROM steps
+        |  ORDER BY dur DESC LIMIT 1)
+        |SELECT CAST(365 AS BIGINT) AS tau_days, n_steps,
+        |  round(area + s_last * CAST(365 - last_t AS DOUBLE), 4)
+        |    AS rmst_days
+        |FROM agg CROSS JOIN slast""".stripMargin,
+
+    "q349_capture_recapture" ->
+      """WITH flags AS (SELECT o_custkey,
+        |    CAST(max(CASE WHEN year(o_orderdate) = 1995 THEN 1
+        |      ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(max(CASE WHEN year(o_orderdate) = 1996 THEN 1
+        |      ELSE 0 END) AS BIGINT) AS b
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_ever,
+        |    CAST(sum(a) AS BIGINT) AS n1,
+        |    CAST(sum(b) AS BIGINT) AS n2,
+        |    CAST(sum(a * b) AS BIGINT) AS m
+        |  FROM flags)
+        |SELECT n_ever, n1, n2, m,
+        |  round(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1, 2)
+        |    AS n_hat_chapman,
+        |  round(sqrt(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) * (n1 - m) *
+        |    (n2 - m) / (CAST(m + 1 AS DOUBLE) * (m + 1) * (m + 2))),
+        |    2) AS se
+        |FROM c""".stripMargin,
+
+    "q350_xirr_bisection" -> {
+      // 30 generated bisection CTEs — the same fixed-operand NPV
+      // expression and interval update the engine folds
+      val npvExpr = (1 to 12).foldLeft("CAST(c0 AS DOUBLE) * -1.0")(
+        (acc, mm) => s"$acc + cf$mm / power(mid + 1.0, $mm.0)")
+      val cfCols = (1 to 12).map(mm => s"cf$mm").mkString(", ")
+      val rawAggs = (1 to 12).map(mm =>
+        s"CAST(sum(CASE WHEN month(o_orderdate) = $mm THEN " +
+          s"CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END) // 1000 " +
+          s"AS BIGINT) AS cf$mm").mkString(",\n    ")
+      val steps = (1 to 30).map { k =>
+        s"""b$k AS (SELECT sg, c0, $cfCols,
+           |    CASE WHEN pos THEN mid ELSE lo END AS lo,
+           |    CASE WHEN pos THEN hi ELSE mid END AS hi
+           |  FROM (SELECT *, ($npvExpr) > 0 AS pos
+           |    FROM (SELECT *, (lo + hi) / 2 AS mid FROM b${k - 1})))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH seg AS (SELECT o_orderdate, o_totalprice, c_mktsegment
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |c0t AS (SELECT c_mktsegment AS sg,
+        |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) // 1000
+        |      AS BIGINT) AS c0
+        |  FROM seg WHERE year(o_orderdate) = 1996
+        |    AND month(o_orderdate) >= 7 GROUP BY 1),
+        |cf AS (SELECT c_mktsegment AS sg,
+        |    $rawAggs
+        |  FROM seg WHERE year(o_orderdate) = 1997 GROUP BY 1),
+        |b0 AS (SELECT c0t.sg, c0, $cfCols, 0.0 AS lo, 1.0 AS hi
+        |  FROM c0t JOIN cf ON c0t.sg = cf.sg),
+        |$steps
+        |SELECT sg AS segment, c0 AS c0_kusd,
+        |  ${(1 to 12).map(mm => s"cf$mm").mkString(" + ")}
+        |    AS total_return_kusd,
+        |  round((lo + hi) / 2, 8) AS irr_monthly,
+        |  round(power(round((lo + hi) / 2, 8) + 1.0, 12.0) - 1.0, 6)
+        |    AS irr_annual
+        |FROM b30 ORDER BY segment""".stripMargin
+    },
 
     "q313_threshold_opt" ->
       """WITH y AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
