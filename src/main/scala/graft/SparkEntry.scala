@@ -7241,18 +7241,20 @@ object SparkEntry {
       def npv(r: Column) = (1 to 12).foldLeft(col("c0").cast("double")
           * -1.0)((acc, mm) =>
         acc + col(s"cf$mm") / pow(r + 1.0, mm.toDouble))
+      // ONE projection per bisection step (a withColumn chain would put
+      // ~6 nodes per step into analysis — the q288 stage-count lesson)
+      val carry = col("sg") +: col("c0") +:
+        (1 to 12).map(mm => col(s"cf$mm"))
       var cur = c0.join(cf, Seq("sg"))
-        .withColumn("lo", lit(0.0)).withColumn("hi", lit(1.0))
-      for (_ <- 1 to 30) {
-        cur = cur
-          .withColumn("mid", (col("lo") + col("hi")) / 2)
-          .withColumn("pos", npv(col("mid")) > 0)
-          .withColumn("lo2", when(col("pos"), col("mid"))
-            .otherwise(col("lo")))
-          .withColumn("hi2", when(col("pos"), col("hi"))
-            .otherwise(col("mid")))
-          .drop("lo", "hi", "mid", "pos")
-          .withColumnRenamed("lo2", "lo").withColumnRenamed("hi2", "hi")
+        .select(carry :+ lit(0.0).as("lo") :+ lit(1.0).as("hi"): _*)
+      for (k <- 1 to 30) {
+        val mid = (col("lo") + col("hi")) / 2
+        cur = cur.select(carry :+
+          when(npv(mid) > 0, mid).otherwise(col("lo")).as("lo") :+
+          when(npv(mid) > 0, col("hi")).otherwise(mid).as("hi"): _*)
+        // truncate the plan: CollapseProject would otherwise inline the
+        // interval recurrence into one exponentially-growing expression
+        if (k % 10 == 0) cur = cur.localCheckpoint()
       }
       cur.select(col("sg").as("segment"), col("c0").as("c0_kusd"),
           (1 to 12).map(mm => col(s"cf$mm")).reduce(_ + _)
