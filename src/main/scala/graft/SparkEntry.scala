@@ -9541,6 +9541,198 @@ object SparkEntry {
           to_json(struct(col("n_nationkey"), col("n_name"), col("n_regionkey")))
             .as("js"))
         .orderBy(col("n_nationkey"))
+    }),
+
+    "q351_var_es" -> ((s, dir) => {
+      // Historical 95% Value-at-Risk + expected shortfall on the
+      // day-over-day revenue change, plus the Cornish-Fisher
+      // moment-adjusted VaR. Changes stay EXACT integer cents through
+      // the diff (the adjacent-index equi-join off the two-phase global
+      // rank — no global window); the tail cut is an exact rank
+      // k = ceil(0.05 n), so VaR is a real observed loss, not an
+      // interpolated float. Moments for Cornish-Fisher are plain double
+      // sums over the calendar-bounded diff series (engine-identical
+      // IEEE ops, rounded outputs).
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5)).as("cents"))
+      val idx = graft.ops.PrefixSum.globalRank(daily, Seq(col("day")), "i")
+        .select(col("i"), col("cents"))
+      val diffs = idx.join(
+          idx.select((col("i") + 1).as("i"), col("cents").as("prev")),
+          Seq("i"))
+        .select(col("i"), (col("cents") - col("prev")).as("d"))
+      val ranked = graft.ops.PrefixSum.globalRank(
+        diffs, Seq(col("d"), col("i")), "rk")
+      val st = diffs
+        .select((col("d").cast("double") / 100.0).as("x"))
+        .agg(count(lit(1)).cast("double").as("n"), sum(col("x")).as("s1"),
+          sum(col("x") * col("x")).as("s2"),
+          sum(col("x") * col("x") * col("x")).as("s3"),
+          sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+        .select(col("n"), (col("s1") / col("n")).as("m"),
+          col("s2"), col("s3"), col("s4"))
+        .select(col("n"), col("m"),
+          (col("s2") / col("n") - col("m") * col("m")).as("v2"),
+          (col("s3") / col("n") - lit(3) * col("m") * col("s2") / col("n") +
+            lit(2) * col("m") * col("m") * col("m")).as("m3"),
+          (col("s4") / col("n") - lit(4) * col("m") * col("s3") / col("n") +
+            lit(6) * col("m") * col("m") * col("s2") / col("n") -
+            lit(3) * col("m") * col("m") * col("m") * col("m")).as("m4"))
+        .select(col("n"), col("m"), sqrt(col("v2")).as("sd"),
+          (col("m3") / pow(col("v2"), 1.5)).as("g1"),
+          (col("m4") / (col("v2") * col("v2")) - 3).as("g2"))
+      val z = lit(-1.6448536269514722)
+      val cf = st.select(col("n"), col("m"), col("sd"), col("g1"),
+          col("g2"),
+          (z + (z * z - 1) * col("g1") / 6 +
+            (z * z * z - lit(3) * z) * col("g2") / 24 -
+            (lit(2) * z * z * z - lit(5) * z) * col("g1") * col("g1") / 36)
+            .as("zcf"))
+      val tail = ranked.crossJoin(broadcast(
+          diffs.agg(count(lit(1)).as("nd")).select(col("nd"),
+            expr("(nd + 19) div 20").as("k"))))
+        .filter(col("rk") <= col("k"))
+        .groupBy(col("nd"))
+        .agg(max(col("d")).as("var_cents"),
+          avg(col("d").cast("double")).as("es_cents"))
+      tail.crossJoin(broadcast(cf))
+        .select(col("nd").as("n_diffs"),
+          round(-col("var_cents").cast("double") / 100.0, 2).as("var95"),
+          round(-col("es_cents") / 100.0, 2).as("es95"),
+          round(-(col("m") + col("zcf") * col("sd")), 2).as("cf_var95"),
+          round(col("g1"), 4).as("skew"),
+          round(col("g2"), 4).as("ex_kurt"))
+    }),
+
+    "q352_sharpe_sortino" -> ((s, dir) => {
+      // Risk-adjusted return report per event type: Sharpe and Sortino
+      // ratios of the daily value-flow changes. The day reduction is a
+      // hash aggregate first; per-type adjacent diffs come from the
+      // grouped two-phase prefix rank (no per-type window over raw
+      // events); downside deviation uses only the negative diffs —
+      // the asymmetry Sortino exists to capture. Annualized by
+      // sqrt(252) convention.
+      val daily = events(s, dir)
+        .groupBy(col("event_type").as("et"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value")).as("y"))
+      val idx = graft.ops.PrefixSum.groupedRunningSum(
+        daily.withColumn("one", lit(1L)), "et", "day", col("one"), "i")
+        .select(col("et"), col("i"), col("y"))
+      val diffs = idx.join(
+          idx.select(col("et"), (col("i") + 1).as("i"), col("y").as("prev")),
+          Seq("et", "i"))
+        .select(col("et"), (col("y") - col("prev")).as("d"))
+      diffs.groupBy(col("et"))
+        .agg(count(lit(1)).as("n_diffs"), sum(col("d")).as("s1"),
+          sum(col("d") * col("d")).as("s2"),
+          sum(when(col("d") < 0, col("d") * col("d")).otherwise(0.0))
+            .as("sneg"))
+        .select(col("et"), col("n_diffs"),
+          (col("s1") / col("n_diffs")).as("m"),
+          sqrt((col("s2") - col("s1") * col("s1") / col("n_diffs")) /
+            (col("n_diffs") - 1)).as("sd"),
+          sqrt(col("sneg") / col("n_diffs")).as("dd"))
+        .select(col("et"), col("n_diffs"),
+          round(col("m"), 2).as("mean_diff"),
+          round(col("m") / col("sd") * sqrt(lit(252.0)), 4).as("sharpe"),
+          round(col("m") / col("dd") * sqrt(lit(252.0)), 4).as("sortino"))
+        .orderBy(col("et"))
+    }),
+
+    "q353_mann_kendall" -> ((s, dir) => {
+      // Mann-Kendall trend test + Sen's slope over weekly revenue: the
+      // nonparametric "is there a monotone trend" answer (q176's CUSUM
+      // finds WHERE the level shifts; this says WHETHER it drifts).
+      // S and the tie-corrected variance are exact integers from the
+      // week-pair sign table (weeks are calendar-bounded, so the pair
+      // join is bounded, never corpus-sized); Sen's slope is the exact
+      // median pair slope — slopes quantized to integer micro-dollars
+      // per week via IEEE-identical double ops so both engines rank
+      // the same longs.
+      val weekly = t(s, dir, "orders")
+        .groupBy((datediff(to_date(col("o_orderdate")),
+          lit("1992-01-01")).cast("long") / lit(7L)).cast("long").as("wk"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5)).as("c"))
+      val pairs = weekly.as("a").join(weekly.as("b"),
+          col("a.wk") < col("b.wk"))
+        .select(col("a.wk").as("w1"), col("b.wk").as("w2"),
+          (col("b.c") - col("a.c")).as("dv"),
+          (col("b.wk") - col("a.wk")).as("dt"))
+      val sstat = pairs.agg(sum(signum(col("dv").cast("double"))
+          .cast("long")).as("s_stat"), count(lit(1)).as("m"))
+      val nties = weekly.groupBy(col("c")).agg(count(lit(1)).as("tc"))
+        .agg(sum(col("tc")).as("n"),
+          sum(col("tc") * (col("tc") - 1) * (lit(2) * col("tc") + 5))
+            .as("tcor"))
+      val slopes = pairs.select(col("w1"), col("w2"),
+        floor(lit(1000000.0) * col("dv").cast("double") /
+          (lit(100.0) * col("dt").cast("double"))).cast("long").as("sl"))
+      val ranked = graft.ops.PrefixSum.globalRank(
+        slopes, Seq(col("sl"), col("w1"), col("w2")), "rk")
+      val med = ranked.crossJoin(broadcast(
+          slopes.agg(count(lit(1)).as("mm"))))
+        .filter(col("rk") === expr("(mm + 1) div 2") ||
+          col("rk") === expr("(mm + 2) div 2"))
+        .agg(avg(col("sl").cast("double")).as("med_micro"))
+      sstat.crossJoin(broadcast(nties)).crossJoin(broadcast(med))
+        .select(col("n").as("n_weeks"), col("s_stat"),
+          ((col("n").cast("double") * (col("n") - 1) *
+            (lit(2) * col("n") + 5) - col("tcor")) / 18.0).as("var_s"),
+          col("med_micro"))
+        .select(col("n_weeks"), col("s_stat"),
+          round(col("var_s"), 2).as("var_s"),
+          round((col("s_stat") -
+            signum(col("s_stat").cast("double"))) /
+            sqrt(col("var_s")), 4).as("z"),
+          round(col("med_micro") / 1000000.0, 4).as("sen_slope"))
+        .select(col("n_weeks"), col("s_stat"), col("var_s"), col("z"),
+          col("sen_slope"),
+          when(col("z") > 1.96, "increasing")
+            .when(col("z") < -1.96, "decreasing")
+            .otherwise("no_trend").as("trend"))
+    }),
+
+    "q354_ljung_box" -> ((s, dir) => {
+      // Ljung-Box portmanteau whiteness test on the daily engagement
+      // series at lags 1..10 — "is there ANY autocorrelation left"
+      // (q175 reports the individual r_k; this pools them into one
+      // decision statistic). Same shifted-index equi-join machinery;
+      // the df=10 chi-square survival has the exact even-df closed
+      // form exp(-x/2)*sum_{j<5}(x/2)^j/j! — no incomplete-gamma
+      // library dependence to drift cross-engine.
+      import s.implicits._
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("value")).as("y"))
+      val idx = graft.ops.PrefixSum.globalRank(daily, Seq(col("day")), "i")
+        .select(col("i"), col("y"))
+      val st = idx.agg(count(lit(1)).cast("double").as("n"),
+          sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"))
+        .select(col("n"), (col("sy") / col("n")).as("mu"),
+          (col("syy") - col("sy") * col("sy") / col("n")).as("denom"))
+      val shifted = idx.crossJoin(broadcast((1 to 10).toDF("lag")))
+        .select(col("lag"), (col("i") + col("lag")).as("i"),
+          col("y").as("y_lag"))
+      val rks = idx.join(shifted, Seq("i"))
+        .crossJoin(broadcast(st))
+        .groupBy(col("lag"), col("n"), col("mu"), col("denom"))
+        .agg(sum((col("y") - col("mu")) * (col("y_lag") - col("mu")))
+          .as("num"))
+        .select(col("lag"), col("n"),
+          (col("num") / col("denom")).as("r"))
+      val qs = rks
+        .select(col("n"), (col("r") * col("r") /
+          (col("n") - col("lag"))).as("term"))
+        .groupBy(col("n"))
+        .agg(sum(col("term")).as("tsum"))
+        .select(col("n"),
+          (col("n") * (col("n") + 2) * col("tsum")).as("q"))
+      val h = col("q") / 2
+      qs.select(col("n").cast("long").as("n_days"),
+        round(col("q"), 4).as("q_stat"),
+        round(exp(-h) * (lit(1.0) + h + h * h / 2 + h * h * h / 6 +
+          h * h * h * h / 24), 6).as("p_approx"))
     })
   )
 
@@ -16617,6 +16809,143 @@ object SparkEntry {
          |FROM inter i JOIN cnt c1 ON c1.et = i.t1 JOIN cnt c2 ON c2.et = i.t2
          |  JOIN est e ON e.t1 = i.t1 AND e.t2 = i.t2
          |ORDER BY i.t1, i.t2""".stripMargin
-    }
+    },
+
+    "q351_var_es" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |ix AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+        |    AS i, cents FROM daily),
+        |df AS (SELECT a.i, a.cents - b.cents AS d
+        |  FROM ix a JOIN ix b ON a.i = b.i + 1),
+        |rk AS (SELECT d, CAST(row_number() OVER (ORDER BY d, i)
+        |    AS BIGINT) AS rk FROM df),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    sum(CAST(d AS DOUBLE) / 100.0) AS s1,
+        |    sum((CAST(d AS DOUBLE) / 100.0) * (CAST(d AS DOUBLE) / 100.0))
+        |      AS s2,
+        |    sum((CAST(d AS DOUBLE) / 100.0) * (CAST(d AS DOUBLE) / 100.0)
+        |      * (CAST(d AS DOUBLE) / 100.0)) AS s3,
+        |    sum((CAST(d AS DOUBLE) / 100.0) * (CAST(d AS DOUBLE) / 100.0)
+        |      * (CAST(d AS DOUBLE) / 100.0) * (CAST(d AS DOUBLE) / 100.0))
+        |      AS s4
+        |  FROM df),
+        |mo AS (SELECT n, s1 / n AS m, s2, s3, s4 FROM st),
+        |ce AS (SELECT n, m,
+        |    s2 / n - m * m AS v2,
+        |    s3 / n - 3 * m * s2 / n + 2 * m * m * m AS m3,
+        |    s4 / n - 4 * m * s3 / n + 6 * m * m * s2 / n
+        |      - 3 * m * m * m * m AS m4
+        |  FROM mo),
+        |sh AS (SELECT n, m, sqrt(v2) AS sd,
+        |    m3 / pow(v2, 1.5) AS g1,
+        |    m4 / (v2 * v2) - 3 AS g2
+        |  FROM ce),
+        |zc AS (SELECT CAST(-1.6448536269514722 AS DOUBLE) AS z),
+        |cf AS (SELECT n, m, sd, g1, g2,
+        |    z + (z * z - 1) * g1 / 6
+        |      + (z * z * z - 3 * z) * g2 / 24
+        |      - (2 * z * z * z - 5 * z) * g1 * g1 / 36 AS zcf
+        |  FROM sh CROSS JOIN zc),
+        |kk AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |    (CAST(count(*) AS BIGINT) + 19) // 20 AS k FROM df),
+        |tl AS (SELECT min(kk.nd) AS nd,
+        |    CAST(max(rk.d) AS BIGINT) AS var_cents,
+        |    avg(CAST(rk.d AS DOUBLE)) AS es_cents
+        |  FROM rk CROSS JOIN kk WHERE rk.rk <= kk.k)
+        |SELECT tl.nd AS n_diffs,
+        |  round(-CAST(tl.var_cents AS DOUBLE) / 100.0, 2) AS var95,
+        |  round(-tl.es_cents / 100.0, 2) AS es95,
+        |  round(-(cf.m + cf.zcf * cf.sd), 2) AS cf_var95,
+        |  round(cf.g1, 4) AS skew, round(cf.g2, 4) AS ex_kurt
+        |FROM tl CROSS JOIN cf""".stripMargin,
+
+    "q352_sharpe_sortino" ->
+      """WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS day,
+        |    sum(value) AS y FROM events GROUP BY 1, 2),
+        |ix AS (SELECT et, y, CAST(row_number()
+        |    OVER (PARTITION BY et ORDER BY day) AS BIGINT) AS i
+        |  FROM daily),
+        |df AS (SELECT a.et, a.y - b.y AS d
+        |  FROM ix a JOIN ix b ON a.et = b.et AND a.i = b.i + 1),
+        |st AS (SELECT et, CAST(count(*) AS BIGINT) AS n_diffs,
+        |    sum(d) AS s1, sum(d * d) AS s2,
+        |    sum(CASE WHEN d < 0 THEN d * d ELSE 0.0 END) AS sneg
+        |  FROM df GROUP BY 1),
+        |mo AS (SELECT et, n_diffs, s1 / n_diffs AS m,
+        |    sqrt((s2 - s1 * s1 / n_diffs) / (n_diffs - 1)) AS sd,
+        |    sqrt(sneg / n_diffs) AS dd
+        |  FROM st)
+        |SELECT et, n_diffs, round(m, 2) AS mean_diff,
+        |  round(m / sd * sqrt(252.0), 4) AS sharpe,
+        |  round(m / dd * sqrt(252.0), 4) AS sortino
+        |FROM mo ORDER BY et""".stripMargin,
+
+    "q353_mann_kendall" ->
+      """WITH weekly AS (SELECT
+        |    CAST(date_diff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) // 7 AS wk,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |pr AS (SELECT a.wk AS w1, b.wk AS w2, b.c - a.c AS dv,
+        |    b.wk - a.wk AS dt
+        |  FROM weekly a JOIN weekly b ON a.wk < b.wk),
+        |ss AS (SELECT CAST(sum(CASE WHEN dv > 0 THEN 1
+        |      WHEN dv < 0 THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+        |    CAST(count(*) AS BIGINT) AS m FROM pr),
+        |ti AS (SELECT CAST(sum(tc) AS BIGINT) AS n,
+        |    CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tcor
+        |  FROM (SELECT c, CAST(count(*) AS BIGINT) AS tc
+        |        FROM weekly GROUP BY 1)),
+        |sl AS (SELECT w1, w2, CAST(floor(1000000.0 * CAST(dv AS DOUBLE)
+        |    / (100.0 * CAST(dt AS DOUBLE))) AS BIGINT) AS sl FROM pr),
+        |rk AS (SELECT sl, CAST(row_number()
+        |    OVER (ORDER BY sl, w1, w2) AS BIGINT) AS rk FROM sl),
+        |md AS (SELECT avg(CAST(rk.sl AS DOUBLE)) AS med_micro
+        |  FROM rk CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS mm
+        |                      FROM sl) t
+        |  WHERE rk.rk = (t.mm + 1) // 2 OR rk.rk = (t.mm + 2) // 2),
+        |vv AS (SELECT ti.n AS n_weeks, ss.s_stat,
+        |    (CAST(ti.n AS DOUBLE) * (ti.n - 1) * (2 * ti.n + 5) - ti.tcor)
+        |      / 18.0 AS var_s,
+        |    md.med_micro
+        |  FROM ss CROSS JOIN ti CROSS JOIN md),
+        |zz AS (SELECT n_weeks, s_stat, round(var_s, 2) AS var_s,
+        |    round((s_stat - CASE WHEN s_stat > 0 THEN 1.0
+        |      WHEN s_stat < 0 THEN -1.0 ELSE 0.0 END) / sqrt(var_s), 4)
+        |      AS z,
+        |    round(med_micro / 1000000.0, 4) AS sen_slope
+        |  FROM vv)
+        |SELECT n_weeks, s_stat, var_s, z, sen_slope,
+        |  CASE WHEN z > 1.96 THEN 'increasing'
+        |       WHEN z < -1.96 THEN 'decreasing'
+        |       ELSE 'no_trend' END AS trend
+        |FROM zz""".stripMargin,
+
+    "q354_ljung_box" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS y
+        |  FROM events GROUP BY 1),
+        |ix AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+        |    AS i, y FROM daily),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    sum(y) / count(*) AS mu,
+        |    sum(y * y) - sum(y) * sum(y) / count(*) AS denom FROM ix),
+        |lg AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9, 10]) AS lag),
+        |pr AS (SELECT l.lag, a.y AS y, b.y AS y_lag
+        |  FROM ix a CROSS JOIN lg l JOIN ix b ON a.i = b.i + l.lag),
+        |rs AS (SELECT p.lag, min(st.n) AS n,
+        |    sum((p.y - st.mu) * (p.y_lag - st.mu)) / min(st.denom) AS r
+        |  FROM pr p CROSS JOIN st GROUP BY 1),
+        |qq AS (SELECT min(n) AS n,
+        |    min(n) * (min(n) + 2) * sum(r * r / (n - lag)) AS q
+        |  FROM rs)
+        |SELECT CAST(n AS BIGINT) AS n_days, round(q, 4) AS q_stat,
+        |  round(exp(-q / 2) * (1.0 + q / 2 + (q / 2) * (q / 2) / 2
+        |    + (q / 2) * (q / 2) * (q / 2) / 6
+        |    + (q / 2) * (q / 2) * (q / 2) * (q / 2) / 24), 6) AS p_approx
+        |FROM qq""".stripMargin
   )
 }
