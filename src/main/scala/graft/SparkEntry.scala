@@ -9733,6 +9733,181 @@ object SparkEntry {
         round(col("q"), 4).as("q_stat"),
         round(exp(-h) * (lit(1.0) + h + h * h / 2 + h * h * h / 6 +
           h * h * h * h / 24), 6).as("p_approx"))
+    }),
+
+    "q355_bartlett" -> ((s, dir) => {
+      // Bartlett's variance-homogeneity test across the five market
+      // segments — the parametric (normal-theory) counterpart of
+      // q337's Brown-Forsythe: more powerful when normality holds,
+      // fragile when it doesn't, so the pair together brackets the
+      // pooled-variance assumption. Group variances come from the same
+      // exact integer moment pass as q336; ln() drift is absorbed by
+      // the rounded outputs.
+      val g = t(s, dir, "customer")
+        .select(col("c_mktsegment").as("sg"),
+          expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("v"))
+        .groupBy(col("sg"))
+        .agg(count(lit(1)).as("ng"), sum(col("v")).as("sg1"),
+          sum(col("v") * col("v")).as("sg2"))
+        .select(col("ng"),
+          ((col("sg2").cast("double") -
+            col("sg1").cast("double") * col("sg1") / col("ng")) /
+            (col("ng") - 1)).as("s2"))
+      val stat = g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+          sum((col("ng") - 1) * col("s2")).as("ssw"),
+          sum((col("ng") - 1) * log(col("s2"))).as("sln"),
+          sum(lit(1.0) / (col("ng") - 1)).as("sinv"),
+          max(col("s2")).as("vmax"), min(col("s2")).as("vmin"))
+        .select(col("k"), col("n"), col("vmax"), col("vmin"),
+          (col("ssw") / (col("n") - col("k"))).as("sp2"),
+          col("sln"), col("sinv"))
+        .select(col("k"), col("n"), col("vmax"), col("vmin"),
+          (((col("n") - col("k")) * log(col("sp2")) - col("sln")) /
+            (lit(1.0) + (col("sinv") - lit(1.0) / (col("n") - col("k"))) /
+              (lit(3.0) * (col("k") - 1)))).as("chi2"))
+      val x = col("chi2")
+      stat.select(col("n").as("n_cust"), col("k").as("k_groups"),
+        round(col("vmax") / col("vmin"), 4).as("var_ratio"),
+        round(col("chi2"), 4).as("bartlett_chi2"),
+        round(exp(-x / 2) * (lit(1.0) + x / 2), 6).as("p_approx"))
+    }),
+
+    "q356_cochran_q" -> ((s, dir) => {
+      // Cochran's Q: do the event types differ in HIGH-VALUE reach
+      // (value > 95), treating each user as their own block (the
+      // repeated-measures cousin of the chi-square homogeneity test —
+      // it conditions out per-user activity levels entirely)?
+      // x_ij = user i logged a value>95 event of type j; everything is
+      // exact integer arithmetic on the deduped (user, type) presence
+      // table until the final two divisions. Plain presence would be
+      // degenerate here (every user touches every type — denominator
+      // 0); the threshold restores per-block variation.
+      val ut = events(s, dir)
+        .filter(col("value") > 95)
+        .select(col("user_id").as("u"), col("event_type").as("et"))
+        .distinct()
+      val gj = ut.groupBy(col("et")).agg(count(lit(1)).as("g"))
+        .agg(count(lit(1)).as("k"), sum(col("g")).as("sg"),
+          sum(col("g") * col("g")).as("sg2"))
+      val li = ut.groupBy(col("u")).agg(count(lit(1)).as("l"))
+        .agg(count(lit(1)).as("n_users"), sum(col("l")).as("sl"),
+          sum(col("l") * col("l")).as("sl2"))
+      gj.crossJoin(broadcast(li))
+        .select(col("n_users"), col("k").as("k_types"),
+          ((col("k") - 1).cast("double") *
+            (col("k") * col("sg2") - col("sg") * col("sg")) /
+            (col("k") * col("sl") - col("sl2"))).as("q"))
+        .select(col("n_users"), col("k_types"),
+          round(col("q"), 4).as("q_stat"),
+          round(exp(-col("q") / 2) * (lit(1.0) + col("q") / 2), 6)
+            .as("p_approx"))
+    }),
+
+    "q357_mood_median" -> ((s, dir) => {
+      // Mood's median test across order priorities: counts above/at-or-
+      // below the GLOBAL median only — maximally robust (uses one bit
+      // per row), the coarse cross-check on q319's rank-sum
+      // Kruskal-Wallis. The grand median is picked at the exact rank
+      // via the two-phase global ranker; the chi-square assembles from
+      // exact integer cell counts vs margin-product expectations.
+      val base = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("pr"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("v"),
+          col("o_orderkey").as("ok"))
+      val ranked = graft.ops.PrefixSum.globalRank(
+        base, Seq(col("v"), col("ok")), "rk")
+      val med = ranked.crossJoin(broadcast(
+          base.agg(count(lit(1)).as("n"))))
+        .filter(col("rk") === expr("(n + 1) div 2"))
+        .select(col("v").as("med"))
+      val cells = base.crossJoin(broadcast(med))
+        .groupBy(col("pr"))
+        .agg(count(lit(1)).as("ng"),
+          sum(when(col("v") > col("med"), 1L).otherwise(0L)).as("above"))
+      val tots = cells.agg(sum(col("ng")).as("n"),
+        sum(col("above")).as("ta"))
+      val chi = cells.crossJoin(broadcast(tots))
+        .select(col("pr"), col("ng"), col("above"),
+          (col("ng").cast("double") * col("ta") / col("n")).as("ea"),
+          (col("ng").cast("double") * (col("n") - col("ta")) / col("n"))
+            .as("eb"))
+        .select(col("pr"), col("ng"), col("above"),
+          ((col("above") - col("ea")) * (col("above") - col("ea")) /
+            col("ea") +
+           ((col("ng") - col("above")) - col("eb")) *
+            ((col("ng") - col("above")) - col("eb")) / col("eb"))
+            .as("contrib"))
+      val stat = chi.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sum(col("contrib")).as("chi2"))
+      val x = col("chi2")
+      stat.select(col("n").as("n_orders"), col("k").as("k_groups"),
+        round(col("chi2"), 4).as("chi2"),
+        round(exp(-x / 2) * (lit(1.0) + x / 2), 6).as("p_approx"))
+    }),
+
+    "q358_jonckheere" -> ((s, dir) => {
+      // Jonckheere-Terpstra ordered-alternative test: does quantity
+      // trend UPWARD across line numbers 1..7 (an a-priori ordering
+      // Kruskal-Wallis q319 cannot use)? The pairwise Mann-Whitney
+      // counts never enumerate row pairs: per-(group, value) counts on
+      // the bounded 7x50 grid, suffix counts via the grid window
+      // (350 broadcast-sized rows), 2J kept exact integer (ties count
+      // once, x2 scaling). The tie-corrected variance's cubic terms run
+      // in doubles — exact inputs, identical IEEE ops both engines,
+      // and overflow-safe where BIGINT cubes of corpus counts are not.
+      val base = t(s, dir, "lineitem")
+        .select(col("l_linenumber").cast("long").as("grp"),
+          col("l_quantity").cast("long").as("v"))
+      val gv = base.groupBy(col("grp"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val ng = base.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+      // suffix count of group g strictly above value v, on the bounded
+      // grid (|grid| = groups x distinct quantities — window is fine)
+      val wsuf = Window.partitionBy(col("grp")).orderBy(col("v"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      // GT must be defined on the FULL value grid (group i may hold
+      // values group j never takes — those rows still beat all of j's
+      // smaller values), so zero-fill the grid before the suffix scan.
+      val grid = base.select(col("v")).distinct()
+        .crossJoin(ng.select(col("grp")))
+      val gvFull = grid.join(gv, Seq("grp", "v"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val sufFull = gvFull.withColumn("gt",
+        coalesce(sum(col("c")).over(wsuf), lit(0L)))
+      val j2full = gv.as("a").join(sufFull.as("b"),
+          col("a.grp") < col("b.grp") && col("a.v") === col("b.v"))
+        .agg(sum(col("a.c") * (lit(2) * col("b.gt") + col("b.c")))
+          .as("j2"))
+      val nstats = ng.agg(sum(col("n")).as("nn"),
+        sum(col("n").cast("double") * (col("n") - 1) *
+          (lit(2) * col("n") + 5)).as("t2g"),
+        sum(col("n").cast("double") * (col("n") - 1) * (col("n") - 2))
+          .as("t3g"),
+        sum(col("n").cast("double") * (col("n") - 1)).as("t1g"),
+        sum(col("n").cast("double") * col("n")).as("sn2"))
+      val tstats = base.groupBy(col("v")).agg(count(lit(1)).as("t"))
+        .agg(sum(col("t").cast("double") * (col("t") - 1) *
+            (lit(2) * col("t") + 5)).as("t2v"),
+          sum(col("t").cast("double") * (col("t") - 1) * (col("t") - 2))
+            .as("t3v"),
+          sum(col("t").cast("double") * (col("t") - 1)).as("t1v"))
+      j2full.crossJoin(broadcast(nstats)).crossJoin(broadcast(tstats))
+        .select(col("nn").as("n_rows"), col("j2"),
+          ((col("nn").cast("double") * col("nn") - col("sn2")) / 2)
+            .as("mean2"),
+          (((col("nn").cast("double") * (col("nn") - 1) *
+              (lit(2) * col("nn") + 5) - col("t2g") - col("t2v")) / 72 +
+            col("t3g") * col("t3v") /
+              (lit(36.0) * col("nn") * (col("nn") - 1) * (col("nn") - 2)) +
+            col("t1g") * col("t1v") /
+              (lit(8.0) * col("nn") * (col("nn") - 1))) * 4).as("var4"))
+        .select(col("n_rows"), col("j2"),
+          round((col("j2") - col("mean2")) / sqrt(col("var4")), 4)
+            .as("z"))
+        .select(col("n_rows"), col("j2"), col("z"),
+          when(col("z") > 1.96, "increasing")
+            .when(col("z") < -1.96, "decreasing")
+            .otherwise("no_trend").as("trend"))
     })
   )
 
@@ -16946,6 +17121,134 @@ object SparkEntry {
         |  round(exp(-q / 2) * (1.0 + q / 2 + (q / 2) * (q / 2) / 2
         |    + (q / 2) * (q / 2) * (q / 2) / 6
         |    + (q / 2) * (q / 2) * (q / 2) * (q / 2) / 24), 6) AS p_approx
-        |FROM qq""".stripMargin
+        |FROM qq""".stripMargin,
+
+    "q355_bartlett" ->
+      """WITH g AS (SELECT c_mktsegment AS sg,
+        |    CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS sg1,
+        |    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) *
+        |      CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sg2
+        |  FROM customer GROUP BY 1),
+        |vr AS (SELECT ng,
+        |    (CAST(sg2 AS DOUBLE) - CAST(sg1 AS DOUBLE) * sg1 / ng)
+        |      / (ng - 1) AS s2
+        |  FROM g),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    sum((ng - 1) * s2) AS ssw,
+        |    sum((ng - 1) * ln(s2)) AS sln,
+        |    sum(1.0 / (ng - 1)) AS sinv,
+        |    max(s2) AS vmax, min(s2) AS vmin
+        |  FROM vr),
+        |ch AS (SELECT k, n, vmax, vmin,
+        |    ((n - k) * ln(ssw / (n - k)) - sln)
+        |      / (1.0 + (sinv - 1.0 / (n - k)) / (3.0 * (k - 1))) AS chi2
+        |  FROM agg)
+        |SELECT n AS n_cust, k AS k_groups,
+        |  round(vmax / vmin, 4) AS var_ratio,
+        |  round(chi2, 4) AS bartlett_chi2,
+        |  round(exp(-chi2 / 2) * (1.0 + chi2 / 2), 6) AS p_approx
+        |FROM ch""".stripMargin,
+
+    "q356_cochran_q" ->
+      """WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS et
+        |  FROM events WHERE value > 95),
+        |gj AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(g) AS BIGINT) AS sg,
+        |    CAST(sum(g * g) AS BIGINT) AS sg2
+        |  FROM (SELECT et, CAST(count(*) AS BIGINT) AS g
+        |        FROM ut GROUP BY 1)),
+        |li AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(l) AS BIGINT) AS sl,
+        |    CAST(sum(l * l) AS BIGINT) AS sl2
+        |  FROM (SELECT u, CAST(count(*) AS BIGINT) AS l
+        |        FROM ut GROUP BY 1)),
+        |qq AS (SELECT n_users, k AS k_types,
+        |    CAST(k - 1 AS DOUBLE) * (k * sg2 - sg * sg)
+        |      / (k * sl - sl2) AS q
+        |  FROM gj CROSS JOIN li)
+        |SELECT n_users, k_types, round(q, 4) AS q_stat,
+        |  round(exp(-q / 2) * (1.0 + q / 2), 6) AS p_approx
+        |FROM qq""".stripMargin,
+
+    "q357_mood_median" ->
+      """WITH base AS (SELECT o_orderpriority AS pr,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+        |    o_orderkey AS ok
+        |  FROM orders),
+        |rk AS (SELECT v, CAST(row_number() OVER (ORDER BY v, ok)
+        |    AS BIGINT) AS rk FROM base),
+        |med AS (SELECT rk.v AS med FROM rk
+        |  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM base) t
+        |  WHERE rk.rk = (t.n + 1) // 2),
+        |cells AS (SELECT pr, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(CASE WHEN v > med THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS above
+        |  FROM base CROSS JOIN med GROUP BY 1),
+        |tots AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(above) AS BIGINT) AS ta FROM cells),
+        |chi AS (SELECT pr, ng, above,
+        |    CAST(ng AS DOUBLE) * ta / n AS ea,
+        |    CAST(ng AS DOUBLE) * (n - ta) / n AS eb
+        |  FROM cells CROSS JOIN tots),
+        |co AS (SELECT pr, ng, above,
+        |    (above - ea) * (above - ea) / ea +
+        |    ((ng - above) - eb) * ((ng - above) - eb) / eb AS contrib
+        |  FROM chi),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n, sum(contrib) AS chi2 FROM co)
+        |SELECT n AS n_orders, k AS k_groups, round(chi2, 4) AS chi2,
+        |  round(exp(-chi2 / 2) * (1.0 + chi2 / 2), 6) AS p_approx
+        |FROM st""".stripMargin,
+
+    "q358_jonckheere" ->
+      """WITH base AS (SELECT CAST(l_linenumber AS BIGINT) AS grp,
+        |    CAST(l_quantity AS BIGINT) AS v FROM lineitem),
+        |gv AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2),
+        |ng AS (SELECT grp, CAST(count(*) AS BIGINT) AS n
+        |  FROM base GROUP BY 1),
+        |grid AS (SELECT g.grp, d.v
+        |  FROM (SELECT DISTINCT v FROM base) d
+        |  CROSS JOIN (SELECT grp FROM ng) g),
+        |gvf AS (SELECT grid.grp, grid.v, coalesce(gv.c, 0) AS c
+        |  FROM grid LEFT JOIN gv ON grid.grp = gv.grp
+        |    AND grid.v = gv.v),
+        |suf AS (SELECT grp, v, c,
+        |    CAST(coalesce(sum(c) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+        |      AS BIGINT) AS gt
+        |  FROM gvf),
+        |jj AS (SELECT CAST(sum(a.c * (2 * b.gt + b.c)) AS BIGINT) AS j2
+        |  FROM gv a JOIN suf b ON a.grp < b.grp AND a.v = b.v),
+        |ns AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    sum(CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)) AS t2g,
+        |    sum(CAST(n AS DOUBLE) * (n - 1) * (n - 2)) AS t3g,
+        |    sum(CAST(n AS DOUBLE) * (n - 1)) AS t1g,
+        |    sum(CAST(n AS DOUBLE) * n) AS sn2
+        |  FROM ng),
+        |ts AS (SELECT
+        |    sum(CAST(t AS DOUBLE) * (t - 1) * (2 * t + 5)) AS t2v,
+        |    sum(CAST(t AS DOUBLE) * (t - 1) * (t - 2)) AS t3v,
+        |    sum(CAST(t AS DOUBLE) * (t - 1)) AS t1v
+        |  FROM (SELECT v, CAST(count(*) AS BIGINT) AS t
+        |        FROM base GROUP BY 1)),
+        |zz AS (SELECT nn AS n_rows, j2,
+        |    (CAST(nn AS DOUBLE) * nn - sn2) / 2 AS mean2,
+        |    ((CAST(nn AS DOUBLE) * (nn - 1) * (2 * nn + 5)
+        |        - t2g - t2v) / 72 +
+        |      t3g * t3v / (36.0 * nn * (nn - 1) * (nn - 2)) +
+        |      t1g * t1v / (8.0 * nn * (nn - 1))) * 4 AS var4
+        |  FROM jj CROSS JOIN ns CROSS JOIN ts),
+        |fz AS (SELECT n_rows, j2,
+        |    round((j2 - mean2) / sqrt(var4), 4) AS z FROM zz)
+        |SELECT n_rows, j2, z,
+        |  CASE WHEN z > 1.96 THEN 'increasing'
+        |       WHEN z < -1.96 THEN 'decreasing'
+        |       ELSE 'no_trend' END AS trend
+        |FROM fz""".stripMargin
   )
 }
