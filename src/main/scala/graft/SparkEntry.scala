@@ -9908,6 +9908,172 @@ object SparkEntry {
           when(col("z") > 1.96, "increasing")
             .when(col("z") < -1.96, "decreasing")
             .otherwise("no_trend").as("trend"))
+    }),
+
+    "q359_brier_murphy" -> ((s, dir) => {
+      // Murphy decomposition of the q138 classifier's Brier score:
+      // reliability (calibration error — what q144 plots), resolution
+      // (how much the bins separate outcomes), uncertainty (the
+      // no-skill floor). Shares classifierFeatures + the GD trainer
+      // with q138/q144 so the decomposition audits EXACTLY that model;
+      // one scored-corpus pass + one bounded 10-bin aggregate.
+      val (feat, cols) = classifierFeatures(s, dir)
+      val w = graft.ops.LinearModel.logisticGd(feat, cols, "y",
+        lr = 0.5, nIter = 3)
+      val z = cols.zip(w).map { case (c, wi) => col(c) * lit(wi) }
+        .reduce(_ + _)
+      val scored = feat
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-z)))
+        .withColumn("bin", least(floor(col("p") * 10), lit(9))
+          .cast("long"))
+      val tot = scored.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum((col("p") - col("y")) * (col("p") - col("y"))).as("sq"))
+      val bins = scored.groupBy(col("bin"))
+        .agg(count(lit(1)).as("nk"), sum(col("p")).as("sp"),
+          sum(col("y")).as("syk"))
+      val dec = bins.crossJoin(broadcast(tot))
+        .select(col("n"), col("sy"), col("sq"),
+          (col("nk") * (col("sp") / col("nk") - col("syk") / col("nk")) *
+            (col("sp") / col("nk") - col("syk") / col("nk"))).as("relk"),
+          (col("nk") * (col("syk") / col("nk") - col("sy") / col("n")) *
+            (col("syk") / col("nk") - col("sy") / col("n"))).as("resk"))
+        .groupBy(col("n"), col("sy"), col("sq"))
+        .agg(sum(col("relk")).as("rel"), sum(col("resk")).as("res"))
+        .select(col("n"), (col("sq") / col("n")).as("brier"),
+          (col("rel") / col("n")).as("rel"),
+          (col("res") / col("n")).as("res"),
+          ((col("sy") / col("n")) * (lit(1.0) - col("sy") / col("n")))
+            .as("unc"))
+      dec.select(col("n").as("n_docs"), round(col("brier"), 6).as("brier"),
+        round(col("rel"), 6).as("reliability"),
+        round(col("res"), 6).as("resolution"),
+        round(col("unc"), 6).as("uncertainty"),
+        round(col("brier") - (col("rel") - col("res") + col("unc")), 6)
+          .as("decomp_gap"))
+    }),
+
+    "q360_ipw_ate" -> ((s, dir) => {
+      // Inverse-propensity-weighted ATE with EXACT stratum propensities
+      // (nation x segment cells): effect of a funded account
+      // (acctbal > 0) on total order spend. Off-support strata
+      // (propensity 0 or 1) are dropped and counted — the positivity
+      // violation every IPW pipeline must surface, not hide. Hajek
+      // normalization; weights are rationals from integer cell counts,
+      // so both engines compute identical doubles.
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .as("yc"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").as("nk"),
+          col("c_mktsegment").as("sg"),
+          when(col("c_acctbal") > 0, 1L).otherwise(0L).as("tr"))
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("nk"), col("sg"), col("tr"),
+          coalesce(col("yc"), lit(0L)).as("y"))
+      val strata = cust.groupBy(col("nk"), col("sg"))
+        .agg(count(lit(1)).as("ns"), sum(col("tr")).as("nt"))
+      val kept = strata.filter(col("nt") > 0 && col("nt") < col("ns"))
+        .withColumn("e", col("nt").cast("double") / col("ns"))
+      val dropped = strata.filter(col("nt") === 0 ||
+        col("nt") === col("ns"))
+      val wtd = cust.join(broadcast(kept.select(col("nk"), col("sg"),
+          col("e"))), Seq("nk", "sg"))
+        .select(col("tr"), col("y"),
+          when(col("tr") === 1, lit(1.0) / col("e"))
+            .otherwise(lit(1.0) / (lit(1.0) - col("e"))).as("w"))
+      val eff = wtd.agg(count(lit(1)).as("n_cust"),
+          sum(when(col("tr") === 1, col("w")).otherwise(0.0)).as("wt"),
+          sum(when(col("tr") === 1, col("w") * col("y")).otherwise(0.0))
+            .as("wty"),
+          sum(when(col("tr") === 0, col("w")).otherwise(0.0)).as("wc"),
+          sum(when(col("tr") === 0, col("w") * col("y")).otherwise(0.0))
+            .as("wcy"),
+          sum(col("tr")).as("ntr"),
+          sum(when(col("tr") === 1, col("y")).otherwise(0L)).as("syt"),
+          sum(when(col("tr") === 0, col("y")).otherwise(0L)).as("syc"))
+      eff.crossJoin(broadcast(kept.agg(count(lit(1)).as("n_strata"))))
+        .crossJoin(broadcast(dropped.agg(count(lit(1)).as("n_dropped"))))
+        .select(col("n_cust"), col("n_strata"), col("n_dropped"),
+          round((col("wty") / col("wt") - col("wcy") / col("wc")) / 100.0,
+            2).as("ate_ipw"),
+          round((col("syt").cast("double") / col("ntr") -
+            col("syc").cast("double") / (col("n_cust") - col("ntr"))) /
+            100.0, 2).as("ate_naive"))
+    }),
+
+    "q361_horvitz_thompson" -> ((s, dir) => {
+      // Horvitz-Thompson total from a deterministic PPS Poisson sample:
+      // orders sampled with probability proportional to price (capped
+      // at 1), the estimator reconstructs the TOTAL LINEITEM COUNT from
+      // the sample alone — unequal-probability design where q53's
+      // uniform Bernoulli would waste budget on small orders. Inclusion
+      // is keyHash-deterministic (identical longs both engines), so the
+      // "random" sample is exactly reproducible anywhere.
+      val x = t(s, dir, "orders")
+        .select(col("o_orderkey").as("ok"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("x"))
+      val tot = x.agg(sum(col("x")).as("tx"), count(lit(1)).as("no"))
+      val li = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+      val samp = x.crossJoin(broadcast(tot))
+        .withColumn("pi", least(lit(1.0),
+          col("x").cast("double") * 2000.0 / col("tx")))
+        .withColumn("u", (Sampling.keyHash(col("ok")) + 0.5) /
+          4294967296.0)
+        .filter(col("u") < col("pi"))
+        .join(li, col("ok") === col("l_orderkey"))
+      val truth = li.agg(sum(col("cnt")).as("true_total"))
+      samp.agg(count(lit(1)).as("n_sampled"),
+          sum(col("cnt").cast("double") / col("pi")).as("ht"))
+        .crossJoin(broadcast(truth))
+        .select(col("n_sampled"), round(col("ht"), 2).as("ht_est"),
+          col("true_total"),
+          round(abs(col("ht") - col("true_total")) /
+            col("true_total"), 4).as("rel_err"))
+    }),
+
+    "q362_lilliefors" -> ((s, dir) => {
+      // Lilliefors (KS with ESTIMATED mean/sd) normality test on
+      // account balances: the gatekeeper for every z/t-based query in
+      // the gallery (q336/q347/q325 all assume roughly normal errors).
+      // ECDF steps at exact two-phase global ranks, Phi via the A&S
+      // erf polynomial with reflection; D is a max — no float
+      // summation order anywhere.
+      val base = t(s, dir, "customer")
+        .select(expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")
+          .as("v"), col("c_custkey").as("ck"))
+      val mom = base.agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+          sum(col("v") * col("v")).as("s2"))
+        .select(col("n"), (col("s1").cast("double") / col("n") / 100.0)
+          .as("m"),
+          (sqrt((col("s2").cast("double") -
+            col("s1").cast("double") * col("s1") / col("n")) /
+            (col("n") - 1)) / 100.0).as("sd"))
+      val ranked = graft.ops.PrefixSum.globalRank(
+        base, Seq(col("v"), col("ck")), "i")
+      val zed = ranked.crossJoin(broadcast(mom))
+        .withColumn("z", (col("v").cast("double") / 100.0 - col("m")) /
+          col("sd"))
+      val xq = abs(col("z")) / math.sqrt(2.0)
+      val tq = lit(1.0) / (lit(1.0) + lit(0.3275911) * xq)
+      val tail = (lit(0.254829592) * tq - lit(0.284496736) * tq * tq +
+        lit(1.421413741) * tq * tq * tq - lit(1.453152027) *
+        tq * tq * tq * tq + lit(1.061405429) * tq * tq * tq * tq * tq) *
+        exp(-xq * xq) / 2
+      val phid = zed.withColumn("phi",
+        when(col("z") >= 0, lit(1.0) - tail).otherwise(tail))
+      phid
+        .select(greatest(
+            col("i").cast("double") / col("n") - col("phi"),
+            col("phi") - (col("i") - 1).cast("double") / col("n"))
+          .as("gap"), col("n"))
+        .groupBy(col("n")).agg(max(col("gap")).as("d"))
+        .select(col("n").as("n_cust"), round(col("d"), 6).as("d_stat"),
+          round(lit(0.886) / sqrt(col("n").cast("double")), 6)
+            .as("crit_05"),
+          (col("d") > lit(0.886) / sqrt(col("n").cast("double")))
+            .as("rejected"))
     })
   )
 
@@ -17249,6 +17415,125 @@ object SparkEntry {
         |  CASE WHEN z > 1.96 THEN 'increasing'
         |       WHEN z < -1.96 THEN 'decreasing'
         |       ELSE 'no_trend' END AS trend
-        |FROM fz""".stripMargin
+        |FROM fz""".stripMargin,
+
+    "q359_brier_murphy" ->
+      s"""WITH $lrCtes,
+         |bn AS (SELECT y, p,
+         |    CAST(least(floor(p * 10), 9) AS BIGINT) AS bin FROM scored),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(y) AS sy,
+         |    sum((p - y) * (p - y)) AS sq FROM bn),
+         |bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS nk,
+         |    sum(p) AS sp, sum(y) AS syk FROM bn GROUP BY 1),
+         |dec AS (SELECT min(tot.n) AS n, min(tot.sy) AS sy,
+         |    min(tot.sq) AS sq,
+         |    sum(nk * (sp / nk - syk / nk) * (sp / nk - syk / nk)) AS rel,
+         |    sum(nk * (syk / nk - tot.sy / tot.n)
+         |      * (syk / nk - tot.sy / tot.n)) AS res
+         |  FROM bins CROSS JOIN tot),
+         |fin AS (SELECT n, sq / n AS brier, rel / n AS rel, res / n AS res,
+         |    (sy / n) * (1.0 - sy / n) AS unc FROM dec)
+         |SELECT n AS n_docs, round(brier, 6) AS brier,
+         |  round(rel, 6) AS reliability, round(res, 6) AS resolution,
+         |  round(unc, 6) AS uncertainty,
+         |  round(brier - (rel - res + unc), 6) AS decomp_gap
+         |FROM fin""".stripMargin,
+
+    "q360_ipw_ate" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS yc
+        |  FROM orders GROUP BY 1),
+        |cust AS (SELECT c_nationkey AS nk, c_mktsegment AS sg,
+        |    CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS tr,
+        |    CAST(coalesce(yc, 0) AS BIGINT) AS y
+        |  FROM customer LEFT JOIN spend ON c_custkey = o_custkey),
+        |strata AS (SELECT nk, sg, CAST(count(*) AS BIGINT) AS ns,
+        |    CAST(sum(tr) AS BIGINT) AS nt
+        |  FROM cust GROUP BY 1, 2),
+        |kept AS (SELECT nk, sg, CAST(nt AS DOUBLE) / ns AS e
+        |  FROM strata WHERE nt > 0 AND nt < ns),
+        |wtd AS (SELECT tr, y,
+        |    CASE WHEN tr = 1 THEN 1.0 / e ELSE 1.0 / (1.0 - e) END AS w
+        |  FROM cust JOIN kept USING (nk, sg)),
+        |eff AS (SELECT CAST(count(*) AS BIGINT) AS n_cust,
+        |    sum(CASE WHEN tr = 1 THEN w ELSE 0.0 END) AS wt,
+        |    sum(CASE WHEN tr = 1 THEN w * y ELSE 0.0 END) AS wty,
+        |    sum(CASE WHEN tr = 0 THEN w ELSE 0.0 END) AS wc,
+        |    sum(CASE WHEN tr = 0 THEN w * y ELSE 0.0 END) AS wcy,
+        |    CAST(sum(tr) AS BIGINT) AS ntr,
+        |    CAST(sum(CASE WHEN tr = 1 THEN y ELSE 0 END) AS BIGINT)
+        |      AS syt,
+        |    CAST(sum(CASE WHEN tr = 0 THEN y ELSE 0 END) AS BIGINT)
+        |      AS syc
+        |  FROM wtd),
+        |ks AS (SELECT CAST(count(*) AS BIGINT) AS n_strata FROM kept),
+        |dr AS (SELECT CAST(count(*) AS BIGINT) AS n_dropped
+        |  FROM strata WHERE nt = 0 OR nt = ns)
+        |SELECT n_cust, n_strata, n_dropped,
+        |  round((wty / wt - wcy / wc) / 100.0, 2) AS ate_ipw,
+        |  round((CAST(syt AS DOUBLE) / ntr
+        |    - CAST(syc AS DOUBLE) / (n_cust - ntr)) / 100.0, 2)
+        |    AS ate_naive
+        |FROM eff CROSS JOIN ks CROSS JOIN dr""".stripMargin,
+
+    "q361_horvitz_thompson" -> {
+      val kh = graft.ops.Sampling.keyHashSql("ok")
+      s"""WITH x AS (SELECT o_orderkey AS ok,
+         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+         |  FROM orders),
+         |tot AS (SELECT CAST(sum(x) AS BIGINT) AS tx FROM x),
+         |li AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM lineitem GROUP BY 1),
+         |samp AS (SELECT x.ok,
+         |    least(1.0, CAST(x.x AS DOUBLE) * 2000.0 / tot.tx) AS pi,
+         |    li.cnt
+         |  FROM x CROSS JOIN tot JOIN li ON x.ok = li.l_orderkey
+         |  WHERE (($kh) + 0.5) / 4294967296.0
+         |    < least(1.0, CAST(x.x AS DOUBLE) * 2000.0 / tot.tx)),
+         |tr AS (SELECT CAST(sum(cnt) AS BIGINT) AS true_total FROM li),
+         |ht AS (SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+         |    sum(CAST(cnt AS DOUBLE) / pi) AS ht FROM samp)
+         |SELECT n_sampled, round(ht, 2) AS ht_est, true_total,
+         |  round(abs(ht - true_total) / true_total, 4) AS rel_err
+         |FROM ht CROSS JOIN tr""".stripMargin
+    },
+
+    "q362_lilliefors" ->
+      """WITH base AS (SELECT
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v,
+        |    c_custkey AS ck FROM customer),
+        |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS DOUBLE) / count(*) / 100.0 AS m,
+        |    sqrt((CAST(sum(v * v) AS DOUBLE)
+        |      - CAST(sum(v) AS DOUBLE) * sum(v) / count(*))
+        |      / (count(*) - 1)) / 100.0 AS sd
+        |  FROM base),
+        |rk AS (SELECT v, CAST(row_number() OVER (ORDER BY v, ck)
+        |    AS BIGINT) AS i FROM base),
+        |zz AS (SELECT i, n,
+        |    (CAST(v AS DOUBLE) / 100.0 - m) / sd AS z
+        |  FROM rk CROSS JOIN mom),
+        |ph AS (SELECT i, n, z, abs(z) / sqrt(2.0) AS x,
+        |    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+        |  FROM zz),
+        |pp AS (SELECT i, n,
+        |    CASE WHEN z >= 0 THEN 1.0 - (0.254829592 * t
+        |        - 0.284496736 * t * t + 1.421413741 * t * t * t
+        |        - 1.453152027 * t * t * t * t
+        |        + 1.061405429 * t * t * t * t * t) * exp(-x * x) / 2
+        |      ELSE (0.254829592 * t - 0.284496736 * t * t
+        |        + 1.421413741 * t * t * t - 1.453152027 * t * t * t * t
+        |        + 1.061405429 * t * t * t * t * t) * exp(-x * x) / 2
+        |      END AS phi
+        |  FROM ph),
+        |dd AS (SELECT min(n) AS n,
+        |    max(greatest(CAST(i AS DOUBLE) / n - phi,
+        |      phi - CAST(i - 1 AS DOUBLE) / n)) AS d
+        |  FROM pp)
+        |SELECT n AS n_cust, round(d, 6) AS d_stat,
+        |  round(0.886 / sqrt(CAST(n AS DOUBLE)), 6) AS crit_05,
+        |  d > 0.886 / sqrt(CAST(n AS DOUBLE)) AS rejected
+        |FROM dd""".stripMargin
   )
 }
