@@ -10074,6 +10074,191 @@ object SparkEntry {
             .as("crit_05"),
           (col("d") > lit(0.886) / sqrt(col("n").cast("double")))
             .as("rejected"))
+    }),
+
+    "q363_yule_walker_ar2" -> ((s, dir) => {
+      // AR(2) fit on daily revenue via Yule-Walker (closed form from
+      // the q175-style r1/r2 — no optimizer), then an in-sample
+      // one-step backtest vs naive persistence. The honest question
+      // for every autoregressive claim: does the fitted memory BEAT
+      // just repeating yesterday? Series is calendar-bounded; dollars
+      // (not cents) keep the double square sums well-conditioned.
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg((sum(floor(col("o_totalprice") * 100 + 0.5)) / 100.0)
+          .cast("double").as("y"))
+      val idx = graft.ops.PrefixSum.globalRank(daily, Seq(col("day")), "i")
+        .select(col("i"), col("y"))
+      val st = idx.agg(count(lit(1)).cast("double").as("n"),
+          sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"))
+        .select(col("n"), (col("sy") / col("n")).as("mu"),
+          (col("syy") - col("sy") * col("sy") / col("n")).as("denom"))
+      val l1 = idx.select((col("i") + 1).as("i"), col("y").as("y1"))
+      val l2 = idx.select((col("i") + 2).as("i"), col("y").as("y2"))
+      val tri = idx.join(l1, Seq("i")).join(l2, Seq("i"))
+      val rs = tri.crossJoin(broadcast(st))
+        .groupBy(col("n"), col("mu"), col("denom"))
+        .agg(sum((col("y") - col("mu")) * (col("y1") - col("mu")))
+            .as("n1"),
+          sum((col("y") - col("mu")) * (col("y2") - col("mu"))).as("n2"))
+        .select(col("n"), col("mu"), (col("n1") / col("denom")).as("r1"),
+          (col("n2") / col("denom")).as("r2"))
+        .select(col("n"), col("mu"), col("r1"), col("r2"),
+          (col("r1") * (lit(1.0) - col("r2")) /
+            (lit(1.0) - col("r1") * col("r1"))).as("p1"),
+          ((col("r2") - col("r1") * col("r1")) /
+            (lit(1.0) - col("r1") * col("r1"))).as("p2"))
+      val bt = tri.crossJoin(broadcast(rs))
+        .select(col("y"), col("y1"),
+          (col("mu") + col("p1") * (col("y1") - col("mu")) +
+            col("p2") * (col("y2") - col("mu"))).as("yhat"))
+        .agg(count(lit(1)).as("n_steps"),
+          sqrt(avg((col("y") - col("yhat")) * (col("y") - col("yhat"))))
+            .as("rmse_ar2"),
+          sqrt(avg((col("y") - col("y1")) * (col("y") - col("y1"))))
+            .as("rmse_naive"))
+      bt.crossJoin(broadcast(rs.select(col("n"), col("p1"), col("p2"))))
+        .select(col("n").cast("long").as("n_days"), col("n_steps"),
+          round(col("p1"), 6).as("phi1"), round(col("p2"), 6).as("phi2"),
+          round(col("rmse_ar2"), 2).as("rmse_ar2"),
+          round(col("rmse_naive"), 2).as("rmse_naive"))
+    }),
+
+    "q364_holt_trend" -> ((s, dir) => {
+      // Holt double-exponential smoothing over the 27-quarter revenue
+      // series (alpha .3, beta .1): level+trend state folded
+      // column-by-column on a ONE-row wide frame — 26 fixed-operand
+      // steps, plan truncated every 10 (q350's barrier lesson), with
+      // the one-step absolute error accumulated inside the same fold.
+      // The recurrence is inherently sequential; making the frame wide
+      // makes each step pure scalar arithmetic, identical on any
+      // engine.
+      val qidx = expr(
+        "(year(o_orderdate) - 1992) * 4 + (month(o_orderdate) - 1) div 3")
+      val aggs = (0 to 26).map(k =>
+        (sum(when(qidx === k,
+          expr("CAST(floor(o_totalprice) AS BIGINT)")).otherwise(0L)) /
+          1000.0).cast("double").as(s"y$k"))
+      val wide = t(s, dir, "orders").agg(aggs.head, aggs.tail: _*)
+      val ys = (0 to 26).map(k => col(s"y$k"))
+      var cur = wide.select(ys :+ col("y0").as("l") :+
+        (col("y1") - col("y0")).as("b") :+ lit(0.0).as("sae"): _*)
+      for (tt <- 1 to 26) {
+        val pred = col("l") + col("b")
+        val l2 = lit(0.3) * col(s"y$tt") + lit(0.7) * pred
+        cur = cur.select(ys :+ l2.as("l") :+
+          (lit(0.1) * (l2 - col("l")) + lit(0.9) * col("b")).as("b") :+
+          (col("sae") + abs(col(s"y$tt") - pred)).as("sae"): _*)
+        if (tt % 10 == 0) cur = cur.localCheckpoint()
+      }
+      cur.select(lit(27L).as("n_quarters"),
+        round(col("l"), 2).as("level_kusd"),
+        round(col("b"), 2).as("trend_kusd"),
+        round(col("l") + col("b"), 2).as("forecast_kusd"),
+        round(col("sae") / 26.0, 2).as("mae_kusd"))
+    }),
+
+    "q365_pacf" -> ((s, dir) => {
+      // Partial autocorrelation at lags 1..5 of the daily engagement
+      // series via the Durbin-Levinson recursion — the AR-order
+      // selector q175's raw ACF can't provide (ACF of an AR(1) decays
+      // forever; PACF cuts off). The recursion runs unrolled on a
+      // ONE-row frame of r1..r5 — five bounded steps of scalar
+      // arithmetic after one shifted-index aggregate.
+      import s.implicits._
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("value")).as("y"))
+      val idx = graft.ops.PrefixSum.globalRank(daily, Seq(col("day")), "i")
+        .select(col("i"), col("y"))
+      val st = idx.agg(count(lit(1)).cast("double").as("n"),
+          sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"))
+        .select((col("sy") / col("n")).as("mu"),
+          (col("syy") - col("sy") * col("sy") / col("n")).as("denom"))
+      val shifted = idx.crossJoin(broadcast((1 to 5).toDF("lag")))
+        .select(col("lag"), (col("i") + col("lag")).as("i"),
+          col("y").as("y_lag"))
+      val rw = idx.join(shifted, Seq("i"))
+        .crossJoin(broadcast(st))
+        .groupBy(col("lag"), col("denom"), col("mu"))
+        .agg(sum((col("y") - col("mu")) * (col("y_lag") - col("mu")))
+          .as("num"))
+        .select(col("lag"), (col("num") / col("denom")).as("r"))
+      val rexprs = (1 to 5).map(k =>
+        max(when(col("lag") === k, col("r"))).as(s"r$k"))
+      val rrow = rw.agg(rexprs.head, rexprs.tail: _*)
+      val s2 = rrow.select(col("r1"), col("r2"), col("r3"), col("r4"),
+        col("r5"), col("r1").as("p11"))
+      val s3 = s2.select(col("*"),
+          ((col("r2") - col("p11") * col("r1")) /
+            (lit(1.0) - col("p11") * col("r1"))).as("p22"))
+        .select(col("*"),
+          (col("p11") - col("p22") * col("p11")).as("p21"))
+      val s4 = s3.select(col("*"),
+          ((col("r3") - col("p21") * col("r2") - col("p22") * col("r1")) /
+            (lit(1.0) - col("p21") * col("r1") - col("p22") * col("r2")))
+            .as("p33"))
+        .select(col("*"),
+          (col("p21") - col("p33") * col("p22")).as("p31"),
+          (col("p22") - col("p33") * col("p21")).as("p32"))
+      val s5 = s4.select(col("*"),
+          ((col("r4") - col("p31") * col("r3") - col("p32") * col("r2") -
+            col("p33") * col("r1")) /
+            (lit(1.0) - col("p31") * col("r1") - col("p32") * col("r2") -
+              col("p33") * col("r3"))).as("p44"))
+        .select(col("*"),
+          (col("p31") - col("p44") * col("p33")).as("p41"),
+          (col("p32") - col("p44") * col("p32")).as("p42"),
+          (col("p33") - col("p44") * col("p31")).as("p43"))
+      val s6 = s5.select(col("*"),
+        ((col("r5") - col("p41") * col("r4") - col("p42") * col("r3") -
+          col("p43") * col("r2") - col("p44") * col("r1")) /
+          (lit(1.0) - col("p41") * col("r1") - col("p42") * col("r2") -
+            col("p43") * col("r3") - col("p44") * col("r4"))).as("p55"))
+      s6.select(round(col("p11"), 6).as("pacf_1"),
+        round(col("p22"), 6).as("pacf_2"),
+        round(col("p33"), 6).as("pacf_3"),
+        round(col("p44"), 6).as("pacf_4"),
+        round(col("p55"), 6).as("pacf_5"))
+    }),
+
+    "q366_permutation_entropy" -> ((s, dir) => {
+      // Permutation entropy (order-3 ordinal patterns) of daily
+      // revenue: complexity of the series' SHAPE, blind to amplitude —
+      // regular seasonality scores low, noise scores ~1. Patterns are
+      // 3-bit comparison codes over exact integer cents (ties resolve
+      // identically on any engine); entropy normalized by ln 6.
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5)).as("c"))
+      val idx = graft.ops.PrefixSum.globalRank(daily, Seq(col("day")), "i")
+        .select(col("i"), col("c"))
+      val tri = idx
+        .join(idx.select((col("i") - 1).as("i"), col("c").as("c1")),
+          Seq("i"))
+        .join(idx.select((col("i") - 2).as("i"), col("c").as("c2")),
+          Seq("i"))
+      val coded = tri.select(
+        (when(col("c1") > col("c"), 4).otherwise(0) +
+         when(col("c2") > col("c"), 2).otherwise(0) +
+         when(col("c2") > col("c1"), 1).otherwise(0)).cast("long")
+          .as("code"))
+      val cnt = coded.groupBy(col("code")).agg(count(lit(1)).as("k"))
+      val tot = cnt.agg(sum(col("k")).as("n"),
+        count(lit(1)).as("n_patterns"))
+      val ent = cnt.crossJoin(broadcast(tot))
+        .select(col("n"), col("n_patterns"), col("code"), col("k"),
+          (col("k").cast("double") / col("n")).as("p"))
+      val top = ent.orderBy(col("k").desc, col("code")).limit(1)
+        .select(col("code").as("top_code"),
+          round(col("p"), 4).as("top_share"))
+      ent.groupBy(col("n"), col("n_patterns"))
+        .agg((-sum(col("p") * log(col("p"))) / math.log(6.0))
+          .as("h"))
+        .crossJoin(broadcast(top))
+        .select(col("n").as("n_triples"), col("n_patterns"),
+          round(col("h"), 6).as("h_norm"), col("top_code"),
+          col("top_share"))
     })
   )
 
@@ -17534,6 +17719,141 @@ object SparkEntry {
         |SELECT n AS n_cust, round(d, 6) AS d_stat,
         |  round(0.886 / sqrt(CAST(n AS DOUBLE)), 6) AS crit_05,
         |  d > 0.886 / sqrt(CAST(n AS DOUBLE)) AS rejected
-        |FROM dd""".stripMargin
+        |FROM dd""".stripMargin,
+
+    "q363_yule_walker_ar2" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / 100.0 AS y
+        |  FROM orders GROUP BY 1),
+        |ix AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+        |    AS i, y FROM daily),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    sum(y) / count(*) AS mu,
+        |    sum(y * y) - sum(y) * sum(y) / count(*) AS denom FROM ix),
+        |tri AS (SELECT a.y AS y, b.y AS y1, c.y AS y2
+        |  FROM ix a JOIN ix b ON a.i = b.i + 1
+        |    JOIN ix c ON a.i = c.i + 2),
+        |rs AS (SELECT min(st.n) AS n, min(st.mu) AS mu,
+        |    sum((y - st.mu) * (y1 - st.mu)) / min(st.denom) AS r1,
+        |    sum((y - st.mu) * (y2 - st.mu)) / min(st.denom) AS r2
+        |  FROM tri CROSS JOIN st),
+        |ph AS (SELECT n, mu, r1, r2,
+        |    r1 * (1.0 - r2) / (1.0 - r1 * r1) AS p1,
+        |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS p2
+        |  FROM rs),
+        |bt AS (SELECT min(ph.n) AS n, min(ph.p1) AS p1,
+        |    min(ph.p2) AS p2,
+        |    CAST(count(*) AS BIGINT) AS n_steps,
+        |    sqrt(avg((y - (ph.mu + ph.p1 * (y1 - ph.mu)
+        |      + ph.p2 * (y2 - ph.mu)))
+        |      * (y - (ph.mu + ph.p1 * (y1 - ph.mu)
+        |      + ph.p2 * (y2 - ph.mu))))) AS rmse_ar2,
+        |    sqrt(avg((y - y1) * (y - y1))) AS rmse_naive
+        |  FROM tri CROSS JOIN ph)
+        |SELECT CAST(n AS BIGINT) AS n_days, n_steps,
+        |  round(p1, 6) AS phi1, round(p2, 6) AS phi2,
+        |  round(rmse_ar2, 2) AS rmse_ar2,
+        |  round(rmse_naive, 2) AS rmse_naive
+        |FROM bt""".stripMargin,
+
+    "q364_holt_trend" ->
+      """WITH q AS (SELECT (year(CAST(o_orderdate AS DATE)) - 1992) * 4
+        |      + (month(CAST(o_orderdate AS DATE)) - 1) // 3 AS t,
+        |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS DOUBLE)
+        |      / 1000.0 AS y
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT CAST(r.range AS BIGINT) AS t,
+        |    coalesce(q.y, 0.0) AS y
+        |  FROM range(27) r LEFT JOIN q ON q.t = r.range),
+        |base AS (SELECT a.y AS y0, b.y AS y1 FROM g a CROSS JOIN g b
+        |  WHERE a.t = 0 AND b.t = 1)
+        |SELECT 27 AS n_quarters, round(l, 2) AS level_kusd,
+        |  round(b, 2) AS trend_kusd, round(l + b, 2) AS forecast_kusd,
+        |  round(sae / 26.0, 2) AS mae_kusd
+        |FROM (
+        |  WITH RECURSIVE h(t, l, b, sae) AS (
+        |    SELECT CAST(0 AS BIGINT), y0, y1 - y0,
+        |      CAST(0.0 AS DOUBLE) FROM base
+        |    UNION ALL
+        |    SELECT h.t + 1,
+        |      0.3 * g.y + 0.7 * (h.l + h.b),
+        |      0.1 * ((0.3 * g.y + 0.7 * (h.l + h.b)) - h.l) + 0.9 * h.b,
+        |      h.sae + abs(g.y - (h.l + h.b))
+        |    FROM h JOIN g ON g.t = h.t + 1 WHERE h.t < 26)
+        |  SELECT l, b, sae FROM h WHERE t = 26)""".stripMargin,
+
+    "q365_pacf" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, sum(value) AS y
+        |  FROM events GROUP BY 1),
+        |ix AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+        |    AS i, y FROM daily),
+        |st AS (SELECT sum(y) / count(*) AS mu,
+        |    sum(y * y) - sum(y) * sum(y) / count(*) AS denom FROM ix),
+        |lg AS (SELECT unnest([1, 2, 3, 4, 5]) AS lag),
+        |pr AS (SELECT l.lag, a.y AS y, b.y AS y_lag
+        |  FROM ix a CROSS JOIN lg l JOIN ix b ON a.i = b.i + l.lag),
+        |rw AS (SELECT p.lag,
+        |    sum((p.y - st.mu) * (p.y_lag - st.mu)) / min(st.denom) AS r
+        |  FROM pr p CROSS JOIN st GROUP BY 1),
+        |rr AS (SELECT
+        |    max(CASE WHEN lag = 1 THEN r END) AS r1,
+        |    max(CASE WHEN lag = 2 THEN r END) AS r2,
+        |    max(CASE WHEN lag = 3 THEN r END) AS r3,
+        |    max(CASE WHEN lag = 4 THEN r END) AS r4,
+        |    max(CASE WHEN lag = 5 THEN r END) AS r5
+        |  FROM rw),
+        |s2 AS (SELECT *, r1 AS p11 FROM rr),
+        |s3a AS (SELECT *,
+        |    (r2 - p11 * r1) / (1.0 - p11 * r1) AS p22 FROM s2),
+        |s3 AS (SELECT *, p11 - p22 * p11 AS p21 FROM s3a),
+        |s4a AS (SELECT *,
+        |    (r3 - p21 * r2 - p22 * r1)
+        |      / (1.0 - p21 * r1 - p22 * r2) AS p33 FROM s3),
+        |s4 AS (SELECT *, p21 - p33 * p22 AS p31,
+        |    p22 - p33 * p21 AS p32 FROM s4a),
+        |s5a AS (SELECT *,
+        |    (r4 - p31 * r3 - p32 * r2 - p33 * r1)
+        |      / (1.0 - p31 * r1 - p32 * r2 - p33 * r3) AS p44 FROM s4),
+        |s5 AS (SELECT *, p31 - p44 * p33 AS p41,
+        |    p32 - p44 * p32 AS p42, p33 - p44 * p31 AS p43 FROM s5a),
+        |s6 AS (SELECT *,
+        |    (r5 - p41 * r4 - p42 * r3 - p43 * r2 - p44 * r1)
+        |      / (1.0 - p41 * r1 - p42 * r2 - p43 * r3 - p44 * r4)
+        |      AS p55 FROM s5)
+        |SELECT round(p11, 6) AS pacf_1, round(p22, 6) AS pacf_2,
+        |  round(p33, 6) AS pacf_3, round(p44, 6) AS pacf_4,
+        |  round(p55, 6) AS pacf_5
+        |FROM s6""".stripMargin,
+
+    "q366_permutation_entropy" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |ix AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+        |    AS i, c FROM daily),
+        |tri AS (SELECT a.c AS c, b.c AS c1, d.c AS c2
+        |  FROM ix a JOIN ix b ON b.i = a.i + 1
+        |    JOIN ix d ON d.i = a.i + 2),
+        |coded AS (SELECT CAST(
+        |    (CASE WHEN c1 > c THEN 4 ELSE 0 END)
+        |    + (CASE WHEN c2 > c THEN 2 ELSE 0 END)
+        |    + (CASE WHEN c2 > c1 THEN 1 ELSE 0 END) AS BIGINT) AS code
+        |  FROM tri),
+        |cnt AS (SELECT code, CAST(count(*) AS BIGINT) AS k
+        |  FROM coded GROUP BY 1),
+        |tot AS (SELECT CAST(sum(k) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_patterns FROM cnt),
+        |ent AS (SELECT tot.n, tot.n_patterns, cnt.code, cnt.k,
+        |    CAST(cnt.k AS DOUBLE) / tot.n AS p
+        |  FROM cnt CROSS JOIN tot),
+        |top AS (SELECT code AS top_code, round(p, 4) AS top_share
+        |  FROM ent ORDER BY k DESC, code LIMIT 1),
+        |hh AS (SELECT min(n) AS n, min(n_patterns) AS n_patterns,
+        |    -sum(p * ln(p)) / ln(6.0) AS h FROM ent)
+        |SELECT hh.n AS n_triples, hh.n_patterns,
+        |  round(hh.h, 6) AS h_norm, top.top_code, top.top_share
+        |FROM hh CROSS JOIN top""".stripMargin
   )
 }
