@@ -10259,6 +10259,187 @@ object SparkEntry {
         .select(col("n").as("n_triples"), col("n_patterns"),
           round(col("h"), 6).as("h_norm"), col("top_code"),
           col("top_share"))
+    }),
+
+    "q367_silhouette" -> ((s, dir) => {
+      // Centroid (simplified) silhouette of the embedding corpus
+      // against its LABELS-as-clusters: a = distance to own centroid,
+      // b = nearest other centroid — the label-quality audit for the
+      // q247 drift/q76 semantic-dedup cell machinery. The vector x
+      // centroid scoring is one (dim)-keyed join that partial-aggs
+      // straight back to (vector, label) — the |corpus| x |labels|
+      // distance table never carries vectors, only scalars.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"), col("pos").as("i"),
+          col("col").cast("double").as("v"))
+      val cent = e.groupBy(col("label").as("cl"), col("i"))
+        .agg(avg(col("v")).as("c"))
+      val d2 = e.join(broadcast(cent), Seq("i"))
+        .groupBy(col("vec_id"), col("label"), col("cl"))
+        .agg(sum((col("v") - col("c")) * (col("v") - col("c")))
+          .as("dd"))
+      val ab = d2.groupBy(col("vec_id"), col("label"))
+        .agg(max(when(col("label") === col("cl"), sqrt(col("dd"))))
+            .as("a"),
+          min(when(col("label") =!= col("cl"), sqrt(col("dd"))))
+            .as("b"))
+      ab.select(col("label"),
+          ((col("b") - col("a")) / greatest(col("a"), col("b")))
+            .as("sil"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(col("sil")), 4).as("mean_sil"))
+        .orderBy(col("label"))
+    }),
+
+    "q368_davies_bouldin" -> ((s, dir) => {
+      // Davies-Bouldin index over the same label clusters: scatter
+      // S_i (mean member-to-centroid distance) vs centroid separation
+      // M_ij; DB = mean over clusters of the worst (S_i+S_j)/M_ij.
+      // Everything after the two centroid passes runs on the bounded
+      // 10x10 label grid.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"), col("pos").as("i"),
+          col("col").cast("double").as("v"))
+      val cent = e.groupBy(col("label"), col("i"))
+        .agg(avg(col("v")).as("c"))
+      val scat = e.join(broadcast(cent), Seq("label", "i"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sqrt(sum((col("v") - col("c")) * (col("v") - col("c"))))
+          .as("d"))
+        .groupBy(col("label"))
+        .agg(avg(col("d")).as("sc"))
+      val cd = cent.as("x").join(cent.as("y"),
+          col("x.i") === col("y.i") && col("x.label") =!= col("y.label"))
+        .groupBy(col("x.label").as("la"), col("y.label").as("lb"))
+        .agg(sqrt(sum((col("x.c") - col("y.c")) *
+          (col("x.c") - col("y.c")))).as("m"))
+      val rij = cd
+        .join(broadcast(scat.select(col("label").as("la"),
+          col("sc").as("sa"))), Seq("la"))
+        .join(broadcast(scat.select(col("label").as("lb"),
+          col("sc").as("sb"))), Seq("lb"))
+        .select(col("la"), col("lb"),
+          ((col("sa") + col("sb")) / col("m")).as("r"))
+      val worst = rij.groupBy(col("la")).agg(max(col("r")).as("rmax"))
+      val top = rij.orderBy(round(col("r"), 6).desc, col("la"),
+          col("lb")).limit(1)
+        .select(col("la").as("worst_a"), col("lb").as("worst_b"))
+      worst.agg(count(lit(1)).as("n_labels"),
+          round(avg(col("rmax")), 4).as("db_index"))
+        .crossJoin(broadcast(top))
+    }),
+
+    "q369_eoq_safety_stock" -> ((s, dir) => {
+      // Inventory policy per brand: EOQ from annual demand (sqrt
+      // formula), safety stock and reorder point from ZERO-FILLED
+      // weekly demand variability at a 2-week lead time (skipping the
+      // zero weeks would understate sigma exactly for the slow movers
+      // that need it most). Exact integer quantity sums; the week grid
+      // is calendar-bounded so the fill join is grid-sized.
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"),
+          (datediff(to_date(col("l_shipdate")), lit("1992-01-01"))
+            .cast("long") / lit(7L)).cast("long").as("wk"),
+          col("l_quantity").cast("long").as("q"))
+      val wkq = li.groupBy(col("brand"), col("wk"))
+        .agg(sum(col("q")).as("wq"))
+      val grid = li.select(col("wk")).distinct()
+        .crossJoin(li.select(col("brand")).distinct())
+      val filled = grid.join(wkq, Seq("brand", "wk"), "left")
+        .withColumn("wq", coalesce(col("wq"), lit(0L)))
+      val st = filled.groupBy(col("brand"))
+        .agg(count(lit(1)).as("nw"), sum(col("wq")).as("s1"),
+          sum(col("wq") * col("wq")).as("s2"))
+        .select(col("brand"), col("nw"),
+          (col("s1").cast("double") / col("nw")).as("mw"),
+          sqrt((col("s2").cast("double") -
+            col("s1").cast("double") * col("s1") / col("nw")) /
+            (col("nw") - 1)).as("sdw"),
+          (col("s1").cast("double") * 52.0 / col("nw")).as("d_annual"))
+      st.select(col("brand"), col("nw").as("n_weeks"),
+          round(col("d_annual"), 1).as("d_annual"),
+          round(sqrt(lit(2.0) * col("d_annual") * 100.0 / 2.0), 2)
+            .as("eoq"),
+          round(lit(1.6448536269514722) * col("sdw") *
+            sqrt(lit(2.0)), 2).as("safety_stock"),
+          round(col("mw") * 2.0 + lit(1.6448536269514722) * col("sdw") *
+            sqrt(lit(2.0)), 2).as("reorder_point"))
+        .orderBy(col("brand"))
+    }),
+
+    "q370_bass_diffusion" -> ((s, dir) => {
+      // Bass diffusion fit on weekly customer adoption (first-order
+      // week): the discrete-OLS estimation n(t) = a + b N(t-1) +
+      // c N(t-1)^2, solved in closed form via Cramer on the 3x3 normal
+      // equations. Moment sums run in DECIMAL(38,0) — N^4-scale terms
+      // overflow BIGINT and would drift as doubles; decimals keep both
+      // engines bit-identical until the one cast before the solve.
+      // Innovation p, imitation q and market size m come from the
+      // quadratic's roots (guarded: reported only when c < 0).
+      val firsts = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min((datediff(to_date(col("o_orderdate")),
+          lit("1992-01-01")).cast("long") / lit(7L)).cast("long"))
+          .as("wk"))
+      val adopt = firsts.groupBy(col("wk"))
+        .agg(count(lit(1)).as("nt"))
+      val cum = graft.ops.PrefixSum.groupedRunningSum(
+        adopt.withColumn("__g", lit(1)), "__g", "wk", col("nt"), "cumn")
+        .select(col("wk"), col("nt"), (col("cumn") - col("nt")).as("nprev"))
+      val d = "decimal(18,0)"
+      val mo = cum.agg(count(lit(1)).as("nw"),
+          sum(col("nprev").cast(d)).as("sx"),
+          sum((col("nprev") * col("nprev")).cast(d)).as("sx2"),
+          sum((col("nprev") * col("nprev")).cast(d) *
+            col("nprev").cast(d)).as("sx3"),
+          sum((col("nprev") * col("nprev")).cast(d) *
+            (col("nprev") * col("nprev")).cast(d)).as("sx4"),
+          sum(col("nt").cast(d)).as("sy"),
+          sum((col("nt") * col("nprev")).cast(d)).as("sxy"),
+          sum((col("nt") * col("nprev")).cast(d) * col("nprev").cast(d))
+            .as("sx2y"))
+      // Cramer on [[n,sx,sx2],[sx,sx2,sx3],[sx2,sx3,sx4]] [a b c]' =
+      // [sy, sxy, sx2y]' — all doubles from identical decimal inputs
+      val sol = mo.select(col("nw"),
+          col("nw").cast("double").as("m00"),
+          col("sx").cast("double").as("m01"),
+          col("sx2").cast("double").as("m02"),
+          col("sx3").cast("double").as("m13"),
+          col("sx4").cast("double").as("m23"),
+          col("sy").cast("double").as("b0"),
+          col("sxy").cast("double").as("b1"),
+          col("sx2y").cast("double").as("b2"))
+      def det3(a11: Column, a12: Column, a13: Column,
+               a21: Column, a22: Column, a23: Column,
+               a31: Column, a32: Column, a33: Column): Column =
+        a11 * (a22 * a33 - a23 * a32) - a12 * (a21 * a33 - a23 * a31) +
+          a13 * (a21 * a32 - a22 * a31)
+      val (m00, m01, m02) = (col("m00"), col("m01"), col("m02"))
+      val (m13, m23) = (col("m13"), col("m23"))
+      val (b0, b1, b2) = (col("b0"), col("b1"), col("b2"))
+      val dd = det3(m00, m01, m02, m01, m02, m13, m02, m13, m23)
+      val da = det3(b0, m01, m02, b1, m02, m13, b2, m13, m23)
+      val db = det3(m00, b0, m02, m01, b1, m13, m02, b2, m23)
+      val dc = det3(m00, m01, b0, m01, m02, b1, m02, m13, b2)
+      val abc = sol.select(col("nw").as("n_weeks"),
+        (da / dd).as("a"), (db / dd).as("b"), (dc / dd).as("c"))
+      abc.select(col("n_weeks"), round(col("a"), 4).as("a"),
+        round(col("b"), 6).as("b"), round(col("c"), 8).as("c"),
+        when(col("c") < 0, round((-col("b") -
+          sqrt(col("b") * col("b") - lit(4.0) * col("a") * col("c"))) /
+          (lit(2.0) * col("c")), 1)).as("m_est"),
+        when(col("c") < 0, round(col("a") / ((-col("b") -
+          sqrt(col("b") * col("b") - lit(4.0) * col("a") * col("c"))) /
+          (lit(2.0) * col("c"))), 6)).as("p_innov"),
+        when(col("c") < 0, round(-col("c") * ((-col("b") -
+          sqrt(col("b") * col("b") - lit(4.0) * col("a") * col("c"))) /
+          (lit(2.0) * col("c"))), 6)).as("q_imit"))
     })
   )
 
@@ -17854,6 +18035,139 @@ object SparkEntry {
         |    -sum(p * ln(p)) / ln(6.0) AS h FROM ent)
         |SELECT hh.n AS n_triples, hh.n_patterns,
         |  round(hh.h, 6) AS h_norm, top.top_code, top.top_share
-        |FROM hh CROSS JOIN top""".stripMargin
+        |FROM hh CROSS JOIN top""".stripMargin,
+
+    "q367_silhouette" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |cent AS (SELECT label AS cl, i, avg(v) AS c
+        |  FROM e GROUP BY 1, 2),
+        |d2 AS (SELECT e.vec_id, e.label, cent.cl,
+        |    sum((e.v - cent.c) * (e.v - cent.c)) AS dd
+        |  FROM e JOIN cent ON e.i = cent.i
+        |  GROUP BY 1, 2, 3),
+        |ab AS (SELECT vec_id, label,
+        |    max(CASE WHEN label = cl THEN sqrt(dd) END) AS a,
+        |    min(CASE WHEN label <> cl THEN sqrt(dd) END) AS b
+        |  FROM d2 GROUP BY 1, 2)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  round(avg((b - a) / greatest(a, b)), 4) AS mean_sil
+        |FROM ab GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q368_davies_bouldin" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |cent AS (SELECT label, i, avg(v) AS c FROM e GROUP BY 1, 2),
+        |scat AS (SELECT label, avg(d) AS sc FROM (
+        |    SELECT e.vec_id, e.label,
+        |      sqrt(sum((e.v - cent.c) * (e.v - cent.c))) AS d
+        |    FROM e JOIN cent ON e.label = cent.label AND e.i = cent.i
+        |    GROUP BY 1, 2) GROUP BY 1),
+        |cd AS (SELECT x.label AS la, y.label AS lb,
+        |    sqrt(sum((x.c - y.c) * (x.c - y.c))) AS m
+        |  FROM cent x JOIN cent y ON x.i = y.i AND x.label <> y.label
+        |  GROUP BY 1, 2),
+        |rij AS (SELECT cd.la, cd.lb, (sa.sc + sb.sc) / cd.m AS r
+        |  FROM cd JOIN scat sa ON sa.label = cd.la
+        |    JOIN scat sb ON sb.label = cd.lb),
+        |worst AS (SELECT la, max(r) AS rmax FROM rij GROUP BY 1),
+        |top AS (SELECT la AS worst_a, lb AS worst_b FROM rij
+        |  ORDER BY round(r, 6) DESC, la, lb LIMIT 1),
+        |fin AS (SELECT CAST(count(*) AS BIGINT) AS n_labels,
+        |    round(avg(rmax), 4) AS db_index FROM worst)
+        |SELECT fin.n_labels, fin.db_index, top.worst_a, top.worst_b
+        |FROM fin CROSS JOIN top""".stripMargin,
+
+    "q369_eoq_safety_stock" ->
+      """WITH li AS (SELECT p.p_brand AS brand,
+        |    CAST(date_diff('day', DATE '1992-01-01',
+        |      CAST(l.l_shipdate AS DATE)) AS BIGINT) // 7 AS wk,
+        |    CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |wkq AS (SELECT brand, wk, CAST(sum(q) AS BIGINT) AS wq
+        |  FROM li GROUP BY 1, 2),
+        |grid AS (SELECT b.brand, w.wk
+        |  FROM (SELECT DISTINCT brand FROM li) b
+        |  CROSS JOIN (SELECT DISTINCT wk FROM li) w),
+        |filled AS (SELECT grid.brand, grid.wk,
+        |    coalesce(wkq.wq, 0) AS wq
+        |  FROM grid LEFT JOIN wkq ON grid.brand = wkq.brand
+        |    AND grid.wk = wkq.wk),
+        |st AS (SELECT brand, CAST(count(*) AS BIGINT) AS nw,
+        |    CAST(sum(wq) AS BIGINT) AS s1,
+        |    CAST(sum(wq * wq) AS BIGINT) AS s2
+        |  FROM filled GROUP BY 1),
+        |mo AS (SELECT brand, nw,
+        |    CAST(s1 AS DOUBLE) / nw AS mw,
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nw)
+        |      / (nw - 1)) AS sdw,
+        |    CAST(s1 AS DOUBLE) * 52.0 / nw AS d_annual
+        |  FROM st)
+        |SELECT brand, nw AS n_weeks, round(d_annual, 1) AS d_annual,
+        |  round(sqrt(2.0 * d_annual * 100.0 / 2.0), 2) AS eoq,
+        |  round(1.6448536269514722 * sdw * sqrt(2.0), 2)
+        |    AS safety_stock,
+        |  round(mw * 2.0 + 1.6448536269514722 * sdw * sqrt(2.0), 2)
+        |    AS reorder_point
+        |FROM mo ORDER BY brand""".stripMargin,
+
+    "q370_bass_diffusion" ->
+      """WITH firsts AS (SELECT o_custkey,
+        |    CAST(min(CAST(date_diff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) // 7) AS BIGINT)
+        |      AS wk
+        |  FROM orders GROUP BY 1),
+        |adopt AS (SELECT wk, CAST(count(*) AS BIGINT) AS nt
+        |  FROM firsts GROUP BY 1),
+        |cum AS (SELECT wk, nt,
+        |    CAST(sum(nt) OVER (ORDER BY wk) - nt AS BIGINT) AS nprev
+        |  FROM adopt),
+        |mo AS (SELECT CAST(count(*) AS BIGINT) AS nw,
+        |    sum(CAST(nprev AS DECIMAL(18,0))) AS sx,
+        |    sum(CAST(nprev * nprev AS DECIMAL(18,0))) AS sx2,
+        |    sum(CAST(nprev * nprev AS DECIMAL(18,0))
+        |      * CAST(nprev AS DECIMAL(18,0))) AS sx3,
+        |    sum(CAST(nprev * nprev AS DECIMAL(18,0))
+        |      * CAST(nprev * nprev AS DECIMAL(18,0))) AS sx4,
+        |    sum(CAST(nt AS DECIMAL(18,0))) AS sy,
+        |    sum(CAST(nt * nprev AS DECIMAL(18,0))) AS sxy,
+        |    sum(CAST(nt * nprev AS DECIMAL(18,0))
+        |      * CAST(nprev AS DECIMAL(18,0))) AS sx2y
+        |  FROM cum),
+        |sol AS (SELECT nw, CAST(nw AS DOUBLE) AS m00,
+        |    CAST(sx AS DOUBLE) AS m01, CAST(sx2 AS DOUBLE) AS m02,
+        |    CAST(sx3 AS DOUBLE) AS m13, CAST(sx4 AS DOUBLE) AS m23,
+        |    CAST(sy AS DOUBLE) AS b0, CAST(sxy AS DOUBLE) AS b1,
+        |    CAST(sx2y AS DOUBLE) AS b2
+        |  FROM mo),
+        |dets AS (SELECT nw,
+        |    m00 * (m02 * m23 - m13 * m13)
+        |      - m01 * (m01 * m23 - m13 * m02)
+        |      + m02 * (m01 * m13 - m02 * m02) AS dd,
+        |    b0 * (m02 * m23 - m13 * m13)
+        |      - m01 * (b1 * m23 - m13 * b2)
+        |      + m02 * (b1 * m13 - m02 * b2) AS da,
+        |    m00 * (b1 * m23 - m13 * b2)
+        |      - b0 * (m01 * m23 - m13 * m02)
+        |      + m02 * (m01 * b2 - b1 * m02) AS db,
+        |    m00 * (m02 * b2 - b1 * m13)
+        |      - m01 * (m01 * b2 - b1 * m02)
+        |      + b0 * (m01 * m13 - m02 * m02) AS dc
+        |  FROM sol),
+        |abc AS (SELECT nw AS n_weeks, da / dd AS a, db / dd AS b,
+        |    dc / dd AS c FROM dets)
+        |SELECT n_weeks, round(a, 4) AS a, round(b, 6) AS b,
+        |  round(c, 8) AS c,
+        |  CASE WHEN c < 0 THEN round((-b - sqrt(b * b - 4.0 * a * c))
+        |    / (2.0 * c), 1) END AS m_est,
+        |  CASE WHEN c < 0 THEN round(a / ((-b - sqrt(b * b
+        |    - 4.0 * a * c)) / (2.0 * c)), 6) END AS p_innov,
+        |  CASE WHEN c < 0 THEN round(-c * ((-b - sqrt(b * b
+        |    - 4.0 * a * c)) / (2.0 * c)), 6) END AS q_imit
+        |FROM abc""".stripMargin
   )
 }
