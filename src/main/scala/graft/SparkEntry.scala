@@ -10440,6 +10440,280 @@ object SparkEntry {
         when(col("c") < 0, round(-col("c") * ((-col("b") -
           sqrt(col("b") * col("b") - lit(4.0) * col("a") * col("c"))) /
           (lit(2.0) * col("c"))), 6)).as("q_imit"))
+    }),
+
+    "q371_page_trend" -> ((s, dir) => {
+      // Page's L trend test on the q342 nation x segment block design,
+      // with treatments in the a-priori ALPHABETICAL segment order —
+      // the ordered-alternative Friedman (what Jonckheere q358 is to
+      // Kruskal-Wallis q319). Within-block tied average ranks stay
+      // integer as ar2 = 2*rank; L2 = 2L = sum j*ar2 is exact; the
+      // no-tie normal approximation is used knowingly (ties are rare
+      // on cent-level cell sums, and both engines compute identically).
+      val segs = t(s, dir, "customer").select(col("c_mktsegment"))
+        .distinct().select(col("c_mktsegment").as("seg"))
+      val segIdx = graft.ops.PrefixSum.globalRank(
+        segs, Seq(col("seg")), "j")
+      val grid = t(s, dir, "nation")
+        .select(col("n_nationkey").as("nk")).crossJoin(broadcast(segs))
+      val sums = t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nk"),
+          col("c_mktsegment").as("seg"))
+        .agg(sum(expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)"))
+          .as("sv"))
+      val cells = grid.join(sums, Seq("nk", "seg"), "left")
+        .select(col("nk"), col("seg"), coalesce(col("sv"), lit(0L))
+          .as("v"))
+      val ranked = cells.as("a")
+        .join(cells.as("b"), col("a.nk") === col("b.nk"))
+        .groupBy(col("a.nk").as("nk"), col("a.seg").as("seg"))
+        .agg((lit(2L) * sum(when(col("b.v") < col("a.v"), 1L)
+          .otherwise(0L)) +
+          sum(when(col("b.v") === col("a.v"), 1L).otherwise(0L)) + 1L)
+          .as("ar2"))
+      val l2 = ranked.join(broadcast(segIdx), Seq("seg"))
+        .agg(sum(col("j") * col("ar2")).as("l2"))
+      val bk = cells.agg(countDistinct(col("nk")).as("b"),
+        countDistinct(col("seg")).as("k"))
+      l2.crossJoin(broadcast(bk))
+        .select(col("b").as("n_blocks"), col("k").as("k_treatments"),
+          col("l2"),
+          ((col("l2") - col("b").cast("double") * col("k") *
+            (col("k") + 1) * (col("k") + 1) / 2) /
+            sqrt(col("b").cast("double") * col("k") * col("k") *
+              (col("k") + 1) * (col("k") + 1) * (col("k") - 1) / 36))
+            .as("zr"))
+        .select(col("n_blocks"), col("k_treatments"), col("l2"),
+          round(col("zr"), 4).as("z"),
+          when(col("zr") > 1.645, "upward_trend")
+            .when(col("zr") < -1.645, "downward_trend")
+            .otherwise("no_trend").as("verdict"))
+    }),
+
+    "q372_ansari_bradley" -> ((s, dir) => {
+      // Ansari-Bradley dispersion test: did order-value SPREAD change
+      // from 1995 to 1996 (same location family as Mann-Whitney q278
+      // tests, but scoring extremeness a_i = min(rk, n+1-rk) instead
+      // of position)? Pooled exact ranks via the two-phase ranker;
+      // the AB statistic is an exact integer score sum; parity-split
+      // closed-form moments (even/odd n differ).
+      val base = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")).isin(1995, 1996))
+        .select(when(year(col("o_orderdate")) === 1995, 1L).otherwise(0L)
+          .as("ga"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("v"),
+          col("o_orderkey").as("ok"))
+      val ranked = graft.ops.PrefixSum.globalRank(
+        base, Seq(col("v"), col("ok")), "rk")
+      val nn = base.agg(count(lit(1)).as("n"), sum(col("ga")).as("na"))
+      val ab = ranked.crossJoin(broadcast(nn))
+        .select(col("ga"), col("n"), col("na"),
+          least(col("rk"), col("n") + 1 - col("rk")).as("sc"))
+        .groupBy(col("n"), col("na"))
+        .agg(sum(col("ga") * col("sc")).as("ab"))
+        .select(col("n"), col("na"), (col("n") - col("na")).as("nb"),
+          col("ab"))
+      ab.select(col("na").as("n_1995"), col("nb").as("n_1996"),
+          col("ab").as("ab_stat"),
+          when(pmod(col("n"), lit(2L)) === 0,
+            (col("ab") - col("na").cast("double") * (col("n") + 2) / 4) /
+            sqrt(col("na").cast("double") * col("nb") * (col("n") + 2) *
+              (col("n") - 2) / (lit(48.0) * (col("n") - 1))))
+          .otherwise(
+            (col("ab") - col("na").cast("double") * (col("n") + 1) *
+              (col("n") + 1) / (lit(4.0) * col("n"))) /
+            sqrt(col("na").cast("double") * col("nb") * (col("n") + 1) *
+              (lit(3.0) + col("n").cast("double") * col("n")) /
+              (lit(48.0) * col("n").cast("double") * col("n"))))
+            .as("zr"))
+        .select(col("n_1995"), col("n_1996"), col("ab_stat"),
+          round(col("zr"), 4).as("z"),
+          when(col("zr") > 1.96, "less_dispersed_1995")
+            .when(col("zr") < -1.96, "more_dispersed_1995")
+            .otherwise("no_change").as("verdict"))
+    }),
+
+    "q373_chow_test" -> ((s, dir) => {
+      // Chow structural-break F on the daily-revenue time trend at
+      // 1995-01-01: fit OLS on each side and pooled, compare SSRs —
+      // "did the line itself change" (q176's CUSUM locates a level
+      // shift; this tests slope+intercept jointly at a KNOWN break).
+      // df1=2 makes the F survival exact: (1 + 2F/m)^(-m/2). t is the
+      // plain epoch-day (no ranking pass needed); y in dollars keeps
+      // double sums conditioned.
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg((sum(floor(col("o_totalprice") * 100 + 0.5)) / 100.0)
+          .cast("double").as("y"))
+        .select(datediff(col("day"), lit("1992-01-01")).cast("double")
+          .as("tt"), col("y"),
+          when(col("day") < "1995-01-01", 1L).otherwise(2L).as("seg"))
+      def ssr(grouped: DataFrame): DataFrame = grouped
+        .select(col("g"), col("n"),
+          (col("syy") - col("sy") * col("sy") / col("n") -
+            (col("sty") - col("st") * col("sy") / col("n")) *
+            (col("sty") - col("st") * col("sy") / col("n")) /
+            (col("stt") - col("st") * col("st") / col("n"))).as("ssr"))
+      val parts = ssr(daily.groupBy(col("seg").as("g"))
+        .agg(count(lit(1)).cast("double").as("n"), sum(col("tt")).as("st"),
+          sum(col("tt") * col("tt")).as("stt"), sum(col("y")).as("sy"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("tt") * col("y")).as("sty")))
+      val pooled = ssr(daily.withColumn("g", lit(0L)).groupBy(col("g"))
+        .agg(count(lit(1)).cast("double").as("n"), sum(col("tt")).as("st"),
+          sum(col("tt") * col("tt")).as("stt"), sum(col("y")).as("sy"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("tt") * col("y")).as("sty")))
+      val agg = parts.agg(sum(col("ssr")).as("ssr12"),
+        sum(col("n")).as("n"))
+      agg.crossJoin(broadcast(pooled.select(col("ssr").as("ssrp"))))
+        .select(col("n").cast("long").as("n_days"),
+          round(col("ssrp") / 1e6, 2).as("ssr_pooled_m"),
+          round(col("ssr12") / 1e6, 2).as("ssr_split_m"),
+          (((col("ssrp") - col("ssr12")) / 2) /
+            (col("ssr12") / (col("n") - 4))).as("f"))
+        .select(col("n_days"), col("ssr_pooled_m"), col("ssr_split_m"),
+          round(col("f"), 4).as("chow_f"),
+          round(pow(lit(1.0) + lit(2) * col("f") /
+            (col("n_days").cast("double") - 4),
+            -(col("n_days").cast("double") - 4) / 2), 6).as("p_value"))
+    }),
+
+    "q374_breusch_pagan" -> ((s, dir) => {
+      // Breusch-Pagan heteroskedasticity test on the daily-revenue
+      // trend residuals (regress e^2 on t, LM = n R^2): does variance
+      // itself drift over time — the assumption q323's Durbin-Watson
+      // and every OLS standard error lean on. Two passes: moments,
+      // then residual moments against t; chi2 df=1 survival via the
+      // A&S erf polynomial.
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg((sum(floor(col("o_totalprice") * 100 + 0.5)) / 100.0)
+          .cast("double").as("y"))
+        .select(datediff(col("day"), lit("1992-01-01")).cast("double")
+          .as("tt"), col("y"))
+      val mo = daily.agg(count(lit(1)).cast("double").as("n"),
+          sum(col("tt")).as("st"), sum(col("tt") * col("tt")).as("stt"),
+          sum(col("y")).as("sy"), sum(col("tt") * col("y")).as("sty"))
+        .select(col("n"),
+          ((col("sty") - col("st") * col("sy") / col("n")) /
+            (col("stt") - col("st") * col("st") / col("n"))).as("beta"),
+          col("st"), col("sy"))
+        .select(col("n"), col("beta"),
+          ((col("sy") - col("beta") * col("st")) / col("n")).as("alpha"))
+      val res = daily.crossJoin(broadcast(mo))
+        .select(col("tt"),
+          (col("y") - col("alpha") - col("beta") * col("tt")).as("e"))
+        .select(col("tt"), (col("e") * col("e")).as("u"))
+      val lm = res.agg(count(lit(1)).cast("double").as("n"),
+          sum(col("tt")).as("st"), sum(col("tt") * col("tt")).as("stt"),
+          sum(col("u")).as("su"), sum(col("u") * col("u")).as("suu"),
+          sum(col("tt") * col("u")).as("stu"))
+        .select(col("n"),
+          ((col("stu") - col("st") * col("su") / col("n")) *
+            (col("stu") - col("st") * col("su") / col("n")) /
+            ((col("stt") - col("st") * col("st") / col("n")) *
+             (col("suu") - col("su") * col("su") / col("n"))))
+            .as("r2"))
+        .select(col("n"), (col("n") * col("r2")).as("lm"))
+      val xs = sqrt(col("lm")) / math.sqrt(2.0)
+      val ts = lit(1.0) / (lit(1.0) + lit(0.3275911) * xs)
+      lm.select(col("n").cast("long").as("n_days"),
+        round(col("lm"), 4).as("lm_stat"),
+        round((lit(0.254829592) * ts - lit(0.284496736) * ts * ts +
+          lit(1.421413741) * ts * ts * ts - lit(1.453152027) *
+          ts * ts * ts * ts + lit(1.061405429) * ts * ts * ts * ts * ts) *
+          exp(-xs * xs), 6).as("p_value"))
+    }),
+
+    "q375_jarque_bera" -> ((s, dir) => {
+      // Jarque-Bera normality on the same trend residuals: skewness +
+      // excess kurtosis jointly, chi2 df=2 survival EXACTLY exp(-x/2)
+      // — the moment-based cross-check on q362's ECDF-based
+      // Lilliefors (they reject for different shapes of
+      // non-normality).
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg((sum(floor(col("o_totalprice") * 100 + 0.5)) / 100.0)
+          .cast("double").as("y"))
+        .select(datediff(col("day"), lit("1992-01-01")).cast("double")
+          .as("tt"), col("y"))
+      val mo = daily.agg(count(lit(1)).cast("double").as("n"),
+          sum(col("tt")).as("st"), sum(col("tt") * col("tt")).as("stt"),
+          sum(col("y")).as("sy"), sum(col("tt") * col("y")).as("sty"))
+        .select(col("n"),
+          ((col("sty") - col("st") * col("sy") / col("n")) /
+            (col("stt") - col("st") * col("st") / col("n"))).as("beta"),
+          col("st"), col("sy"))
+        .select(col("n"), col("beta"),
+          ((col("sy") - col("beta") * col("st")) / col("n")).as("alpha"))
+      val res = daily.crossJoin(broadcast(mo))
+        .select((col("y") - col("alpha") - col("beta") * col("tt"))
+          .as("e"))
+      val jb = res.agg(count(lit(1)).cast("double").as("n"),
+          sum(col("e")).as("s1"), sum(col("e") * col("e")).as("s2"),
+          sum(col("e") * col("e") * col("e")).as("s3"),
+          sum(col("e") * col("e") * col("e") * col("e")).as("s4"))
+        .select(col("n"), (col("s2") / col("n")).as("v2"),
+          (col("s3") / col("n")).as("m3"), (col("s4") / col("n")).as("m4"))
+        .select(col("n"),
+          (col("m3") / pow(col("v2"), 1.5)).as("g1"),
+          (col("m4") / (col("v2") * col("v2")) - 3).as("g2"))
+        .select(col("n"), col("g1"), col("g2"),
+          (col("n") / 6 * (col("g1") * col("g1") +
+            col("g2") * col("g2") / 4)).as("jb"))
+      jb.select(col("n").cast("long").as("n_days"),
+        round(col("g1"), 4).as("skew"),
+        round(col("g2"), 4).as("ex_kurt"),
+        round(col("jb"), 4).as("jb_stat"),
+        round(exp(-col("jb") / 2), 6).as("p_value"))
+    }),
+
+    "q376_cooks_distance" -> ((s, dir) => {
+      // Influence audit for the daily-revenue trend: Cook's distance
+      // per day (residual x leverage), top-5 by rounded D — which
+      // single days most bend the fitted line (the per-point companion
+      // to q373's global break test). Leverage is closed-form for
+      // simple regression; ranking on ROUNDED D + day keeps the top-5
+      // engine-stable.
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg((sum(floor(col("o_totalprice") * 100 + 0.5)) / 100.0)
+          .cast("double").as("y"))
+        .select(col("day"),
+          datediff(col("day"), lit("1992-01-01")).cast("double")
+            .as("tt"), col("y"))
+      val mo = daily.agg(count(lit(1)).cast("double").as("n"),
+          sum(col("tt")).as("st"), sum(col("tt") * col("tt")).as("stt"),
+          sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"),
+          sum(col("tt") * col("y")).as("sty"))
+        .select(col("n"), col("st"), col("stt"),
+          ((col("sty") - col("st") * col("sy") / col("n")) /
+            (col("stt") - col("st") * col("st") / col("n"))).as("beta"),
+          col("sy"), col("syy"), col("sty"))
+        .select(col("n"), col("beta"),
+          ((col("sy") - col("beta") * col("st")) / col("n")).as("alpha"),
+          (col("st") / col("n")).as("tbar"),
+          (col("stt") - col("st") * col("st") / col("n")).as("sxx"),
+          ((col("syy") - col("sy") * col("sy") / col("n") -
+            (col("sty") - col("st") * col("sy") / col("n")) *
+            (col("sty") - col("st") * col("sy") / col("n")) /
+            (col("stt") - col("st") * col("st") / col("n"))) /
+            (col("n") - 2)).as("s2"))
+      daily.crossJoin(broadcast(mo))
+        .select(col("day"), col("tt"),
+          (col("y") - col("alpha") - col("beta") * col("tt")).as("e"),
+          (lit(1.0) / col("n") +
+            (col("tt") - col("tbar")) * (col("tt") - col("tbar")) /
+            col("sxx")).as("h"), col("s2"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round(col("e"), 2).as("residual"),
+          round(col("h"), 6).as("leverage"),
+          round(col("e") * col("e") / (lit(2.0) * col("s2")) *
+            col("h") / ((lit(1.0) - col("h")) * (lit(1.0) - col("h"))),
+            6).as("cooks_d"))
+        .orderBy(col("cooks_d").desc, col("day"))
+        .limit(5)
     })
   )
 
@@ -18168,6 +18442,211 @@ object SparkEntry {
         |    - 4.0 * a * c)) / (2.0 * c)), 6) END AS p_innov,
         |  CASE WHEN c < 0 THEN round(-c * ((-b - sqrt(b * b
         |    - 4.0 * a * c)) / (2.0 * c)), 6) END AS q_imit
-        |FROM abc""".stripMargin
+        |FROM abc""".stripMargin,
+
+    "q371_page_trend" ->
+      """WITH segs AS (SELECT DISTINCT c_mktsegment AS seg
+        |  FROM customer),
+        |sidx AS (SELECT seg, CAST(row_number() OVER (ORDER BY seg)
+        |    AS BIGINT) AS j FROM segs),
+        |grid AS (SELECT n_nationkey AS nk, seg
+        |  FROM nation CROSS JOIN segs),
+        |sums AS (SELECT c_nationkey AS nk, c_mktsegment AS seg,
+        |    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS sv
+        |  FROM customer GROUP BY 1, 2),
+        |cells AS (SELECT grid.nk, grid.seg, coalesce(sums.sv, 0) AS v
+        |  FROM grid LEFT JOIN sums ON grid.nk = sums.nk
+        |    AND grid.seg = sums.seg),
+        |ranked AS (SELECT a.nk, a.seg,
+        |    2 * sum(CASE WHEN b.v < a.v THEN 1 ELSE 0 END)
+        |    + sum(CASE WHEN b.v = a.v THEN 1 ELSE 0 END) + 1 AS ar2
+        |  FROM cells a JOIN cells b ON a.nk = b.nk GROUP BY 1, 2),
+        |ll AS (SELECT CAST(sum(j * ar2) AS BIGINT) AS l2
+        |  FROM ranked JOIN sidx USING (seg)),
+        |bk AS (SELECT CAST(count(DISTINCT nk) AS BIGINT) AS b,
+        |    CAST(count(DISTINCT seg) AS BIGINT) AS k FROM cells),
+        |zz AS (SELECT b AS n_blocks, k AS k_treatments, l2,
+        |    (l2 - CAST(b AS DOUBLE) * k * (k + 1) * (k + 1) / 2) /
+        |      sqrt(CAST(b AS DOUBLE) * k * k * (k + 1) * (k + 1)
+        |        * (k - 1) / 36) AS zr
+        |  FROM ll CROSS JOIN bk)
+        |SELECT n_blocks, k_treatments, l2, round(zr, 4) AS z,
+        |  CASE WHEN zr > 1.645 THEN 'upward_trend'
+        |       WHEN zr < -1.645 THEN 'downward_trend'
+        |       ELSE 'no_trend' END AS verdict
+        |FROM zz""".stripMargin,
+
+    "q372_ansari_bradley" ->
+      """WITH base AS (SELECT
+        |    CASE WHEN year(CAST(o_orderdate AS DATE)) = 1995
+        |      THEN 1 ELSE 0 END AS ga,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+        |    o_orderkey AS ok
+        |  FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)),
+        |rk AS (SELECT ga, CAST(row_number() OVER (ORDER BY v, ok)
+        |    AS BIGINT) AS rk FROM base),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(ga) AS BIGINT) AS na FROM base),
+        |ab AS (SELECT min(nn.n) AS n, min(nn.na) AS na,
+        |    CAST(sum(rk.ga * least(rk.rk, nn.n + 1 - rk.rk)) AS BIGINT)
+        |      AS ab
+        |  FROM rk CROSS JOIN nn),
+        |zz AS (SELECT na AS n_1995, n - na AS n_1996, ab AS ab_stat,
+        |    CASE WHEN n % 2 = 0 THEN
+        |      (ab - CAST(na AS DOUBLE) * (n + 2) / 4) /
+        |      sqrt(CAST(na AS DOUBLE) * (n - na) * (n + 2) * (n - 2)
+        |        / (48.0 * (n - 1)))
+        |    ELSE
+        |      (ab - CAST(na AS DOUBLE) * (n + 1) * (n + 1) / (4.0 * n)) /
+        |      sqrt(CAST(na AS DOUBLE) * (n - na) * (n + 1)
+        |        * (3.0 + CAST(n AS DOUBLE) * n)
+        |        / (48.0 * CAST(n AS DOUBLE) * n))
+        |    END AS zr
+        |  FROM ab)
+        |SELECT n_1995, n_1996, ab_stat, round(zr, 4) AS z,
+        |  CASE WHEN zr > 1.96 THEN 'less_dispersed_1995'
+        |       WHEN zr < -1.96 THEN 'more_dispersed_1995'
+        |       ELSE 'no_change' END AS verdict
+        |FROM zz""".stripMargin,
+
+    "q373_chow_test" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / 100.0 AS y
+        |  FROM orders GROUP BY 1),
+        |pts AS (SELECT CAST(date_diff('day', DATE '1992-01-01', day)
+        |      AS DOUBLE) AS tt, y,
+        |    CASE WHEN day < DATE '1995-01-01' THEN 1 ELSE 2 END AS seg
+        |  FROM daily),
+        |pm AS (SELECT seg AS g, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(tt) AS st, sum(tt * tt) AS stt, sum(y) AS sy,
+        |    sum(y * y) AS syy, sum(tt * y) AS sty
+        |  FROM pts GROUP BY 1),
+        |ps AS (SELECT g, n,
+        |    syy - sy * sy / n - (sty - st * sy / n) * (sty - st * sy / n)
+        |      / (stt - st * st / n) AS ssr
+        |  FROM pm),
+        |qm AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(tt) AS st,
+        |    sum(tt * tt) AS stt, sum(y) AS sy, sum(y * y) AS syy,
+        |    sum(tt * y) AS sty
+        |  FROM pts),
+        |qs AS (SELECT
+        |    syy - sy * sy / n - (sty - st * sy / n) * (sty - st * sy / n)
+        |      / (stt - st * st / n) AS ssrp
+        |  FROM qm),
+        |ag AS (SELECT sum(ssr) AS ssr12, sum(n) AS n FROM ps),
+        |ff AS (SELECT CAST(ag.n AS BIGINT) AS n_days,
+        |    round(qs.ssrp / 1e6, 2) AS ssr_pooled_m,
+        |    round(ag.ssr12 / 1e6, 2) AS ssr_split_m,
+        |    ((qs.ssrp - ag.ssr12) / 2) / (ag.ssr12 / (ag.n - 4)) AS f,
+        |    ag.n AS nd
+        |  FROM ag CROSS JOIN qs)
+        |SELECT n_days, ssr_pooled_m, ssr_split_m,
+        |  round(f, 4) AS chow_f,
+        |  round(pow(1.0 + 2 * f / (nd - 4), -(nd - 4) / 2), 6)
+        |    AS p_value
+        |FROM ff""".stripMargin,
+
+    "q374_breusch_pagan" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / 100.0 AS y
+        |  FROM orders GROUP BY 1),
+        |pts AS (SELECT CAST(date_diff('day', DATE '1992-01-01', day)
+        |    AS DOUBLE) AS tt, y FROM daily),
+        |m1 AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(tt) AS st,
+        |    sum(tt * tt) AS stt, sum(y) AS sy, sum(tt * y) AS sty
+        |  FROM pts),
+        |m2 AS (SELECT n,
+        |    (sty - st * sy / n) / (stt - st * st / n) AS beta, st, sy
+        |  FROM m1),
+        |m3 AS (SELECT n, beta, (sy - beta * st) / n AS alpha FROM m2),
+        |res AS (SELECT tt,
+        |    (y - m3.alpha - m3.beta * tt) * (y - m3.alpha - m3.beta * tt)
+        |      AS u
+        |  FROM pts CROSS JOIN m3),
+        |lm0 AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(tt) AS st,
+        |    sum(tt * tt) AS stt, sum(u) AS su, sum(u * u) AS suu,
+        |    sum(tt * u) AS stu
+        |  FROM res),
+        |lm1 AS (SELECT n,
+        |    (stu - st * su / n) * (stu - st * su / n)
+        |      / ((stt - st * st / n) * (suu - su * su / n)) AS r2
+        |  FROM lm0),
+        |lm2 AS (SELECT n, n * r2 AS lm FROM lm1),
+        |pp AS (SELECT n, lm, sqrt(lm) / sqrt(2.0) AS x,
+        |    1.0 / (1.0 + 0.3275911 * (sqrt(lm) / sqrt(2.0))) AS t
+        |  FROM lm2)
+        |SELECT CAST(n AS BIGINT) AS n_days, round(lm, 4) AS lm_stat,
+        |  round((0.254829592 * t - 0.284496736 * t * t
+        |    + 1.421413741 * t * t * t - 1.453152027 * t * t * t * t
+        |    + 1.061405429 * t * t * t * t * t) * exp(-x * x), 6)
+        |    AS p_value
+        |FROM pp""".stripMargin,
+
+    "q375_jarque_bera" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / 100.0 AS y
+        |  FROM orders GROUP BY 1),
+        |pts AS (SELECT CAST(date_diff('day', DATE '1992-01-01', day)
+        |    AS DOUBLE) AS tt, y FROM daily),
+        |m1 AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(tt) AS st,
+        |    sum(tt * tt) AS stt, sum(y) AS sy, sum(tt * y) AS sty
+        |  FROM pts),
+        |m2 AS (SELECT n,
+        |    (sty - st * sy / n) / (stt - st * st / n) AS beta, st, sy
+        |  FROM m1),
+        |m3 AS (SELECT n, beta, (sy - beta * st) / n AS alpha FROM m2),
+        |res AS (SELECT (y - m3.alpha - m3.beta * tt) AS e
+        |  FROM pts CROSS JOIN m3),
+        |jm AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(e) AS s1,
+        |    sum(e * e) AS s2, sum(e * e * e) AS s3,
+        |    sum(e * e * e * e) AS s4
+        |  FROM res),
+        |jc AS (SELECT n, s2 / n AS v2, s3 / n AS m3, s4 / n AS m4
+        |  FROM jm),
+        |jg AS (SELECT n, m3 / pow(v2, 1.5) AS g1,
+        |    m4 / (v2 * v2) - 3 AS g2 FROM jc),
+        |jb AS (SELECT n, g1, g2,
+        |    n / 6 * (g1 * g1 + g2 * g2 / 4) AS jb FROM jg)
+        |SELECT CAST(n AS BIGINT) AS n_days, round(g1, 4) AS skew,
+        |  round(g2, 4) AS ex_kurt, round(jb, 4) AS jb_stat,
+        |  round(exp(-jb / 2), 6) AS p_value
+        |FROM jb""".stripMargin,
+
+    "q376_cooks_distance" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / 100.0 AS y
+        |  FROM orders GROUP BY 1),
+        |pts AS (SELECT day,
+        |    CAST(date_diff('day', DATE '1992-01-01', day) AS DOUBLE)
+        |      AS tt, y
+        |  FROM daily),
+        |m1 AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(tt) AS st,
+        |    sum(tt * tt) AS stt, sum(y) AS sy, sum(y * y) AS syy,
+        |    sum(tt * y) AS sty
+        |  FROM pts),
+        |m2 AS (SELECT n, st, stt, sy, syy, sty,
+        |    (sty - st * sy / n) / (stt - st * st / n) AS beta
+        |  FROM m1),
+        |m3 AS (SELECT n, beta, (sy - beta * st) / n AS alpha,
+        |    st / n AS tbar, stt - st * st / n AS sxx,
+        |    (syy - sy * sy / n - (sty - st * sy / n) * (sty - st * sy / n)
+        |      / (stt - st * st / n)) / (n - 2) AS s2
+        |  FROM m2),
+        |dd AS (SELECT pts.day,
+        |    (y - m3.alpha - m3.beta * tt) AS e,
+        |    1.0 / m3.n + (tt - m3.tbar) * (tt - m3.tbar) / m3.sxx AS h,
+        |    m3.s2 AS s2
+        |  FROM pts CROSS JOIN m3)
+        |SELECT CAST(day AS VARCHAR) AS day, round(e, 2) AS residual,
+        |  round(h, 6) AS leverage,
+        |  round(e * e / (2.0 * s2) * h / ((1.0 - h) * (1.0 - h)), 6)
+        |    AS cooks_d
+        |FROM dd ORDER BY cooks_d DESC, day LIMIT 5""".stripMargin
   )
 }
