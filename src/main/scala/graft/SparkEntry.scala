@@ -10714,6 +10714,177 @@ object SparkEntry {
             6).as("cooks_d"))
         .orderBy(col("cooks_d").desc, col("day"))
         .limit(5)
+    }),
+
+    "q377_rouge1" -> ((s, dir) => {
+      // ROUGE-1 (unigram multiset overlap) between each original doc
+      // and its planted mutated copy — the reference-based overlap
+      // eval LLM pipelines run on generated vs gold text; here the
+      // planted family pairs give a known gold alignment. Clipped
+      // counts = min(ref, cand) per (family, term); all counts exact
+      // integers, BM25's tokenizer dialect (q94) on both engines.
+      val toks = docsWithNearDups(s, dir)
+        .select(pmod(col("doc_id"), lit(100000L)).as("fam"),
+          when(col("doc_id") < 100000L, lit("ref")).otherwise(lit("cand"))
+            .as("side"),
+          explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
+        .filter(col("term") =!= "")
+      val cnt = toks.groupBy(col("fam"), col("side"), col("term"))
+        .agg(count(lit(1)).as("c"))
+      val lens = toks.groupBy(col("fam"), col("side"))
+        .agg(count(lit(1)).as("len"))
+      val ov = cnt.filter(col("side") === "ref")
+        .select(col("fam"), col("term"), col("c").as("cr"))
+        .join(cnt.filter(col("side") === "cand")
+          .select(col("fam"), col("term"), col("c").as("cc")),
+          Seq("fam", "term"))
+        .groupBy(col("fam"))
+        .agg(sum(least(col("cr"), col("cc"))).as("ov"))
+      val per = lens.filter(col("side") === "ref")
+        .select(col("fam"), col("len").as("lr"))
+        .join(lens.filter(col("side") === "cand")
+          .select(col("fam"), col("len").as("lc")), Seq("fam"))
+        .join(ov, Seq("fam"), "left")
+        .withColumn("ov", coalesce(col("ov"), lit(0L)))
+        .select(col("fam"),
+          (col("ov").cast("double") / col("lr")).as("r"),
+          (col("ov").cast("double") / col("lc")).as("p"))
+        .select(col("fam"), col("r"), col("p"),
+          when(col("r") + col("p") > 0,
+            lit(2.0) * col("r") * col("p") / (col("r") + col("p")))
+            .otherwise(0.0).as("f1"))
+      per.agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("r")), 4).as("avg_recall"),
+        round(avg(col("p")), 4).as("avg_precision"),
+        round(avg(col("f1")), 4).as("avg_f1"))
+    }),
+
+    "q378_bleu2" -> ((s, dir) => {
+      // Corpus-level BLEU-2 of the mutated copies against their
+      // originals: clipped unigram+bigram precision with the brevity
+      // penalty — the order-sensitive companion to q377's bag-of-words
+      // ROUGE (a shuffled copy keeps ROUGE-1 but loses bigrams).
+      // Bigrams come from the positional token index (posexplode), so
+      // candidate n-gram totals are exact.
+      val toks = docsWithNearDups(s, dir)
+        .select(pmod(col("doc_id"), lit(100000L)).as("fam"),
+          when(col("doc_id") < 100000L, lit("ref")).otherwise(lit("cand"))
+            .as("side"),
+          posexplode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+            x => x =!= "")))
+        .select(col("fam"), col("side"), col("pos").as("i"),
+          col("col").as("term"))
+      def grams(n: Int): DataFrame =
+        if (n == 1) toks.select(col("fam"), col("side"), col("term"))
+        else toks.as("a").join(toks.as("b"),
+            col("a.fam") === col("b.fam") &&
+            col("a.side") === col("b.side") &&
+            col("b.i") === col("a.i") + 1)
+          .select(col("a.fam").as("fam"), col("a.side").as("side"),
+            concat_ws(" ", col("a.term"), col("b.term")).as("term"))
+      def clipped(g: DataFrame): DataFrame = {
+        val c = g.groupBy(col("fam"), col("side"), col("term"))
+          .agg(count(lit(1)).as("c"))
+        c.filter(col("side") === "ref")
+          .select(col("fam"), col("term"), col("c").as("cr"))
+          .join(c.filter(col("side") === "cand")
+            .select(col("fam"), col("term"), col("c").as("cc")),
+            Seq("fam", "term"))
+          .agg(sum(least(col("cr"), col("cc"))).as("m"))
+      }
+      val tot = toks.groupBy(col("side"))
+        .agg(count(lit(1)).as("t"), countDistinct(col("fam")).as("nf"))
+      val t1c = tot.filter(col("side") === "cand")
+        .select(col("t").as("t1"), col("nf"))
+      val t1r = tot.filter(col("side") === "ref")
+        .select(col("t").as("tr"))
+      val t2 = grams(2).filter(col("side") === "cand")
+        .agg(count(lit(1)).as("t2"))
+      clipped(grams(1)).withColumnRenamed("m", "m1")
+        .crossJoin(broadcast(clipped(grams(2))
+          .withColumnRenamed("m", "m2")))
+        .crossJoin(broadcast(t1c)).crossJoin(broadcast(t1r))
+        .crossJoin(broadcast(t2))
+        .select(col("nf").as("n_pairs"),
+          (col("m1").cast("double") / col("t1")).as("p1"),
+          (col("m2").cast("double") / col("t2")).as("p2"),
+          least(lit(1.0), exp(lit(1.0) -
+            col("tr").cast("double") / col("t1"))).as("bp"))
+        .select(col("n_pairs"), round(col("p1"), 4).as("p1"),
+          round(col("p2"), 4).as("p2"), round(col("bp"), 4).as("bp"),
+          round(col("bp") *
+            exp(lit(0.5) * log(col("p1")) + lit(0.5) * log(col("p2"))),
+            4).as("bleu2"))
+    }),
+
+    "q379_fd_discovery" -> ((s, dir) => {
+      // Functional-dependency discovery over the orders schema: for
+      // every directed attribute pair A -> B, count the A-groups with
+      // more than one distinct B (zero = the FD holds exactly). The
+      // classic profiling primitive behind key detection and
+      // normalization advice — one grouped countDistinct pass per LHS,
+      // never a pairwise row join. Finds o_orderkey -> * (the key)
+      // among the 20 candidates; everything else reports its exact
+      // violating-group count.
+      val attrs = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "o_orderdate")
+      val df = t(s, dir, "orders")
+        .select(attrs.map(col): _*)
+      val parts = attrs.map { a =>
+        val others = attrs.filterNot(_ == a)
+        val g2 = df.groupBy(col(a))
+          .agg(countDistinct(col(others.head)).as(s"d_${others.head}"),
+            others.tail.map(b => countDistinct(col(b)).as(s"d_$b")): _*)
+        val viols = g2.agg(
+          sum(when(col(s"d_${others.head}") > 1, 1L).otherwise(0L))
+            .as(s"v_${others.head}"),
+          others.tail.map(b =>
+            sum(when(col(s"d_$b") > 1, 1L).otherwise(0L)).as(s"v_$b")): _*)
+        viols.select(others.map(b =>
+          struct(lit(a).as("lhs"), lit(b).as("rhs"),
+            col(s"v_$b").as("nv")).as(s"s_$b")): _*)
+          .select(explode(array(others.map(b => col(s"s_$b")): _*))
+            .as("r"))
+          .select(col("r.lhs").as("lhs"), col("r.rhs").as("rhs"),
+            col("r.nv").as("n_violating_groups"))
+      }
+      parts.reduce(_ unionAll _)
+        .withColumn("holds", col("n_violating_groups") === 0)
+        .orderBy(col("lhs"), col("rhs"))
+    }),
+
+    "q380_ind_discovery" -> ((s, dir) => {
+      // Inclusion-dependency discovery (the cross-table FD sibling):
+      // is every distinct value of column A present in column B —
+      // the foreign-key candidate test, run as distinct-project +
+      // anti-join counts, never a row-level join. The candidate list
+      // covers the real TPC-H FKs plus one deliberately false
+      // direction (customers without orders).
+      def ind(name: String, lhs: DataFrame, lc: String,
+              rhs: DataFrame, rc: String): DataFrame = {
+        val l = lhs.select(col(lc).cast("long").as("v")).distinct()
+        val r = rhs.select(col(rc).cast("long").as("v")).distinct()
+        l.join(r, Seq("v"), "left_anti")
+          .agg(count(lit(1)).as("n_missing"))
+          .crossJoin(broadcast(l.agg(count(lit(1)).as("n_distinct_lhs"))))
+          .select(lit(name).as("candidate"), col("n_distinct_lhs"),
+            col("n_missing"), (col("n_missing") === 0).as("holds"))
+      }
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val l = t(s, dir, "lineitem"); val n = t(s, dir, "nation")
+      val su = t(s, dir, "supplier"); val r = t(s, dir, "region")
+      Seq(
+        ind("o_custkey<=c_custkey", o, "o_custkey", c, "c_custkey"),
+        ind("l_orderkey<=o_orderkey", l, "l_orderkey", o, "o_orderkey"),
+        ind("c_nationkey<=n_nationkey", c, "c_nationkey", n,
+          "n_nationkey"),
+        ind("s_nationkey<=n_nationkey", su, "s_nationkey", n,
+          "n_nationkey"),
+        ind("n_regionkey<=r_regionkey", n, "n_regionkey", r,
+          "r_regionkey"),
+        ind("c_custkey<=o_custkey", c, "c_custkey", o, "o_custkey"))
+        .reduce(_ unionAll _)
+        .orderBy(col("candidate"))
     })
   )
 
@@ -18647,6 +18818,136 @@ object SparkEntry {
         |  round(h, 6) AS leverage,
         |  round(e * e / (2.0 * s2) * h / ((1.0 - h) * (1.0 - h)), 6)
         |    AS cooks_d
-        |FROM dd ORDER BY cooks_d DESC, day LIMIT 5""".stripMargin
+        |FROM dd ORDER BY cooks_d DESC, day LIMIT 5""".stripMargin,
+
+    "q377_rouge1" ->
+      """WITH d AS (SELECT doc_id, text FROM documents UNION ALL
+        |  SELECT doc_id + 100000, substr(text, 21) FROM documents),
+        |tk AS (SELECT fam, side, term FROM (
+        |    SELECT doc_id % 100000 AS fam,
+        |      CASE WHEN doc_id < 100000 THEN 'ref' ELSE 'cand' END
+        |        AS side,
+        |      unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+        |        AS term
+        |    FROM d) WHERE term <> ''),
+        |cnt AS (SELECT fam, side, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY 1, 2, 3),
+        |lens AS (SELECT fam, side, CAST(count(*) AS BIGINT) AS len
+        |  FROM tk GROUP BY 1, 2),
+        |ov AS (SELECT r.fam, CAST(sum(least(r.c, cn.c)) AS BIGINT)
+        |    AS ov
+        |  FROM cnt r JOIN cnt cn ON r.fam = cn.fam AND r.term = cn.term
+        |  WHERE r.side = 'ref' AND cn.side = 'cand' GROUP BY 1),
+        |per AS (SELECT lr.fam,
+        |    CAST(coalesce(ov.ov, 0) AS DOUBLE) / lr.len AS r,
+        |    CAST(coalesce(ov.ov, 0) AS DOUBLE) / lc.len AS p
+        |  FROM lens lr JOIN lens lc ON lr.fam = lc.fam
+        |    AND lr.side = 'ref' AND lc.side = 'cand'
+        |  LEFT JOIN ov ON ov.fam = lr.fam),
+        |ff AS (SELECT fam, r, p,
+        |    CASE WHEN r + p > 0 THEN 2.0 * r * p / (r + p)
+        |      ELSE 0.0 END AS f1
+        |  FROM per)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(avg(r), 4) AS avg_recall,
+        |  round(avg(p), 4) AS avg_precision,
+        |  round(avg(f1), 4) AS avg_f1
+        |FROM ff""".stripMargin,
+
+    "q378_bleu2" ->
+      """WITH d AS (SELECT doc_id, text FROM documents UNION ALL
+        |  SELECT doc_id + 100000, substr(text, 21) FROM documents),
+        |tk AS (SELECT doc_id % 100000 AS fam,
+        |    CASE WHEN doc_id < 100000 THEN 'ref' ELSE 'cand' END
+        |      AS side,
+        |    unnest(list_filter(string_split_regex(lower(text),
+        |      '[^a-z0-9]+'), x -> x <> '')) AS term,
+        |    generate_subscripts(list_filter(string_split_regex(
+        |      lower(text), '[^a-z0-9]+'), x -> x <> ''), 1) AS i
+        |  FROM d),
+        |c1 AS (SELECT fam, side, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY 1, 2, 3),
+        |m1 AS (SELECT CAST(sum(least(r.c, cn.c)) AS BIGINT) AS m1
+        |  FROM c1 r JOIN c1 cn ON r.fam = cn.fam AND r.term = cn.term
+        |  WHERE r.side = 'ref' AND cn.side = 'cand'),
+        |bg AS (SELECT a.fam, a.side, a.term || ' ' || b.term AS term
+        |  FROM tk a JOIN tk b ON a.fam = b.fam AND a.side = b.side
+        |    AND b.i = a.i + 1),
+        |c2 AS (SELECT fam, side, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM bg GROUP BY 1, 2, 3),
+        |m2 AS (SELECT CAST(sum(least(r.c, cn.c)) AS BIGINT) AS m2
+        |  FROM c2 r JOIN c2 cn ON r.fam = cn.fam AND r.term = cn.term
+        |  WHERE r.side = 'ref' AND cn.side = 'cand'),
+        |tt AS (SELECT
+        |    CAST(sum(CASE WHEN side = 'cand' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS t1,
+        |    CAST(sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tr,
+        |    CAST(count(DISTINCT CASE WHEN side = 'cand' THEN fam END)
+        |      AS BIGINT) AS nf
+        |  FROM tk),
+        |t2 AS (SELECT CAST(count(*) AS BIGINT) AS t2 FROM bg
+        |  WHERE side = 'cand'),
+        |fin AS (SELECT tt.nf AS n_pairs,
+        |    CAST(m1.m1 AS DOUBLE) / tt.t1 AS p1,
+        |    CAST(m2.m2 AS DOUBLE) / t2.t2 AS p2,
+        |    least(1.0, exp(1.0 - CAST(tt.tr AS DOUBLE) / tt.t1)) AS bp
+        |  FROM m1 CROSS JOIN m2 CROSS JOIN tt CROSS JOIN t2)
+        |SELECT n_pairs, round(p1, 4) AS p1, round(p2, 4) AS p2,
+        |  round(bp, 4) AS bp,
+        |  round(bp * exp(0.5 * ln(p1) + 0.5 * ln(p2)), 4) AS bleu2
+        |FROM fin""".stripMargin,
+
+    "q379_fd_discovery" -> {
+      val attrs = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "o_orderdate")
+      val parts = attrs.map { a =>
+        val others = attrs.filterNot(_ == a)
+        val ds = others.map(b => s"count(DISTINCT $b) AS d_$b")
+          .mkString(", ")
+        val sums = others.map(b =>
+          s"CAST(sum(CASE WHEN d_$b > 1 THEN 1 ELSE 0 END) AS BIGINT)" +
+            s" AS v_$b").mkString(", ")
+        s"g_$a AS (SELECT $a, $ds FROM orders GROUP BY 1),\n" +
+          s"s_$a AS (SELECT $sums FROM g_$a)"
+      }.mkString(",\n")
+      val rows = attrs.flatMap { a =>
+        attrs.filterNot(_ == a).map(b =>
+          s"SELECT '$a' AS lhs, '$b' AS rhs, " +
+            s"v_$b AS n_violating_groups FROM s_$a")
+      }.mkString("\nUNION ALL\n")
+      s"WITH $parts,\nu AS ($rows)\n" +
+        "SELECT lhs, rhs, n_violating_groups, " +
+        "n_violating_groups = 0 AS holds FROM u ORDER BY lhs, rhs"
+    },
+
+    "q380_ind_discovery" -> {
+      val cands = Seq(
+        ("o_custkey<=c_custkey", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        ("l_orderkey<=o_orderkey", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        ("c_nationkey<=n_nationkey", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        ("s_nationkey<=n_nationkey", "supplier", "s_nationkey",
+          "nation", "n_nationkey"),
+        ("n_regionkey<=r_regionkey", "nation", "n_regionkey",
+          "region", "r_regionkey"),
+        ("c_custkey<=o_custkey", "customer", "c_custkey",
+          "orders", "o_custkey"))
+      val rows = cands.map { case (name, lt, lc, rt, rc) =>
+        s"""SELECT '$name' AS candidate,
+           |  CAST((SELECT count(DISTINCT $lc) FROM $lt) AS BIGINT)
+           |    AS n_distinct_lhs,
+           |  CAST((SELECT count(*) FROM
+           |      (SELECT DISTINCT CAST($lc AS BIGINT) AS v FROM $lt) ll
+           |    WHERE NOT EXISTS (SELECT 1 FROM $rt
+           |      WHERE CAST($rc AS BIGINT) = ll.v)) AS BIGINT)
+           |    AS n_missing""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH u AS ($rows)\n" +
+        "SELECT candidate, n_distinct_lhs, n_missing, " +
+        "n_missing = 0 AS holds FROM u ORDER BY candidate"
+    }
   )
 }
