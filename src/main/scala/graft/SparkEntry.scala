@@ -10885,6 +10885,102 @@ object SparkEntry {
         ind("c_custkey<=o_custkey", c, "c_custkey", o, "o_custkey"))
         .reduce(_ unionAll _)
         .orderBy(col("candidate"))
+    }),
+
+    "q381_tree_rollup" -> ((s, dir) => {
+      // Hierarchical subtree rollup over the implied div-10 customer
+      // tree (parent(x) = x div 10): subtree totals for every internal
+      // node WITHOUT recursion — each row explodes to its <= 7
+      // ancestors (depth is digit-bounded), one hash aggregate does
+      // the whole tree. The scale-correct form of the recursive-CTE
+      // org-chart rollup: depth-bounded explode beats iteration at
+      // any corpus size. Top-10 internal nodes by exact subtree cents.
+      import s.implicits._
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("ck"),
+          expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("v"))
+      val pows = Seq(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L)
+        .toDF("p")
+      val anc = base.crossJoin(broadcast(pows))
+        .select(expr("ck div p").as("node"), col("v"),
+          when(col("p") === 1, 0L).otherwise(1L).as("is_desc"))
+        .filter(col("node") > 0)
+      val roll = anc.groupBy(col("node"))
+        .agg(sum(col("v")).as("subtree_cents"),
+          sum(col("is_desc")).as("n_desc"))
+        .filter(col("n_desc") > 0)
+      roll.orderBy(col("subtree_cents").desc, col("node")).limit(10)
+        .select(col("node"), col("n_desc"),
+          round(col("subtree_cents").cast("double") / 100.0, 2)
+            .as("subtree_dollars"))
+    }),
+
+    "q382_late_events" -> ((s, dir) => {
+      // Watermark replay in batch: with arrival order = event_id and a
+      // 1-hour watermark (max event time seen so far minus 1h), which
+      // events would streaming ingestion drop as late? The prefix MAX
+      // over arrival order runs two-phase like PrefixSum (range
+      // partition -> per-partition window keyed by partition id ->
+      // broadcast per-partition offsets) — no global-order window
+      // task at any scale. Exact microsecond arithmetic both engines.
+      val ev = events(s, dir)
+        .select(col("event_id").as("id"), col("event_type").as("et"),
+          unix_micros(col("ts")).as("tsu"))
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val ranged = ev.repartitionByRange(p, col("id"))
+        .withColumn("__pid", spark_partition_id())
+        .persist()
+      val offs = ranged.groupBy(col("__pid"))
+        .agg(max(col("tsu")).as("pmax"))
+      val wOff = Window.orderBy(col("__pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = offs
+        .withColumn("__off", max(col("pmax")).over(wOff))
+        .select(col("__pid"), col("__off"))
+      val wRun = Window.partitionBy(col("__pid")).orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val marked = ranged
+        .withColumn("__run", max(col("tsu")).over(wRun))
+        .join(broadcast(offsets), Seq("__pid"))
+        .withColumn("wm", greatest(coalesce(col("__run"), lit(Long.MinValue)),
+          coalesce(col("__off"), lit(Long.MinValue))) - 3600000000L)
+        .withColumn("late",
+          when(col("__run").isNull && col("__off").isNull, 0L)
+            .otherwise(when(col("tsu") < col("wm"), 1L).otherwise(0L)))
+      marked.groupBy(col("et"))
+        .agg(count(lit(1)).as("n_events"), sum(col("late")).as("n_late"))
+        .select(col("et"), col("n_events"), col("n_late"),
+          round(col("n_late").cast("double") / col("n_events"), 4)
+            .as("late_share"))
+        .orderBy(col("et"))
+    }),
+
+    "q383_weighted_median" -> ((s, dir) => {
+      // Weighted median unit price per return flag (weights =
+      // quantities): the "typical traded price" a plain median
+      // misstates when line sizes vary. Grouped two-phase prefix sums
+      // over the (price, key)-ordered weights; the median is the first
+      // row where 2*cumweight >= total — exact integer arithmetic end
+      // to end.
+      val base = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("fl"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"),
+          col("l_quantity").cast("long").as("w"),
+          (expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)") *
+            lit(17179869184L) + col("l_orderkey") * 8 +
+            col("l_linenumber")).as("ok"))
+      val cum = graft.ops.PrefixSum.groupedRunningSum(
+        base, "fl", "ok", col("w"), "cw")
+      val tot = base.groupBy(col("fl")).agg(sum(col("w")).as("tw"))
+      cum.join(broadcast(tot), Seq("fl"))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy(col("fl"), col("tw"))
+        .agg(min(col("cents")).as("med_cents"))
+        .select(col("fl").as("returnflag"), col("tw").as("total_weight"),
+          round(col("med_cents").cast("double") / 100.0, 2)
+            .as("weighted_median_price"))
+        .orderBy(col("returnflag"))
     })
   )
 
@@ -18948,6 +19044,61 @@ object SparkEntry {
       s"WITH u AS ($rows)\n" +
         "SELECT candidate, n_distinct_lhs, n_missing, " +
         "n_missing = 0 AS holds FROM u ORDER BY candidate"
-    }
+    },
+
+    "q381_tree_rollup" ->
+      """WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS ck,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v
+        |  FROM customer),
+        |pows AS (SELECT CAST(unnest([1, 10, 100, 1000, 10000, 100000,
+        |    1000000]) AS BIGINT) AS p),
+        |anc AS (SELECT ck // p AS node, v,
+        |    CASE WHEN p = 1 THEN 0 ELSE 1 END AS is_desc
+        |  FROM base CROSS JOIN pows WHERE ck // p > 0),
+        |roll AS (SELECT node, CAST(sum(v) AS BIGINT) AS subtree_cents,
+        |    CAST(sum(is_desc) AS BIGINT) AS n_desc
+        |  FROM anc GROUP BY 1 HAVING sum(is_desc) > 0)
+        |SELECT node, n_desc,
+        |  round(CAST(subtree_cents AS DOUBLE) / 100.0, 2)
+        |    AS subtree_dollars
+        |FROM roll ORDER BY subtree_cents DESC, node LIMIT 10""".stripMargin,
+
+    "q382_late_events" ->
+      """WITH ev AS (SELECT event_id AS id, event_type AS et,
+        |    epoch_us(ts) AS tsu FROM events),
+        |wm AS (SELECT id, et, tsu,
+        |    max(tsu) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING) AS run
+        |  FROM ev),
+        |mk AS (SELECT et,
+        |    CASE WHEN run IS NULL THEN 0
+        |      WHEN tsu < run - 3600000000 THEN 1 ELSE 0 END AS late
+        |  FROM wm)
+        |SELECT et, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(late) AS BIGINT) AS n_late,
+        |  round(CAST(sum(late) AS DOUBLE) / count(*), 4) AS late_share
+        |FROM mk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q383_weighted_median" ->
+      """WITH base AS (SELECT l_returnflag AS fl,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(l_quantity AS BIGINT) AS w,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * 17179869184 + l_orderkey * 8 + l_linenumber AS ok
+        |  FROM lineitem),
+        |cum AS (SELECT fl, cents,
+        |    CAST(sum(w) OVER (PARTITION BY fl ORDER BY ok) AS BIGINT)
+        |      AS cw
+        |  FROM base),
+        |tot AS (SELECT fl, CAST(sum(w) AS BIGINT) AS tw
+        |  FROM base GROUP BY 1),
+        |med AS (SELECT cum.fl, min(tot.tw) AS tw,
+        |    CAST(min(cents) AS BIGINT) AS med_cents
+        |  FROM cum JOIN tot ON cum.fl = tot.fl
+        |  WHERE cum.cw * 2 >= tot.tw GROUP BY 1)
+        |SELECT fl AS returnflag, tw AS total_weight,
+        |  round(CAST(med_cents AS DOUBLE) / 100.0, 2)
+        |    AS weighted_median_price
+        |FROM med ORDER BY returnflag""".stripMargin
   )
 }
