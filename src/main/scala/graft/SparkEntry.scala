@@ -10981,6 +10981,176 @@ object SparkEntry {
           round(col("med_cents").cast("double") / 100.0, 2)
             .as("weighted_median_price"))
         .orderBy(col("returnflag"))
+    }),
+
+    "q384_overdispersion" -> ((s, dir) => {
+      // Count-data overdispersion report per event type on the
+      // ZERO-FILLED user x type grid (skipping inactive users is the
+      // classic way to fake Poisson-ness): dispersion index, observed
+      // vs Poisson-predicted zero share, and the method-of-moments
+      // negative-binomial size when variance exceeds the mean — the
+      // "is a Poisson model even admissible" gate for rate modeling.
+      val ev = events(s, dir)
+        .select(col("user_id").as("u"), col("event_type").as("et"))
+      val cnts = ev.groupBy(col("u"), col("et")).agg(count(lit(1)).as("c"))
+      val grid = ev.select(col("u")).distinct()
+        .crossJoin(ev.select(col("et")).distinct())
+      val filled = grid.join(cnts, Seq("u", "et"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      filled.groupBy(col("et"))
+        .agg(count(lit(1)).as("n_users"), sum(col("c")).as("s1"),
+          sum(col("c") * col("c")).as("s2"),
+          sum(when(col("c") === 0, 1L).otherwise(0L)).as("z"))
+        .select(col("et"), col("n_users"),
+          (col("s1").cast("double") / col("n_users")).as("m"),
+          ((col("s2").cast("double") -
+            col("s1").cast("double") * col("s1") / col("n_users")) /
+            (col("n_users") - 1)).as("v"),
+          (col("z").cast("double") / col("n_users")).as("z_obs"))
+        .select(col("et"), col("n_users"), round(col("m"), 4).as("mean"),
+          round(col("v"), 4).as("variance"),
+          round(col("v") / col("m"), 4).as("dispersion"),
+          round(col("z_obs"), 4).as("zero_share_obs"),
+          round(exp(-col("m")), 6).as("zero_share_poisson"),
+          when(col("v") > col("m"),
+            round(col("m") * col("m") / (col("v") - col("m")), 4))
+            .as("nb_size"))
+        .orderBy(col("et"))
+    }),
+
+    "q385_gumbel_maxima" -> ((s, dir) => {
+      // Gumbel fit on weekly maximum order values (block maxima,
+      // method of moments): location/scale from the calendar-bounded
+      // maxima series, and the 99% return level — "the weekly max to
+      // expect once per 100 weeks". The extreme-value companion to
+      // q262's Hill tail index (maxima vs tail-ratio view).
+      val wk = t(s, dir, "orders")
+        .groupBy((datediff(to_date(col("o_orderdate")),
+          lit("1992-01-01")).cast("long") / lit(7L)).cast("long")
+          .as("wk"))
+        .agg(max(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .as("mx"))
+      val st = wk.agg(count(lit(1)).as("nw"), sum(col("mx")).as("s1"),
+          sum(col("mx") * col("mx")).as("s2"))
+        .select(col("nw"),
+          (col("s1").cast("double") / col("nw") / 100.0).as("m"),
+          (sqrt((col("s2").cast("double") -
+            col("s1").cast("double") * col("s1") / col("nw")) /
+            (col("nw") - 1)) / 100.0).as("sd"))
+      st.select(col("nw").as("n_weeks"),
+          (col("sd") * math.sqrt(6.0) / math.Pi).as("beta"),
+          col("m"), col("sd"))
+        .select(col("n_weeks"),
+          (col("m") - lit(0.5772156649015329) * col("beta")).as("mu"),
+          col("beta"))
+        .select(col("n_weeks"), round(col("mu"), 2).as("gumbel_mu"),
+          round(col("beta"), 2).as("gumbel_beta"),
+          round(col("mu") - col("beta") *
+            log(-log(lit(0.99))), 2).as("return_level_p99"))
+    }),
+
+    "q386_pot_gpd" -> ((s, dir) => {
+      // Peaks-over-threshold: excesses above the EXACT p95 rank of
+      // order value, generalized-Pareto shape/scale by method of
+      // moments, and the extrapolated 99.9% quantile — the POT view
+      // that uses every tail point (q385's block maxima throw away
+      // all but the weekly winner). Threshold at an exact rank keeps
+      // the excess set engine-identical.
+      val o = t(s, dir, "orders")
+        .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("v"), col("o_orderkey").as("ok"))
+      val ranked = graft.ops.PrefixSum.globalRank(
+        o, Seq(col("v"), col("ok")), "rk")
+      val nn = o.agg(count(lit(1)).as("n"))
+      val thr = ranked.crossJoin(broadcast(nn))
+        .filter(col("rk") === expr("(n * 95 + 99) div 100"))
+        .select(col("v").as("u"), col("n"))
+      val exc = o.crossJoin(broadcast(thr))
+        .filter(col("v") > col("u"))
+        .select(((col("v") - col("u")).cast("double") / 100.0).as("e"),
+          col("u"), col("n"))
+      val st = exc.groupBy(col("u"), col("n"))
+        .agg(count(lit(1)).as("nu"), avg(col("e")).as("me"),
+          sum(col("e") * col("e")).as("s2"))
+        .select(col("u"), col("n"), col("nu"), col("me"),
+          ((col("s2") - col("nu") * col("me") * col("me")) /
+            (col("nu") - 1)).as("ve"))
+        .select(col("u"), col("n"), col("nu"), col("me"),
+          (lit(0.5) * (lit(1.0) - col("me") * col("me") / col("ve")))
+            .as("xi"),
+          (lit(0.5) * col("me") *
+            (col("me") * col("me") / col("ve") + 1)).as("beta"))
+      st.select(round(col("u").cast("double") / 100.0, 2)
+            .as("threshold_p95"),
+          col("nu").as("n_excesses"), round(col("xi"), 4).as("gpd_xi"),
+          round(col("beta"), 2).as("gpd_beta"),
+          round(col("u").cast("double") / 100.0 + col("beta") /
+            col("xi") * (pow(col("n").cast("double") / col("nu") *
+              0.001, -col("xi")) - 1), 2).as("q999_est"))
+    }),
+
+    "q387_robust_location" -> ((s, dir) => {
+      // Robust central tendency of order value: 5% trimmed mean (drop
+      // both tails) and 5% winsorized mean (clamp to the exact cut
+      // values) vs the raw mean — how much heavy tails move the
+      // headline average. Exact rank cuts; all sums stay integer
+      // cents until the final divisions.
+      val o = t(s, dir, "orders")
+        .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("v"), col("o_orderkey").as("ok"))
+      val ranked = graft.ops.PrefixSum.globalRank(
+        o, Seq(col("v"), col("ok")), "rk")
+        .crossJoin(broadcast(o.agg(count(lit(1)).as("n"))))
+        .withColumn("k", expr("(n * 5) div 100"))
+      val cuts = ranked
+        .filter(col("rk") === col("k") + 1 ||
+          col("rk") === col("n") - col("k"))
+        .groupBy(col("n"), col("k"))
+        .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      val agg = ranked.crossJoin(broadcast(cuts.select(col("lo"),
+          col("hi"))))
+        .agg(count(lit(1)).as("n_orders"), sum(col("v")).as("sraw"),
+          sum(when(col("rk") > col("k") &&
+            col("rk") <= col("n") - col("k"), col("v")).otherwise(0L))
+            .as("strim"),
+          sum(when(col("rk") > col("k") &&
+            col("rk") <= col("n") - col("k"), 1L).otherwise(0L))
+            .as("ntrim"),
+          sum(greatest(least(col("v"), col("hi")), col("lo")))
+            .as("swin"))
+      agg.select(col("n_orders"),
+        round(col("sraw").cast("double") / col("n_orders") / 100.0, 2)
+          .as("mean_raw"),
+        round(col("strim").cast("double") / col("ntrim") / 100.0, 2)
+          .as("mean_trimmed5"),
+        round(col("swin").cast("double") / col("n_orders") / 100.0, 2)
+          .as("mean_winsorized5"))
+    }),
+
+    "q388_octile_shape" -> ((s, dir) => {
+      // Quantile-based robust shape: Bowley (quartile) skewness and
+      // Moors (octile) kurtosis of order value — outlier-immune where
+      // q351's moment skew/kurtosis saturate on heavy tails. All
+      // eight octiles picked at exact ceil(i*n/8) ranks in one
+      // conditional pass.
+      val o = t(s, dir, "orders")
+        .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("v"), col("o_orderkey").as("ok"))
+      val ranked = graft.ops.PrefixSum.globalRank(
+        o, Seq(col("v"), col("ok")), "rk")
+        .crossJoin(broadcast(o.agg(count(lit(1)).as("n"))))
+      val oct = ranked.agg(
+        max(col("n")).as("n"),
+        (1 to 7).map(i =>
+          max(when(col("rk") === expr(s"(n * $i + 7) div 8"), col("v")))
+            .as(s"e$i")): _*)
+      oct.select(col("n").as("n_orders"),
+        round((col("e6") + col("e2") - lit(2) * col("e4"))
+          .cast("double") /
+          (col("e6") - col("e2")), 4).as("bowley_skew"),
+        round(((col("e7") - col("e5")) + (col("e3") - col("e1")))
+          .cast("double") /
+          (col("e6") - col("e2")), 4).as("moors_kurtosis"))
     })
   )
 
@@ -19099,6 +19269,150 @@ object SparkEntry {
         |SELECT fl AS returnflag, tw AS total_weight,
         |  round(CAST(med_cents AS DOUBLE) / 100.0, 2)
         |    AS weighted_median_price
-        |FROM med ORDER BY returnflag""".stripMargin
+        |FROM med ORDER BY returnflag""".stripMargin,
+
+    "q384_overdispersion" ->
+      """WITH ev AS (SELECT user_id AS u, event_type AS et FROM events),
+        |cnts AS (SELECT u, et, CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY 1, 2),
+        |grid AS (SELECT u, et
+        |  FROM (SELECT DISTINCT u FROM ev)
+        |  CROSS JOIN (SELECT DISTINCT et FROM ev)),
+        |filled AS (SELECT grid.u, grid.et, coalesce(cnts.c, 0) AS c
+        |  FROM grid LEFT JOIN cnts ON grid.u = cnts.u
+        |    AND grid.et = cnts.et),
+        |st AS (SELECT et, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(c) AS BIGINT) AS s1,
+        |    CAST(sum(c * c) AS BIGINT) AS s2,
+        |    CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS z
+        |  FROM filled GROUP BY 1),
+        |mo AS (SELECT et, n_users,
+        |    CAST(s1 AS DOUBLE) / n_users AS m,
+        |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_users)
+        |      / (n_users - 1) AS v,
+        |    CAST(z AS DOUBLE) / n_users AS z_obs
+        |  FROM st)
+        |SELECT et, n_users, round(m, 4) AS mean,
+        |  round(v, 4) AS variance, round(v / m, 4) AS dispersion,
+        |  round(z_obs, 4) AS zero_share_obs,
+        |  round(exp(-m), 6) AS zero_share_poisson,
+        |  CASE WHEN v > m THEN round(m * m / (v - m), 4) END AS nb_size
+        |FROM mo ORDER BY et""".stripMargin,
+
+    "q385_gumbel_maxima" ->
+      """WITH wk AS (SELECT
+        |    CAST(date_diff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) // 7 AS wk,
+        |    CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS mx
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS nw,
+        |    CAST(sum(mx) AS BIGINT) AS s1,
+        |    CAST(sum(mx * mx) AS BIGINT) AS s2
+        |  FROM wk),
+        |mo AS (SELECT nw, CAST(s1 AS DOUBLE) / nw / 100.0 AS m,
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nw)
+        |      / (nw - 1)) / 100.0 AS sd
+        |  FROM st),
+        |gb AS (SELECT nw, sd * sqrt(6.0) / pi() AS beta, m FROM mo),
+        |gm AS (SELECT nw, m - 0.5772156649015329 * beta AS mu, beta
+        |  FROM gb)
+        |SELECT nw AS n_weeks, round(mu, 2) AS gumbel_mu,
+        |  round(beta, 2) AS gumbel_beta,
+        |  round(mu - beta * ln(-ln(0.99)), 2) AS return_level_p99
+        |FROM gm""".stripMargin,
+
+    "q386_pot_gpd" ->
+      """WITH o AS (SELECT
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+        |    o_orderkey AS ok FROM orders),
+        |rk AS (SELECT v, CAST(row_number() OVER (ORDER BY v, ok)
+        |    AS BIGINT) AS rk FROM o),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+        |thr AS (SELECT rk.v AS u, nn.n FROM rk CROSS JOIN nn
+        |  WHERE rk.rk = (nn.n * 95 + 99) // 100),
+        |exc AS (SELECT CAST(o.v - thr.u AS DOUBLE) / 100.0 AS e,
+        |    thr.u, thr.n
+        |  FROM o CROSS JOIN thr WHERE o.v > thr.u),
+        |st AS (SELECT min(u) AS u, min(n) AS n,
+        |    CAST(count(*) AS BIGINT) AS nu, avg(e) AS me,
+        |    sum(e * e) AS s2
+        |  FROM exc),
+        |vv AS (SELECT u, n, nu, me,
+        |    (s2 - nu * me * me) / (nu - 1) AS ve FROM st),
+        |gp AS (SELECT u, n, nu, me,
+        |    0.5 * (1.0 - me * me / ve) AS xi,
+        |    0.5 * me * (me * me / ve + 1) AS beta
+        |  FROM vv)
+        |SELECT round(CAST(u AS DOUBLE) / 100.0, 2) AS threshold_p95,
+        |  nu AS n_excesses, round(xi, 4) AS gpd_xi,
+        |  round(beta, 2) AS gpd_beta,
+        |  round(CAST(u AS DOUBLE) / 100.0 + beta / xi *
+        |    (pow(CAST(n AS DOUBLE) / nu * 0.001, -xi) - 1), 2)
+        |    AS q999_est
+        |FROM gp""".stripMargin,
+
+    "q387_robust_location" ->
+      """WITH o AS (SELECT
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+        |    o_orderkey AS ok FROM orders),
+        |rk AS (SELECT v, CAST(row_number() OVER (ORDER BY v, ok)
+        |    AS BIGINT) AS rk FROM o),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    (CAST(count(*) AS BIGINT) * 5) // 100 AS k FROM o),
+        |cuts AS (SELECT min(nn.n) AS n, min(nn.k) AS k,
+        |    CAST(min(rk.v) AS BIGINT) AS lo,
+        |    CAST(max(rk.v) AS BIGINT) AS hi
+        |  FROM rk CROSS JOIN nn
+        |  WHERE rk.rk = nn.k + 1 OR rk.rk = nn.n - nn.k),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(rk.v) AS BIGINT) AS sraw,
+        |    CAST(sum(CASE WHEN rk.rk > cuts.k
+        |      AND rk.rk <= cuts.n - cuts.k THEN rk.v ELSE 0 END)
+        |      AS BIGINT) AS strim,
+        |    CAST(sum(CASE WHEN rk.rk > cuts.k
+        |      AND rk.rk <= cuts.n - cuts.k THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ntrim,
+        |    CAST(sum(greatest(least(rk.v, cuts.hi), cuts.lo))
+        |      AS BIGINT) AS swin
+        |  FROM rk CROSS JOIN cuts)
+        |SELECT n_orders,
+        |  round(CAST(sraw AS DOUBLE) / n_orders / 100.0, 2)
+        |    AS mean_raw,
+        |  round(CAST(strim AS DOUBLE) / ntrim / 100.0, 2)
+        |    AS mean_trimmed5,
+        |  round(CAST(swin AS DOUBLE) / n_orders / 100.0, 2)
+        |    AS mean_winsorized5
+        |FROM agg""".stripMargin,
+
+    "q388_octile_shape" ->
+      """WITH o AS (SELECT
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+        |    o_orderkey AS ok FROM orders),
+        |rk AS (SELECT v, CAST(row_number() OVER (ORDER BY v, ok)
+        |    AS BIGINT) AS rk FROM o),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+        |oct AS (SELECT min(nn.n) AS n,
+        |    max(CASE WHEN rk.rk = (nn.n * 1 + 7) // 8 THEN rk.v END)
+        |      AS e1,
+        |    max(CASE WHEN rk.rk = (nn.n * 2 + 7) // 8 THEN rk.v END)
+        |      AS e2,
+        |    max(CASE WHEN rk.rk = (nn.n * 3 + 7) // 8 THEN rk.v END)
+        |      AS e3,
+        |    max(CASE WHEN rk.rk = (nn.n * 4 + 7) // 8 THEN rk.v END)
+        |      AS e4,
+        |    max(CASE WHEN rk.rk = (nn.n * 5 + 7) // 8 THEN rk.v END)
+        |      AS e5,
+        |    max(CASE WHEN rk.rk = (nn.n * 6 + 7) // 8 THEN rk.v END)
+        |      AS e6,
+        |    max(CASE WHEN rk.rk = (nn.n * 7 + 7) // 8 THEN rk.v END)
+        |      AS e7
+        |  FROM rk CROSS JOIN nn)
+        |SELECT n AS n_orders,
+        |  round(CAST(e6 + e2 - 2 * e4 AS DOUBLE) / (e6 - e2), 4)
+        |    AS bowley_skew,
+        |  round(CAST((e7 - e5) + (e3 - e1) AS DOUBLE) / (e6 - e2), 4)
+        |    AS moors_kurtosis
+        |FROM oct""".stripMargin
   )
 }
