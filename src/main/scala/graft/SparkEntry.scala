@@ -11151,6 +11151,156 @@ object SparkEntry {
         round(((col("e7") - col("e5")) + (col("e3") - col("e1")))
           .cast("double") /
           (col("e6") - col("e2")), 4).as("moors_kurtosis"))
+    }),
+
+    "q389_imputation_audit" -> ((s, dir) => {
+      // Imputation quality audit with a KNOWN ground truth: mask 20%
+      // of balances missing by deterministic key hash, impute from the
+      // (nation, segment) cell mean of the OBSERVED rows (global-mean
+      // fallback), score MAE and bias against the held-out truth.
+      // The "how much does group imputation actually buy" report every
+      // data-repair pipeline should ship with.
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").as("ck"), col("c_nationkey").as("nk"),
+          col("c_mktsegment").as("sg"),
+          expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("v"),
+          (pmod(Sampling.keyHash(col("c_custkey")), lit(10L)) < 2)
+            .as("miss"))
+      val obs = base.filter(!col("miss"))
+      val cell = obs.groupBy(col("nk"), col("sg"))
+        .agg((sum(col("v")).cast("double") / count(lit(1))).as("cm"))
+      val glob = obs.agg((sum(col("v")).cast("double") / count(lit(1)))
+        .as("gm"))
+      base.filter(col("miss"))
+        .join(broadcast(cell), Seq("nk", "sg"), "left")
+        .crossJoin(broadcast(glob))
+        .select(col("v"), coalesce(col("cm"), col("gm")).as("grp"),
+          col("gm"))
+        .agg(count(lit(1)).as("n_missing"),
+          avg(abs(col("grp") - col("v"))).as("mae_g"),
+          avg(col("grp") - col("v")).as("bias_g"),
+          avg(abs(col("gm") - col("v"))).as("mae_gl"))
+        .select(col("n_missing"),
+          round(col("mae_g") / 100.0, 2).as("mae_group"),
+          round(col("bias_g") / 100.0, 2).as("bias_group"),
+          round(col("mae_gl") / 100.0, 2).as("mae_global"))
+    }),
+
+    "q390_k_anonymity" -> ((s, dir) => {
+      // k-anonymity / l-diversity audit: quasi-identifier = (nation,
+      // exact acctbal decile), sensitive attribute = market segment.
+      // Reports the smallest QI group (k), the share of customers in
+      // groups below k=5 (re-identifiable), and the share of groups
+      // with a single sensitive value (attribute disclosure even at
+      // high k). Deciles from the two-phase global rank — exact, so
+      // the QI partition is engine-identical.
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").as("ck"), col("c_nationkey").as("nk"),
+          col("c_mktsegment").as("sg"),
+          expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("v"))
+      val ranked = graft.ops.PrefixSum.globalRank(
+        base, Seq(col("v"), col("ck")), "rk")
+        .crossJoin(broadcast(base.agg(count(lit(1)).as("n"))))
+        .withColumn("dec", expr("((rk - 1) * 10) div n"))
+      val grp = ranked.groupBy(col("nk"), col("dec"))
+        .agg(count(lit(1)).as("sz"), countDistinct(col("sg")).as("l"))
+      grp.agg(count(lit(1)).as("n_groups"), sum(col("sz")).as("n_rows"),
+          min(col("sz")).as("k_min"),
+          sum(when(col("sz") < 5, col("sz")).otherwise(0L))
+            .as("rows_lt5"),
+          min(col("l")).as("l_min"),
+          sum(when(col("l") < 2, 1L).otherwise(0L)).as("groups_l1"))
+        .select(col("n_groups"), col("n_rows"), col("k_min"),
+          round(col("rows_lt5").cast("double") / col("n_rows"), 4)
+            .as("share_rows_below_k5"),
+          col("l_min"),
+          round(col("groups_l1").cast("double") / col("n_groups"), 4)
+            .as("share_groups_l1"))
+    }),
+
+    "q391_holt_winters" -> ((s, dir) => {
+      // Additive Holt-Winters (season length 4) over the 27-quarter
+      // revenue series — q364's Holt plus a seasonal state vector,
+      // folded the same way: 23 fixed-operand steps on a ONE-row wide
+      // frame, checkpoint barriers, one-step MAE accumulated in-fold.
+      // Each step touches exactly one seasonal slot (the step index is
+      // a literal, so the update compiles to plain column arithmetic).
+      val qidx = expr(
+        "(year(o_orderdate) - 1992) * 4 + (month(o_orderdate) - 1) div 3")
+      val aggs = (0 to 26).map(k =>
+        (sum(when(qidx === k,
+          expr("CAST(floor(o_totalprice) AS BIGINT)")).otherwise(0L)) /
+          1000.0).cast("double").as(s"y$k"))
+      val wide = t(s, dir, "orders").agg(aggs.head, aggs.tail: _*)
+      val ys = (0 to 26).map(k => col(s"y$k"))
+      val initL = (col("y0") + col("y1") + col("y2") + col("y3")) / 4
+      val initB = ((col("y4") + col("y5") + col("y6") + col("y7")) / 4 -
+        (col("y0") + col("y1") + col("y2") + col("y3")) / 4) / 4
+      var cur = wide.select(ys ++ Seq(initL.as("l"), initB.as("b"),
+        (col("y0") - initL).as("s0"), (col("y1") - initL).as("s1"),
+        (col("y2") - initL).as("s2"), (col("y3") - initL).as("s3"),
+        lit(0.0).as("sae")): _*)
+      val carry = ys
+      for (tt <- 4 to 26) {
+        val sj = s"s${tt % 4}"
+        val pred = col("l") + col("b") + col(sj)
+        val l2 = lit(0.3) * (col(s"y$tt") - col(sj)) +
+          lit(0.7) * (col("l") + col("b"))
+        val others = Seq(0, 1, 2, 3).filterNot(_ == tt % 4)
+          .map(j => col(s"s$j"))
+        cur = cur.select(carry ++ Seq(l2.as("l"),
+          (lit(0.1) * (l2 - col("l")) + lit(0.9) * col("b")).as("b"),
+          (lit(0.2) * (col(s"y$tt") - l2) + lit(0.8) * col(sj)).as(sj))
+          ++ others ++
+          Seq((col("sae") + abs(col(s"y$tt") - pred)).as("sae")): _*)
+        if (tt % 8 == 0) cur = cur.localCheckpoint()
+      }
+      cur.select(lit(27L).as("n_quarters"),
+        round(col("l"), 2).as("level_kusd"),
+        round(col("b"), 2).as("trend_kusd"),
+        round(col("l") + col("b") + col("s3"), 2).as("forecast_kusd"),
+        round(col("sae") / 23.0, 2).as("mae_kusd"))
+    }),
+
+    "q392_cliffs_delta" -> ((s, dir) => {
+      // Cliff's delta effect size between 1995 and 1996 order values —
+      // the magnitude companion to rank TESTS (q278 says "different",
+      // this says "by how much", robustly): P(X>Y) - P(X<Y) computed
+      // from value-grouped counts + grouped prefix sums over the
+      // shared value grid. No pair enumeration at any scale; exact
+      // integers until the two final divisions.
+      val base = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")).isin(1995, 1996))
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("v"))
+      val cnt = base.groupBy(col("yr"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val grid = base.select(col("v")).distinct()
+        .crossJoin(base.select(col("yr")).distinct())
+      val filled = grid.join(cnt, Seq("yr", "v"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val cum = graft.ops.PrefixSum.groupedRunningSum(
+        filled, "yr", "v", col("c"), "cum")
+      val c96 = cum.filter(col("yr") === 1996)
+        .select(col("v"), col("c").as("c96"), col("cum").as("cum96"))
+      val c95 = cnt.filter(col("yr") === 1995)
+        .select(col("v"), col("c").as("c95"))
+      val tots = base.groupBy(col("yr")).agg(count(lit(1)).as("n"))
+      val n95 = tots.filter(col("yr") === 1995).select(col("n").as("n95"))
+      val n96 = tots.filter(col("yr") === 1996).select(col("n").as("n96"))
+      c95.join(c96, Seq("v"))
+        .crossJoin(broadcast(n96))
+        .agg(sum(col("c95") * (col("cum96") - col("c96"))).as("gt"),
+          sum(col("c95") * (col("n96") - col("cum96"))).as("lt"),
+          sum(col("c95") * col("c96")).as("eq"))
+        .crossJoin(broadcast(n95)).crossJoin(broadcast(n96))
+        .select(col("n95"), col("n96"),
+          round((col("gt") - col("lt")).cast("double") /
+            (col("n95").cast("double") * col("n96")), 6)
+            .as("cliffs_delta"),
+          round((col("gt").cast("double") + lit(0.5) * col("eq")) /
+            (col("n95").cast("double") * col("n96")), 4)
+            .as("p_superiority"))
     })
   )
 
@@ -19413,6 +19563,159 @@ object SparkEntry {
         |    AS bowley_skew,
         |  round(CAST((e7 - e5) + (e3 - e1) AS DOUBLE) / (e6 - e2), 4)
         |    AS moors_kurtosis
-        |FROM oct""".stripMargin
+        |FROM oct""".stripMargin,
+
+    "q389_imputation_audit" -> {
+      val kh = graft.ops.Sampling.keyHashSql("c_custkey")
+      s"""WITH base AS (SELECT c_custkey AS ck, c_nationkey AS nk,
+         |    c_mktsegment AS sg,
+         |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v,
+         |    (($kh) % 10) < 2 AS miss
+         |  FROM customer),
+         |obs AS (SELECT * FROM base WHERE NOT miss),
+         |cell AS (SELECT nk, sg,
+         |    CAST(sum(v) AS DOUBLE) / count(*) AS cm
+         |  FROM obs GROUP BY 1, 2),
+         |gmean AS (SELECT CAST(sum(v) AS DOUBLE) / count(*) AS gm
+         |  FROM obs),
+         |ms AS (SELECT base.v, coalesce(cell.cm, gmean.gm) AS grp,
+         |    gmean.gm
+         |  FROM base LEFT JOIN cell ON base.nk = cell.nk
+         |    AND base.sg = cell.sg
+         |  CROSS JOIN gmean WHERE base.miss),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_missing,
+         |    avg(abs(grp - v)) AS mae_g, avg(grp - v) AS bias_g,
+         |    avg(abs(gm - v)) AS mae_gl
+         |  FROM ms)
+         |SELECT n_missing, round(mae_g / 100.0, 2) AS mae_group,
+         |  round(bias_g / 100.0, 2) AS bias_group,
+         |  round(mae_gl / 100.0, 2) AS mae_global
+         |FROM agg""".stripMargin
+    },
+
+    "q390_k_anonymity" ->
+      """WITH base AS (SELECT c_custkey AS ck, c_nationkey AS nk,
+        |    c_mktsegment AS sg,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v
+        |  FROM customer),
+        |rk AS (SELECT nk, sg, CAST(row_number() OVER (ORDER BY v, ck)
+        |    AS BIGINT) AS rk FROM base),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        |dc AS (SELECT nk, sg, ((rk - 1) * 10) // nn.n AS dec
+        |  FROM rk CROSS JOIN nn),
+        |grp AS (SELECT nk, dec, CAST(count(*) AS BIGINT) AS sz,
+        |    CAST(count(DISTINCT sg) AS BIGINT) AS l
+        |  FROM dc GROUP BY 1, 2),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(sz) AS BIGINT) AS n_rows,
+        |    CAST(min(sz) AS BIGINT) AS k_min,
+        |    CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+        |      AS rows_lt5,
+        |    CAST(min(l) AS BIGINT) AS l_min,
+        |    CAST(sum(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS groups_l1
+        |  FROM grp)
+        |SELECT n_groups, n_rows, k_min,
+        |  round(CAST(rows_lt5 AS DOUBLE) / n_rows, 4)
+        |    AS share_rows_below_k5,
+        |  l_min,
+        |  round(CAST(groups_l1 AS DOUBLE) / n_groups, 4)
+        |    AS share_groups_l1
+        |FROM agg""".stripMargin,
+
+    "q391_holt_winters" -> {
+      val step =
+        """SELECT h.t + 1,
+          |      0.3 * (g.y - CASE (h.t + 1) % 4 WHEN 0 THEN h.s0
+          |        WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 ELSE h.s3 END)
+          |        + 0.7 * (h.l + h.b),
+          |      0.1 * ((0.3 * (g.y - CASE (h.t + 1) % 4 WHEN 0 THEN h.s0
+          |        WHEN 1 THEN h.s1 WHEN 2 THEN h.s2 ELSE h.s3 END)
+          |        + 0.7 * (h.l + h.b)) - h.l) + 0.9 * h.b,
+          |      CASE WHEN (h.t + 1) % 4 = 0 THEN
+          |        0.2 * (g.y - (0.3 * (g.y - h.s0) + 0.7 * (h.l + h.b)))
+          |          + 0.8 * h.s0 ELSE h.s0 END,
+          |      CASE WHEN (h.t + 1) % 4 = 1 THEN
+          |        0.2 * (g.y - (0.3 * (g.y - h.s1) + 0.7 * (h.l + h.b)))
+          |          + 0.8 * h.s1 ELSE h.s1 END,
+          |      CASE WHEN (h.t + 1) % 4 = 2 THEN
+          |        0.2 * (g.y - (0.3 * (g.y - h.s2) + 0.7 * (h.l + h.b)))
+          |          + 0.8 * h.s2 ELSE h.s2 END,
+          |      CASE WHEN (h.t + 1) % 4 = 3 THEN
+          |        0.2 * (g.y - (0.3 * (g.y - h.s3) + 0.7 * (h.l + h.b)))
+          |          + 0.8 * h.s3 ELSE h.s3 END,
+          |      h.sae + abs(g.y - (h.l + h.b
+          |        + CASE (h.t + 1) % 4 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1
+          |          WHEN 2 THEN h.s2 ELSE h.s3 END))""".stripMargin
+      s"""WITH q AS (SELECT (year(CAST(o_orderdate AS DATE)) - 1992) * 4
+         |      + (month(CAST(o_orderdate AS DATE)) - 1) // 3 AS t,
+         |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS DOUBLE)
+         |      / 1000.0 AS y
+         |  FROM orders GROUP BY 1),
+         |g AS (SELECT CAST(r.range AS BIGINT) AS t,
+         |    coalesce(q.y, 0.0) AS y
+         |  FROM range(27) r LEFT JOIN q ON q.t = r.range),
+         |base AS (SELECT
+         |    (a0.y + a1.y + a2.y + a3.y) / 4 AS l0,
+         |    ((a4.y + a5.y + a6.y + a7.y) / 4
+         |      - (a0.y + a1.y + a2.y + a3.y) / 4) / 4 AS b0,
+         |    a0.y - (a0.y + a1.y + a2.y + a3.y) / 4 AS s00,
+         |    a1.y - (a0.y + a1.y + a2.y + a3.y) / 4 AS s01,
+         |    a2.y - (a0.y + a1.y + a2.y + a3.y) / 4 AS s02,
+         |    a3.y - (a0.y + a1.y + a2.y + a3.y) / 4 AS s03
+         |  FROM g a0, g a1, g a2, g a3, g a4, g a5, g a6, g a7
+         |  WHERE a0.t = 0 AND a1.t = 1 AND a2.t = 2 AND a3.t = 3
+         |    AND a4.t = 4 AND a5.t = 5 AND a6.t = 6 AND a7.t = 7)
+         |SELECT 27 AS n_quarters, round(l, 2) AS level_kusd,
+         |  round(b, 2) AS trend_kusd,
+         |  round(l + b + s3, 2) AS forecast_kusd,
+         |  round(sae / 23.0, 2) AS mae_kusd
+         |FROM (
+         |  WITH RECURSIVE h(t, l, b, s0, s1, s2, s3, sae) AS (
+         |    SELECT CAST(3 AS BIGINT), l0, b0, s00, s01, s02, s03,
+         |      CAST(0.0 AS DOUBLE) FROM base
+         |    UNION ALL
+         |    $step
+         |    FROM h JOIN g ON g.t = h.t + 1 WHERE h.t < 26)
+         |  SELECT l, b, s3, sae FROM h WHERE t = 26)""".stripMargin
+    },
+
+    "q392_cliffs_delta" ->
+      """WITH base AS (SELECT
+        |    CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)),
+        |cnt AS (SELECT yr, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2),
+        |grid AS (SELECT y.yr, d.v
+        |  FROM (SELECT DISTINCT v FROM base) d
+        |  CROSS JOIN (SELECT DISTINCT yr FROM base) y),
+        |filled AS (SELECT grid.yr, grid.v, coalesce(cnt.c, 0) AS c
+        |  FROM grid LEFT JOIN cnt ON grid.yr = cnt.yr
+        |    AND grid.v = cnt.v),
+        |cum AS (SELECT yr, v, c,
+        |    CAST(sum(c) OVER (PARTITION BY yr ORDER BY v) AS BIGINT)
+        |      AS cum
+        |  FROM filled),
+        |c96 AS (SELECT v, c AS c96, cum AS cum96 FROM cum
+        |  WHERE yr = 1996),
+        |c95 AS (SELECT v, c AS c95 FROM cnt WHERE yr = 1995),
+        |tots AS (SELECT yr, CAST(count(*) AS BIGINT) AS n
+        |  FROM base GROUP BY 1),
+        |agg AS (SELECT
+        |    CAST(sum(c95.c95 * (c96.cum96 - c96.c96)) AS BIGINT) AS gt,
+        |    CAST(sum(c95.c95 * (t96.n - c96.cum96)) AS BIGINT) AS lt,
+        |    CAST(sum(c95.c95 * c96.c96) AS BIGINT) AS eq
+        |  FROM c95 JOIN c96 ON c95.v = c96.v
+        |  CROSS JOIN (SELECT n FROM tots WHERE yr = 1996) t96)
+        |SELECT t95.n AS n95, t96.n AS n96,
+        |  round(CAST(agg.gt - agg.lt AS DOUBLE)
+        |    / (CAST(t95.n AS DOUBLE) * t96.n), 6) AS cliffs_delta,
+        |  round((CAST(agg.gt AS DOUBLE) + 0.5 * agg.eq)
+        |    / (CAST(t95.n AS DOUBLE) * t96.n), 4) AS p_superiority
+        |FROM agg
+        |CROSS JOIN (SELECT n FROM tots WHERE yr = 1995) t95
+        |CROSS JOIN (SELECT n FROM tots WHERE yr = 1996) t96""".stripMargin
   )
 }
