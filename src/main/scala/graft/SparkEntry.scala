@@ -11301,6 +11301,155 @@ object SparkEntry {
           round((col("gt").cast("double") + lit(0.5) * col("eq")) /
             (col("n95").cast("double") * col("n96")), 4)
             .as("p_superiority"))
+    }),
+
+    "q393_g_test" -> ((s, dir) => {
+      // G-test (log-likelihood-ratio chi-square) of segment x order-
+      // priority independence: 2*sum O*ln(O*N/(R*C)) over the bounded
+      // 5x5 table — additive across cells where Pearson's chi2 is not
+      // (the property that makes G the right base for q152-style MI
+      // decompositions; in fact G = 2N*MI). Exact integer margins;
+      // df=16 survival in the even-df closed form.
+      val cells = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("sg"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("sg"), col("o_orderpriority").as("pr"))
+        .agg(count(lit(1)).as("o"))
+      val rows = cells.groupBy(col("sg")).agg(sum(col("o")).as("r"))
+      val cols_ = cells.groupBy(col("pr")).agg(sum(col("o")).as("c"))
+      val nn = cells.agg(sum(col("o")).as("n"))
+      val g = cells.join(broadcast(rows), Seq("sg"))
+        .join(broadcast(cols_), Seq("pr"))
+        .crossJoin(broadcast(nn))
+        .agg(count(lit(1)).as("n_cells"), max(col("n")).as("n"),
+          (lit(2.0) * sum(col("o") * log(col("o").cast("double") *
+            col("n") / (col("r").cast("double") * col("c"))))).as("g"))
+      val h = col("g") / 2
+      val ser = (0 to 7).map(j =>
+        pow(h, j.toDouble) / (1 to j).map(_.toDouble).product)
+        .reduce(_ + _)
+      g.select(col("n").as("n_orders"), col("n_cells"),
+        round(col("g"), 4).as("g_stat"),
+        round(exp(-h) * ser, 6).as("p_approx"))
+    }),
+
+    "q394_weibull_fit" -> ((s, dir) => {
+      // Weibull fit of customer lifespans by median-rank regression:
+      // ln(-ln(1-F)) on ln(duration) with Bernard's approximation
+      // F_i = (i-0.3)/(n+0.4) at exact global ranks — the standard
+      // reliability-engineering estimator, closed-form and
+      // deterministic where MLE iteration is not. Shape < 1 reads as
+      // infant-mortality churn, > 1 as wear-out.
+      val durs = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(datediff(max(col("o_orderdate")), min(col("o_orderdate")))
+          .cast("long").as("dur"))
+        .filter(col("dur") > 0)
+      val ranked = graft.ops.PrefixSum.globalRank(
+        durs, Seq(col("dur"), col("o_custkey")), "i")
+        .crossJoin(broadcast(durs.agg(count(lit(1)).as("n"))))
+      val pts = ranked.select(log(col("dur").cast("double")).as("x"),
+        log(-log(lit(1.0) - (col("i").cast("double") - 0.3) /
+          (col("n").cast("double") + 0.4))).as("y"))
+      val fit = pts.agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"))
+        .select(col("n"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("sxx") - col("sx") * col("sx") / col("n"))).as("k"),
+          col("sx"), col("sy"))
+        .select(col("n"), col("k"),
+          ((col("sy") - col("k") * col("sx")) / col("n")).as("b"))
+      fit.select(col("n").cast("long").as("n_cust"),
+        round(col("k"), 4).as("weibull_shape"),
+        round(exp(-col("b") / col("k")), 2).as("weibull_scale_days"),
+        round(exp(-col("b") / col("k")) *
+          pow(lit(math.log(2.0)), lit(1.0) / col("k")), 2)
+          .as("median_days"))
+    }),
+
+    "q395_proportion_cis" -> ((s, dir) => {
+      // Three confidence intervals for the per-segment high-balance
+      // share: Wald (the one everyone uses), Wilson (the one that
+      // works), Agresti-Coull (the compromise) — side by side so the
+      // Wald undercoverage near the boundary is visible in the data,
+      // not a textbook footnote. Closed forms from exact integer
+      // (n, x) per segment.
+      val z = lit(1.959963984540054)
+      val base = t(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("c_acctbal") > 5000, 1L).otherwise(0L)).as("x"))
+        .select(col("segment"), col("n"), col("x"),
+          (col("x").cast("double") / col("n")).as("p"))
+      base.select(col("segment"), col("n"), col("x"),
+          round(col("p"), 4).as("p_hat"),
+          round(col("p") - z * sqrt(col("p") * (lit(1.0) - col("p")) /
+            col("n")), 4).as("wald_lo"),
+          round(col("p") + z * sqrt(col("p") * (lit(1.0) - col("p")) /
+            col("n")), 4).as("wald_hi"),
+          round((col("p") + z * z / (lit(2) * col("n")) -
+            z * sqrt(col("p") * (lit(1.0) - col("p")) / col("n") +
+              z * z / (lit(4.0) * col("n") * col("n")))) /
+            (lit(1.0) + z * z / col("n")), 4).as("wilson_lo"),
+          round((col("p") + z * z / (lit(2) * col("n")) +
+            z * sqrt(col("p") * (lit(1.0) - col("p")) / col("n") +
+              z * z / (lit(4.0) * col("n") * col("n")))) /
+            (lit(1.0) + z * z / col("n")), 4).as("wilson_hi"),
+          round((col("x") + z * z / 2) / (col("n") + z * z) -
+            z * sqrt(((col("x") + z * z / 2) / (col("n") + z * z)) *
+              (lit(1.0) - (col("x") + z * z / 2) / (col("n") + z * z)) /
+              (col("n") + z * z)), 4).as("ac_lo"),
+          round((col("x") + z * z / 2) / (col("n") + z * z) +
+            z * sqrt(((col("x") + z * z / 2) / (col("n") + z * z)) *
+              (lit(1.0) - (col("x") + z * z / 2) / (col("n") + z * z)) /
+              (col("n") + z * z)), 4).as("ac_hi"))
+        .orderBy(col("segment"))
+    }),
+
+    "q396_james_stein" -> ((s, dir) => {
+      // James-Stein shrinkage of per-brand mean prices toward the
+      // grand mean: the estimator that DOMINATES per-group averages
+      // whenever there are >= 4 groups — the principled version of
+      // "don't trust small-sample brand averages". Shrink factor from
+      // the average variance of the means; everything from exact
+      // integer cent moments.
+      val g = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("ng"),
+          sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+            .as("s1"),
+          sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)" +
+            " * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+            .as("s2"))
+        .select(col("brand"), col("ng"),
+          (col("s1").cast("double") / col("ng")).as("xb"),
+          ((col("s2").cast("double") -
+            col("s1").cast("double") * col("s1") / col("ng")) /
+            (col("ng") - 1) / col("ng")).as("vm"))
+      val st = g.agg(count(lit(1)).as("k"),
+          (sum(col("xb")) / count(lit(1))).as("gm"),
+          avg(col("vm")).as("vbar"))
+      val dev = g.crossJoin(broadcast(st))
+        .agg(max(col("k")).as("k"), max(col("gm")).as("gm"),
+          max(col("vbar")).as("vbar"),
+          sum((col("xb") - col("gm")) * (col("xb") - col("gm")))
+            .as("ss"))
+        .select(col("k"), col("gm"),
+          greatest(lit(0.0), lit(1.0) -
+            (col("k") - 3).cast("double") * col("vbar") / col("ss"))
+            .as("c"))
+      g.crossJoin(broadcast(dev))
+        .select(col("brand"), col("ng"),
+          round(col("xb") / 100.0, 2).as("mean_raw"),
+          round((col("gm") + col("c") * (col("xb") - col("gm"))) / 100.0,
+            2).as("mean_shrunk"),
+          round(col("c"), 6).as("shrink_factor"))
+        .orderBy(col("brand"))
     })
   )
 
@@ -19716,6 +19865,110 @@ object SparkEntry {
         |    / (CAST(t95.n AS DOUBLE) * t96.n), 4) AS p_superiority
         |FROM agg
         |CROSS JOIN (SELECT n FROM tots WHERE yr = 1995) t95
-        |CROSS JOIN (SELECT n FROM tots WHERE yr = 1996) t96""".stripMargin
+        |CROSS JOIN (SELECT n FROM tots WHERE yr = 1996) t96""".stripMargin,
+
+    "q393_g_test" -> {
+      val ser = (0 to 7).map(j =>
+        if (j == 0) "1.0"
+        else s"pow(g / 2, $j.0) / ${(1 to j).map(_.toDouble).product}")
+        .mkString(" + ")
+      s"""WITH cells AS (SELECT c.c_mktsegment AS sg,
+         |    o.o_orderpriority AS pr, CAST(count(*) AS BIGINT) AS o
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |  GROUP BY 1, 2),
+         |rw AS (SELECT sg, CAST(sum(o) AS BIGINT) AS r
+         |  FROM cells GROUP BY 1),
+         |cl AS (SELECT pr, CAST(sum(o) AS BIGINT) AS c
+         |  FROM cells GROUP BY 1),
+         |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+         |gg AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         |    min(nn.n) AS n,
+         |    2.0 * sum(cells.o * ln(CAST(cells.o AS DOUBLE) * nn.n
+         |      / (CAST(rw.r AS DOUBLE) * cl.c))) AS g
+         |  FROM cells JOIN rw USING (sg) JOIN cl USING (pr)
+         |  CROSS JOIN nn)
+         |SELECT n AS n_orders, n_cells, round(g, 4) AS g_stat,
+         |  round(exp(-g / 2) * ($ser), 6) AS p_approx
+         |FROM gg""".stripMargin
+    },
+
+    "q394_weibull_fit" ->
+      """WITH durs AS (SELECT o_custkey,
+        |    CAST(date_diff('day', min(CAST(o_orderdate AS DATE)),
+        |      max(CAST(o_orderdate AS DATE))) AS BIGINT) AS dur
+        |  FROM orders GROUP BY 1 HAVING dur > 0),
+        |rk AS (SELECT dur, CAST(row_number()
+        |    OVER (ORDER BY dur, o_custkey) AS BIGINT) AS i FROM durs),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM durs),
+        |pts AS (SELECT ln(CAST(dur AS DOUBLE)) AS x,
+        |    ln(-ln(1.0 - (CAST(i AS DOUBLE) - 0.3)
+        |      / (CAST(nn.n AS DOUBLE) + 0.4))) AS y
+        |  FROM rk CROSS JOIN nn),
+        |mo AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+        |    sum(x * x) AS sxx, sum(y) AS sy, sum(x * y) AS sxy
+        |  FROM pts),
+        |ft AS (SELECT n,
+        |    (sxy - sx * sy / n) / (sxx - sx * sx / n) AS k, sx, sy
+        |  FROM mo),
+        |fb AS (SELECT n, k, (sy - k * sx) / n AS b FROM ft)
+        |SELECT CAST(n AS BIGINT) AS n_cust,
+        |  round(k, 4) AS weibull_shape,
+        |  round(exp(-b / k), 2) AS weibull_scale_days,
+        |  round(exp(-b / k) * pow(ln(2.0), 1.0 / k), 2) AS median_days
+        |FROM fb""".stripMargin,
+
+    "q395_proportion_cis" ->
+      """WITH zc AS (SELECT CAST(1.959963984540054 AS DOUBLE) AS z),
+        |base AS (SELECT c_mktsegment AS segment,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM customer GROUP BY 1),
+        |pp AS (SELECT segment, n, x, CAST(x AS DOUBLE) / n AS p, z
+        |  FROM base CROSS JOIN zc)
+        |SELECT segment, n, x, round(p, 4) AS p_hat,
+        |  round(p - z * sqrt(p * (1.0 - p) / n), 4) AS wald_lo,
+        |  round(p + z * sqrt(p * (1.0 - p) / n), 4) AS wald_hi,
+        |  round((p + z * z / (2 * n) - z * sqrt(p * (1.0 - p) / n
+        |    + z * z / (4.0 * n * n))) / (1.0 + z * z / n), 4)
+        |    AS wilson_lo,
+        |  round((p + z * z / (2 * n) + z * sqrt(p * (1.0 - p) / n
+        |    + z * z / (4.0 * n * n))) / (1.0 + z * z / n), 4)
+        |    AS wilson_hi,
+        |  round((x + z * z / 2) / (n + z * z)
+        |    - z * sqrt(((x + z * z / 2) / (n + z * z))
+        |      * (1.0 - (x + z * z / 2) / (n + z * z)) / (n + z * z)), 4)
+        |    AS ac_lo,
+        |  round((x + z * z / 2) / (n + z * z)
+        |    + z * sqrt(((x + z * z / 2) / (n + z * z))
+        |      * (1.0 - (x + z * z / 2) / (n + z * z)) / (n + z * z)), 4)
+        |    AS ac_hi
+        |FROM pp ORDER BY segment""".stripMargin,
+
+    "q396_james_stein" ->
+      """WITH g AS (SELECT p.p_brand AS brand,
+        |    CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS s1,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS s2
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1),
+        |mo AS (SELECT brand, ng, CAST(s1 AS DOUBLE) / ng AS xb,
+        |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / ng)
+        |      / (ng - 1) / ng AS vm
+        |  FROM g),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    sum(xb) / count(*) AS gm, avg(vm) AS vbar FROM mo),
+        |dv AS (SELECT min(st.k) AS k, min(st.gm) AS gm,
+        |    greatest(0.0, 1.0 - (min(st.k) - 3) * min(st.vbar)
+        |      / sum((xb - st.gm) * (xb - st.gm))) AS c
+        |  FROM mo CROSS JOIN st)
+        |SELECT brand, ng, round(xb / 100.0, 2) AS mean_raw,
+        |  round((dv.gm + dv.c * (xb - dv.gm)) / 100.0, 2)
+        |    AS mean_shrunk,
+        |  round(dv.c, 6) AS shrink_factor
+        |FROM mo CROSS JOIN dv ORDER BY brand""".stripMargin
   )
 }
