@@ -56,6 +56,49 @@ object PrefixSum {
       .drop("__val", "__pid", "__run", "__off")
   }
 
+  /** Multi-column [[groupedRunningSum]]: N running sums in ONE two-phase
+    * pass (one range partition, one totals aggregate, one within-partition
+    * window) instead of N chained passes — the difference between one and
+    * four shuffles+persists when a query needs several aligned prefix sums
+    * over the same (grp, ord) spine. Each `(value, out)` pair must be
+    * integral; semantics per column are identical to the single version.
+    */
+  def groupedRunningSums(df: DataFrame, grp: String, ord: String,
+                         values: Seq[(Column, String)],
+                         numPartitions: Int = 0): DataFrame = {
+    require(values.nonEmpty, "need at least one (value, out) pair")
+    val p = if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val vals = values.indices.map(i => s"__val$i")
+    val pre = values.zip(vals).foldLeft(df) { case (d, ((v, _), c)) =>
+      d.withColumn(c, v.cast("long"))
+    }
+    val ranged = pre
+      .repartitionByRange(p, col(grp), col(ord))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totAggs = vals.map(c => sum(col(c)).as(s"__tot$c"))
+    val totals = ranged.groupBy(col("__pid"), col(grp))
+      .agg(totAggs.head, totAggs.tail: _*)
+    val wOff = Window.partitionBy(col(grp)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select(Seq(col("__pid"), col(grp)) ++
+      vals.map(c => coalesce(sum(col(s"__tot$c")).over(wOff), lit(0L))
+        .as(s"__off$c")): _*)
+    val wRun = Window.partitionBy(col("__pid"), col(grp)).orderBy(col(ord))
+    val withRuns = vals.foldLeft(ranged) { (d, c) =>
+      d.withColumn(s"__run$c", sum(col(c)).over(wRun))
+    }
+    val joined = withRuns.join(broadcast(offsets), Seq("__pid", grp))
+    val withOuts = values.zip(vals).foldLeft(joined) {
+      case (d, ((_, out), c)) =>
+        d.withColumn(out, col(s"__run$c") + col(s"__off$c"))
+    }
+    vals.foldLeft(withOuts.drop("__pid")) { (d, c) =>
+      d.drop(c, s"__run$c", s"__off$c")
+    }
+  }
+
   /** Exact global rank (1..N) of every row under the lexicographic order of
     * `ord` — the scale-safe replacement for `row_number() over (order by
     * ...)`, whose empty-partition window funnels the WHOLE dataset through

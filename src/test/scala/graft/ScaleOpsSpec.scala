@@ -386,6 +386,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("groupedRunningSums (multi-column) equals N chained single calls") {
+    // same skewed fixture: the one-pass variant must agree per column
+    // with the chained single-column version on every row
+    val rows = (0L until 3000L).map(i => ("g0", i, i % 7 + 1, i % 5)) ++
+      (0L until 40L).map(i => ("g1", i, i + 1, i)) ++
+      Seq(("g2", 0L, 100L, 9L))
+    val df = rows.toDF("grp", "ord", "v", "u")
+    val got = graft.ops.PrefixSum.groupedRunningSums(df, "grp", "ord",
+        Seq(($"v", "cv"), ($"u", "cu"), ($"v" * $"u", "cvu")),
+        numPartitions = 8)
+      .select($"grp", $"ord", $"cv", $"cu", $"cvu")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val one = graft.ops.PrefixSum.groupedRunningSum(df, "grp", "ord",
+      $"v", "cv", numPartitions = 8)
+    val two = graft.ops.PrefixSum.groupedRunningSum(one, "grp", "ord",
+      $"u", "cu", numPartitions = 8)
+    val three = graft.ops.PrefixSum.groupedRunningSum(two, "grp", "ord",
+      $"v" * $"u", "cvu", numPartitions = 8)
+    val expected = three.select($"grp", $"ord", $"cv", $"cu", $"cvu")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS default.bkt_orders")
     spark.sql("DROP TABLE IF EXISTS default.bkt_lineitem")
