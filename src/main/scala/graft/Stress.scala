@@ -239,12 +239,12 @@ object Stress {
         threshold = 0.9, sigBits = sb, nTables = 12).count()
     }
     // SemDeDup path: k-means assignment is a broadcast argmin; the
-    // within-cell pair check is quadratic in CELL population, so centroids
-    // are sized to keep expected cells ~2k rows
+    // within-cell pair check is quadratic in CELL population — the
+    // default auto-sizing (suggestedCells: cells ~ corpus/2000) keeps
+    // expected cells ~2k rows with no manual tuning
     time("semantic_dedup") {
-      val cells = math.max(16, (nVecs / 2000).toInt)
       graft.llm.Dedup.semanticDedup(evecs, "embedding", "vec_id",
-        threshold = 0.9, nCentroids = cells, kmeansIters = 2).count()
+        threshold = 0.9, kmeansIters = 2).count()
     }
     // persisted IVF index: build once (train + partitioned write), then
     // serve a 1k-query batch — serving must read only probed cell dirs

@@ -596,6 +596,19 @@ object Dedup {
     math.min(24, math.max(8, math.ceil(math.log(buckets) / math.log(2)).toInt))
   }
 
+  /** k-means cell count sized so expected cell population stays near
+    * `targetCellSize`: [[semanticDedup]]'s within-cell verification is
+    * quadratic in cell population, so a FIXED cell count goes quadratic
+    * the moment the corpus outgrows it — the bench-derived rule is
+    * cells ~ corpus/2000 (200k vectors: 27.3 s at 16 cells vs ~4 s at
+    * 100). Floor of 16 keeps tiny corpora from degenerating to one cell;
+    * no ceiling — centroid training caps its own sample and assignment
+    * is a broadcast argmin, so large cell counts stay cheap.
+    */
+  def suggestedCells(corpusSize: Long, targetCellSize: Int = 2000): Int =
+    math.max(16, math.ceil(corpusSize.toDouble /
+      math.max(1, targetCellSize)).toInt)
+
   /** RefinedWeb-style line-level deduplication: a line is boilerplate when
     * its exact content occurs in >= `minDocs` DISTINCT documents (headers,
     * footers, nav chrome); boilerplate lines are removed from every document
@@ -659,13 +672,21 @@ object Dedup {
     * per-id aggregate); the cell self-join ships each normalized vector once
     * to its cell's reducers, and the per-cell pair work is quadratic in cell
     * population — size `nCentroids` ~ corpus/targetCellSize so cells stay
-    * small, exactly how SemDeDup bounds its O(n^2).
+    * small, exactly how SemDeDup bounds its O(n^2). `nCentroids = 0`
+    * (the default) auto-sizes via [[suggestedCells]] from one corpus
+    * count — a fixed cell count goes quadratic the moment the corpus
+    * outgrows it (measured: 200k vectors at nCentroids=16 cost 27 s vs
+    * ~4 s at the suggested 100), the same failure mode
+    * [[suggestedSigBits]] closes for LSH buckets.
     */
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
-                    threshold: Double, nCentroids: Int = 16,
+                    threshold: Double, nCentroids: Int = 0,
                     kmeansIters: Int = 3): DataFrame = {
+    require(nCentroids >= 0, "nCentroids must be >= 0 (0 = auto-size)")
+    val cells =
+      if (nCentroids > 0) nCentroids else suggestedCells(df.count())
     val centroids = Similarity.trainSphericalKMeans(df, vecCol, idCol,
-      nCentroids, kmeansIters)
+      cells, kmeansIters)
     val assigned = Similarity.assignCells(df, vecCol, idCol, centroids)
       .select(col("__id"), col("cell"), VF.l2Normalize(col("__v")).as("__nv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -104,21 +104,33 @@ object Graph {
     * Labels are MONOTONE (assigned once, never revised), so each round
     * only touches the frontier: one join of edges against the labeled set,
     * one partial/final (node, label) count, one per-node argmax — all
-    * shuffles on the 8-byte node id. Plan checkpointed per round.
-    * Returns (id, label, round) where round 0 = seed.
+    * shuffles on the 8-byte node id. Plan checkpointed per round;
+    * `reliableCheckpoints = true` stores the symmetrized edge set and the
+    * per-round label state via fault-tolerant `DataFrame.checkpoint`
+    * (requires `sparkContext.setCheckpointDir`), matching
+    * [[Dedup.connectedComponents]] and [[pageRank]] for executor-loss
+    * survival on a real cluster. Returns (id, label, round) where
+    * round 0 = seed.
     */
   def labelPropagate(pairs: DataFrame, seeds: DataFrame,
-                     nIter: Int = 2): DataFrame = {
+                     nIter: Int = 2,
+                     reliableCheckpoints: Boolean = false): DataFrame = {
     require(nIter >= 1)
+    if (reliableCheckpoints)
+      require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliableCheckpoints requires sparkContext.setCheckpointDir on a " +
+          "fault-tolerant FS; without it an executor loss mid-run " +
+          "loses localCheckpoint blocks and fails the job")
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliableCheckpoints) df.checkpoint(true) else df.localCheckpoint(true)
     val a = pairs.columns(0)
     val b = pairs.columns(1)
-    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+    val edges = ckpt(pairs.select(col(a).as("src"), col(b).as("dst"))
       .union(pairs.select(col(b).as("src"), col(a).as("dst")))
-      .distinct().localCheckpoint(true)
-    var labels = seeds
+      .distinct())
+    var labels = ckpt(seeds
       .select(col(seeds.columns(0)).as("id"),
-        col(seeds.columns(1)).as("label"), lit(0L).as("round"))
-      .localCheckpoint(true)
+        col(seeds.columns(1)).as("label"), lit(0L).as("round")))
     for (r <- 1 to nIter) {
       val votes = edges
         .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
@@ -131,7 +143,7 @@ object Graph {
             .orderBy(col("__c").desc, col("label"))))
         .filter(col("__rn") === 1)
         .select(col("id"), col("label"), lit(r.toLong).as("round"))
-      labels = labels.union(won).localCheckpoint(true)
+      labels = ckpt(labels.union(won))
     }
     labels
   }

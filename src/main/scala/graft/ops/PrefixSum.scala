@@ -21,6 +21,17 @@ import org.apache.spark.sql.functions._
   *
   * Two extra tiny shuffles buy an even per-task bound — the classic
   * two-phase scan/prefix-sum decomposition.
+  *
+  * The ranged intermediate is materialized with `localCheckpoint(true)`,
+  * not `persist`: partition ids must be IDENTICAL between the totals
+  * read and the final window read (a re-sampled range repartition could
+  * silently renumber them), and an eager checkpoint pins them while its
+  * blocks are cleaned by the ContextCleaner as soon as the result
+  * DataFrame goes unreachable — a `persist` here is registered with the
+  * CacheManager and never freed without an explicit unpersist, which
+  * across a 600-query sweep accumulates until LRU eviction. Trade-off:
+  * a lost executor fails the job loudly (retry) instead of recomputing —
+  * fail-loud beats a silent pid renumbering.
   */
 object PrefixSum {
 
@@ -37,7 +48,7 @@ object PrefixSum {
       .withColumn("__val", value.cast("long"))
       .repartitionByRange(p, col(grp), col(ord))
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val totals = ranged.groupBy(col("__pid"), col(grp))
       .agg(sum(col("__val")).as("__tot"))
     // offset for (pid, grp) = sum of the SAME group's totals in earlier
@@ -76,7 +87,7 @@ object PrefixSum {
     val ranged = pre
       .repartitionByRange(p, col(grp), col(ord))
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val totAggs = vals.map(c => sum(col(c)).as(s"__tot$c"))
     val totals = ranged.groupBy(col("__pid"), col(grp))
       .agg(totAggs.head, totAggs.tail: _*)
@@ -116,7 +127,7 @@ object PrefixSum {
     val ranged = df
       .repartitionByRange(p, ord: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // <= p rows: the per-partition counts and their running offsets
     val wOff = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)

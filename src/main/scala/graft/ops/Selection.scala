@@ -10,44 +10,149 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * submodular-selection step behind "choose a diverse subset to
   * annotate/train on" pipelines.
   *
-  * Shape: per round one anti-join of the item table against the covered
-  * set (shuffle on the item key) + a partial/final count per doc + a
-  * TakeOrdered(1) for the argmax (never a full sort); the covered set
-  * grows by union and is checkpointed per round so the plan stays flat,
-  * exactly like connectedComponents. The winner is a 1-row driver
-  * collect (bounded). k jobs total. For large k, CELF/lazy-greedy
-  * (priority-queue re-evaluation) cuts most rounds' work — named here as
-  * the follow-on optimization; round count, not corpus size, is what it
-  * improves.
+  * Shape: CELF / lazy-greedy. Submodularity means a document's marginal
+  * gain only DECREASES as the covered set grows, so the gain computed in
+  * an earlier round is a valid UPPER BOUND now. We keep a `bounds`
+  * table (one ~16-byte row per doc: id, stale upper bound); each round
+  * pulls the top B+1 candidates by bound (TakeOrdered, a bounded driver
+  * collect), fresh-evaluates ONLY the stale ones among the top B — an
+  * anti-join over those B docs' items against the covered set, never the
+  * full corpus — and accepts the best evaluated gain the moment it
+  * strictly beats the (B+1)-th candidate's bound: nothing outside the
+  * batch can reach it (true gain <= bound <= nextUb < winner), and on
+  * equality it widens the batch, so equal-gain ties still resolve to the
+  * globally smallest id exactly as an eager greedy would. Fresh gains
+  * accumulate in a driver-side map during the round (<= batch sizes) and
+  * fold into `bounds` in ONE broadcast-join rewrite at round end — the
+  * eager full-corpus aggregate survives only as round 1's bound seed.
+  * The item table is hash-clustered and sorted by doc id before caching,
+  * so the per-round candidate filter prunes in-memory batches instead of
+  * scanning the corpus, and the seed aggregate needs no shuffle.
+  * `covered` and `bounds` are checkpointed per round so the plan stays
+  * flat, exactly like connectedComponents; `reliableCheckpoints = true`
+  * swaps in fault-tolerant `DataFrame.checkpoint` for executor-loss
+  * survival on a real cluster (requires `sparkContext.setCheckpointDir`).
   */
 object Selection {
 
   /** Greedy max-cover over `items` (first column: doc id, second: item);
     * duplicates are fine — coverage counts distinct items. Ties break on
     * the smaller id. Returns (round, id, gain) for the k picks, stopping
-    * early when everything is covered.
+    * early when everything is covered. Results are IDENTICAL to the
+    * eager greedy (same picks, same gains, same tie-breaks) — CELF only
+    * changes how much work each round does.
     */
-  def greedyMaxCover(items: DataFrame, k: Int): DataFrame = {
+  def greedyMaxCover(items: DataFrame, k: Int,
+                     celfBatch: Int = 64,
+                     reliableCheckpoints: Boolean = false): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    require(celfBatch >= 1, "celfBatch must be >= 1")
     val spark = items.sparkSession
+    if (reliableCheckpoints)
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        "reliableCheckpoints requires sparkContext.setCheckpointDir on a " +
+          "fault-tolerant FS; without it an executor loss mid-run " +
+          "loses localCheckpoint blocks and fails the job")
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliableCheckpoints) df.checkpoint(true) else df.localCheckpoint(true)
+    // hash-cluster + sort by id: the per-round `id IN (batch)` filter
+    // prunes cached batches by min/max stats, and both the (id, item)
+    // dedup and the groupBy(id) seed run shuffle-free on the id-hash
+    // layout (partitioning by id already co-locates every (id, item))
     val it = items
       .select(col(items.columns(0)).as("id"), col(items.columns(1)).as("item"))
-      .distinct().persist()
+      .repartition(col("id"))
+      .dropDuplicates(Seq("id", "item"))
+      .sortWithinPartitions(col("id"))
+      .persist()
+    val idType = it.schema("id").dataType
+    // Round-1 gains against an empty covered set ARE the exact gains.
+    var bounds = ckpt(it.groupBy(col("id")).agg(count(lit(1)).as("ub")))
     var covered = it.select(col("item")).limit(0).localCheckpoint(true)
     val picks = scala.collection.mutable.ArrayBuffer.empty[Row]
     var round = 1
+    // id -> exact gain vs the CURRENT covered set; reset each round
+    val freshGain = scala.collection.mutable.HashMap.empty[Any, Long]
+    var round1 = true
+    // widening cap: past this the round falls back to one fully
+    // distributed eager evaluation (TakeOrdered(1)), so a massively
+    // tied corpus can never grow the driver collect unboundedly
+    val maxBatch = math.max(celfBatch, 65536)
+    def minId(a: Any, b: Any): Any =
+      if (a.asInstanceOf[Comparable[Any]].compareTo(b) <= 0) a else b
     while (round <= k) {
-      val gains = it.join(covered, Seq("item"), "left_anti")
-        .groupBy(col("id")).agg(count(lit(1)).as("gain"))
-      val win = gains.orderBy(col("gain").desc, col("id")).limit(1).collect()
-      if (win.isEmpty) round = k + 1 // all items covered: stop early
-      else {
-        val (winId, winGain) = (win.head.get(0), win.head.getLong(1))
-        picks += Row(round.toLong, winId, winGain)
-        covered = covered
-          .union(it.filter(col("id") === lit(winId)).select(col("item")))
-          .localCheckpoint(true)
-        round += 1
+      freshGain.clear()
+      var win: Option[(Any, Long)] = None
+      var stop = false
+      var b = celfBatch
+      while (win.isEmpty && !stop) {
+        if (round1 || b > maxBatch) {
+          // Round 1's seed bounds are already exact gains, so the heap
+          // head wins outright; past the widening cap, one distributed
+          // eager round (full anti-join + TakeOrdered(1)) decides.
+          val src =
+            if (round1) bounds
+            else it.join(covered, Seq("item"), "left_anti")
+              .groupBy(col("id")).agg(count(lit(1)).as("ub"))
+          val head = src.orderBy(col("ub").desc, col("id")).limit(1).collect()
+          if (head.isEmpty || head.head.getLong(1) == 0L) stop = true
+          else {
+            win = Some((head.head.get(0), head.head.getLong(1)))
+            freshGain(head.head.get(0)) = head.head.getLong(1)
+          }
+        } else {
+          // Stale ordering is stable across widening (bounds unchanged
+          // within a round), so every previously evaluated candidate
+          // stays inside the growing top-B prefix.
+          val top = bounds.orderBy(col("ub").desc, col("id")).limit(b + 1)
+            .collect()
+          if (top.isEmpty) stop = true
+          else {
+            val batch = top.take(b)
+            val nextUb = if (top.length > b) top(b).getLong(1) else -1L
+            val staleIds = batch.map(_.get(0))
+              .filterNot(freshGain.contains).toSeq
+            if (staleIds.nonEmpty) {
+              // One bounded job: the stale candidates' items anti-joined
+              // against covered; ids absent from the aggregate have every
+              // item covered (gain 0).
+              val gains = it.filter(col("id").isin(staleIds: _*))
+                .join(covered, Seq("item"), "left_anti")
+                .groupBy(col("id")).agg(count(lit(1)).as("gain"))
+                .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+              staleIds.foreach(i => freshGain(i) = gains.getOrElse(i, 0L))
+            }
+            // winner among the batch by exact gain; ties break on the
+            // globally smallest id (NOT batch order — a higher-bound
+            // candidate whose gain fell to the tie value may carry a
+            // larger id than a lower-bound tied one)
+            val bestGain = batch.iterator.map(r => freshGain(r.get(0))).max
+            val bestId = batch.iterator.filter(r =>
+              freshGain(r.get(0)) == bestGain).map(_.get(0)).reduce(minId)
+            if (bestGain == 0L && nextUb <= 0L) stop = true
+            else if (bestGain > nextUb) win = Some((bestId, bestGain))
+            else b = b * 4 // an outside candidate could still win
+          }
+        }
+      }
+      win match {
+        case None => round = k + 1 // all items covered: stop early
+        case Some((winId, winGain)) =>
+          picks += Row(round.toLong, winId, winGain)
+          covered = ckpt(covered
+            .union(it.filter(col("id") === lit(winId)).select(col("item"))))
+          // fold this round's exact gains back as the next round's (still
+          // valid, tighter) bounds — one broadcast-join rewrite
+          val freshDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              freshGain.toSeq.map { case (i, g) => Row(i, g) }, 1),
+            StructType(Seq(StructField("id", idType, nullable = true),
+              StructField("__g", LongType, nullable = false))))
+          bounds = ckpt(bounds.filter(col("id") =!= lit(winId))
+            .join(broadcast(freshDf), Seq("id"), "left")
+            .select(col("id"), coalesce(col("__g"), col("ub")).as("ub")))
+          round += 1
+          round1 = false
       }
     }
     it.unpersist()
@@ -81,7 +186,10 @@ object Selection {
     val ranged = pts
       .repartitionByRange(p, col("x").desc, col("y").desc)
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager localCheckpoint, not persist: pins partition ids between the
+      // offsets read and the final scan, and its blocks are context-cleaned
+      // once the result is unreachable (see [[PrefixSum]]'s rationale)
+      .localCheckpoint(true)
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid")).orderBy(col("x").desc, col("y").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

@@ -341,6 +341,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val cells = Dedup.semanticDedup(corpus, "embedding", "vec_id",
       threshold = 0.95, nCentroids = 4, kmeansIters = 3)
     assert(cells.columns.toSeq == Seq("vec_id", "cell"))
+    // auto-sized default (nCentroids = 0 -> suggestedCells) still never
+    // drops a row the exact baseline keeps
+    val keptAuto = Dedup.semanticDedup(corpus, "embedding", "vec_id",
+        threshold = 0.95, kmeansIters = 3)
+      .select("vec_id").as[Long].collect().toSet
+    val autoDropped = corpus.select("vec_id").as[Long].collect().toSet -- keptAuto
+    assert(autoDropped.subsetOf(exactDropped),
+      "auto-sized semanticDedup dropped a row the exact baseline keeps")
+  }
+
+  test("suggestedCells tracks corpus/targetCellSize with a floor of 16") {
+    assert(Dedup.suggestedCells(0L) == 16)
+    assert(Dedup.suggestedCells(30000L) == 16)      // 15 cells -> floor
+    assert(Dedup.suggestedCells(200000L) == 100)    // the bench-derived rule
+    assert(Dedup.suggestedCells(1000000L) == 500)
+    assert(Dedup.suggestedCells(10000L, targetCellSize = 100) == 100)
   }
 
   test("dedupLines strips lines shared by >= minDocs docs, keeps order") {

@@ -70,6 +70,25 @@ class GraphSpec extends AnyFunSuite {
     assert(out(1L)._2 == 0L && out(3L) == (("b", 0L)))
   }
 
+  test("labelPropagate reliableCheckpoints: requires a checkpoint dir, then matches") {
+    val pairs = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 5L), (2L, 6L), (3L, 6L))
+      .toDF("idA", "idB")
+    val seeds = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "label")
+    intercept[IllegalArgumentException] {
+      spark.sparkContext.setCheckpointDir(null)
+      Graph.labelPropagate(pairs, seeds, nIter = 2, reliableCheckpoints = true)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-lp-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val out = Graph.labelPropagate(pairs, seeds, nIter = 2,
+          reliableCheckpoints = true)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(out(4L) == (("a", 1L)) && out(5L) == (("a", 2L)) &&
+        out(6L) == (("a", 1L)))
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("hits: star concentrates authority on the hub-pointed center, cycle is uniform") {
     def hitsMap(edges: Seq[(Long, Long)]) =
       Graph.hits(edges.toDF("src", "dst"), nIter = 3)

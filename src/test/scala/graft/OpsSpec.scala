@@ -144,12 +144,17 @@ class OpsSpec extends AnyFunSuite {
     // the point of the operator: the full-data row_number window is keyed
     // by the range-partition id (per-task bound = partition size), never a
     // global single-partition window — only the <= p offset rows may pass
-    // through one task
+    // through one task. The range exchange itself runs inside the eager
+    // localCheckpoint (the visible plan starts at Scan ExistingRDD), so
+    // assert the checkpoint boundary plus the __pid-keyed window and the
+    // absence of any single-partition funnel of the data rows.
     val plan = PrefixSum.globalRank(df, ord, "pos")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("rangepartitioning"), "range exchange missing")
+    assert(plan.contains("Scan ExistingRDD"), "checkpoint boundary missing")
     assert(plan.contains("row_number() windowspecdefinition(__pid"),
       "row_number window not keyed by partition id:\n" + plan)
+    assert(!plan.contains("windowspecdefinition(" + ord.mkString(", ")),
+      "data rows funneled through a global window:\n" + plan)
   }
 
   test("stripMarkup: script/style/comments dropped, tags stripped, entities decoded") {

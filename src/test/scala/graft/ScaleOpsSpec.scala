@@ -407,6 +407,17 @@ class ScaleOpsSpec extends AnyFunSuite {
     val expected = three.select($"grp", $"ord", $"cv", $"cu", $"cvu")
       .as[(String, Long, Long, Long, Long)].collect().toSet
     assert(got == expected)
+    // independent oracle: a plain Scala sorted scan of the fixture (no
+    // shared offset/range-partition code), so a bug common to the single-
+    // and multi-column engine paths can't pass both sides unnoticed
+    val indep = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      var (cv, cu, cvu) = (0L, 0L, 0L)
+      rs.sortBy(_._2).map { case (_, ord, v, u) =>
+        cv += v; cu += u; cvu += v * u
+        (g, ord, cv, cu, cvu)
+      }
+    }.toSet
+    assert(got == indep)
   }
 
   test("bucketed tables join without a shuffle exchange") {

@@ -34,6 +34,52 @@ class SelectionSpec extends AnyFunSuite {
     assert(first.getString(1) == "x")
   }
 
+  test("CELF lazy-greedy matches a driver-side eager greedy exactly (picks, gains, ties)") {
+    // 40 docs over a 300-item universe with overlapping coverage and
+    // planted exact ties; small celfBatch forces multiple freshen
+    // iterations per round so the lazy path is actually exercised.
+    val rows = (0 until 40).flatMap { d =>
+      val n = 3 + (d * 7) % 13
+      (0 until n).map(i => (s"d${"%02d".format(d)}", (d * 11 + i * 5) % 300))
+    }
+    val got = Selection.greedyMaxCover(rows.toDF("id", "item"), 8, celfBatch = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // reference: driver-side eager greedy with identical tie-break
+    val sets = rows.groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+    var covered = Set.empty[Int]
+    val want = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var r = 1
+    var go = true
+    while (r <= 8 && go) {
+      val gains = sets.view.mapValues(s => (s -- covered).size).toMap
+      val best = gains.filter(_._2 > 0)
+      if (best.isEmpty) go = false
+      else {
+        val (id, g) = best.toSeq.sortBy(x => (-x._2, x._1)).head
+        want += ((r.toLong, id, g.toLong))
+        covered ++= sets(id)
+        r += 1
+      }
+    }
+    assert(got == want.toSeq)
+  }
+
+  test("greedyMaxCover reliableCheckpoints: requires a checkpoint dir, then matches") {
+    val items = Seq(("A", 1), ("A", 2), ("B", 2), ("B", 3), ("C", 4)).toDF("id", "item")
+    intercept[IllegalArgumentException] {
+      spark.sparkContext.setCheckpointDir(null)
+      Selection.greedyMaxCover(items, 2, reliableCheckpoints = true)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-sel-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val picks = Selection.greedyMaxCover(items, 3, celfBatch = 1,
+          reliableCheckpoints = true)
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+      assert(picks == Seq(("A", 2L), ("B", 1L), ("C", 1L)))
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("paretoFrontier2d: staircase kept, dominated dropped, duplicates counted") {
     val rows = Seq(
       (1L, 1.0, 5L), (2L, 2.0, 4L), (3L, 3.0, 3L), // the frontier staircase
