@@ -492,16 +492,24 @@ private[graft] object QueriesAnalytics1 {
       // REAL audio decode through the multimodal seam: planted RIFF/WAVE
       // PCM tones (pure-JDK synth + parse — the audio twin of the q31/q117
       // ImageIO path) decoded back to rate/duration/RMS and checked
-      // against the planted truth; non-audio payloads take the flagged
-      // deterministic fallback. Output = invariant metric row.
+      // against the planted truth; every third tone is transcoded to
+      // AIFF or AU so the javax.sound.sampled arm is exercised on the
+      // same planted truth (identical 16-bit samples -> identical RMS);
+      // non-audio payloads take the flagged deterministic fallback.
+      // Output = invariant metric row.
       import s.implicits._
       val amps = Seq(0.25, 0.5, 0.9)
       val rates = Seq(8000, 16000, 44100)
       val planted = (0 until 24).map { i =>
         val rate = rates(i % 3); val millis = 100 * (1 + i % 2)
         val amp = amps((i / 3) % 3)
-        (i.toLong, rate, millis, amp,
-          graft.llm.Multimodal.sineWav(rate, millis, 200.0 + 37 * i, amp))
+        val wav = graft.llm.Multimodal.sineWav(rate, millis, 200.0 + 37 * i, amp)
+        val payload = i % 3 match {
+          case 1 => graft.llm.Multimodal.transcodeWav(wav, "aiff")
+          case 2 => graft.llm.Multimodal.transcodeWav(wav, "au")
+          case _ => wav
+        }
+        (i.toLong, rate, millis, amp, payload)
       }
       val fakes = (24 until 30).map(i =>
         (i.toLong, 0, 0, 0.0, s"not audio payload $i".getBytes("UTF-8")))

@@ -225,6 +225,37 @@ object Multimodal {
       b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
 
+  /** True for FORM/AIFF (and AIFC) container signatures. */
+  def looksLikeAiff(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+      b(8) == 'A' && b(9) == 'I' && b(10) == 'F' &&
+      (b(11) == 'F' || b(11) == 'C')
+
+  /** True for Sun/NeXT AU (".snd" magic) payloads. */
+  def looksLikeAu(b: Array[Byte]): Boolean =
+    b.length >= 4 &&
+      b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd'
+
+  /** Transcode a WAV payload to another JDK-writable container (AIFF or
+    * AU) — the deterministic fixture generator for the non-RIFF decode
+    * arms; pure `javax.sound.sampled`, no external codec.
+    */
+  def transcodeWav(wav: Array[Byte], kind: String): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioSystem}
+    val tpe = kind match {
+      case "aiff" => AudioFileFormat.Type.AIFF
+      case "au"   => AudioFileFormat.Type.AU
+      case other  => throw new IllegalArgumentException(
+        s"unsupported transcode target: $other (aiff | au)")
+    }
+    val ais = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val bos = new java.io.ByteArrayOutputStream()
+    try AudioSystem.write(ais, tpe, bos) finally ais.close()
+    bos.toByteArray
+  }
+
   /** Synthesize a mono 16-bit PCM WAV sine tone — the deterministic
     * test-payload generator (the audio twin of the generated PNGs in
     * MultimodalSpec). Pure JDK; produces a fully standard RIFF container
@@ -256,7 +287,9 @@ object Multimodal {
     * plain JDK byte handling (the audio twin of [[decodeImage]]'s
     * ImageIO arm — format/rate/channels/duration from the fmt chunk, RMS
     * loudness from the 16-bit samples; no external audio libs needed for
-    * the PCM family). Non-WAV payloads get deterministic fake metadata
+    * the PCM family). AIFF/AIFC and Sun AU payloads decode through
+    * `javax.sound.sampled` (also pure JDK) to the same metadata and the
+    * same 16-bit RMS. Everything else gets deterministic fake metadata
     * from the payload hash with `isReal = false`, so the partition-batch
     * machinery is exercised on any fixture. An ffmpeg binding for
     * compressed codecs would replace only the fallback arm.
@@ -265,6 +298,8 @@ object Multimodal {
     var h = 1125899906842597L
     var i = 0
     while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    if (looksLikeAiff(bytes) || looksLikeAu(bytes))
+      return decodeViaSampledApi(bytes)
     if (!looksLikeWav(bytes))
       return AudioMeta(bytes.length.toLong, h.toInt.abs % 48000 + 8000, 1, 16,
         math.floorMod(h, 100000L), 0L, 0L, isReal = false)
@@ -302,6 +337,50 @@ object Multimodal {
     val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
     AudioMeta(bytes.length.toLong, rate, channels, bits, nFrames,
       nFrames * 1000 / rate, math.round(rms * 1000), isReal = true)
+  }
+
+  /** AIFF/AU arm of [[decodeAudio]]: `javax.sound.sampled` container
+    * parse, then a 16-bit signed PCM conversion so the RMS is computed
+    * over exactly the same normalized samples as the hand-rolled WAV
+    * arm (a 16-bit AIFF of the same tone yields the identical rmsMilli).
+    * Unparseable payloads fall through to `isReal = false`.
+    */
+  private def decodeViaSampledApi(bytes: Array[Byte]): AudioMeta = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val src = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = src.getFormat
+        val target = new AudioFormat(
+          f.getSampleRate, 16, f.getChannels, true, false)
+        val pcm = AudioSystem.getAudioInputStream(target, src)
+        try {
+          val data = pcm.readAllBytes()
+          val rate = math.round(f.getSampleRate)
+          val channels = f.getChannels
+          val bb = java.nio.ByteBuffer.wrap(data)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var sumSq = 0.0
+          var k = 0
+          while (k + 1 < data.length) {
+            val s = bb.getShort(k) / 32768.0
+            sumSq += s * s
+            k += 2
+          }
+          val nSamples = data.length / 2
+          val nFrames = nSamples.toLong / channels
+          val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
+          AudioMeta(bytes.length.toLong, rate, channels,
+            f.getSampleSizeInBits, nFrames,
+            if (rate > 0) nFrames * 1000 / rate else 0L,
+            math.round(rms * 1000), isReal = true)
+        } finally pcm.close()
+      } finally src.close()
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        AudioMeta(bytes.length.toLong, 0, 0, 0, 0L, 0L, 0L, isReal = false)
+    }
   }
 
   /** Decode audio payloads to typed metadata with per-partition batching —

@@ -142,6 +142,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeAudio(Array.emptyByteArray).isReal == false)
   }
 
+  test("AIFF and AU payloads decode for real and agree with the WAV arm") {
+    val wav = Multimodal.sineWav(16000, 250, 440.0, 0.5)
+    val ref = Multimodal.decodeAudio(wav)
+    for (kind <- Seq("aiff", "au")) {
+      val enc = Multimodal.transcodeWav(wav, kind)
+      assert(!Multimodal.looksLikeWav(enc))
+      if (kind == "aiff") assert(Multimodal.looksLikeAiff(enc))
+      else assert(Multimodal.looksLikeAu(enc))
+      val m = Multimodal.decodeAudio(enc)
+      assert(m.isReal, s"$kind not decoded for real")
+      assert(m.sampleRate == ref.sampleRate && m.channels == ref.channels &&
+        m.bitsPerSample == 16, s"$kind format mismatch: $m")
+      assert(m.nFrames == ref.nFrames && m.durationMs == ref.durationMs,
+        s"$kind frames mismatch: $m vs $ref")
+      // same 16-bit samples, container-only change -> identical RMS
+      assert(m.rmsMilli == ref.rmsMilli, s"$kind rms ${m.rmsMilli} vs ${ref.rmsMilli}")
+    }
+    // a FORM header with garbage body flags the fallback, never throws
+    val junk = "FORMxxxxAIFFgarbage-not-a-chunk".getBytes("US-ASCII")
+    assert(!Multimodal.decodeAudio(junk).isReal)
+  }
+
   test("decodeAudioMetaKeyed carries ids through the partition seam") {
     val rows = Seq(
       (1L, Multimodal.sineWav(8000, 100, 500.0, 0.9)),
