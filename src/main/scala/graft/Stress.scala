@@ -19,10 +19,20 @@ object Stress {
     // paying for the others
     val section = args.lift(2).getOrElse("all")
     val cpus   = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_RELIABLE=1 runs the iterative ops (connected components)
+    // through fault-tolerant DataFrame.checkpoint instead of
+    // localCheckpoint — the cluster-survival path, stress-timed so its
+    // overhead is a known number, not a guess
+    val reliable = sys.env.get("SPARK_GRAFT_RELIABLE").contains("1")
     val spark = GraftSession.builder(s"local[$cpus]", "graft-stress")
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (reliable) {
+      val ckDir = java.nio.file.Files.createTempDirectory("stress-ckpt")
+      spark.sparkContext.setCheckpointDir(ckDir.toString)
+      println(s"[stress] reliable checkpoints -> $ckDir")
+    }
 
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
@@ -150,10 +160,45 @@ object Stress {
           shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5,
           maxBucketSize = 200)
         .select(col("idA"), col("idB"))
-      val (labels, iters) = graft.llm.Dedup.connectedComponentsWithStats(pairs)
+      val (labels, iters) = graft.llm.Dedup.connectedComponentsWithStats(
+        pairs, reliableCheckpoints = reliable)
       val nLabels = labels.count()
-      println(s"[stress] cc converged in $iters rounds")
+      println(s"[stress] cc converged in $iters rounds" +
+        (if (reliable) " (reliable checkpoints)" else ""))
       nLabels
+    }
+    }
+
+    if (section == "docs" || section == "cover" || section == "all") {
+    // CELF round-cost probe over TRIGRAM items (q139's item definition —
+    // near-distinct per-doc gains, the shape real corpora have): k=1 is
+    // the seed aggregate alone; the (k10 - k1)/9 delta is the marginal
+    // per-pick cost, which must stay near-constant (top-B evaluation),
+    // NOT the seed's full-corpus aggregate re-run per round as the
+    // pre-CELF eager greedy did. The unigram variant (greedy_cover_ties)
+    // is the documented worst case: 200 near-identical replicas per doc
+    // make every round a corpus-wide tie plateau, where the exact min-id
+    // tie-break is inherently a full-table question for ANY algorithm —
+    // the targeted one-job tie-breaker answers it without climbing the
+    // widen ladder.
+    def coverItems(gramsOf: org.apache.spark.sql.Column) =
+      corpus.select(col("doc_id"), explode(gramsOf).as("item"))
+    val ctoks = graft.functions.TextFunctions.normTokens(col("text"))
+    val cgrams = when(size(ctoks) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(ctoks) - 3),
+        i => concat_ws(" ", element_at(ctoks, i + 1),
+          element_at(ctoks, i + 2), element_at(ctoks, i + 3))))
+    time("greedy_cover_seed_k1") {
+      graft.ops.Selection.greedyMaxCover(coverItems(cgrams), 1,
+        reliableCheckpoints = reliable).count()
+    }
+    time("greedy_cover_k10") {
+      graft.ops.Selection.greedyMaxCover(coverItems(cgrams), 10,
+        reliableCheckpoints = reliable).count()
+    }
+    time("greedy_cover_ties_k5") {
+      graft.ops.Selection.greedyMaxCover(coverItems(ctoks), 5,
+        reliableCheckpoints = reliable).count()
     }
     }
 

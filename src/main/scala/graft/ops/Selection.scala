@@ -131,7 +131,30 @@ object Selection {
               freshGain(r.get(0)) == bestGain).map(_.get(0)).reduce(minId)
             if (bestGain == 0L && nextUb <= 0L) stop = true
             else if (bestGain > nextUb) win = Some((bestId, bestGain))
-            else b = b * 4 // an outside candidate could still win
+            else if (bestGain == nextUb) {
+              // Tie plateau: outside candidates all have ub <= bestGain,
+              // so only one question is open — does some candidate with
+              // id < bestId and bound == bestGain reach EXACTLY bestGain?
+              // (It cannot exceed it.) One targeted job decides, instead
+              // of climbing the widen ladder through a plateau that in
+              // tie-heavy corpora (mass-duplicated docs) spans the whole
+              // table: its cost is bounded by the contenders' items, and
+              // batch members caught by the stale-bound filter re-evaluate
+              // to their known lower gains and drop out harmlessly.
+              val contenders = bounds.filter(
+                col("ub") === lit(bestGain) && col("id") < lit(bestId))
+                .select(col("id"))
+              val stealer = it.join(contenders, Seq("id"), "left_semi")
+                .join(covered, Seq("item"), "left_anti")
+                .groupBy(col("id")).agg(count(lit(1)).as("__g"))
+                .filter(col("__g") === lit(bestGain))
+                .agg(min(col("id")).as("__m")).collect()
+              val winId =
+                if (stealer.isEmpty || stealer.head.isNullAt(0)) bestId
+                else stealer.head.get(0)
+              freshGain(winId) = bestGain
+              win = Some((winId, bestGain))
+            } else b = b * 4 // an outside candidate could still win
           }
         }
       }
