@@ -74,9 +74,13 @@ def near_boundary_warnings(name: str, df: pd.DataFrame):
             warns.append(f"{name}.{c}: {near_zero.size} cell(s) within 1e-9 "
                          f"of zero (sign-flip risk, e.g. {near_zero[0]:.3e})")
         # values that are not stable under 9-decimal rounding carry
-        # summation-order noise in their low bits
-        unstable = finite[~np.isclose(finite, np.round(finite, 9),
-                                      rtol=0, atol=0)]
+        # summation-order noise in their low bits; only meaningful below
+        # ~1e6 magnitude (above that, v*1e9 exceeds double precision and
+        # np.round(v, 9) != v spuriously — large exact aggregates are not
+        # the flake class this audit hunts)
+        small = finite[np.abs(finite) < 1e6]
+        unstable = small[~np.isclose(small, np.round(small, 9),
+                                     rtol=0, atol=0)]
         if unstable.size:
             warns.append(f"{name}.{c}: {unstable.size} cell(s) carry >9 "
                          f"significant decimals (un-rounded float, "
