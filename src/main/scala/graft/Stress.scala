@@ -155,6 +155,9 @@ object Stress {
     // connected components over the FULL minhash pair graph — the step after
     // pair generation; per-round cost is one shuffle of 16-byte label rows,
     // rounds ~ log(cluster diameter)
+    }
+
+    if (section == "docs" || section == "cc" || section == "all") {
     time("connected_components") {
       val pairs = graft.llm.Dedup.minhashPairs(corpus, "text", "doc_id",
           shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5,

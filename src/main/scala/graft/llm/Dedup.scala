@@ -287,13 +287,14 @@ object Dedup {
       df.agg(sum(col("component").cast("decimal(38,0)")).as("s"))
         .head.getDecimal(0)
     var prevSum = labelSum(labels)
+    var curEdges = edges
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       // each node's candidate label = min(own, neighbors' labels): the
       // union + single groupBy replaces a neighbor-agg PLUS a left join
       // back to labels — one fewer shuffle of the full label set per round
-      val viaEdges = edges
+      val viaEdges = curEdges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("component"))
         .union(labels)
@@ -312,6 +313,24 @@ object Dedup {
       prevSum = newSum
       labels = next
       iter += 1
+      if (!converged) {
+        // EDGE CONTRACTION: rewrite surviving edges onto current component
+        // representatives and drop intra-component edges. Dup-cluster
+        // cliques (the dedup workload's shape) collapse to nothing after
+        // one round, so later rounds join a rapidly shrinking
+        // representative graph instead of all |E| rows every round —
+        // contraction preserves rep connectivity exactly (only self-loops
+        // are dropped), and non-representative nodes keep converging
+        // through the pointer-jump step, which reads the full label table.
+        curEdges = ckpt(curEdges
+          .join(labels.select(col("id").as("src"),
+            col("component").as("__ls")), Seq("src"))
+          .join(labels.select(col("id").as("dst"),
+            col("component").as("__ld")), Seq("dst"))
+          .select(col("__ls").as("src"), col("__ld").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct())
+      }
     }
     (labels, iter)
   }
