@@ -48,7 +48,7 @@ object PrefixSum {
       .withColumn("__val", value.cast("long"))
       .repartitionByRange(p, col(grp), col(ord))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val totals = ranged.groupBy(col("__pid"), col(grp))
       .agg(sum(col("__val")).as("__tot"))
     // offset for (pid, grp) = sum of the SAME group's totals in earlier
@@ -87,7 +87,7 @@ object PrefixSum {
     val ranged = pre
       .repartitionByRange(p, col(grp), col(ord))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val totAggs = vals.map(c => sum(col(c)).as(s"__tot$c"))
     val totals = ranged.groupBy(col("__pid"), col(grp))
       .agg(totAggs.head, totAggs.tail: _*)
@@ -127,7 +127,7 @@ object PrefixSum {
     val ranged = df
       .repartitionByRange(p, ord: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // <= p rows: the per-partition counts and their running offsets
     val wOff = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -209,10 +209,11 @@ object Selection {
     val ranged = pts
       .repartitionByRange(p, col("x").desc, col("y").desc)
       .withColumn("__pid", spark_partition_id())
-      // eager localCheckpoint, not persist: pins partition ids between the
-      // offsets read and the final scan, and its blocks are context-cleaned
-      // once the result is unreachable (see [[PrefixSum]]'s rationale)
-      .localCheckpoint(true)
+      // lazy localCheckpoint, not persist: pins partition ids between the
+      // offsets read and the final scan (both branches share one marked
+      // RDD), and its blocks are context-cleaned once the result is
+      // unreachable (see [[PrefixSum]]'s rationale)
+      .localCheckpoint(false)
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid")).orderBy(col("x").desc, col("y").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
