@@ -37,6 +37,9 @@ object VectorExpressions {
   def l2Normalize(vec: Column): Column =
     ColumnShim.column(L2Normalize(ColumnShim.expression(vec)))
 
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    ColumnShim.column(NearestCentroid(ColumnShim.expression(vec), centroids))
+
   def quantizeInt8(vec: Column): Column =
     ColumnShim.column(QuantizeInt8(ColumnShim.expression(vec)))
 
@@ -310,6 +313,60 @@ case class L2Normalize(child: Expression) extends UnaryExpression {
       s"graft.expressions.L2Normalize.compute($c, ${VectorExpressions.typeCode(elem)})")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Index of the max-dot centroid for a numeric vector — the k-means /
+  * IVF / SemDeDup assignment hot path as ONE codegen expression over a
+  * reference-object centroid matrix. Replaces the
+  * vector×centroid crossJoin + max(struct(dot, -cid)) formulation, whose
+  * shuffle carried the full vector in the aggregation buffer (~512 B ×
+  * corpus × nCentroids rows); this is a primitive loop inside
+  * whole-stage codegen, zero join, zero shuffle, and the matrix is a
+  * single JVM reference — not the per-element literal expression tree
+  * that blew up Catalyst analysis in round 3. Ties break to the smaller
+  * centroid id, exactly matching the struct-max it replaces
+  * (parity-tested in ExpressionsSpec). Empty matrix yields -1.
+  */
+case class NearestCentroid(child: Expression,
+                           centroids: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  private def elem = child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(v: Any): Any =
+    NearestCentroid.compute(v.asInstanceOf[ArrayData],
+      VectorExpressions.typeCode(elem), centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.NearestCentroid.compute($c, " +
+        s"${VectorExpressions.typeCode(elem)}, $m)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object NearestCentroid {
+  def compute(arr: ArrayData, tc: Int, cents: Array[Array[Double]]): Int = {
+    var best = -1
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      val n = math.min(arr.numElements(), cv.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += VectorExpressions.elemAt(arr, i, tc) * cv(i)
+        i += 1
+      }
+      if (s > bestDot) { bestDot = s; best = c }
+      c += 1
+    }
+    best
+  }
 }
 
 object L2Normalize {

@@ -37,6 +37,11 @@ object VectorFunctions {
   def l2Normalize(a: Column): Column =
     graft.expressions.VectorExpressions.l2Normalize(a)
 
+  /** Index of the max-dot centroid (ties -> smaller id); the zero-shuffle
+    * k-means/IVF assignment primitive. */
+  def nearestCentroid(a: Column, centroids: Array[Array[Double]]): Column =
+    graft.expressions.VectorExpressions.nearestCentroid(a, centroids)
+
   /** Symmetric int8 scalar quantization for embedding STORAGE: per-vector
     * scale = max|x|/127, codes = round(x/scale) in [-127, 127]. An
     * `array<float>` column (4 bytes/dim) shrinks to `array<tinyint>` + one

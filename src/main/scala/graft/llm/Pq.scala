@@ -79,12 +79,23 @@ object Pq {
     val d = corpus.select(size(col(vecCol))).head.getInt(0)
     require(d % m == 0, s"dim $d must divide into $m subspaces")
     val dsub = d / m
+    // repartition AFTER the TakeOrdered cap: limit() materializes the
+    // sample as ONE partition (see Similarity.trainSphericalKMeans)
+    val pcount = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val train = corpus
       .select(col(idCol).as("__tid"), col(vecCol).as("__tv"))
       .orderBy(xxhash64(col("__tid")), col("__tid"))
       .limit(MaxTrainRows)
-    val sub = subRows(train, "__tv", "__tid", m, dsub)
+      .repartition(pcount)
+    val sub0 = subRows(train, "__tv", "__tid", m, dsub)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // right-size loop parallelism to the actual (rows x m) sample — see
+    // Similarity.trainSphericalKMeans; coalesce reads cached partitions
+    val nSub = sub0.count()
+    val sub = {
+      val eff = math.max(1L, math.min(pcount.toLong, nSub / 8192)).toInt
+      if (eff < pcount) sub0.coalesce(eff) else sub0
+    }
 
     // seeds: the k hash-smallest rows PER SUBSPACE (same slice geometry
     // the codebook will quantize)
@@ -126,7 +137,7 @@ object Pq {
         }
       })
     }
-    sub.unpersist()
+    sub0.unpersist()
     cb
   }
 

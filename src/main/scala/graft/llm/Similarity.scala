@@ -150,26 +150,45 @@ object Similarity {
     // order), and seeding all cells inside one cluster is exactly the
     // degenerate case. limit() plans as TakeOrdered: per-partition top-k,
     // no global sort shuffle.
-    val train = normed.orderBy(xxhash64(col("__nid")), col("__nid"))
+    // repartition AFTER the TakeOrdered cap: limit() materializes the
+    // sample as ONE partition, and without the re-spread every training
+    // iteration's assignment + mean pass runs on a single core (measured
+    // as ~95% of semanticDedup's wall time at 200k vectors)
+    val p = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val trainOrdered = normed.orderBy(xxhash64(col("__nid")), col("__nid"))
+    val train = trainOrdered
       .limit(IvfMaxTrainRows)
+      .repartition(p)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    var centroids: Array[Array[Double]] = train
+    // seeds from the ORDERED stream, not the repartitioned sample (whose
+    // row order is arbitrary): the nCentroids hash-smallest rows, same
+    // deterministic choice as before the re-spread
+    var centroids: Array[Array[Double]] = trainOrdered
       .limit(nCentroids).select(col("__nv")).collect()
       .map(_.getSeq[Double](0).toArray)
 
+    // right-size loop parallelism to the ACTUAL sample: a tiny corpus at
+    // 32 tasks pays more scheduling than compute, a 100k sample on one
+    // task was the measured 10x train bottleneck. coalesce reads the
+    // cached partitions without another shuffle.
+    val nTrain = train.count()
+    val eff = math.max(1L, math.min(p.toLong, nTrain / 4096)).toInt
+    val trainLoop = if (eff < p) train.coalesce(eff) else train
+
     for (_ <- 1 to iters) {
-      // spherical k-means update: assign each training row to its argmax-dot
-      // cell (broadcast join + partial-aggregated struct-max), then per-cell
-      // mean via dim explode — the shuffle carries (cell, dim) partial sums,
-      // <= nCentroids x dim rows per partition after map-side combine.
-      val sums = train.crossJoin(centDf(corpus.sparkSession, centroids))
-        .select(col("__nid"),
-          struct(VF.dot(col("__nv"), col("cvec")).as("dot"),
-            (lit(0) - col("cid")).as("ncid"), col("__nv").as("v")).as("s"))
-        .groupBy(col("__nid")).agg(max(col("s")).as("m"))
-        .select((lit(0) - col("m.ncid")).as("cell"),
-          posexplode(col("m.v")).as(Seq("pos", "x")))
+      // spherical k-means update: per-row argmax-dot assignment is ONE
+      // codegen expression over the reference-object centroid matrix
+      // (NearestCentroid) — no vector x centroid join and no per-id
+      // shuffle at all; the only shuffle carries (cell, dim) partial
+      // sums, <= nCentroids x dim rows per partition after map-side
+      // combine. (The earlier crossJoin + max(struct(dot, -cid, vec))
+      // shuffled the full vector in the aggregation buffer: ~512 B x
+      // trainRows rows per iteration, measured as the dominant cost of
+      // semanticDedup once cells were auto-sized up.)
+      val sums = trainLoop
+        .select(VF.nearestCentroid(col("__nv"), centroids).as("cell"),
+          posexplode(col("__nv")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
         .collect()
@@ -188,23 +207,18 @@ object Similarity {
   }
 
   /** (__id, cell, __v): each row keyed to its argmax-dot centroid cell.
-    * Assignment is a broadcast join + partial-aggregated struct-max — the
-    * corpus never shuffles on anything but its own aggregate key. The struct
-    * orders by (dot, -cid): deterministic tie-break, smaller cid wins; the
-    * raw vector rides through the max un-compared because ncid is already
-    * unique per id.
+    * Assignment is one codegen NearestCentroid projection over the
+    * reference-object centroid matrix — zero joins, zero shuffles, the
+    * corpus is touched exactly once map-side. Ties break to the smaller
+    * centroid id (identical to the retired max(struct(dot, -cid))
+    * formulation; parity-pinned in ExpressionsSpec).
     */
   def assignCells(df: DataFrame, vecCol: String, idCol: String,
                   centroids: Array[Array[Double]]): DataFrame =
-    df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-        VF.l2Normalize(col(vecCol)).as("__nv"))
-      .crossJoin(centDf(df.sparkSession, centroids))
-      .select(col("__id"),
-        struct(VF.dot(col("__nv"), col("cvec")).as("dot"),
-          (lit(0) - col("cid")).as("ncid"), col("__v").as("v")).as("s"))
-      .groupBy(col("__id")).agg(max(col("s")).as("m"))
-      .select(col("__id"), (lit(0) - col("m.ncid")).as("cell"),
-        col("m.v").as("__v"))
+    df.select(col(idCol).as("__id"),
+      VF.nearestCentroid(VF.l2Normalize(col(vecCol)), centroids).as("cell"),
+      col(vecCol).as("__v"))
+      .select(col("__id"), col("cell"), col("__v"))
 
   /** Persisted IVF index: the corpus is written PARTITIONED BY its k-means
     * cell, plus a tiny centroid side table. Serving ([[queryIvfIndex]])

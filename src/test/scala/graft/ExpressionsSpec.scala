@@ -246,6 +246,52 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(!cg.startsWith("Found 0 WholeStageCodegen"), cg.take(200))
   }
 
+  test("NearestCentroid matches the crossJoin struct-max argmax, ties to smaller cid") {
+    import graft.functions.{VectorFunctions => VF}
+    val cents = Array(
+      Array(1.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0),
+      Array(0.0, 1.0, 0.0), // exact duplicate of cid 1: tie -> 1, never 2
+      Array(0.5, 0.5, 0.0))
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Array(math.sin(i * 0.7), math.cos(i * 1.3), (i % 7) / 7.0))
+    }
+    val df = rows.toDF("id", "v")
+    val got = df.select($"id", VF.nearestCentroid(VF.l2Normalize($"v"), cents).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    // independent reference: driver-side argmax with the same tie-break
+    val want = rows.map { case (id, v) =>
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      val nv = v.map(_ / nrm)
+      val dots = cents.map(c => c.zip(nv).map { case (a, b) => a * b }.sum)
+      id -> dots.indices.maxBy(i => (dots(i), -i))
+    }.toMap
+    assert(got == want)
+    // planted tie: a vector equal to the duplicated centroid direction
+    val tie = Seq((99L, Array(0.0, 5.0, 0.0))).toDF("id", "v")
+      .select(VF.nearestCentroid(VF.l2Normalize($"v"), cents).as("cell"))
+      .as[Int].head()
+    assert(tie == 1, s"tie must resolve to the smaller cid, got $tie")
+    // empty matrix -> -1, null vector -> null
+    val e = Seq((1L, Array(1.0))).toDF("id", "v")
+      .select(VF.nearestCentroid($"v", Array.empty[Array[Double]]).as("c"))
+      .as[Int].head()
+    assert(e == -1)
+  }
+
+  test("NearestCentroid participates in whole-stage codegen (no fallback)") {
+    import graft.functions.{VectorFunctions => VF}
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val plan = spark.range(8)
+      .select(VF.nearestCentroid(
+        array($"id".cast("double"), lit(1.0)), cents).as("c"))
+      .queryExecution.executedPlan
+    val cg = org.apache.spark.sql.execution.debug.codegenString(plan)
+    assert(cg.contains("NearestCentroid.compute"),
+      s"expected the static kernel call in generated code:\n${cg.take(800)}")
+    assert(!cg.startsWith("Found 0 WholeStageCodegen"), cg.take(200))
+  }
+
   test("JaroWinkler matches the independent DuckDB implementation on probe pairs") {
     // expectations computed with DuckDB jaro_winkler_similarity — the
     // external implementation the oracle uses; any drift in window /
