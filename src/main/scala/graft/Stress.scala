@@ -24,8 +24,12 @@ object Stress {
     // localCheckpoint — the cluster-survival path, stress-timed so its
     // overhead is a known number, not a guess
     val reliable = sys.env.get("SPARK_GRAFT_RELIABLE").contains("1")
+    // SPARK_GRAFT_SHUFFLE overrides shuffle partitions (default = cores):
+    // the 1M-vector probes need more, smaller reduce tasks so per-task
+    // sort buffers fit (32 tasks x wide candidate rows OOMed the spill)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = GraftSession.builder(s"local[$cpus]", "graft-stress")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (reliable) {
@@ -279,9 +283,13 @@ object Stress {
     rewarm = () => { evecs.persist(); evecs.count(); () }
     // sigBits MUST track corpus size (bucket occupancy is what the pair
     // join is quadratic in): the fixed sigBits=12 of earlier rounds went
-    // 69x superlinear at 200k vectors (occupancy ~49)
-    val sb = graft.llm.Dedup.suggestedSigBits(nVecs)
-    println(s"[stress] sigBits = $sb for $nVecs vectors")
+    // 69x superlinear at 200k vectors (occupancy ~49). EMPIRICAL
+    // calibration, not just the analytic rule: the replicated corpus is
+    // correlated, and at 1M vectors the analytic 17 bits measured median
+    // occupancy 17 (1.4e9 candidates, spilled past local disk) — the
+    // histogram probe widens until occupancy meets target.
+    val sb = graft.llm.Dedup.calibratedSigBits(evecs, "embedding")
+    println(s"[stress] calibrated sigBits = $sb for $nVecs vectors")
     time(s"embedding_pairs_lsh") {
       graft.llm.Dedup.embeddingPairs(evecs, "embedding", "vec_id",
         threshold = 0.9, sigBits = sb, nTables = 12).count()

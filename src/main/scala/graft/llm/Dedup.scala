@@ -615,6 +615,33 @@ object Dedup {
     math.min(24, math.max(8, math.ceil(math.log(buckets) / math.log(2)).toInt))
   }
 
+  /** Empirically calibrated sigBits: [[suggestedSigBits]] assumes hash
+    * buckets fill uniformly, but CORRELATED corpora (near-duplicate
+    * clusters, replicated shards) pack the same buckets well past the
+    * uniform prediction — measured on the 1M-vector stress corpus:
+    * median occupancy 17 at the analytic 17 bits (target 8), 1.4e9
+    * candidate pairs, shuffle spill past local disk. This probes ONE
+    * table's signature histogram at the analytic width and widens by
+    * log2(p50 / target) bits; pair volume drops ~4x per extra bit while
+    * OR-amplification across `nTables` recovers recall. One extra
+    * corpus pass (count + one signature aggregate) — noise next to the
+    * pair join it right-sizes.
+    */
+  def calibratedSigBits(df: DataFrame, vecCol: String,
+                        targetOccupancy: Int = 8): Int = {
+    val n = df.count()
+    val base = suggestedSigBits(n, targetOccupancy)
+    val p50 = df
+      .select(graft.functions.VectorFunctions
+        .hyperplaneSignature(col(vecCol), base, 0).as("sig"))
+      .groupBy(col("sig")).agg(count(lit(1)).as("c"))
+      .agg(expr("percentile(c, 0.5)")).head.getDouble(0)
+    val extra =
+      if (p50 <= targetOccupancy) 0
+      else math.ceil(math.log(p50 / targetOccupancy) / math.log(2)).toInt
+    math.min(24, base + extra)
+  }
+
   /** k-means cell count sized so expected cell population stays near
     * `targetCellSize`: [[semanticDedup]]'s within-cell verification is
     * quadratic in cell population, so a FIXED cell count goes quadratic
@@ -725,32 +752,39 @@ object Dedup {
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
                      threshold: Double = 0.95, sigBits: Int = 8,
                      nTables: Int = 8): DataFrame = {
-    // Candidate generation carries ONLY (table, signature, 8-byte id) — the
-    // vectors stay in a side table and are joined back per candidate pair
-    // AFTER dedup. Shipping d-dimensional vectors through the bucket join
-    // and dropDuplicates would multiply the dominant shuffle by ~100x.
-    val vecs = df.select(col(idCol).as("__id"),
-      VF.l2Normalize(col(vecCol)).as("__v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Verification happens INSIDE the bucket self-join: the normalized
+    // vector rides with its signature rows (one shuffle of
+    // n x nTables x ~(sig + vec) bytes), each same-bucket pair's cosine
+    // is computed in the join task, and only PASSING pairs — output-
+    // sized, 20-byte rows — reach the distinct. The earlier shape
+    // (id-only candidates, vectors joined back after dedup) shuffled the
+    // full vector once per CANDIDATE through two equi-joins; on a
+    // correlated corpus (near-dup clusters) candidates dwarf the corpus
+    // — measured at 1M stress vectors: 1.4e9 candidates x ~0.5 KB
+    // through the verify joins spilled past local disk, while this shape
+    // moves ~6 GB of signature rows and burns the re-computed cosines as
+    // cheap codegen CPU (a pair agreeing in k tables is verified k
+    // times; duplicates collapse in the final distinct). Sparse corpora
+    // pay one slightly wider signature shuffle and skip two vector
+    // joins + the candidate-id dedup at its widest.
     val sigged = df.select(col(idCol).as("__id"),
+      VF.l2Normalize(col(vecCol)).as("__v"),
       explode(array((0 until nTables).map { t =>
         struct(lit(t).as("tbl"),
           VF.hyperplaneSignature(col(vecCol), sigBits, t * sigBits).as("sig"))
       }: _*)).as("__s"))
-      .select(col("__id"), col("__s.tbl"), col("__s.sig"))
+      .select(col("__id"), col("__v"), col("__s.tbl"), col("__s.sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = sigged.select(col("tbl"), col("sig"), col("__id").as("idA"))
-    val r = sigged.select(col("tbl"), col("sig"), col("__id").as("idB"))
-    val cand = l.join(r, Seq("tbl", "sig"))
+    val l = sigged.select(col("tbl"), col("sig"),
+      col("__id").as("idA"), col("__v").as("vA"))
+    val r = sigged.select(col("tbl"), col("sig"),
+      col("__id").as("idB"), col("__v").as("vB"))
+    l.join(r, Seq("tbl", "sig"))
       .filter(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"))
-      .dropDuplicates("idA", "idB")
-    cand
-      .join(vecs.select(col("__id").as("idA"), col("__v").as("vA")), Seq("idA"))
-      .join(vecs.select(col("__id").as("idB"), col("__v").as("vB")), Seq("idB"))
       .withColumn("cosine", VF.dot(col("vA"), col("vB")))
       .filter(col("cosine") >= threshold)
       .select(col("idA"), col("idB"), col("cosine"))
+      .dropDuplicates("idA", "idB")
   }
 
   /** Leakage-safe dataset split: near-duplicate documents must land in the

@@ -351,6 +351,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "auto-sized semanticDedup dropped a row the exact baseline keeps")
   }
 
+  test("calibratedSigBits widens past the analytic rule on a correlated corpus") {
+    // 4000 vectors in 40 tight clusters of 100: the analytic rule sees
+    // n=4000 -> 9 bits (occupancy ~8 if uniform), but whole clusters
+    // share signatures, so measured occupancy is ~cluster-sized and the
+    // calibration must add bits
+    val rows = (0 until 4000).map { i =>
+      val c = i % 40
+      val base = Array.tabulate(16)(j => math.sin(c * 37.0 + j * 1.7))
+      (i.toLong, base.zipWithIndex.map { case (x, j) =>
+        x + 1e-4 * math.sin(i * 13.0 + j) })
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val analytic = Dedup.suggestedSigBits(4000)
+    val calibrated = Dedup.calibratedSigBits(df, "embedding")
+    assert(calibrated > analytic,
+      s"calibration must widen: analytic $analytic, calibrated $calibrated")
+    // an UNcorrelated corpus of the same size stays at (or near) analytic
+    val rnd = new scala.util.Random(7)
+    val uni = (0 until 4000).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian()))).toDF("vec_id", "embedding")
+    val uc = Dedup.calibratedSigBits(uni, "embedding")
+    assert(uc <= analytic + 1, s"uniform corpus over-widened: $uc vs $analytic")
+  }
+
   test("suggestedCells tracks corpus/targetCellSize with a floor of 16") {
     assert(Dedup.suggestedCells(0L) == 16)
     assert(Dedup.suggestedCells(30000L) == 16)      // 15 cells -> floor
