@@ -16,10 +16,19 @@ object GraftSession {
   def defaultShufflePartitions: Int =
     math.max(Runtime.getRuntime.availableProcessors(), 4)
 
+  /** Master actually used: an externally supplied one wins. spark-submit
+    * injects `--master` as the `spark.master` system property; honoring it
+    * here lets the same mains (Verify/Bench/Stress) run unchanged under
+    * cluster submission — the in-process `local[n]` argument is only the
+    * fallback for direct `sbt runMain` invocation.
+    */
+  def resolveMaster(fallback: String): String =
+    sys.props.getOrElse("spark.master", fallback)
+
   def builder(master: String = "local[*]", appName: String = "graft"): SparkSession.Builder =
     SparkSession
       .builder()
-      .master(master)
+      .master(resolveMaster(master))
       .appName(appName)
       .config("spark.sql.shuffle.partitions", defaultShufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")

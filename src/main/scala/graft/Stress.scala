@@ -106,16 +106,8 @@ object Stress {
         .agg(sum(length(col("clean_text")))).collect()
       n
     }
-    // symmetric-delete fuzzy join over short phrase keys (first 3 tokens):
-    // variants are near-unique, so candidate volume tracks true near-dup
-    // density, not corpus size squared
-    time("fuzzy_join_d1") {
-      val phrases = corpus.select(col("doc_id"),
-        array_join(slice(graft.functions.TextFunctions.normTokens(col("text")),
-          1, 3), " ").as("s"))
-      graft.ops.FuzzyJoin.editDistancePairs(phrases, "s", "doc_id",
-        maxDist = 1).count()
-    }
+    // fuzzy_join_d1 moved to the dedicated `fuzzy` section (paired with
+    // the d=2 blow-up probe there)
     // two-phase prefix sum over the replicated corpus: per-task work must
     // stay bounded by range-partition size even though one "language"
     // (replica class) holds 1/5 of all rows
@@ -159,6 +151,58 @@ object Stress {
     // connected components over the FULL minhash pair graph — the step after
     // pair generation; per-round cost is one shuffle of 16-byte label rows,
     // rounds ~ log(cluster diameter)
+    }
+
+    if (section == "fuzzy" || section == "all") {
+    // FastSS neighborhood blow-up probe: d=2 generates ~L^2/2 extra
+    // variants per string (the known symmetric-delete weakness) — the
+    // question is whether variant volume and the maxBucketSize cap keep
+    // the candidate join pair-bounded, or whether d=2 needs a tighter
+    // default cap. Keys are the same 3-token phrase prefixes as d=1.
+    val phrases = corpus.select(col("doc_id"),
+      array_join(slice(graft.functions.TextFunctions.normTokens(col("text")),
+        1, 3), " ").as("s")).persist()
+    phrases.count()
+    rewarm = () => { corpus.persist(); corpus.count()
+                     phrases.persist(); phrases.count(); () }
+    time("fuzzy_join_d1") {
+      graft.ops.FuzzyJoin.editDistancePairs(phrases, "s", "doc_id",
+        maxDist = 1).count()
+    }
+    time("fuzzy_join_d2") {
+      graft.ops.FuzzyJoin.editDistancePairs(phrases, "s", "doc_id",
+        maxDist = 2).count()
+    }
+    phrases.unpersist()
+    rewarm = () => { corpus.persist(); corpus.count(); () }
+    }
+
+    if (section == "search" || section == "all") {
+    // BM25 batch scaling through the PERSISTED term-sorted index: build
+    // once (corpus pass), then serve 10/100/1000-query batches — serving
+    // cost must track the batch's matched postings, not the corpus
+    // (pruned scan over the term-sorted files), so 100x queries must come
+    // in far under 100x time.
+    import spark.implicits._
+    val qtexts = Seq("spark window agg", "vector scan batch",
+      "customer stream query", "table filter sort", "key hash merge",
+      "join shuffle spill", "index probe cell", "token count ratio",
+      "schema merge insert", "range bucket prune")
+    def qBatch(nq: Int) = (1L to nq.toLong).map(i =>
+      (i, qtexts((i % qtexts.length).toInt) + " " +
+        qtexts(((i / qtexts.length) % qtexts.length).toInt)))
+      .toDF("query_id", "query_text")
+    val idxDir = java.nio.file.Files.createTempDirectory("stress-bm25").toString
+    time("bm25_index_build") {
+      graft.llm.Search.writeSearchIndex(corpus, "text", "doc_id", idxDir)
+      n
+    }
+    for (nq <- Seq(10, 100, 1000)) {
+      time(s"bm25_index_serve_${nq}q") {
+        graft.llm.Search.querySearchIndex(spark, idxDir, qBatch(nq), 10)
+          .count()
+      }
+    }
     }
 
     if (section == "docs" || section == "cc" || section == "all") {
@@ -357,6 +401,50 @@ object Stress {
     }
     }
 
+    if (section == "skew" || section == "all") {
+    // Planted-skew join bake-off: 50% of the fact rows on ONE key, the dim
+    // side forced off the broadcast path so the join genuinely shuffles.
+    // Three variants answer "when to salt, when AQE suffices" with
+    // numbers: (a) plain shuffle join, AQE skew splitting OFF — the naive
+    // baseline whose hot key lands on one task; (b) AQE skew splitting ON
+    // (the engine default); (c) explicit SkewJoin.saltedJoin with a
+    // per-row saltKey. Fixture is synthetic (spark.range) so the skew
+    // share and key count are exact, and scales with `factor`.
+    val nSkewRows = 200000L * factor
+    val skewLeft = spark.range(nSkewRows).select(
+      when(pmod(col("id"), lit(2)) === 0, lit(0L))
+        .otherwise(pmod(col("id"), lit(1000))).as("key"),
+      col("id").as("lid"),
+      (col("id") % 97).cast("double").as("value")).persist()
+    val skewRight = spark.range(1000).select(col("id").as("rkey"),
+      concat(lit("grp"), pmod(col("id"), lit(7))).as("grp")).persist()
+    skewLeft.count(); skewRight.count()
+    println(s"[stress] skew fixture: $nSkewRows fact rows, 50% on one key")
+    rewarm = () => { skewLeft.persist(); skewLeft.count()
+                     skewRight.persist(); skewRight.count(); () }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    time("skew_join_plain_noaqe") {
+      skewLeft.join(skewRight, col("key") === col("rkey"))
+        .groupBy(col("grp")).agg(sum(col("value"))).count()
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    time("skew_join_aqe_split") {
+      skewLeft.join(skewRight, col("key") === col("rkey"))
+        .groupBy(col("grp")).agg(sum(col("value"))).count()
+    }
+    time("skew_join_salted_f32") {
+      graft.ops.SkewJoin.saltedJoin(skewLeft, skewRight, "key", "rkey",
+        factor = 32, saltKey = Some("lid"))
+        .groupBy(col("grp")).agg(sum(col("value"))).count()
+    }
+    spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    skewLeft.unpersist(); skewRight.unpersist()
+    rewarm = () => { corpus.persist(); corpus.count(); () }
+    }
+
     if (section == "graph" || section == "all") {
     // transition graph replicated factor-ways: each replica shifts users
     // AND items into fresh id space, so nodes and edges both grow
@@ -381,10 +469,13 @@ object Stress {
     val nEdges = gedges.count()
     println(s"[stress] graph edges: $nEdges (${100 * factor} item nodes)")
     // each probe's clearCache() drops gedges too — re-warm THIS section's
-    // fixture, not the docs corpus, or every probe after the first pays
-    // the 20M-row crossJoin + per-user window rebuild inside its timing
-    // (measured: label_prop read 104 s in-section vs 4.9 s isolated)
-    rewarm = () => { gedges.persist(); gedges.count(); () }
+    // fixtures, or every probe after the first pays the 20M-row crossJoin
+    // + per-user window rebuild inside its timing (measured: label_prop
+    // read 104 s in-section vs 4.9 s isolated). corpus is re-warmed too:
+    // greedy_cover_k3 reads it, and the docs-section rewarm that used to
+    // keep it hot doesn't run when section == "graph".
+    rewarm = () => { gedges.persist(); gedges.count()
+                     corpus.persist(); corpus.count(); () }
     time("pagerank_5it") {
       graft.ops.Graph.pageRank(gedges, nIter = 5).count()
     }

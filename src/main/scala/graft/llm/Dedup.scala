@@ -631,6 +631,9 @@ object Dedup {
                         targetOccupancy: Int = 8): Int = {
     val n = df.count()
     val base = suggestedSigBits(n, targetOccupancy)
+    // empty corpus: the percentile aggregate below returns a null row —
+    // the analytic floor is the only answer there is
+    if (n == 0) return base
     val p50 = df
       .select(graft.functions.VectorFunctions
         .hyperplaneSignature(col(vecCol), base, 0).as("sig"))

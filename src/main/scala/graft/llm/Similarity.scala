@@ -212,6 +212,13 @@ object Similarity {
     * corpus is touched exactly once map-side. Ties break to the smaller
     * centroid id (identical to the retired max(struct(dot, -cid))
     * formulation; parity-pinned in ExpressionsSpec).
+    *
+    * Row-per-row contract: emits exactly one output row per INPUT row.
+    * Ids are not deduplicated (the retired groupBy formulation collapsed
+    * duplicate ids; this zero-shuffle projection intentionally does not) —
+    * callers whose id column may repeat should dropDuplicates upstream of
+    * [[buildIvfIndex]] / [[graft.llm.Dedup.semanticDedup]] if one row per
+    * id is required.
     */
   def assignCells(df: DataFrame, vecCol: String, idCol: String,
                   centroids: Array[Array[Double]]): DataFrame =

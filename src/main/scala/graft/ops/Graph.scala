@@ -160,10 +160,22 @@ object Graph {
     * rows, each half-round is one edge-vs-state equi-join on an 8-byte
     * node id plus a partial/final aggregate; the L2 norm folds into the
     * round as a broadcast 1-row cross join (no extra action), and the
-    * plan truncates per round via localCheckpoint. Returns (node, auth,
+    * plan truncates per round via localCheckpoint —
+    * `reliableCheckpoints = true` swaps in fault-tolerant
+    * `DataFrame.checkpoint` (requires `sparkContext.setCheckpointDir`),
+    * matching [[pageRank]] / [[labelPropagate]] for executor-loss
+    * survival on a real cluster. Returns (node, auth,
     * hub) — nodes with no in-edges carry auth 0, no out-edges hub 0.
     */
-  def hits(edges: DataFrame, nIter: Int = 3): DataFrame = {
+  def hits(edges: DataFrame, nIter: Int = 3,
+           reliableCheckpoints: Boolean = false): DataFrame = {
+    if (reliableCheckpoints)
+      require(edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliableCheckpoints requires sparkContext.setCheckpointDir on a " +
+          "fault-tolerant FS; without it an executor loss mid-run " +
+          "loses localCheckpoint blocks and fails the job")
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliableCheckpoints) df.checkpoint(true) else df.localCheckpoint(true)
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull).distinct()
       .persist()
@@ -179,14 +191,12 @@ object Graph {
     for (_ <- 1 to nIter) {
       val authRaw = e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("auth"))
-      auth = nodes.join(l2(authRaw, "auth"), Seq("node"), "left")
-        .select(col("node"), coalesce(col("auth"), lit(0.0)).as("auth"))
-        .localCheckpoint(true)
+      auth = ckpt(nodes.join(l2(authRaw, "auth"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("auth"), lit(0.0)).as("auth")))
       val hubRaw = e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hub"))
-      hub = nodes.join(l2(hubRaw, "hub"), Seq("node"), "left")
-        .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub"))
-        .localCheckpoint(true)
+      hub = ckpt(nodes.join(l2(hubRaw, "hub"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub")))
     }
     val out = auth.join(hub, Seq("node"))
     e.unpersist(); nodes.unpersist()

@@ -22,12 +22,14 @@ import org.apache.spark.sql.functions._
   * Two extra tiny shuffles buy an even per-task bound — the classic
   * two-phase scan/prefix-sum decomposition.
   *
-  * The ranged intermediate is materialized with `localCheckpoint(true)`,
+  * The ranged intermediate is marked with a LAZY `localCheckpoint(false)`,
   * not `persist`: partition ids must be IDENTICAL between the totals
   * read and the final window read (a re-sampled range repartition could
-  * silently renumber them), and an eager checkpoint pins them while its
-  * blocks are cleaned by the ContextCleaner as soon as the result
-  * DataFrame goes unreachable — a `persist` here is registered with the
+  * silently renumber them). Both reads share the one marked RDD — the
+  * first job to touch it materializes and truncates its lineage, pinning
+  * the pids for every later read, with no extra eager job up front — and
+  * its blocks are cleaned by the ContextCleaner as soon as the result
+  * DataFrame goes unreachable. A `persist` here is registered with the
   * CacheManager and never freed without an explicit unpersist, which
   * across a 600-query sweep accumulates until LRU eviction. Trade-off:
   * a lost executor fails the job loudly (retry) instead of recomputing —

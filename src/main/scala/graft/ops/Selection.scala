@@ -78,8 +78,20 @@ object Selection {
     // distributed eager evaluation (TakeOrdered(1)), so a massively
     // tied corpus can never grow the driver collect unboundedly
     val maxBatch = math.max(celfBatch, 65536)
-    def minId(a: Any, b: Any): Any =
-      if (a.asInstanceOf[Comparable[Any]].compareTo(b) <= 0) a else b
+    // Driver-side id comparisons MUST agree with the Spark orderings used
+    // around them (the orderBy(id) batch prefix, the `id < bestId` stealer
+    // filter, the stealer's min(id)): Spark compares strings as UTF-8
+    // bytes unsigned, while Java's String.compareTo is UTF-16 code-unit
+    // order — the two disagree on supplementary characters. Compare
+    // strings the way Spark does; all other id types order identically.
+    def minId(a: Any, b: Any): Any = (a, b) match {
+      case (sa: String, sb: String) =>
+        val ba = sa.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val bb = sb.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (java.util.Arrays.compareUnsigned(ba, bb) <= 0) a else b
+      case _ =>
+        if (a.asInstanceOf[Comparable[Any]].compareTo(b) <= 0) a else b
+    }
     while (round <= k) {
       freshGain.clear()
       var win: Option[(Any, Long)] = None
@@ -115,8 +127,22 @@ object Selection {
             if (staleIds.nonEmpty) {
               // One bounded job: the stale candidates' items anti-joined
               // against covered; ids absent from the aggregate have every
-              // item covered (gain 0).
-              val gains = it.filter(col("id").isin(staleIds: _*))
+              // item covered (gain 0). Small batches use an isin literal
+              // (prunes the cached id-sorted batches by min/max stats);
+              // past a few thousand ids that expression tree gets huge, so
+              // the widened ladder switches to a broadcast semi-join on a
+              // tiny id DataFrame instead.
+              val candidates =
+                if (staleIds.length <= 2048)
+                  it.filter(col("id").isin(staleIds: _*))
+                else {
+                  val idsDf = spark.createDataFrame(
+                    spark.sparkContext.parallelize(
+                      staleIds.map(Row(_)), 1),
+                    StructType(Seq(StructField("id", idType, nullable = true))))
+                  it.join(broadcast(idsDf), Seq("id"), "left_semi")
+                }
+              val gains = candidates
                 .join(covered, Seq("item"), "left_anti")
                 .groupBy(col("id")).agg(count(lit(1)).as("gain"))
                 .collect().map(r => r.get(0) -> r.getLong(1)).toMap

@@ -373,6 +373,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (i.toLong, Array.fill(16)(rnd.nextGaussian()))).toDF("vec_id", "embedding")
     val uc = Dedup.calibratedSigBits(uni, "embedding")
     assert(uc <= analytic + 1, s"uniform corpus over-widened: $uc vs $analytic")
+    // empty corpus: no histogram to probe — falls back to the analytic
+    // floor instead of NPEing on the null percentile row
+    val empty = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
+    assert(Dedup.calibratedSigBits(empty, "embedding") ==
+      Dedup.suggestedSigBits(0))
   }
 
   test("suggestedCells tracks corpus/targetCellSize with a floor of 16") {

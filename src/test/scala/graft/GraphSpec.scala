@@ -109,6 +109,23 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(cyc.values.map(v => v._2 * v._2).sum - 1.0) < eps)
   }
 
+  test("hits reliableCheckpoints: requires a checkpoint dir, then matches") {
+    val edges = Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      spark.sparkContext.setCheckpointDir(null)
+      Graph.hits(edges, nIter = 3, reliableCheckpoints = true)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-hits-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val out = Graph.hits(edges, nIter = 3, reliableCheckpoints = true)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      assert(math.abs(out(9L)._1 - 1.0) < eps && out(9L)._2 == 0.0)
+      for (s <- 1L to 4L)
+        assert(out(s)._1 == 0.0 && math.abs(out(s)._2 - 0.5) < eps)
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("triangleCounts: triangle, K4, square, star, and dirty edge lists") {
     def triOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
       Graph.triangleCounts(edges.toDF("s", "d"), "s", "d")
