@@ -52,6 +52,7 @@ SPARK_WORKER_INSTANCES=2 "$SPARK_HOME/sbin/start-worker.sh" "$MASTER_URL" \
 sleep 5
 
 SUBMIT=("$SPARK_HOME/bin/spark-submit" --master "$MASTER_URL"
+  --driver-memory 6g
   --conf spark.executor.cores=8 --conf spark.executor.memory=8g
   --conf spark.ui.enabled=false
   --conf spark.sql.shuffle.partitions=16)
@@ -68,6 +69,7 @@ SPARK_GRAFT_RELIABLE=1 SPARK_GRAFT_SHUFFLE=16 "${SUBMIT[@]}" \
   { echo "[smoke] Stress cc FAILED"; exit 1; }
 
 echo "[smoke] 3/3 streaming checkpoint restart"
+rm -rf "$SMOKE_HOME/stream"   # the probe appends; a stale dir doubles totals
 "${SUBMIT[@]}" --class graft.StreamSmoke "$JAR" \
   "$SMOKE_HOME/stream" || { echo "[smoke] StreamSmoke FAILED"; exit 1; }
 
