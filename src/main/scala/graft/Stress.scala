@@ -192,6 +192,22 @@ object Stress {
       (i, qtexts((i % qtexts.length).toInt) + " " +
         qtexts(((i / qtexts.length) % qtexts.length).toInt)))
       .toDF("query_id", "query_text")
+    // qBatch composes PAIRS of the 10 base texts, so past 100 queries the
+    // distinct-term-set count saturates at 100 and the engine's
+    // shared-term-set dedup collapses the batch — that measures the
+    // repeated-probe serving path. qBatchDistinct builds nq GENUINELY
+    // distinct 3-term sets (three disjoint word decades from the corpus
+    // vocabulary), measuring the honest linear postings-bound regime.
+    val decA = Seq("stream", "value", "spark", "data", "big",
+      "small", "vector", "group", "slow", "table")
+    val decB = Seq("key", "column", "order", "scan", "window",
+      "hash", "merge", "row", "customer", "join")
+    val decC = Seq("fast", "filter", "line", "part", "sort",
+      "query", "batch", "agg", "the", "a")
+    def qBatchDistinct(nq: Int) = (0L until nq.toLong).map(i =>
+      (i + 1, decA((i % 10).toInt) + " " + decB(((i / 10) % 10).toInt) +
+        " " + decC(((i / 100) % 10).toInt)))
+      .toDF("query_id", "query_text")
     val idxDir = java.nio.file.Files.createTempDirectory("stress-bm25").toString
     time("bm25_index_build") {
       graft.llm.Search.writeSearchIndex(corpus, "text", "doc_id", idxDir)
@@ -202,6 +218,10 @@ object Stress {
         graft.llm.Search.querySearchIndex(spark, idxDir, qBatch(nq), 10)
           .count()
       }
+    }
+    time("bm25_index_serve_1000q_distinct") {
+      graft.llm.Search.querySearchIndex(spark, idxDir,
+        qBatchDistinct(1000), 10).count()
     }
     }
 

@@ -106,19 +106,46 @@ object Search {
     val post = spark.read.parquet(s"$path/postings")
       .filter(col("term").isin(terms: _*))
     val stats = spark.read.parquet(s"$path/stats")
-    rank(post, stats, queries, k, k1, b)
+    rank(post, stats, queries, k, k1, b, dedupeQueries = true)
   }
 
   /** Shared scoring tail: prune postings to query terms, df over the
     * pruned set (df is a property of the term, so pruning doesn't change
     * it), integer micro-unit contributions, bounded top-k.
+    *
+    * `dedupeQueries`: queries with an identical distinct-term SET share
+    * scores exactly (BM25 is a sum over the set), so the serving path
+    * scores ONE representative per set and replicates results over a
+    * broadcast map at the end — repeated probes (the decontamination
+    * pattern of re-issuing the same benchmark questions per corpus
+    * snapshot) then cost one scoring pass, not one per copy. The dedup
+    * costs one extra tiny stage + broadcast join per call (~0.3 s fixed,
+    * measured), which a large or repeated serving batch amortizes but a
+    * small one-shot ad-hoc batch would only pay — so [[bm25TopK]] keeps
+    * the direct plan and [[querySearchIndex]] dedupes.
     */
   private def rank(post: DataFrame, stats: DataFrame, queries: DataFrame,
-                   k: Int, k1: Double, b: Double): DataFrame = {
-    // Distinct query terms; duplicates within one query score once.
-    val qterms = queries.select(col("query_id"),
-        explode(array_distinct(searchTokens(col("query_text")))).as("term"))
-      .distinct()
+                   k: Int, k1: Double, b: Double,
+                   dedupeQueries: Boolean = false): DataFrame = {
+    val qsets = queries.select(col("query_id"),
+      sort_array(array_distinct(searchTokens(col("query_text"))))
+        .as("__tset"))
+    // When dedupeQueries, score only one representative query_id per term
+    // set; qmap replicates its rows back to every duplicate at the end.
+    // Renamed columns (and the group-key rename inside TopK) keep that
+    // replicate join free of self-join ambiguity — top and qmap both
+    // descend from `queries`.
+    val (qterms, qmap) =
+      if (dedupeQueries) {
+        val reps = qsets.groupBy(col("__tset"))
+          .agg(min(col("query_id")).as("__rep"))
+        (reps.select(col("__rep").as("query_id"),
+           explode(col("__tset")).as("term")),
+         Some(qsets.join(reps, Seq("__tset"))
+           .select(col("query_id").as("__orig_qid"), col("__rep"))))
+      } else
+        (qsets.select(col("query_id"), explode(col("__tset")).as("term")),
+         None)
 
     val matched = post.join(broadcast(qterms.select("term").distinct()),
       Seq("term"))
@@ -126,9 +153,14 @@ object Search {
     val df_ = matched.groupBy(col("term"))
       .agg(count(lit(1)).as("df")) // one row per (term, doc) => count = df
 
-    val contrib = matched
+    // The BM25 contribution of a (term, doc) posting is query-independent,
+    // so compute the integer micro-unit ONCE per matched posting, BEFORE
+    // the per-query fan-out. The fan-out join and the (query, doc) sum —
+    // the batch-scaling hot path, linear in sum over queries of matched
+    // postings — then ship and evaluate nothing but narrow
+    // (term, doc_id, micro-long) rows, no per-row transcendentals.
+    val tdMicro = matched
       .join(broadcast(df_), Seq("term"))
-      .join(broadcast(qterms), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("__avgdl",
         col("total_toks").cast("double") / col("n_docs").cast("double"))
@@ -139,20 +171,30 @@ object Search {
         col("tf") * lit(k1 + 1.0) /
           (col("tf") + lit(k1) * (lit(1.0 - b) +
             lit(b) * col("dl") / col("__avgdl"))))
-      .withColumn("__micro",
-        round(col("__idf") * col("__tfn") * lit(1e6), 0).cast("long"))
+      .select(col("term"), col("doc_id"),
+        round(col("__idf") * col("__tfn") * lit(1e6), 0).cast("long")
+          .as("__micro"))
 
-    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
+    val scored = tdMicro
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("__micro")).as("score_micro"))
 
     val top = TopK.perGroup(
       scored.withColumn("__s", col("score_micro").cast("double")),
       "query_id", "__s", "doc_id", "doc_id", k)
 
-    top.select(col("group").as("query_id"),
-      col("tie").as("doc_id"),
-      (col("score").cast("long").cast("double") / lit(1e6)).as("score"),
-      col("rank"))
+    val scoreCol =
+      (col("score").cast("long").cast("double") / lit(1e6)).as("score")
+    qmap match {
+      case Some(m) =>
+        top.join(broadcast(m), col("group") === col("__rep"))
+          .select(col("__orig_qid").as("query_id"),
+            col("tie").as("doc_id"), scoreCol, col("rank"))
+      case None =>
+        top.select(col("group").as("query_id"),
+          col("tie").as("doc_id"), scoreCol, col("rank"))
+    }
   }
 
   /** The oracle-side tokenizer fragment (DuckDB), kept adjacent to

@@ -48,6 +48,38 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(r(1L) > r(2L), s"rare-term score ${r(1L)} should beat ${r(2L)}")
   }
 
+  test("duplicate / reordered-term queries score identically to singletons") {
+    // The serving path scores one representative per distinct term SET and
+    // maps results back; a batch with exact-duplicate texts and same-set
+    // different-order texts must return, per query_id, exactly the rows
+    // that querying each alone (through the non-deduping ad-hoc path)
+    // returns.
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple apple apple"),
+      (3L, "banana banana"),
+      (4L, "cherry date egg"),
+      (5L, "fig grape")).toDF("doc_id", "text")
+    val idx = TestSpark.tmpDir("bm25-dup-idx")
+    Search.writeSearchIndex(docs, "text", "doc_id", idx)
+    val batch = Seq(
+      (1L, "apple banana"),
+      (2L, "apple banana"),   // exact duplicate
+      (3L, "banana  APPLE"),  // same set after tokenize: different order/case
+      (4L, "fig")).toDF("query_id", "query_text")
+    val got = Search.querySearchIndex(spark, idx, batch, 3)
+    assert(got.select("query_id").distinct().count() == 4,
+      "every duplicate query_id must appear in the output")
+    for ((qid, text) <- Seq((1L, "apple banana"), (2L, "apple banana"),
+        (3L, "banana  APPLE"), (4L, "fig"))) {
+      val alone = Search.bm25TopK(docs, "text", "doc_id",
+        Seq((qid, text)).toDF("query_id", "query_text"), 3)
+      val mine = got.filter($"query_id" === qid)
+      assert(mine.exceptAll(alone).isEmpty && alone.exceptAll(mine).isEmpty,
+        s"batched result for query $qid must equal the singleton run")
+    }
+  }
+
   test("persisted search index: ad-hoc parity + term pushdown into the scan") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val idx = TestSpark.tmpDir("bm25-idx")
