@@ -175,7 +175,20 @@ object Search {
         round(col("__idf") * col("__tfn") * lit(1e6), 0).cast("long")
           .as("__micro"))
 
-    val scored = tdMicro
+    // Serving path only: repartition the NARROW per-posting rows by doc
+    // BEFORE the query fan-out. hash(doc_id) satisfies the
+    // (query_id, doc_id) clustering the score sum needs, so the fanned
+    // relation — |postings| x queries-per-term rows, the largest in the
+    // whole plan — aggregates in place with NO exchange, and the bounded
+    // TopK partial then ships only k rows per (query, partition). Without
+    // this the plan shuffles the fanned rows themselves (~1B at a
+    // 1000-query batch over a 1M-doc corpus). Ad-hoc small batches skip
+    // it: fan-out there is a handful of queries, and the extra stage is
+    // pure fixed latency (~0.2 s measured at sf0.1).
+    val tdScoring =
+      if (dedupeQueries) tdMicro.repartition(col("doc_id")) else tdMicro
+
+    val scored = tdScoring
       .join(broadcast(qterms), Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("__micro")).as("score_micro"))

@@ -99,6 +99,28 @@ class WarehouseOpsSpec extends AnyFunSuite {
       s"expected In(term, ...) pushed into the postings scan:\n$formatted")
   }
 
+  test("bm25 plan shape: fanned (query, doc) rows aggregate without a shuffle") {
+    // The serving path repartitions the narrow per-posting rows by doc_id
+    // BEFORE the per-query fan-out join; hash(doc_id) then satisfies the
+    // (query_id, doc_id) clustering of the score sum, so the fanned
+    // relation — the largest in the plan — must NOT get its own exchange.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val idx = TestSpark.tmpDir("bm25-plan-idx")
+    Search.writeSearchIndex(docs, "text", "doc_id", idx)
+    val qs = Seq((1L, "spark window agg"), (2L, "vector scan"))
+      .toDF("query_id", "query_text")
+    val formatted = Search.querySearchIndex(spark, idx, qs, 5)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val docOnly = "hashpartitioning\\(doc_id#\\d+L?".r
+    assert(docOnly.findFirstIn(formatted).isDefined,
+      s"expected the pre-fan-out repartition by doc_id:\n$formatted")
+    val pairShuffle = "hashpartitioning\\(query_id#\\d+L?, doc_id#\\d+L?".r
+    assert(pairShuffle.findFirstIn(formatted).isEmpty,
+      s"the fanned (query, doc) relation must aggregate in place, " +
+        s"not shuffle:\n$formatted")
+  }
+
   test("bm25 plan shape: no text column in any post-tokenize exchange") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val qs = Seq((1L, "spark window agg")).toDF("query_id", "query_text")
