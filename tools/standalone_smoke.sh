@@ -32,7 +32,8 @@ q23_minhash_pairs,q26_embedding_dups,q28_knn_lsh,q29_events_window,\
 q30_sessionize,q31_multimodal_stats,q36_stream_windowed,q42_sql_cosine,\
 q65_dup_clusters,q68_rcfile_roundtrip,q69_dynpart_insert,\
 q70_relocate_readback,q72_knn_ivf,q76_semantic_dedup,q84_heavy_hitters,\
-q107_countmin,q126_bpe_train,q139_coverage_select}
+q94_bm25_search,q107_countmin,q116_bm25_index,q126_bpe_train,\
+q139_coverage_select}
 
 echo "[smoke] packaging..."
 (cd "$REPO" && sbt -batch package) || exit 1
