@@ -1,23 +1,36 @@
 package graft
 
 import org.apache.spark.sql.execution._
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
-/** Runtime plan audit: executes every SparkEntry query and records how many
-  * rows actually feed each SINGLE-PARTITION window (the "No Partition
-  * Defined" WindowExec class). A global window is scale-safe only when its
-  * input is bounded by construction — a rank<=k filter Catalyst rewrites to
-  * TakeOrdered below the window, or a small aggregate (quantile grids,
-  * per-group summaries). This audit turns that claim from a comment into a
-  * measured number per query.
+/** Runtime scale-shape audit: executes every SparkEntry query and reads,
+  * from executed-plan metrics, the ACTUAL row counts feeding the three node
+  * classes that silently break at 100x data:
+  *
+  *   - SINGLE-PARTITION windows (the "No Partition Defined" WindowExec
+  *     class) — safe only when the input is bounded by construction (a
+  *     rank<=k filter Catalyst rewrites to TakeOrdered below the window,
+  *     a calendar-bounded series, a small aggregate);
+  *   - BROADCAST exchanges — safe only when the broadcast relation is a
+  *     dim/stat/top-k table, never O(rows) (driver + every executor
+  *     materialize it);
+  *   - nested-loop / cartesian joins — safe only when one side is a
+  *     bounded fold (1-row stats, parameter grids).
+  *
+  * This audit turns those claims from comments into measured numbers per
+  * query; running it at two scale factors and comparing growth separates
+  * "bounded" (flat or saturating) from O(rows) (tracks the data).
   *
   * AQE is disabled for the audit session so the executed plan is a plain
   * tree whose node metrics are directly traversable; AQE never changes a
-  * window's required distribution, so the single-partition verdict is the
-  * same one production plans face.
+  * node's required distribution, so the verdicts are the ones production
+  * plans face.
   *
-  * Usage: runMain graft.WindowAudit [sfDir] [rowThreshold]
+  * Usage: runMain graft.WindowAudit [sfDir] [rowThreshold] [onlyCsv]
+  * rowThreshold < 0 dumps per-query maxima (`[dump] <q> <win> <bcast>
+  * <loop>`) for cross-sf comparison instead of flagging.
   */
 object WindowAudit {
   def main(args: Array[String]): Unit = {
@@ -59,8 +72,8 @@ object WindowAudit {
       rowsOf(p)
     }
 
-    var worst = List.empty[(String, Long, String)]
-    var audited = 0
+    var worst = List.empty[(String, String, Long, String)]
+    var nWin, nBcast, nLoop = 0
     var failed = List.empty[String]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if only.forall(_.contains(name))) {
@@ -68,40 +81,61 @@ object WindowAudit {
         val df = fn(spark, sfDir)
         df.collect()
         val plan = df.queryExecution.executedPlan
-        val globals = plan.collectWithSubqueries {
+
+        def chainOf(p: SparkPlan): String =
+          Iterator.iterate(Option(p)) {
+            case Some(u: UnaryExecNode) => Some(u.child)
+            case _ => None
+          }.takeWhile(_.isDefined).flatten.take(8)
+            .map(_.nodeName).mkString(" <- ")
+
+        val wins = plan.collectWithSubqueries {
           case w: WindowExec if w.partitionSpec.isEmpty =>
-            (w, inputRows(w.child))
+            (inputRows(w.child), chainOf(w))
           case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
-            (w, inputRows(w.child))
+            (inputRows(w.child), chainOf(w))
         }
-        audited += globals.size
-        // threshold < 0: dump every measurement (for cross-sf growth
-        // comparison — a bounded window's input must not scale with data)
-        if (threshold < 0 && globals.nonEmpty) {
-          val mx = globals.map(_._2.getOrElse(-1L)).max
-          println(s"[dump] $name $mx")
+        val bcasts = plan.collectWithSubqueries {
+          case b: BroadcastExchangeExec =>
+            (b.metrics.get("numOutputRows").map(_.value)
+              .orElse(inputRows(b.child)), chainOf(b))
         }
-        for ((w, rowsOpt) <- globals) {
+        // the LOOP side of a nested-loop join: the streamed x built work
+        // is bounded iff the SMALLER side is bounded — record min(sides)
+        val loops = plan.collectWithSubqueries {
+          case j: BroadcastNestedLoopJoinExec =>
+            val sides = Seq(inputRows(j.left), inputRows(j.right)).flatten
+            (if (sides.size == 2) Some(sides.min) else None, chainOf(j))
+          case j: CartesianProductExec =>
+            val sides = Seq(inputRows(j.left), inputRows(j.right)).flatten
+            (if (sides.size == 2) Some(sides.min) else None, chainOf(j))
+        }
+        nWin += wins.size; nBcast += bcasts.size; nLoop += loops.size
+
+        // threshold < 0: dump per-query maxima for cross-sf growth
+        // comparison — a bounded input must not scale with the data
+        if (threshold < 0) {
+          def mx(xs: Seq[(Option[Long], String)]) =
+            if (xs.isEmpty) 0L else xs.map(_._1.getOrElse(-1L)).max
+          println(s"[dump] $name ${mx(wins)} ${mx(bcasts)} ${mx(loops)}")
+        }
+        for ((kind, xs) <- Seq(("window", wins), ("broadcast", bcasts),
+            ("nestedloop", loops)); (rowsOpt, chain) <- xs) {
           val rows = rowsOpt.getOrElse(-1L)
-          if (rows > threshold || rows < 0) {
-            val chain = Iterator.iterate(Option(w.asInstanceOf[SparkPlan])) {
-              case Some(u: UnaryExecNode) => Some(u.child)
-              case _ => None
-            }.takeWhile(_.isDefined).flatten.take(8)
-              .map(_.nodeName).mkString(" <- ")
-            worst ::= ((name, rows, chain))
-          }
+          if (threshold >= 0 && (rows > threshold || rows < 0))
+            worst ::= ((name, kind, rows, chain))
         }
         spark.catalog.clearCache()
       } catch {
         case e: Exception => failed ::= s"$name: ${e.getMessage.take(120)}"
       }
     }
-    println(s"[audit] single-partition windows audited: $audited")
+    println(s"[audit] audited: $nWin single-partition windows, " +
+      s"$nBcast broadcasts, $nLoop nested-loop joins")
     println(s"[audit] over threshold ($threshold rows at $sfDir) " +
       s"or unmeasured: ${worst.size}")
-    worst.sortBy(-_._2).foreach { case (q, r, n) =>
-      println(f"[audit]   $q%-32s $r%10d rows into $n")
+    worst.sortBy(-_._3).foreach { case (q, k, r, n) =>
+      println(f"[audit]   $q%-32s $k%-10s $r%10d rows into $n")
     }
     if (failed.nonEmpty) {
       println(s"[audit] FAILED queries: ${failed.size}")

@@ -1024,8 +1024,8 @@ private[graft] object QueriesAnalytics1 {
         .select(col("l_partkey"), col("l_quantity").cast("double").as("q"),
           (col("l_extendedprice") / col("l_quantity")).as("up"))
         .filter(col("q") > 0 && col("up") > 0)
-        .join(broadcast(t(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand"))),
+        .join(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .select(col("p_brand"), log(col("q")).as("y"),
           log(col("up")).as("x"))
@@ -1048,8 +1048,8 @@ private[graft] object QueriesAnalytics1 {
       val bySupp = t(s, dir, "lineitem")
         .groupBy(col("l_suppkey"))
         .agg(sum(floor(col("l_extendedprice") * 100 + 0.5)).as("cents"))
-        .join(broadcast(t(s, dir, "supplier")
-          .select(col("s_suppkey"), col("s_nationkey"))),
+        .join(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey")),
           col("l_suppkey") === col("s_suppkey"))
       val byNation = bySupp.groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n_suppliers"),
@@ -1162,8 +1162,8 @@ private[graft] object QueriesAnalytics1 {
       // doubles. Broadcast dim join, one reduction.
       val z = 1.96
       val base = t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand"))),
+        .join(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n"),
@@ -1485,7 +1485,7 @@ private[graft] object QueriesAnalytics1 {
       // is deterministic; the pair join is per-brand over <= ~84 monthly
       // rows (bounded state, shuffle on the brand key only).
       val monthly = t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"),
           ((year(col("l_shipdate")) - 1992) * 12 + month(col("l_shipdate")) - 1)
@@ -1524,8 +1524,8 @@ private[graft] object QueriesAnalytics1 {
       // doubles term-by-term (counts < 2^53 stay exact, no long overflow
       // at any scale).
       val baskets = t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand"))),
+        .join(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
         .distinct()

@@ -1115,8 +1115,8 @@ private[graft] object QueriesAnalytics2 {
       // total-ordered ranks, one self-join over <= |brands|^2 rows.
       val byYear = t(s, dir, "lineitem")
         .filter(year(col("l_shipdate")).isin(1995, 1996))
-        .join(broadcast(t(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand"))),
+        .join(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), year(col("l_shipdate")).as("yr"))
         .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
@@ -1876,8 +1876,8 @@ private[graft] object QueriesAnalytics2 {
       // from one integer join-back pass. Floats only in the final
       // per-day average.
       val daily = t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand"))),
+        .join(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), to_date(col("l_shipdate")).as("day"))
         .agg(sum(expr("CAST(floor(l_quantity + 0.5) AS BIGINT)")).as("d"))

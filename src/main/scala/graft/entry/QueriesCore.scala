@@ -87,8 +87,15 @@ private[graft] object QueriesCore {
     }),
 
     "q07_broadcast_agg" -> ((s, dir) => {
+      // broadcast-join demonstration — deliberately WITHOUT an explicit
+      // broadcast() hint: part grows with scale factor (billions of rows
+      // at 100 TB), and a hint forces the broadcast at any size. The
+      // planner/AQE picks BroadcastHashJoin from runtime sizes whenever
+      // the dim fits (it does at every bench sf) and degrades to a
+      // shuffle join when it doesn't. Fixed-size dims (nation, region)
+      // keep explicit hints elsewhere.
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
           count(lit(1)).as("n_items"))

@@ -157,8 +157,8 @@ private[graft] object QueriesStats1 {
       // means are window sums over it (q288 pattern); the only
       // data-sized pass is the panel rollup in exact integer cents.
       val panel = t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand"))),
+        .join(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), year(col("l_shipdate")).as("yr"))
         .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS " +
@@ -260,8 +260,8 @@ private[graft] object QueriesStats1 {
         .join(t(s, dir, "customer")
           .select(col("c_custkey"), col("c_nationkey").as("cn")),
           col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "supplier")
-          .select(col("s_suppkey"), col("s_nationkey").as("sn"))),
+        .join(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey").as("sn")),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("cn"), col("sn"))
         .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS " +
@@ -1014,8 +1014,8 @@ private[graft] object QueriesStats1 {
       // All six moments are exact integers per segment; the variance
       // assembly happens once in double with fixed operand order.
       val perCust = t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_mktsegment"))),
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment").as("sg"), col("c_custkey"))
         .agg(sum(expr("CAST(floor(o_totalprice) AS BIGINT)")).as("x"),
@@ -1100,8 +1100,8 @@ private[graft] object QueriesStats1 {
         .groupBy(col("o_custkey"))
         .agg(sum(expr("CAST(floor(o_totalprice) AS BIGINT)")).as("x"))
         .filter(col("x") > 0)
-        .join(broadcast(t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_nationkey"))),
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")
           .select(col("n_nationkey"), col("n_name"))),
@@ -1315,8 +1315,8 @@ private[graft] object QueriesStats1 {
       // (kilodollar units keep every long in range); only the final
       // determinant products run in double.
       val weekly = t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_nationkey"))),
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")
           .select(col("n_nationkey"), col("n_regionkey"))),
@@ -2125,8 +2125,8 @@ private[graft] object QueriesStats1 {
       // dollar moments per segment; the A&S erf polynomial turns each
       // z into its one-sided p; verdict at alpha 0.05.
       val g = t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_mktsegment"))),
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
           col("o_custkey") === col("c_custkey"))
         .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
         .select((col("c_mktsegment") === "BUILDING").as("is_a"),
@@ -2263,8 +2263,8 @@ private[graft] object QueriesStats1 {
       // NPV expression + interval update — pure column arithmetic,
       // deterministic on both engines (q340's fold pattern).
       val seg = t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_mktsegment"))),
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
           col("o_custkey") === col("c_custkey"))
       val c0 = seg.filter(year(col("o_orderdate")) === 1996 &&
           month(col("o_orderdate")) >= 7)
@@ -3104,8 +3104,8 @@ private[graft] object QueriesStats1 {
       // that need it most). Exact integer quantity sums; the week grid
       // is calendar-bounded so the fill join is grid-sized.
       val li = t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand"))),
+        .join(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .select(col("p_brand").as("brand"),
           (datediff(to_date(col("l_shipdate")), lit("1992-01-01"))

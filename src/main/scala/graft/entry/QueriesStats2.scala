@@ -657,8 +657,8 @@ private[graft] object QueriesStats2 {
       // decompositions; in fact G = 2N*MI). Exact integer margins;
       // df=16 survival in the even-df closed form.
       val cells = t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_mktsegment").as("sg"))),
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("sg")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("sg"), col("o_orderpriority").as("pr"))
         .agg(count(lit(1)).as("o"))
@@ -762,8 +762,8 @@ private[graft] object QueriesStats2 {
       // the average variance of the means; everything from exact
       // integer cent moments.
       val g = t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand"))),
+        .join(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand").as("brand"))
         .agg(count(lit(1)).as("ng"),
@@ -2296,8 +2296,8 @@ private[graft] object QueriesStats2 {
       // reverses the relationship. Per-brand centered moments collapse
       // map-side; both slopes close in tiny aggregates.
       val li = t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand"))),
+        .join(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .select(col("p_brand"), col("l_discount").cast("double").as("x"),
           col("l_quantity").cast("double").as("y"))
@@ -2509,8 +2509,8 @@ private[graft] object QueriesStats2 {
       // brands with lucky rates stop outranking established ones).
       // Per-brand (n, x) collapse map-side; top 10 by the bound.
       val li = t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand"))),
+        .join(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).cast("double").as("n"),
@@ -2572,8 +2572,8 @@ private[graft] object QueriesStats2 {
         .join(t(s, dir, "orders").select(col("o_orderkey"),
           col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
         .filter(year(col("o_orderdate")).isin(1995, 1996))
-        .join(broadcast(t(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand"))),
+        .join(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(sum(when(year(col("o_orderdate")) === 1995,

@@ -26,8 +26,8 @@ private[graft] object QueriesStats3 {
         .join(t(s, dir, "orders").select(col("o_orderkey"),
           col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
         .filter(year(col("o_orderdate")).isin(1995, 1996))
-        .join(broadcast(t(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand"))),
+        .join(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(sum(when(year(col("o_orderdate")) === 1995, col("l_quantity"))
@@ -214,8 +214,8 @@ private[graft] object QueriesStats3 {
       // grid.
       val cells = t(s, dir, "orders")
         .filter(year(col("o_orderdate")).isin(1995, 1996))
-        .join(broadcast(t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_nationkey"))),
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_nationkey").as("nk"), col("o_orderpriority")
           .as("pri"))
@@ -287,8 +287,8 @@ private[graft] object QueriesStats3 {
       // shortlist builder. Brand rollups collapse map-side; the ideal
       // points and distances run on the bounded brand table.
       val br = t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand"))),
+        .join(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg((sum(expr(
@@ -351,8 +351,8 @@ private[graft] object QueriesStats3 {
       // merge of conflicting rankings (q161's RBO compares two lists;
       // this FUSES three). Top 10 by Borda, ties to the brand key.
       val br = t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand"))),
+        .join(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(sum(expr(
@@ -538,8 +538,8 @@ private[graft] object QueriesStats3 {
       val lag = t(s, dir, "lineitem")
         .join(t(s, dir, "orders").select(col("o_orderkey"),
           col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand"))),
+        .join(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .select(col("p_brand"),
           datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
@@ -602,8 +602,8 @@ private[graft] object QueriesStats3 {
       // vs each single asset — Markowitz in one aggregate. Returns are
       // aligned by inner-joining the two calendar-bounded daily series.
       def seg(name: String) = t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_mktsegment"))),
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
           col("o_custkey") === col("c_custkey"))
         .filter(col("c_mktsegment") === name)
         .groupBy(col("o_orderdate").cast("date").as("d"))
@@ -775,8 +775,8 @@ private[graft] object QueriesStats3 {
       // time; this cross-sections all five). Per-segment windows shuffle
       // once on the segment key.
       val seg = t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_mktsegment"))),
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment").as("sg"),
           col("o_orderdate").cast("date").as("d"))
@@ -1060,8 +1060,8 @@ private[graft] object QueriesStats3 {
       // shuffle on the segment key at any scale.
       val maxD = t(s, dir, "orders").agg(max(col("o_orderdate")).as("mx"))
       val cust = t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_mktsegment"))),
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment").as("sg"), col("o_custkey"))
         .agg(min(col("o_orderdate")).as("first"),
@@ -1184,8 +1184,8 @@ private[graft] object QueriesStats3 {
       def brandDaily(b: String) = t(s, dir, "lineitem")
         .join(t(s, dir, "orders").select(col("o_orderkey"),
           col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand"))),
+        .join(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .filter(col("p_brand") === b)
         .groupBy(col("o_orderdate").cast("date").as("d"))
@@ -1257,8 +1257,8 @@ private[graft] object QueriesStats3 {
       // in differences). Calendar-bounded windows; two closed-form OLS
       // passes.
       def seg(name: String) = t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_mktsegment"))),
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
           col("o_custkey") === col("c_custkey"))
         .filter(col("c_mktsegment") === name)
         .groupBy(col("o_orderdate").cast("date").as("d"))
@@ -1388,8 +1388,8 @@ private[graft] object QueriesStats3 {
       val brandDays = t(s, dir, "lineitem")
         .join(t(s, dir, "orders").select(col("o_orderkey"),
           col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand"))),
+        .join(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(countDistinct(col("o_orderdate").cast("date"))
@@ -1562,8 +1562,8 @@ private[graft] object QueriesStats3 {
       // segment key); the between term runs on the bounded 5×5 mean
       // grid.
       val spend = t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_mktsegment"))),
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment").as("sg"), col("o_custkey"))
         .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
@@ -1872,8 +1872,8 @@ private[graft] object QueriesStats3 {
       // them? Rankings are exact permutations on the bounded brand
       // table; the statistic is one tiny aggregate.
       val br = t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand"))),
+        .join(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(sum(expr(
@@ -1914,8 +1914,8 @@ private[graft] object QueriesStats3 {
       val perDay = t(s, dir, "lineitem")
         .join(t(s, dir, "orders").select(col("o_orderkey"),
           col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand"))),
+        .join(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), col("o_orderdate").cast("date").as("d"))
         .agg(count(lit(1)).as("c"))
@@ -2647,8 +2647,8 @@ private[graft] object QueriesStats3 {
       // Two segment-day rollups, closed-form OLS + SE per side.
       def segFit(name: String) = {
         val daily = t(s, dir, "orders")
-          .join(broadcast(t(s, dir, "customer")
-            .select(col("c_custkey"), col("c_mktsegment"))),
+          .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment")),
             col("o_custkey") === col("c_custkey"))
           .filter(col("c_mktsegment") === name &&
             year(col("o_orderdate")) === 1995)
@@ -2864,8 +2864,8 @@ private[graft] object QueriesStats3 {
       // disproportionality screening over the brand portfolio. One
       // brand rollup + bounded algebra; top 10 by PRR.
       val li = t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand"))),
+        .join(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))

@@ -651,8 +651,8 @@ private[graft] object QueriesStats4 {
       val types = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
         "MACHINERY")
       val daily = t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_mktsegment"))),
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderdate").cast("date").as("d"))
         .agg(types.map(sg => sum(when(col("c_mktsegment") === sg,
@@ -1514,8 +1514,8 @@ private[graft] object QueriesStats4 {
         .join(t(s, dir, "orders").select(col("o_orderkey"),
           col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
         .filter(year(col("o_orderdate")).isin(1995, 1996))
-        .join(broadcast(t(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand"))),
+        .join(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(sum(when(year(col("o_orderdate")) === 1995,
@@ -1670,8 +1670,8 @@ private[graft] object QueriesStats4 {
       // actually OWNS the tape behind q444's static quadrant. One
       // segment-day rollup + a per-day rank.
       val daily = t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_mktsegment"))),
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderdate").cast("date").as("d"),
           col("c_mktsegment").as("sg"))
@@ -1871,9 +1871,9 @@ private[graft] object QueriesStats4 {
       // behind q456's shift-share. Bounded 5×25 cell grid in exact
       // cents.
       val cells = t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")
+        .join(t(s, dir, "customer")
           .select(col("c_custkey"), col("c_mktsegment"),
-            col("c_nationkey"))),
+            col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment").as("sg"),
           col("c_nationkey").as("nk"))
@@ -2167,8 +2167,8 @@ private[graft] object QueriesStats4 {
       // over q186's single-step YoY. Segment-year rollups collapse
       // map-side.
       val sy = t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_mktsegment"))),
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment").as("sg"),
           year(col("o_orderdate")).cast("long").as("yr"))
@@ -2417,8 +2417,8 @@ private[graft] object QueriesStats4 {
         .agg((sum(when(col("c") >= 2, 1L).otherwise(0L)).cast("double") /
           count(lit(1))).as("repeatRate"))
       val topSeg = orders
-        .join(broadcast(t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_mktsegment"))),
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))

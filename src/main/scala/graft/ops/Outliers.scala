@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
   * Shape: two aggregation passes over the keyed column (median, then
   * median of deviations) plus one equi-join of the tiny per-key stats
   * back onto the rows — the stats side is |keys| rows and broadcasts.
+  * CONTRACT: `keyCol` must be low-cardinality (segments, event types,
+  * status codes — thousands at most). The stats relation is explicitly
+  * broadcast, so a high-cardinality key (user ids) would materialize
+  * O(|keys|) rows on the driver; key per-entity screens on a plain join
+  * instead (drop the hint) or pre-aggregate per entity.
   * `approx = true` swaps exact `median` for `approx_percentile`: the
   * exact percentile aggregate buffers each group's values (fine for
   * bounded groups, the oracle compares it); the approx one holds
