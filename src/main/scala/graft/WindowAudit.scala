@@ -28,9 +28,16 @@ import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
   * node's required distribution, so the verdicts are the ones production
   * plans face.
   *
+  * Also dumped per query: total rows through shuffle exchanges vs rows
+  * scanned (shuffle amplification — flags fan-out-before-reduction), and
+  * rows through any exchange whose schema carries a wide column (document
+  * text, raw JSON props, dense embeddings, binary media) — the row-width
+  * class of bug the r4 embeddingPairs fix removed.
+  *
   * Usage: runMain graft.WindowAudit [sfDir] [rowThreshold] [onlyCsv]
   * rowThreshold < 0 dumps per-query maxima (`[dump] <q> <win> <bcast>
-  * <loop>`) for cross-sf comparison instead of flagging.
+  * <loop> <shuffled> <scanned> <wideMax>[,rows:cols...]`) for cross-sf
+  * comparison instead of flagging.
   */
 object WindowAudit {
   def main(args: Array[String]): Unit = {
@@ -112,12 +119,48 @@ object WindowAudit {
         }
         nWin += wins.size; nBcast += bcasts.size; nLoop += loops.size
 
+        // shuffle amplification: total rows written through exchanges vs
+        // rows scanned from sources. High ratios flag fan-out before
+        // reduction — the shape that saturates the network at scale.
+        val shuffled = plan.collectWithSubqueries {
+          case s: ShuffleExchangeExec =>
+            s.metrics.get("numOutputRows").orElse(
+              s.metrics.get("shuffleRecordsWritten")).map(_.value).getOrElse(0L)
+        }.sum
+        val scanned = plan.collectWithSubqueries {
+          case f: FileSourceScanExec =>
+            f.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+          case r: RowDataSourceScanExec =>
+            r.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+        }.sum
+
+        // wide-row exchanges: a shuffle carrying the document body, raw
+        // JSON, a dense embedding, or binary media pays the row width on
+        // every hop — the class of bug the r4 embeddingPairs fix removed.
+        // Tokenize/project should consume these map-side.
+        val wideCols = Set("text", "props", "embedding", "payload")
+        val wide = plan.collectWithSubqueries {
+          case s: ShuffleExchangeExec
+              if s.output.exists(a => wideCols.contains(a.name) ||
+                a.dataType == org.apache.spark.sql.types.BinaryType) =>
+            (s.metrics.get("numOutputRows").orElse(
+              s.metrics.get("shuffleRecordsWritten")).map(_.value)
+              .getOrElse(0L),
+             s.output.filter(a => wideCols.contains(a.name) ||
+               a.dataType == org.apache.spark.sql.types.BinaryType)
+               .map(_.name).mkString("+"))
+        }
+        val wideMax = if (wide.isEmpty) 0L else wide.map(_._1).max
+
         // threshold < 0: dump per-query maxima for cross-sf growth
         // comparison — a bounded input must not scale with the data
         if (threshold < 0) {
           def mx(xs: Seq[(Option[Long], String)]) =
             if (xs.isEmpty) 0L else xs.map(_._1.getOrElse(-1L)).max
-          println(s"[dump] $name ${mx(wins)} ${mx(bcasts)} ${mx(loops)}")
+          println(s"[dump] $name ${mx(wins)} ${mx(bcasts)} ${mx(loops)} " +
+            s"$shuffled $scanned $wideMax " +
+            wide.sortBy(-_._1).take(2).map(w => s"${w._1}:${w._2}")
+              .mkString(",", ",", ""))
         }
         for ((kind, xs) <- Seq(("window", wins), ("broadcast", bcasts),
             ("nestedloop", loops)); (rowsOpt, chain) <- xs) {
