@@ -421,6 +421,90 @@ object Stress {
     }
     }
 
+    if (section == "stream" || section == "all") {
+    // Structured Streaming throughput at volume: a factor-scaled synthetic
+    // event corpus lands as 40 parquet files and is driven through the
+    // engine's stateful streaming ops in ~5 micro-batches
+    // (maxFilesPerTrigger=8). Measured: sustained rows/s end-to-end and
+    // the state-store row count after the run (bounded state is the scale
+    // claim: windows x types for the agg, watermark-evicted ids for
+    // dedup, |users| for the custom state).
+    import graft.streaming.EventStreams
+    val nEvRows = 200000L * factor
+    val nUsers = 50000L
+    // event_id = id*9 div 10: every 10th row repeats the previous id
+    // ADJACENTLY (a same-timestamp duplicate the dedup state must catch,
+    // not one the watermark would drop as late), 10% duplicates total
+    val uniqueIds = nEvRows * 9 / 10
+    val sdir = java.nio.file.Files.createTempDirectory("stress-stream")
+      .toString
+    val eid = expr("id * 9 div 10")
+    spark.range(nEvRows).select(
+        eid.as("event_id"),
+        // second-granularity event time striding with the id; files are
+        // RANGE-partitioned on id so arrival order tracks event time and
+        // the watermark advances monotonically across micro-batches
+        timestamp_seconds(lit(1700000000L) + expr("(id * 9 div 10) div 100")).as("ts"),
+        pmod(hash(eid), lit(nUsers)).cast("long").as("user_id"),
+        concat(lit("t"), pmod(eid, lit(5))).as("event_type"),
+        (eid % 97).cast("double").as("value"),
+        lit("{}").as("props"))
+      .repartitionByRange(40, col("event_id"))
+      .sortWithinPartitions(col("event_id"))
+      .write.mode("overwrite").parquet(s"$sdir/in")
+    // The file stream source orders files by MODIFICATION TIME, and the
+    // parallel write finishes parts in arbitrary order — restamp mtimes in
+    // part order (= event_id range order) so arrival tracks event time and
+    // the watermark never drops in-order data as late.
+    new java.io.File(s"$sdir/in").listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1700000000000L + i * 1000L)
+      }
+
+    def runStream(name: String, expectRows: Option[Long])
+                 (mk: org.apache.spark.sql.DataFrame =>
+                    org.apache.spark.sql.DataFrame): Unit = {
+      val ck = java.nio.file.Files
+        .createTempDirectory(s"stress-ck-$name").toString
+      var outRows = 0L
+      val q = mk(EventStreams.readStream(spark, s"$sdir/in",
+          maxFilesPerTrigger = 8))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          outRows += df.count()
+        }
+        .start()
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val stateRows = Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      q.stop()
+      expectRows.foreach(e => require(outRows >= e,
+        s"$name: expected >= $e output rows, got $outRows"))
+      println(f"[stress] $name%-22s $secs%8.2f s  " +
+        f"(${(nEvRows / secs / 1e6)}%.2f M rows/s in, " +
+        f"$outRows out, $stateRows state rows)")
+    }
+
+    // watermarked tumbling window agg: state = open windows x event types
+    runStream("stream_window_agg", None)(
+      EventStreams.windowedStats(_, "1 hour", "1 hour", "2 hours"))
+    // stateful exact dedup: planted 10% duplicates must disappear
+    runStream("stream_dedup", Some(uniqueIds))(
+      EventStreams.dedupStream(_, Seq("event_id"), "2 hours"))
+    // custom per-user state via mapGroupsWithState: state = |users|
+    runStream("stream_user_state", None) { df =>
+      import spark.implicits._
+      EventStreams.runningUserTotals(
+        df.select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[EventStreams.EventRow]).toDF()
+    }
+    }
+
     if (section == "skew" || section == "all") {
     // Planted-skew join bake-off: 50% of the fact rows on ONE key, the dim
     // side forced off the broadcast path so the join genuinely shuffles.
