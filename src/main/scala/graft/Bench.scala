@@ -41,8 +41,14 @@ object Bench {
     // a crashed query must not be mistakable for a fast one.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
     require(repeat >= 1, s"SPARK_GRAFT_REPEAT must be >= 1, got $repeat")
+    // Executor CPU time per query, next to wall: CPU is robust to the
+    // external host-load spikes this box takes, so the cross-round ratchet
+    // can tell code regressions (CPU moves too) from noise (only wall
+    // moves). Reads drain the async listener bus before sampling.
+    val meter = new org.apache.spark.graft.BenchMetrics(spark.sparkContext)
     val results = selected.map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
+        val c0 = meter.cpuSeconds()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -50,20 +56,26 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
           }
         val elapsed = (System.nanoTime() - t0) / 1e9
+        val cpu = meter.cpuSeconds() - c0
         // Drop persisted intermediates (several dedup/ANN queries cache
         // their self-check inputs) so cached blocks don't skew the next
         // run — OUTSIDE the timed window, teardown is not the query's cost.
         spark.catalog.clearCache()
-        if (ok) elapsed else -1.0
+        if (ok) (elapsed, cpu) else (-1.0, -1.0)
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      val wall = if (times.exists(_._1 < 0)) -1.0 else times.map(_._1).min
+      val cpu = if (times.exists(_._2 < 0)) -1.0 else times.map(_._2).min
+      (name, wall, cpu)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val cq = results.map { case (k, _, c) => "\"" + k + "\":" + f"$c%.3f" }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"repeat":$repeat,"sf":"$sfDir"}""")
+    val cpuTotal = results.map(_._3).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_queries":$cq,"cpu_total":${f"$cpuTotal%.1f"},"errors":$errs,"repeat":$repeat,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

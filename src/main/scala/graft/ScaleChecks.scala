@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.catalog.HiveTableRelation
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Structural (no-execution) scale-shape checks shared by Verify, the
+  * runtime plan audit ([[WindowAudit]]), and the fast spec layer.
+  *
+  * The property each check guards is the one class of plan that is green at
+  * bench scale and fatal at the 100 TB target:
+  *
+  *   1. HINT-FORCED broadcast of an UNREDUCED scale-growing relation — an
+  *      explicit `broadcast()` overrides the planner's size-based choice at
+  *      ANY size, so a hint on a projection/filter of `part`/`lineitem`/…
+  *      that is harmless at sf0.1 becomes a driver OOM at 1000 executors.
+  *      Planner-chosen broadcasts are exempt (they flip to shuffle joins on
+  *      their own once stats cross the threshold), as are hints on relations
+  *      reduced by an aggregate/limit/top-k below the hint (their actual
+  *      bound is measured by the cross-sf runtime audit, which this static
+  *      walk cannot know).
+  *   2. Single-partition window over an unreduced growing relation — every
+  *      row funnels through one task. Bounded shapes (rank<=k rewritten to
+  *      WindowGroupLimit/TakeOrdered below the window, aggregates, calendar
+  *      series) pass because the reduction node sits on the leaf path.
+  *   3. Join with NO condition (cross/cartesian) where BOTH sides are
+  *      unreduced growing relations — O(n^2) work that no planner rewrite
+  *      saves. Stat folds (1-row aggregates) and bounded grids pass.
+  *
+  * "Unreduced" is a leaf-path property: a growing leaf counts only if the
+  * path from the checked node down to it crosses NO cardinality-reducing
+  * node (Aggregate / Distinct / Deduplicate / limits / WindowGroupLimit).
+  * Grouped aggregates on high-cardinality keys are deliberately passed here
+  * — their growth is what the cross-sf RUNTIME audit measures; this layer
+  * exists to catch the hint-forced-unreduced class machine-checkably (the
+  * r5 gap: a regex guard saw `broadcast(t(s,dir,"part"))` but not
+  * `val brands = t(s,dir,"part").select(…); broadcast(brands)`).
+  */
+object ScaleChecks {
+
+  /** Tables whose row count tracks the scale factor. region/nation are
+    * fixed-size dimensions and legitimately broadcastable at any scale.
+    */
+  val growingTables: Set[String] =
+    Set("customer", "part", "supplier", "orders", "lineitem", "events",
+      "documents", "embeddings")
+
+  private def stripExt(name: String): String = {
+    val i = name.indexOf('.')
+    if (i < 0) name else name.substring(0, i)
+  }
+
+  /** The growing source table behind a leaf, if any. Matches parquet scan
+    * paths (`…/part.parquet`) and catalog table identifiers.
+    */
+  private def growingLeaf(leaf: LogicalPlan): Seq[String] = leaf match {
+    case l: LogicalRelation =>
+      val fromPath = l.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(p => stripExt(p.getName)).toSeq
+        case _ => Nil
+      }
+      val fromCat = l.catalogTable.map(t => stripExt(t.identifier.table)).toSeq
+      (fromPath ++ fromCat).filter(growingTables)
+    case h: HiveTableRelation =>
+      Seq(stripExt(h.tableMeta.identifier.table)).filter(growingTables)
+    case _ => Nil
+  }
+
+  /** Subquery-alias prefix that declares a CONTRACT-BOUNDED relation: an
+    * engine operator whose semantics require replicating a caller-supplied
+    * small batch (brute-force scoring, incremental-dedup batch, IVF query
+    * side) tags that side `df.as(BoundedBatchAlias)` next to a scaladoc
+    * line stating the contract. The alias is plan-visible, so this static
+    * gate can honor the declaration, the hygiene spec can enforce that only
+    * engine code (never the query gallery) declares it, and the cross-sf
+    * RUNTIME broadcast audit still measures the declared side — a false
+    * declaration shows up there as growth.
+    */
+  val BoundedBatchAlias = "__graft_bounded_batch"
+
+  /** Growing leaves reachable from `p` with no cardinality-reducing node on
+    * the path. Local one-row relations, ranges, and fixed dims yield Nil.
+    */
+  def unreducedGrowing(p: LogicalPlan): Seq[String] = p match {
+    case _: Aggregate | _: Distinct | _: Deduplicate | _: GlobalLimit |
+         _: LocalLimit | _: WindowGroupLimit => Nil
+    case a: SubqueryAlias if a.alias.startsWith(BoundedBatchAlias) => Nil
+    case leaf if leaf.children.isEmpty => growingLeaf(leaf)
+    case other => other.children.flatMap(unreducedGrowing)
+  }
+
+  /** Check 1: hint-forced broadcasts of unreduced growing relations, from
+    * the ANALYZED plan (the optimizer erases ResolvedHint into join hints).
+    * Returns one message per offending hint.
+    */
+  def hintForcedGrowingBroadcasts(df: DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
+        unreducedGrowing(h.child).distinct
+    }.flatten.map(t => s"hint-forced broadcast of unreduced growing table $t")
+
+  /** Checks 2+3 on the OPTIMIZED logical plan (after distinct→Aggregate and
+    * WindowGroupLimit insertion, so bounded shapes read as bounded).
+    */
+  def unboundedShapes(df: DataFrame): Seq[String] = {
+    val plan = df.queryExecution.optimizedPlan
+    val wins = plan.collect {
+      case w: Window if w.partitionSpec.isEmpty =>
+        unreducedGrowing(w.child).distinct
+          .map(t => s"single-partition window over unreduced growing table $t")
+    }.flatten
+    val crosses = plan.collect {
+      case j: Join if j.condition.isEmpty =>
+        val l = unreducedGrowing(j.left).distinct
+        val r = unreducedGrowing(j.right).distinct
+        if (l.nonEmpty && r.nonEmpty)
+          Seq(s"conditionless join of unreduced growing tables " +
+            s"${l.mkString("+")} x ${r.mkString("+")}")
+        else Nil
+    }.flatten
+    wins ++ crosses
+  }
+
+  /** All static violations for one query plan. Cheap: analysis +
+    * optimization only, no job runs.
+    */
+  def staticViolations(df: DataFrame): Seq[String] =
+    hintForcedGrowingBroadcasts(df) ++ unboundedShapes(df)
+}

@@ -467,14 +467,18 @@ object Stress {
                     org.apache.spark.sql.DataFrame): Unit = {
       val ck = java.nio.file.Files
         .createTempDirectory(s"stress-ck-$name").toString
-      var outRows = 0L
+      // AtomicLong: foreachBatch runs on the stream-execution thread; the
+      // final read below is from the main thread after processAllAvailable,
+      // so the counter needs an explicit memory barrier, not the incidental
+      // ones inside the streaming engine.
+      val outRowsAcc = new java.util.concurrent.atomic.AtomicLong(0L)
       val q = mk(EventStreams.readStream(spark, s"$sdir/in",
           maxFilesPerTrigger = 8))
         .writeStream
         .outputMode("update")
         .option("checkpointLocation", ck)
         .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-          outRows += df.count()
+          outRowsAcc.addAndGet(df.count()); ()
         }
         .start()
       val t0 = System.nanoTime()
@@ -483,6 +487,7 @@ object Stress {
       val stateRows = Option(q.lastProgress)
         .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
       q.stop()
+      val outRows = outRowsAcc.get()
       expectRows.foreach(e => require(outRows >= e,
         s"$name: expected >= $e output rows, got $outRows"))
       println(f"[stress] $name%-22s $secs%8.2f s  " +

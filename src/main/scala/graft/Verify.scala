@@ -34,9 +34,22 @@ object Verify {
     // iterating locally (the driver never sets it, so its gate stays full).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     def selected(name: String) = only.forall(_.contains(name))
+    // Scale-shape gate: every query's plan is statically audited (no extra
+    // execution — analysis/optimization only) for hint-forced broadcasts of
+    // unreduced growing tables, unreduced single-partition windows, and
+    // growing x growing conditionless joins. Violations fail the run so a
+    // scale regression reddens the round even when the sf0.01 oracle is
+    // green (the r5 q281/q299 class). See ScaleChecks for the property.
+    val scaleViolations = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        ScaleChecks.staticViolations(df).foreach { v =>
+          scaleViolations += s"$name: $v"
+          System.err.println(s"[verify][scale-audit] $name: $v")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -57,6 +70,14 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/scale_audit.json"),
+      scaleViolations.map(q).mkString("[", ",", "]"))
     spark.stop()
+    if (scaleViolations.nonEmpty) {
+      System.err.println(
+        s"[verify] SCALE-AUDIT FAILED: ${scaleViolations.size} violations " +
+          "(see scale_audit.json)")
+      sys.exit(2)
+    }
   }
 }

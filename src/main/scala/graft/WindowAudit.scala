@@ -80,12 +80,21 @@ object WindowAudit {
     }
 
     var worst = List.empty[(String, String, Long, String)]
-    var nWin, nBcast, nLoop = 0
+    var nWin, nBcast, nLoop, nHintForced = 0
     var failed = List.empty[String]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if only.forall(_.contains(name))) {
       try {
         val df = fn(spark, sfDir)
+        // structural layer: broadcasts below are classified planner-chosen
+        // vs hint-forced from the ANALYZED plan (ResolvedHint), not by
+        // source regex — the r5 gap that let a hinted val-of-growing-table
+        // pass as "planner-chosen". Any hit is a hard flag regardless of
+        // measured size (the hint, not today's size, is the scale bug).
+        for (v <- ScaleChecks.staticViolations(df)) {
+          nHintForced += 1
+          worst ::= ((name, "hint/static", -1L, v))
+        }
         df.collect()
         val plan = df.queryExecution.executedPlan
 
@@ -170,11 +179,14 @@ object WindowAudit {
         }
         spark.catalog.clearCache()
       } catch {
-        case e: Exception => failed ::= s"$name: ${e.getMessage.take(120)}"
+        // String.valueOf: a null-message exception (NPE) must record the
+        // failed query, not abort the audit loop from inside the handler
+        case e: Exception => failed ::= s"$name: ${String.valueOf(e).take(120)}"
       }
     }
     println(s"[audit] audited: $nWin single-partition windows, " +
-      s"$nBcast broadcasts, $nLoop nested-loop joins")
+      s"$nBcast broadcasts, $nLoop nested-loop joins; " +
+      s"$nHintForced hint-forced/static scale violations")
     println(s"[audit] over threshold ($threshold rows at $sfDir) " +
       s"or unmeasured: ${worst.size}")
     worst.sortBy(-_._3).foreach { case (q, k, r, n) =>

@@ -1788,7 +1788,10 @@ private[graft] object QueriesAnalytics2 {
       // Edges come from the q210-style basket-bounded self-join (pairs
       // within one order only — never a global cross product); degrees
       // and intra-community weights are one pass over the symmetric
-      // endpoint expansion. Brand dimension broadcasts.
+      // endpoint expansion. The brand lookup joins on p_partkey: `part`
+      // grows with scale, so no broadcast hint — the planner
+      // auto-broadcasts while the projection fits and falls back to a
+      // shuffle join beyond the threshold.
       val items = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       val brands = t(s, dir, "part")
@@ -1799,10 +1802,10 @@ private[graft] object QueriesAnalytics2 {
         .filter(col("p1") < col("p2"))
         .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("w"))
       val eb = e0
-        .join(broadcast(brands.select(col("p_partkey").as("p1"),
-          col("p_brand").as("b1"))), Seq("p1"))
-        .join(broadcast(brands.select(col("p_partkey").as("p2"),
-          col("p_brand").as("b2"))), Seq("p2"))
+        .join(brands.select(col("p_partkey").as("p1"),
+          col("p_brand").as("b1")), Seq("p1"))
+        .join(brands.select(col("p_partkey").as("p2"),
+          col("p_brand").as("b2")), Seq("p2"))
       val ends = eb.select(col("b1").as("b"), col("b2").as("other"),
           col("w"))
         .unionAll(eb.select(col("b2").as("b"), col("b1").as("other"),
@@ -2586,10 +2589,12 @@ private[graft] object QueriesAnalytics2 {
       // The only data-sized passes are the basket pair join and the
       // brand rollup; the I statistic itself runs over the bounded
       // brand x brand table. Expected value -1/(N-1) reported alongside.
+      // The brand lookup is unhinted: `part` grows with scale, so the
+      // planner picks broadcast vs shuffle join by its own size stats.
       val li = t(s, dir, "lineitem")
       val brands = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
       val attr = li
-        .join(broadcast(brands), col("l_partkey") === col("p_partkey"))
+        .join(brands, col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg((sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS " +
           "BIGINT)")).cast("double") /
@@ -2604,10 +2609,10 @@ private[graft] object QueriesAnalytics2 {
         .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")),
           Seq("l_orderkey"))
         .filter(col("p1") < col("p2"))
-        .join(broadcast(brands.select(col("p_partkey").as("p1"),
-          col("p_brand").as("b1"))), Seq("p1"))
-        .join(broadcast(brands.select(col("p_partkey").as("p2"),
-          col("p_brand").as("b2"))), Seq("p2"))
+        .join(brands.select(col("p_partkey").as("p1"),
+          col("p_brand").as("b1")), Seq("p1"))
+        .join(brands.select(col("p_partkey").as("p2"),
+          col("p_brand").as("b2")), Seq("p2"))
         .filter(col("b1") =!= col("b2"))
         .groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("w"))
       val cross = pairs

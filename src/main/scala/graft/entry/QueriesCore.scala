@@ -42,11 +42,14 @@ private[graft] object QueriesCore {
     // ---- joins (SURVEY.md §2C: equi/semi/anti/broadcast) ----------------,
 
     "q03_topk_join" -> ((s, dir) => {
+      // customer grows with scale, so the segment filter keeps O(rows):
+      // no broadcast hint — the planner auto-broadcasts while it fits
+      // and shuffle-joins beyond the threshold.
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1995-03-15"))
       val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1995-03-15"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -946,7 +949,9 @@ private[graft] object QueriesCore {
           "graft_bloom_might_contain((SELECT bf FROM graft_q67_bloom), l_suppkey)"))
         .select(col("l_orderkey"), col("l_suppkey"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val trueRows = li.join(broadcast(suppKeys),
+      // supplier grows with scale (the nationkey filter keeps O(rows)), so
+      // the semi join is unhinted — planner broadcasts while it fits
+      val trueRows = li.join(suppKeys,
           col("l_suppkey") === col("s_suppkey"), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val missed = trueRows.exceptAll(cand)

@@ -224,7 +224,11 @@ private[graft] object QueriesPipeline {
       val root = scratchDir("q83_sigs")
       Dedup.writeMinhashSignatures(docs, "text", "doc_id", s"$root/sigs",
         shingleSize = 3, numHashes = 32)
-      val batch = docs.filter(col("doc_id") < 50)
+      // limit(50) is a no-op on the <=50 rows the doc_id<50 point filter
+      // keeps at ANY scale factor, but it puts that bound IN-PLAN so the
+      // static scale gate can see the broadcast side of the exact check
+      // below is batch-sized, not corpus-sized
+      val batch = docs.filter(col("doc_id") < 50).limit(50)
         .select((col("doc_id") + 100000L).as("doc_id"),
           expr("substring(text, 21)").as("text"))
       val sigs = s.read.parquet(s"$root/sigs")

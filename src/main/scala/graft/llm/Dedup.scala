@@ -168,14 +168,19 @@ object Dedup {
       .filter(col("__n") > maxBucketSize)
       .select(col("band"), col("bhash"))
     val capped = cb.join(hot, Seq("band", "bhash"), "left_anti")
+    // CONTRACT: the ingest batch is small by the operator's definition
+    // (per-batch cost = one corpus-signature scan + batch-sized work); the
+    // alias declares that bound to the static scale gate.
     val nb = bandHashes(newSigs, bands, rows)
       .select(col("band"), col("bhash"), col("__id").as("new_id"))
+      .as(graft.ScaleChecks.BoundedBatchAlias)
     val cand = capped.join(broadcast(nb), Seq("band", "bhash"))
       .select(col("new_id"), col("__id").as("existing_id"))
       .dropDuplicates("new_id", "existing_id")
     cand
       .join(broadcast(newSigs.select(col("__id").as("new_id"),
-        col("__sig").as("__sigN"))), Seq("new_id"))
+        col("__sig").as("__sigN"))
+        .as(graft.ScaleChecks.BoundedBatchAlias)), Seq("new_id"))
       .join(corpusSigs.select(col("__id").as("existing_id"),
         col("__sig").as("__sigE")), Seq("existing_id"))
       .withColumn("jaccard_est",
@@ -189,7 +194,9 @@ object Dedup {
     * (signature match fraction) >= threshold — the recall reference for
     * [[minhashPairs]], whose banded output is a subset of this by
     * construction (its verification step applies the same filter).
-    * O(n^2); small corpora only.
+    * O(n^2); small corpora only. No broadcast hint on the theta join: the
+    * planner broadcasts a side while it fits and falls back to a
+    * distributed cartesian beyond — a hint would pin the driver-OOM plan.
     */
   def minhashPairsExact(df: DataFrame, textCol: String, idCol: String,
                         shingleSize: Int = 3, numHashes: Int = 32,
@@ -198,7 +205,7 @@ object Dedup {
       minhashSignature(col(textCol), shingleSize, numHashes).as("__sig"))
     val l = sigs.select(col("__id").as("idA"), col("__sig").as("sigA"))
     val r = sigs.select(col("__id").as("idB"), col("__sig").as("sigB"))
-    l.join(broadcast(r), col("idA") < col("idB"))
+    l.join(r, col("idA") < col("idB"))
       .withColumn("jaccard_est",
         graft.expressions.TextExpressions.matchFraction(col("sigA"), col("sigB")))
       .filter(col("jaccard_est") >= threshold)
@@ -459,14 +466,15 @@ object Dedup {
 
   /** Brute-force exact simhash pair set: O(n^2) Hamming scan — the
     * correctness oracle for [[simhashPairs]] (which must equal it exactly,
-    * by the pigeonhole argument). Broadcast one side; small corpora only.
+    * by the pigeonhole argument). Small corpora only; the theta join is
+    * unhinted so the planner picks broadcast vs distributed cartesian.
     */
   def simhashPairsExact(df: DataFrame, textCol: String, idCol: String,
                         maxHamming: Int = 3): DataFrame = {
     val sh = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sh"))
     val l  = sh.select(col("__id").as("idA"), col("__sh").as("shA"))
     val r  = sh.select(col("__id").as("idB"), col("__sh").as("shB"))
-    l.join(broadcast(r), col("idA") < col("idB"))
+    l.join(r, col("idA") < col("idB"))
       .withColumn("hamming", bit_count(col("shA").bitwiseXOR(col("shB"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("idA"), col("idB"), col("hamming"))
@@ -575,8 +583,9 @@ object Dedup {
   }
 
   /** Exact embedding near-duplicate pairs: all-pairs cosine >= threshold.
-    * O(n^2) — the correctness oracle for [[embeddingPairs]]; use only on
-    * corpora small enough to broadcast one side.
+    * O(n^2) — the correctness oracle for [[embeddingPairs]]; small corpora
+    * only. Unhinted theta join: the planner broadcasts a side while it
+    * fits and distributes the cartesian beyond.
     */
   def embeddingPairsExact(df: DataFrame, vecCol: String, idCol: String,
                           threshold: Double): DataFrame = {
@@ -586,7 +595,7 @@ object Dedup {
       VF.norm(col(vecCol)).as("__n"))
     val l = v.select(col("__id").as("idA"), col("__v").as("vA"), col("__n").as("nA"))
     val r = v.select(col("__id").as("idB"), col("__v").as("vB"), col("__n").as("nB"))
-    l.join(broadcast(r), col("idA") < col("idB"))
+    l.join(r, col("idA") < col("idB"))
       .withColumn("cosine",
         when(col("nA") * col("nB") === 0.0, 0.0)
           .otherwise(VF.dot(col("vA"), col("vB")) / (col("nA") * col("nB"))))

@@ -127,9 +127,15 @@ object Search {
   private def rank(post: DataFrame, stats: DataFrame, queries: DataFrame,
                    k: Int, k1: Double, b: Double,
                    dedupeQueries: Boolean = false): DataFrame = {
+    // dropDuplicates(query_id): a batch that carries the same query row
+    // twice must stay idempotent — without this, the direct path would
+    // double-count its contributions (scores exactly 2x) and the dedupe
+    // path's replicate map would emit each result row once per copy. The
+    // dedup aggregates the tiny query batch, never the postings.
     val qsets = queries.select(col("query_id"),
       sort_array(array_distinct(searchTokens(col("query_text"))))
         .as("__tset"))
+      .dropDuplicates("query_id")
     // When dedupeQueries, score only one representative query_id per term
     // set; qmap replicates its rows back to every duplicate at the end.
     // Renamed columns (and the group-key rename inside TopK) keep that

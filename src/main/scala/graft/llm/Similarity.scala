@@ -28,7 +28,12 @@ object Similarity {
       VF.norm(col(vecCol)).as("__qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       VF.norm(col(vecCol)).as("__cn"))
-    val scored = c.crossJoin(broadcast(q))
+    // CONTRACT: `queries` is a bounded probe batch — brute-force scoring
+    // replicates it to every corpus partition by definition, so the caller
+    // owns its size (the scale path for large batches is lshTopK/IVF). The
+    // alias declares that contract to the static scale gate; the cross-sf
+    // runtime broadcast audit measures it stays flat.
+    val scored = c.crossJoin(broadcast(q.as(graft.ScaleChecks.BoundedBatchAlias)))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         when(col("__qn") * col("__cn") === 0.0, 0.0)
@@ -95,7 +100,10 @@ object Similarity {
           .as("__csig"))
     // Each (query, corpus) pair matches at most one probe (the XOR mask is
     // unique), so the equi-join introduces no duplicates.
-    val scored = c.join(broadcast(q), Seq("__csig"))
+    // CONTRACT: the probe side is batch x masks rows — bounded by the
+    // caller's batch; declared to the static scale gate via the alias.
+    val scored = c.join(
+        broadcast(q.as(graft.ScaleChecks.BoundedBatchAlias)), Seq("__csig"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         when(col("__qn") * col("__cn") === 0.0, 0.0)
@@ -273,7 +281,10 @@ object Similarity {
       .select(col("query_id"), col("__qv"), col("cell"))
     val data = spark.read.parquet(s"$path/data")
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cell"))
-    val scored = data.join(broadcast(q), Seq("cell"))
+    // CONTRACT: batch x nProbe rows — bounded by the caller's batch;
+    // declared to the static scale gate via the alias.
+    val scored = data.join(
+        broadcast(q.as(graft.ScaleChecks.BoundedBatchAlias)), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VF.cosine(col("__qv"), col("__cv")))
     rankTopK(scored, k)
@@ -304,7 +315,11 @@ object Similarity {
       .filter(col("__rk") <= nProbe)
       .select(col("query_id"), col("__qv"), col("cell"))
 
-    val scored = c.join(broadcast(q), Seq("cell"))
+    // CONTRACT: batch x nProbe rows — bounded by the caller's batch
+    // (queries are the small side by construction); declared to the static
+    // scale gate via the alias.
+    val scored = c.join(
+        broadcast(q.as(graft.ScaleChecks.BoundedBatchAlias)), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VF.cosine(col("__qv"), col("__cv")))
     rankTopK(scored, k)

@@ -3,17 +3,32 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Source-level scale-hygiene guards. An explicit broadcast() hint forces
-  * the broadcast at ANY size, overriding the planner's size-based choice —
-  * acceptable only for relations bounded by construction (fixed dims,
-  * stat folds, per-stratum tables, query batches). The TPC-H-style tables
-  * that grow with scale factor must never be hinted: at the 100 TB target
-  * customer/part/supplier are billions of rows, and the hint that is
-  * harmless at bench scale becomes a driver OOM. The planner (AQE)
-  * broadcasts them anyway at small scale, so the hint buys nothing.
+/** Scale-hygiene guards, two layers:
+  *
+  * 1. SOURCE layer (fast regex): no explicit broadcast() hint on a
+  *    scale-growing table in the query gallery — neither inline
+  *    (`broadcast(t(s, dir, "part"))`) nor via a val assigned from one
+  *    (`val brands = t(s, dir, "part").select(…); broadcast(brands)` — the
+  *    r5 gap that let q281/q299 through). An explicit hint forces the
+  *    broadcast at ANY size, overriding the planner's size-based choice —
+  *    acceptable only for relations bounded by construction. At the 100 TB
+  *    target customer/part/… are billions of rows, and the hint that is
+  *    harmless at bench scale becomes a driver OOM. The planner (AQE)
+  *    broadcasts them anyway at small scale, so the hint buys nothing.
+  *    Regex limits: only vals whose RHS is a row-preserving chain
+  *    (select/filter/…) off a growing table are classified growing;
+  *    aggregates are legitimately broadcastable and skipped.
+  *
+  * 2. STRUCTURAL layer ([[ScaleChecks]], planted-violation tests here):
+  *    the analyzed-plan walk that Verify and WindowAudit run over every
+  *    query — proven red on planted hint-forced broadcasts, unreduced
+  *    global windows, and growing x growing cross joins, and green on the
+  *    bounded shapes (aggregate broadcast, top-k window, dim broadcast).
   */
 class ScaleHygieneSpec extends AnyFunSuite {
 
@@ -21,20 +36,172 @@ class ScaleHygieneSpec extends AnyFunSuite {
     Seq("customer", "part", "supplier", "orders", "lineitem", "events",
       "documents", "embeddings")
 
-  test("no explicit broadcast hint on scale-growing tables in the gallery") {
+  /** Row-preserving Dataset methods: a val whose RHS is only these off a
+    * growing table is still O(table rows). Anything else (agg, groupBy,
+    * limit, join, distinct, …) drops the val from the growing set —
+    * conservative on purpose, and consistent with [[ScaleChecks]] (distinct
+    * counts as a reducer: every gallery use is on a projected bounded-domain
+    * column; a distinct over a high-cardinality key would slip this layer
+    * but is caught by the cross-sf runtime growth audit).
+    */
+  private val rowPreserving =
+    Set("select", "filter", "where", "withColumn", "withColumnRenamed",
+      "drop", "as", "alias", "repartition", "sort", "orderBy", "cache",
+      "persist")
+
+  private def gallerySources: Seq[(String, String)] = {
     val entryDir = Paths.get("src/main/scala/graft/entry")
     assert(Files.isDirectory(entryDir), s"missing $entryDir (cwd moved?)")
-    val offenders = Files.list(entryDir).iterator().asScala
-      .filter(_.toString.endsWith(".scala"))
-      .flatMap { p =>
-        val src = new String(Files.readAllBytes(p))
-        growingTables.flatMap { tbl =>
-          val pat = ("broadcast\\(\\s*t\\(s, dir, \"" + tbl + "\"").r
-          pat.findAllIn(src).map(_ => s"${p.getFileName}: broadcast($tbl)")
-        }
-      }.toList
+    Using.resource(Files.list(entryDir)) { stream =>
+      stream.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .map(p => (p.getFileName.toString, new String(Files.readAllBytes(p))))
+        .toList
+    }
+  }
+
+  test("no explicit broadcast hint on scale-growing tables in the gallery") {
+    val offenders = gallerySources.flatMap { case (file, src) =>
+      growingTables.flatMap { tbl =>
+        val pat = ("broadcast\\(\\s*t\\(s, dir, \"" + tbl + "\"").r
+        pat.findAllIn(src).map(_ => s"$file: broadcast($tbl)")
+      }
+    }
     assert(offenders.isEmpty,
       s"explicit broadcast() on scale-growing tables:\n  " +
         offenders.mkString("\n  "))
+  }
+
+  test("no broadcast hint on a val derived row-preservingly from a growing " +
+    "table") {
+    // per query block (delimited by the "qNNN_name" -> ((s, dir) => {
+    // headers) so a val name in one query cannot shadow another query's
+    val blockHeader = "\"q\\d+_\\w+\" ->".r
+    val valDef = "val\\s+(\\w+)\\s*=".r
+    val offenders = gallerySources.flatMap { case (file, src) =>
+      val starts = blockHeader.findAllMatchIn(src).map(_.start).toList
+      val blocks = (starts zip (starts.drop(1) :+ src.length)).map {
+        case (a, b) => src.substring(a, b)
+      }
+      blocks.flatMap { block =>
+        val qname = block.takeWhile(_ != '-').trim
+        // val name -> RHS text (up to the next val or block end)
+        val defs = valDef.findAllMatchIn(block).toList
+        val rhss = defs.zipWithIndex.map { case (m, i) =>
+          val end = if (i + 1 < defs.size) defs(i + 1).start else block.length
+          (m.group(1), block.substring(m.end, end))
+        }
+        // fixpoint: growing if RHS is a row-preserving chain off
+        // t(s, dir, "<growing>") or off an already-growing val
+        def chainOnlyRowPreserving(rhs: String): Boolean = {
+          val calls = "\\.\\s*(\\w+)\\s*\\(".r
+            .findAllMatchIn(rhs).map(_.group(1)).toList
+          calls.forall(c => rowPreserving.contains(c) ||
+            c == "as" || c == "col" || c == "lit")
+        }
+        var growing = Set.empty[String]
+        var changed = true
+        while (changed) {
+          changed = false
+          for ((name, rhs) <- rhss if !growing.contains(name)) {
+            val baseGrowingTable = growingTables.exists(tbl =>
+              rhs.trim.startsWith(s"""t(s, dir, "$tbl")"""))
+            val baseGrowingVal = growing.exists(g =>
+              rhs.trim.startsWith(s"$g.") || rhs.trim == g)
+            if ((baseGrowingTable || baseGrowingVal) &&
+                chainOnlyRowPreserving(rhs)) {
+              growing += name; changed = true
+            }
+          }
+        }
+        // offense only when the hinted expression is the growing val
+        // itself or a row-preserving chain off it — broadcast(base.agg(…))
+        // is a bounded fold and legitimate
+        growing.toSeq.sorted.flatMap { name =>
+          val hint = ("broadcast\\(\\s*" + name + "\\s*([).])\\s*(\\w*)").r
+          hint.findAllMatchIn(block).flatMap { m =>
+            val offends = m.group(1) == ")" ||
+              rowPreserving.contains(m.group(2))
+            if (offends) Some(
+              s"$file $qname: broadcast($name…) where $name derives " +
+                "row-preservingly from a growing table")
+            else None
+          }
+        }
+      }
+    }
+    assert(offenders.isEmpty,
+      s"broadcast() hints on growing-derived vals:\n  " +
+        offenders.mkString("\n  "))
+  }
+
+  test("the query gallery never self-declares a bounded broadcast batch") {
+    // Only ENGINE operators may tag a broadcast side as contract-bounded
+    // (ScaleChecks.BoundedBatchAlias) — each such site carries a scaladoc
+    // CONTRACT line and is measured by the cross-sf runtime broadcast
+    // audit. A gallery query claiming the tag would bypass the static
+    // scale gate with no contract to hold it to.
+    val offenders = gallerySources.collect {
+      case (file, src) if src.contains("__graft_bounded") => file
+    }
+    assert(offenders.isEmpty,
+      s"gallery files declaring bounded batches: $offenders")
+  }
+
+  // ---- structural layer: planted violations must go red ----
+
+  private lazy val s = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("ScaleChecks flags a planted hint-forced broadcast of a growing " +
+    "projection") {
+    val li = s.read.parquet(s"$sf/lineitem.parquet")
+    val part = s.read.parquet(s"$sf/part.parquet")
+      .select(col("p_partkey"), col("p_brand"))
+    val bad = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    val v = ScaleChecks.hintForcedGrowingBroadcasts(bad)
+    assert(v.exists(_.contains("part")), s"expected planted violation, got $v")
+  }
+
+  test("ScaleChecks passes a hint-forced broadcast of an aggregate and of " +
+    "a fixed dim") {
+    val li = s.read.parquet(s"$sf/lineitem.parquet")
+    val stats = li.agg(sum(col("l_quantity")).as("q"))
+    val nation = s.read.parquet(s"$sf/nation.parquet")
+    val ok = li.crossJoin(broadcast(stats))
+      .join(broadcast(nation), col("l_suppkey") === col("n_nationkey"))
+    assert(ScaleChecks.staticViolations(ok).isEmpty)
+  }
+
+  test("ScaleChecks flags a planted unreduced global window and passes " +
+    "top-k/aggregate windows") {
+    import org.apache.spark.sql.expressions.Window
+    val li = s.read.parquet(s"$sf/lineitem.parquet")
+    val bad = li.withColumn("rn",
+      row_number().over(Window.orderBy(col("l_orderkey"))))
+    assert(ScaleChecks.unboundedShapes(bad)
+      .exists(_.contains("single-partition window")))
+    // rank<=k rewrites to WindowGroupLimit below the window -> bounded
+    val topk = li.withColumn("rn",
+      row_number().over(Window.orderBy(col("l_extendedprice").desc)))
+      .filter(col("rn") <= 10)
+    assert(ScaleChecks.unboundedShapes(topk).isEmpty,
+      "top-k window should read as bounded (WindowGroupLimit)")
+    // window over an aggregate -> bounded
+    val aggWin = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("q"))
+      .withColumn("r", row_number().over(Window.orderBy(col("q"))))
+    assert(ScaleChecks.unboundedShapes(aggWin).isEmpty)
+  }
+
+  test("ScaleChecks flags a planted growing x growing cross join and " +
+    "passes stat-fold cross joins") {
+    val li = s.read.parquet(s"$sf/lineitem.parquet")
+    val ord = s.read.parquet(s"$sf/orders.parquet")
+    val bad = li.crossJoin(ord)
+    assert(ScaleChecks.unboundedShapes(bad)
+      .exists(_.contains("conditionless join")))
+    val ok = li.crossJoin(ord.agg(count(lit(1)).as("n")))
+    assert(ScaleChecks.unboundedShapes(ok).isEmpty)
   }
 }
