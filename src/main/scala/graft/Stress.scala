@@ -223,6 +223,34 @@ object Stress {
       graft.llm.Search.querySearchIndex(spark, idxDir,
         qBatchDistinct(1000), 10).count()
     }
+    // Zipf-shaped serving: the replicated corpus has a 31-word vocabulary
+    // where EVERY term sits at ~77% df — the adversarial all-common case
+    // where no impact bound can prune and serving must pay the exact
+    // linear cost (the 1000q_distinct row above measures that honestly).
+    // Real corpora are Zipfian: decontamination queries carry rare entity
+    // tokens next to common words. Model that by tagging each doc with a
+    // rare token (df = n/2000) and issuing 1000 distinct queries of one
+    // rare tag + two common words — the max-score serving path should
+    // collapse the common-term fan-out to candidate-sized work.
+    val tagged = corpus.withColumn("text",
+      concat(col("text"), lit(" tag"), pmod(col("doc_id"), lit(2000L))))
+      .persist()
+    tagged.count()
+    val zIdxDir = java.nio.file.Files
+      .createTempDirectory("stress-bm25-zipf").toString
+    time("bm25_zipf_index_build") {
+      graft.llm.Search.writeSearchIndex(tagged, "text", "doc_id", zIdxDir)
+      n
+    }
+    def qBatchZipf(nq: Int) = (0L until nq.toLong).map(i =>
+      (i + 1, s"tag${i % 2000} " + decA((i % 10).toInt) + " " +
+        decB(((i / 10) % 10).toInt)))
+      .toDF("query_id", "query_text")
+    time("bm25_zipf_serve_1000q_distinct") {
+      graft.llm.Search.querySearchIndex(spark, zIdxDir,
+        qBatchZipf(1000), 10).count()
+    }
+    tagged.unpersist()
     }
 
     if (section == "docs" || section == "cc" || section == "all") {
@@ -462,6 +490,20 @@ object Stress {
         f.setLastModified(1700000000000L + i * 1000L)
       }
 
+    // SPARK_GRAFT_STATESTORE=rocksdb swaps the state store backend for the
+    // whole stream section — the r5 open question: stream_dedup fell to
+    // 1.87M rows/s at factor 500 (90M-row output + the default HDFS-backed
+    // store); RocksDB keeps state off-heap with incremental snapshots.
+    // Measured at every factor before any thought of adopting as default.
+    sys.env.get("SPARK_GRAFT_STATESTORE") match {
+      case Some("rocksdb") =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state" +
+            ".RocksDBStateStoreProvider")
+        println("[stress] state store: RocksDB")
+      case _ => ()
+    }
+
     def runStream(name: String, expectRows: Option[Long])
                  (mk: org.apache.spark.sql.DataFrame =>
                     org.apache.spark.sql.DataFrame): Unit = {
@@ -628,6 +670,14 @@ object Stress {
     time("assoc_rules") {
       graft.ops.Association.pairRules(baskets, "u", "item", 0.2).count()
     }
+    // stage-volume curve (outside the timer): the support floor's bound on
+    // the pair join as a MEASURED series across factors, not a single
+    // identical-rule-set observation — n_candidate_pairs is the term that
+    // would go quadratic if the item floor stopped holding
+    val (abn, abi, abc, abf) = graft.ops.Association
+      .pairRuleStats(baskets, "u", "item", 0.2)
+    println(s"[stress] assoc_stages baskets=$abn frequent_items=$abi " +
+      s"candidate_pairs=$abc frequent_pairs=$abf")
     baskets.unpersist()
     gedges.unpersist()
     }

@@ -81,14 +81,28 @@ object Search {
     */
   def writeSearchIndex(docs: DataFrame, textCol: String, idCol: String,
                        path: String): Unit = {
-    postings(docs, textCol, idCol)
+    val post = postings(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    post
       .repartition(col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("overwrite").parquet(s"$path/postings")
+    // Per-term stats for max-score serving: df (same definition the ad-hoc
+    // path derives from matched postings — one row per (term, doc)) and
+    // max_tf, from which a k1/b-independent upper bound on any document's
+    // contribution follows at query time (tf_norm is increasing in tf and
+    // decreasing in dl, so tfn <= max_tf*(k1+1)/(max_tf + k1*(1-b))).
+    post.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), max(col("tf")).as("max_tf"))
+      .repartition(col("term"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$path/termstats")
     docs.agg(
         count(when(size(searchTokens(col(textCol))) > 0, 1)).as("n_docs"),
         sum(size(searchTokens(col(textCol))).cast("long")).as("total_toks"))
       .write.mode("overwrite").parquet(s"$path/stats")
+    post.unpersist()
+    ()
   }
 
   /** BM25 top-k against a persisted [[writeSearchIndex]] layout. The query
@@ -106,7 +120,30 @@ object Search {
     val post = spark.read.parquet(s"$path/postings")
       .filter(col("term").isin(terms: _*))
     val stats = spark.read.parquet(s"$path/stats")
-    rank(post, stats, queries, k, k1, b, dedupeQueries = true)
+    // Max-score serving needs the per-term stats table; indexes written
+    // before it existed fall back to the direct plan.
+    val hasTermStats = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/termstats")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (hasTermStats) {
+      val tstats = spark.read.parquet(s"$path/termstats")
+        .filter(col("term").isin(terms: _*))
+      // Short-circuit on the batch's term mix (one bounded collect over
+      // batch-term stats): max-score pruning only ever pays when the batch
+      // has BOTH essential (rare) terms to build a floor from AND common
+      // terms whose fan-out it can skip. All-common batches (nothing to
+      // prune with) and all-rare batches (nothing worth pruning) take the
+      // direct plan with zero added stages.
+      val nDocs = stats.select(col("n_docs")).collect()(0).getLong(0)
+      val dfs = tstats.select(col("term"), col("df")).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      val nEss = dfs.count(_._2 * 2 <= nDocs)
+      val nCommon = dfs.length - nEss
+      if (nEss > 0 && nCommon > 0)
+        rankServed(post, tstats, stats, queries, k, k1, b)
+      else rank(post, stats, queries, k, k1, b, dedupeQueries = true)
+    } else rank(post, stats, queries, k, k1, b, dedupeQueries = true)
   }
 
   /** Shared scoring tail: prune postings to query terms, df over the
@@ -165,21 +202,7 @@ object Search {
     // the batch-scaling hot path, linear in sum over queries of matched
     // postings — then ship and evaluate nothing but narrow
     // (term, doc_id, micro-long) rows, no per-row transcendentals.
-    val tdMicro = matched
-      .join(broadcast(df_), Seq("term"))
-      .crossJoin(broadcast(stats))
-      .withColumn("__avgdl",
-        col("total_toks").cast("double") / col("n_docs").cast("double"))
-      .withColumn("__idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5))))
-      .withColumn("__tfn",
-        col("tf") * lit(k1 + 1.0) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) +
-            lit(b) * col("dl") / col("__avgdl"))))
-      .select(col("term"), col("doc_id"),
-        round(col("__idf") * col("__tfn") * lit(1e6), 0).cast("long")
-          .as("__micro"))
+    val tdMicro = microOf(matched, df_, stats, k1, b)
 
     // Serving path only: repartition the NARROW per-posting rows by doc
     // BEFORE the query fan-out. hash(doc_id) satisfies the
@@ -214,6 +237,179 @@ object Search {
         top.select(col("group").as("query_id"),
           col("tie").as("doc_id"), scoreCol, col("rank"))
     }
+  }
+
+  /** Exact per-posting BM25 contribution in integer micro-units — the ONE
+    * definition both the direct and the max-score serving paths use, so
+    * their scores are bit-identical by construction.
+    * `dfTable` is (term, df); df is a property of the term, identical
+    * whether derived from matched postings or read from the persisted
+    * termstats table.
+    */
+  private def microOf(p: DataFrame, dfTable: DataFrame, stats: DataFrame,
+                      k1: Double, b: Double): DataFrame =
+    p.join(broadcast(dfTable.select(col("term"), col("df"))), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__avgdl",
+        col("total_toks").cast("double") / col("n_docs").cast("double"))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("__tfn",
+        col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / col("__avgdl"))))
+      .select(col("term"), col("doc_id"),
+        round(col("__idf") * col("__tfn") * lit(1e6), 0).cast("long")
+          .as("__micro"))
+
+  /** Max-score (WAND-family) serving against a persisted index: EXACT
+    * top-k at a fraction of the aggregation work when queries mix rare and
+    * common terms.
+    *
+    * Idea: split each query's terms into ESSENTIAL (rare: df <= 50% of
+    * docs) and COMMON. Score candidates on essential postings only; the
+    * kth-best essential score F_q is a lower bound on the final kth-best
+    * score. Every term's contribution to any document is bounded above by
+    * ub(term) = ceil(idf * max_tf*(k1+1)/(max_tf + k1*(1-b)) * 1e6) + 1
+    * (tf_norm increases in tf, decreases in dl; round(x) <= floor(ub)+1),
+    * so a document containing NO essential term scores at most
+    * UB_ne(q) = sum of its common-term bounds. When F_q > UB_ne(q)
+    * strictly, such documents can never enter the top k (nor tie the kth,
+    * integers + strict inequality), so the common postings are never
+    * fanned out per query: they are joined ONCE against the surviving
+    * candidates (those with essential score + UB_ne >= F_q) to complete
+    * their exact scores. Queries where the bound cannot certify
+    * exactness — fewer than k essential candidates, all terms common, or
+    * F_q <= UB_ne — fall back to the direct full-scoring plan, restricted
+    * to just those queries, so results are ALWAYS exact.
+    *
+    * At 100 TB this turns the serving cost from (sum over queries of ALL
+    * matched postings) into (rare postings fan-out + one candidate-sized
+    * join against common postings): on Zipfian corpora the common terms
+    * are the posting-volume hogs with the least score impact. On a corpus
+    * where every query term is common (the adversarial all-common
+    * fixture), everything falls back and the cost is the direct plan plus
+    * a batch-sized constant.
+    */
+  private def rankServed(post: DataFrame, tstats: DataFrame,
+                         stats: DataFrame, queries: DataFrame,
+                         k: Int, k1: Double, b: Double): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // identical batch hygiene + term-set dedup as rank(dedupeQueries=true)
+    val qsets = queries.select(col("query_id"),
+        sort_array(array_distinct(searchTokens(col("query_text"))))
+          .as("__tset"))
+      .dropDuplicates("query_id")
+    val reps = qsets.groupBy(col("__tset"))
+      .agg(min(col("query_id")).as("__rep"))
+    val qmap = qsets.join(reps, Seq("__tset"))
+      .select(col("query_id").as("__orig_qid"), col("__rep"))
+    val qterms = reps.select(col("__rep").as("query_id"),
+      explode(col("__tset")).as("term"))
+
+    // per-(query, term): stored df/max_tf -> idf, contribution upper
+    // bound, common/essential split. Terms absent from the corpus drop out
+    // here exactly as they drop out of the postings join in rank().
+    val qt = qterms.join(broadcast(tstats), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("__tfn_ub",
+        col("max_tf") * lit(k1 + 1.0) /
+          (col("max_tf") + lit(k1 * (1.0 - b))))
+      .withColumn("__ub",
+        floor(col("__idf") * col("__tfn_ub") * lit(1e6)).cast("long") +
+          lit(1L))
+      .withColumn("__common",
+        col("df").cast("double") * 2.0 > col("n_docs").cast("double"))
+      .select(col("query_id"), col("term"), col("__ub"), col("__common"))
+      .persist(MEMORY_AND_DISK)
+
+    val perQ = qt.groupBy(col("query_id")).agg(
+      sum(when(col("__common"), col("__ub")).otherwise(0L)).as("__ub_ne"),
+      count(when(!col("__common"), 1)).as("__n_ess"))
+
+    // exact essential-only scores (same micro definition as the full plan)
+    val essT = qt.filter(!col("__common")).select(col("term")).distinct()
+    val essMicro = microOf(post.join(broadcast(essT), Seq("term")),
+      tstats, stats, k1, b)
+    val essScores = essMicro
+      .repartition(col("doc_id")) // in-place (query, doc) aggregation
+      .join(broadcast(qt.filter(!col("__common"))
+        .select(col("query_id"), col("term"))), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__micro")).as("__essp"))
+      .persist(MEMORY_AND_DISK)
+
+    // F_q = kth-best essential score; exactness certificate per query
+    val floors = TopK.perGroup(
+        essScores.withColumn("__s", col("__essp").cast("double")),
+        "query_id", "__s", "doc_id", "doc_id", k)
+      .groupBy(col("group").as("query_id"))
+      .agg(min(col("score")).as("__fq"), count(lit(1)).as("__nc"))
+    val qstate = perQ.join(floors, Seq("query_id"), "left")
+      .withColumn("__prunable",
+        col("__n_ess") > 0 && coalesce(col("__nc"), lit(0L)) === k &&
+          coalesce(col("__fq"), lit(-1.0)) >
+            col("__ub_ne").cast("double"))
+
+    // pruned path: candidates that could still reach the top k complete
+    // their scores against the common postings (joined once, no fan-out)
+    val pq = qstate.filter(col("__prunable"))
+      .select(col("query_id"), col("__ub_ne"), col("__fq"))
+    val cands = essScores.join(broadcast(pq), Seq("query_id"))
+      .filter((col("__essp") + col("__ub_ne")).cast("double") >=
+        col("__fq"))
+      .select(col("query_id"), col("doc_id"), col("__essp"))
+    val neQt = qt.filter(col("__common"))
+      .join(broadcast(pq.select(col("query_id"))), Seq("query_id"))
+      .select(col("query_id"), col("term"))
+    val neT = neQt.select(col("term")).distinct()
+    val neMicro = microOf(post.join(broadcast(neT), Seq("term")),
+      tstats, stats, k1, b)
+    // Complete candidate scores as ONE sum over (essential score row +
+    // matched common contributions) — the common postings join touches
+    // only candidate docs, and the final aggregate runs doc-partitioned in
+    // place (hash(doc_id) clusters (query, doc) groups), so the only
+    // pair-keyed relation anywhere is candidate-bounded, never
+    // postings x queries.
+    val neMatched = cands.join(broadcast(neQt), Seq("query_id"))
+      .join(neMicro, Seq("term", "doc_id"))
+      .select(col("query_id"), col("doc_id"), col("__micro").as("__m"))
+    val fullPruned = cands
+      .select(col("query_id"), col("doc_id"), col("__essp").as("__m"))
+      .unionByName(neMatched)
+      .repartition(col("doc_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__m")).as("score_micro"))
+    val topPruned = TopK.perGroup(
+      fullPruned.withColumn("__s", col("score_micro").cast("double")),
+      "query_id", "__s", "doc_id", "doc_id", k)
+
+    // fallback path: the direct full-scoring plan, restricted to the
+    // queries the bound could not certify
+    val fbQ = qstate.filter(!col("__prunable")).select(col("query_id"))
+    val fbQterms = qterms.join(broadcast(fbQ), Seq("query_id"))
+    val fbT = fbQterms.select(col("term")).distinct()
+    val fbMicro = microOf(post.join(broadcast(fbT), Seq("term")),
+      tstats, stats, k1, b)
+    val fbScores = fbMicro
+      .repartition(col("doc_id"))
+      .join(broadcast(fbQterms), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__micro")).as("score_micro"))
+    val topFb = TopK.perGroup(
+      fbScores.withColumn("__s", col("score_micro").cast("double")),
+      "query_id", "__s", "doc_id", "doc_id", k)
+
+    val scoreCol =
+      (col("score").cast("long").cast("double") / lit(1e6)).as("score")
+    topPruned.unionByName(topFb)
+      .join(broadcast(qmap), col("group") === col("__rep"))
+      .select(col("__orig_qid").as("query_id"),
+        col("tie").as("doc_id"), scoreCol, col("rank"))
   }
 
   /** The oracle-side tokenizer fragment (DuckDB), kept adjacent to

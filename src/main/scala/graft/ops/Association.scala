@@ -61,4 +61,33 @@ object Association {
         round(col("n_baskets").cast("double") * col("c_pair") /
           (col("c_ante").cast("double") * col("c_cons")), 6).as("lift"))
   }
+
+  /** Volume curve of each a-priori stage, for stress adjudication: how the
+    * support floor actually bounds the pair self-join as basket volume
+    * grows. One row: (n_baskets, n_frequent_items, n_candidate_pairs,
+    * n_frequent_pairs) where candidate pairs = the pair-join OUTPUT before
+    * the pair-support floor (the term that could go quadratic if the item
+    * floor stopped holding).
+    */
+  def pairRuleStats(df: DataFrame, basketCol: String, itemCol: String,
+                    minSupportFrac: Double = 0.2): (Long, Long, Long, Long) = {
+    val b = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .filter(col("item").isNotNull).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nB = b.select(countDistinct(col("basket"))).collect()(0).getLong(0)
+    val floor = math.ceil(minSupportFrac * nB).toLong
+    val freq = b.groupBy(col("item")).agg(count(lit(1)).as("c_item"))
+      .filter(col("c_item") >= floor)
+    val nI = freq.count()
+    val fb = b.join(freq.select(col("item")), Seq("item"))
+    val cand = fb.select(col("basket"), col("item").as("a"))
+      .join(fb.select(col("basket"), col("item").as("b")), Seq("basket"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_pair"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCand = cand.count()
+    val nFreqPairs = cand.filter(col("c_pair") >= floor).count()
+    b.unpersist(); cand.unpersist()
+    (nB, nI, nCand, nFreqPairs)
+  }
 }

@@ -10,6 +10,16 @@ import org.apache.spark.sql.types._
   * to batch DataFrames (window/session_window work in both modes), so each
   * operator is written against a plain DataFrame and can be driven by
   * `readStream` or `read`.
+  *
+  * State store backend: the default (HDFS-backed, in-heap) store won the
+  * round-6 A/B at every stress factor — RocksDB
+  * (`spark.sql.streaming.stateStore.providerClass`) measured 6.1x slower
+  * on the 36M-row dedup at 40M events and ~1.6x slower at 100M, ~20%
+  * slower on window aggs and custom state (BENCH_NOTES_r6.md §2). Switch
+  * to RocksDB only when state-per-executor approaches executor heap: its
+  * state lives off-heap, and it completed the 100M-event dedup in an 8 GiB
+  * heap where the default store OOMed (the default needs heap sized to
+  * state, e.g. 48 GiB for the same run).
   */
 object EventStreams {
 

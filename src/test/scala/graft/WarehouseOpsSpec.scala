@@ -80,6 +80,28 @@ class WarehouseOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("max-score serving is exact: rare+common, all-common (fallback), " +
+    "and tie-heavy batches all equal the ad-hoc scores") {
+    // 40 docs all share "common"; 6 also carry "rare"; 3 carry "mid".
+    // q1 mixes rare+common (pruned path: essential=rare, the common
+    // postings join only candidates), q2 is all-common (bound can't
+    // certify -> full-scoring fallback), q3 has two essential terms.
+    val docs = (1L to 40L).map { i =>
+      val extra = (if (i <= 6) " rare" else "") + (if (i % 13 == 0) " mid" else "")
+      (i, s"common filler$extra")
+    }.toDF("doc_id", "text")
+    val idx = TestSpark.tmpDir("bm25-wand-idx")
+    Search.writeSearchIndex(docs, "text", "doc_id", idx)
+    val batch = Seq(
+      (1L, "rare common"),
+      (2L, "common filler"),
+      (3L, "rare mid")).toDF("query_id", "query_text")
+    val got = Search.querySearchIndex(spark, idx, batch, 4)
+    val adHoc = Search.bm25TopK(docs, "text", "doc_id", batch, 4)
+    assert(got.exceptAll(adHoc).isEmpty && adHoc.exceptAll(got).isEmpty,
+      "max-score serving must return exactly the ad-hoc top-k")
+  }
+
   test("persisted search index: ad-hoc parity + term pushdown into the scan") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val idx = TestSpark.tmpDir("bm25-idx")
