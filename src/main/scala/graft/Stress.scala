@@ -55,13 +55,19 @@ object Stress {
     // pressure doesn't accumulate into later sections, then re-warm the
     // shared inputs OUTSIDE the timed window.
     var rewarm: () => Unit = () => { corpus.persist(); corpus.count(); () }
+    // executor-CPU next to wall (same meter as Bench): the box takes
+    // external load spikes that inflate wall 2-3x — CPU is load-robust, so
+    // a probe's reading self-adjudicates without a quiet-window re-run
+    val meter = new org.apache.spark.graft.BenchMetrics(spark.sparkContext)
     def time(name: String)(body: => Long): Unit = {
+      val c0 = meter.cpuSeconds()
       val t0 = System.nanoTime()
       val rows = body
       val secs = (System.nanoTime() - t0) / 1e9
+      val cpu = meter.cpuSeconds() - c0
       spark.catalog.clearCache()
       rewarm()
-      println(f"[stress] $name%-22s $secs%8.2f s  ($rows rows)")
+      println(f"[stress] $name%-22s $secs%8.2f s  (cpu $cpu%8.1f s)  ($rows rows)")
     }
 
     if (section == "docs" || section == "all") {

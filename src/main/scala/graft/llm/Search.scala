@@ -129,17 +129,18 @@ object Search {
     if (hasTermStats) {
       val tstats = spark.read.parquet(s"$path/termstats")
         .filter(col("term").isin(terms: _*))
-      // Short-circuit on the batch's term mix (one bounded collect over
-      // batch-term stats): max-score pruning only ever pays when the batch
-      // has BOTH essential (rare) terms to build a floor from AND common
-      // terms whose fan-out it can skip. All-common batches (nothing to
-      // prune with) and all-rare batches (nothing worth pruning) take the
-      // direct plan with zero added stages.
-      val nDocs = stats.select(col("n_docs")).collect()(0).getLong(0)
-      val dfs = tstats.select(col("term"), col("df")).collect()
-        .map(r => r.getString(0) -> r.getLong(1))
-      val nEss = dfs.count(_._2 * 2 <= nDocs)
-      val nCommon = dfs.length - nEss
+      // Short-circuit on the batch's term mix (ONE bounded driver action
+      // over batch-term stats x the 1-row corpus stats): max-score pruning
+      // only ever pays when the batch has BOTH essential (rare) terms to
+      // build a floor from AND common terms whose fan-out it can skip.
+      // All-common batches (nothing to prune with) and all-rare batches
+      // (nothing worth pruning) take the direct plan with zero added
+      // stages.
+      val meta = tstats.select(col("df"))
+        .crossJoin(stats.select(col("n_docs"))).collect()
+      val nEss = meta.count(r =>
+        r.getLong(0) <= EssentialDfFrac * r.getLong(1))
+      val nCommon = meta.length - nEss
       if (nEss > 0 && nCommon > 0)
         rankServed(post, tstats, stats, queries, k, k1, b)
       else rank(post, stats, queries, k, k1, b, dedupeQueries = true)
@@ -263,12 +264,25 @@ object Search {
         round(col("__idf") * col("__tfn") * lit(1e6), 0).cast("long")
           .as("__micro"))
 
+  /** Essential/common split point for max-score serving: a term is
+    * ESSENTIAL iff its df is at most this fraction of the corpus. The
+    * essential side is the one that fans out per query, so its cost is
+    * bounded by (batch size x EssentialDfFrac x corpus) in the worst
+    * case; everything above the line is scored only for surviving
+    * candidates. 0.2 keeps genuinely selective terms (entity tokens, ids,
+    * rare vocabulary) in and mid-df terms out — a 0.5 cutoff measured
+    * 1.1B essential-fanout rows on a fixture whose shared words sat at
+    * 34% df (round-6 probe), because a mid-df term shared by hundreds of
+    * batch queries multiplies its whole posting list by that sharing.
+    */
+  private val EssentialDfFrac = 0.2
+
   /** Max-score (WAND-family) serving against a persisted index: EXACT
     * top-k at a fraction of the aggregation work when queries mix rare and
     * common terms.
     *
-    * Idea: split each query's terms into ESSENTIAL (rare: df <= 50% of
-    * docs) and COMMON. Score candidates on essential postings only; the
+    * Idea: split each query's terms into ESSENTIAL (rare:
+    * df <= EssentialDfFrac of docs) and COMMON. Score candidates on essential postings only; the
     * kth-best essential score F_q is a lower bound on the final kth-best
     * score. Every term's contribution to any document is bounded above by
     * ub(term) = ceil(idf * max_tf*(k1+1)/(max_tf + k1*(1-b)) * 1e6) + 1
@@ -323,7 +337,8 @@ object Search {
         floor(col("__idf") * col("__tfn_ub") * lit(1e6)).cast("long") +
           lit(1L))
       .withColumn("__common",
-        col("df").cast("double") * 2.0 > col("n_docs").cast("double"))
+        col("df").cast("double") >
+          col("n_docs").cast("double") * lit(EssentialDfFrac))
       .select(col("query_id"), col("term"), col("__ub"), col("__common"))
       .persist(MEMORY_AND_DISK)
 

@@ -80,6 +80,29 @@ class WarehouseOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("a batch carrying the same query ROW twice stays idempotent " +
+    "(no doubled scores, no doubled rows) on both serving paths") {
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple apple apple"),
+      (3L, "banana banana"),
+      (4L, "cherry date egg")).toDF("doc_id", "text")
+    val idx = TestSpark.tmpDir("bm25-dupro-idx")
+    Search.writeSearchIndex(docs, "text", "doc_id", idx)
+    val single = Seq((1L, "apple banana")).toDF("query_id", "query_text")
+    val doubled = single.unionAll(single) // the SAME row twice
+    // ad-hoc path (direct plan)
+    val aOnce = Search.bm25TopK(docs, "text", "doc_id", single, 3)
+    val aTwice = Search.bm25TopK(docs, "text", "doc_id", doubled, 3)
+    assert(aTwice.exceptAll(aOnce).isEmpty && aOnce.exceptAll(aTwice).isEmpty,
+      "duplicate input row must not double-count ad-hoc scores")
+    // index serving path (dedupe + replicate map)
+    val sOnce = Search.querySearchIndex(spark, idx, single, 3)
+    val sTwice = Search.querySearchIndex(spark, idx, doubled, 3)
+    assert(sTwice.exceptAll(sOnce).isEmpty && sOnce.exceptAll(sTwice).isEmpty,
+      "duplicate input row must not replicate served rows")
+  }
+
   test("max-score serving is exact: rare+common, all-common (fallback), " +
     "and tie-heavy batches all equal the ad-hoc scores") {
     // 40 docs all share "common"; 6 also carry "rare"; 3 carry "mid".
