@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.catalog.HiveTableRelation
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ImperativeAggregate}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -123,9 +124,39 @@ object ScaleChecks {
     wins ++ crosses
   }
 
+  /** Check 4: an aggregate mixing a DISTINCT aggregate with a buffer-heavy
+    * (imperative) sibling over an unreduced growing relation. Spark's
+    * distinct rewrite evaluates every sibling aggregate in a first
+    * aggregate keyed by (group, distinct-col) — so an HLL / percentile /
+    * collect sibling allocates ONE BUFFER PER DISTINCT KEY. Measured on the
+    * f30 relational scale-up (18M rows, 600k distinct keys): exact-distinct
+    * alone 74 CPU-s, HLL alone 7.5, combined in one agg 470 — a
+    * 6x-the-sum-of-parts blowup that grows with key cardinality
+    * (BENCH_NOTES_r6 §7; the q66 finding). Cheap declarative siblings
+    * (sum/count/avg/min/max) pass — their per-key partial state is a few
+    * bytes, which is the standard distinct-rewrite plan. Checked on the
+    * ANALYZED plan, before RewriteDistinctAggregates erases the shape.
+    */
+  def distinctRewriteHeavySibling(df: DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case a: Aggregate =>
+        val aggs = a.aggregateExpressions.flatMap(_.collect {
+          case ae: AggregateExpression => ae
+        })
+        val heavy = aggs.filter(ae => !ae.isDistinct &&
+          ae.aggregateFunction.isInstanceOf[ImperativeAggregate])
+        if (aggs.exists(_.isDistinct) && heavy.nonEmpty &&
+            unreducedGrowing(a.child).nonEmpty)
+          heavy.map(h => "distinct rewrite allocates a " +
+            s"${h.aggregateFunction.prettyName} buffer per distinct key " +
+            "(split into a pre-deduplicating aggregate instead)")
+        else Nil
+    }.flatten
+
   /** All static violations for one query plan. Cheap: analysis +
     * optimization only, no job runs.
     */
   def staticViolations(df: DataFrame): Seq[String] =
-    hintForcedGrowingBroadcasts(df) ++ unboundedShapes(df)
+    hintForcedGrowingBroadcasts(df) ++ unboundedShapes(df) ++
+      distinctRewriteHeavySibling(df)
 }

@@ -1216,7 +1216,12 @@ private[graft] object QueriesAnalytics1 {
           sum(when(c1, 1L).otherwise(0L)).as("s1"),
           sum(when(c2, 1L).otherwise(0L)).as("s2"),
           sum(when(c3, 1L).otherwise(0L)).as("s3"),
-          countDistinct(when(c3, col("text"))).as("s4"))
+          // distinct on the 8-byte fingerprint, not raw text: the distinct
+          // rewrite would otherwise key an aggregate by the full document
+          // body (wide Expand + exchange). when() stays OUTSIDE the hash —
+          // xxhash64(null) is a defined value, not null, so hashing the
+          // when() would count every gated-out row as one extra "text".
+          countDistinct(when(c3, xxhash64(col("text")))).as("s4"))
         .select(expr(
           """stack(5,
             |  0L, 'all', n0, 0L,

@@ -919,9 +919,22 @@ private[graft] object QueriesCore {
       // Exact values are DuckDB-oracled; the sketch's relative-error flags
       // are deterministically 1 (same hashes, same merge result regardless
       // of order — HLL registers are a max, which commutes).
+      //
+      // Two-level aggregate, NOT one agg mixing countDistinct with the
+      // sketch: Spark's distinct rewrite evaluates any sibling aggregate
+      // in a first aggregate keyed by (group, distinct-col) — one HLL++
+      // buffer PER DISTINCT KEY. Measured on the f30 relational scale-up
+      // (18M rows, 600k distinct (flag, partkey) pairs): exact-only
+      // 74 CPU-s, sketch-only 7.5, combined in one agg 470 CPU-s — the
+      // sketch-per-key allocation is a 6x-the-sum-of-parts pathology that
+      // grows with key cardinality. Deduping pairs first makes row 1 of
+      // the second agg exact (count of deduped rows) and leaves the HLL
+      // estimate bit-identical (duplicates never change an HLL register),
+      // at 9x less CPU (BENCH_NOTES_r6 §7).
       t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_partkey")).agg(count(lit(1)))
         .groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        .agg(count(lit(1)).as("exact_parts"),
           approx_count_distinct(col("l_partkey"), 0.02).as("ap"))
         .select(col("l_returnflag"), col("exact_parts"),
           when(abs(col("ap") - col("exact_parts")) <=

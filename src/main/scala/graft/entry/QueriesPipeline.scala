@@ -735,11 +735,17 @@ private[graft] object QueriesPipeline {
 
     "q113_corpus_report" -> ((s, dir) => {
       // dataset-card corpus report: per source — doc/token volume, mean
-      // quality, language spread, exact-dup count. One aggregate pass
-      // (the exact-dup term is count - countDistinct(text); at corpus
-      // scale substitute the 8-byte fingerprint of q19 for the raw text).
+      // quality, language spread, exact-dup count. One aggregate pass.
+      // The exact-dup term distincts the 8-byte xxhash64 fingerprint, NOT
+      // the raw text: Spark's distinct rewrite keys its first aggregate by
+      // (group, distinct-col), so countDistinct(text) would carry full
+      // document bodies through the Expand and the exchange — the row-width
+      // anti-pattern the runtime audit hunts. A 64-bit fingerprint is
+      // collision-free at any verifiable scale (and is exactly q19's
+      // exact-dedup key).
       t(s, dir, "documents")
-        .select(col("source"), col("lang"), col("text"),
+        .select(col("source"), col("lang"),
+          xxhash64(col("text")).as("__fp"),
           TF.tokenCount(col("text")).cast("long").as("n_tokens"),
           TF.qualityScore(col("text")).as("quality"))
         .groupBy(col("source"))
@@ -747,7 +753,7 @@ private[graft] object QueriesPipeline {
           sum(col("n_tokens")).as("n_tokens"),
           round(avg(col("quality")), 6).as("avg_quality"),
           countDistinct(col("lang")).as("n_langs"),
-          (count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"))
+          (count(lit(1)) - countDistinct(col("__fp"))).as("n_dup_docs"))
         .orderBy(col("source"))
     }),
 

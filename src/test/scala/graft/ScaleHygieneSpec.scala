@@ -204,4 +204,26 @@ class ScaleHygieneSpec extends AnyFunSuite {
     val ok = li.crossJoin(ord.agg(count(lit(1)).as("n")))
     assert(ScaleChecks.unboundedShapes(ok).isEmpty)
   }
+
+  test("ScaleChecks flags a distinct aggregate with a buffer-heavy sibling " +
+    "and passes cheap siblings / pre-deduplicated forms") {
+    val li = s.read.parquet(s"$sf/lineitem.parquet")
+    // the q66 pathology: HLL sibling evaluated per distinct key
+    val bad = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("d"),
+        approx_count_distinct(col("l_partkey")).as("ap"))
+    assert(ScaleChecks.distinctRewriteHeavySibling(bad)
+      .exists(_.contains("per distinct key")), "HLL sibling should flag")
+    // cheap declarative siblings are the standard distinct-rewrite plan
+    val okCheap = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("d"),
+        sum(col("l_quantity")).as("q"), avg(col("l_discount")).as("a"))
+    assert(ScaleChecks.distinctRewriteHeavySibling(okCheap).isEmpty)
+    // the fix shape: dedup first, then count + sketch — no distinct agg left
+    val okSplit = li.groupBy(col("l_returnflag"), col("l_partkey"))
+      .agg(count(lit(1)))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("d"), approx_count_distinct(col("l_partkey")).as("ap"))
+    assert(ScaleChecks.distinctRewriteHeavySibling(okSplit).isEmpty)
+  }
 }
