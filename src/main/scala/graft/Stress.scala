@@ -141,12 +141,25 @@ object Stress {
     // each merge round is one vocab-sized aggregate + rewrite, so train
     // cost tracks VOCAB growth (sublinear in corpus), not corpus size
     var bpeMerges: Seq[graft.llm.Bpe.Merge] = Nil
+    // forced-distributed: the scale-shape witness (each round = one vocab
+    // aggregate + rewrite; at 100 TB the vocab exceeds any collect bound)
     time("bpe_train_10") {
       val vocab = graft.llm.Bpe.wordFreq(corpus, "text").persist()
       val nv = vocab.count()
-      bpeMerges = graft.llm.Bpe.learnMerges(vocab, numMerges = 10)
+      bpeMerges = graft.llm.Bpe.learnMerges(vocab, numMerges = 10,
+        collectThreshold = 0)
       vocab.unpersist()
       nv
+    }
+    // adaptive default: the same call sites short-circuit to one bounded
+    // vocab collect when distinct words fit the threshold — identical
+    // merges (spec + q126 pin it), merge rounds without per-round jobs
+    time("bpe_train_10_adaptive") {
+      val vocab = graft.llm.Bpe.wordFreq(corpus, "text").persist()
+      val m = graft.llm.Bpe.learnMerges(vocab, numMerges = 10)
+      require(m == bpeMerges, "adaptive BPE diverged from distributed")
+      vocab.unpersist()
+      m.length.toLong
     }
     // encode is a zero-shuffle expression chain: linear corpus pass
     time("bpe_encode_corpus") {
@@ -307,7 +320,7 @@ object Stress {
     }
     }
 
-    if (section == "events" || section == "all") {
+    if (section == "events" || section == "wh" || section == "all") {
     // event-stream family: replicate events by user-id offset (factor new
     // users, same per-user history shape) — key cardinality grows with
     // factor, per-key volume stays constant, so per-key window state is
@@ -329,6 +342,7 @@ object Stress {
     val nEv = events.count()
     println(s"[stress] event rows: $nEv")
     rewarm = () => { events.persist(); events.count(); () }
+    if (section == "events" || section == "all") {
     time("scd2_history") {
       graft.ops.Scd.scd2History(events, "user_id", "event_type", "ts",
         "event_id").count()
@@ -356,6 +370,78 @@ object Stress {
       events.withColumn("r", sum(col("value")).over(w))
         .agg(sum(col("r"))).collect()
       nEv
+    }
+    }
+
+    if (section == "wh" || section == "all") {
+    // warehouse-maintenance family: the table-upkeep ops whose volume cost
+    // was asserted-only before round 6 — fragmented-ingest compaction
+    // (scan cost scales with FILE COUNT, not bytes), z-order clustering
+    // (row-group pruning on a 2-D box vs the as-ingested layout), and the
+    // CDC merge (full-volume changelog against a per-key snapshot).
+    val whRoot = java.nio.file.Files.createTempDirectory("stress-wh").toString
+    val frag = s"$whRoot/frag"
+    // fragmented ingest: 2048 micro-appends' worth of files in one table
+    time("wh_fragmented_write") {
+      events.repartition(2048).write.mode("overwrite").parquet(frag)
+      graft.io.Compaction.dataFileCount(spark, frag).toLong
+    }
+    def scanAgg(path: String): Long =
+      spark.read.parquet(path)
+        .filter(col("event_type") === "purchase")
+        .agg(sum(col("value")).as("s"), count(lit(1)).as("n"))
+        .collect().head.getLong(1)
+    time("wh_scan_fragmented") { scanAgg(frag) }
+    time("wh_compact_128mb") {
+      graft.io.Compaction.compact(spark, frag, "parquet", 128L << 20).toLong
+    }
+    time("wh_scan_compacted") { scanAgg(frag) }
+    // z-order vs as-ingested: same rows, same file count — the box scan
+    // (selective in BOTH user_id and value) must win on parquet row-group
+    // stats pruning, nothing else differs
+    val zdir = s"$whRoot/z"; val ndir = s"$whRoot/n"
+    val zin = events.select(col("user_id"), col("value"), col("event_id"))
+    time("wh_zorder_write") {
+      graft.ops.ZOrder.zorderWrite(zin, "user_id", "value", zdir, 64)
+      64L
+    }
+    time("wh_ingested_write") {
+      zin.repartition(64).write.mode("overwrite").parquet(ndir)
+      64L
+    }
+    val userSpan = factor.toLong * maxUser
+    def boxCount(path: String): Long =
+      spark.read.parquet(path)
+        .filter(col("user_id").between(userSpan / 3, userSpan / 3 + maxUser)
+          && col("value").between(10.0, 20.0))
+        .count()
+    var zBox = 0L
+    time("wh_box_scan_zorder") { zBox = boxCount(zdir); zBox }
+    time("wh_box_scan_ingested") {
+      val n = boxCount(ndir)
+      require(n == zBox, s"z-order scan returned $zBox rows, ingested $n")
+      n
+    }
+    // CDC merge: per-user latest snapshot + the full event volume as an
+    // upsert/delete changelog (seq = event_id, 10% deletes)
+    val snap = events.groupBy(col("user_id"))
+      .agg(max_by(struct(col("event_type"), col("value")), col("ts"))
+        .as("__w"))
+      .select(col("user_id"), col("__w.event_type").as("event_type"),
+        col("__w.value").as("value"))
+      .persist()
+    snap.count()
+    val chg = events.select(col("user_id"), col("event_id").as("seq"),
+      when(pmod(col("event_id"), lit(10L)) === 0, "D").otherwise("U")
+        .as("op"),
+      col("event_type"), col("value"))
+    time("wh_cdc_apply") {
+      graft.ops.Diff.cdcApply(snap, chg, Seq("user_id"), "seq", "op").count()
+    }
+    snap.unpersist()
+    org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(whRoot), true)
     }
     }
 

@@ -1005,7 +1005,10 @@ private[graft] object QueriesPipeline {
       import s.implicits._
       val vocab = Bpe.wordFreq(t(s, dir, "documents").select(col("text")),
         "text").persist()
-      val dist = Bpe.learnMerges(vocab, numMerges = 12)
+      // collectThreshold = 0: this query IS the distributed-path parity
+      // witness — the adaptive bounded-collect short-circuit (which other
+      // callers get by default) must not reduce the check to local==local
+      val dist = Bpe.learnMerges(vocab, numMerges = 12, collectThreshold = 0)
       val local = Bpe.learnMergesLocal(
         vocab.collect().map(r => (r.getString(0), r.getLong(1))).toSeq, 12)
       val stats = vocab.agg(count(lit(1)).as("dw"), sum(col("freq")).as("tw"))

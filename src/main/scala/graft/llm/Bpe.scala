@@ -62,13 +62,41 @@ object Bpe {
                          b: String) =
     regexp_replace(c, " " + qp(a) + " " + qp(b) + "(?= )", " " + qr(a + b))
 
+  /** Vocabularies at or under this row count are collected once and the
+    * merge loop runs single-JVM (see [[learnMerges]]). 64k (word, freq)
+    * rows is a few MB of driver memory — the same bounded-collect class
+    * as BM25's all-common-batch short-circuit.
+    */
+  val CollectThreshold: Long = 65536L
+
   /** Learn up to `numMerges` BPE merges from a [[wordFreq]] vocabulary.
-    * Each round: one pair-frequency aggregate over the vocab plus one
-    * symbol rewrite; stops early when no pair reaches `minFreq`.
+    *
+    * ADAPTIVE: a merge table is a sequential driver-side artifact either
+    * way (one argmax row per round), so when the vocabulary is small the
+    * per-round Spark job is pure scheduling overhead. If the vocab has at
+    * most `collectThreshold` rows it is collected ONCE (CONTRACT-bounded:
+    * `collectThreshold` rows of short words + 8-byte counts) and the loop
+    * runs via [[learnMergesLocal]] — the identical algorithm (same
+    * argmax, tie-break, greedy left-to-right rewrite; BpeSpec pins
+    * equality, q126 self-checks it on the live corpus). Above the
+    * threshold — the 100 TB regime, where distinct words run to the
+    * hundreds of millions — each round runs distributed: one
+    * pair-frequency aggregate over the vocab (map-side combined) plus one
+    * narrow symbol rewrite; stops early when no pair reaches `minFreq`.
+    * `collectThreshold = 0` forces the distributed path (parity
+    * witnesses: q126, BpeSpec).
     */
   def learnMerges(vocab: DataFrame, numMerges: Int,
-                  minFreq: Long = 2): Seq[Merge] = {
+                  minFreq: Long = 2,
+                  collectThreshold: Long = CollectThreshold): Seq[Merge] = {
     require(numMerges >= 1 && minFreq >= 1)
+    val probe = math.min(collectThreshold, Int.MaxValue - 1L).toInt + 1
+    if (collectThreshold > 0 &&
+        vocab.limit(probe).count() <= collectThreshold) {
+      val rows = vocab.select(col("word"), col("freq")).collect()
+      return learnMergesLocal(
+        rows.toSeq.map(r => (r.getString(0), r.getLong(1))), numMerges, minFreq)
+    }
     var syms = vocab.select(symbolize(col("word")).as("s"), col("freq"))
       .persist()
     // each round's ONE job (the pair aggregate) also materializes the

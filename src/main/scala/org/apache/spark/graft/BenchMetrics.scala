@@ -3,7 +3,7 @@ package org.apache.spark.graft
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.SparkContext
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 
 /** Executor-CPU-time meter for the bench ratchet. Lives under
   * `org.apache.spark` only to reach `listenerBus.waitUntilEmpty()` (the
@@ -32,5 +32,27 @@ class BenchMetrics(sc: SparkContext) {
     try sc.listenerBus.waitUntilEmpty()
     catch { case _: java.util.concurrent.TimeoutException => () }
     cpuNs.get() / 1e9
+  }
+}
+
+/** Spark-job counter for specs that pin HOW a path executed, not just its
+  * result — e.g. that an adaptive bounded-collect short-circuit really
+  * replaced the per-round job loop. Same package placement rationale as
+  * [[BenchMetrics]]: job-start events are async, so a read must drain
+  * `listenerBus` first.
+  */
+class JobCounter(sc: SparkContext) {
+  private val jobs = new AtomicLong(0L)
+  sc.addSparkListener(new SparkListener {
+    override def onJobStart(j: SparkListenerJobStart): Unit = {
+      jobs.incrementAndGet(); ()
+    }
+  })
+
+  /** Drain pending listener events, then read the running job count. */
+  def count(): Long = {
+    try sc.listenerBus.waitUntilEmpty()
+    catch { case _: java.util.concurrent.TimeoutException => () }
+    jobs.get()
   }
 }

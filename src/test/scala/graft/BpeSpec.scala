@@ -16,9 +16,12 @@ class BpeSpec extends AnyFunSuite {
   private def classicCorpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
     Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
 
+  // collectThreshold = 0 forces the distributed loop: these tests are the
+  // distributed-path witnesses (the adaptive default would short-circuit
+  // every fixture-sized vocab to the local loop and prove nothing)
   private lazy val classicMerges = {
     val vocab = Bpe.wordFreq(classicCorpus.toDF("text"), "text")
-    Bpe.learnMerges(vocab, numMerges = 6)
+    Bpe.learnMerges(vocab, numMerges = 6, collectThreshold = 0)
   }
 
   test("learnMerges: classic example, known merges, deterministic ties") {
@@ -37,6 +40,29 @@ class BpeSpec extends AnyFunSuite {
       .map { case (w, ws) => (w, ws.length.toLong) }
     val local = Bpe.learnMergesLocal(vocabLocal, numMerges = 6)
     assert(classicMerges == local)
+  }
+
+  test("adaptive bounded-collect path: identical merges, no per-round jobs") {
+    val vocab = Bpe.wordFreq(classicCorpus.toDF("text"), "text")
+    val jc = new org.apache.spark.graft.JobCounter(spark.sparkContext)
+    val before = jc.count()
+    // default threshold: 4 distinct words -> one probe count + one collect
+    val adaptive = Bpe.learnMerges(vocab, numMerges = 6)
+    val adaptiveJobs = jc.count() - before
+    assert(adaptive == classicMerges)
+    // a threshold below the vocab size must route distributed again
+    val mid = jc.count()
+    val forced = Bpe.learnMerges(vocab, numMerges = 6, collectThreshold = 2)
+    val forcedJobs = jc.count() - mid
+    assert(forced == classicMerges)
+    // job counts are AQE-stage-granular (a probe count + collect lands
+    // ~5), so pin the SHAPE: the short-circuit's job count is flat in
+    // numMerges while the per-round loop runs >= 2 jobs per merge
+    assert(adaptiveJobs <= 6,
+      s"adaptive path ran $adaptiveJobs jobs — short-circuit did not fire")
+    assert(forcedJobs >= 2 * 6 && adaptiveJobs * 2 < forcedJobs,
+      s"expected per-round loop (>=12 jobs) vs short-circuit, " +
+        s"got $forcedJobs vs $adaptiveJobs")
   }
 
   test("encode applies merges greedily in rank order") {
@@ -61,7 +87,7 @@ class BpeSpec extends AnyFunSuite {
     // the pair scan must then skip it, not crash or wrap around
     val corpus = Seq.fill(10)("a") ++ Seq.fill(3)("ab")
     val vocab = Bpe.wordFreq(corpus.toDF("text"), "text")
-    val dist = Bpe.learnMerges(vocab, numMerges = 5)
+    val dist = Bpe.learnMerges(vocab, numMerges = 5, collectThreshold = 0)
     val local = Bpe.learnMergesLocal(
       corpus.groupBy(identity).toSeq.map { case (w, ws) =>
         (w, ws.length.toLong) }, numMerges = 5)
@@ -72,7 +98,7 @@ class BpeSpec extends AnyFunSuite {
   test("regex metacharacters in words survive learning and encoding") {
     val corpus = Seq.fill(4)("a$b") ++ Seq.fill(4)("a$c") ++ Seq.fill(3)("x.y")
     val vocab = Bpe.wordFreq(corpus.toDF("text"), "text")
-    val dist = Bpe.learnMerges(vocab, numMerges = 3)
+    val dist = Bpe.learnMerges(vocab, numMerges = 3, collectThreshold = 0)
     val local = Bpe.learnMergesLocal(
       corpus.groupBy(identity).toSeq.map { case (w, ws) =>
         (w, ws.length.toLong) }, numMerges = 3)
