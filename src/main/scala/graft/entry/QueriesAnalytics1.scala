@@ -1785,7 +1785,12 @@ private[graft] object QueriesAnalytics1 {
       // edge list from one join, per-side degree counts, then Pearson r
       // over edge endpoint degrees in ONE closed-form aggregate. Degrees
       // join back by key (broadcast-sized dims at this sf, shuffle joins
-      // at scale) — integer sums stay exact throughout.
+      // at scale). Moment sums run in DECIMAL (exact, overflow-safe to
+      // 1e38 — the f10 relational scale-up overflowed the long
+      // n_edges*sxy product); the n*sxy - sx*sy composition drops to
+      // double only at the end, where the rounded correlation absorbs
+      // the 1e-16 (at oracle sf everything is < 2^53, so the double
+      // composition is still bit-exact vs the integer oracle).
       val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
         .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
@@ -1794,21 +1799,24 @@ private[graft] object QueriesAnalytics1 {
         .persist()  // degree counts x2 + the edge-level join
       val dc = edges.groupBy(col("c")).agg(count(lit(1)).as("dc"))
       val ds = edges.groupBy(col("sp")).agg(count(lit(1)).as("ds"))
+      val dcD = col("dc").cast("decimal(18,0)")
+      val dsD = col("ds").cast("decimal(18,0)")
       edges.join(dc, "c").join(ds, "sp")
         .agg(count(lit(1)).as("n_edges"),
           countDistinct(col("c")).as("n_cust"),
           countDistinct(col("sp")).as("n_supp"),
-          sum(col("dc")).as("sx"), sum(col("ds")).as("sy"),
-          sum(col("dc") * col("ds")).as("sxy"),
-          sum(col("dc") * col("dc")).as("sxx"),
-          sum(col("ds") * col("ds")).as("syy"))
+          sum(dcD).as("sx"), sum(dsD).as("sy"),
+          sum(dcD * dsD).as("sxy"),
+          sum(dcD * dcD).as("sxx"),
+          sum(dsD * dsD).as("syy"))
         .select(col("n_edges"), col("n_cust"), col("n_supp"),
-          round((col("n_edges") * col("sxy") - col("sx") * col("sy"))
-            .cast("double") /
-            sqrt((col("n_edges") * col("sxx") - col("sx") * col("sx"))
-              .cast("double") *
-              (col("n_edges") * col("syy") - col("sy") * col("sy"))
-                .cast("double")), 4).as("assortativity"))
+          round((col("n_edges") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            sqrt((col("n_edges") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+              (col("n_edges") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))), 4)
+            .as("assortativity"))
     }),
 
     "q219_readability" -> ((s, dir) => {

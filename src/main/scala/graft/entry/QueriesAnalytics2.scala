@@ -1534,9 +1534,12 @@ private[graft] object QueriesAnalytics2 {
       // revenue at block sizes m in {1,2,4,8,16}, slope of ln Var(m) vs
       // ln m = 2H-2. Daily cents collapse to whole units and are CENTERED
       // by the integer global mean (shift leaves variance unchanged)
-      // before squaring, so block moments stay exact longs far from
-      // overflow; the day-grain series is calendar-bounded (~90 rows), so
-      // its index window is fine. Incomplete trailing blocks are dropped.
+      // before squaring; the squared-block-sum moment runs in DECIMAL
+      // (the f30 relational scale-up overflowed its long sum) and drops
+      // to double in the variance composition — bit-exact below 2^53
+      // (every oracle sf). The day-grain series is calendar-bounded
+      // (~90 rows), so its index window is fine. Incomplete trailing
+      // blocks are dropped.
       val daily = t(s, dir, "orders")
         .groupBy(to_date(col("o_orderdate")).as("day"))
         .agg(expr("CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS " +
@@ -1555,9 +1558,10 @@ private[graft] object QueriesAnalytics2 {
         .groupBy(col("m"), expr("(i - 1) div m").as("blk"))
         .agg(count(lit(1)).as("cnt"), sum(col("c")).as("bs"))
         .filter(col("cnt") === col("m"))
+      val bsD = col("bs").cast("decimal(18,0)")
       blocks.groupBy(col("m"))
-        .agg(count(lit(1)).as("kb"), sum(col("bs")).as("ss"),
-          sum(col("bs") * col("bs")).as("qq"))
+        .agg(count(lit(1)).as("kb"), sum(bsD).as("ss"),
+          sum(bsD * bsD).as("qq"))
         .select(log(col("m").cast("double")).as("x"),
           log(((col("qq").cast("double") - col("ss").cast("double") *
             col("ss").cast("double") / col("kb")) / (col("kb") - 1)) /
@@ -1910,9 +1914,11 @@ private[graft] object QueriesAnalytics2 {
       // revenue (block maxima, method of moments — beta = s*sqrt(6)/pi,
       // mu = xbar - 0.57721...*beta), then the 12- and 60-month return
       // levels mu - beta*ln(-ln(1-1/T)). Maxima are exact integer
-      // dollars (cents div 100 so squares can't overflow at any SF);
-      // the block table is calendar-bounded, so every float is a fixed
-      // expression over exact longs — bit-stable across engines.
+      // dollars; the square sum runs in DECIMAL (the f10 relational
+      // scale-up overflowed the long n*ss product) and the n*ss - s*s
+      // variance composition drops to double at the end — below 2^53
+      // (every oracle sf) that composition is still bit-exact, so the
+      // block-maxima statistics stay engine-stable.
       val daily = t(s, dir, "orders")
         .groupBy(to_date(col("o_orderdate")).as("day"))
         .agg(expr("CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS " +
@@ -1920,11 +1926,13 @@ private[graft] object QueriesAnalytics2 {
       val blocks = daily
         .groupBy(date_trunc("month", col("day")).as("mth"))
         .agg(max(expr("cents div 100")).as("mx"))
-      blocks.agg(count(lit(1)).as("n"), sum(col("mx")).as("s"),
-          sum(col("mx") * col("mx")).as("ss"))
+      val mxD = col("mx").cast("decimal(18,0)")
+      blocks.agg(count(lit(1)).as("n"), sum(mxD).as("s"),
+          sum(mxD * mxD).as("ss"))
         .select(col("n"),
           (col("s").cast("double") / col("n")).as("xbar"),
-          sqrt((col("n") * col("ss") - col("s") * col("s")).cast("double") /
+          sqrt((col("n") * col("ss").cast("double") -
+            col("s").cast("double") * col("s").cast("double")) /
             (col("n").cast("double") * (col("n") - 1))).as("sd"))
         .select(col("n").as("n_blocks"),
           (col("sd") * sqrt(lit(6.0)) / lit(math.Pi)).as("beta"),

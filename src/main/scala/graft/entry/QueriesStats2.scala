@@ -759,19 +759,22 @@ private[graft] object QueriesStats2 {
       // grand mean: the estimator that DOMINATES per-group averages
       // whenever there are >= 4 groups — the principled version of
       // "don't trust small-sample brand averages". Shrink factor from
-      // the average variance of the means; everything from exact
-      // integer cent moments.
+      // the average variance of the means; cent moments run in DECIMAL
+      // (exact and overflow-safe — the f10 relational scale-up
+      // overflowed the long sum of squared cents) and drop to double
+      // only in the per-brand mean/variance composition, which is
+      // bit-exact below 2^53 (every oracle sf).
       val g = t(s, dir, "lineitem")
         .join(t(s, dir, "part")
           .select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand").as("brand"))
         .agg(count(lit(1)).as("ng"),
-          sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
-            .as("s1"),
-          sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)" +
-            " * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
-            .as("s2"))
+          sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS " +
+            "DECIMAL(18,0))")).as("s1"),
+          sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS " +
+            "DECIMAL(18,0)) * CAST(floor(l_extendedprice * 100 + 0.5) " +
+            "AS DECIMAL(18,0))")).as("s2"))
         .select(col("brand"), col("ng"),
           (col("s1").cast("double") / col("ng")).as("xb"),
           ((col("s2").cast("double") -

@@ -1558,9 +1558,12 @@ private[graft] object QueriesStats3 {
       // Pyatt decomposition of the lifetime-spend Gini into between-
       // segment, within-segment, and overlap components — WHERE the
       // q170 inequality lives. Overall and per-segment Ginis from exact
-      // rank·value sums (per-segment windows shuffle once on the
-      // segment key); the between term runs on the bounded 5×5 mean
-      // grid.
+      // rank·value sums accumulated in DECIMAL (rank × cents products
+      // overflowed the long accumulator at the f30 relational scale-up;
+      // decimal keeps them exact to 1e38, and the double conversion on
+      // the finished sums is bit-exact below 2^53 — every oracle sf).
+      // Per-segment windows shuffle once on the segment key; the
+      // between term runs on the bounded 5×5 mean grid.
       val spend = t(s, dir, "orders")
         .join(t(s, dir, "customer")
           .select(col("c_custkey"), col("c_mktsegment")),
@@ -1571,8 +1574,9 @@ private[graft] object QueriesStats3 {
       val overall = graft.ops.PrefixSum.globalRank(
           spend, Seq(col("x"), col("o_custkey")), "r")
         .agg(count(lit(1)).cast("double").as("n"),
-          sum(col("x")).cast("double").as("sx"),
-          sum(col("r") * col("x")).cast("double").as("srx"))
+          sum(col("x").cast("decimal(18,0)")).cast("double").as("sx"),
+          sum(col("r").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
+            .cast("double").as("srx"))
         .select(col("n"), col("sx"),
           (lit(2.0) * col("srx") / (col("n") * col("sx")) -
             (col("n") + 1) / col("n")).as("g"))
@@ -1581,8 +1585,9 @@ private[graft] object QueriesStats3 {
       val perSeg = spend.withColumn("r", row_number().over(wG))
         .groupBy(col("sg"))
         .agg(count(lit(1)).cast("double").as("ng"),
-          sum(col("x")).cast("double").as("sxg"),
-          sum(col("r") * col("x")).cast("double").as("srxg"))
+          sum(col("x").cast("decimal(18,0)")).cast("double").as("sxg"),
+          sum(col("r").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
+            .cast("double").as("srxg"))
         .withColumn("gg", lit(2.0) * col("srxg") /
           (col("ng") * col("sxg")) - (col("ng") + 1) / col("ng"))
         .withColumn("mu", col("sxg") / col("ng"))

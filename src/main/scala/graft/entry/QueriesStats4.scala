@@ -1181,8 +1181,11 @@ private[graft] object QueriesStats4 {
       // Hoover (Robin Hood) index of lifetime spend: the share of total
       // spend that would have to move to equalize everyone — ½·Σ|xᵢ/X −
       // 1/n|, kept EXACT as ½·Σ|xᵢ·n − X|/(X·n) in integer cents until
-      // the final division. The most interpretable member of the
-      // q170/q409/q410/q489/q558 inequality suite.
+      // the final division; the Σ runs in DECIMAL (cents·n per row
+      // overflowed the long accumulator at the f30 relational scale-up;
+      // exact to 1e38, double only in the final ratio). The most
+      // interpretable member of the q170/q409/q410/q489/q558
+      // inequality suite.
       val spend = t(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
@@ -1191,7 +1194,8 @@ private[graft] object QueriesStats4 {
         sum(col("cents")).as("tc"))
       spend.crossJoin(broadcast(tot))
         .agg(first(col("n")).as("n"), first(col("tc")).as("tc"),
-          sum(abs(col("cents") * col("n") - col("tc"))).as("sabs"))
+          sum(abs(col("cents").cast("decimal(18,0)") * col("n") -
+            col("tc"))).as("sabs"))
         .select(col("n").as("n_customers"),
           round(col("sabs").cast("double") /
             (lit(2.0) * col("tc").cast("double") *
@@ -2406,7 +2410,10 @@ private[graft] object QueriesStats4 {
       // repeat rate, top segment by revenue, spend Gini, and 90-day
       // churn survival — the readout every dashboard in this gallery
       // ultimately feeds. Each KPI reuses a proven formulation (exact
-      // cents, exact ranks, KM log-sums).
+      // cents, exact ranks, KM log-sums); the Gini's rank·cents sum
+      // runs in DECIMAL (overflowed the long accumulator at the f30
+      // relational scale-up — exact to 1e38, double on the finished
+      // sums only).
       val orders = t(s, dir, "orders")
       val rev = orders.agg(
         sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
@@ -2431,8 +2438,9 @@ private[graft] object QueriesStats4 {
       val gini = graft.ops.PrefixSum.globalRank(
           spend, Seq(col("x"), col("o_custkey")), "r")
         .agg(count(lit(1)).cast("double").as("gn"),
-          sum(col("x")).cast("double").as("gs"),
-          sum(col("r") * col("x")).cast("double").as("grx"))
+          sum(col("x").cast("decimal(18,0)")).cast("double").as("gs"),
+          sum(col("r").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
+            .cast("double").as("grx"))
         .select((lit(2.0) * col("grx") / (col("gn") * col("gs")) -
           (col("gn") + 1) / col("gn")).as("gini"))
       val maxD = orders.agg(max(col("o_orderdate")).as("mx"))
