@@ -1105,8 +1105,12 @@ private[graft] object QueriesAnalytics1 {
     "q196_ship_lag" -> ((s, dir) => {
       // fulfillment latency: order→ship lag in days per order priority —
       // the fact-fact key join shuffles once on the order key, then the
-      // integer gap-days reduce per priority (count/avg/max + exact
-      // median via the shared-buffer percentile).
+      // integer gap-days reduce per priority. The exact median uses the
+      // builtin percentile(): its buffer is a value→COUNT map, bounded
+      // by DISTINCT lag values — a calendar-bounded integer domain
+      // (~2.5k days), flat at any corpus size. (Continuous/unbounded
+      // value domains must use PrefixSum.exactPercentiles instead —
+      // q573 is the gallery's example.)
       val lag0 = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_shipdate"))
         .join(t(s, dir, "orders")
@@ -1907,14 +1911,25 @@ private[graft] object QueriesAnalytics1 {
           unix_micros(col("ts")).as("us"))
       val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.withColumn("late_s",
+      // p95 via the two-phase groupedExactPercentiles: lateness has
+      // microsecond resolution, so the builtin percentile()'s
+      // value→count buffer would grow with EVENTS, not with a bounded
+      // domain (contrast q196's day-grain median, which keeps the
+      // builtin). The (type, late_s) rows persist for the two passes.
+      val late = ev.withColumn("late_s",
           (max(col("us")).over(w) - col("us")).cast("double") / lit(1e6))
-        .groupBy(col("event_type"))
+        .select(col("event_type"), col("late_s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val p95 = graft.ops.PrefixSum.groupedExactPercentiles(
+        late, "event_type", col("late_s"), Seq(0.95), Seq("p95r"))
+      late.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           round(avg(when(col("late_s") > 0, 1.0).otherwise(0.0)), 4)
             .as("pct_late"),
-          round(expr("percentile(late_s, 0.95)"), 4).as("p95_late_s"),
           round(max(col("late_s")), 4).as("max_late_s"))
+        .join(p95, Seq("event_type"))
+        .select(col("event_type"), col("n_events"), col("pct_late"),
+          round(col("p95r"), 4).as("p95_late_s"), col("max_late_s"))
         .orderBy(col("event_type"))
     }),
 

@@ -678,7 +678,10 @@ private[graft] object QueriesCore {
     "q55_approx_percentiles" -> ((s, dir) => {
       // scale path for q44: approx_percentile's quantile sketch keeps
       // bounded O(1/eps) state per group, where exact percentile buffers
-      // every value (fine as oracle at sf0.1, unbounded memory at 100x).
+      // a value→count map — bounded here by the DISTINCT-price domain
+      // (a fixed grid), but domain-sized rather than eps-sized, and
+      // unbounded on continuous domains (those need
+      // PrefixSum.exactPercentiles — see q573).
       // The sketch's rank-error bound holds under any partial-merge order,
       // so the within-tolerance flags are deterministically 1; exact values
       // are oracled via DuckDB quantile_cont.

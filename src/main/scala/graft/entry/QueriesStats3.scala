@@ -2252,8 +2252,12 @@ private[graft] object QueriesStats3 {
       // Fleiss' kappa agreement of three deterministic doc "raters"
       // (quality > median, scaled length > median, digit ratio >
       // median): do independent quality heuristics agree beyond chance?
-      // — the multi-rater generalization of q260's Cohen kappa. Three
-      // median passes, then one aggregate over per-doc positive counts.
+      // — the multi-rater generalization of q260's Cohen kappa. The
+      // three medians come from ONE two-phase groupedExactPercentiles
+      // pass over melted (feature, value) rows — continuous per-doc
+      // scores, so the builtin percentile()'s value→count buffer would
+      // grow with the corpus — then one aggregate over per-doc
+      // positive counts.
       val len = length(col("text")).cast("double")
       val feats = t(s, dir, "documents").select(
         graft.functions.TextFunctions.qualityScore(col("text"))
@@ -2261,9 +2265,17 @@ private[graft] object QueriesStats3 {
         (len / 100.0).as("fl"),
         ((len - length(regexp_replace(col("text"), "[0-9]", ""))
           .cast("double")) / len).as("fd"))
-      val meds = feats.agg(expr("percentile(q, 0.5)").as("mq"),
-        expr("percentile(fl, 0.5)").as("ml"),
-        expr("percentile(fd, 0.5)").as("md"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val melted = feats.select(explode(array(
+          struct(lit("q").as("f"), col("q").as("v")),
+          struct(lit("fl").as("f"), col("fl").as("v")),
+          struct(lit("fd").as("f"), col("fd").as("v")))).as("kv"))
+        .select(col("kv.f").as("f"), col("kv.v").as("v"))
+      val meds = graft.ops.PrefixSum.groupedExactPercentiles(
+          melted, "f", col("v"), Seq(0.5), Seq("med"))
+        .agg(max(when(col("f") === "q", col("med"))).as("mq"),
+          max(when(col("f") === "fl", col("med"))).as("ml"),
+          max(when(col("f") === "fd", col("med"))).as("md"))
       val pos = feats.crossJoin(broadcast(meds))
         .select((when(col("q") > col("mq"), 1L).otherwise(0L) +
           when(col("fl") > col("ml"), 1L).otherwise(0L) +

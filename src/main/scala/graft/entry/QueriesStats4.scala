@@ -1573,11 +1573,22 @@ private[graft] object QueriesStats4 {
         .filter(col("q0") > 0 && col("q1") > 0)
         .withColumn("chg",
           (col("r1") / col("q1")) / (col("r0") / col("q0")) - 1.0)
+        // consumed twice (median ranks + the share/mean rollup); the
+        // part-year rollup above already reduced it to |parts| rows
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // exact median via the two-phase exactPercentiles, not the
+      // builtin percentile(): chg is a CONTINUOUS ratio, so the
+      // builtin's value→count buffer has one entry per part — a
+      // single-task map that grows with the part table (the discrete-
+      // domain medians elsewhere in the gallery keep the builtin,
+      // whose buffer is domain-bounded there)
+      val med = graft.ops.PrefixSum.exactPercentiles(
+        py, col("chg"), Seq(0.5), Seq("med"))
       py.agg(count(lit(1)).as("n_parts"),
           (sum(when(abs(col("chg")) > 0.01, 1L).otherwise(0L))
             .cast("double") / count(lit(1))).as("repriced_share"),
-          avg(abs(col("chg"))).as("mean_abs_change"),
-          expr("percentile(chg, 0.5)").as("med"))
+          avg(abs(col("chg"))).as("mean_abs_change"))
+        .crossJoin(broadcast(med))
         .select(col("n_parts"),
           round(col("repriced_share"), 4).as("share_repriced_1pct"),
           round(col("mean_abs_change"), 6).as("mean_abs_change"),
@@ -2313,7 +2324,12 @@ private[graft] object QueriesStats4 {
         col("t").as("prev"))
       val gaps = ranked.join(prev, Seq("rk"))
         .select(((col("t") - col("prev")).cast("double") / 1e6).as("g"))
-      val med = gaps.agg(expr("percentile(g, 0.5)").as("m"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // two-phase exact median: gaps carry microsecond resolution, so
+      // the builtin percentile()'s value→count buffer would be
+      // event-sized, not domain-bounded
+      val med = graft.ops.PrefixSum.exactPercentiles(
+        gaps, col("g"), Seq(0.5), Seq("m"))
       val m = gaps.crossJoin(broadcast(med))
         .agg(count(lit(1)).cast("double").as("n"),
           first(col("m")).as("m"),

@@ -143,4 +143,115 @@ object PrefixSum {
       .withColumn(out, col("__rn") + col("__off"))
       .drop("__pid", "__rn", "__off")
   }
+
+  /** Exact percentile(s) of `value` with `percentile()`'s linear
+    * interpolation (sorted x, zero-based index i = p*(n-1), result =
+    * x[⌊i⌋] + (i−⌊i⌋)·(x[⌊i⌋+1] − x[⌊i⌋])) — returned as ONE 1-row frame
+    * with `outCols`, bit-identical to the builtin on double inputs.
+    *
+    * The builtin `percentile()` aggregate buffers a value→COUNT map in
+    * one task — bounded by DISTINCT values, so it is the right (and
+    * 2-4x cheaper, measured at f30) tool for discrete domains: integer
+    * day gaps, price grids, calendar series. On a CONTINUOUS value
+    * domain (ratios, scores, measurements) distinct ≈ rows and that map
+    * is a single-task memory bomb at corpus scale. This is the
+    * continuous-domain replacement: a [[globalRank]] over the values
+    * (every task bounded by the range-partition size at any n), then
+    * ONLY the <= 2·|ps| bracketing rows are read back — a
+    * CONTRACT-bounded collect, same class as a stat fold. NULLs are
+    * excluded, matching the aggregate.
+    */
+  def exactPercentiles(df: DataFrame, value: Column, ps: Seq[Double],
+                       outCols: Seq[String]): DataFrame = {
+    require(ps.nonEmpty && ps.length == outCols.length,
+      "one output column per requested percentile")
+    require(ps.forall(q => q >= 0.0 && q <= 1.0), "percentiles in [0, 1]")
+    val spark = df.sparkSession
+    val d = df.select(value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val ranked = globalRank(d, Seq(col("__v")), "__r")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = ranked.count()
+    val result =
+      if (n == 0L)
+        spark.range(1).select(
+          outCols.map(c => lit(null).cast("double").as(c)): _*)
+      else {
+        val targets = ps.map { q =>
+          val i = q * (n - 1)
+          (math.floor(i).toLong + 1, math.ceil(i).toLong + 1, i)
+        }
+        val need = targets.flatMap(t => Seq(t._1, t._2)).distinct
+        val picked = ranked.filter(col("__r").isin(need: _*))
+          .select(col("__r"), col("__v")).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val cols = ps.indices.map { k =>
+          val (lo, hi, i) = targets(k)
+          // the builtin's exact composition: value when the position is
+          // integral, else the SYMMETRIC blend (higher-pos)*loVal +
+          // (pos-lower)*hiVal — same terms, bit-identical results
+          val v = if (lo == hi) picked(lo)
+            else (math.ceil(i) - i) * picked(lo) +
+              (i - math.floor(i)) * picked(hi)
+          lit(v).as(outCols(k))
+        }
+        spark.range(1).select(cols: _*)
+      }
+    ranked.unpersist()
+    result
+  }
+
+  /** Per-group [[exactPercentiles]]: one row per `grp` value with
+    * `outCols`, bit-identical to `percentile()` on double inputs, fully
+    * declarative (no driver reads). Within-group ranks come from the
+    * [[groupedRunningSum]] two-phase decomposition (every task bounded by
+    * the range-partition size regardless of group sizes), group counts
+    * join back on the group key, and each percentile is composed from the
+    * two bracketing ranks with when-filtered max aggregates — all
+    * map-side-combinable, so the only group-keyed shuffle carries
+    * |groups| x |ps| partial buffers. Groups whose values are all NULL are
+    * absent from the result (left-join it back and coalesce if the
+    * builtin's NULL-row semantics are needed).
+    */
+  def groupedExactPercentiles(df: DataFrame, grp: String, value: Column,
+                              ps: Seq[Double], outCols: Seq[String],
+                              numPartitions: Int = 0): DataFrame = {
+    require(ps.nonEmpty && ps.length == outCols.length,
+      "one output column per requested percentile")
+    require(ps.forall(q => q >= 0.0 && q <= 1.0), "percentiles in [0, 1]")
+    val d = df.select(col(grp), value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      // unique within-group order even under ties: (v, uid)
+      .withColumn("__ok", struct(col("__v"), monotonically_increasing_id()))
+    // lazy localCheckpoint, not persist: same rationale as the class doc —
+    // two reads (counts + brackets) share one materialization, and blocks
+    // free with the result instead of accumulating in the CacheManager
+    val ranked = groupedRunningSum(d, grp, "__ok", lit(1L), "__r",
+      numPartitions).localCheckpoint(false)
+    val cnts = ranked.groupBy(col(grp)).agg(max(col("__r")).as("__n"))
+    val j = ranked.join(cnts, Seq(grp))
+    val aggs = ps.indices.flatMap { k =>
+      // zero-based index i = p*(n-1), per group via the joined count
+      val i = lit(ps(k)) * (col("__n") - lit(1L)).cast("double")
+      Seq(
+        max(when(col("__r") === floor(i).cast("long") + 1, col("__v")))
+          .as(s"__lo$k"),
+        max(when(col("__r") === ceil(i).cast("long") + 1, col("__v")))
+          .as(s"__hi$k"),
+        // the builtin's symmetric blend terms, kept verbatim so results
+        // are bit-identical: (higher-pos) and (pos-lower)
+        max(ceil(i).cast("double") - i).as(s"__wl$k"),
+        max(i - floor(i).cast("double")).as(s"__wh$k"))
+    }
+    j.groupBy(col(grp)).agg(aggs.head, aggs.tail: _*)
+      .select(col(grp) +: ps.indices.map { k =>
+        // integral position (both weights exactly 0, i.e. one bracketing
+        // rank) -> the value, like the builtin; else the symmetric blend
+        when(col(s"__wl$k") === 0.0 && col(s"__wh$k") === 0.0,
+            col(s"__lo$k"))
+          .otherwise(col(s"__wl$k") * col(s"__lo$k") +
+            col(s"__wh$k") * col(s"__hi$k"))
+          .as(outCols(k))
+      }: _*)
+  }
 }

@@ -420,6 +420,52 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got == indep)
   }
 
+  test("exactPercentiles == builtin percentile (ties, singleton, array ps)") {
+    import org.apache.spark.sql.functions._
+    // ties, negatives, a duplicate-heavy tail — the interpolation and
+    // rank-bracketing edge cases
+    val xs = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 5.0, -7.0)
+    val df = xs.toDF("x")
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val outs = ps.indices.map(i => s"p$i")
+    val got = graft.ops.PrefixSum.exactPercentiles(df, $"x", ps, outs)
+      .collect().head
+    val want = df.agg(expr(
+      s"percentile(x, array(${ps.mkString("D,")}D))")).collect()
+      .head.getSeq[Double](0)
+    ps.indices.foreach(i => assert(got.getDouble(i) == want(i),
+      s"p=${ps(i)}: got ${got.getDouble(i)}, builtin ${want(i)}"))
+    // singleton input: every percentile is the value
+    val one = graft.ops.PrefixSum.exactPercentiles(
+      Seq(42.0).toDF("x"), $"x", Seq(0.5), Seq("m")).collect().head
+    assert(one.getDouble(0) == 42.0)
+    // empty input -> null, matching the aggregate
+    assert(graft.ops.PrefixSum.exactPercentiles(
+      Seq.empty[Double].toDF("x"), $"x", Seq(0.5), Seq("m"))
+      .collect().head.isNullAt(0))
+  }
+
+  test("groupedExactPercentiles == builtin per group, null values excluded") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(2.0)), ("a", Some(9.0)),
+      ("b", Some(5.0)),
+      ("c", Some(-1.0)), ("c", Some(3.0)), ("c", None), ("c", Some(7.0)),
+      ("d", None)).toDF("g", "x")
+    val ps = Seq(0.25, 0.5, 0.99)
+    val outs = Seq("q25", "q50", "q99")
+    val got = graft.ops.PrefixSum.groupedExactPercentiles(
+        df, "g", $"x", ps, outs)
+      .collect().map(r => r.getString(0) ->
+        outs.indices.map(i => r.getDouble(i + 1)).toList).toMap
+    val want = df.filter($"x".isNotNull).groupBy($"g")
+      .agg(expr(s"percentile(x, array(${ps.mkString("D,")}D))").as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toList)
+      .toMap
+    assert(got.keySet == Set("a", "b", "c"), "all-null group d must drop")
+    got.foreach { case (g, vs) => assert(vs == want(g), s"group $g") }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS default.bkt_orders")
     spark.sql("DROP TABLE IF EXISTS default.bkt_lineitem")
