@@ -401,13 +401,19 @@ object Stress {
     // stats pruning, nothing else differs
     val zdir = s"$whRoot/z"; val ndir = s"$whRoot/n"
     val zin = events.select(col("user_id"), col("value"), col("event_id"))
+    var zFiles = 0L
     time("wh_zorder_write") {
       graft.ops.ZOrder.zorderWrite(zin, "user_id", "value", zdir, 64)
-      64L
+      zFiles = graft.io.Compaction.dataFileCount(spark, zdir).toLong
+      zFiles
     }
     time("wh_ingested_write") {
       zin.repartition(64).write.mode("overwrite").parquet(ndir)
-      64L
+      val n = graft.io.Compaction.dataFileCount(spark, ndir).toLong
+      // the box-scan comparison below assumes same-file-count layouts —
+      // a skewed z-bucket write would otherwise masquerade as pruning
+      require(n == zFiles, s"file counts diverged: zorder $zFiles vs $n")
+      n
     }
     val userSpan = factor.toLong * maxUser
     def boxCount(path: String): Long =

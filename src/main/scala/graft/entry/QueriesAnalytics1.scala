@@ -1919,7 +1919,9 @@ private[graft] object QueriesAnalytics1 {
       val late = ev.withColumn("late_s",
           (max(col("us")).over(w) - col("us")).cast("double") / lit(1e6))
         .select(col("event_type"), col("late_s"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // lazy localCheckpoint (shared by the p95 ranks + the rollup);
+        // blocks free with the result, no CacheManager entry
+        .localCheckpoint(false)
       val p95 = graft.ops.PrefixSum.groupedExactPercentiles(
         late, "event_type", col("late_s"), Seq(0.95), Seq("p95r"))
       late.groupBy(col("event_type"))

@@ -2265,7 +2265,9 @@ private[graft] object QueriesStats3 {
         (len / 100.0).as("fl"),
         ((len - length(regexp_replace(col("text"), "[0-9]", ""))
           .cast("double")) / len).as("fd"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // lazy localCheckpoint (shared by the melted medians + the
+        // positive-count pass); blocks free with the result
+        .localCheckpoint(false)
       val melted = feats.select(explode(array(
           struct(lit("q").as("f"), col("q").as("v")),
           struct(lit("fl").as("f"), col("fl").as("v")),

@@ -1573,9 +1573,12 @@ private[graft] object QueriesStats4 {
         .filter(col("q0") > 0 && col("q1") > 0)
         .withColumn("chg",
           (col("r1") / col("q1")) / (col("r0") / col("q0")) - 1.0)
-        // consumed twice (median ranks + the share/mean rollup); the
-        // part-year rollup above already reduced it to |parts| rows
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // consumed twice (median ranks + the share/mean rollup); lazy
+        // localCheckpoint, not persist: blocks free with the result
+        // instead of accumulating in the CacheManager across a sweep
+        // (PrefixSum's class doc), and the part-year rollup above
+        // already reduced this to |parts| rows
+        .localCheckpoint(false)
       // exact median via the two-phase exactPercentiles, not the
       // builtin percentile(): chg is a CONTINUOUS ratio, so the
       // builtin's value→count buffer has one entry per part — a
@@ -2324,7 +2327,9 @@ private[graft] object QueriesStats4 {
         col("t").as("prev"))
       val gaps = ranked.join(prev, Seq("rk"))
         .select(((col("t") - col("prev")).cast("double") / 1e6).as("g"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // lazy localCheckpoint (shared by the median ranks + tail
+        // counts); blocks free with the result, no CacheManager entry
+        .localCheckpoint(false)
       // two-phase exact median: gaps carry microsecond resolution, so
       // the builtin percentile()'s value→count buffer would be
       // event-sized, not domain-bounded

@@ -90,9 +90,12 @@ object Bpe {
                   minFreq: Long = 2,
                   collectThreshold: Long = CollectThreshold): Seq[Merge] = {
     require(numMerges >= 1 && minFreq >= 1)
-    val probe = math.min(collectThreshold, Int.MaxValue - 1L).toInt + 1
-    if (collectThreshold > 0 &&
-        vocab.limit(probe).count() <= collectThreshold) {
+    // thresholds beyond the probe's Int limit clamp DOWN (a saturated
+    // probe could otherwise under-count a multi-billion-row vocab and
+    // trigger an unbounded collect)
+    val th = math.min(collectThreshold, Int.MaxValue - 1L)
+    val probe = th.toInt + 1
+    if (th > 0 && vocab.limit(probe).count() <= th) {
       val rows = vocab.select(col("word"), col("freq")).collect()
       return learnMergesLocal(
         rows.toSeq.map(r => (r.getString(0), r.getLong(1))), numMerges, minFreq)
@@ -160,6 +163,15 @@ object Bpe {
         val k = (ss(i), ss(i + 1))
         counts(k) = counts.getOrElse(k, 0L) + f
       }
+      // tie-break in Spark's string order (unsigned UTF-8 bytes), not
+      // Java's UTF-16 code-unit order — the two disagree on
+      // supplementary-plane characters, and this loop must pick the SAME
+      // merge as the distributed orderBy(asc) (the adaptive short-circuit
+      // and q126's parity check both depend on it)
+      implicit val utf8Order: Ordering[String] = (x: String, y: String) =>
+        java.util.Arrays.compareUnsigned(
+          x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       counts.toSeq.sortBy { case ((a, b), f) => (-f, a, b) }.headOption match {
         case Some(((a, b), f)) if f >= minFreq =>
           merges += Merge(merges.length + 1, a, b, f)

@@ -209,9 +209,12 @@ object PrefixSum {
     * join back on the group key, and each percentile is composed from the
     * two bracketing ranks with when-filtered max aggregates — all
     * map-side-combinable, so the only group-keyed shuffle carries
-    * |groups| x |ps| partial buffers. Groups whose values are all NULL are
-    * absent from the result (left-join it back and coalesce if the
-    * builtin's NULL-row semantics are needed).
+    * |groups| x |ps| partial buffers. Divergences from the builtin's row
+    * semantics (values are bit-identical): groups whose values are all
+    * NULL are absent from the result, and rows whose GROUP KEY is NULL
+    * are dropped (the count join is a null-dropping equi-join) where
+    * `groupBy` would keep a null group — filter or coalesce null keys
+    * upstream if that group matters.
     */
   def groupedExactPercentiles(df: DataFrame, grp: String, value: Column,
                               ps: Seq[Double], outCols: Seq[String],

@@ -41,13 +41,14 @@ class BenchMetrics(sc: SparkContext) {
   * [[BenchMetrics]]: job-start events are async, so a read must drain
   * `listenerBus` first.
   */
-class JobCounter(sc: SparkContext) {
+class JobCounter(sc: SparkContext) extends AutoCloseable {
   private val jobs = new AtomicLong(0L)
-  sc.addSparkListener(new SparkListener {
+  private val listener = new SparkListener {
     override def onJobStart(j: SparkListenerJobStart): Unit = {
       jobs.incrementAndGet(); ()
     }
-  })
+  }
+  sc.addSparkListener(listener)
 
   /** Drain pending listener events, then read the running job count. */
   def count(): Long = {
@@ -55,4 +56,10 @@ class JobCounter(sc: SparkContext) {
     catch { case _: java.util.concurrent.TimeoutException => () }
     jobs.get()
   }
+
+  /** Deregister the listener — instantiated ad hoc in specs, so each
+    * instance must not keep counting (and costing bus dispatch) for the
+    * rest of the context's lifetime.
+    */
+  override def close(): Unit = sc.removeSparkListener(listener)
 }
