@@ -75,7 +75,17 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val cpuTotal = results.map(_._3).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_queries":$cq,"cpu_total":${f"$cpuTotal%.1f"},"errors":$errs,"repeat":$repeat,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_queries":$cq,"cpu_total":${f"$cpuTotal%.1f"},"errors":$errs,"repeat":$repeat,"sf":"$sfDir"}"""
+    // The full JSON also goes to a FILE: the driver's stdout capture
+    // truncates long lines (600 wall + 600 CPU entries), and a tail cut
+    // mid-map invites misreads (r6: a CPU-map tail diffed against an r5
+    // wall-map tail fabricated 18x phantom regressions). The marker line
+    // is short and survives any truncation; the file is the record.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON",
+      s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_bench.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    println(s"BENCH_JSON $out")
+    println(json)
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Relational scale-up generator: replicates the scale-GROWING TPC-H-side
@@ -14,10 +14,28 @@ import org.apache.spark.sql.functions._
   * used on both sides of each foreign key (l_orderkey ↔ o_orderkey,
   * o_custkey ↔ c_custkey, l_partkey ↔ p_partkey, l_suppkey ↔ s_suppkey).
   * The scaled dataset is therefore `factor` disjoint copies of the base:
-  * per-key join and group results replicate exactly `factor`×, global
-  * key-group cardinalities grow `factor`×, and value distributions (dates,
-  * quantities, prices, flags) are untouched — i.e. the same shape a larger
-  * TPC-H sf generates, minus new key entropy in the value columns.
+  * per-key join and group results replicate exactly `factor`×, and global
+  * key-group cardinalities grow `factor`×.
+  *
+  * Fixture-fidelity measures (round 7 — the r6 growth sweeps paid two
+  * measured artifact taxes that made every reading harder to adjudicate,
+  * BENCH_NOTES_r6 §7 effects 1 and 3):
+  *
+  *   1. VALUE ENTROPY: replicas r >= 1 jitter the continuous value columns
+  *      (balances/prices ±0.99 on the cent grid, dates ±3 days) with a
+  *      deterministic [[graft.ops.Sampling.keyHash]] of (row key, replica,
+  *      column) — so value-keyed cells stop densifying `factor`× faster
+  *      than a true larger sf would (the q425 fixed-eps artifact), while
+  *      domains stay on their real grids (cents stay cents, dates stay
+  *      calendar days) and replica 0 stays byte-identical to the base.
+  *      Growth runs never oracle-compare, so jitter can't break parity —
+  *      it only makes the growth curve honest.
+  *   2. LAYOUT: replicas are written range-partitioned AND sorted by the
+  *      table's primary key instead of `repartition(n)`'s random shuffle —
+  *      restoring the dictionary/RLE runs a real generator's key-ordered
+  *      output has. The r6 sweeps measured the shuffled layout decoding
+  *      1.2-6x slower PER ROW (flat across factors, i.e. a fixture
+  *      constant, but one that inflated every per-row CPU reading).
   *
   * Static tables (`region nation`) and the non-relational corpora
   * (`events documents embeddings` — already covered by graft.Stress at
@@ -29,7 +47,7 @@ import org.apache.spark.sql.functions._
   * 100 TB evidence was plan-shape auditing at sf0.01/sf0.1 only. This
   * generator turns "the 47 planner-chosen broadcasts flip to shuffle joins
   * at scale, and the relational plans are linear in sf" from an assertion
-  * into a measured growth curve (BENCH_NOTES_r6 §7).
+  * into a measured growth curve (BENCH_NOTES_r6 §7, refreshed r7).
   *
   * Usage: runMain graft.RelScale <srcSfDir> <outDir> <factor>
   */
@@ -47,6 +65,27 @@ object RelScale {
 
   private val growing = Seq("customer", "supplier", "part", "orders", "lineitem")
   private val copied  = Seq("region", "nation", "events", "documents", "embeddings")
+
+  /** Primary sort keys per table — the write order that restores the
+    * key-ordered dictionary/RLE runs of a real generator's output.
+    */
+  private val sortKeys: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"), "orders" -> Seq("o_orderkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"))
+
+  /** Continuous value columns jittered ±0.99 on the cent grid. Bounded
+    * grids with realistic repeat rates (l_quantity 1..50, l_discount/
+    * l_tax percent steps, flags, names) stay as-is — a true larger sf
+    * repeats those too.
+    */
+  private val centJitter = Set("c_acctbal", "s_acctbal", "p_retailprice",
+    "o_totalprice", "l_extendedprice")
+
+  /** Date/timestamp columns jittered ±3 whole days (stays on the calendar
+    * grid; order/ship lags can shift a few days, like real data).
+    */
+  private val dayJitter = Set("o_orderdate", "l_shipdate")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -69,17 +108,38 @@ object RelScale {
     growing.foreach { t =>
       val b = base(t)
       val reps = spark.range(factor).select(col("id").as("__rep"))
-      val scaled = b.crossJoin(reps).select(b.columns.map { c =>
-        keyOwners.get(c) match {
-          case Some(owner) =>
-            (col(c) + col("__rep") * lit(steps(owner))).as(c)
-          case None => col(c)
-        }
+      // per-row jitter seed: primary key x replica x column index — the
+      // portable keyHash, so re-runs and engines agree byte-for-byte
+      val rowKey = sortKeys(t).map(c => col(c).cast("long"))
+        .reduce((a, b) => a * lit(8L) + b)
+      def jitterHash(colIdx: Int): Column = graft.ops.Sampling.keyHash(
+        rowKey * lit(131L) + col("__rep") * lit(7919L) +
+          lit(colIdx.toLong * 104729L))
+      val scaled = b.crossJoin(reps).select(b.columns.zipWithIndex.map {
+        case (c, i) =>
+          keyOwners.get(c) match {
+            case Some(owner) =>
+              (col(c) + col("__rep") * lit(steps(owner))).as(c)
+            case None if centJitter.contains(c) =>
+              // ±0.99 on the cent grid; replica 0 byte-identical to base
+              when(col("__rep") === 0, col(c)).otherwise(col(c) +
+                (pmod(jitterHash(i), lit(199L)) - lit(99L)).cast("double")
+                  / lit(100.0)).as(c)
+            case None if dayJitter.contains(c) =>
+              when(col("__rep") === 0, col(c)).otherwise(col(c) +
+                make_dt_interval(days =
+                  (pmod(jitterHash(i), lit(7L)) - lit(3L)).cast("int"))).as(c)
+            case None => col(c)
+          }
       }.toIndexedSeq: _*)
       // enough write partitions that the scaled fact tables read back
-      // parallel (the base files are single driver-written parquet files)
+      // parallel (the base files are single driver-written parquet files);
+      // range-partitioned + sorted on the primary key so the written
+      // files keep generator-like dictionary/RLE runs
       val parts = math.max(4, math.min(64, factor * 2))
-      scaled.repartition(parts)
+      val order = sortKeys(t).map(col)
+      scaled.repartitionByRange(parts, order: _*)
+        .sortWithinPartitions(order: _*)
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       println(s"[relscale] $t x$factor -> ${spark.read.parquet(s"$outDir/$t.parquet").count()} rows")
     }

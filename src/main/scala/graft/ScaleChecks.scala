@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.catalog.HiveTableRelation
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, ImperativeAggregate}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Collect, CollectTopK, ImperativeAggregate, Median, Mode, PercentileBase, PercentileCont}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -153,10 +153,140 @@ object ScaleChecks {
         else Nil
     }.flatten
 
+  /** Subquery-alias prefix that declares a BOUNDED VALUE DOMAIN: the
+    * buffer-all aggregates checked by [[bufferAllOverGrowing]] (builtin
+    * `percentile` family, `collect_list`/`collect_set`, `mode`) buffer one
+    * entry per DISTINCT INPUT VALUE per group — bounded and cheap on a
+    * discrete domain (integer day gaps, cent-quantized price grids,
+    * calendar buckets), a single-task memory bomb on a continuous one
+    * (ratios, scores, measurements), where distinct ≈ rows. Row-count
+    * reductions on the leaf path already pass the walk; this alias is the
+    * carve-out for the remaining legitimate class: an UNREDUCED input
+    * whose value domain is bounded by construction. Declare it with
+    * [[boundedDomain]] at the aggregate's input, with a reason naming the
+    * domain and its bound. The declaration is plan-visible, so this static
+    * gate honors it, the hygiene spec enforces that every gallery
+    * declaration carries a literal reason, and [[graft.DomainAudit]]
+    * measures each declared site's ACTUAL max-per-group distinct count
+    * across scale factors — a false declaration shows up there as growth.
+    *
+    * Deliberately distinct from [[BoundedBatchAlias]]: a bounded domain
+    * does NOT bound row count, so checks 1-3 ignore this alias.
+    */
+  val BoundedDomainAlias = "__graft_bounded_domain"
+
+  /** Declare that `df`'s value domain feeding a buffer-all aggregate
+    * directly above is bounded by construction (see [[BoundedDomainAlias]]).
+    * `why` must name the domain and its bound — it is embedded in the
+    * plan-visible alias (sanitized) so plan dumps and the domain audit can
+    * attribute the declaration without reading the source.
+    */
+  def boundedDomain(df: DataFrame, why: String): DataFrame = {
+    require(why.trim.length >= 16,
+      "bounded-domain declaration needs a concrete reason naming the " +
+        s"domain and its bound, got: '$why'")
+    val slug = why.trim.toLowerCase.replaceAll("[^a-z0-9]+", "_").take(64)
+    df.as(BoundedDomainAlias + "__" + slug)
+  }
+
+  /** A buffer-all aggregate: its per-group buffer holds one entry per
+    * distinct input value (percentile family, mode) or per input row
+    * (collect_list / listagg) — O(group payload), not O(1). CollectTopK is
+    * exempt (bounded priority queue of k); the sketches
+    * (approx_percentile / HLL / CountMin / histogram_numeric) never enter —
+    * their buffers are accuracy-bounded by construction.
+    */
+  private[graft] def bufferAll(fn: AggregateFunction): Boolean = fn match {
+    case _: CollectTopK => false
+    case _: PercentileBase | _: Collect[_] | _: Mode => true
+    // RuntimeReplaceable wrappers around Percentile: still the analyzed
+    // plan's aggregateFunction, replaced only during optimization
+    case _: Median | _: PercentileCont => true
+    case _ => false
+  }
+
+  /** Like [[unreducedGrowing]], but a [[BoundedDomainAlias]] declaration
+    * also terminates the walk — used ONLY by check 5, where the buffered
+    * payload is the distinct-value set, not the row count.
+    */
+  private def undeclaredUnreducedGrowing(p: LogicalPlan): Seq[String] =
+    p match {
+      case _: Aggregate | _: Distinct | _: Deduplicate | _: GlobalLimit |
+           _: LocalLimit | _: WindowGroupLimit => Nil
+      case a: SubqueryAlias if a.alias.startsWith(BoundedBatchAlias) ||
+          a.alias.startsWith(BoundedDomainAlias) => Nil
+      case leaf if leaf.children.isEmpty => growingLeaf(leaf)
+      case other => other.children.flatMap(undeclaredUnreducedGrowing)
+    }
+
+  /** Check 5: a buffer-all aggregate (percentile / collect / mode class)
+    * over an unreduced growing relation with no bounded-domain
+    * declaration. The builtin percentile's buffer is a value→count map in
+    * ONE task per group — bounded by distinct values, so it is the right
+    * (and, measured at f30, 2-4x cheaper) tool for discrete domains, and a
+    * single-task memory bomb on continuous ones where distinct ≈ rows
+    * (the q222/q507/q573/q596 class the f30 CPU column caught; those sites
+    * are on [[graft.ops.PrefixSum.exactPercentiles]]). This check forces
+    * every remaining site to either reduce its input first, declare its
+    * domain bound via [[boundedDomain]] (measured by [[graft.DomainAudit]]),
+    * or switch to the two-phase exact path. Checked on the ANALYZED plan —
+    * the optimizer erases both SubqueryAlias declarations and (for
+    * median/percentile_cont) the RuntimeReplaceable shell.
+    *
+    * Scope: Aggregate nodes. Window frames buffer per-frame, not
+    * per-group; unbounded-frame windows over growing inputs are check 2's
+    * and the runtime window audit's territory.
+    *
+    * Two-plan confirmation: a hit on the analyzed plan is confirmed
+    * against the OPTIMIZED plan before it flags — reductions the
+    * optimizer itself inserts (a `rank <= k` filter rewritten to
+    * WindowGroupLimit, the q56 shape) are invisible at analysis time, and
+    * flagging them would force declarations onto already-bounded inputs.
+    * The converse erasure (optimization drops SubqueryAlias declarations
+    * and unwraps median/percentile_cont) is why the declaration-aware
+    * side must stay on the analyzed plan.
+    */
+  def bufferAllOverGrowing(df: DataFrame): Seq[String] = {
+    def hits(plan: LogicalPlan,
+             growing: LogicalPlan => Seq[String]): Seq[(String, Set[String])] =
+      plan.collect {
+        case a: Aggregate =>
+          val heavy = a.aggregateExpressions.flatMap(_.collect {
+            case ae: AggregateExpression if bufferAll(ae.aggregateFunction) =>
+              ae.aggregateFunction.prettyName
+          })
+          if (heavy.isEmpty) Nil
+          else {
+            val g = growing(a.child).toSet
+            if (g.nonEmpty) heavy.distinct.map(fn => (fn, g)) else Nil
+          }
+      }.flatten
+    val analyzed =
+      hits(df.queryExecution.analyzed, undeclaredUnreducedGrowing).distinct
+    if (analyzed.isEmpty) Nil
+    else {
+      // median/percentile_cont optimize into plain percentile — accept the
+      // replacement name when confirming
+      def names(fn: String): Set[String] = fn match {
+        case "median" | "percentile_cont" => Set(fn, "percentile")
+        case other => Set(other)
+      }
+      val optimized = hits(df.queryExecution.optimizedPlan, unreducedGrowing)
+      analyzed.filter { case (fn, g) =>
+        optimized.exists(o => names(fn).contains(o._1) && (o._2 & g).nonEmpty)
+      }.map { case (fn, g) =>
+        s"buffer-all aggregate $fn over unreduced growing table " +
+          s"${g.toSeq.sorted.mkString("+")} without a bounded-domain " +
+          "declaration (reduce first, declare via ScaleChecks.boundedDomain, " +
+          "or use PrefixSum.exactPercentiles)"
+      }
+    }
+  }
+
   /** All static violations for one query plan. Cheap: analysis +
     * optimization only, no job runs.
     */
   def staticViolations(df: DataFrame): Seq[String] =
     hintForcedGrowingBroadcasts(df) ++ unboundedShapes(df) ++
-      distinctRewriteHeavySibling(df)
+      distinctRewriteHeavySibling(df) ++ bufferAllOverGrowing(df)
 }

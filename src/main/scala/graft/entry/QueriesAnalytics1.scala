@@ -68,8 +68,11 @@ private[graft] object QueriesAnalytics1 {
       // tail-robust location estimates per event_type: winsorized (clamp
       // into the exact p10-p90 band) and trimmed (drop outside it) means
       // next to the plain mean — one percentile pass + one aggregate.
-      graft.ops.Outliers.winsorizedStats(events(s, dir), "event_type",
-          "value", 0.1, 0.9)
+      graft.ops.Outliers.winsorizedStats(
+          ScaleChecks.boundedDomain(events(s, dir),
+            "event value is a cent-quantized grid bounded by its range " +
+              "(~56k cells); distinct saturates, it does not track rows"),
+          "event_type", "value", 0.1, 0.9)
         .orderBy(col("event_type"))
     }),
 
@@ -1072,12 +1075,15 @@ private[graft] object QueriesAnalytics1 {
       // buffer percentile, interpolation semantics shared by both
       // engines (q44 precedent).
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
-      t(s, dir, "orders")
+      val gaps = t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderdate"))
         .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
         .filter(col("prev").isNotNull)
         .select(datediff(col("o_orderdate"), col("prev")).cast("long")
           .as("gap"))
+      ScaleChecks.boundedDomain(gaps,
+          "integer day gaps bounded by the order-date calendar span " +
+            "(~2.5k distinct values at any corpus size)")
         .agg(count(lit(1)).as("n_gaps"),
           expr("percentile(gap, array(0.25D, 0.5D, 0.75D))").as("ps"))
         .select(col("n_gaps"),
@@ -1120,7 +1126,10 @@ private[graft] object QueriesAnalytics1 {
         .select(col("o_orderpriority"),
           datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
             .as("lag_days"))
-      lag0.groupBy(col("o_orderpriority"))
+      ScaleChecks.boundedDomain(lag0,
+          "integer order-to-ship lag days bounded by the calendar span " +
+            "(~2.5k distinct values at any corpus size)")
+        .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_lines"),
           round(sum(col("lag_days")).cast("double") / count(lit(1)), 4)
             .as("avg_lag"),

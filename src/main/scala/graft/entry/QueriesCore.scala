@@ -544,15 +544,22 @@ private[graft] object QueriesCore {
     }),
 
     "q44_percentiles" -> ((s, dir) => {
-      // one percentile aggregate for all three quantiles: a single counts
-      // buffer per group instead of three (3x the state, heavy GC)
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("ps"))
+      // exact per-group percentiles of extended price — a CONTINUOUS
+      // domain (distinct ≈ rows: 583k/600k at sf0.1), so the builtin
+      // percentile's value→count buffer would be group-sized in one task
+      // at corpus scale. The two-phase grouped exact path computes all
+      // three quantiles in ONE range-partitioned pass, bit-identical to
+      // the builtin's interpolation (ScaleChecks check 5 enforces this
+      // class; q196 is the declared discrete counterexample).
+      graft.ops.PrefixSum.groupedExactPercentiles(
+          t(s, dir, "lineitem")
+            .select(col("l_returnflag"), col("l_extendedprice")),
+          "l_returnflag", col("l_extendedprice"),
+          Seq(0.5, 0.9, 0.99), Seq("e50", "e90", "e99"))
         .select(col("l_returnflag"),
-          round(element_at(col("ps"), 1), 4).as("p50"),
-          round(element_at(col("ps"), 2), 4).as("p90"),
-          round(element_at(col("ps"), 3), 4).as("p99"))
+          round(col("e50"), 4).as("p50"),
+          round(col("e90"), 4).as("p90"),
+          round(col("e99"), 4).as("p99"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -676,28 +683,32 @@ private[graft] object QueriesCore {
     }),
 
     "q55_approx_percentiles" -> ((s, dir) => {
-      // scale path for q44: approx_percentile's quantile sketch keeps
-      // bounded O(1/eps) state per group, where exact percentile buffers
-      // a value→count map — bounded here by the DISTINCT-price domain
-      // (a fixed grid), but domain-sized rather than eps-sized, and
-      // unbounded on continuous domains (those need
-      // PrefixSum.exactPercentiles — see q573).
-      // The sketch's rank-error bound holds under any partial-merge order,
-      // so the within-tolerance flags are deterministically 1; exact values
-      // are oracled via DuckDB quantile_cont.
-      val agged = t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("ex"),
-          expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)")
-            .as("ap"))
+      // exact-vs-sketch percentile cross-check: approx_percentile keeps
+      // bounded O(1/eps) state per group; the exact side is the grouped
+      // two-phase path (extended price is a CONTINUOUS domain — distinct
+      // ≈ rows — so the builtin percentile's value→count buffer is the
+      // check-5 class; same conversion as q44). The sketch's rank-error
+      // bound holds under any partial-merge order, so the
+      // within-tolerance flags are deterministically 1; exact values are
+      // oracled via DuckDB quantile_cont. The two aggregates join on the
+      // 3-row group key — a broadcast join of two folds.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val ex = graft.ops.PrefixSum.groupedExactPercentiles(
+        li, "l_returnflag", col("l_extendedprice"),
+        Seq(0.5, 0.9, 0.99), Seq("ex1", "ex2", "ex3"))
+      val ap = li.groupBy(col("l_returnflag"))
+        .agg(expr(
+          "approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)")
+          .as("ap"))
       def okCol(i: Int) = when(
-        abs(element_at(col("ap"), i) - element_at(col("ex"), i)) <=
-          element_at(col("ex"), i) * 0.01, 1L).otherwise(0L)
-      agged.select(col("l_returnflag"),
-          round(element_at(col("ex"), 1), 4).as("p50"),
-          round(element_at(col("ex"), 2), 4).as("p90"),
-          round(element_at(col("ex"), 3), 4).as("p99"),
+        abs(element_at(col("ap"), i) - col(s"ex$i")) <=
+          col(s"ex$i") * 0.01, 1L).otherwise(0L)
+      ex.join(ap, Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          round(col("ex1"), 4).as("p50"),
+          round(col("ex2"), 4).as("p90"),
+          round(col("ex3"), 4).as("p99"),
           okCol(1).as("p50_ok"), okCol(2).as("p90_ok"), okCol(3).as("p99_ok"))
         .orderBy(col("l_returnflag"))
     }),

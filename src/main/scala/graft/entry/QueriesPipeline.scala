@@ -671,7 +671,10 @@ private[graft] object QueriesPipeline {
           toks.groupBy(col("term")).agg(count(lit(1)).as("tf")),
           Seq(col("tf").desc, col("term")), "id")
         .select(col("term"), col("id"))
-      toks.join(broadcast(vocab), Seq("term"))
+      ScaleChecks.boundedDomain(toks.join(broadcast(vocab), Seq("term")),
+          "per-document token-id sequence: the encoded document is the " +
+            "deliverable, buffer bounded by max document length, " +
+            "independent of corpus size")
         .groupBy(col("doc_id"))
         .agg(array_join(transform(
           sort_array(collect_list(struct(col("pos"), col("id")))),
@@ -1223,7 +1226,10 @@ private[graft] object QueriesPipeline {
       // tail. Both engines compute medians, deviations, and the threshold
       // product on identical doubles, so the boolean cut agrees bitwise.
       graft.ops.Outliers.madFlag(
-          events(s, dir).select(col("event_type"), col("value")),
+          ScaleChecks.boundedDomain(
+            events(s, dir).select(col("event_type"), col("value")),
+            "event value is a cent-quantized grid bounded by its range " +
+              "(~56k cells); distinct saturates, it does not track rows"),
           "event_type", "value", z = 3.0)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),

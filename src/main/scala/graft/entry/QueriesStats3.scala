@@ -485,7 +485,9 @@ private[graft] object QueriesStats3 {
       // to q336's mean-based ANOVA. Both grid dimensions are odd (25 ×
       // 5), so every median is an exact element, engine-identical; only
       // the cell rollup is data-sized.
-      var grid = t(s, dir, "customer")
+      var grid = ScaleChecks.boundedDomain(t(s, dir, "customer"),
+          "account balance quantized to integer cents: a fixed grid of " +
+            "~1.1M cells bounded by the balance range, not by rows")
         .groupBy(col("c_nationkey").as("nk"),
           col("c_mktsegment").as("sg"))
         .agg(expr("percentile(CAST(floor(c_acctbal * 100 + 0.5) AS " +
@@ -1416,8 +1418,12 @@ private[graft] object QueriesStats3 {
       // robust location between q387's hard trim and the raw mean. Two
       // exact median passes for the scale, then one weighted aggregate
       // per step with the scalar state broadcast back.
-      val xs = t(s, dir, "customer")
-        .select(col("c_acctbal").cast("double").as("x"))
+      val xs = ScaleChecks.boundedDomain(
+        t(s, dir, "customer")
+          .select(col("c_acctbal").cast("double").as("x")),
+        "account balances are 2-decimal values on a bounded range: a " +
+          "fixed ~1.1M-cell cent grid (deviations stay on the half-cent " +
+          "grid), not row-tracking")
       val med = xs.agg(expr("percentile(x, 0.5)").as("med"))
       val mad = xs.crossJoin(broadcast(med))
         .agg(first(col("med")).as("med"),

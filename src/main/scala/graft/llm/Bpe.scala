@@ -94,11 +94,22 @@ object Bpe {
     // probe could otherwise under-count a multi-billion-row vocab and
     // trigger an unbounded collect)
     val th = math.min(collectThreshold, Int.MaxValue - 1L)
-    val probe = th.toInt + 1
-    if (th > 0 && vocab.limit(probe).count() <= th) {
-      val rows = vocab.select(col("word"), col("freq")).collect()
-      return learnMergesLocal(
-        rows.toSeq.map(r => (r.getString(0), r.getLong(1))), numMerges, minFreq)
+    if (th > 0) {
+      // ONE bounded job: collect at most th+1 typed rows. The bound holds
+      // by construction — a count-then-collect pair would be two jobs AND
+      // a TOCTOU on a non-deterministic/non-persisted vocab (the row count
+      // can differ between the jobs, unbounding the second). th+1 rows
+      // distinguishes "fits" from "over threshold" from the same result.
+      // Casts keep this path as type-tolerant as the distributed one
+      // (an IntegerType freq would otherwise throw on getLong).
+      val probe = vocab
+        .select(col("word").cast("string"), col("freq").cast("long"))
+        .limit(th.toInt + 1).collect()
+      if (probe.length <= th) {
+        return learnMergesLocal(
+          probe.toSeq.map(r => (r.getString(0), r.getLong(1))),
+          numMerges, minFreq)
+      }
     }
     var syms = vocab.select(symbolize(col("word")).as("s"), col("freq"))
       .persist()

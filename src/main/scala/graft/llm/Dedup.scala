@@ -690,7 +690,15 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select(col("__lh"))
-    val rebuilt = lines.join(boiler, Seq("__lh"), "left_anti")
+    // CONTRACT-bounded collect: the per-doc buffer holds the surviving
+    // lines of ONE document — bounded by max document length, independent
+    // of corpus size (the reassembled document is the op's deliverable).
+    // Declared plan-visibly for ScaleChecks check 5; DomainAudit measures
+    // the actual per-group payload across scale factors.
+    val rebuilt = graft.ScaleChecks.boundedDomain(
+        lines.join(boiler, Seq("__lh"), "left_anti"),
+        "per-document surviving lines: buffer bounded by max document " +
+          "length, independent of corpus size")
       .groupBy(col(idCol))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),

@@ -171,6 +171,11 @@ object PrefixSum {
       .filter(col("__v").isNotNull)
     val ranked = globalRank(d, Seq(col("__v")), "__r")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // try/finally: if the count or the bracket collect throws, the cached
+    // blocks must still deregister — an exception path that leaks a
+    // CacheManager entry is exactly the accumulation the class doc warns
+    // about across a 600-query sweep
+    try {
     val n = ranked.count()
     val result =
       if (n == 0L)
@@ -197,8 +202,8 @@ object PrefixSum {
         }
         spark.range(1).select(cols: _*)
       }
-    ranked.unpersist()
     result
+    } finally { ranked.unpersist(); () }
   }
 
   /** Per-group [[exactPercentiles]]: one row per `grp` value with
@@ -208,8 +213,15 @@ object PrefixSum {
     * the range-partition size regardless of group sizes), group counts
     * join back on the group key, and each percentile is composed from the
     * two bracketing ranks with when-filtered max aggregates — all
-    * map-side-combinable, so the only group-keyed shuffle carries
-    * |groups| x |ps| partial buffers. Divergences from the builtin's row
+    * map-side-combinable, so the group-keyed AGGREGATE shuffle carries
+    * only |groups| x |ps| partial buffers. The count join-back is
+    * planner-chosen: broadcast when |groups| is small (every gallery
+    * use), sort-merge when |groups| itself is data-sized — the SMJ case
+    * re-shuffles `ranked` by group key, where a skewed group is AQE
+    * skew-split for the merge (the join streams rows, it never buffers a
+    * group). No hint on purpose: forcing broadcast would pin a
+    * driver-OOM plan when groups grow with the data (ScaleChecks check 1
+    * rationale). Divergences from the builtin's row
     * semantics (values are bit-identical): groups whose values are all
     * NULL are absent from the result, and rows whose GROUP KEY is NULL
     * are dropped (the count join is a null-dropping equi-join) where

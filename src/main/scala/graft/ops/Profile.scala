@@ -102,19 +102,24 @@ object Profile {
   /** Equi-DEPTH histogram: bucket edges at exact quantiles so every
     * bucket holds ~n/nBuckets rows — the complement of [[histogram]]'s
     * equi-width bins (equal-mass bins expose distribution shape where
-    * equi-width ones collapse into one hot bucket under skew). One
-    * percentile aggregate for ALL edges (single buffer, the q44 trade),
-    * edges broadcast as one array, bin assignment is a strict-compare
-    * count against that array (identical doubles on any engine — the
-    * same interpolation parity as q44), then one partial-agg'd count
-    * pass. min/max per bucket come along for free as the de-facto edge
-    * audit.
+    * equi-width ones collapse into one hot bucket under skew). Edges come
+    * from [[PrefixSum.exactPercentiles]] — bit-identical to the builtin
+    * percentile's interpolation, but every task bounded by the
+    * range-partition size, so this op is safe on CONTINUOUS domains
+    * (prices, scores) where the builtin's value→count buffer is a
+    * single-task memory bomb; an op can't know its caller's domain, so it
+    * must not assume a discrete one. Edges broadcast as one array, bin
+    * assignment is a strict-compare count against that array (identical
+    * doubles on any engine — the same interpolation parity as q44), then
+    * one partial-agg'd count pass. min/max per bucket come along for free
+    * as the de-facto edge audit.
     */
   def equiDepthHistogram(df: DataFrame, c: String, nBuckets: Int): DataFrame = {
     require(nBuckets >= 2, "need at least 2 buckets")
     val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
-    val edges = df.agg(
-      expr(s"percentile($c, array(${probs.mkString("D, ")}D))").as("__edges"))
+    val edgeCols = probs.indices.map(i => s"__e$i")
+    val edges = PrefixSum.exactPercentiles(df, col(c), probs, edgeCols)
+      .select(array(edgeCols.map(col): _*).as("__edges"))
     df.filter(col(c).isNotNull).crossJoin(broadcast(edges))
       .withColumn("bucket",
         size(filter(col("__edges"), e => col(c) > e)).cast("long"))

@@ -103,6 +103,87 @@ object EventStreams {
         col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $after"))
   }
 
+  // --- state-store sizing advisor -------------------------------------------
+
+  /** Verdict of [[adviseStateStore]]: the projection, the per-executor heap
+    * budget it was judged against, and what to do.
+    */
+  final case class StateAdvice(projectedRows: Long, projectedBytes: Long,
+                               budgetBytes: Long, overBudget: Boolean,
+                               switched: Boolean, recommendation: String)
+
+  /** Rough on-heap bytes per state row under the DEFAULT (HDFS-backed)
+    * store: UnsafeRow key+value payload (8-byte word per field plus a
+    * variable section for strings) plus the store map's per-entry object
+    * overhead. Calibrated against the r6 measurement (a ~90M-row dedup
+    * state OOMed an 8 GiB heap and fit a 48 GiB one → ~100-500 B/row):
+    * deliberately a forecast, not an accounting — the advisor compares
+    * order-of-magnitude state against heap, and a 2x row-width error
+    * moves the boundary one stress factor, not one regime.
+    */
+  def estimatedStateRowBytes(schema: StructType,
+                             avgStringBytes: Int = 24): Long = {
+    val payload = schema.fields.map(_.dataType match {
+      case StringType | BinaryType => 8L + avgStringBytes
+      case _ => 8L
+    }).sum
+    16L + payload + 96L // UnsafeRow header + map-entry/versioning overhead
+  }
+
+  /** Projected state footprint vs the per-executor heap budget, decided at
+    * STREAM START. The default HDFS-backed store keeps every state row
+    * on-heap (plus a transient snapshot copy during maintenance), so a
+    * projection above `headroomFraction` of the executor heap forecasts
+    * the f500-class failure the r6 stress measured: the 100M-event dedup
+    * OOMed the default store at the 8 GiB default heap and completed on
+    * RocksDB (state off-heap) at the known speed cost (up to 6.1x on
+    * dedup — BENCH_NOTES_r6 §2, scaladoc at the top of this object).
+    * Calling this turns that OOM-hours-into-production into a logged
+    * recommendation — or, with `autoSwitch`, an automatic session-level
+    * switch to RocksDB (affects every stream started on this session
+    * afterwards; scope it to a dedicated session if that matters).
+    *
+    * `projectedRows` is the operator's state cardinality: distinct dedup
+    * keys within the watermark horizon, open windows x group values for
+    * windowed aggs, |users| for custom state — estimate it from a batch
+    * sample of the same feed. State rows hash-partition across executors,
+    * so the budget is heap x headroom x executors.
+    */
+  def adviseStateStore(spark: SparkSession, projectedRows: Long,
+                       stateRowBytes: Long, headroomFraction: Double = 0.5,
+                       autoSwitch: Boolean = false): StateAdvice = {
+    require(projectedRows >= 0 && stateRowBytes > 0)
+    require(headroomFraction > 0 && headroomFraction <= 1)
+    val heap = spark.conf.getOption("spark.executor.memory")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(Runtime.getRuntime.maxMemory())
+    // local mode: the one JVM is the only "executor"; cluster: driver is
+    // the extra row in the executor infos
+    val execs = math.max(1,
+      spark.sparkContext.statusTracker.getExecutorInfos.length - 1)
+    val budget = (heap * headroomFraction).toLong * execs
+    val projected = projectedRows * stateRowBytes
+    val over = projected > budget
+    val rec =
+      if (!over)
+        f"projected state ${projected / 1e9}%.2f GB fits the " +
+          f"${budget / 1e9}%.2f GB budget (heap x $headroomFraction x " +
+          s"$execs executors) — keep the default HDFS-backed store " +
+          "(fastest at every measured factor)"
+      else
+        f"projected state ${projected / 1e9}%.2f GB EXCEEDS the " +
+          f"${budget / 1e9}%.2f GB budget — switch " +
+          "spark.sql.streaming.stateStore.providerClass to RocksDB " +
+          "(state off-heap; slower but completes where the default OOMs), " +
+          "or raise executor memory / shorten the watermark horizon"
+    val switched = over && autoSwitch
+    if (switched)
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state" +
+          ".RocksDBStateStoreProvider")
+    StateAdvice(projectedRows, projected, budget, over, switched, rec)
+  }
+
   // --- custom state: per-user cumulative counters ---------------------------
 
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp,

@@ -205,6 +205,89 @@ class ScaleHygieneSpec extends AnyFunSuite {
     assert(ScaleChecks.unboundedShapes(ok).isEmpty)
   }
 
+  test("ScaleChecks flags a buffer-all aggregate over an unreduced growing " +
+    "input and honors reductions, declarations, and sketches") {
+    val li = s.read.parquet(s"$sf/lineitem.parquet")
+    // planted red: exact percentile of a continuous column over raw rows
+    val badP = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("m"))
+    assert(ScaleChecks.bufferAllOverGrowing(badP)
+      .exists(_.contains("percentile")), "undeclared percentile should flag")
+    // planted red: collect_list over raw rows
+    val badC = li.groupBy(col("l_returnflag"))
+      .agg(collect_list(col("l_linestatus")).as("cs"))
+    assert(ScaleChecks.bufferAllOverGrowing(badC)
+      .exists(_.contains("collect_list")), "undeclared collect should flag")
+    // median / percentile_cont are RuntimeReplaceable shells around
+    // Percentile — the analyzed name must still flag after the optimizer
+    // unwraps them (the two-plan confirmation's name mapping)
+    val badM = li.groupBy(col("l_returnflag"))
+      .agg(expr("median(l_extendedprice)").as("m"))
+    assert(ScaleChecks.bufferAllOverGrowing(badM)
+      .exists(_.contains("median")), "median should flag through the shell")
+    // green: the same aggregate with a bounded-domain declaration
+    val declared = ScaleChecks.boundedDomain(li,
+        "planted test declaration with a concrete reason")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("m"))
+    assert(ScaleChecks.bufferAllOverGrowing(declared).isEmpty,
+      "a declared bounded domain must pass")
+    // green: input reduced by an aggregate below
+    val reduced = li.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("q"))
+      .agg(expr("percentile(q, 0.5)").as("m"))
+    assert(ScaleChecks.bufferAllOverGrowing(reduced).isEmpty,
+      "an aggregate-reduced input must pass")
+    // green: a rank<=k filter the OPTIMIZER rewrites to WindowGroupLimit —
+    // invisible at analysis time, bounded in the optimized plan (q56 shape)
+    import org.apache.spark.sql.expressions.Window
+    val topk = li.withColumn("rn", row_number().over(
+        Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_orderkey"))))
+      .filter(col("rn") <= 3)
+      .groupBy(col("l_returnflag"))
+      .agg(collect_list(col("l_linestatus")).as("cs"))
+    assert(ScaleChecks.bufferAllOverGrowing(topk).isEmpty,
+      "a rank<=k-bounded collect must pass via the optimized-plan confirm")
+    // green: sketches are accuracy-bounded, never buffer-all
+    val sketch = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("m"),
+        approx_count_distinct(col("l_partkey")).as("d"))
+    assert(ScaleChecks.bufferAllOverGrowing(sketch).isEmpty,
+      "approx_percentile/HLL must pass")
+  }
+
+  test("boundedDomain rejects a vacuous reason") {
+    val li = s.read.parquet(s"$sf/lineitem.parquet")
+    assertThrows[IllegalArgumentException] {
+      ScaleChecks.boundedDomain(li, "ok")
+    }
+  }
+
+  test("every gallery bounded-domain declaration carries a literal reason") {
+    // reviewed-site rule: a declaration must state its domain bound inline
+    // (a string literal at the call site), so the reason is reviewable in
+    // the diff and attributable in the plan. DomainAudit measures whether
+    // the declared bound actually holds across scale factors.
+    val callPat = "ScaleChecks\\.boundedDomain\\(".r
+    var nDecls = 0
+    val offenders = gallerySources.flatMap { case (file, src) =>
+      callPat.findAllMatchIn(src).flatMap { m =>
+        nDecls += 1
+        // the literal reason must appear within the call's argument text:
+        // scan forward to the closing paren at depth 0 and require a
+        // quoted string of reviewable length
+        val rest = src.substring(m.end, math.min(src.length, m.end + 800))
+        val hasLiteral = "\"[^\"]{16,}\"".r.findFirstIn(rest).isDefined
+        if (hasLiteral) None else Some(s"$file @${m.start}")
+      }
+    }
+    assert(offenders.isEmpty,
+      s"declarations without an inline literal reason:\n  " +
+        offenders.mkString("\n  "))
+    assert(nDecls >= 8, s"expected the reviewed gallery declarations, found $nDecls")
+  }
+
   test("ScaleChecks flags a distinct aggregate with a buffer-heavy sibling " +
     "and passes cheap siblings / pre-deduplicated forms") {
     val li = s.read.parquet(s"$sf/lineitem.parquet")

@@ -376,4 +376,39 @@ class StreamingSpec extends AnyFunSuite {
         .select($"l_event_id", $"r_event_id").orderBy($"l_event_id"))
     assert(got == Seq(Seq(2L, 3L)))
   }
+
+  test("state-store advisor flags an over-heap projection and keeps the " +
+    "default under it") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", TimestampType)))
+    val rowBytes = EventStreams.estimatedStateRowBytes(schema)
+    assert(rowBytes > 100 && rowBytes < 1000,
+      s"dedup state row estimate out of the calibrated band: $rowBytes")
+    // planted OVER-heap projection: more state rows than any test heap
+    // holds (the f500 class: ~100 GB of projected state)
+    val over = EventStreams.adviseStateStore(spark,
+      projectedRows = 1000000000L, stateRowBytes = rowBytes)
+    assert(over.overBudget, s"1e9 rows must exceed the heap budget: $over")
+    assert(!over.switched, "without autoSwitch the advisor only recommends")
+    assert(over.recommendation.contains("RocksDB"))
+    assert(!spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDB"), "no autoSwitch -> provider stays the default")
+    // under-heap projection: keep the default store (it wins every
+    // measured speed comparison)
+    val under = EventStreams.adviseStateStore(spark,
+      projectedRows = 10000L, stateRowBytes = rowBytes)
+    assert(!under.overBudget && !under.switched)
+    assert(under.recommendation.contains("default"))
+    // autoSwitch on an over-heap projection sets the session conf
+    try {
+      val switched = EventStreams.adviseStateStore(spark,
+        projectedRows = 1000000000L, stateRowBytes = rowBytes,
+        autoSwitch = true)
+      assert(switched.switched)
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDB"))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
