@@ -15,10 +15,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_SHUFFLE decouples shuffle partitions from the core count
+    // (default = cores, the local-mode norm): growth probes use it to
+    // separate spill-onset-at-fixed-partitions from genuine growth — on a
+    // real cluster AQE advisory sizing owns this number.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     // Hive support for the catalog queries (q68-q70); isolated temp warehouse
     val wh = java.nio.file.Files.createTempDirectory("graft-bench-wh").toString
     val spark = GraftSession.hiveBuilder(s"local[$cpus]", "graft-bench", wh)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -926,9 +926,9 @@ private[graft] object QueriesAnalytics2 {
         .withColumn("hi_k", least(col("n").cast("long"),
           ceil((lit(0.5) + col("eps")) * col("n").cast("double")).cast("long")))
       ScaleChecks.boundedDomain(banded,
-          "p_retailprice is a cent-quantized generator grid bounded by " +
-            "the price range (measured flat: 1000 distinct at sf0.01 and " +
-            "sf0.1)")
+          "p_retailprice is cent-quantized on a bounded price range: the " +
+            "per-brand buffer saturates at range x 100 (~110k cells, " +
+            "~2 MB), it does not track part rows")
         .groupBy(col("p_brand"))
         .agg(first(col("n")).as("n"),
           round(first(col("eps")), 6).as("dkw_eps"),

@@ -803,7 +803,13 @@ private[graft] object QueriesStats1 {
       // then an EXACT integer dx^2+dy^2 <= r^2 verify. No cross join at
       // any scale: the shuffle key is the cell, candidate volume is
       // bounded by local density, and the 9x expansion rides the
-      // smaller side only.
+      // smaller side only. Growth caveat (measured, BENCH_NOTES_r7 §5):
+      // with BOTH sides growing on a FIXED space at a FIXED radius, the
+      // OUTPUT itself is quadratic (pairs = N*M*pi*r^2/A; measured
+      // 72.9k -> 7.3M -> 65.6M at 1x/10x/30x) — the join stays linear
+      // in that output (CPU/pair flat at ~10-16us), which is the lower
+      // bound for the semantics; a real growing corpus grows its space
+      // or shrinks its radius.
       val r = 40000L
       val cust = t(s, dir, "customer")
         .select(col("c_custkey").as("ck"),

@@ -1915,7 +1915,12 @@ private[graft] object QueriesStats2 {
       // edges (+ self-pairs so isolated cores keep their singleton
       // cluster). Border = non-core with a core neighbor. At scale this
       // is candidate-pair generation + the O(log d) CC rounds — never
-      // an all-pairs join.
+      // an all-pairs join. Growth caveat (measured, BENCH_NOTES_r7 §5):
+      // a FIXED eps over points growing on a FIXED range makes the
+      // neighbor-pair OUTPUT itself quadratic (density grows linearly);
+      // the grid join stays linear in that output, which is the lower
+      // bound for DBSCAN's semantics — real growing corpora scale eps
+      // down or the space up.
       val eps = 60000L
       val sup = t(s, dir, "supplier")
         .select(col("s_suppkey").as("sk"),

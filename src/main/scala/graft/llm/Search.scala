@@ -274,8 +274,19 @@ object Search {
     * 1.1B essential-fanout rows on a fixture whose shared words sat at
     * 34% df (round-6 probe), because a mid-df term shared by hundreds of
     * batch queries multiplies its whole posting list by that sharing.
+    * The round-7 split-point sweep at the f500 Zipf fixture
+    * ([[graft.MaxScoreProbe]], BENCH_NOTES_r7 §6) measured 0.2 as the
+    * optimum ITSELF: CPU 522/366/316/7913/4385 s at cutoffs
+    * 0.05/0.1/0.2/0.35/0.5 — a shallow basin on the rare side (0.1
+    * within 16%; 0.05 pays 1.65x in uncertifiable fallbacks) and a
+    * 25x cliff once mid-df terms turn essential. A per-batch adaptive
+    * split could at best recover the basin's floor, already within
+    * measurement noise of the constant — negative result recorded, the
+    * constant stands. (The probe's system-property override is its
+    * measurement hook and is read nowhere in production configuration.)
     */
-  private val EssentialDfFrac = 0.2
+  private def EssentialDfFrac: Double =
+    sys.props.get("graft.essentialDfFrac").map(_.toDouble).getOrElse(0.2)
 
   /** Max-score (WAND-family) serving against a persisted index: EXACT
     * top-k at a fraction of the aggregation work when queries mix rare and
