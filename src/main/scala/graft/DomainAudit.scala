@@ -70,7 +70,7 @@ object DomainAudit {
                 .agg(approx_count_distinct(in).as("__d"),
                   count(in).as("__n"))
             val r = per.agg(max(col("__d")), max(col("__n")),
-              count(lit(1))).head
+              count(lit(1))).head()
             measured += 1
             println(s"[domain] $name site=$i fn=${h.prettyName} " +
               s"groups=${r.getLong(2)} maxDistinct=${r.getLong(0)} " +

@@ -102,7 +102,7 @@ object RelScale {
     val steps: Map[String, Long] = Map(
       "orders" -> "o_orderkey", "customer" -> "c_custkey",
       "part" -> "p_partkey", "supplier" -> "s_suppkey").map {
-      case (t, k) => t -> (base(t).agg(max(col(k))).head.getLong(0) + 1L)
+      case (t, k) => t -> (base(t).agg(max(col(k))).head().getLong(0) + 1L)
     }
 
     growing.foreach { t =>
