@@ -88,9 +88,18 @@ object Bench {
     // is short and survives any truncation; the file is the record.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON",
       s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_bench.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
-    println(s"BENCH_JSON $out")
+    // stdout FIRST: the JSON line is the only other copy of the results,
+    // and an unwritable SPARK_GRAFT_BENCH_JSON path must not destroy an
+    // hours-long run's numbers after the fact
     println(json)
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+      println(s"BENCH_JSON $out")
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] could not write $out: $e " +
+          "(results are on the stdout JSON line above)")
+    }
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Collect}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, SubqueryAlias}
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.{ColumnShim, DatasetShim}
 
@@ -27,6 +27,25 @@ import org.apache.spark.sql.graftshim.{ColumnShim, DatasetShim}
   * Output: one `[domain]` line per (query, declared site, function).
   */
 object DomainAudit {
+
+  /** Declarations on the UNREDUCED path below `p` — the walk stops at the
+    * same reducing nodes as the static check's growing-leaf walk, so a
+    * declaration belonging to a DEEPER aggregate's input is never
+    * attributed to an outer aggregate whose own input is already reduced
+    * (that outer site isn't check-5-relevant, and measuring its reduced
+    * input under the inner declaration's label would dilute exactly the
+    * false-declaration-shows-up-as-growth adjudication).
+    */
+  private def declarationsOnUnreducedPath(p: LogicalPlan): Seq[String] =
+    p match {
+      case _: Aggregate | _: Distinct | _: Deduplicate | _: GlobalLimit |
+           _: LocalLimit | _: WindowGroupLimit => Nil
+      case sa: SubqueryAlias
+          if sa.alias.startsWith(ScaleChecks.BoundedDomainAlias) =>
+        Seq(sa.alias.stripPrefix(ScaleChecks.BoundedDomainAlias + "__"))
+      case other => other.children.flatMap(declarationsOnUnreducedPath)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val only = args.lift(1).map(_.split(",").toSet)
@@ -47,11 +66,7 @@ object DomainAudit {
                   if ScaleChecks.bufferAll(ae.aggregateFunction) =>
                 ae.aggregateFunction
             })
-            val decls = a.child.collect {
-              case sa: SubqueryAlias
-                  if sa.alias.startsWith(ScaleChecks.BoundedDomainAlias) =>
-                sa.alias.stripPrefix(ScaleChecks.BoundedDomainAlias + "__")
-            }
+            val decls = declarationsOnUnreducedPath(a.child)
             if (heavies.nonEmpty && decls.nonEmpty) Seq((a, heavies, decls))
             else Nil
         }.flatten

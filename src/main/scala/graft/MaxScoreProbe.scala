@@ -66,7 +66,10 @@ object MaxScoreProbe {
     System.clearProperty("graft.essentialDfFrac")
     graft.llm.Search.querySearchIndex(spark, idxDir, queries, 10).count()
     spark.catalog.clearCache()
-    fracs.foreach { f =>
+    // try/finally: an aborted sweep must not leave the probe-only
+    // property set in a shared JVM (a leftover 0.5 would pin later
+    // serving on the measured 25x-cliff cutoff)
+    try fracs.foreach { f =>
       System.setProperty("graft.essentialDfFrac", f.toString)
       val c0 = meter.cpuSeconds()
       val w0 = System.nanoTime()
@@ -77,8 +80,7 @@ object MaxScoreProbe {
       spark.catalog.clearCache()
       println(f"[probe] frac=$f%.2f  wall=$wall%7.1f s  cpu=$cpu%8.1f s  " +
         s"($rows result rows)")
-    }
-    System.clearProperty("graft.essentialDfFrac")
+    } finally System.clearProperty("graft.essentialDfFrac")
     spark.stop()
   }
 }

@@ -36,6 +36,10 @@ object ScaleGate {
     }
     println(s"[gate] total violations: $nViolations, plan failures: $nFailed")
     spark.stop()
+    // a query that fails to PLAN was never walked by any check — that must
+    // not read as a hygiene pass in CI-style use (exit 3, distinct from
+    // the violation exit 2, so callers can tell the two reds apart)
     if (nViolations > 0) sys.exit(2)
+    if (nFailed > 0) sys.exit(3)
   }
 }

@@ -455,7 +455,8 @@ private[graft] object QueriesAnalytics1 {
 
     "q172_equidepth_hist" -> ((s, dir) => {
       // equal-mass deciles of extended price: equi-depth complement of the
-      // equi-width q103 — one percentile aggregate for all 9 edges, bin
+      // equi-width q103 — all 9 edges from ONE declarative two-phase
+      // exact-percentile pass (extended price is a continuous domain), bin
       // assignment by strict-compare count against the broadcast array.
       graft.ops.Profile.equiDepthHistogram(
           t(s, dir, "lineitem").select(

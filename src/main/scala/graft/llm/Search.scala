@@ -286,7 +286,12 @@ object Search {
     * measurement hook and is read nowhere in production configuration.)
     */
   private def EssentialDfFrac: Double =
-    sys.props.get("graft.essentialDfFrac").map(_.toDouble).getOrElse(0.2)
+    sys.props.get("graft.essentialDfFrac")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .filter(f => f > 0.0 && f <= 0.5) // the probe's sweep range; anything
+      // malformed or outside it must not crash or distort production
+      // serving — fall back to the measured constant
+      .getOrElse(0.2)
 
   /** Max-score (WAND-family) serving against a persisted index: EXACT
     * top-k at a fraction of the aggregation work when queries mix rare and

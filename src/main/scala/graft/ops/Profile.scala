@@ -103,22 +103,28 @@ object Profile {
     * bucket holds ~n/nBuckets rows — the complement of [[histogram]]'s
     * equi-width bins (equal-mass bins expose distribution shape where
     * equi-width ones collapse into one hot bucket under skew). Edges come
-    * from [[PrefixSum.exactPercentiles]] — bit-identical to the builtin
-    * percentile's interpolation, but every task bounded by the
-    * range-partition size, so this op is safe on CONTINUOUS domains
-    * (prices, scores) where the builtin's value→count buffer is a
-    * single-task memory bomb; an op can't know its caller's domain, so it
-    * must not assume a discrete one. Edges broadcast as one array, bin
-    * assignment is a strict-compare count against that array (identical
-    * doubles on any engine — the same interpolation parity as q44), then
-    * one partial-agg'd count pass. min/max per bucket come along for free
-    * as the de-facto edge audit.
+    * from [[PrefixSum.groupedExactPercentiles]] over one constant group —
+    * bit-identical to the builtin percentile's interpolation, but every
+    * task bounded by the range-partition size, so this op is safe on
+    * CONTINUOUS domains (prices, scores) where the builtin's value→count
+    * buffer is a single-task memory bomb; an op can't know its caller's
+    * domain, so it must not assume a discrete one. The grouped form is
+    * chosen over [[PrefixSum.exactPercentiles]] deliberately: it is fully
+    * DECLARATIVE (no driver reads), so this op stays LAZY — building the
+    * DataFrame runs no jobs, the contract every plan-only consumer
+    * (ScaleGate, Explain, library composition) relies on. Edges broadcast
+    * as one array, bin assignment is a strict-compare count against that
+    * array (identical doubles on any engine — the same interpolation
+    * parity as q44), then one partial-agg'd count pass. min/max per
+    * bucket come along for free as the de-facto edge audit.
     */
   def equiDepthHistogram(df: DataFrame, c: String, nBuckets: Int): DataFrame = {
     require(nBuckets >= 2, "need at least 2 buckets")
     val probs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
     val edgeCols = probs.indices.map(i => s"__e$i")
-    val edges = PrefixSum.exactPercentiles(df, col(c), probs, edgeCols)
+    val edges = PrefixSum.groupedExactPercentiles(
+        df.select(lit(1).as("__g"), col(c)), "__g", col(c),
+        probs, edgeCols)
       .select(array(edgeCols.map(col): _*).as("__edges"))
     df.filter(col(c).isNotNull).crossJoin(broadcast(edges))
       .withColumn("bucket",

@@ -148,10 +148,19 @@ object EventStreams {
     * windowed aggs, |users| for custom state — estimate it from a batch
     * sample of the same feed. State rows hash-partition across executors,
     * so the budget is heap x headroom x executors.
+    *
+    * `executors` = 0 autodetects from the status tracker, which is right
+    * for local mode and static allocation but UNDER-COUNTS under dynamic
+    * allocation or right after session start (executors not yet
+    * registered) — the failure is conservative (a false RocksDB switch at
+    * the known speed cost, never an OOM), but callers on
+    * dynamically-allocated clusters should pass their planned executor
+    * count explicitly.
     */
   def adviseStateStore(spark: SparkSession, projectedRows: Long,
                        stateRowBytes: Long, headroomFraction: Double = 0.5,
-                       autoSwitch: Boolean = false): StateAdvice = {
+                       autoSwitch: Boolean = false,
+                       executors: Int = 0): StateAdvice = {
     require(projectedRows >= 0 && stateRowBytes > 0)
     require(headroomFraction > 0 && headroomFraction <= 1)
     val heap = spark.conf.getOption("spark.executor.memory")
@@ -159,8 +168,10 @@ object EventStreams {
       .getOrElse(Runtime.getRuntime.maxMemory())
     // local mode: the one JVM is the only "executor"; cluster: driver is
     // the extra row in the executor infos
-    val execs = math.max(1,
-      spark.sparkContext.statusTracker.getExecutorInfos.length - 1)
+    val execs =
+      if (executors > 0) executors
+      else math.max(1,
+        spark.sparkContext.statusTracker.getExecutorInfos.length - 1)
     val budget = (heap * headroomFraction).toLong * execs
     val projected = projectedRows * stateRowBytes
     val over = projected > budget

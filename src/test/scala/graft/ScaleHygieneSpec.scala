@@ -264,19 +264,27 @@ class ScaleHygieneSpec extends AnyFunSuite {
     }
   }
 
-  test("every gallery bounded-domain declaration carries a literal reason") {
+  test("every bounded-domain declaration carries an inline literal reason") {
     // reviewed-site rule: a declaration must state its domain bound inline
     // (a string literal at the call site), so the reason is reviewable in
     // the diff and attributable in the plan. DomainAudit measures whether
-    // the declared bound actually holds across scale factors.
-    val callPat = "ScaleChecks\\.boundedDomain\\(".r
+    // the declared bound actually holds across scale factors. Scans ALL
+    // of src/main (gallery AND engine — Dedup.dedupLines declares too),
+    // not just the entry dir.
+    val callPat = "boundedDomain\\(".r
     var nDecls = 0
-    val offenders = gallerySources.flatMap { case (file, src) =>
-      callPat.findAllMatchIn(src).flatMap { m =>
+    val mainRoot = Paths.get("src/main/scala/graft")
+    val sources = Using.resource(Files.walk(mainRoot)) { stream =>
+      stream.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .map(p => (p.toString, new String(Files.readAllBytes(p))))
+        .toList
+    }
+    val offenders = sources.flatMap { case (file, src) =>
+      if (file.endsWith("ScaleChecks.scala")) Nil // the definition itself
+      else callPat.findAllMatchIn(src).flatMap { m =>
         nDecls += 1
-        // the literal reason must appear within the call's argument text:
-        // scan forward to the closing paren at depth 0 and require a
-        // quoted string of reviewable length
+        // the literal reason must appear within the call's argument text
         val rest = src.substring(m.end, math.min(src.length, m.end + 800))
         val hasLiteral = "\"[^\"]{16,}\"".r.findFirstIn(rest).isDefined
         if (hasLiteral) None else Some(s"$file @${m.start}")
@@ -285,7 +293,7 @@ class ScaleHygieneSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"declarations without an inline literal reason:\n  " +
         offenders.mkString("\n  "))
-    assert(nDecls >= 8, s"expected the reviewed gallery declarations, found $nDecls")
+    assert(nDecls >= 9, s"expected the reviewed declarations, found $nDecls")
   }
 
   test("ScaleChecks flags a distinct aggregate with a buffer-heavy sibling " +

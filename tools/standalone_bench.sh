@@ -37,11 +37,17 @@ q448_mmr_rerank,q119_table_diff_pruned,q25_ngram_jaccard,q223_lsh_planner,\
 q313_threshold_opt,q482_kalman_level
 
 case "$SUBSET" in
-  all)        ONLY="" ;;
+  all)        ONLY=""; unset SPARK_GRAFT_ONLY ;;  # a stale exported ONLY
+                # must not shrink the run that gets recorded as "all"
   slowest25)  ONLY=$SLOWEST25 ;;
   *)          ONLY=$SUBSET ;;
 esac
 export SPARK_GRAFT_BENCH_JSON=${SPARK_GRAFT_BENCH_JSON:-/tmp/graft_standalone_bench.json}
+# Bench's own builder sets shuffle partitions from SPARK_GRAFT_SHUFFLE
+# (builder config WINS over spark-submit --conf), so the knob must be the
+# env var — a --conf here would be dead and the run would silently use
+# Bench's default of 4.
+export SPARK_GRAFT_SHUFFLE=${SPARK_GRAFT_SHUFFLE:-32}
 
 echo "[sbench] packaging..."
 (cd "$REPO" && sbt -batch package) || exit 1
@@ -70,5 +76,4 @@ SPARK_GRAFT_REPEAT=$REPEAT \
   --driver-memory 8g \
   --conf spark.executor.cores=8 --conf spark.executor.memory=10g \
   --conf spark.ui.enabled=false \
-  --conf spark.sql.shuffle.partitions=32 \
   --class graft.Bench "$JAR" | grep -E '"metric"|BENCH_JSON'
