@@ -86,8 +86,13 @@ object Bench {
     // mid-map invites misreads (r6: a CPU-map tail diffed against an r5
     // wall-map tail fabricated 18x phantom regressions). The marker line
     // is short and survives any truncation; the file is the record.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON",
-      s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_bench.json")
+    // Default lands IN THE REPO (the driver launches Bench from the repo
+    // root, and its end-of-round snapshot commits the tree) so the
+    // committed artifact IS what Bench wrote, byte-identical — three
+    // rounds of driver-side stdout captures truncated mid-map
+    // (BENCH_r0{5,6,7}.json `parsed: null`) while the /tmp default sat
+    // uncommitted. Ad-hoc sweeps override via SPARK_GRAFT_BENCH_JSON.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "BENCH_LOCAL.json")
     // stdout FIRST: the JSON line is the only other copy of the results,
     // and an unwritable SPARK_GRAFT_BENCH_JSON path must not destroy an
     // hours-long run's numbers after the fact

@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * r6 fixture: each doc tagged with one rare token at df = n/2000, queries
   * = one rare tag + two common words), then serves the same 1000-distinct-
   * query batch at a sweep of split fractions via the probe-only
-  * `graft.essentialDfFrac` system property, reporting wall + executor CPU
-  * per point. Decision rule (pre-declared): if the fixed 0.2 lands within
+  * package-private `Search.essentialDfFracOverride` hook (a system
+  * property would be writable by co-resident code), reporting wall +
+  * executor CPU per point. Decision rule (pre-declared): if the fixed 0.2 lands within
   * ~20% of the best point's CPU, the adaptive split buys nothing — record
   * the negative result and stop.
   *
@@ -63,14 +64,14 @@ object MaxScoreProbe {
 
     val meter = new org.apache.spark.graft.BenchMetrics(spark.sparkContext)
     // warm pass outside the sweep (file listing, codegen) at the default
-    System.clearProperty("graft.essentialDfFrac")
+    graft.llm.Search.essentialDfFracOverride = None
     graft.llm.Search.querySearchIndex(spark, idxDir, queries, 10).count()
     spark.catalog.clearCache()
     // try/finally: an aborted sweep must not leave the probe-only
-    // property set in a shared JVM (a leftover 0.5 would pin later
+    // override set in a shared JVM (a leftover 0.5 would pin later
     // serving on the measured 25x-cliff cutoff)
     try fracs.foreach { f =>
-      System.setProperty("graft.essentialDfFrac", f.toString)
+      graft.llm.Search.essentialDfFracOverride = Some(f)
       val c0 = meter.cpuSeconds()
       val w0 = System.nanoTime()
       val rows = graft.llm.Search
@@ -80,7 +81,7 @@ object MaxScoreProbe {
       spark.catalog.clearCache()
       println(f"[probe] frac=$f%.2f  wall=$wall%7.1f s  cpu=$cpu%8.1f s  " +
         s"($rows result rows)")
-    } finally System.clearProperty("graft.essentialDfFrac")
+    } finally graft.llm.Search.essentialDfFracOverride = None
     spark.stop()
   }
 }

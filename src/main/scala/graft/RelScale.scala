@@ -121,10 +121,17 @@ object RelScale {
             case Some(owner) =>
               (col(c) + col("__rep") * lit(steps(owner))).as(c)
             case None if centJitter.contains(c) =>
-              // ±0.99 on the cent grid; replica 0 byte-identical to base
-              when(col("__rep") === 0, col(c)).otherwise(col(c) +
-                (pmod(jitterHash(i), lit(199L)) - lit(99L)).cast("double")
-                  / lit(100.0)).as(c)
+              // ±0.99 on the cent grid; replica 0 byte-identical to base.
+              // Jitter in INTEGER cents and divide once, so every jittered
+              // value is the canonical double of an exact cent — double
+              // arithmetic (col + delta/100.0) lands only ~151 of 199
+              // offsets on the canonical grid doubles, creating off-grid
+              // distinct values that inflate the very saturation curves
+              // DomainAudit gates the cent-grid declarations on.
+              when(col("__rep") === 0, col(c)).otherwise(
+                (round(col(c) * 100) +
+                  (pmod(jitterHash(i), lit(199L)) - lit(99L)))
+                  .cast("long").cast("double") / lit(100.0)).as(c)
             case None if dayJitter.contains(c) =>
               when(col("__rep") === 0, col(c)).otherwise(col(c) +
                 make_dt_interval(days =

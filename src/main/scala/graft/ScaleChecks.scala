@@ -175,18 +175,50 @@ object ScaleChecks {
     */
   val BoundedDomainAlias = "__graft_bounded_domain"
 
+  /** Global cap applied when a declaration names no explicit budget:
+    * 2M buffer entries ≈ 64 MB of value→count map in one task — the
+    * largest per-group buffer the engine accepts without an argued,
+    * site-specific ceiling.
+    */
+  val DefaultDomainBudget = 2000000L
+
   /** Declare that `df`'s value domain feeding a buffer-all aggregate
     * directly above is bounded by construction (see [[BoundedDomainAlias]]).
     * `why` must name the domain and its bound — it is embedded in the
     * plan-visible alias (sanitized) so plan dumps and the domain audit can
     * attribute the declaration without reading the source.
+    *
+    * `budget` is the declaration's MACHINE-READABLE bound: the maximum
+    * per-group buffer entry count (distinct values for the percentile/mode
+    * class, rows for the collect class) this site's argument permits. It is
+    * embedded in the alias and ENFORCED by [[graft.DomainAudit]], which
+    * exits non-zero when a measured site exceeds its budget at the audit
+    * scale factor — so a declaration that turns false at scale becomes a
+    * red round, not a notes-table entry someone has to read. Sites with an
+    * argued ceiling (a value grid, a calendar span) set it explicitly;
+    * the default is the global [[DefaultDomainBudget]] cap.
     */
-  def boundedDomain(df: DataFrame, why: String): DataFrame = {
+  def boundedDomain(df: DataFrame, why: String,
+                    budget: Long = DefaultDomainBudget): DataFrame = {
     require(why.trim.length >= 16,
       "bounded-domain declaration needs a concrete reason naming the " +
         s"domain and its bound, got: '$why'")
+    require(budget > 0, s"bounded-domain budget must be positive: $budget")
     val slug = why.trim.toLowerCase.replaceAll("[^a-z0-9]+", "_").take(64)
-    df.as(BoundedDomainAlias + "__" + slug)
+    df.as(BoundedDomainAlias + "__b" + budget + "__" + slug)
+  }
+
+  /** Parse a [[BoundedDomainAlias]] alias back into (budget, reason slug).
+    * Aliases written before budgets existed carry no `__b<N>` segment and
+    * get the global default.
+    */
+  private[graft] def parseDomainDecl(alias: String): (Long, String) = {
+    val rest = alias.stripPrefix(BoundedDomainAlias + "__")
+    val budgeted = "^b(\\d+)__(.*)$".r
+    rest match {
+      case budgeted(b, slug) => (b.toLong, slug)
+      case slug => (DefaultDomainBudget, slug)
+    }
   }
 
   /** A buffer-all aggregate: its per-group buffer holds one entry per

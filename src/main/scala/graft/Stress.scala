@@ -611,6 +611,7 @@ object Stress {
     // the executor heap, and the backend switches to RocksDB only when the
     // projection exceeds the budget — the operational form of the r6
     // "default OOMs at f500/8g, RocksDB completes" boundary.
+    var dedupAdvice: Option[EventStreams.StateAdvice] = None
     sys.env.get("SPARK_GRAFT_STATESTORE") match {
       case Some("rocksdb") =>
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -627,6 +628,7 @@ object Stress {
         val advice = EventStreams.adviseStateStore(spark,
           projectedRows = uniqueIds, stateRowBytes = rowBytes,
           autoSwitch = true)
+        dedupAdvice = Some(advice)
         println(s"[stress] state advisor: ${advice.recommendation}")
         println(s"[stress] state store: " +
           (if (advice.switched) "RocksDB (advised)" else "default (advised)"))
@@ -657,13 +659,30 @@ object Stress {
       val secs = (System.nanoTime() - t0) / 1e9
       val stateRows = Option(q.lastProgress)
         .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      val stateBytes = Option(q.lastProgress)
+        .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(-1L)
       q.stop()
       val outRows = outRowsAcc.get()
       expectRows.foreach(e => require(outRows >= e,
         s"$name: expected >= $e output rows, got $outRows"))
       println(f"[stress] $name%-22s $secs%8.2f s  " +
         f"(${(nEvRows / secs / 1e6)}%.2f M rows/s in, " +
-        f"$outRows out, $stateRows state rows)")
+        f"$outRows out, $stateRows state rows, " +
+        f"${stateBytes / 1e6}%.1f MB state)")
+      // projection-vs-actual closure for the advisor: a wrong row-width
+      // estimate silently mis-advises, so the dedup stream (the advised
+      // projection's subject) reports the measured error margin. The
+      // projection uses the FULL projected row count; the store reports
+      // end-of-run loaded bytes, so compare per-row widths, which are
+      // horizon-independent.
+      dedupAdvice.filter(_ => name == "stream_dedup" && stateBytes > 0 &&
+          stateRows > 0).foreach { a =>
+        val projPerRow = a.projectedBytes.toDouble / a.projectedRows
+        val actPerRow = stateBytes.toDouble / stateRows
+        println(f"[stress] state advisor width check: projected " +
+          f"$projPerRow%.0f B/row vs measured $actPerRow%.0f B/row " +
+          f"(${projPerRow / actPerRow}%.2fx)")
+      }
     }
 
     // watermarked tumbling window agg: state = open windows x event types

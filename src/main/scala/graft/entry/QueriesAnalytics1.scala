@@ -71,7 +71,8 @@ private[graft] object QueriesAnalytics1 {
       graft.ops.Outliers.winsorizedStats(
           ScaleChecks.boundedDomain(events(s, dir),
             "event value is a cent-quantized grid bounded by its range " +
-              "(~56k cells); distinct saturates, it does not track rows"),
+              "(~56k cells); distinct saturates, it does not track rows",
+            budget = 56000L),
           "event_type", "value", 0.1, 0.9)
         .orderBy(col("event_type"))
     }),
@@ -1084,7 +1085,8 @@ private[graft] object QueriesAnalytics1 {
           .as("gap"))
       ScaleChecks.boundedDomain(gaps,
           "integer day gaps bounded by the order-date calendar span " +
-            "(~2.5k distinct values at any corpus size)")
+            "(~2.5k distinct values at any corpus size)",
+          budget = 2600L)
         .agg(count(lit(1)).as("n_gaps"),
           expr("percentile(gap, array(0.25D, 0.5D, 0.75D))").as("ps"))
         .select(col("n_gaps"),
@@ -1128,8 +1130,10 @@ private[graft] object QueriesAnalytics1 {
           datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
             .as("lag_days"))
       ScaleChecks.boundedDomain(lag0,
-          "integer order-to-ship lag days bounded by the calendar span " +
-            "(~2.5k distinct values at any corpus size)")
+          "integer order-to-ship lag days bounded by the signed calendar " +
+            "span (<= ~5.2k distinct values at any corpus size; f30 " +
+            "measured 4,671, exactly flat)",
+          budget = 5200L)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_lines"),
           round(sum(col("lag_days")).cast("double") / count(lit(1)), 4)

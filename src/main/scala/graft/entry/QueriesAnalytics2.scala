@@ -508,7 +508,8 @@ private[graft] object QueriesAnalytics2 {
         ScaleChecks.boundedDomain(fanouts,
             "per-parent FK fan-out counts: a small-integer domain bounded " +
               "by the max child multiplicity, distinct values never track " +
-              "parent rows")
+              "parent rows",
+            budget = 100000L)
           .agg(count(lit(1)).as("n_parents"),
             sum(when(col("c") === 0, 1L).otherwise(0L)).as("n_childless"),
             round(avg(col("c").cast("double")), 4).as("avg_fanout"),
@@ -928,7 +929,8 @@ private[graft] object QueriesAnalytics2 {
       ScaleChecks.boundedDomain(banded,
           "p_retailprice is cent-quantized on a bounded price range: the " +
             "per-brand buffer saturates at range x 100 (~110k cells, " +
-            "~2 MB), it does not track part rows")
+            "~2 MB), it does not track part rows",
+          budget = 110000L)
         .groupBy(col("p_brand"))
         .agg(first(col("n")).as("n"),
           round(first(col("eps")), 6).as("dkw_eps"),

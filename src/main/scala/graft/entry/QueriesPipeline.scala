@@ -674,7 +674,8 @@ private[graft] object QueriesPipeline {
       ScaleChecks.boundedDomain(toks.join(broadcast(vocab), Seq("term")),
           "per-document token-id sequence: the encoded document is the " +
             "deliverable, buffer bounded by max document length, " +
-            "independent of corpus size")
+            "independent of corpus size",
+          budget = 1000000L)
         .groupBy(col("doc_id"))
         .agg(array_join(transform(
           sort_array(collect_list(struct(col("pos"), col("id")))),
@@ -1229,7 +1230,8 @@ private[graft] object QueriesPipeline {
           ScaleChecks.boundedDomain(
             events(s, dir).select(col("event_type"), col("value")),
             "event value is a cent-quantized grid bounded by its range " +
-              "(~56k cells); distinct saturates, it does not track rows"),
+              "(~56k cells); distinct saturates, it does not track rows",
+            budget = 56000L),
           "event_type", "value", z = 3.0)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),

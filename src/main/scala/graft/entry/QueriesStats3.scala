@@ -487,7 +487,8 @@ private[graft] object QueriesStats3 {
       // the cell rollup is data-sized.
       var grid = ScaleChecks.boundedDomain(t(s, dir, "customer"),
           "account balance quantized to integer cents: a fixed grid of " +
-            "~1.1M cells bounded by the balance range, not by rows")
+            "~1.1M cells bounded by the balance range, not by rows",
+          budget = 1100000L)
         .groupBy(col("c_nationkey").as("nk"),
           col("c_mktsegment").as("sg"))
         .agg(expr("percentile(CAST(floor(c_acctbal * 100 + 0.5) AS " +
@@ -1423,7 +1424,8 @@ private[graft] object QueriesStats3 {
           .select(col("c_acctbal").cast("double").as("x")),
         "account balances are 2-decimal values on a bounded range: a " +
           "fixed ~1.1M-cell cent grid (deviations stay on the half-cent " +
-          "grid), not row-tracking")
+          "grid), not row-tracking",
+        budget = 1100000L)
       val med = xs.agg(expr("percentile(x, 0.5)").as("med"))
       val mad = xs.crossJoin(broadcast(med))
         .agg(first(col("med")).as("med"),

@@ -698,7 +698,8 @@ object Dedup {
     val rebuilt = graft.ScaleChecks.boundedDomain(
         lines.join(boiler, Seq("__lh"), "left_anti"),
         "per-document surviving lines: buffer bounded by max document " +
-          "length, independent of corpus size")
+          "length, independent of corpus size",
+        budget = 1000000L)
       .groupBy(col(idCol))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),

@@ -282,16 +282,30 @@ object Search {
     * 25x cliff once mid-df terms turn essential. A per-batch adaptive
     * split could at best recover the basin's floor, already within
     * measurement noise of the constant — negative result recorded, the
-    * constant stands. (The probe's system-property override is its
-    * measurement hook and is read nowhere in production configuration.)
+    * constant stands. (The probe's override below is its measurement
+    * hook; it is package-scoped, never configuration-driven, so no
+    * co-resident code can silently shift the serving cutoff.)
     */
+  /** Probe-only override of the essential/common split, set exclusively by
+    * [[graft.MaxScoreProbe]] under try/finally. Package-private — a system
+    * property would be writable by any co-resident JVM code, and a pinned
+    * non-default cutoff could land serving on the measured 25x mid-df
+    * cliff with no trace. Values outside the probe's (0, 0.5] sweep range
+    * fall back to the measured constant; any active override logs.
+    */
+  private[graft] var essentialDfFracOverride: Option[Double] = None
+
   private def EssentialDfFrac: Double =
-    sys.props.get("graft.essentialDfFrac")
-      .flatMap(s => scala.util.Try(s.toDouble).toOption)
-      .filter(f => f > 0.0 && f <= 0.5) // the probe's sweep range; anything
-      // malformed or outside it must not crash or distort production
-      // serving — fall back to the measured constant
-      .getOrElse(0.2)
+    essentialDfFracOverride
+      .filter(f => f > 0.0 && f <= 0.5) match {
+      case Some(f) =>
+        System.err.println(
+          f"[graft.Search] WARNING: probe override active — " +
+            f"essential-df cutoff $f%.2f replaces the measured 0.2 " +
+            "optimum for this query batch")
+        f
+      case None => 0.2
+    }
 
   /** Max-score (WAND-family) serving against a persisted index: EXACT
     * top-k at a fraction of the aggregation work when queries mix rare and

@@ -163,9 +163,16 @@ object EventStreams {
                        executors: Int = 0): StateAdvice = {
     require(projectedRows >= 0 && stateRowBytes > 0)
     require(headroomFraction > 0 && headroomFraction <= 1)
-    val heap = spark.conf.getOption("spark.executor.memory")
-      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
-      .getOrElse(Runtime.getRuntime.maxMemory())
+    // local mode: spark.executor.memory is inert (the only heap is this
+    // JVM's -Xmx), so a harmlessly-set conf must not make the advisor
+    // budget against a heap that does not exist — in either direction
+    // (false RocksDB switch or a missed OOM forecast). Only trust the
+    // conf on a real cluster master.
+    val heap =
+      if (spark.sparkContext.isLocal) Runtime.getRuntime.maxMemory()
+      else spark.conf.getOption("spark.executor.memory")
+        .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+        .getOrElse(Runtime.getRuntime.maxMemory())
     // local mode: the one JVM is the only "executor"; cluster: driver is
     // the extra row in the executor infos
     val execs =

@@ -262,6 +262,58 @@ class ScaleHygieneSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       ScaleChecks.boundedDomain(li, "ok")
     }
+    assertThrows[IllegalArgumentException] {
+      ScaleChecks.boundedDomain(li,
+        "a long enough reason with a broken budget", budget = 0L)
+    }
+  }
+
+  test("bounded-domain alias round-trips its budget; pre-budget aliases " +
+    "fall back to the global default") {
+    assert(ScaleChecks.parseDomainDecl(
+      ScaleChecks.BoundedDomainAlias + "__b4200__some_reason_slug") ==
+      (4200L, "some_reason_slug"))
+    assert(ScaleChecks.parseDomainDecl(
+      ScaleChecks.BoundedDomainAlias + "__legacy_reason_slug") ==
+      (ScaleChecks.DefaultDomainBudget, "legacy_reason_slug"))
+  }
+
+  test("DomainAudit enforces declared budgets: planted over-budget site " +
+    "flags, within-budget site passes, collect gates on rows") {
+    val li = s.read.parquet(s"$sf/lineitem.parquet")
+    // red: a FALSE declaration — budget of 3 buffer entries against a
+    // column with thousands of distinct values. The budget gate must turn
+    // this into a violation instead of a notes-table row.
+    val red = ScaleChecks.boundedDomain(li,
+        "planted false declaration for the budget red case", budget = 3L)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("m"))
+    val redM = DomainAudit.measure(s, "planted_red", red)
+    assert(redM.nonEmpty && redM.forall(_.overBudget),
+      s"an over-budget site must flag: $redM")
+    assert(redM.forall(m => m.gatedLoad == m.maxDistinct),
+      "the percentile class gates on distinct values (its buffer is a " +
+        s"value->count map): $redM")
+    // green: the same site under the global default budget
+    val green = ScaleChecks.boundedDomain(li,
+        "planted true declaration for the budget green case")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("m"))
+    val greenM = DomainAudit.measure(s, "planted_green", green)
+    assert(greenM.nonEmpty && greenM.forall(!_.overBudget),
+      s"a within-budget site must pass: $greenM")
+    // collect-class buffers hold every ROW (duplicates included), so a
+    // tiny distinct domain must not excuse an over-budget row count
+    val coll = ScaleChecks.boundedDomain(
+        li.select(col("l_returnflag"), col("l_linestatus")),
+        "planted collect declaration: tiny distinct, many rows",
+        budget = 10L)
+      .groupBy(col("l_returnflag"))
+      .agg(collect_list(col("l_linestatus")).as("cs"))
+    val collM = DomainAudit.measure(s, "planted_collect", coll)
+    assert(collM.nonEmpty &&
+      collM.forall(m => m.gatedLoad == m.maxRows && m.overBudget),
+      s"collect must gate on maxRows and flag here: $collM")
   }
 
   test("every bounded-domain declaration carries an inline literal reason") {
