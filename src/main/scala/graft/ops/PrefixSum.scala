@@ -167,66 +167,94 @@ object PrefixSum {
       "one output column per requested percentile")
     require(ps.forall(q => q >= 0.0 && q <= 1.0), "percentiles in [0, 1]")
     val spark = df.sparkSession
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val d = df.select(value.cast("double").as("__v"))
       .filter(col("__v").isNotNull)
-    val ranked = globalRank(d, Seq(col("__v")), "__r")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // try/finally: if the count or the bracket collect throws, the cached
-    // blocks must still deregister — an exception path that leaks a
-    // CacheManager entry is exactly the accumulation the class doc warns
-    // about across a 600-query sweep
-    try {
-    val n = ranked.count()
-    val result =
-      if (n == 0L)
-        spark.range(1).select(
-          outCols.map(c => lit(null).cast("double").as(c)): _*)
-      else {
-        val targets = ps.map { q =>
-          val i = q * (n - 1)
-          (math.floor(i).toLong + 1, math.ceil(i).toLong + 1, i)
-        }
-        val need = targets.flatMap(t => Seq(t._1, t._2)).distinct
-        val picked = ranked.filter(col("__r").isin(need: _*))
-          .select(col("__r"), col("__v")).collect()
-          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-        val cols = ps.indices.map { k =>
-          val (lo, hi, i) = targets(k)
-          // the builtin's exact composition: value when the position is
-          // integral, else the SYMMETRIC blend (higher-pos)*loVal +
-          // (pos-lower)*hiVal — same terms, bit-identical results
-          val v = if (lo == hi) picked(lo)
-            else (math.ceil(i) - i) * picked(lo) +
-              (i - math.floor(i)) * picked(hi)
-          lit(v).as(outCols(k))
-        }
-        spark.range(1).select(cols: _*)
+    // Round-8 rework: a full globalRank sorted EVERY range partition and
+    // then paid a count scan plus an isin-filter scan over the whole
+    // ranked relation — three passes where the pick only ever reads
+    // <= 2·|ps| rows. Instead: range-partition once (lazy localCheckpoint
+    // so the counts read and the pick read share one materialization and
+    // one pid numbering, blocks freed by the ContextCleaner), read the
+    // <= p per-partition counts back (a CONTRACT-bounded collect, same
+    // class as the globalRank offsets), locate each target rank's owning
+    // (partition, local index) driver-side, and sort ONLY the owning
+    // partitions for the pick. Non-target partitions are never sorted.
+    val ranged = d
+      .repartitionByRange(p, col("__v"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val cnt = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__tot"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = cnt.map(_._2).sum
+    if (n == 0L)
+      spark.range(1).select(
+        outCols.map(c => lit(null).cast("double").as(c)): _*)
+    else {
+      val offsets = cnt.scanLeft((0, 0L, 0L)) { case ((_, off, tot), (pid, t)) =>
+        (pid, off + tot, t)
+      }.drop(1) // (pid, rows before it, its rows)
+      val targets = ps.map { q =>
+        val i = q * (n - 1)
+        (math.floor(i).toLong + 1, math.ceil(i).toLong + 1, i)
       }
-    result
-    } finally { ranked.unpersist(); () }
+      val need = targets.flatMap(t => Seq(t._1, t._2)).distinct
+      // rank -> (owning pid, 1-based local index)
+      val where = need.map { r =>
+        val (pid, off, _) = offsets.find { case (_, off, tot) =>
+          r > off && r <= off + tot }.get
+        r -> ((pid, r - off))
+      }.toMap
+      val pids = where.values.map(_._1).toSeq.distinct
+      val wRun = Window.partitionBy(col("__pid")).orderBy(col("__v"))
+      val pred = where.values.toSeq.distinct
+        .map { case (pid, li) =>
+          col("__pid") === pid && col("__lrn") === li }
+        .reduce(_ || _)
+      val picked = ranged.filter(col("__pid").isin(pids: _*))
+        .withColumn("__lrn", row_number().over(wRun).cast("long"))
+        .filter(pred)
+        .select(col("__pid"), col("__lrn"), col("__v")).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val byRank = where.map { case (r, loc) => r -> picked(loc) }
+      val cols = ps.indices.map { k =>
+        val (lo, hi, i) = targets(k)
+        // the builtin's exact composition: value when the position is
+        // integral, else the SYMMETRIC blend (higher-pos)*loVal +
+        // (pos-lower)*hiVal — same terms, bit-identical results
+        val v = if (lo == hi) byRank(lo)
+          else (math.ceil(i) - i) * byRank(lo) +
+            (i - math.floor(i)) * byRank(hi)
+        lit(v).as(outCols(k))
+      }
+      spark.range(1).select(cols: _*)
+    }
   }
 
   /** Per-group [[exactPercentiles]]: one row per `grp` value with
     * `outCols`, bit-identical to `percentile()` on double inputs, fully
-    * declarative (no driver reads). Within-group ranks come from the
-    * [[groupedRunningSum]] two-phase decomposition (every task bounded by
-    * the range-partition size regardless of group sizes), group counts
-    * join back on the group key, and each percentile is composed from the
-    * two bracketing ranks with when-filtered max aggregates — all
-    * map-side-combinable, so the group-keyed AGGREGATE shuffle carries
-    * only |groups| x |ps| partial buffers. The count join-back is
-    * planner-chosen: broadcast when |groups| is small (every gallery
-    * use), sort-merge when |groups| itself is data-sized — the SMJ case
-    * re-shuffles `ranked` by group key, where a skewed group is AQE
-    * skew-split for the merge (the join streams rows, it never buffers a
-    * group). No hint on purpose: forcing broadcast would pin a
-    * driver-OOM plan when groups grow with the data (ScaleChecks check 1
-    * rationale). Divergences from the builtin's row
-    * semantics (values are bit-identical): groups whose values are all
-    * NULL are absent from the result, and rows whose GROUP KEY is NULL
-    * are dropped (the count join is a null-dropping equi-join) where
-    * `groupBy` would keep a null group — filter or coalesce null keys
-    * upstream if that group matters.
+    * declarative (no driver reads). Same two-phase decomposition as
+    * [[groupedRunningSum]] (every task bounded by the range-partition
+    * size regardless of group sizes), INLINED so the per-(partition,
+    * group) totals aggregate also yields the group counts, the counts
+    * yield each percentile's two target global ranks, and the running
+    * offsets map each target to its owning (partition, local index) —
+    * every operand but the ranged relation itself is <= partitions x
+    * groups rows, and the big relation is scanned exactly twice
+    * (totals, then one within-partition row_number pass joined against
+    * the tiny pick relation). The pick join is planner-chosen: broadcast
+    * when |groups| is small (every gallery use), sort-merge when
+    * |groups| itself is data-sized — the SMJ case re-shuffles the ranked
+    * rows by the join key, where a skewed group is AQE skew-split for
+    * the merge (the join streams rows, it never buffers a group). No
+    * hint on purpose: forcing broadcast would pin a driver-OOM plan when
+    * groups grow with the data (ScaleChecks check 1 rationale).
+    * Divergences from the builtin's row semantics (values are
+    * bit-identical): groups whose values are all NULL are absent from
+    * the result, and rows whose GROUP KEY is NULL are dropped (the pick
+    * join is a null-dropping equi-join) where `groupBy` would keep a
+    * null group — filter or coalesce null keys upstream if that group
+    * matters.
     */
   def groupedExactPercentiles(df: DataFrame, grp: String, value: Column,
                               ps: Seq[Double], outCols: Seq[String],
@@ -234,38 +262,81 @@ object PrefixSum {
     require(ps.nonEmpty && ps.length == outCols.length,
       "one output column per requested percentile")
     require(ps.forall(q => q >= 0.0 && q <= 1.0), "percentiles in [0, 1]")
+    val p = if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val d = df.select(col(grp), value.cast("double").as("__v"))
       .filter(col("__v").isNotNull)
-      // unique within-group order even under ties: (v, uid)
-      .withColumn("__ok", struct(col("__v"), monotonically_increasing_id()))
-    // lazy localCheckpoint, not persist: same rationale as the class doc —
-    // two reads (counts + brackets) share one materialization, and blocks
-    // free with the result instead of accumulating in the CacheManager
-    val ranked = groupedRunningSum(d, grp, "__ok", lit(1L), "__r",
-      numPartitions).localCheckpoint(false)
-    val cnts = ranked.groupBy(col(grp)).agg(max(col("__r")).as("__n"))
-    val j = ranked.join(cnts, Seq(grp))
+    // The two-phase decomposition INLINED (round 8): a generic
+    // groupedRunningSum would rank every row and then pay two more full
+    // scans (a count aggregate and a 4·|ps|-expression bracket aggregate
+    // over the whole relation). Percentiles only ever read <= 2·|ps|
+    // ranks per group, so instead: the per-(partition, group) totals
+    // aggregate — which the rank decomposition needs anyway — also yields
+    // the group counts, the counts yield the target GLOBAL ranks, the
+    // running offsets map each target to its owning (partition, local
+    // index), and one within-partition row_number pass joins against that
+    // tiny pick relation. One materialization of the ranged relation, ONE
+    // full window pass, and every other operand is <= partitions x groups
+    // rows. Ties need no uid tie-breaker: row_number's arbitrary order
+    // among equal values picks an identical VALUE for any rank inside a
+    // tie run (bit-identical output, spec-pinned against the builtin).
+    val ranged = d
+      .repartitionByRange(p, col(grp), col("__v"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val totals = ranged.groupBy(col("__pid"), col(grp))
+      .agg(count(lit(1)).as("__tot"))
+    val wOff = Window.partitionBy(col(grp)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wOff), lit(0L)))
+    val cnts = totals.groupBy(col(grp)).agg(sum(col("__tot")).as("__n"))
+    // one row per (group, percentile, bracket side): the global rank to
+    // pick — zero-based index i = p*(n-1), ranks floor(i)+1 / ceil(i)+1
+    val targets = cnts.select(col(grp),
+        explode(array(ps.indices.flatMap { k =>
+          val i = lit(ps(k)) * (col("__n") - lit(1L)).cast("double")
+          Seq(struct(lit(k).as("__k"), lit(true).as("__isLo"),
+                (floor(i).cast("long") + 1).as("__rank")),
+              struct(lit(k).as("__k"), lit(false).as("__isLo"),
+                (ceil(i).cast("long") + 1).as("__rank")))
+        }: _*)).as("__t"))
+      .select(col(grp), col("__t.__k").as("__k"),
+        col("__t.__isLo").as("__isLo"), col("__t.__rank").as("__rank"))
+    // owning partition + local index per target (tiny x tiny join)
+    val pick = targets.join(offsets, Seq(grp))
+      .filter(col("__rank") > col("__off") &&
+        col("__rank") <= col("__off") + col("__tot"))
+      .select(col("__pid"), col(grp), col("__k"), col("__isLo"),
+        (col("__rank") - col("__off")).as("__lrn"))
+    // the one full pass: within-partition row_number, then the pick join
+    // (planner-chosen side strategy — pick is aggregate-reduced, so it
+    // broadcasts when groups are few and sort-merges when |groups| is
+    // data-sized, same contract as the old count join-back)
+    val wRun = Window.partitionBy(col("__pid"), col(grp)).orderBy(col("__v"))
+    val picked = ranged
+      .withColumn("__lrn", row_number().over(wRun).cast("long"))
+      .join(pick, Seq("__pid", grp, "__lrn"))
     val aggs = ps.indices.flatMap { k =>
-      // zero-based index i = p*(n-1), per group via the joined count
-      val i = lit(ps(k)) * (col("__n") - lit(1L)).cast("double")
       Seq(
-        max(when(col("__r") === floor(i).cast("long") + 1, col("__v")))
+        max(when(col("__k") === k && col("__isLo"), col("__v")))
           .as(s"__lo$k"),
-        max(when(col("__r") === ceil(i).cast("long") + 1, col("__v")))
-          .as(s"__hi$k"),
-        // the builtin's symmetric blend terms, kept verbatim so results
-        // are bit-identical: (higher-pos) and (pos-lower)
-        max(ceil(i).cast("double") - i).as(s"__wl$k"),
-        max(i - floor(i).cast("double")).as(s"__wh$k"))
+        max(when(col("__k") === k && !col("__isLo"), col("__v")))
+          .as(s"__hi$k"))
     }
-    j.groupBy(col(grp)).agg(aggs.head, aggs.tail: _*)
+    // <= 2·|ps| rows per group reach this aggregate; the blend weights
+    // come from the group count, kept VERBATIM from the builtin's
+    // composition so results stay bit-identical
+    picked.groupBy(col(grp)).agg(aggs.head, aggs.tail: _*)
+      .join(cnts, Seq(grp))
       .select(col(grp) +: ps.indices.map { k =>
+        val i = lit(ps(k)) * (col("__n") - lit(1L)).cast("double")
+        val wl = ceil(i).cast("double") - i
+        val wh = i - floor(i).cast("double")
         // integral position (both weights exactly 0, i.e. one bracketing
         // rank) -> the value, like the builtin; else the symmetric blend
-        when(col(s"__wl$k") === 0.0 && col(s"__wh$k") === 0.0,
-            col(s"__lo$k"))
-          .otherwise(col(s"__wl$k") * col(s"__lo$k") +
-            col(s"__wh$k") * col(s"__hi$k"))
+        when(wl === 0.0 && wh === 0.0, col(s"__lo$k"))
+          .otherwise(wl * col(s"__lo$k") + wh * col(s"__hi$k"))
           .as(outCols(k))
       }: _*)
   }
