@@ -625,8 +625,18 @@ object Stress {
               org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("ts",
               org.apache.spark.sql.types.TimestampType))))
+        // PEAK state rows, not total uniques: the watermark only advances
+        // between micro-batches, so one batch's whole key set (40 input
+        // files / maxFilesPerTrigger=8 -> 1/5 of the uniques) sits in
+        // state until that batch commits; the 2-hour horizon holds 720k
+        // ids (100 ids/s) after eviction. The old total-uniques
+        // projection over-counted rows ~5x while the old width formula
+        // under-counted bytes ~5x — two errors canceling; both sides are
+        // now the measured quantities (BENCH_NOTES_r8 §9).
+        val horizonIds = 100L * 7200L
+        val peakRows = math.max(uniqueIds / 5L, horizonIds)
         val advice = EventStreams.adviseStateStore(spark,
-          projectedRows = uniqueIds, stateRowBytes = rowBytes,
+          projectedRows = peakRows, stateRowBytes = rowBytes,
           autoSwitch = true)
         dedupAdvice = Some(advice)
         println(s"[stress] state advisor: ${advice.recommendation}")

@@ -113,13 +113,19 @@ object EventStreams {
                                switched: Boolean, recommendation: String)
 
   /** Rough on-heap bytes per state row under the DEFAULT (HDFS-backed)
-    * store: UnsafeRow key+value payload (8-byte word per field plus a
-    * variable section for strings) plus the store map's per-entry object
-    * overhead. Calibrated against the r6 measurement (a ~90M-row dedup
-    * state OOMed an 8 GiB heap and fit a 48 GiB one → ~100-500 B/row):
-    * deliberately a forecast, not an accounting — the advisor compares
-    * order-of-magnitude state against heap, and a 2x row-width error
-    * moves the boundary one stress factor, not one regime.
+    * store. CALIBRATED (round 8) against a direct measurement instead of
+    * the r6 OOM-boundary inference: the f50 dedup stream's end-of-run
+    * state metrics read 472.2 MB for 720k rows of (long, timestamp) state
+    * — 656 B/row where the old formula forecast 128 (5.1x low; the old
+    * number survived because Stress also over-projected ROWS 5x, two
+    * errors canceling). The measured width decomposes as ~2 retained
+    * version maps (spark.sql.streaming.maxBatchesToRetainInMemory default)
+    * x (two UnsafeRow objects + backing arrays + map-entry overhead +
+    * payload on both the key and value side), which this formula models —
+    * it reproduces the measurement exactly for the dedup schema and
+    * scales with payload for wider state. Still a forecast, not an
+    * accounting; the advisor compares order-of-magnitude state against
+    * heap.
     */
   def estimatedStateRowBytes(schema: StructType,
                              avgStringBytes: Int = 24): Long = {
@@ -127,7 +133,8 @@ object EventStreams {
       case StringType | BinaryType => 8L + avgStringBytes
       case _ => 8L
     }).sum
-    16L + payload + 96L // UnsafeRow header + map-entry/versioning overhead
+    // 2 retained versions x (object/entry overhead + key+value payload)
+    2L * (296L + 2L * payload)
   }
 
   /** Projected state footprint vs the per-executor heap budget, decided at
@@ -143,10 +150,14 @@ object EventStreams {
     * switch to RocksDB (affects every stream started on this session
     * afterwards; scope it to a dedicated session if that matters).
     *
-    * `projectedRows` is the operator's state cardinality: distinct dedup
-    * keys within the watermark horizon, open windows x group values for
-    * windowed aggs, |users| for custom state — estimate it from a batch
-    * sample of the same feed. State rows hash-partition across executors,
+    * `projectedRows` is the operator's PEAK state cardinality. For dedup
+    * that is the larger of (a) distinct keys within the watermark horizon
+    * and (b) distinct keys per MICRO-BATCH — the watermark only advances
+    * between batches, so a batch's entire key set sits in state until the
+    * batch commits (the r6 f500 OOM was exactly this peak: ~18M
+    * per-batch keys, not the 720k horizon keys). Open windows x group
+    * values for windowed aggs, |users| for custom state — estimate from
+    * a batch sample of the same feed. State rows hash-partition across executors,
     * so the budget is heap x headroom x executors.
     *
     * `executors` = 0 autodetects from the status tracker, which is right
