@@ -219,10 +219,13 @@ object PrefixSum {
       val byRank = where.map { case (r, loc) => r -> picked(loc) }
       val cols = ps.indices.map { k =>
         val (lo, hi, i) = targets(k)
-        // the builtin's exact composition: value when the position is
-        // integral, else the SYMMETRIC blend (higher-pos)*loVal +
-        // (pos-lower)*hiVal — same terms, bit-identical results
-        val v = if (lo == hi) byRank(lo)
+        // the builtin's exact composition: the value when the position is
+        // integral OR when both bracketing ranks land on the same value
+        // (the builtin returns lowerKey without interpolating there —
+        // blending v*wl + v*wh can drift an ulp); else the SYMMETRIC
+        // blend (higher-pos)*loVal + (pos-lower)*hiVal, same terms,
+        // bit-identical results
+        val v = if (lo == hi || byRank(lo) == byRank(hi)) byRank(lo)
           else (math.ceil(i) - i) * byRank(lo) +
             (i - math.floor(i)) * byRank(hi)
         lit(v).as(outCols(k))
@@ -333,9 +336,15 @@ object PrefixSum {
         val i = lit(ps(k)) * (col("__n") - lit(1L)).cast("double")
         val wl = ceil(i).cast("double") - i
         val wh = i - floor(i).cast("double")
-        // integral position (both weights exactly 0, i.e. one bracketing
-        // rank) -> the value, like the builtin; else the symmetric blend
-        when(wl === 0.0 && wh === 0.0, col(s"__lo$k"))
+        // two short-circuits, both the builtin's: integral position (one
+        // bracketing rank), and EQUAL bracketing values — the builtin
+        // returns lowerKey without interpolating when both ranks land in
+        // the same value's count run; blending v*wl + v*wh instead can
+        // drift an ulp when the position is fractional (caught by the
+        // randomized parity property, round 8). NaN brackets fall through
+        // to the blend and propagate, like the builtin.
+        when((wl === 0.0 && wh === 0.0) || col(s"__lo$k") === col(s"__hi$k"),
+            col(s"__lo$k"))
           .otherwise(wl * col(s"__lo$k") + wh * col(s"__hi$k"))
           .as(outCols(k))
       }: _*)

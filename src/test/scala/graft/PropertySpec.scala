@@ -313,6 +313,68 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("groupedExactPercentiles equals builtin percentile on random " +
+    "grouped multisets (ties, skew, singletons, boundary ps)") {
+    // randomized parity for the round-8 pick-path rework: heavy ties
+    // (values drawn from a tiny grid), skewed group sizes (1..~400),
+    // boundary percentiles 0.0/1.0, and fractional positions — compared
+    // BIT-identically (java.lang.Double.compare, no tolerance) against
+    // the builtin aggregate on the same data, across several shuffle
+    // partition counts so range-partition boundaries land mid-tie-run.
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val outs = ps.indices.map(i => s"p$i")
+    (0 until 4).foreach { round =>
+      val rows = (0 until 20).flatMap { g =>
+        val n = 1 + rnd.nextInt(if (g % 5 == 0) 3 else 400)
+        // ~8-value grid => massive tie runs inside and across partitions
+        (0 until n).map(_ => (s"g$g", (rnd.nextInt(8) * 25).toDouble / 7.0))
+      }
+      val df = spark.createDataFrame(rows).toDF("g", "x")
+        .repartition(7) // unaligned input partitioning
+      val parts = Seq(2, 5, 32)(round % 3)
+      val got = graft.ops.PrefixSum
+        .groupedExactPercentiles(df, "g", col("x"), ps, outs, parts)
+        .collect().map(r => r.getString(0) ->
+          outs.indices.map(i => r.getDouble(i + 1))).toMap
+      val exp = df.groupBy(col("g"))
+        .agg(expr(s"percentile(x, array(${ps.mkString("D,")}D))").as("a"))
+        .collect().map(r => r.getString(0) ->
+          r.getSeq[Double](1).toIndexedSeq).toMap
+      assert(got.keySet == exp.keySet, s"group sets differ (round $round)")
+      got.foreach { case (g, vs) =>
+        vs.indices.foreach { i =>
+          assert(java.lang.Double.compare(vs(i), exp(g)(i)) == 0,
+            s"round $round group $g p=${ps(i)}: got ${vs(i)} " +
+              s"expected ${exp(g)(i)} (parts=$parts)")
+        }
+      }
+    }
+  }
+
+  test("exactPercentiles equals builtin on random multisets with " +
+    "partition-boundary tie runs") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    (0 until 3).foreach { round =>
+      val n = 1 + rnd.nextInt(3000)
+      val vals = (0 until n).map(_ => (rnd.nextInt(5) * 13).toDouble / 3.0)
+      val df = vals.toDF("x").repartition(5)
+      val ps = Seq(0.0, 0.37, 0.5, 0.999, 1.0)
+      val outs = ps.indices.map(i => s"p$i")
+      val got = graft.ops.PrefixSum.exactPercentiles(df, col("x"), ps, outs)
+        .head()
+      val exp = df.agg(expr(
+        s"percentile(x, array(${ps.mkString("D,")}D))")).head().getSeq[Double](0)
+      ps.indices.foreach { i =>
+        assert(java.lang.Double.compare(got.getDouble(i), exp(i)) == 0,
+          s"round $round n=$n p=${ps(i)}: got ${got.getDouble(i)} " +
+            s"expected ${exp(i)}")
+      }
+    }
+  }
+
   test("pigeonhole chunking: any two longs within hamming<=3 share a 16-bit chunk") {
     // the bit-level invariant simhashPairs' recall-1 guarantee rests on,
     // checked directly over generated (value, <=3 random bit flips) pairs
