@@ -99,11 +99,28 @@ object DomainAudit {
       val decls = declAliases.map(ScaleChecks.parseDomainDecl)
       heavies.distinctBy(_.prettyName).map { h =>
         val in = ColumnShim.column(h.children.head)
+        // EXACT distinct via a two-level aggregate, not
+        // approx_count_distinct: this measurement GATES against budgets,
+        // and an HLL ±5% read against a tight budget (q196: 4,671
+        // measured vs 5,200) could flip red/green on a fixture regen.
+        // The audit runs offline, so the extra (group, value) shuffle is
+        // the right price for a deterministic verdict. NULL inputs are
+        // excluded, matching the buffer (aggregates skip null inputs).
+        val grpAliased = grp.zipWithIndex.map { case (c, gi) =>
+          c.as(s"__g$gi") }
+        val grpNames = grp.indices.map(gi => col(s"__g$gi"))
+        val lvl1 = child.filter(in.isNotNull)
+          .groupBy(grpAliased :+ in.as("__val"): _*)
+          .agg(count(lit(1)).as("__c"))
         val per =
-          (if (grp.isEmpty) child.groupBy() else child.groupBy(grp: _*))
-            .agg(approx_count_distinct(in).as("__d"), count(in).as("__n"))
-        val r = per.agg(max(col("__d")), max(col("__n")),
-          count(lit(1))).head()
+          (if (grpNames.isEmpty) lvl1.groupBy()
+           else lvl1.groupBy(grpNames: _*))
+            .agg(count(lit(1)).as("__d"),
+              coalesce(sum(col("__c")), lit(0L)).as("__n"))
+        // coalesce: an all-NULL (or empty) input measures as zero load,
+        // not as a null that would NPE the read-back
+        val r = per.agg(coalesce(max(col("__d")), lit(0L)),
+          coalesce(max(col("__n")), lit(0L)), count(lit(1))).head()
         SiteMeasure(query, i, h.prettyName, r.getLong(2), r.getLong(0),
           r.getLong(1), decls)
       }
