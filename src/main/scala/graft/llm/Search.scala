@@ -294,15 +294,22 @@ object Search {
     * fall back to the measured constant; any active override logs.
     */
   private[graft] var essentialDfFracOverride: Option[Double] = None
+  // last override value already warned about — the warning must be
+  // visible per pinned value, not per expression-build (a single serving
+  // plan reads the cutoff many times)
+  private var warnedOverride: Option[Double] = None
 
   private def EssentialDfFrac: Double =
     essentialDfFracOverride
       .filter(f => f > 0.0 && f <= 0.5) match {
       case Some(f) =>
-        System.err.println(
-          f"[graft.Search] WARNING: probe override active — " +
-            f"essential-df cutoff $f%.2f replaces the measured 0.2 " +
-            "optimum for this query batch")
+        if (!warnedOverride.contains(f)) {
+          warnedOverride = Some(f)
+          System.err.println(
+            f"[graft.Search] WARNING: probe override active — " +
+              f"essential-df cutoff $f%.2f replaces the measured 0.2 " +
+              "optimum for this query batch")
+        }
         f
       case None => 0.2
     }
