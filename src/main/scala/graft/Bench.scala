@@ -92,18 +92,38 @@ object Bench {
     // rounds of driver-side stdout captures truncated mid-map
     // (BENCH_r0{5,6,7}.json `parsed: null`) while the /tmp default sat
     // uncommitted. Ad-hoc sweeps override via SPARK_GRAFT_BENCH_JSON.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "BENCH_LOCAL.json")
+    // The default is anchored to the DETECTED repo root (walk up from CWD
+    // to the dir holding build.sbt + src/main/scala/graft), not to the
+    // CWD itself: a run launched from elsewhere must not scatter the
+    // committed-artifact file into a random directory — or fail post-run
+    // in an unwritable one. No root found -> skip the file write with a
+    // clear message; the stdout JSON line above is always complete.
+    val out = sys.env.get("SPARK_GRAFT_BENCH_JSON").orElse {
+      Iterator.iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+        .takeWhile(_ != null)
+        .find(d => java.nio.file.Files.exists(d.resolve("build.sbt")) &&
+          java.nio.file.Files.isDirectory(d.resolve("src/main/scala/graft")))
+        .map(_.resolve("BENCH_LOCAL.json").toString)
+    }
     // stdout FIRST: the JSON line is the only other copy of the results,
     // and an unwritable SPARK_GRAFT_BENCH_JSON path must not destroy an
     // hours-long run's numbers after the fact
     println(json)
-    try {
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
-      println(s"BENCH_JSON $out")
-    } catch {
-      case e: Exception =>
-        System.err.println(s"[bench] could not write $out: $e " +
-          "(results are on the stdout JSON line above)")
+    out match {
+      case None =>
+        System.err.println("[bench] no graft repo root above CWD and no " +
+          "SPARK_GRAFT_BENCH_JSON set — skipping the file write (results " +
+          "are on the stdout JSON line above)")
+      case Some(path) =>
+        try {
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(path), json + "\n")
+          println(s"BENCH_JSON $path")
+        } catch {
+          case e: Exception =>
+            System.err.println(s"[bench] could not write $path: $e " +
+              "(results are on the stdout JSON line above)")
+        }
     }
     spark.stop()
   }

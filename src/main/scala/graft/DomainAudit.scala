@@ -43,11 +43,15 @@ object DomainAudit {
   final case class SiteMeasure(query: String, site: Int, fn: String,
                                groups: Long, maxDistinct: Long, maxRows: Long,
                                decls: Seq[(Long, String)]) {
-    /** Collect buffers hold every row; percentile/mode buffer one entry
+    /** collect_list/listagg buffers hold every row; collect_set holds one
+      * entry per DISTINCT value (Spark dedups on insert), so gating it on
+      * maxRows would falsely trip the budget on a high-duplication input;
+      * the percentile/mode class buffers a value→count map, also one entry
       * per distinct value.
       */
     def gatedLoad: Long =
-      if (fn.startsWith("collect_") || fn == "listagg") maxRows
+      if (fn == "collect_set") maxDistinct
+      else if (fn.startsWith("collect_") || fn == "listagg") maxRows
       else maxDistinct
     def budget: Long = decls.map(_._1).min
     def overBudget: Boolean = gatedLoad > budget

@@ -293,15 +293,18 @@ object Search {
     * cliff with no trace. Values outside the probe's (0, 0.5] sweep range
     * fall back to the measured constant; any active override logs.
     */
-  private[graft] var essentialDfFracOverride: Option[Double] = None
+  // @volatile: the probe sets this under try/finally on its own thread
+  // while serving plans read it from Spark's planning threads — without a
+  // barrier a pinned (or restored) value could be invisible to a reader
+  @volatile private[graft] var essentialDfFracOverride: Option[Double] = None
   // last override value already warned about — the warning must be
   // visible per pinned value, not per expression-build (a single serving
   // plan reads the cutoff many times)
-  private var warnedOverride: Option[Double] = None
+  @volatile private var warnedOverride: Option[Double] = None
 
-  private def EssentialDfFrac: Double =
-    essentialDfFracOverride
-      .filter(f => f > 0.0 && f <= 0.5) match {
+  private def EssentialDfFrac: Double = {
+    val raw = essentialDfFracOverride
+    raw.filter(f => f > 0.0 && f <= 0.5) match {
       case Some(f) =>
         if (!warnedOverride.contains(f)) {
           warnedOverride = Some(f)
@@ -311,8 +314,22 @@ object Search {
               "optimum for this query batch")
         }
         f
-      case None => 0.2
+      case None =>
+        // an out-of-range pin silently serving the 0.2 constant would
+        // invalidate the probe's sweep labels — "any active override
+        // logs" must include the rejected ones
+        raw.foreach { f =>
+          if (!warnedOverride.contains(f)) {
+            warnedOverride = Some(f)
+            System.err.println(
+              f"[graft.Search] WARNING: probe override $f%.2f is outside " +
+                "(0, 0.5] and was REJECTED — serving uses the measured " +
+                "0.2 constant")
+          }
+        }
+        0.2
     }
+  }
 
   /** Max-score (WAND-family) serving against a persisted index: EXACT
     * top-k at a fraction of the aggregation work when queries mix rare and

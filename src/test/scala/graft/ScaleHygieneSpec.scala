@@ -314,6 +314,20 @@ class ScaleHygieneSpec extends AnyFunSuite {
     assert(collM.nonEmpty &&
       collM.forall(m => m.gatedLoad == m.maxRows && m.overBudget),
       s"collect must gate on maxRows and flag here: $collM")
+    // collect_set dedups on insert — its buffer is the DISTINCT set, so
+    // the same tiny-domain/many-rows shape under the same budget must
+    // PASS (gating it on rows would falsely trip every high-duplication
+    // correctly-declared site)
+    val cset = ScaleChecks.boundedDomain(
+        li.select(col("l_returnflag"), col("l_linestatus")),
+        "planted collect_set declaration: tiny distinct, many rows",
+        budget = 10L)
+      .groupBy(col("l_returnflag"))
+      .agg(collect_set(col("l_linestatus")).as("cs"))
+    val csetM = DomainAudit.measure(s, "planted_collect_set", cset)
+    assert(csetM.nonEmpty &&
+      csetM.forall(m => m.gatedLoad == m.maxDistinct && !m.overBudget),
+      s"collect_set must gate on maxDistinct and pass here: $csetM")
   }
 
   test("every bounded-domain declaration carries an inline literal reason") {

@@ -90,8 +90,15 @@ def main():
             print(f"  {q:<32} cpu {b:7.2f}s -> {n:7.2f}s  (+{n - b:.2f}s, "
                   f"{n / b:.2f}x)  wall {base[q]:6.2f}s -> {new[q]:6.2f}s")
         wall_only = [(q, b, n) for q, b, n in wall_sus if q not in cpu_sus_q]
-        print(f"\nwall-only regressions (CPU flat — host-load/location "
-              f"artifact, NOT code; no bisection queued): {len(wall_only)}")
+        # Wall-up/CPU-flat is USUALLY the known host-load/location artifact,
+        # but real regressions that add wait without CPU (lost parallelism,
+        # extra shuffle/spill I/O, barrier stalls) present the same way —
+        # so these are NEEDS-ADJUDICATION, not dismissed: one isolated
+        # min-of-N rerun (tools/adjudicate.py, or SPARK_GRAFT_ONLY by hand)
+        # decides SCATTER vs WALL-CONFIRMED.
+        print(f"\nwall-only suspects (CPU flat — likely host-load/location "
+              f"artifact; NEEDS ADJUDICATION via tools/adjudicate.py "
+              f"before dismissal): {len(wall_only)}")
         for q, b, n in sorted(wall_only, key=lambda x: x[1] - x[2]):
             cb, cn = bcpu.get(q, 0), ncpu.get(q, 0)
             cr = f"{cn / cb:.2f}x" if cb > 0 else "n/a"
