@@ -571,6 +571,12 @@ object Stress {
     import graft.streaming.EventStreams
     val nEvRows = 200000L * factor
     val nUsers = 50000L
+    // Shared by the fixture writer, every readStream below, AND the state
+    // advisor's peak-rows projection — one batch holds filesPerTrigger /
+    // nEventFiles of the corpus, so these three sites desynchronizing
+    // would silently skew the projection the width-check then validates.
+    val nEventFiles = 40
+    val filesPerTrigger = 8
     // event_id = id*9 div 10: every 10th row repeats the previous id
     // ADJACENTLY (a same-timestamp duplicate the dedup state must catch,
     // not one the watermark would drop as late), 10% duplicates total
@@ -588,7 +594,7 @@ object Stress {
         concat(lit("t"), pmod(eid, lit(5))).as("event_type"),
         (eid % 97).cast("double").as("value"),
         lit("{}").as("props"))
-      .repartitionByRange(40, col("event_id"))
+      .repartitionByRange(nEventFiles, col("event_id"))
       .sortWithinPartitions(col("event_id"))
       .write.mode("overwrite").parquet(s"$sdir/in")
     // The file stream source orders files by MODIFICATION TIME, and the
@@ -619,25 +625,28 @@ object Stress {
             ".RocksDBStateStoreProvider")
         println("[stress] state store: RocksDB")
       case Some("advise") =>
-        val rowBytes = EventStreams.estimatedStateRowBytes(
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("event_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("ts",
-              org.apache.spark.sql.types.TimestampType))))
+        val dedupStateSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType)))
+        val rowBytes = EventStreams.estimatedStateRowBytes(dedupStateSchema)
         // PEAK state rows, not total uniques: the watermark only advances
-        // between micro-batches, so one batch's whole key set (40 input
-        // files / maxFilesPerTrigger=8 -> 1/5 of the uniques) sits in
-        // state until that batch commits; the 2-hour horizon holds 720k
-        // ids (100 ids/s) after eviction. The old total-uniques
-        // projection over-counted rows ~5x while the old width formula
-        // under-counted bytes ~5x — two errors canceling; both sides are
-        // now the measured quantities (BENCH_NOTES_r8 §9).
+        // between micro-batches, so one batch's whole key set
+        // (filesPerTrigger of nEventFiles input files) sits in state until
+        // that batch commits; the 2-hour horizon holds 720k ids (100
+        // ids/s) after eviction. The old total-uniques projection
+        // over-counted rows ~5x while the old width formula under-counted
+        // bytes ~5x — two errors canceling; both sides are now the
+        // measured quantities (BENCH_NOTES_r8 §9).
         val horizonIds = 100L * 7200L
-        val peakRows = math.max(uniqueIds / 5L, horizonIds)
+        val peakRows =
+          math.max(uniqueIds * filesPerTrigger / nEventFiles, horizonIds)
         val advice = EventStreams.adviseStateStore(spark,
           projectedRows = peakRows, stateRowBytes = rowBytes,
-          autoSwitch = true)
+          autoSwitch = true,
+          rocksDbRowBytes =
+            EventStreams.estimatedRocksDbRowBytes(dedupStateSchema))
         dedupAdvice = Some(advice)
         println(s"[stress] state advisor: ${advice.recommendation}")
         println(s"[stress] state store: " +
@@ -656,7 +665,7 @@ object Stress {
       // ones inside the streaming engine.
       val outRowsAcc = new java.util.concurrent.atomic.AtomicLong(0L)
       val q = mk(EventStreams.readStream(spark, s"$sdir/in",
-          maxFilesPerTrigger = 8))
+          maxFilesPerTrigger = filesPerTrigger))
         .writeStream
         .outputMode("update")
         .option("checkpointLocation", ck)
@@ -684,12 +693,30 @@ object Stress {
       // projection's subject) reports the measured error margin. The
       // projection uses the FULL projected row count; the store reports
       // end-of-run loaded bytes, so compare per-row widths, which are
-      // horizon-independent.
+      // horizon-independent. The two stores report DIFFERENT quantities
+      // (default: on-heap version maps; RocksDB: off-heap block/memtable
+      // usage), so the check picks the width model matching the store the
+      // stream ACTUALLY ran on and labels it — the r8 run printed a
+      // phantom 2.29x "error" by judging RocksDB usage against the
+      // on-heap model.
       dedupAdvice.filter(_ => name == "stream_dedup" && stateBytes > 0 &&
           stateRows > 0).foreach { a =>
-        val projPerRow = a.projectedBytes.toDouble / a.projectedRows
+        val onRocks = spark.conf
+          .getOption("spark.sql.streaming.stateStore.providerClass")
+          .exists(_.contains("RocksDB"))
+        val (projPerRow, label) =
+          if (onRocks && a.projectedRocksDbBytes > 0)
+            (a.projectedRocksDbBytes.toDouble / a.projectedRows,
+              "rocksdb off-heap block/memtable usage")
+          else if (onRocks)
+            (a.projectedBytes.toDouble / a.projectedRows,
+              "ON-HEAP model vs rocksdb usage — NOT comparable, no " +
+                "rocksdb width was projected")
+          else
+            (a.projectedBytes.toDouble / a.projectedRows,
+              "default-store on-heap")
         val actPerRow = stateBytes.toDouble / stateRows
-        println(f"[stress] state advisor width check: projected " +
+        println(f"[stress] state advisor width check [$label]: projected " +
           f"$projPerRow%.0f B/row vs measured $actPerRow%.0f B/row " +
           f"(${projPerRow / actPerRow}%.2fx)")
       }

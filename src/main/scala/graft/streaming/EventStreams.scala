@@ -110,7 +110,8 @@ object EventStreams {
     */
   final case class StateAdvice(projectedRows: Long, projectedBytes: Long,
                                budgetBytes: Long, overBudget: Boolean,
-                               switched: Boolean, recommendation: String)
+                               switched: Boolean, recommendation: String,
+                               projectedRocksDbBytes: Long = 0L)
 
   /** Rough on-heap bytes per state row under the DEFAULT (HDFS-backed)
     * store. CALIBRATED (round 8) against a direct measurement instead of
@@ -135,6 +136,27 @@ object EventStreams {
     }).sum
     // 2 retained versions x (object/entry overhead + key+value payload)
     2L * (296L + 2L * payload)
+  }
+
+  /** Rough OFF-HEAP bytes per state row under the RocksDB store — a
+    * DIFFERENT quantity than [[estimatedStateRowBytes]]: RocksDB holds
+    * serialized key+value UnsafeRows in memtables/block cache (no JVM
+    * object headers, no retained version maps), and the store's reported
+    * `memoryUsedBytes` is block/memtable usage. CALIBRATED (round 8)
+    * against the f500 dedup stream: 286 B/row measured for (long,
+    * timestamp) state (BENCH_NOTES_r8 §9); modeled as a fixed
+    * index/filter/memtable-entry overhead plus one serialized copy of key
+    * and value each. Use THIS width when projecting or validating a
+    * RocksDB-backed stream — judging RocksDB usage against the on-heap
+    * width reads as a phantom ~2.3x error.
+    */
+  def estimatedRocksDbRowBytes(schema: StructType,
+                               avgStringBytes: Int = 24): Long = {
+    val payload = schema.fields.map(_.dataType match {
+      case StringType | BinaryType => 8L + avgStringBytes
+      case _ => 8L
+    }).sum
+    254L + 2L * payload
   }
 
   /** Projected state footprint vs the per-executor heap budget, decided at
@@ -171,7 +193,8 @@ object EventStreams {
   def adviseStateStore(spark: SparkSession, projectedRows: Long,
                        stateRowBytes: Long, headroomFraction: Double = 0.5,
                        autoSwitch: Boolean = false,
-                       executors: Int = 0): StateAdvice = {
+                       executors: Int = 0,
+                       rocksDbRowBytes: Long = 0): StateAdvice = {
     require(projectedRows >= 0 && stateRowBytes > 0)
     require(headroomFraction > 0 && headroomFraction <= 1)
     // local mode: spark.executor.memory is inert (the only heap is this
@@ -193,6 +216,18 @@ object EventStreams {
     val budget = (heap * headroomFraction).toLong * execs
     val projected = projectedRows * stateRowBytes
     val over = projected > budget
+    // the RocksDB side of the forecast is off-heap block/memtable usage
+    // (estimatedRocksDbRowBytes) — a different width than the on-heap
+    // projection; when the caller supplies it, the switch recommendation
+    // can say what the RocksDB footprint WILL be instead of implying the
+    // on-heap number carries over
+    val projectedRocks =
+      if (rocksDbRowBytes > 0) projectedRows * rocksDbRowBytes else 0L
+    val rocksNote =
+      if (projectedRocks > 0)
+        f" (RocksDB off-heap forecast: ${projectedRocks / 1e9}%.2f GB " +
+          "block/memtable usage)"
+      else ""
     val rec =
       if (!over)
         f"projected state ${projected / 1e9}%.2f GB fits the " +
@@ -203,14 +238,16 @@ object EventStreams {
         f"projected state ${projected / 1e9}%.2f GB EXCEEDS the " +
           f"${budget / 1e9}%.2f GB budget — switch " +
           "spark.sql.streaming.stateStore.providerClass to RocksDB " +
-          "(state off-heap; slower but completes where the default OOMs), " +
-          "or raise executor memory / shorten the watermark horizon"
+          "(state off-heap; slower but completes where the default OOMs)" +
+          rocksNote +
+          ", or raise executor memory / shorten the watermark horizon"
     val switched = over && autoSwitch
     if (switched)
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state" +
           ".RocksDBStateStoreProvider")
-    StateAdvice(projectedRows, projected, budget, over, switched, rec)
+    StateAdvice(projectedRows, projected, budget, over, switched, rec,
+      projectedRocks)
   }
 
   // --- custom state: per-user cumulative counters ---------------------------
