@@ -20,10 +20,23 @@ machine-labeled verdict table:
                    (the adjacent-query GC+cache pressure documented in
                    BENCH_NOTES r5-r8); no action.
 
-This is exactly the hand-run protocol from rounds 5-8 (isolated
-SPARK_GRAFT_ONLY min-of-3/4 reruns), mechanized. Exit code 1 when any
-CODE-REGRESSION or WALL-CONFIRMED verdict lands, 0 otherwise, so the
-round protocol can gate on it.
+With `--ab BASELINE_REF` a second phase runs: every confirmed suspect is
+re-measured under the BASELINE COMMIT's engine source (git checkout of
+src/main/scala, repackage, isolated rerun, tree restored under
+try/finally) — the interleaved same-window old/new A/B that rounds 5-9
+established as the only load-proof reading when isolation itself runs
+under host load (sustained external load inflates even isolated CPU
+~1.2-1.5x; both r9 sweeps measured it directly). A/B verdicts:
+
+  AB-SAME          the old commit reads the same (within the ratchet
+                   threshold) under current conditions — the regression
+                   is box state, demoted, no action.
+  AB-CONFIRMED     the new code still reads >20% AND >0.3 s over the old
+                   commit in the same window — real; bisect.
+
+This is exactly the hand-run protocol from rounds 5-8, mechanized. Exit
+1 when any AB-CONFIRMED (or, without --ab, CODE-REGRESSION /
+WALL-CONFIRMED) verdict lands, 0 otherwise, so the round can gate.
 
 Usage:
   python3 tools/adjudicate.py BASELINE.json NEW.json [options]
@@ -32,6 +45,7 @@ Usage:
     --sf DIR          data dir (default: the NEW sweep's "sf" field)
     --out FILE        verdict JSON (default ADJUDICATION.json)
     --max-suspects N  safety cap on reruns (default 60)
+    --ab REF          A/B-confirm suspects against this commit's engine
     --list-only       print the suspect lists and exit (no reruns)
     --no-package      skip the sbt package freshness step
 
@@ -107,6 +121,79 @@ def confirms(base, isolated):
     return isolated > base * 1.2 and isolated - base > 0.3
 
 
+def loadavg():
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return -1.0
+
+
+def ab_phase(rows, sf, repeat, cpus, ref):
+    """Re-measure every confirmed suspect under the baseline commit's
+    engine source — the load-proof reading. BRACKETED: a fresh new-tree
+    pass runs BEFORE and AFTER the old-tree pass (new = elementwise min
+    of the two brackets), so a load window that drifts across the phase
+    cannot manufacture a confirmation — the first A/B design compared
+    phase-1 readings (taken ~40 min earlier under different load)
+    against the old pass and mislabeled 10 box-state suspects as real.
+    The tree is restored (and repackaged) under try/finally: an
+    exception mid-phase must never leave the working tree on the old
+    commit."""
+    todo = [r for r in rows if r["verdict"] in
+            ("CODE-REGRESSION", "WALL-CONFIRMED", "AB-CONFIRMED")]
+    if not todo:
+        return
+    print(f"[adjudicate] A/B phase: {len(todo)} confirmed suspects vs "
+          f"{ref} (bracketed new/old/new passes, isolated each)")
+
+    def sweep_pass(label):
+        out = {}
+        for r in todo:
+            q = r["query"]
+            print(f"[adjudicate] A/B [{label}] {q}...", flush=True)
+            out[q] = run_isolated(q, sf, repeat, cpus)
+        return out
+
+    try:
+        newA = sweep_pass("new-1")
+        subprocess.run(["git", "checkout", ref, "--", "src/main/scala"],
+                       cwd=REPO, check=True)
+        ensure_jar()
+        old = sweep_pass(f"old {ref}")
+    finally:
+        subprocess.run(["git", "checkout", "HEAD", "--", "src/main/scala"],
+                       cwd=REPO, check=True)
+        ensure_jar()
+    newB = sweep_pass("new-2")
+
+    def pick(v, kind):
+        return (v[1] if kind == "cpu" else v[0]) if v and v[0] is not None \
+            else None
+    for r in todo:
+        q, kind = r["query"], r["suspect_kind"]
+        ow = pick(old.get(q), kind)
+        nws = [x for x in (pick(newA.get(q), kind), pick(newB.get(q), kind))
+               if x is not None]
+        r["ab_old_wall"], r["ab_old_cpu"] = old.get(q, (None, None))
+        r["ab_new_brackets"] = nws
+        if ow is None or not nws:
+            r["verdict"] = "RERUN-FAILED"
+            r["detail"] += "; A/B bracketed rerun failed"
+            continue
+        nw = min(nws)
+        if confirms(ow, nw):
+            r["verdict"] = "AB-CONFIRMED"
+            r["detail"] += (f"; A/B bracketed: old {ow:.2f}s vs new "
+                            f"min{tuple(round(x, 2) for x in nws)} "
+                            f"= {nw:.2f}s — real")
+        else:
+            r["verdict"] = "AB-SAME"
+            r["detail"] += (f"; A/B bracketed: old {ow:.2f}s vs new "
+                            f"min{tuple(round(x, 2) for x in nws)} "
+                            f"= {nw:.2f}s — box state, demoted")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("baseline")
@@ -116,6 +203,11 @@ def main():
     ap.add_argument("--sf", default=None)
     ap.add_argument("--out", default="ADJUDICATION.json")
     ap.add_argument("--max-suspects", type=int, default=60)
+    ap.add_argument("--ab", default=None, metavar="REF",
+                    help="A/B-confirm suspects against this commit")
+    ap.add_argument("--recheck", action="store_true",
+                    help="skip phase 1: load --out and re-run the A/B "
+                         "phase on its confirmed rows only")
     ap.add_argument("--list-only", action="store_true")
     ap.add_argument("--no-package", action="store_true")
     args = ap.parse_args()
@@ -123,6 +215,16 @@ def main():
     (bwall, bcpu), (nwall, ncpu) = load(args.baseline), load(args.new)
     with open(args.new) as f:
         sf = args.sf or json.load(f).get("sf", "/root/testdata/sf0.1")
+
+    if args.recheck:
+        if not args.ab:
+            sys.exit("--recheck needs --ab REF")
+        with open(args.out) as f:
+            rows = json.load(f)["verdicts"]
+        ab_phase(rows, sf, args.repeat, args.cpus, args.ab)
+        finish(args, sf, rows)
+        return
+
     common = sorted(set(bwall) & set(nwall))
     if not common:
         sys.exit("no common queries between the sweeps")
@@ -198,8 +300,15 @@ def main():
                           f"baseline {b:.2f}s — host-load/location artifact")
         rows.append({"query": q, "suspect_kind": kind, "baseline": b,
                      "sweep": n, "isolated_wall": iw, "isolated_cpu": ic,
+                     "loadavg": loadavg(),
                      "verdict": verdict, "detail": detail})
 
+    if args.ab:
+        ab_phase(rows, sf, args.repeat, args.cpus, args.ab)
+    finish(args, sf, rows)
+
+
+def finish(args, sf, rows):
     print(f"\n{'query':<34} {'kind':<5} {'base':>8} {'sweep':>8} "
           f"{'isolated':>9}  verdict")
     for r in rows:
@@ -211,11 +320,11 @@ def main():
               f"{r['verdict']}")
     bad = [r for r in rows
            if r["verdict"] in ("CODE-REGRESSION", "WALL-CONFIRMED",
-                               "RERUN-FAILED")]
+                               "AB-CONFIRMED", "RERUN-FAILED")]
     write_out(args.out, sf, args.repeat, rows)
-    print(f"\n[adjudicate] {len(rows)} adjudicated: "
-          f"{sum(r['verdict'] == 'SCATTER' for r in rows)} scatter, "
-          f"{len(bad)} needing action -> {args.out}")
+    clean = sum(r["verdict"] in ("SCATTER", "AB-SAME") for r in rows)
+    print(f"\n[adjudicate] {len(rows)} adjudicated: {clean} scatter/"
+          f"box-state, {len(bad)} needing action -> {args.out}")
     sys.exit(1 if bad else 0)
 
 
