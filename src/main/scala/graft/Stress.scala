@@ -718,7 +718,14 @@ object Stress {
         val actPerRow = stateBytes.toDouble / stateRows
         println(f"[stress] state advisor width check [$label]: projected " +
           f"$projPerRow%.0f B/row vs measured $actPerRow%.0f B/row " +
-          f"(${projPerRow / actPerRow}%.2fx)")
+          f"(${projPerRow / actPerRow}%.2fx)" +
+          (if (onRocks)
+            " — RocksDB memoryUsedBytes is an end-of-run block-cache+" +
+              "memtable snapshot that swings ~2x across same-config runs " +
+              "(286 B/row r8, 543 B/row r9); the forecast is order-of-" +
+              "magnitude, and the advisor's DECISION (does the default " +
+              "store fit the heap) never depends on this width"
+          else ""))
       }
     }
 

@@ -148,7 +148,12 @@ object EventStreams {
     * index/filter/memtable-entry overhead plus one serialized copy of key
     * and value each. Use THIS width when projecting or validating a
     * RocksDB-backed stream — judging RocksDB usage against the on-heap
-    * width reads as a phantom ~2.3x error.
+    * width reads as a phantom ~2.3x error. CAVEAT (round 9): the store's
+    * reported memoryUsedBytes is an end-of-run snapshot of block cache +
+    * memtable fill, and the SAME config read 543 B/row on a later run —
+    * ~2x run-to-run swing is inherent to the metric, so treat this
+    * forecast as order-of-magnitude (it only colors the switch
+    * recommendation; the advisor's fit decision uses the on-heap width).
     */
   def estimatedRocksDbRowBytes(schema: StructType,
                                avgStringBytes: Int = 24): Long = {
