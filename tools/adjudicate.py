@@ -81,9 +81,17 @@ def ensure_jar():
         sys.exit(f"packaged jar not found at {JAR}")
 
 
+LAUNCHER = "local"
+
+
 def run_isolated(query, sf, repeat, cpus):
-    """One Bench JVM timing exactly one query min-of-N; returns
-    (wall, cpu) or (None, None) on failure."""
+    """One Bench run timing exactly one query min-of-N; returns
+    (wall, cpu) or (None, None) on failure. LAUNCHER picks the mode:
+    'local' = one spark-submit local[cpus] JVM; 'standalone' = a
+    standalone_bench.sh invocation (own master + 2 executor JVMs) so
+    suspects from a STANDALONE sweep are adjudicated under the same
+    real-exchange path they were measured on — a local-mode rerun of a
+    cross-JVM reading compares different constants."""
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
         out = tf.name
     env = dict(os.environ,
@@ -93,11 +101,20 @@ def run_isolated(query, sf, repeat, cpus):
                SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_SHUFFLE=str(cpus),
                SPARK_GRAFT_BENCH_JSON=out)
-    r = subprocess.run(
-        [SPARK_SUBMIT, "--master", f"local[{cpus}]", "--driver-memory", "8g",
-         "--conf", "spark.ui.enabled=false", "--class", "graft.Bench", JAR],
-        env=env, cwd=REPO, stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT, text=True)
+    if LAUNCHER == "standalone":
+        r = subprocess.run(
+            ["bash", os.path.join(REPO, "tools", "standalone_bench.sh"),
+             sf, str(repeat), query],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+    else:
+        r = subprocess.run(
+            [SPARK_SUBMIT, "--master", f"local[{cpus}]",
+             "--driver-memory", "8g",
+             "--conf", "spark.ui.enabled=false",
+             "--class", "graft.Bench", JAR],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
     try:
         with open(out) as f:
             d = json.load(f)
@@ -205,6 +222,11 @@ def main():
     ap.add_argument("--max-suspects", type=int, default=60)
     ap.add_argument("--ab", default=None, metavar="REF",
                     help="A/B-confirm suspects against this commit")
+    ap.add_argument("--launcher", choices=["local", "standalone"],
+                    default="local",
+                    help="rerun mode — match the MODE the sweeps were "
+                         "measured in (standalone suspects need the "
+                         "real-exchange path)")
     ap.add_argument("--recheck", action="store_true",
                     help="skip phase 1: load --out and re-run the A/B "
                          "phase on its confirmed rows only")
@@ -212,6 +234,8 @@ def main():
     ap.add_argument("--no-package", action="store_true")
     args = ap.parse_args()
 
+    global LAUNCHER
+    LAUNCHER = args.launcher
     (bwall, bcpu), (nwall, ncpu) = load(args.baseline), load(args.new)
     with open(args.new) as f:
         sf = args.sf or json.load(f).get("sf", "/root/testdata/sf0.1")
