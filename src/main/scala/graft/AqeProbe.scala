@@ -15,8 +15,14 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   *   - adaptive: the FINAL executed plan's join picks after running with
   *     AQE ON (the engine default), i.e. what the runtime statistics
   *     chose;
-  *   - re-planned: whether the two disagree (AQE replaced a static pick)
-  *     — plus the executor CPU of the adaptive run.
+  *   - re-planned: whether the two MULTISETS disagree — a plan-SHAPE
+  *     diff, not yet proof of a strategy conversion: adaptive execution
+  *     INSTANTIATES subtrees the static render serves via reuse, so the
+  *     node count can change with every join keeping its strategy
+  *     (q451 at f30 does exactly this — same SMJ/BHJ on the same keys,
+  *     5 nodes vs 3). On a `replanned=true`, run with
+  *     GRAFT_AQE_EXPLAIN=1 and attribute the diff in the dumped plans
+  *     before claiming AQE converted anything.
   *
   * Run it twice per the verdict protocol: under local[16] and under
   * spark-submit against the 2-executor standalone master (GraftSession
@@ -91,6 +97,21 @@ object AqeProbe {
       println(s"[aqe-probe] $name static=${staticJoins.mkString("+")} " +
         s"final=${finalJoins.mkString("+")} replanned=$replanned " +
         f"cpu=$cpu%.2f")
+      // GRAFT_AQE_EXPLAIN=1: dump both physical plans so a re-planned
+      // multiset diff can be attributed to the exact join (adaptive
+      // subquery instantiation can also change the node count — the
+      // diff alone doesn't say which join AQE converted)
+      if (sys.env.get("GRAFT_AQE_EXPLAIN").contains("1")) {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        println(s"===== $name STATIC PLAN =====\n" +
+          fn(spark, sfDir).queryExecution.executedPlan.toString.take(12000))
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        val df2 = fn(spark, sfDir)
+        df2.write.format("noop").mode("overwrite").save()
+        println(s"===== $name ADAPTIVE FINAL PLAN =====\n" +
+          df2.queryExecution.executedPlan.toString.take(12000))
+        spark.catalog.clearCache()
+      }
     }
     spark.stop()
   }
