@@ -1,0 +1,275 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.EntryShared.{docsWithNearDups, events}
+import graft.functions.{TextFunctions => TF}
+import graft.llm.Dedup
+
+/** Round-9 optimization decomposition probe (guide §1: measure first).
+  *
+  * Times labeled sub-stages of the bench's heaviest CPU families through the
+  * noop sink so the per-stage cost structure is measured, not inferred from
+  * whole-query numbers. Wall + executor CPU per stage, min-of-N.
+  *
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.OptProbe /root/testdata/sf0.1 pairs,cc"
+  *
+  * Cases: pairs (n-gram Jaccard kernel stage ladder + volumes), cc
+  * (pair-gen vs connected-components split), hits (edge build vs HITS
+  * rounds), assoc (basket dedup vs a-priori pair join).
+  */
+object OptProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val which: Set[String] =
+      if (args.length > 1) args(1).split(",").toSet
+      else Set("pairs", "cc", "hits", "assoc")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
+    val spark = GraftSession.builder(s"local[$cpus]", "graft-optprobe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val meter = new org.apache.spark.graft.BenchMetrics(spark.sparkContext)
+
+    def timePlan(label: String)(mk: => DataFrame): Unit = {
+      val c0 = meter.cpuSeconds()
+      val t0 = System.nanoTime()
+      val df = mk
+      df.write.format("noop").mode("overwrite").save()
+      val w = (System.nanoTime() - t0) / 1e9
+      val c = meter.cpuSeconds() - c0
+      println(f"[opt] $label%-34s wall $w%7.2f s  cpu $c%7.2f s  [executed plan follows]")
+      println(df.queryExecution.executedPlan.toString.take(20000))
+      spark.catalog.clearCache()
+    }
+
+    def time(label: String)(mk: => DataFrame): Unit = {
+      val times = (1 to repeat).map { _ =>
+        val c0 = meter.cpuSeconds()
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        val w = (System.nanoTime() - t0) / 1e9
+        val c = meter.cpuSeconds() - c0
+        spark.catalog.clearCache()
+        (w, c)
+      }
+      println(f"[opt] $label%-34s wall ${times.map(_._1).min}%7.2f s  cpu ${times.map(_._2).min}%7.2f s")
+    }
+
+    // ---- the shared n-gram Jaccard kernel, stage by stage ----
+    def posting(s: SparkSession) = docsWithNearDups(s, sfDir)
+      .select(col("doc_id").as("__id"),
+        explode(array_distinct(
+          graft.expressions.TextExpressions.ngramHashes(
+            TF.normTokens(col("text")), 3))).as("__g"))
+
+    if (which("pairs")) {
+      val corpus = docsWithNearDups(spark, sfDir)
+      println(s"[opt] corpus rows = ${corpus.count()}")
+      time("pairs/1 posting explode")(posting(spark))
+      val p = posting(spark).persist()
+      println(s"[opt] posting rows = ${p.count()}")
+      val rare = p.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df").between(2, 400))
+      println(s"[opt] rare grams = ${rare.count()}")
+      val rp = p.join(rare, Seq("__g")).persist()
+      println(s"[opt] rare-posting rows = ${rp.count()}")
+      val cand = rp.select(col("__g"), col("__id").as("idA"))
+        .join(rp.select(col("__g"), col("__id").as("idB")), Seq("__g"))
+        .filter(col("idA") < col("idB"))
+      println(s"[opt] candidate pair occurrences C = ${cand.count()}")
+      val inter = cand.groupBy(col("idA"), col("idB"))
+        .agg(count(lit(1)).as("__inter"))
+      println(s"[opt] distinct candidate pairs = ${inter.count()}")
+      time("pairs/2 self-join+count (cached rp)")(inter)
+      p.unpersist(); rp.unpersist()
+      time("pairs/3 full kernel")(
+        Dedup.ngramJaccardPairs(docsWithNearDups(spark, sfDir), "text",
+          "doc_id", n = 3, threshold = 0.3, maxShingleFreq = 400))
+    }
+
+    // Interleaved A/B/N: run all variants back-to-back per round so the
+    // box's ~20-min load cycle hits every variant equally (round-9 lesson:
+    // non-bracketed readings across windows mislabel 1.5x swings as code).
+    def compare(rounds: Int)(variants: (String, () => DataFrame)*): Unit = {
+      val acc = scala.collection.mutable.Map.empty[String, List[(Double, Double)]]
+      for (r <- 1 to rounds; (label, mk) <- variants) {
+        val load = scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
+        val c0 = meter.cpuSeconds()
+        val t0 = System.nanoTime()
+        mk().write.format("noop").mode("overwrite").save()
+        val w = (System.nanoTime() - t0) / 1e9
+        val c = meter.cpuSeconds() - c0
+        spark.catalog.clearCache()
+        acc(label) = acc.getOrElse(label, Nil) :+ (w, c)
+        println(f"[opt]   round $r $label%-28s wall $w%7.2f  cpu $c%7.2f  load1m $load")
+      }
+      for ((label, _) <- variants) {
+        val xs = acc(label)
+        println(f"[opt] MIN $label%-30s wall ${xs.map(_._1).min}%7.2f s  cpu ${xs.map(_._2).min}%7.2f s")
+      }
+    }
+
+    if (which("ab1")) {
+      def kernelFull = () =>
+        Dedup.ngramJaccardPairs(docsWithNearDups(spark, sfDir), "text",
+          "doc_id", n = 3, threshold = 0.3, maxShingleFreq = 400)
+      def kernelIds = () => kernelFull().select(col("idA"), col("idB"))
+      def kernel2 = () => {
+        val posting0 = posting(spark)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rare = posting0.groupBy(col("__g"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df").between(2, 400))
+        val rp = posting0.join(rare.select(col("__g")), Seq("__g"))
+        val rpz = rp.withColumn("__sz",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__id"))))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rpz.select(col("__g"), col("__id").as("idA"), col("__sz").as("__szA"))
+          .join(rpz.select(col("__g"), col("__id").as("idB"),
+            col("__sz").as("__szB")), Seq("__g"))
+          .filter(col("idA") < col("idB"))
+          .groupBy(col("idA"), col("idB"))
+          .agg(count(lit(1)).as("__inter"), min(col("__szA")).as("__szA"),
+            min(col("__szB")).as("__szB"))
+          .withColumn("jaccard", col("__inter").cast("double") /
+            (col("__szA") + col("__szB") - col("__inter")).cast("double"))
+          .filter(col("jaccard") >= 0.3)
+          .select(col("idA"), col("idB"), col("jaccard"))
+      }
+      compare(3)(
+        "kernel-current" -> kernelFull,
+        "kernel-ids-only" -> kernelIds,
+        "kernel-carried-sz" -> kernel2)
+    }
+
+    if (which("ab2")) {
+      def pairs = () =>
+        Dedup.ngramJaccardPairs(docsWithNearDups(spark, sfDir), "text",
+          "doc_id", n = 3, threshold = 0.3, maxShingleFreq = 400)
+          .select(col("idA"), col("idB"))
+      compare(3)(
+        "cc-as-q65" -> (() => Dedup.connectedComponents(pairs())),
+        "cc-ckpt-pairs" -> (() =>
+          Dedup.connectedComponents(pairs().localCheckpoint(true))))
+    }
+
+    if (which("counts")) {
+      val pairs = Dedup.ngramJaccardPairs(docsWithNearDups(spark, sfDir),
+          "text", "doc_id", n = 3, threshold = 0.3, maxShingleFreq = 400)
+        .select(col("idA"), col("idB")).localCheckpoint(true)
+      println(s"[opt] kernel output pairs P = ${pairs.count()}")
+      val edges = pairs.select(col("idA").as("src"), col("idB").as("dst"))
+        .union(pairs.select(col("idB").as("src"), col("idA").as("dst")))
+        .distinct().localCheckpoint(true)
+      println(s"[opt] symmetric distinct edges = ${edges.count()}")
+      println(s"[opt] nodes = ${edges.select(col("src")).distinct().count()}")
+      val (labels, iters) = Dedup.connectedComponentsWithStats(pairs)
+      println(s"[opt] cc rounds = $iters, labeled nodes = ${labels.count()}")
+      println(s"[opt] components = ${labels.select(col("component")).distinct().count()}")
+    }
+
+    if (which("plans")) {
+      timePlan("plans/full kernel")(
+        Dedup.ngramJaccardPairs(docsWithNearDups(spark, sfDir), "text",
+          "doc_id", n = 3, threshold = 0.3, maxShingleFreq = 400))
+      timePlan("plans/kernel ids only")(
+        Dedup.ngramJaccardPairs(docsWithNearDups(spark, sfDir), "text",
+          "doc_id", n = 3, threshold = 0.3, maxShingleFreq = 400)
+          .select(col("idA"), col("idB")))
+    }
+
+    if (which("pairs2")) {
+      // carried-sizes variant: attach each doc's rare-gram count to the
+      // posting rows BEFORE the self-join, so no post-aggregation joins
+      // are needed — the jaccard inputs are identical integers.
+      def kernel2 = {
+        val posting0 = posting(spark)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rare = posting0.groupBy(col("__g"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df").between(2, 400))
+        val rp = posting0.join(rare.select(col("__g")), Seq("__g"))
+        val rpz = rp.withColumn("__sz",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__id"))))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rpz.select(col("__g"), col("__id").as("idA"), col("__sz").as("__szA"))
+          .join(rpz.select(col("__g"), col("__id").as("idB"),
+            col("__sz").as("__szB")), Seq("__g"))
+          .filter(col("idA") < col("idB"))
+          .groupBy(col("idA"), col("idB"))
+          .agg(count(lit(1)).as("__inter"), min(col("__szA")).as("__szA"),
+            min(col("__szB")).as("__szB"))
+          .withColumn("jaccard", col("__inter").cast("double") /
+            (col("__szA") + col("__szB") - col("__inter")).cast("double"))
+          .filter(col("jaccard") >= 0.3)
+          .select(col("idA"), col("idB"), col("jaccard"))
+      }
+      time("pairs2/carried sizes full")(kernel2)
+      time("pairs2/current kernel again")(
+        Dedup.ngramJaccardPairs(docsWithNearDups(spark, sfDir), "text",
+          "doc_id", n = 3, threshold = 0.3, maxShingleFreq = 400))
+    }
+
+    if (which("cc")) {
+      def pairs = Dedup.ngramJaccardPairs(docsWithNearDups(spark, sfDir),
+          "text", "doc_id", n = 3, threshold = 0.3, maxShingleFreq = 400)
+        .select(col("idA"), col("idB"))
+      time("cc/1 pairs only")(pairs)
+      time("cc/2 cc on checkpointed pairs") {
+        Dedup.connectedComponents(pairs.localCheckpoint(true))
+      }
+      time("cc/3 cc as q65 runs it")(Dedup.connectedComponents(pairs))
+    }
+
+    if (which("hits")) {
+      import org.apache.spark.sql.expressions.Window
+      def edges = {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        events(spark, sfDir)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            get_json_object(col("props"), "$.k").cast("long").as("item"))
+          .withColumn("src", lag(col("item"), 1).over(byUser))
+          .filter(col("src").isNotNull && col("src") =!= col("item"))
+          .select(col("src"), col("item").as("dst"))
+      }
+      time("hits/1 edges only")(edges)
+      println(s"[opt] distinct edges = ${edges.distinct().count()}")
+      time("hits/2 hits(2 rounds)")(graft.ops.Graph.hits(edges, nIter = 2))
+    }
+
+    if (which("assoc")) {
+      def baskets = events(spark, sfDir)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+      time("assoc/1 basket dedup") {
+        baskets.filter(col("item").isNotNull).distinct()
+      }
+      val b = baskets.filter(col("item").isNotNull).distinct().persist()
+      println(s"[opt] distinct (basket,item) rows = ${b.count()}")
+      val n = b.agg(countDistinct(col("basket")).as("n_baskets"))
+      val freq = b.groupBy(col("item")).agg(count(lit(1)).as("c_item"))
+        .crossJoin(broadcast(n))
+        .filter(col("c_item") >= ceil(lit(0.2) * col("n_baskets")))
+        .select(col("item"), col("c_item"))
+      println(s"[opt] frequent items = ${freq.count()}")
+      val fb = b.join(freq.select(col("item")), Seq("item"))
+      val cand = fb.select(col("basket"), col("item").as("a"))
+        .join(fb.select(col("basket"), col("item").as("b")), Seq("basket"))
+        .filter(col("a") < col("b"))
+      println(s"[opt] candidate pair occurrences = ${cand.count()}")
+      time("assoc/2 pair join (cached b)") {
+        cand.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_pair"))
+      }
+      b.unpersist()
+      time("assoc/3 full pairRules")(
+        graft.ops.Association.pairRules(baskets, "user_id", "item", 0.2))
+    }
+
+    spark.stop()
+  }
+}

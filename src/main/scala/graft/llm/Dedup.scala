@@ -278,9 +278,17 @@ object Dedup {
       if (reliableCheckpoints) df.checkpoint(true) else df.localCheckpoint(true)
     val idA = pairs.columns(0)
     val idB = pairs.columns(1)
-    // undirected edge list, both directions
-    val edges = ckpt(pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // undirected edge list, both directions — ONE pass over `pairs` via
+    // explode, never `pairs.union(pairs.swapped)`: the upstream pair
+    // generator is typically an expensive candidate join (n-gram/minhash),
+    // and a two-branch union re-executes its post-exchange stages once per
+    // branch (measured r9: q65 = 52.9 CPU-s vs 18.5 for one kernel pass;
+    // the explode form makes the generator subtree appear exactly once)
+    val edges = ckpt(pairs
+      .select(explode(array(
+        struct(col(idA).as("src"), col(idB).as("dst")),
+        struct(col(idB).as("src"), col(idA).as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct())
     var labels = ckpt(edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component")))

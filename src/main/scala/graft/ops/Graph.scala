@@ -49,11 +49,14 @@ object Graph {
     def ckpt(df: DataFrame): DataFrame =
       if (reliableCheckpoints) df.checkpoint(true) else df.localCheckpoint(true)
 
-    val e = edges.select(col(edges.columns(0)).as("src"),
+    // materialized once: the edge list feeds nodes/out-weights/contrib/
+    // degree passes (6 consumers) — an unpersisted caller DAG would
+    // re-execute per consumer
+    val e = ckpt(edges.select(col(edges.columns(0)).as("src"),
       col(edges.columns(1)).as("dst"),
-      col(edges.columns(2)).cast("double").as("w"))
+      col(edges.columns(2)).cast("double").as("w")))
     val nodes = ckpt(
-      e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+      e.select(explode(array(col("src"), col("dst"))).as("node"))
         .distinct())
     // out-weight once, contributions as edge fractions: the loop never
     // touches raw weights again
@@ -125,8 +128,14 @@ object Graph {
       if (reliableCheckpoints) df.checkpoint(true) else df.localCheckpoint(true)
     val a = pairs.columns(0)
     val b = pairs.columns(1)
-    val edges = ckpt(pairs.select(col(a).as("src"), col(b).as("dst"))
-      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+    // explode-symmetrized: one pass over the (possibly expensive) pair
+    // generator instead of a two-branch union re-executing it — see
+    // Dedup.connectedComponentsWithStats
+    val edges = ckpt(pairs
+      .select(explode(array(
+        struct(col(a).as("src"), col(b).as("dst")),
+        struct(col(b).as("src"), col(a).as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct())
     var labels = ckpt(seeds
       .select(col(seeds.columns(0)).as("id"),
@@ -320,7 +329,12 @@ object Graph {
     val e = edges
       .select(col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
       .filter(col("src") =!= col("dst"))
-    val sym = ckpt(e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // explode-symmetrized single pass (see connectedComponentsWithStats)
+    val sym = ckpt(e
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct())
     val srcId = sym.agg(min(col("src")).as("s"))
     var dist = ckpt(sym.select(col("src").as("node")).distinct()
