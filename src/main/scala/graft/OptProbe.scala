@@ -156,6 +156,84 @@ object OptProbe {
           Dedup.connectedComponents(pairs().localCheckpoint(true))))
     }
 
+    if (which("q122")) {
+      import graft.ops.Sampling
+      def corpus = docsWithNearDups(spark, sfDir)
+      def pairs = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+          n = 3, threshold = 0.3, maxShingleFreq = 400)
+        .select(col("idA"), col("idB"))
+      def split = Dedup.splitByCluster(corpus, "doc_id", pairs,
+        Seq(80, 10, 10), labelCol = Some("cluster"))
+      compare(3)(
+        "q122/a cc only" -> (() => Dedup.connectedComponents(pairs)),
+        "q122/b splitByCluster" -> (() => split),
+        "q122/c full q122" -> (() => {
+          val naive = Sampling.splitByKey(
+            split.select(col("doc_id"), col("split"), col("cluster")),
+            "doc_id", Seq(80, 10, 10), outCol = "naive_split")
+          naive.groupBy(col("split"))
+            .agg(count(lit(1)).as("n_docs"),
+              countDistinct(col("cluster")).as("n_clusters"),
+              sum(when(col("naive_split") =!= col("split"), 1L).otherwise(0L))
+                .as("n_moved_vs_naive"))
+        }))
+    }
+
+    if (which("ccsynth")) {
+      // CC loop cost with a FREE edge generator: 12k synthetic pairs in
+      // ~4.7k star clusters (the q65 shape), checkpointed so the loop's
+      // own cost is the only thing timed.
+      def synth = spark.range(12000)
+        .select((col("id") % 4700L).as("idA"), (col("id") + 20000L).as("idB"))
+        .localCheckpoint(true)
+      compare(3)(
+        "ccsynth/loop only" -> (() => Dedup.connectedComponents(synth)),
+        "ccsynth/edges job only" -> (() => synth))
+    }
+
+    if (which("assoc2")) {
+      def baskets = events(spark, sfDir)
+        .select(col("user_id").as("basket"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+      def stages(stop: String): DataFrame = {
+        val b = baskets.filter(col("item").isNotNull).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = b.agg(countDistinct(col("basket")).as("n_baskets"))
+        val freq = b.groupBy(col("item")).agg(count(lit(1)).as("c_item"))
+          .crossJoin(broadcast(n))
+          .filter(col("c_item") >= ceil(lit(0.2) * col("n_baskets")))
+          .select(col("item"), col("c_item"))
+        if (stop == "freq") return freq
+        val fb = b.join(freq.select(col("item")), Seq("item"))
+        val pairs = fb.select(col("basket"), col("item").as("a"))
+          .join(fb.select(col("basket"), col("item").as("b")), Seq("basket"))
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_pair"))
+          .crossJoin(broadcast(n))
+          .filter(col("c_pair") >= ceil(lit(0.2) * col("n_baskets")))
+        if (stop == "pairs") return pairs
+        val both = pairs
+          .select(col("a").as("antecedent"), col("b").as("consequent"),
+            col("c_pair"), col("n_baskets"))
+          .unionAll(pairs.select(col("b").as("antecedent"),
+            col("a").as("consequent"), col("c_pair"), col("n_baskets")))
+        if (stop == "both") return both
+        both
+          .join(freq.select(col("item").as("antecedent"),
+            col("c_item").as("c_ante")), Seq("antecedent"))
+          .join(freq.select(col("item").as("consequent"),
+            col("c_item").as("c_cons")), Seq("consequent"))
+          .select(col("antecedent"), col("consequent"), col("c_pair"),
+            round(col("c_pair").cast("double") / col("n_baskets"), 6)
+              .as("support"))
+      }
+      compare(3)(
+        "assoc2/freq" -> (() => stages("freq")),
+        "assoc2/pairs" -> (() => stages("pairs")),
+        "assoc2/both" -> (() => stages("both")),
+        "assoc2/full" -> (() => stages("full")))
+    }
+
     if (which("counts")) {
       val pairs = Dedup.ngramJaccardPairs(docsWithNearDups(spark, sfDir),
           "text", "doc_id", n = 3, threshold = 0.3, maxShingleFreq = 400)
@@ -244,7 +322,7 @@ object OptProbe {
 
     if (which("assoc")) {
       def baskets = events(spark, sfDir)
-        .select(col("user_id"),
+        .select(col("user_id").as("basket"),
           get_json_object(col("props"), "$.k").cast("long").as("item"))
       time("assoc/1 basket dedup") {
         baskets.filter(col("item").isNotNull).distinct()
@@ -267,7 +345,7 @@ object OptProbe {
       }
       b.unpersist()
       time("assoc/3 full pairRules")(
-        graft.ops.Association.pairRules(baskets, "user_id", "item", 0.2))
+        graft.ops.Association.pairRules(baskets, "basket", "item", 0.2))
     }
 
     spark.stop()
