@@ -320,6 +320,230 @@ object OptProbe {
       time("hits/2 hits(2 rounds)")(graft.ops.Graph.hits(edges, nIter = 2))
     }
 
+    if (which("hits2")) {
+      // Sparse-state HITS variant: (a) zero-score nodes add exactly 0.0 to
+      // every downstream sum, so the per-half-round `nodes leftjoin` zero-fill
+      // can move to the END of the loop; (b) checkpoint the RAW half-round
+      // aggregate and derive both the norm and the normalized frame from the
+      // checkpointed rows, so the join+agg subtree executes once per
+      // half-round instead of twice (norm pass + output pass).
+      import org.apache.spark.sql.expressions.Window
+      def edges = {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        events(spark, sfDir)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            get_json_object(col("props"), "$.k").cast("long").as("item"))
+          .withColumn("src", lag(col("item"), 1).over(byUser))
+          .filter(col("src").isNotNull && col("src") =!= col("item"))
+          .select(col("src"), col("item").as("dst"))
+      }
+      def hitsSparse(nIter: Int): DataFrame = {
+        def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
+        val e = ckpt(edges.select(col("src"), col("dst"))
+          .filter(col("src").isNotNull && col("dst").isNotNull).distinct())
+        val nodes = e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct()
+        def norm(df: DataFrame, c: String): DataFrame = {
+          val n = df.agg(sqrt(sum(col(c) * col(c))).as("__n"))
+          df.crossJoin(broadcast(n))
+            .select(col("node"), (col(c) / col("__n")).as(c))
+        }
+        var hub = e.select(col("src").as("node")).distinct()
+          .select(col("node"), lit(1.0).as("hub"))
+        var auth: DataFrame = null
+        for (_ <- 1 to nIter) {
+          val authRaw = ckpt(
+            e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+              .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("auth")))
+          auth = norm(authRaw, "auth")
+          val hubRaw = ckpt(
+            e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+              .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hub")))
+          hub = norm(hubRaw, "hub")
+        }
+        nodes.join(auth, Seq("node"), "left").join(hub, Seq("node"), "left")
+          .select(col("node"), coalesce(col("auth"), lit(0.0)).as("auth"),
+            coalesce(col("hub"), lit(0.0)).as("hub"))
+      }
+      compare(3)(
+        "hits2/current" -> (() => graft.ops.Graph.hits(edges, nIter = 2)),
+        "hits2/sparse" -> (() => hitsSparse(2)))
+    }
+
+    if (which("q210ab")) {
+      def baskets0 = {
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val pt = spark.read.parquet(s"$sfDir/part.parquet")
+          .select(col("p_partkey"), col("p_brand"))
+        li.join(pt, col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+          .distinct()
+      }
+      def q210(materialize: String): DataFrame = {
+        val baskets = materialize match {
+          case "persist" => baskets0.persist()
+          case "ckpt"    => baskets0.localCheckpoint(true)
+          case _         => baskets0
+        }
+        val nOrders = baskets.agg(
+          countDistinct(col("ok")).cast("double").as("n_orders"))
+        val brandN = baskets.groupBy(col("b")).agg(count(lit(1)).as("n"))
+        val pairs = baskets.as("x")
+          .join(baskets.as("y"), col("x.ok") === col("y.ok") &&
+            col("x.b") < col("y.b"))
+          .groupBy(col("x.b").as("b1"), col("y.b").as("b2"))
+          .agg(count(lit(1)).as("n_ab"))
+        pairs
+          .join(broadcast(brandN.select(col("b").as("b1"), col("n").as("n_a"))), "b1")
+          .join(broadcast(brandN.select(col("b").as("b2"), col("n").as("n_b"))), "b2")
+          .crossJoin(broadcast(nOrders))
+          .select(col("b1"), col("b2"), col("n_ab"),
+            round(col("n_ab").cast("double") * col("n_orders") /
+              (col("n_a").cast("double") * col("n_b").cast("double")), 4)
+              .as("lift"))
+          .orderBy(col("n_ab").desc, col("b1"), col("b2"))
+          .limit(20)
+      }
+      compare(3)(
+        "q210/persist (current)" -> (() => q210("persist")),
+        "q210/ckpt" -> (() => q210("ckpt")),
+        "q210/none (reuse)" -> (() => q210("none")))
+    }
+
+    if (which("packab")) {
+      // Packed pair key: doc ids here are < 2^31 (base ids + 100000 offset),
+      // so (idA, idB) packs exactly into one long — halves the hash-agg key
+      // width on the kernel's dominant 4-5M-group aggregate.
+      def kernelPacked = () => {
+        val posting0 = posting(spark)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rare = posting0.groupBy(col("__g"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df").between(2, 400))
+        val rp = posting0.join(rare.select(col("__g")), Seq("__g"))
+        val sizes = rp.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
+        val inter = rp.select(col("__g"), col("__id").as("idA"))
+          .join(rp.select(col("__g"), col("__id").as("idB")), Seq("__g"))
+          .filter(col("idA") < col("idB"))
+          .select((shiftleft(col("idA"), 32) + col("idB")).as("__pk"))
+          .groupBy(col("__pk"))
+          .agg(count(lit(1)).as("__inter"))
+          .select(shiftright(col("__pk"), 32).as("idA"),
+            col("__pk").bitwiseAND(lit(0xFFFFFFFFL)).as("idB"),
+            col("__inter"))
+        inter
+          .join(sizes.select(col("__id").as("idA"), col("__sz").as("__szA")), Seq("idA"))
+          .join(sizes.select(col("__id").as("idB"), col("__sz").as("__szB")), Seq("idB"))
+          .withColumn("jaccard", col("__inter").cast("double") /
+            (col("__szA") + col("__szB") - col("__inter")).cast("double"))
+          .filter(col("jaccard") >= 0.3)
+          .select(col("idA"), col("idB"), col("jaccard"))
+      }
+      def kernelCurrent = () =>
+        Dedup.ngramJaccardPairs(docsWithNearDups(spark, sfDir), "text",
+          "doc_id", n = 3, threshold = 0.3, maxShingleFreq = 400)
+      compare(3)(
+        "pack/current" -> kernelCurrent,
+        "pack/packed-key" -> kernelPacked)
+    }
+
+    if (which("kab")) {
+      // Decompose the packab win: persist->localCheckpoint materialization
+      // vs the packed pair key, separately.
+      def kernelVariant(mat: String, packed: Boolean) = () => {
+        def m(df: DataFrame): DataFrame = mat match {
+          case "persist" =>
+            df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          case "ckpt" => df.localCheckpoint(true)
+          case _      => df
+        }
+        val posting0 = m(posting(spark))
+        val rare = posting0.groupBy(col("__g"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df").between(2, 400))
+        val rp = m(posting0.join(rare.select(col("__g")), Seq("__g")))
+        val sizes = rp.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
+        val inter =
+          if (packed)
+            rp.select(col("__g"), col("__id").as("idA"))
+              .join(rp.select(col("__g"), col("__id").as("idB")), Seq("__g"))
+              .filter(col("idA") < col("idB"))
+              .select((shiftleft(col("idA"), 32) + col("idB")).as("__pk"))
+              .groupBy(col("__pk")).agg(count(lit(1)).as("__inter"))
+              .select(shiftright(col("__pk"), 32).as("idA"),
+                col("__pk").bitwiseAND(lit(0xFFFFFFFFL)).as("idB"),
+                col("__inter"))
+          else
+            rp.select(col("__g"), col("__id").as("idA"))
+              .join(rp.select(col("__g"), col("__id").as("idB")), Seq("__g"))
+              .filter(col("idA") < col("idB"))
+              .groupBy(col("idA"), col("idB")).agg(count(lit(1)).as("__inter"))
+        inter
+          .join(sizes.select(col("__id").as("idA"), col("__sz").as("__szA")), Seq("idA"))
+          .join(sizes.select(col("__id").as("idB"), col("__sz").as("__szB")), Seq("idB"))
+          .withColumn("jaccard", col("__inter").cast("double") /
+            (col("__szA") + col("__szB") - col("__inter")).cast("double"))
+          .filter(col("jaccard") >= 0.3)
+          .select(col("idA"), col("idB"), col("jaccard"))
+      }
+      compare(3)(
+        "kab/persist (current)" -> kernelVariant("persist", packed = false),
+        "kab/ckpt" -> kernelVariant("ckpt", packed = false),
+        "kab/ckpt+packed" -> kernelVariant("ckpt", packed = true),
+        "kab/none (reuse)" -> kernelVariant("none", packed = false))
+    }
+
+    if (which("assoc3")) {
+      def baskets = events(spark, sfDir)
+        .select(col("user_id").as("basket"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+      def rules(mat: String) = () => {
+        val b0 = baskets.filter(col("item").isNotNull).distinct()
+        val b = mat match {
+          case "persist" =>
+            b0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          case _ => b0.localCheckpoint(true)
+        }
+        val n = b.agg(countDistinct(col("basket")).as("n_baskets"))
+        val freq = b.groupBy(col("item")).agg(count(lit(1)).as("c_item"))
+          .crossJoin(broadcast(n))
+          .filter(col("c_item") >= ceil(lit(0.2) * col("n_baskets")))
+          .select(col("item"), col("c_item"))
+        val fb = b.join(freq.select(col("item")), Seq("item"))
+        val pairs = fb.select(col("basket"), col("item").as("a"))
+          .join(fb.select(col("basket"), col("item").as("b")), Seq("basket"))
+          .filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_pair"))
+          .crossJoin(broadcast(n))
+          .filter(col("c_pair") >= ceil(lit(0.2) * col("n_baskets")))
+        val both = pairs
+          .select(explode(array(
+            struct(col("a").as("antecedent"), col("b").as("consequent"),
+              col("c_pair"), col("n_baskets")),
+            struct(col("b").as("antecedent"), col("a").as("consequent"),
+              col("c_pair"), col("n_baskets")))).as("__r"))
+          .select(col("__r.antecedent").as("antecedent"),
+            col("__r.consequent").as("consequent"),
+            col("__r.c_pair").as("c_pair"), col("__r.n_baskets").as("n_baskets"))
+        both
+          .join(freq.select(col("item").as("antecedent"),
+            col("c_item").as("c_ante")), Seq("antecedent"))
+          .join(freq.select(col("item").as("consequent"),
+            col("c_item").as("c_cons")), Seq("consequent"))
+          .select(col("antecedent"), col("consequent"), col("c_pair"),
+            round(col("c_pair").cast("double") / col("n_baskets"), 6)
+              .as("support"),
+            round(col("c_pair").cast("double") / col("c_ante"), 6)
+              .as("confidence"),
+            round(col("n_baskets").cast("double") * col("c_pair") /
+              (col("c_ante").cast("double") * col("c_cons")), 6).as("lift"))
+      }
+      compare(3)(
+        "assoc3/persist (current)" -> rules("persist"),
+        "assoc3/ckpt" -> rules("ckpt"))
+    }
+
     if (which("assoc")) {
       def baskets = events(spark, sfDir)
         .select(col("user_id").as("basket"),

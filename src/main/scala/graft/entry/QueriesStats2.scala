@@ -275,7 +275,7 @@ private[graft] object QueriesStats2 {
       val p = s.conf.get("spark.sql.shuffle.partitions").toInt
       val ranged = ev.repartitionByRange(p, col("id"))
         .withColumn("__pid", spark_partition_id())
-        .persist()
+        .localCheckpoint(true)
       val offs = ranged.groupBy(col("__pid"))
         .agg(max(col("tsu")).as("pmax"))
       val wOff = Window.orderBy(col("__pid"))
@@ -891,7 +891,7 @@ private[graft] object QueriesStats2 {
       val p = s.conf.get("spark.sql.shuffle.partitions").toInt
       val ranged = grp.repartitionByRange(p, col("price"))
         .withColumn("__pid", spark_partition_id())
-        .persist()
+        .localCheckpoint(true)
       val offs = ranged.groupBy(col("__pid"))
         .agg(max(col("gmax")).as("pmax"))
       val wOff = Window.orderBy(col("__pid"))
@@ -1698,7 +1698,7 @@ private[graft] object QueriesStats2 {
           (col("t1") - (col("cum1") - col("c1"))).cast("double").as("n1"),
           col("d0").cast("double").as("d0"),
           col("d1").cast("double").as("d1"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       var beta = s.range(1).select(lit(0.0).as("b"))
       for (it <- 1 to 3) {
         val j = evt.crossJoin(broadcast(beta))
@@ -1721,7 +1721,6 @@ private[graft] object QueriesStats2 {
         round(exp(col("b")), 6).as("hazard_ratio"),
         round(lit(1.0) / sqrt(col("i_")), 6).as("se"),
         round(col("b") * sqrt(col("i_")), 6).as("z"))
-      evt.unpersist()
       out
     }),
 
@@ -1942,7 +1941,7 @@ private[graft] object QueriesStats2 {
               (col("a.y") - col("b.y")) * (col("a.y") - col("b.y"))
               <= lit(eps * eps))
         .select(col("a.sk").as("pa"), col("b.sk").as("pb"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val core = pairs.groupBy(col("pa")).agg(count(lit(1)).as("nb"))
         .filter(col("nb") >= 3).select(col("pa").as("sk"))
       val coreEdges = pairs
@@ -1971,7 +1970,6 @@ private[graft] object QueriesStats2 {
           (col("n_points") - col("n_core") - col("n_border"))
             .as("n_noise"),
           col("n_clusters"), col("max_cluster"))
-      pairs.unpersist()
       out
     }),
 
@@ -2738,7 +2736,7 @@ private[graft] object QueriesStats2 {
         .select(col("vec_id"), col("embedding"),
           VF.cosine(col("embedding"), col("qemb")).as("rel"))
         .orderBy(col("rel").desc, col("vec_id")).limit(10)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       var selected = cands.orderBy((lit(0.7) * col("rel")).desc,
           col("vec_id")).limit(1)
         .select(col("vec_id"), col("embedding"), col("rel"),
@@ -2766,7 +2764,6 @@ private[graft] object QueriesStats2 {
           round(col("maxsim"), 6).as("max_sim_selected"),
           round(col("mmr"), 6).as("mmr_score"))
         .orderBy(col("rank"))
-      cands.unpersist()
       out
     }),
 

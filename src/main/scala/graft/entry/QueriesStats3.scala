@@ -1112,7 +1112,7 @@ private[graft] object QueriesStats3 {
             .as("quality"),
           pmod(graft.ops.Sampling.keyHash(col("doc_id")), lit(100L))
             .as("b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val rounds = Seq((10, 10), (20, 5), (40, 2), (80, 2))
       var survivors = docs.select(col("source")).distinct()
       var means: DataFrame = null
@@ -1131,7 +1131,6 @@ private[graft] object QueriesStats3 {
         .select(col("rk").cast("long").as("final_rank"), col("source"),
           round(col("m"), 6).as("mean_quality_80pct"))
         .orderBy(col("final_rank"))
-      docs.unpersist()
       out
     }),
 
@@ -2034,7 +2033,7 @@ private[graft] object QueriesStats3 {
         ((len - length(regexp_replace(col("text"), "[0-9]", ""))
           .cast("double")) / len).as("f_digit"),
         when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val cols = Seq("f_bias", "f_len", "f_space", "f_digit")
       val train = featAll.filter(col("istr"))
       val wts = graft.ops.LinearModel.logisticGd(train, cols, "y",
@@ -2063,7 +2062,6 @@ private[graft] object QueriesStats3 {
           round(col("accTr"), 6).as("acc_train"),
           round(col("accTe"), 6).as("acc_test"),
           round(col("accTr") - col("accTe"), 6).as("gap"))
-      featAll.unpersist()
       out
     }),
 
@@ -2749,7 +2747,7 @@ private[graft] object QueriesStats3 {
         .filter(col("v") > 0)
         .withColumn("d", col("m1") - col("m2"))
         .withColumn("w", lit(1.0) / col("v"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val fe = strat.agg(count(lit(1)).cast("double").as("k"),
         sum(col("w")).as("sw"), sum(col("w") * col("w")).as("sw2"),
         (sum(col("w") * col("d")) / sum(col("w"))).as("feEst"))
@@ -2775,7 +2773,6 @@ private[graft] object QueriesStats3 {
         round(greatest(lit(0.0),
           (col("qstat") - (col("k") - 1)) / col("qstat")), 6).as("i2"),
         round(col("reEst"), 4).as("random_effect"))
-      strat.unpersist()
       out
     }),
 
@@ -2795,7 +2792,7 @@ private[graft] object QueriesStats3 {
       val wH = Window.partitionBy(col("yr")).orderBy(col("h"), col("ok"))
       val samp = base.withColumn("rk", row_number().over(wH))
         .filter(col("rk") <= 400)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val sd = samp.agg(sqrt(avg(col("v") * col("v")) -
         avg(col("v")) * avg(col("v"))).as("sigma"))
       val xs = samp.filter(col("yr") === 1995)

@@ -460,7 +460,7 @@ private[graft] object QueriesStats4 {
               (col("a.y") - col("b.y")) * (col("a.y") - col("b.y"))
               <= lit(eps * eps))
         .select(col("a.sk").as("pa"), col("b.sk").as("pb"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val dens = pairs.groupBy(col("pa").as("sk"))
         .agg(count(lit(1)).cast("double").as("dens"))
       val lof = pairs
@@ -475,7 +475,6 @@ private[graft] object QueriesStats4 {
       val out = lof
         .orderBy(col("lof_ratio").desc, col("sk"))
         .limit(10)
-      pairs.unpersist()
       out
     }),
 

@@ -111,12 +111,12 @@ object Bpe {
           numMerges, minFreq)
       }
     }
+    // each round's rewrite is materialized as a raw-row checkpoint, which
+    // also truncates the applyMerge plan chain so analysis stays flat at
+    // any merge count (persist kept the logical chain growing and its
+    // columnar cache measured as pure CPU overhead at vocab size — r9)
     var syms = vocab.select(symbolize(col("word")).as("s"), col("freq"))
-      .persist()
-    // each round's ONE job (the pair aggregate) also materializes the
-    // round's persisted rewrite; the parent round unpersists one step
-    // later so nothing recomputes
-    var prev: Option[DataFrame] = None
+      .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var done = false
     while (merges.length < numMerges && !done) {
@@ -132,18 +132,15 @@ object Bpe {
         .agg(sum(col("freq")).as("f"))
         .orderBy(desc("f"), asc("a"), asc("b"))
         .limit(1).collect()
-      prev.foreach(_.unpersist())
-      prev = Some(syms)
       if (top.isEmpty || top.head.getLong(2) < minFreq) done = true
       else {
         val (a, b, f) =
           (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         merges += Merge(merges.length + 1, a, b, f)
-        syms = syms.withColumn("s", applyMerge(col("s"), a, b)).persist()
+        syms = syms.withColumn("s", applyMerge(col("s"), a, b))
+          .localCheckpoint(true)
       }
     }
-    prev.foreach(_.unpersist())
-    syms.unpersist()
     merges.toSeq
   }
 

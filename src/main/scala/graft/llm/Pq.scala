@@ -88,7 +88,7 @@ object Pq {
       .limit(MaxTrainRows)
       .repartition(pcount)
     val sub0 = subRows(train, "__tv", "__tid", m, dsub)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // right-size loop parallelism to the actual (rows x m) sample — see
     // Similarity.trainSphericalKMeans; coalesce reads cached partitions
     val nSub = sub0.count()
@@ -137,7 +137,6 @@ object Pq {
         }
       })
     }
-    sub0.unpersist()
     cb
   }
 

@@ -82,7 +82,7 @@ object Search {
   def writeSearchIndex(docs: DataFrame, textCol: String, idCol: String,
                        path: String): Unit = {
     val post = postings(docs, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     post
       .repartition(col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
@@ -101,7 +101,6 @@ object Search {
         count(when(size(searchTokens(col(textCol))) > 0, 1)).as("n_docs"),
         sum(size(searchTokens(col(textCol))).cast("long")).as("total_toks"))
       .write.mode("overwrite").parquet(s"$path/stats")
-    post.unpersist()
     ()
   }
 
@@ -193,7 +192,7 @@ object Search {
 
     val matched = post.join(broadcast(qterms.select("term").distinct()),
       Seq("term"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val df_ = matched.groupBy(col("term"))
       .agg(count(lit(1)).as("df")) // one row per (term, doc) => count = df
 
@@ -363,7 +362,6 @@ object Search {
   private def rankServed(post: DataFrame, tstats: DataFrame,
                          stats: DataFrame, queries: DataFrame,
                          k: Int, k1: Double, b: Double): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // identical batch hygiene + term-set dedup as rank(dedupeQueries=true)
     val qsets = queries.select(col("query_id"),
         sort_array(array_distinct(searchTokens(col("query_text"))))
@@ -394,7 +392,7 @@ object Search {
         col("df").cast("double") >
           col("n_docs").cast("double") * lit(EssentialDfFrac))
       .select(col("query_id"), col("term"), col("__ub"), col("__common"))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     val perQ = qt.groupBy(col("query_id")).agg(
       sum(when(col("__common"), col("__ub")).otherwise(0L)).as("__ub_ne"),
@@ -410,7 +408,7 @@ object Search {
         .select(col("query_id"), col("term"))), Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("__micro")).as("__essp"))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     // F_q = kth-best essential score; exactness certificate per query
     val floors = TopK.perGroup(
@@ -513,7 +511,7 @@ object Search {
       .select(col("term"), col("doc_id"),
         (col("tf").cast("double") *
           log(col("__n").cast("double") / col("df"))).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val norms = w.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
     w.select(col("term"), col("doc_id").as("idA"), col("w").as("wa"))

@@ -167,7 +167,7 @@ object Similarity {
     val train = trainOrdered
       .limit(IvfMaxTrainRows)
       .repartition(p)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     // seeds from the ORDERED stream, not the repartitioned sample (whose
     // row order is arbitrary): the nCentroids hash-smallest rows, same
@@ -210,7 +210,6 @@ object Similarity {
         }
       }
     }
-    train.unpersist()
     centroids
   }
 

@@ -29,8 +29,11 @@ object Association {
     val b = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
       .filter(col("item").isNotNull).distinct()
       // consumed by the total, the item-support pass, and both sides of
-      // the pair self-join — materialize the dedup shuffle once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the pair self-join — materialized ONCE as a raw-row checkpoint:
+      // a .persist() here measured 30-90 CPU-s vs ~1 for the checkpoint
+      // (r9 OptProbe assoc3; columnar cache build/decode + its stats
+      // flipping downstream join planning)
+      .localCheckpoint(true)
     val n = b.agg(countDistinct(col("basket")).as("n_baskets"))
     val freq = b.groupBy(col("item")).agg(count(lit(1)).as("c_item"))
       .crossJoin(broadcast(n))

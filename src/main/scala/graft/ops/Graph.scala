@@ -178,6 +178,7 @@ object Graph {
     */
   def hits(edges: DataFrame, nIter: Int = 3,
            reliableCheckpoints: Boolean = false): DataFrame = {
+    require(nIter >= 1, "nIter must be >= 1")
     if (reliableCheckpoints)
       require(edges.sparkSession.sparkContext.getCheckpointDir.isDefined,
         "reliableCheckpoints requires sparkContext.setCheckpointDir on a " +
@@ -185,31 +186,46 @@ object Graph {
           "loses localCheckpoint blocks and fails the job")
     def ckpt(df: DataFrame): DataFrame =
       if (reliableCheckpoints) df.checkpoint(true) else df.localCheckpoint(true)
-    val e = edges.select(col("src"), col("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull).distinct()
-      .persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+    // Materialized once via checkpoint, not .persist(): the columnar-cache
+    // build/decode of InMemoryRelation measured 3-30x the CPU of the raw-row
+    // checkpoint on this path, and its accurate-but-tiny stats flip
+    // downstream joins to plans that re-burn CPU per consumer (r9 OptProbe
+    // hits2/q210ab/assoc3 A/Bs).
+    val e = ckpt(edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull).distinct())
     def l2(df: DataFrame, c: String): DataFrame = {
       val n = df.agg(sqrt(sum(col(c) * col(c))).as("__n"))
       df.crossJoin(broadcast(n))
         .select(col("node"), (col(c) / col("__n")).as(c))
     }
-    var hub = nodes.select(col("node"), lit(1.0).as("hub"))
-    var auth = nodes.select(col("node"), lit(0.0).as("auth"))
+    // SPARSE loop state: a node absent from `auth`/`hub` has score exactly
+    // 0.0, and a 0.0 term contributes exactly 0.0 to every downstream sum
+    // (IEEE x + 0.0 == x), so the per-half-round `nodes LEFT JOIN` zero-fill
+    // is equivalent to filling zeros ONCE at the end — two |V|-row joins per
+    // round removed. Each half-round checkpoints the RAW in/out-sum and
+    // derives both the L2 norm and the normalized frame from the
+    // checkpointed rows, so the edge-vs-state join+aggregate executes once
+    // per half-round instead of twice (norm pass + output pass); the
+    // normalization expression (score / norm) is unchanged, so emitted
+    // doubles are bit-identical.
+    var hub: DataFrame = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1.0).as("hub"))
+    var auth: DataFrame = null
     for (_ <- 1 to nIter) {
-      val authRaw = e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
-        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("auth"))
-      auth = ckpt(nodes.join(l2(authRaw, "auth"), Seq("node"), "left")
-        .select(col("node"), coalesce(col("auth"), lit(0.0)).as("auth")))
-      val hubRaw = e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
-        .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hub"))
-      hub = ckpt(nodes.join(l2(hubRaw, "hub"), Seq("node"), "left")
-        .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub")))
+      val authRaw = ckpt(
+        e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("auth")))
+      auth = l2(authRaw, "auth")
+      val hubRaw = ckpt(
+        e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+          .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hub")))
+      hub = l2(hubRaw, "hub")
     }
-    val out = auth.join(hub, Seq("node"))
-    e.unpersist(); nodes.unpersist()
-    out
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    nodes.join(auth, Seq("node"), "left").join(hub, Seq("node"), "left")
+      .select(col("node"), coalesce(col("auth"), lit(0.0)).as("auth"),
+        coalesce(col("hub"), lit(0.0)).as("hub"))
   }
 
   /** Per-node triangle membership counts over an undirected edge list —

@@ -33,21 +33,19 @@ object LinearModel {
     var w = Array.fill(n)(0.0)
     val cached = df.select(
       (featureCols.map(c => col(c).cast("double").as(c)) :+
-        col(labelCol).cast("double").as("__y")): _*).cache()
-    try {
-      for (_ <- 1 to nIter) {
-        val z = featureCols.zip(w)
-          .map { case (c, wi) => col(c) * lit(wi) }
-          .reduce(_ + _)
-        val p = lit(1.0) / (lit(1.0) + exp(-z))
-        val resid = p - col("__y")
-        val aggs = featureCols.zipWithIndex.map { case (c, i) =>
-          (sum(resid * col(c)) / count(lit(1))).as(s"g$i")
-        }
-        val g = cached.agg(aggs.head, aggs.tail: _*).head()
-        w = w.zipWithIndex.map { case (wi, i) => wi - lr * g.getDouble(i) }
+        col(labelCol).cast("double").as("__y")): _*).localCheckpoint(true)
+    for (_ <- 1 to nIter) {
+      val z = featureCols.zip(w)
+        .map { case (c, wi) => col(c) * lit(wi) }
+        .reduce(_ + _)
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val resid = p - col("__y")
+      val aggs = featureCols.zipWithIndex.map { case (c, i) =>
+        (sum(resid * col(c)) / count(lit(1))).as(s"g$i")
       }
-    } finally cached.unpersist()
+      val g = cached.agg(aggs.head, aggs.tail: _*).head()
+      w = w.zipWithIndex.map { case (wi, i) => wi - lr * g.getDouble(i) }
+    }
     w
   }
 
