@@ -65,7 +65,7 @@ object Bench {
         // Drop persisted intermediates (several dedup/ANN queries cache
         // their self-check inputs) so cached blocks don't skew the next
         // run — OUTSIDE the timed window, teardown is not the query's cost.
-        spark.catalog.clearCache()
+        GraftSession.dropQueryState(spark)
         if (ok) (elapsed, cpu) else (-1.0, -1.0)
       }
       val wall = if (times.exists(_._1 < 0)) -1.0 else times.map(_._1).min

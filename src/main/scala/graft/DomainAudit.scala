@@ -164,7 +164,7 @@ object DomainAudit {
               "switch to the two-phase exact path, or re-argue the bound)")
           }
         }
-        spark.catalog.clearCache()
+        GraftSession.dropQueryState(spark)
       } catch {
         case e: Exception =>
           failed += 1

@@ -69,4 +69,20 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Per-query teardown for the 600-query driver loops (Bench/Verify/
+    * audits): drops the SQL cache AND every RDD-level persisted block.
+    * `clearCache()` alone misses `localCheckpoint` blocks (they register
+    * with the BlockManager, not the CacheManager), so a long sweep
+    * accumulates dead checkpoint blocks until memory pressure taxes later
+    * queries with eviction/GC churn (r9: q541 read 10x its CPU late in the
+    * run). Unpersisting a truncated checkpoint is safe exactly because
+    * this runs BETWEEN queries — nothing references the previous query's
+    * plan afterwards. Never call mid-query.
+    */
+  def dropQueryState(s: SparkSession): Unit = {
+    s.catalog.clearCache()
+    s.sparkContext.getPersistentRDDs.valuesIterator
+      .foreach(_.unpersist(blocking = false))
+  }
 }

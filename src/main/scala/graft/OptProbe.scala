@@ -41,7 +41,7 @@ object OptProbe {
       val c = meter.cpuSeconds() - c0
       println(f"[opt] $label%-34s wall $w%7.2f s  cpu $c%7.2f s  [executed plan follows]")
       println(df.queryExecution.executedPlan.toString.take(20000))
-      spark.catalog.clearCache()
+      GraftSession.dropQueryState(spark)
     }
 
     def time(label: String)(mk: => DataFrame): Unit = {
@@ -51,7 +51,7 @@ object OptProbe {
         mk.write.format("noop").mode("overwrite").save()
         val w = (System.nanoTime() - t0) / 1e9
         val c = meter.cpuSeconds() - c0
-        spark.catalog.clearCache()
+        GraftSession.dropQueryState(spark)
         (w, c)
       }
       println(f"[opt] $label%-34s wall ${times.map(_._1).min}%7.2f s  cpu ${times.map(_._2).min}%7.2f s")
@@ -101,7 +101,7 @@ object OptProbe {
         mk().write.format("noop").mode("overwrite").save()
         val w = (System.nanoTime() - t0) / 1e9
         val c = meter.cpuSeconds() - c0
-        spark.catalog.clearCache()
+        GraftSession.dropQueryState(spark)
         acc(label) = acc.getOrElse(label, Nil) :+ (w, c)
         println(f"[opt]   round $r $label%-28s wall $w%7.2f  cpu $c%7.2f  load1m $load")
       }
@@ -492,6 +492,92 @@ object OptProbe {
         "kab/ckpt" -> kernelVariant("ckpt", packed = false),
         "kab/ckpt+packed" -> kernelVariant("ckpt", packed = true),
         "kab/none (reuse)" -> kernelVariant("none", packed = false))
+    }
+
+    if (which("lazyab")) {
+      // eager vs LAZY localCheckpoint: lazy fuses materialization into the
+      // first consumer job (no serial barrier; the post-r9-conversion bench
+      // showed kernel-family wall +3s from the eager barriers) while keeping
+      // the raw-row storage that beat the columnar cache on CPU.
+      def kernelMat(mat: String) = () => {
+        def m(df: DataFrame): DataFrame = mat match {
+          case "eager" => df.localCheckpoint(true)
+          case "lazy"  => df.localCheckpoint(false)
+          case _       => df
+        }
+        val posting0 = m(posting(spark))
+        val rare = posting0.groupBy(col("__g"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df").between(2, 400))
+        val rp = m(posting0.join(rare.select(col("__g")), Seq("__g")))
+        val sizes = rp.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
+        rp.select(col("__g"), col("__id").as("idA"))
+          .join(rp.select(col("__g"), col("__id").as("idB")), Seq("__g"))
+          .filter(col("idA") < col("idB"))
+          .groupBy(col("idA"), col("idB")).agg(count(lit(1)).as("__inter"))
+          .join(sizes.select(col("__id").as("idA"), col("__sz").as("__szA")), Seq("idA"))
+          .join(sizes.select(col("__id").as("idB"), col("__sz").as("__szB")), Seq("idB"))
+          .withColumn("jaccard", col("__inter").cast("double") /
+            (col("__szA") + col("__szB") - col("__inter")).cast("double"))
+          .filter(col("jaccard") >= 0.3)
+          .select(col("idA"), col("idB"), col("jaccard"))
+      }
+      def basketsLazy(mat: String) = () => {
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val pt = spark.read.parquet(s"$sfDir/part.parquet")
+          .select(col("p_partkey"), col("p_brand"))
+        val b0 = li.join(pt, col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+          .distinct()
+        val baskets = if (mat == "eager") b0.localCheckpoint(true)
+                      else b0.localCheckpoint(false)
+        val nOrders = baskets.agg(
+          countDistinct(col("ok")).cast("double").as("n_orders"))
+        val brandN = baskets.groupBy(col("b")).agg(count(lit(1)).as("n"))
+        val pairs = baskets.as("x")
+          .join(baskets.as("y"), col("x.ok") === col("y.ok") &&
+            col("x.b") < col("y.b"))
+          .groupBy(col("x.b").as("b1"), col("y.b").as("b2"))
+          .agg(count(lit(1)).as("n_ab"))
+        pairs
+          .join(broadcast(brandN.select(col("b").as("b1"), col("n").as("n_a"))), "b1")
+          .join(broadcast(brandN.select(col("b").as("b2"), col("n").as("n_b"))), "b2")
+          .crossJoin(broadcast(nOrders))
+          .select(col("b1"), col("b2"), col("n_ab"),
+            round(col("n_ab").cast("double") * col("n_orders") /
+              (col("n_a").cast("double") * col("n_b").cast("double")), 4)
+              .as("lift"))
+          .orderBy(col("n_ab").desc, col("b1"), col("b2"))
+          .limit(20)
+      }
+      def kernelRpOnly = () => {
+        // no posting materialization: posting feeds BOTH the gram-df agg and
+        // the rp join through ONE reused exchange on __g; only rp (consumed
+        // 3x: sizes + both self-join sides) checkpoints — 1 barrier, not 2
+        val posting0 = posting(spark)
+        val rare = posting0.groupBy(col("__g"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df").between(2, 400))
+        val rp = posting0.join(rare.select(col("__g")), Seq("__g"))
+          .localCheckpoint(true)
+        val sizes = rp.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
+        rp.select(col("__g"), col("__id").as("idA"))
+          .join(rp.select(col("__g"), col("__id").as("idB")), Seq("__g"))
+          .filter(col("idA") < col("idB"))
+          .groupBy(col("idA"), col("idB")).agg(count(lit(1)).as("__inter"))
+          .join(sizes.select(col("__id").as("idA"), col("__sz").as("__szA")), Seq("idA"))
+          .join(sizes.select(col("__id").as("idB"), col("__sz").as("__szB")), Seq("idB"))
+          .withColumn("jaccard", col("__inter").cast("double") /
+            (col("__szA") + col("__szB") - col("__inter")).cast("double"))
+          .filter(col("jaccard") >= 0.3)
+          .select(col("idA"), col("idB"), col("jaccard"))
+      }
+      compare(3)(
+        "lazy/kernel eager" -> kernelMat("eager"),
+        "lazy/kernel lazy" -> kernelMat("lazy"),
+        "lazy/kernel rp-only" -> kernelRpOnly,
+        "lazy/q210 eager" -> basketsLazy("eager"),
+        "lazy/q210 lazy" -> basketsLazy("lazy"))
     }
 
     if (which("assoc3")) {

@@ -31,7 +31,7 @@ object Plans {
         catch { case e: Throwable =>
           println(s"[plans] $name failed: ${e.getMessage}")
         }
-        finally spark.catalog.clearCache()
+        finally GraftSession.dropQueryState(spark)
       }
   }
 }

@@ -32,7 +32,7 @@ object ScaleGate {
           nFailed += 1
           println(s"[gate] $name PLAN-FAILED: ${String.valueOf(e.getMessage).take(120)}")
       }
-      spark.catalog.clearCache()
+      GraftSession.dropQueryState(spark)
     }
     println(s"[gate] total violations: $nViolations, plan failures: $nFailed")
     spark.stop()

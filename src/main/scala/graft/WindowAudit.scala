@@ -177,7 +177,7 @@ object WindowAudit {
           if (threshold >= 0 && (rows > threshold || rows < 0))
             worst ::= ((name, kind, rows, chain))
         }
-        spark.catalog.clearCache()
+        GraftSession.dropQueryState(spark)
       } catch {
         // String.valueOf: a null-message exception (NPE) must record the
         // failed query, not abort the audit loop from inside the handler

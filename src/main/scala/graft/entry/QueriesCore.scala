@@ -253,12 +253,12 @@ private[graft] object QueriesCore {
       val lsh = Dedup.minhashPairs(docs, "text", "doc_id",
           shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.35)
         .select(col("idA"), col("idB"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val exactSub = Dedup.minhashPairsExact(
           docs.filter(pmod(col("doc_id"), lit(5)) === 0), "text", "doc_id",
           shingleSize = 3, numHashes = 32, threshold = 0.35)
         .select(col("idA"), col("idB"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val lshSub = lsh.filter(
         pmod(col("idA"), lit(5)) === 0 && pmod(col("idB"), lit(5)) === 0)
       val spurious = lshSub.except(exactSub)
@@ -279,10 +279,10 @@ private[graft] object QueriesCore {
       val docs = docsWithNearDups(s, dir)
       val blocked = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
         .select(col("idA"), col("idB"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val exact = Dedup.simhashPairsExact(docs, "text", "doc_id", maxHamming = 3)
         .select(col("idA"), col("idB"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val spurious = blocked.except(exact)
         .agg(count(lit(1)).as("value"))
         .select(lit("blocked_minus_exact_pairs").as("metric"), col("value"))
@@ -345,10 +345,10 @@ private[graft] object QueriesCore {
       val lsh = Similarity.lshTopK(q, emb,
           "embedding", "vec_id", k = 5, sigBits = 8, probeHamming = 5)
         .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val exact = Similarity.bruteForceTopK(q, emb, "embedding", "vec_id", k = 5)
         .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val recall = lsh.join(exact, Seq("query_id", "neighbor_id"))
         .agg(count(lit(1)).as("nc"))
         .crossJoin(exact.agg(count(lit(1)).as("ne")))
@@ -784,7 +784,7 @@ private[graft] object QueriesCore {
       val lsh = Dedup.embeddingPairs(corpus, "embedding", "vec_id",
           threshold = 0.9, sigBits = 12, nTables = 12)
         .select(col("idA"), col("idB"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val truth = emb.select(col("vec_id").as("idA"),
         (col("vec_id") + 100000L).as("idB"))
       val spurious = lsh.except(truth)
@@ -975,12 +975,12 @@ private[graft] object QueriesCore {
       val cand = li.filter(expr(
           "graft_bloom_might_contain((SELECT bf FROM graft_q67_bloom), l_suppkey)"))
         .select(col("l_orderkey"), col("l_suppkey"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // supplier grows with scale (the nationkey filter keeps O(rows)), so
       // the semi join is unhinted — planner broadcasts while it fits
       val trueRows = li.join(suppKeys,
           col("l_suppkey") === col("s_suppkey"), "left_semi")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val missed = trueRows.exceptAll(cand)
         .agg(count(lit(1)).as("value"))
         .select(lit("missed_true_rows").as("metric"), col("value"))
@@ -1131,7 +1131,7 @@ private[graft] object QueriesCore {
       val ivf = Similarity.ivfTopK(queries, emb, "embedding", "vec_id",
           k = 1, nCentroids = 16, nProbe = 4, kmeansIters = 3)
         .filter(col("rank") === 1)
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val hits = ivf
         .filter(col("neighbor_id") === col("query_id") - 100000L)
         .agg(count(lit(1)).as("nh"))

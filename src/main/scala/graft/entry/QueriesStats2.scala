@@ -275,7 +275,7 @@ private[graft] object QueriesStats2 {
       val p = s.conf.get("spark.sql.shuffle.partitions").toInt
       val ranged = ev.repartitionByRange(p, col("id"))
         .withColumn("__pid", spark_partition_id())
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val offs = ranged.groupBy(col("__pid"))
         .agg(max(col("tsu")).as("pmax"))
       val wOff = Window.orderBy(col("__pid"))
@@ -891,7 +891,7 @@ private[graft] object QueriesStats2 {
       val p = s.conf.get("spark.sql.shuffle.partitions").toInt
       val ranged = grp.repartitionByRange(p, col("price"))
         .withColumn("__pid", spark_partition_id())
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val offs = ranged.groupBy(col("__pid"))
         .agg(max(col("gmax")).as("pmax"))
       val wOff = Window.orderBy(col("__pid"))
@@ -1698,7 +1698,7 @@ private[graft] object QueriesStats2 {
           (col("t1") - (col("cum1") - col("c1"))).cast("double").as("n1"),
           col("d0").cast("double").as("d0"),
           col("d1").cast("double").as("d1"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       var beta = s.range(1).select(lit(0.0).as("b"))
       for (it <- 1 to 3) {
         val j = evt.crossJoin(broadcast(beta))
@@ -1941,7 +1941,7 @@ private[graft] object QueriesStats2 {
               (col("a.y") - col("b.y")) * (col("a.y") - col("b.y"))
               <= lit(eps * eps))
         .select(col("a.sk").as("pa"), col("b.sk").as("pb"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val core = pairs.groupBy(col("pa")).agg(count(lit(1)).as("nb"))
         .filter(col("nb") >= 3).select(col("pa").as("sk"))
       val coreEdges = pairs
@@ -2736,7 +2736,7 @@ private[graft] object QueriesStats2 {
         .select(col("vec_id"), col("embedding"),
           VF.cosine(col("embedding"), col("qemb")).as("rel"))
         .orderBy(col("rel").desc, col("vec_id")).limit(10)
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       var selected = cands.orderBy((lit(0.7) * col("rel")).desc,
           col("vec_id")).limit(1)
         .select(col("vec_id"), col("embedding"), col("rel"),

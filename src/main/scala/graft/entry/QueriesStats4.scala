@@ -460,7 +460,7 @@ private[graft] object QueriesStats4 {
               (col("a.y") - col("b.y")) * (col("a.y") - col("b.y"))
               <= lit(eps * eps))
         .select(col("a.sk").as("pa"), col("b.sk").as("pb"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val dens = pairs.groupBy(col("pa").as("sk"))
         .agg(count(lit(1)).cast("double").as("dens"))
       val lof = pairs

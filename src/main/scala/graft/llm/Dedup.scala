@@ -67,7 +67,7 @@ object Dedup {
     // the signature computation should run once.
     val sigs = df.select(col(idCol).as("__id"),
       minhashSignature(col(textCol), shingleSize, numHashes).as("__sig"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // Candidate generation carries ONLY (8-byte band hash, 8-byte id) —
     // never the signature, let alone the document. At corpus scale the
@@ -87,7 +87,7 @@ object Dedup {
       .filter(col("__n") > maxBucketSize)
       .select(col("band"), col("bhash"))
     val capped = banded.join(hot, Seq("band", "bhash"), "left_anti")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     val l = capped.select(col("band"), col("bhash"), col("__id").as("idA"))
     val r = capped.select(col("band"), col("bhash"), col("__id").as("idB"))
@@ -157,7 +157,7 @@ object Dedup {
     val rows = numHashes / bands
     val newSigs = newDf.select(col(idCol).as("__id"),
         minhashSignature(col(textCol), shingleSize, numHashes).as("__sig"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val corpusSigs = existingSigs
       .select(col("id").as("__id"), col("sig").as("__sig"))
     // corpus-side hot buckets are capped exactly as in minhashPairs (the
@@ -527,7 +527,7 @@ object Dedup {
         explode(array_distinct(
           graft.expressions.TextExpressions.ngramHashes(
             TF.normTokens(col(textCol)), n))).as("__g"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     val rare = posting.groupBy(col("__g"))
       .agg(count(lit(1)).as("__df"))
@@ -535,7 +535,7 @@ object Dedup {
 
     // rare posting list with each gram's global rarity key (df, gram)
     val rp = posting.join(rare, Seq("__g"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     if (!prefixFilter.getOrElse(false)) {
       val sizes = rp.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
@@ -556,7 +556,7 @@ object Dedup {
       val sets = rp.groupBy(col("__id"))
         .agg(count(lit(1)).as("__sz"),
           sort_array(collect_list(col("__g"))).as("__gs"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
 
       // prefix = the floor((1-t)*sz)+1 rarest grams of each doc. Computed
       // as ceil(...)+1, which is >= the exact floor(...)+1 bound under any
@@ -693,7 +693,7 @@ object Dedup {
     val lines = df.select(col(idCol),
         posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
       .withColumn("__lh", xxhash64(col("__line")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val boiler = lines.groupBy(col("__lh"))
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
@@ -764,7 +764,7 @@ object Dedup {
       cells, kmeansIters)
     val assigned = Similarity.assignCells(df, vecCol, idCol, centroids)
       .select(col("__id"), col("cell"), VF.l2Normalize(col("__v")).as("__nv"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val l = assigned.select(col("cell"), col("__id").as("idA"),
       col("__nv").as("vA"))
     val r = assigned.select(col("cell"), col("__id").as("idB"),
@@ -803,7 +803,7 @@ object Dedup {
           VF.hyperplaneSignature(col(vecCol), sigBits, t * sigBits).as("sig"))
       }: _*)).as("__s"))
       .select(col("__id"), col("__v"), col("__s.tbl"), col("__s.sig"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val l = sigged.select(col("tbl"), col("sig"),
       col("__id").as("idA"), col("__v").as("vA"))
     val r = sigged.select(col("tbl"), col("sig"),

@@ -88,7 +88,7 @@ object Pq {
       .limit(MaxTrainRows)
       .repartition(pcount)
     val sub0 = subRows(train, "__tv", "__tid", m, dsub)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // right-size loop parallelism to the actual (rows x m) sample — see
     // Similarity.trainSphericalKMeans; coalesce reads cached partitions
     val nSub = sub0.count()

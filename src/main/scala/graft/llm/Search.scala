@@ -82,7 +82,7 @@ object Search {
   def writeSearchIndex(docs: DataFrame, textCol: String, idCol: String,
                        path: String): Unit = {
     val post = postings(docs, textCol, idCol)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     post
       .repartition(col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
@@ -192,7 +192,7 @@ object Search {
 
     val matched = post.join(broadcast(qterms.select("term").distinct()),
       Seq("term"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val df_ = matched.groupBy(col("term"))
       .agg(count(lit(1)).as("df")) // one row per (term, doc) => count = df
 
@@ -392,7 +392,7 @@ object Search {
         col("df").cast("double") >
           col("n_docs").cast("double") * lit(EssentialDfFrac))
       .select(col("query_id"), col("term"), col("__ub"), col("__common"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     val perQ = qt.groupBy(col("query_id")).agg(
       sum(when(col("__common"), col("__ub")).otherwise(0L)).as("__ub_ne"),
@@ -408,7 +408,7 @@ object Search {
         .select(col("query_id"), col("term"))), Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("__micro")).as("__essp"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // F_q = kth-best essential score; exactness certificate per query
     val floors = TopK.perGroup(
@@ -511,7 +511,7 @@ object Search {
       .select(col("term"), col("doc_id"),
         (col("tf").cast("double") *
           log(col("__n").cast("double") / col("df"))).as("w"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val norms = w.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
     w.select(col("term"), col("doc_id").as("idA"), col("w").as("wa"))

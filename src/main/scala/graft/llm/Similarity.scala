@@ -167,7 +167,7 @@ object Similarity {
     val train = trainOrdered
       .limit(IvfMaxTrainRows)
       .repartition(p)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // seeds from the ORDERED stream, not the repartitioned sample (whose
     // row order is arbitrary): the nCentroids hash-smallest rows, same

@@ -34,7 +34,7 @@ object FuzzyJoin {
     require(maxDist == 1 || maxDist == 2,
       "symmetric-delete blocking supports maxDist in {1, 2}")
     val s = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // deletion neighborhood: the string itself, all single deletions, and
     // (d=2) all ordered double deletions, deduplicated

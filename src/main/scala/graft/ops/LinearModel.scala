@@ -33,7 +33,7 @@ object LinearModel {
     var w = Array.fill(n)(0.0)
     val cached = df.select(
       (featureCols.map(c => col(c).cast("double").as(c)) :+
-        col(labelCol).cast("double").as("__y")): _*).localCheckpoint(true)
+        col(labelCol).cast("double").as("__y")): _*).localCheckpoint(false)
     for (_ <- 1 to nIter) {
       val z = featureCols.zip(w)
         .map { case (c, wi) => col(c) * lit(wi) }
