@@ -580,6 +580,41 @@ object OptProbe {
         "lazy/q210 lazy" -> basketsLazy("lazy"))
     }
 
+    if (which("shj")) {
+      // The ckpt kernel's remaining wall is serial: the self-join broadcasts
+      // the 1.3M-row rp side (driver-side collect+build). SHUFFLE_HASH
+      // replaces that with a parallel 32-task exchange on __g.
+      def kernelJoin(mode: String) = () => {
+        val posting0 = posting(spark).localCheckpoint(false)
+        val rare = posting0.groupBy(col("__g"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df").between(2, 400))
+        val rp = posting0.join(rare.select(col("__g")), Seq("__g"))
+          .localCheckpoint(false)
+        val sizes = rp.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
+        val l = rp.select(col("__g"), col("__id").as("idA"))
+        val r0 = rp.select(col("__g"), col("__id").as("idB"))
+        val r = mode match {
+          case "shj" => r0.hint("shuffle_hash")
+          case "smj" => r0.hint("merge")
+          case _     => r0
+        }
+        l.join(r, Seq("__g"))
+          .filter(col("idA") < col("idB"))
+          .groupBy(col("idA"), col("idB")).agg(count(lit(1)).as("__inter"))
+          .join(sizes.select(col("__id").as("idA"), col("__sz").as("__szA")), Seq("idA"))
+          .join(sizes.select(col("__id").as("idB"), col("__sz").as("__szB")), Seq("idB"))
+          .withColumn("jaccard", col("__inter").cast("double") /
+            (col("__szA") + col("__szB") - col("__inter")).cast("double"))
+          .filter(col("jaccard") >= 0.3)
+          .select(col("idA"), col("idB"), col("jaccard"))
+      }
+      compare(3)(
+        "shj/auto (bhj)" -> kernelJoin("auto"),
+        "shj/shuffle-hash" -> kernelJoin("shj"),
+        "shj/sort-merge" -> kernelJoin("smj"))
+    }
+
     if (which("assoc3")) {
       def baskets = events(spark, sfDir)
         .select(col("user_id").as("basket"),

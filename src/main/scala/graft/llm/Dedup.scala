@@ -539,8 +539,17 @@ object Dedup {
 
     if (!prefixFilter.getOrElse(false)) {
       val sizes = rp.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
+      // shuffle_hash on the self-join: the planner's stats-based choice
+      // broadcasts the full rare posting list (driver-side collect + hash
+      // build, serial — measured ~3 s of the kernel's ~5 s wall at sf0.1);
+      // a shuffled hash join keeps both sides in parallel 32-task
+      // exchanges at identical CPU (r9 shj probe: wall 6.1→2.7 s, CPU
+      // 7.5→7.8 s). At corpus scale the df cap bounds per-gram skew and
+      // AQE advisory sizing bounds the post-shuffle build partitions, so
+      // the build side stays partition-sized.
       val inter = rp.select(col("__g"), col("__id").as("idA"))
-        .join(rp.select(col("__g"), col("__id").as("idB")), Seq("__g"))
+        .join(rp.select(col("__g"), col("__id").as("idB")).hint("shuffle_hash"),
+          Seq("__g"))
         .filter(col("idA") < col("idB"))
         .groupBy(col("idA"), col("idB"))
         .agg(count(lit(1)).as("__inter"))

@@ -190,9 +190,17 @@ object Search {
         (qsets.select(col("query_id"), explode(col("__tset")).as("term")),
          None)
 
-    val matched = post.join(broadcast(qterms.select("term").distinct()),
+    // Materialize the matched postings ONLY on the ad-hoc path, where
+    // `post` is the full tokenize-explode of the corpus text (expensive,
+    // and consumed by both the df aggregate and the micro pass). The
+    // index-serving path (dedupeQueries) reads term-sorted parquet with
+    // the query-term IN filter pushed into the scan — re-scanning the
+    // pruned row groups twice is cheaper than materializing, and the
+    // pushdown stays visible in the served plan (WarehouseOpsSpec pins it).
+    val matched0 = post.join(broadcast(qterms.select("term").distinct()),
       Seq("term"))
-      .localCheckpoint(false)
+    val matched =
+      if (dedupeQueries) matched0 else matched0.localCheckpoint(false)
     val df_ = matched.groupBy(col("term"))
       .agg(count(lit(1)).as("df")) // one row per (term, doc) => count = df
 
@@ -514,9 +522,12 @@ object Search {
       .localCheckpoint(false)
     val norms = w.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+    // shuffle_hash: same serial-broadcast-build avoidance as the n-gram
+    // kernel's self-join (Dedup.ngramJaccardPairs) — df-capped postings,
+    // parallel exchanges instead of a driver-built broadcast
     w.select(col("term"), col("doc_id").as("idA"), col("w").as("wa"))
-      .join(w.select(col("term"), col("doc_id").as("idB"), col("w").as("wb")),
-        Seq("term"))
+      .join(w.select(col("term"), col("doc_id").as("idB"), col("w").as("wb"))
+        .hint("shuffle_hash"), Seq("term"))
       .filter(col("idA") < col("idB"))
       .groupBy(col("idA"), col("idB")).agg(sum(col("wa") * col("wb")).as("dot"))
       .join(norms.select(col("doc_id").as("idA"), col("norm").as("na")),

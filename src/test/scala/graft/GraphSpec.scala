@@ -109,6 +109,29 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(cyc.values.map(v => v._2 * v._2).sum - 1.0) < eps)
   }
 
+  test("hits sparse loop state: every edge endpoint appears in the output, " +
+      "zero scores exact") {
+    // The r9 rework keeps the loop state SPARSE (nodes with score 0 are
+    // absent until the final zero-fill join). A chain a->b->c->d plus an
+    // isolated sink edge e->f exercises src-only (a, e: auth must be
+    // exactly 0.0), dst-only (d, f: hub exactly 0.0), and interior nodes,
+    // across 2 rounds (the bench setting). The node SET must be complete
+    // and no score may be NaN (an empty norm would poison the division).
+    val out = Graph.hits(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L)).toDF("src", "dst"),
+      nIter = 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 8L, 9L))
+    assert(out(1L)._1 == 0.0 && out(8L)._1 == 0.0) // src-only: auth exact 0
+    assert(out(4L)._2 == 0.0 && out(9L)._2 == 0.0) // dst-only: hub exact 0
+    out.values.foreach { case (a, h) =>
+      assert(!a.isNaN && !h.isNaN && a >= 0.0 && h >= 0.0)
+    }
+    // L2 invariants survive the sparse representation
+    assert(math.abs(out.values.map(v => v._1 * v._1).sum - 1.0) < eps)
+    assert(math.abs(out.values.map(v => v._2 * v._2).sum - 1.0) < eps)
+  }
+
   test("hits reliableCheckpoints: requires a checkpoint dir, then matches") {
     val edges = Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L)).toDF("src", "dst")
     intercept[IllegalArgumentException] {
