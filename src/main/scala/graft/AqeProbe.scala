@@ -90,7 +90,7 @@ object AqeProbe {
         val df = fn(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
         finalJoins = joinKinds(df.queryExecution.executedPlan)
-        spark.catalog.clearCache()
+        GraftSession.dropQueryState(spark)
         meter.cpuSeconds() - c0
       }.min
       val replanned = staticJoins != finalJoins
@@ -110,7 +110,7 @@ object AqeProbe {
         df2.write.format("noop").mode("overwrite").save()
         println(s"===== $name ADAPTIVE FINAL PLAN =====\n" +
           df2.queryExecution.executedPlan.toString.take(12000))
-        spark.catalog.clearCache()
+        GraftSession.dropQueryState(spark)
       }
     }
     spark.stop()

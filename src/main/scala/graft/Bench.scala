@@ -98,33 +98,57 @@ object Bench {
     // committed-artifact file into a random directory — or fail post-run
     // in an unwritable one. No root found -> skip the file write with a
     // clear message; the stdout JSON line above is always complete.
-    val out = sys.env.get("SPARK_GRAFT_BENCH_JSON").orElse {
+    val repoRoot =
       Iterator.iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
         .takeWhile(_ != null)
         .find(d => java.nio.file.Files.exists(d.resolve("build.sbt")) &&
           java.nio.file.Files.isDirectory(d.resolve("src/main/scala/graft")))
-        .map(_.resolve("BENCH_LOCAL.json").toString)
+    // Two file copies per run: the legacy BENCH_LOCAL.json (last run wins)
+    // and a per-core-count BENCH_LOCAL_c<cpus>.json, because the driver runs
+    // the bench twice (full cores, then reduced cores for the scaling
+    // measurement) and round 9's second run overwrote the first, destroying
+    // the 32-core per-query record. SPARK_GRAFT_BENCH_JSON overrides both.
+    val outs: Seq[String] = sys.env.get("SPARK_GRAFT_BENCH_JSON") match {
+      case Some(p) => Seq(p)
+      case None => repoRoot.toSeq.flatMap { d =>
+        Seq(d.resolve("BENCH_LOCAL.json").toString,
+            d.resolve(s"BENCH_LOCAL_c$cpus.json").toString)
+      }
     }
     // stdout FIRST: the JSON line is the only other copy of the results,
     // and an unwritable SPARK_GRAFT_BENCH_JSON path must not destroy an
     // hours-long run's numbers after the fact
     println(json)
-    out match {
-      case None =>
-        System.err.println("[bench] no graft repo root above CWD and no " +
-          "SPARK_GRAFT_BENCH_JSON set — skipping the file write (results " +
-          "are on the stdout JSON line above)")
-      case Some(path) =>
-        try {
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(path), json + "\n")
-          println(s"BENCH_JSON $path")
-        } catch {
-          case e: Exception =>
-            System.err.println(s"[bench] could not write $path: $e " +
-              "(results are on the stdout JSON line above)")
-        }
+    if (outs.isEmpty)
+      System.err.println("[bench] no graft repo root above CWD and no " +
+        "SPARK_GRAFT_BENCH_JSON set — skipping the file write (results " +
+        "are on the stdout JSON line above)")
+    var written: Option[String] = None
+    outs.foreach { path =>
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(path), json + "\n")
+        println(s"BENCH_JSON $path")
+        if (written.isEmpty) written = Some(path)
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[bench] could not write $path: $e " +
+            "(results are on the stdout JSON line above)")
+      }
     }
+    // Compact summary as the LAST stdout line: the driver captures only a
+    // ~2 KB tail of this process's output, and the full per-query JSON line
+    // (~33 KB at 600 queries) has outlived that capture every round
+    // (BENCH_r01..r09 all ended `parsed: null`). This line carries the
+    // totals and points at the per-query file; it stays a few hundred bytes
+    // no matter how many queries run.
+    val nErr = results.count(_._2 < 0)
+    // error names capped at 5 so a pathological all-fail run can't push
+    // this line past the tail capture either; the file has the full list
+    val errsCapped = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+      .take(5).mkString("[", ",", "]")
+    val summary = s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","cpu_total":${f"$cpuTotal%.1f"},"n_queries":${results.size},"n_errors":$nErr,"errors":$errsCapped,"repeat":$repeat,"cpus":$cpus,"sf":"$sfDir","queries_file":${written.map("\"" + _ + "\"").getOrElse("null")}}"""
+    println(summary)
     spark.stop()
   }
 }

@@ -57,7 +57,7 @@ object CelfProbe {
       val (ws, cs) = (1 to repeat).map { _ =>
         val c0 = meter.cpuSeconds(); val t0 = System.nanoTime()
         body
-        spark.catalog.clearCache()
+        GraftSession.dropQueryState(spark)
         ((System.nanoTime() - t0) / 1e9, meter.cpuSeconds() - c0)
       }.unzip
       println(f"[celf-probe] $name%-10s wall ${ws.min}%6.2f s  " +

@@ -66,7 +66,7 @@ object MaxScoreProbe {
     // warm pass outside the sweep (file listing, codegen) at the default
     graft.llm.Search.essentialDfFracOverride = None
     graft.llm.Search.querySearchIndex(spark, idxDir, queries, 10).count()
-    spark.catalog.clearCache()
+    GraftSession.dropQueryState(spark)
     // try/finally: an aborted sweep must not leave the probe-only
     // override set in a shared JVM (a leftover 0.5 would pin later
     // serving on the measured 25x-cliff cutoff)
@@ -78,7 +78,7 @@ object MaxScoreProbe {
         .querySearchIndex(spark, idxDir, queries, 10).count()
       val wall = (System.nanoTime() - w0) / 1e9
       val cpu = meter.cpuSeconds() - c0
-      spark.catalog.clearCache()
+      GraftSession.dropQueryState(spark)
       println(f"[probe] frac=$f%.2f  wall=$wall%7.1f s  cpu=$cpu%8.1f s  " +
         s"($rows result rows)")
     } finally graft.llm.Search.essentialDfFracOverride = None

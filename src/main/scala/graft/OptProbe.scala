@@ -615,6 +615,62 @@ object OptProbe {
         "shj/sort-merge" -> kernelJoin("smj"))
     }
 
+    if (which("k10")) {
+      // Round-10 kernel ladder (VERDICT item 3): the count-join kernel's
+      // steady state vs (a) prefix filtering layered on the shuffle_hash
+      // join (r8's prefix negative predates the SHJ conversion), (b) pair
+      // generation via per-gram combination explode instead of the
+      // posting-list self-join (shuffles posting once, not twice), and
+      // (c) the packed-long pair key re-check on top of (b).
+      def kernelCurrent = () =>
+        Dedup.ngramJaccardPairs(docsWithNearDups(spark, sfDir), "text",
+          "doc_id", n = 3, threshold = 0.3, maxShingleFreq = 400)
+      def kernelPrefixShj = () =>
+        Dedup.ngramJaccardPairs(docsWithNearDups(spark, sfDir), "text",
+          "doc_id", n = 3, threshold = 0.3, maxShingleFreq = 400,
+          prefixFilter = Some(true))
+      def kernelPairGen(packed: Boolean) = () => {
+        val posting0 = posting(spark).localCheckpoint(false)
+        val rare = posting0.groupBy(col("__g"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df").between(2, 400))
+        val rp = posting0.join(rare.select(col("__g")), Seq("__g"))
+          .localCheckpoint(false)
+        val sizes = rp.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
+        // one shuffle by __g -> sorted id list per gram -> all C(k,2)
+        // ordered pairs from adjacent array slots, exploded in codegen
+        val lists = rp.groupBy(col("__g"))
+          .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+        val pairsCol = expr(
+          "flatten(transform(__ids, (a, i) -> " +
+            "transform(slice(__ids, i + 2, size(__ids) - i - 1), " +
+            "b -> struct(a AS idA, b AS idB))))")
+        val occ = lists.select(explode(pairsCol).as("__p"))
+        val inter =
+          if (packed)
+            occ.select((shiftleft(col("__p.idA"), 32) + col("__p.idB")).as("__pk"))
+              .groupBy(col("__pk")).agg(count(lit(1)).as("__inter"))
+              .select(shiftright(col("__pk"), 32).as("idA"),
+                col("__pk").bitwiseAND(lit(0xFFFFFFFFL)).as("idB"),
+                col("__inter"))
+          else
+            occ.select(col("__p.idA").as("idA"), col("__p.idB").as("idB"))
+              .groupBy(col("idA"), col("idB")).agg(count(lit(1)).as("__inter"))
+        inter
+          .join(sizes.select(col("__id").as("idA"), col("__sz").as("__szA")), Seq("idA"))
+          .join(sizes.select(col("__id").as("idB"), col("__sz").as("__szB")), Seq("idB"))
+          .withColumn("jaccard", col("__inter").cast("double") /
+            (col("__szA") + col("__szB") - col("__inter")).cast("double"))
+          .filter(col("jaccard") >= 0.3)
+          .select(col("idA"), col("idB"), col("jaccard"))
+      }
+      compare(3)(
+        "k10/current count-join" -> kernelCurrent,
+        "k10/prefix+shj" -> kernelPrefixShj,
+        "k10/pair-gen explode" -> kernelPairGen(packed = false),
+        "k10/pair-gen packed" -> kernelPairGen(packed = true))
+    }
+
     if (which("assoc3")) {
       def baskets = events(spark, sfDir)
         .select(col("user_id").as("basket"),

@@ -50,10 +50,14 @@ object Stress {
     val n = corpus.count()
     println(s"[stress] corpus rows: $n (factor $factor)")
 
-    // After each timed section, drop its persisted intermediates (each
-    // dedup operator caches posting lists / signature tables) so cache
-    // pressure doesn't accumulate into later sections, then re-warm the
-    // shared inputs OUTSIDE the timed window.
+    // After each timed section, drop the SQL cache AND RDD-level blocks
+    // (the dedup/search operators materialize posting lists / signature
+    // tables via localCheckpoint, whose blocks clearCache() does not see)
+    // so dead blocks don't accumulate memory pressure into later sections,
+    // then re-warm the shared inputs OUTSIDE the timed window. Every
+    // rewarm-kept fixture is a plain .persist() over checkpoint-free
+    // lineage (reads + expressions), so the unpersist/recompute cycle is
+    // always recoverable.
     var rewarm: () => Unit = () => { corpus.persist(); corpus.count(); () }
     // executor-CPU next to wall (same meter as Bench): the box takes
     // external load spikes that inflate wall 2-3x — CPU is load-robust, so
@@ -65,7 +69,7 @@ object Stress {
       val rows = body
       val secs = (System.nanoTime() - t0) / 1e9
       val cpu = meter.cpuSeconds() - c0
-      spark.catalog.clearCache()
+      GraftSession.dropQueryState(spark)
       rewarm()
       println(f"[stress] $name%-22s $secs%8.2f s  (cpu $cpu%8.1f s)  ($rows rows)")
     }

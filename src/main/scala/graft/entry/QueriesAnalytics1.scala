@@ -1,5 +1,6 @@
 package graft
 
+import graft.Materialize.Ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1552,7 +1553,7 @@ private[graft] object QueriesAnalytics1 {
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
         .distinct()
-        .localCheckpoint(false)  // 4 downstream uses (pair self-join x2, brand counts, total)
+        .materialize  // 4 downstream uses (pair self-join x2, brand counts, total)
       val nOrders = baskets.agg(
         countDistinct(col("ok")).cast("double").as("n_orders"))
       val brandN = baskets.groupBy(col("b")).agg(count(lit(1)).as("n"))
@@ -1607,14 +1608,14 @@ private[graft] object QueriesAnalytics1 {
       val ue = events(s, dir)
         .select(col("event_type").as("et"), col("user_id").as("u"))
         .distinct()
-        .localCheckpoint(false)  // feeds signatures, per-type counts, and the exact self-join
+        .materialize  // feeds signatures, per-type counts, and the exact self-join
       val seeds = s.range(64).select(col("id").as("sd"))
       val mh = ue.crossJoin(broadcast(seeds))
         .select(col("et"), col("sd"),
           graft.ops.Sampling.keyHash(col("u") + col("sd") * lit(1000003L))
             .as("h"))
         .groupBy(col("et"), col("sd")).agg(min(col("h")).as("mn"))
-        .localCheckpoint(false)  // both sides of the signature self-join
+        .materialize  // both sides of the signature self-join
       val est = mh.as("a")
         .join(mh.as("b"), col("a.sd") === col("b.sd") &&
           col("a.et") < col("b.et"))
@@ -1649,7 +1650,7 @@ private[graft] object QueriesAnalytics1 {
         .withColumn("us", unix_micros(col("ts")))
         .groupBy(col("event_type"), expr("us div 86400000000").as("d"))
         .agg(sum(col("value")).as("v"))
-        .localCheckpoint(false)  // both sides of the lag join
+        .materialize  // both sides of the lag join
       val lags = s.range(6).select(col("id").as("lag_d"))
       val a = daily.select(col("event_type").as("t1"), col("d"), col("v").as("x"))
       val b = daily.select(col("event_type").as("t2"), col("d").as("db"),
@@ -1681,7 +1682,7 @@ private[graft] object QueriesAnalytics1 {
           ((year(col("l_shipdate")) - 1992) * 53 + weekofyear(col("l_shipdate")))
             .cast("long").as("wk"))
         .agg(sum(col("l_quantity")).as("q"))
-        .localCheckpoint(false)  // span scalar + per-part rollup
+        .materialize  // span scalar + per-part rollup
       val span = weekly.agg((max(col("wk")) - min(col("wk")) + 1)
         .cast("double").as("total_weeks"))
       weekly.groupBy(col("l_partkey"))
@@ -1746,7 +1747,7 @@ private[graft] object QueriesAnalytics1 {
         .filter(col("wn") === 7)
         .select(pmod(col("d") + 3, lit(7L)).as("dow"),
           (col("v") - col("trend")).as("detr"))
-        .localCheckpoint(false)  // dow means + residual pass
+        .materialize  // dow means + residual pass
       val dowMean = detr.groupBy(col("dow"))
         .agg(avg(col("detr")).as("seasonal"), count(lit(1)).as("n_days"))
       detr.join(broadcast(dowMean), "dow")
@@ -1771,7 +1772,7 @@ private[graft] object QueriesAnalytics1 {
           expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
         .groupBy(col("bk"))
         .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
-        .localCheckpoint(false)  // totals + leave-one-out rows (one orders scan, not two)
+        .materialize  // totals + leave-one-out rows (one orders scan, not two)
       val tot = b.agg(sum(col("s")).as("st"), sum(col("n")).as("nt"),
         count(lit(1)).as("nb"))
       val loo = b.crossJoin(broadcast(tot))
@@ -1814,7 +1815,7 @@ private[graft] object QueriesAnalytics1 {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
         .distinct()
-        .localCheckpoint(false)  // degree counts x2 + the edge-level join
+        .materialize  // degree counts x2 + the edge-level join
       val dc = edges.groupBy(col("c")).agg(count(lit(1)).as("dc"))
       val ds = edges.groupBy(col("sp")).agg(count(lit(1)).as("ds"))
       val dcD = col("dc").cast("decimal(18,0)")
@@ -1877,7 +1878,7 @@ private[graft] object QueriesAnalytics1 {
           year(col("l_shipdate")).cast("long").as("yr"))
         .agg((sum(col("l_extendedprice")) / sum(col("l_quantity"))).as("p"),
           sum(col("l_quantity")).as("q"))
-        .localCheckpoint(false)  // base-year slice + per-year pass (one lineitem scan)
+        .materialize  // base-year slice + per-year pass (one lineitem scan)
       val y0 = py.agg(min(col("yr")).as("base_yr"))
       val base = py.crossJoin(broadcast(y0))
         .filter(col("yr") === col("base_yr"))
@@ -1900,7 +1901,7 @@ private[graft] object QueriesAnalytics1 {
         .groupBy(expr("us div 86400000000").as("d"))
         .agg(sum(col("value")).as("v"))
         .withColumn("dow", pmod(col("d") + 3, lit(7L)))
-        .localCheckpoint(false)  // baseline aggregate + the scored join
+        .materialize  // baseline aggregate + the scored join
       val base = daily.groupBy(col("dow"))
         .agg(avg(col("v")).as("mu"),
           sqrt(avg(col("v") * col("v")) - avg(col("v")) * avg(col("v")))
@@ -1935,7 +1936,7 @@ private[graft] object QueriesAnalytics1 {
         .select(col("event_type"), col("late_s"))
         // lazy localCheckpoint (shared by the p95 ranks + the rollup);
         // blocks free with the result, no CacheManager entry
-        .localCheckpoint(false)
+        .materialize
       val p95 = graft.ops.PrefixSum.groupedExactPercentiles(
         late, "event_type", col("late_s"), Seq(0.95), Seq("p95r"))
       late.groupBy(col("event_type"))
@@ -2016,7 +2017,7 @@ private[graft] object QueriesAnalytics1 {
       val pairs = Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "text",
           "doc_id", n = 3, threshold = 0.3, maxShingleFreq = 400)
         .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("j"))
-        .localCheckpoint(false)  // one pair generation, six threshold slices
+        .materialize  // one pair generation, six threshold slices
       val grid = Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8).toDF("thresh")
       val st = pairs.crossJoin(broadcast(grid)).filter(col("j") >= col("thresh"))
       val np = st.groupBy(col("thresh")).agg(count(lit(1)).as("n_pairs"))

@@ -1,5 +1,6 @@
 package graft
 
+import graft.Materialize.Ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -244,7 +245,7 @@ private[graft] object QueriesAnalytics2 {
           size(expr("regexp_extract_all(text, '[^ ]+', 0)")).cast("long")
             .as("nt"))
         .withColumn("n_blocks", expr("nt div 20"))
-        .localCheckpoint(false)  // block explode + the per-doc join-back
+        .materialize  // block explode + the per-doc join-back
       val blocks = d.filter(col("n_blocks") > 0)
         .withColumn("b", explode(expr("sequence(0L, n_blocks - 1)")))
         .select(col("doc_id"), col("lang"),
@@ -356,7 +357,7 @@ private[graft] object QueriesAnalytics2 {
         .join(broadcast(nq), "query_id")
         .filter(col("nmatch") === col("n_terms"))
         .select(col("query_id"), col("doc_id"), lit(1).as("rel"))
-        .localCheckpoint(false)  // totals + the top-10 join
+        .materialize  // totals + the top-10 join
       val ntot = rel.groupBy(col("query_id"))
         .agg(count(lit(1)).as("n_relevant"))
       val dcg = ranked.join(rel, Seq("query_id", "doc_id"), "left")
@@ -386,7 +387,7 @@ private[graft] object QueriesAnalytics2 {
       val cnt = t(s, dir, "lineitem")
         .groupBy(col("l_returnflag").as("rf"), col("l_quantity").as("q"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint(false)  // mode argmax + cumulative median pass
+        .materialize  // mode argmax + cumulative median pass
       val wRank = Window.partitionBy(col("rf"))
         .orderBy(col("c").desc, col("q"))
       val mode = cnt.withColumn("rn", row_number().over(wRank))
@@ -434,7 +435,7 @@ private[graft] object QueriesAnalytics2 {
         .withColumn("us", unix_micros(col("ts")))
         .select(col("user_id"), col("event_type"), col("us"),
           expr("us div 86400000000").as("d"), col("event_id"))
-        .localCheckpoint(false)  // change-collapse + span scalar + per-user first-day
+        .materialize  // change-collapse + span scalar + per-user first-day
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("us"), col("event_id"))
       val scd2 = ev
@@ -467,7 +468,7 @@ private[graft] object QueriesAnalytics2 {
           month(col("o_orderdate")) - 1).as("mpart"),
           expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400")
             .as("d"))
-        .localCheckpoint(false)  // zone-map stats + actual match counts
+        .materialize  // zone-map stats + actual match counts
       val zones = o.groupBy(col("mpart"))
         .agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"),
           count(lit(1)).as("rows"))
@@ -541,7 +542,7 @@ private[graft] object QueriesAnalytics2 {
         .withColumn("us", unix_micros(col("ts")))
         .select(col("user_id"), expr("us div 86400000000").as("d"))
         .distinct()
-        .localCheckpoint(false)  // first-day aggregate + the day+k probe side
+        .materialize  // first-day aggregate + the day+k probe side
       val first = act.groupBy(col("user_id")).agg(min(col("d")).as("f"))
       val dmax = act.agg(max(col("d")).as("dmax"))
       val ks = Seq(1L, 7L, 28L).toDF("k")
@@ -579,7 +580,7 @@ private[graft] object QueriesAnalytics2 {
         .select(col("event_type"), col("v"),
           pmod(col("d") + 3, lit(7L)).as("dow"),
           (col("v") - col("trend")).as("detr"))
-        .localCheckpoint(false)  // dow means + the strength aggregate
+        .materialize  // dow means + the strength aggregate
       val dowMean = detr.groupBy(col("event_type"), col("dow"))
         .agg(avg(col("detr")).as("sdow"))
       detr.join(broadcast(dowMean), Seq("event_type", "dow"))
@@ -887,7 +888,7 @@ private[graft] object QueriesAnalytics2 {
           sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
             .cast("double").as("c"))
         .withColumn("p", col("c") / col("q"))
-        .localCheckpoint(false)  // both year slices
+        .materialize  // both year slices
       val a = py.filter(col("yr") === 1995)
         .select(col("pk"), col("q").as("q0"), col("c").as("c0"),
           col("p").as("p0"))
@@ -951,7 +952,7 @@ private[graft] object QueriesAnalytics2 {
         .groupBy(col("user_id"), expr("us div 86400000000").as("d"),
           col("event_type"))
         .agg(min(col("us")).as("fus"))
-        .localCheckpoint(false)  // both sides of the pair self-join
+        .materialize  // both sides of the pair self-join
       val a = ft.select(col("user_id"), col("d"), col("event_type").as("t1"),
         col("fus").as("us1"))
       val b = ft.select(col("user_id"), col("d"), col("event_type").as("t2"),
@@ -997,7 +998,7 @@ private[graft] object QueriesAnalytics2 {
           .as("d"))
         .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
           .as("cents"))
-        .localCheckpoint(false)  // threshold scalar + the flagged series
+        .materialize  // threshold scalar + the flagged series
       val thr = daily.agg((avg(col("cents")) * 0.8).as("thr"))
       val below = daily.crossJoin(broadcast(thr))
         .filter(col("cents").cast("double") < col("thr"))
@@ -1118,7 +1119,7 @@ private[graft] object QueriesAnalytics2 {
       val ranked = graft.ops.PrefixSum.globalRank(o,
         Seq(col("cents").desc, col("o_orderkey")), "rk")
         .filter(col("rk") <= 101)
-        .localCheckpoint(false)  // reference row + the top-100 aggregate
+        .materialize  // reference row + the top-100 aggregate
       val ref = ranked.filter(col("rk") === 101)
         .select(col("cents").as("ref_cents"))
       ranked.filter(col("rk") <= 100)
@@ -1152,7 +1153,7 @@ private[graft] object QueriesAnalytics2 {
         .select(col("p_brand"), col("r").as("ra"))
       val r96 = rk.filter(col("yr") === 1996)
         .select(col("p_brand"), col("r").as("rb"))
-      val both = r95.join(r96, "p_brand").localCheckpoint(false)
+      val both = r95.join(r96, "p_brand").materialize
       val x = both.select(col("p_brand").as("b1"), col("ra").as("ra1"),
         col("rb").as("rb1"))
       val y = both.select(col("p_brand").as("b2"), col("ra").as("ra2"),
@@ -1280,7 +1281,7 @@ private[graft] object QueriesAnalytics2 {
         .agg(sum(expr("CAST(floor(l_extendedprice * " +
           "(1 - l_discount) * 100 + 0.5) AS BIGINT)")).as("rev_cents"),
           sum(col("l_quantity").cast("long")).as("qty"))
-        .localCheckpoint(false)  // feeds both rankings
+        .materialize  // feeds both rankings
       val rx = graft.ops.PrefixSum.globalRank(per,
           Seq(col("rev_cents").desc, col("l_suppkey")), "rx")
         .select(col("l_suppkey"), col("rx"))
@@ -1351,7 +1352,7 @@ private[graft] object QueriesAnalytics2 {
         .groupBy(col("lang"))
         .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
           sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("cb"))
-        .localCheckpoint(false)  // feeds the totals row and the per-lang terms
+        .materialize  // feeds the totals row and the per-lang terms
       val tot = per.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
       val terms = per.crossJoin(broadcast(tot))
         .select((col("ca").cast("double") / col("na")).as("p"),
@@ -1410,7 +1411,7 @@ private[graft] object QueriesAnalytics2 {
           Seq(col("p"), col("c_mktsegment")), "rk")
         .withColumn("m", lit(5.0))
         .withColumn("bh_crit", col("rk").cast("double") / col("m") * 0.10)
-        .localCheckpoint(false)  // feeds the cutoff row and the per-test verdicts
+        .materialize  // feeds the cutoff row and the per-test verdicts
       val cutoff = ranked.filter(col("p") <= col("bh_crit"))
         .agg(coalesce(max(col("rk")), lit(0L)).as("k"))
       ranked.crossJoin(broadcast(cutoff))
@@ -1465,7 +1466,7 @@ private[graft] object QueriesAnalytics2 {
       val joint = t(s, dir, "customer")
         .groupBy(col("c_nationkey"), col("c_mktsegment"))
         .agg(count(lit(1)).as("o"))
-        .localCheckpoint(false)  // margins + observed lookup both read it
+        .materialize  // margins + observed lookup both read it
       val rm = joint.groupBy(col("c_nationkey"))
         .agg(sum(col("o")).as("rn"))
       val cm = joint.groupBy(col("c_mktsegment"))
@@ -1515,7 +1516,7 @@ private[graft] object QueriesAnalytics2 {
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(a) - 3), " +
             "i -> concat(a[i], ' ', a[i+1], ' ', a[i+2]))")).as("tokn"))
-        .localCheckpoint(false)  // per-doc counts + first-occurrence both read it
+        .materialize  // per-doc counts + first-occurrence both read it
       val nd = t(s, dir, "documents").agg(count(lit(1)).as("nd"))
       val ranked = graft.ops.PrefixSum.globalRank(
         t(s, dir, "documents").select(col("doc_id")),
@@ -1824,20 +1825,29 @@ private[graft] object QueriesAnalytics2 {
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       val brands = t(s, dir, "part")
         .select(col("p_partkey"), col("p_brand"))
+      // materialized: the basket self-join + pair aggregate is the
+      // query's dominant cost and is consumed twice (edge-brand join,
+      // w_total) — and the symmetric endpoint expansion goes through ONE
+      // explode pass instead of unionAll, whose swapped-column branches
+      // are canonically distinct subtrees that would re-execute the whole
+      // join DAG once each (the r9 Graph/Association lesson, guide §2.4)
       val e0 = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
         .join(items.select(col("l_orderkey"), col("l_partkey").as("p2")),
           Seq("l_orderkey"))
         .filter(col("p1") < col("p2"))
         .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("w"))
+        .materialize
       val eb = e0
         .join(brands.select(col("p_partkey").as("p1"),
           col("p_brand").as("b1")), Seq("p1"))
         .join(brands.select(col("p_partkey").as("p2"),
           col("p_brand").as("b2")), Seq("p2"))
-      val ends = eb.select(col("b1").as("b"), col("b2").as("other"),
-          col("w"))
-        .unionAll(eb.select(col("b2").as("b"), col("b1").as("other"),
-          col("w")))
+      val ends = eb.select(explode(array(
+          struct(col("b1").as("b"), col("b2").as("other"), col("w")),
+          struct(col("b2").as("b"), col("b1").as("other"), col("w"))))
+          .as("__e"))
+        .select(col("__e.b").as("b"), col("__e.other").as("other"),
+          col("__e.w").as("w"))
       val wTot = e0.agg(sum(col("w")).as("w_total"))
       ends.groupBy(col("b"))
         .agg(sum(col("w")).as("k_c"),
@@ -1867,13 +1877,18 @@ private[graft] object QueriesAnalytics2 {
           expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("qty"),
           expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
             .as("cents"))
+      // monthly materialized (feeds the per-part rollup AND the distinct
+      // month count — same distinct-mth set as li, one lineitem pass
+      // instead of two); parts materialized (feeds rank chain + total)
       val monthly = li.groupBy(col("l_partkey"), col("mth"))
         .agg(sum(col("qty")).as("s_m"), sum(col("cents")).as("c_m"))
-      val months = li.agg(countDistinct(col("mth")).as("m"))
+        .materialize
+      val months = monthly.agg(countDistinct(col("mth")).as("m"))
       val parts = monthly.groupBy(col("l_partkey"))
         .agg(sum(col("s_m")).as("s"),
           sum(col("s_m") * col("s_m")).as("ss"),
           sum(col("c_m")).as("cents"))
+        .materialize
       val ranked = PrefixSum.groupedRunningSum(
         PrefixSum.globalRank(parts,
             Seq(col("cents").desc, col("l_partkey")), "rk")
@@ -2213,9 +2228,13 @@ private[graft] object QueriesAnalytics2 {
       // neighbor ranking orders by ROUNDED cosine with integer
       // tie-breaks so float sqrt can't reorder candidates across
       // engines. The neighbor window is bounded (10 targets).
+      // items consumed 3x (popularity + both sides of the co-occurrence
+      // join), pop 2x (targets, neighbor popularity) — materialized
       val items = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .materialize
       val pop = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("pop"))
+        .materialize
       val targets = PrefixSum.globalRank(pop,
           Seq(col("pop").desc, col("l_partkey")), "prk")
         .filter(col("prk") <= 10)

@@ -1,5 +1,6 @@
 package graft
 
+import graft.Materialize.Ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -253,12 +254,12 @@ private[graft] object QueriesCore {
       val lsh = Dedup.minhashPairs(docs, "text", "doc_id",
           shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.35)
         .select(col("idA"), col("idB"))
-        .localCheckpoint(false)
+        .materialize
       val exactSub = Dedup.minhashPairsExact(
           docs.filter(pmod(col("doc_id"), lit(5)) === 0), "text", "doc_id",
           shingleSize = 3, numHashes = 32, threshold = 0.35)
         .select(col("idA"), col("idB"))
-        .localCheckpoint(false)
+        .materialize
       val lshSub = lsh.filter(
         pmod(col("idA"), lit(5)) === 0 && pmod(col("idB"), lit(5)) === 0)
       val spurious = lshSub.except(exactSub)
@@ -279,10 +280,10 @@ private[graft] object QueriesCore {
       val docs = docsWithNearDups(s, dir)
       val blocked = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
         .select(col("idA"), col("idB"))
-        .localCheckpoint(false)
+        .materialize
       val exact = Dedup.simhashPairsExact(docs, "text", "doc_id", maxHamming = 3)
         .select(col("idA"), col("idB"))
-        .localCheckpoint(false)
+        .materialize
       val spurious = blocked.except(exact)
         .agg(count(lit(1)).as("value"))
         .select(lit("blocked_minus_exact_pairs").as("metric"), col("value"))
@@ -345,10 +346,10 @@ private[graft] object QueriesCore {
       val lsh = Similarity.lshTopK(q, emb,
           "embedding", "vec_id", k = 5, sigBits = 8, probeHamming = 5)
         .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint(false)
+        .materialize
       val exact = Similarity.bruteForceTopK(q, emb, "embedding", "vec_id", k = 5)
         .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint(false)
+        .materialize
       val recall = lsh.join(exact, Seq("query_id", "neighbor_id"))
         .agg(count(lit(1)).as("nc"))
         .crossJoin(exact.agg(count(lit(1)).as("ne")))
@@ -784,7 +785,7 @@ private[graft] object QueriesCore {
       val lsh = Dedup.embeddingPairs(corpus, "embedding", "vec_id",
           threshold = 0.9, sigBits = 12, nTables = 12)
         .select(col("idA"), col("idB"))
-        .localCheckpoint(false)
+        .materialize
       val truth = emb.select(col("vec_id").as("idA"),
         (col("vec_id") + 100000L).as("idB"))
       val spurious = lsh.except(truth)
@@ -975,12 +976,12 @@ private[graft] object QueriesCore {
       val cand = li.filter(expr(
           "graft_bloom_might_contain((SELECT bf FROM graft_q67_bloom), l_suppkey)"))
         .select(col("l_orderkey"), col("l_suppkey"))
-        .localCheckpoint(false)
+        .materialize
       // supplier grows with scale (the nationkey filter keeps O(rows)), so
       // the semi join is unhinted — planner broadcasts while it fits
       val trueRows = li.join(suppKeys,
           col("l_suppkey") === col("s_suppkey"), "left_semi")
-        .localCheckpoint(false)
+        .materialize
       val missed = trueRows.exceptAll(cand)
         .agg(count(lit(1)).as("value"))
         .select(lit("missed_true_rows").as("metric"), col("value"))
@@ -1131,7 +1132,7 @@ private[graft] object QueriesCore {
       val ivf = Similarity.ivfTopK(queries, emb, "embedding", "vec_id",
           k = 1, nCentroids = 16, nProbe = 4, kmeansIters = 3)
         .filter(col("rank") === 1)
-        .localCheckpoint(false)
+        .materialize
       val hits = ivf
         .filter(col("neighbor_id") === col("query_id") - 100000L)
         .agg(count(lit(1)).as("nh"))

@@ -1,5 +1,6 @@
 package graft
 
+import graft.Materialize.Ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -37,10 +38,10 @@ private[graft] object QueriesPipeline {
       val kept = Dedup.semanticDedup(corpus, "embedding", "vec_id",
           threshold = 0.9, nCentroids = 16, kmeansIters = 3)
         .select(col("vec_id"))
-        .localCheckpoint(false)
+        .materialize
       val semDropped = corpus.select(col("vec_id"))
         .join(kept, Seq("vec_id"), "left_anti")
-        .localCheckpoint(false)
+        .materialize
       // the fixture's exact dropped set: every perturbed id, nothing else
       val exactDropped = emb.select((col("vec_id") + 100000L).as("vec_id"))
       val spurious = semDropped.except(exactDropped)
@@ -127,7 +128,7 @@ private[graft] object QueriesPipeline {
         .select(VF.cosine(col("v"), col("v2")).as("tc"),
           VF.cosine(col("pv"), col("pv2")).as("pc"))
         .filter(col("tc") < 0.5)
-        .localCheckpoint(false)
+        .materialize
       val sep = distant
         .agg(sum(when(col("pc") < 0.9, 1L).otherwise(0L)).as("ns"),
           count(lit(1)).as("n"))
@@ -199,7 +200,7 @@ private[graft] object QueriesPipeline {
       val res = Similarity.queryIvfIndex(s, root, queries, "embedding",
           "vec_id", k = 1, nProbe = 4)
         .filter(col("rank") === 1)
-        .localCheckpoint(false)
+        .materialize
       val hits = res
         .filter(col("neighbor_id") === col("query_id") - 100000L)
         .agg(count(lit(1)).as("nh"))
@@ -235,7 +236,7 @@ private[graft] object QueriesPipeline {
       val inc = Dedup.dedupAgainstSignatures(batch, "text", "doc_id", sigs,
           shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5)
         .select(col("new_id"), col("existing_id"))
-        .localCheckpoint(false)
+        .materialize
       val bs = batch.select(col("doc_id").as("new_id"),
         Dedup.minhashSignature(col("text"), 3, 32).as("__sigN"))
       val exact = sigs
@@ -244,7 +245,7 @@ private[graft] object QueriesPipeline {
         .filter(graft.expressions.TextExpressions.matchFraction(
           col("__sigN"), col("__sigE")) >= 0.5)
         .select(col("new_id"), col("existing_id"))
-        .localCheckpoint(false)
+        .materialize
       val spurious = inc.except(exact)
         .agg(count(lit(1)).as("value"))
         .select(lit("banded_minus_exact_pairs").as("metric"), col("value"))
@@ -267,7 +268,7 @@ private[graft] object QueriesPipeline {
       val k = 32
       val toks = t(s, dir, "documents")
         .select(explode(TF.normTokens(col("text"))).as("tok"))
-        .localCheckpoint(false)
+        .materialize
       val sketch = toks.as[String]
         .select(graft.ops.TypedAggregators.misraGries(k)).head()
       val total = toks.count()
@@ -824,7 +825,7 @@ private[graft] object QueriesPipeline {
       val copies = base.select((col("id") + 100000L).as("id"), col("payload"))
       val payloads = base.unionByName(copies)
       val hashes = Multimodal.perceptualHashes(payloads, "id", "payload")
-        .localCheckpoint(false)
+        .materialize
       val blocked = Dedup.hammingPairs(hashes, "phash", "id", maxHamming = 0)
         .select(col("idA"), col("idB"))
       val l = hashes.select(col("id").as("idA"), col("phash").as("pa"))
@@ -1008,7 +1009,7 @@ private[graft] object QueriesPipeline {
       // frequent than the max it replaced).
       import s.implicits._
       val vocab = Bpe.wordFreq(t(s, dir, "documents").select(col("text")),
-        "text").localCheckpoint(false)
+        "text").materialize
       // collectThreshold = 0: this query IS the distributed-path parity
       // witness — the adaptive bounded-collect short-circuit (which other
       // callers get by default) must not reduce the check to local==local
@@ -1038,7 +1039,7 @@ private[graft] object QueriesPipeline {
       // merge only shrinks a word's token sequence).
       import s.implicits._
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val vocab = Bpe.wordFreq(docs, "text").localCheckpoint(false)
+      val vocab = Bpe.wordFreq(docs, "text").materialize
       val merges = Bpe.learnMerges(vocab, numMerges = 12)
       val enc = Bpe.encode(docs, "text", merges, "toks")
         .select(col("doc_id"), col("text"), col("toks"))
@@ -1134,7 +1135,7 @@ private[graft] object QueriesPipeline {
       val cb = Pq.train(corpus, "embedding", "vec_id", m = 8, k = 16,
         iters = 3)
       val codes = Pq.encode(corpus, "embedding", "vec_id", cb)
-        .localCheckpoint(false)
+        .materialize
       val queries = emb.filter(col("vec_id") < 20)
       val hits = Pq.adcTopK(queries, codes, "embedding", "vec_id", cb,
           kNn = 1)
@@ -1169,7 +1170,7 @@ private[graft] object QueriesPipeline {
         "vec_id", nCentroids = 32, iters = 2)
       val index = Pq.buildIvfPqIndex(corpus, "embedding", "vec_id", cb,
           cents)
-        .localCheckpoint(false)
+        .materialize
       val queries = emb.filter(col("vec_id") < 20)
       val hits = Pq.ivfPqTopK(queries, index, "embedding", "vec_id", cb,
           cents, kNn = 1, nProbe = 8)

@@ -1,5 +1,6 @@
 package graft
 
+import graft.Materialize.Ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1238,7 +1239,7 @@ private[graft] object QueriesStats1 {
         // calendar-bounded: plain window safe
         .withColumn("t",
           (row_number().over(Window.orderBy(col("d"))) - 1).cast("long"))
-        .localCheckpoint(false)
+        .materialize
       val nDays = daily.agg(count(lit(1)).as("nd"))
       val levels = (1 to 8).map { j =>
         val span = 1L << j
@@ -1479,7 +1480,7 @@ private[graft] object QueriesStats1 {
         .crossJoin(monthly(1996, "j", "vb"))
         .select(col("i"), col("j"),
           abs(col("va") - col("vb")).as("c"))
-        .localCheckpoint(false)
+        .materialize
       // 12-row frames: plain windows safe throughout
       val w = Window.orderBy(col("i"))
       val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -1519,7 +1520,7 @@ private[graft] object QueriesStats1 {
         .withColumn("t", row_number().over(w).cast("long"))
         .withColumn("s1", sum(col("y")).over(w))
         .withColumn("s2", sum(col("y") * col("y")).over(w))
-        .localCheckpoint(false)
+        .materialize
       val tot = cum.agg(max(col("t")).as("n"), max(col("s1")).as("g1"),
         max(col("s2")).as("g2"))
       def seg(s2b: Column, s2a: Column, s1b: Column, s1a: Column,

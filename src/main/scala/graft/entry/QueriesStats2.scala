@@ -1,5 +1,6 @@
 package graft
 
+import graft.Materialize.Ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -112,22 +113,25 @@ private[graft] object QueriesStats2 {
       // ROUGE (a shuffled copy keeps ROUGE-1 but loses bigrams).
       // Bigrams come from the positional token index (posexplode), so
       // candidate n-gram totals are exact.
-      val toks = docsWithNearDups(s, dir)
+      // token ARRAYS per doc, materialized once (consumed by the unigram
+      // explode, the bigram explode twice, and the token totals): bigrams
+      // come straight off adjacent array slots — same multiset the old
+      // positional self-join produced, without shuffling tokens twice
+      val base = docsWithNearDups(s, dir)
         .select(pmod(col("doc_id"), lit(100000L)).as("fam"),
           when(col("doc_id") < 100000L, lit("ref")).otherwise(lit("cand"))
             .as("side"),
-          posexplode(filter(split(lower(col("text")), "[^a-z0-9]+"),
-            x => x =!= "")))
-        .select(col("fam"), col("side"), col("pos").as("i"),
-          col("col").as("term"))
+          filter(split(lower(col("text")), "[^a-z0-9]+"),
+            x => x =!= "").as("ts"))
+        .materialize
+      val toks = base.select(col("fam"), col("side"),
+        explode(col("ts")).as("term"))
       def grams(n: Int): DataFrame =
-        if (n == 1) toks.select(col("fam"), col("side"), col("term"))
-        else toks.as("a").join(toks.as("b"),
-            col("a.fam") === col("b.fam") &&
-            col("a.side") === col("b.side") &&
-            col("b.i") === col("a.i") + 1)
-          .select(col("a.fam").as("fam"), col("a.side").as("side"),
-            concat_ws(" ", col("a.term"), col("b.term")).as("term"))
+        if (n == 1) toks
+        else base.filter(size(col("ts")) >= 2)
+          .select(col("fam"), col("side"), explode(expr(
+            "transform(sequence(1, size(ts) - 1), " +
+              "i -> concat_ws(' ', ts[i-1], ts[i]))")).as("term"))
       def clipped(g: DataFrame): DataFrame = {
         val c = g.groupBy(col("fam"), col("side"), col("term"))
           .agg(count(lit(1)).as("c"))
@@ -174,18 +178,28 @@ private[graft] object QueriesStats2 {
       // violating-group count.
       val attrs = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_orderpriority", "o_orderdate")
+      // materialized: each of the 5 per-LHS aggregates scans it once
       val df = t(s, dir, "orders")
         .select(attrs.map(col): _*)
+        .materialize
+      // "more than one distinct B" is exactly min(B) != max(B) (nulls are
+      // ignored by countDistinct and by min/max alike; an all-null group
+      // yields NULL != NULL = NULL -> not violating on both forms), so the
+      // per-LHS pass needs NO distinct aggregates — Spark plans multiple
+      // countDistincts as a 4x Expand + two-level aggregate, which was
+      // this query's whole cost (bracketed A/B below in OPTIMIZATION_r10)
       val parts = attrs.map { a =>
         val others = attrs.filterNot(_ == a)
-        val g2 = df.groupBy(col(a))
-          .agg(countDistinct(col(others.head)).as(s"d_${others.head}"),
-            others.tail.map(b => countDistinct(col(b)).as(s"d_$b")): _*)
+        def mm(b: String) = Seq(min(col(b)).as(s"mn_$b"),
+          max(col(b)).as(s"mx_$b"))
+        val aggs = others.flatMap(mm)
+        val g2 = df.groupBy(col(a)).agg(aggs.head, aggs.tail: _*)
         val viols = g2.agg(
-          sum(when(col(s"d_${others.head}") > 1, 1L).otherwise(0L))
-            .as(s"v_${others.head}"),
+          sum(when(col(s"mn_${others.head}") =!= col(s"mx_${others.head}"),
+            1L).otherwise(0L)).as(s"v_${others.head}"),
           others.tail.map(b =>
-            sum(when(col(s"d_$b") > 1, 1L).otherwise(0L)).as(s"v_$b")): _*)
+            sum(when(col(s"mn_$b") =!= col(s"mx_$b"), 1L).otherwise(0L))
+              .as(s"v_$b")): _*)
         viols.select(others.map(b =>
           struct(lit(a).as("lhs"), lit(b).as("rhs"),
             col(s"v_$b").as("nv")).as(s"s_$b")): _*)
@@ -896,7 +910,7 @@ private[graft] object QueriesStats2 {
       val p = s.conf.get("spark.sql.shuffle.partitions").toInt
       val ranged = grp.repartitionByRange(p, col("price"))
         .withColumn("__pid", spark_partition_id())
-        .localCheckpoint(false)
+        .materialize
       val offs = ranged.groupBy(col("__pid"))
         .agg(max(col("gmax")).as("pmax"))
       val wOff = Window.orderBy(col("__pid"))
@@ -1056,12 +1070,17 @@ private[graft] object QueriesStats2 {
       // Bigram counts are per-doc partial aggregates bounded by doc
       // length; the pair join ships only (doc_id, gram, count) rows —
       // never the texts — and the histogram collapses map-side.
+      // materialized: consumed by both sides of the overlap join; the r9
+      // persist() attempt was a measured pessimization (columnar cache
+      // encode/decode), but the raw-row lazy checkpoint computes the
+      // explode+aggregate subtree once instead of once per consumer
       val grams = docsWithNearDups(s, dir)
         .filter(length(col("text")) >= 2)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
           .as("g"))
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .materialize
       val ref = grams.filter(col("doc_id") < 100000)
       val hyp = grams.filter(col("doc_id") >= 100000)
         .select((col("doc_id") - 100000).as("doc_id"), col("g"),
@@ -1069,8 +1088,17 @@ private[graft] object QueriesStats2 {
       val overlap = ref.join(hyp, Seq("doc_id", "g"))
         .groupBy(col("doc_id"))
         .agg(sum(least(col("c"), col("ch"))).as("ov"))
-      val totR = ref.groupBy(col("doc_id")).agg(sum(col("c")).as("tr"))
-      val totH = hyp.groupBy(col("doc_id")).agg(sum(col("ch")).as("th"))
+      // per-doc bigram totals come straight off the text length: the
+      // transform emits exactly length-1 bigrams per doc (all non-null),
+      // so sum(c) per doc == length(text)-1 under the same len>=2 cut —
+      // no second and third aggregate pass over the gram table
+      val lens = docsWithNearDups(s, dir)
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id"), (length(col("text")) - 1).cast("long").as("t"))
+      val totR = lens.filter(col("doc_id") < 100000)
+        .select(col("doc_id"), col("t").as("tr"))
+      val totH = lens.filter(col("doc_id") >= 100000)
+        .select((col("doc_id") - 100000).as("doc_id"), col("t").as("th"))
       // inner totR⋈totH keeps pairs where BOTH sides have ≥1 bigram (the
       // oracle applies the same length cut); zero-overlap pairs keep F=0
       val f = totR.join(totH, Seq("doc_id"))
@@ -1703,7 +1731,7 @@ private[graft] object QueriesStats2 {
           (col("t1") - (col("cum1") - col("c1"))).cast("double").as("n1"),
           col("d0").cast("double").as("d0"),
           col("d1").cast("double").as("d1"))
-        .localCheckpoint(false)
+        .materialize
       var beta = s.range(1).select(lit(0.0).as("b"))
       for (it <- 1 to 3) {
         val j = evt.crossJoin(broadcast(beta))
@@ -1946,7 +1974,7 @@ private[graft] object QueriesStats2 {
               (col("a.y") - col("b.y")) * (col("a.y") - col("b.y"))
               <= lit(eps * eps))
         .select(col("a.sk").as("pa"), col("b.sk").as("pb"))
-        .localCheckpoint(false)
+        .materialize
       val core = pairs.groupBy(col("pa")).agg(count(lit(1)).as("nb"))
         .filter(col("nb") >= 3).select(col("pa").as("sk"))
       val coreEdges = pairs
@@ -2741,7 +2769,7 @@ private[graft] object QueriesStats2 {
         .select(col("vec_id"), col("embedding"),
           VF.cosine(col("embedding"), col("qemb")).as("rel"))
         .orderBy(col("rel").desc, col("vec_id")).limit(10)
-        .localCheckpoint(false)
+        .materialize
       var selected = cands.orderBy((lit(0.7) * col("rel")).desc,
           col("vec_id")).limit(1)
         .select(col("vec_id"), col("embedding"), col("rel"),

@@ -1,5 +1,6 @@
 package graft
 
+import graft.Materialize.Ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1112,7 +1113,7 @@ private[graft] object QueriesStats3 {
             .as("quality"),
           pmod(graft.ops.Sampling.keyHash(col("doc_id")), lit(100L))
             .as("b"))
-        .localCheckpoint(false)
+        .materialize
       val rounds = Seq((10, 10), (20, 5), (40, 2), (80, 2))
       var survivors = docs.select(col("source")).distinct()
       var means: DataFrame = null
@@ -2033,7 +2034,7 @@ private[graft] object QueriesStats3 {
         ((len - length(regexp_replace(col("text"), "[0-9]", ""))
           .cast("double")) / len).as("f_digit"),
         when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
-        .localCheckpoint(false)
+        .materialize
       val cols = Seq("f_bias", "f_len", "f_space", "f_digit")
       val train = featAll.filter(col("istr"))
       val wts = graft.ops.LinearModel.logisticGd(train, cols, "y",
@@ -2273,7 +2274,7 @@ private[graft] object QueriesStats3 {
           .cast("double")) / len).as("fd"))
         // lazy localCheckpoint (shared by the melted medians + the
         // positive-count pass); blocks free with the result
-        .localCheckpoint(false)
+        .materialize
       val melted = feats.select(explode(array(
           struct(lit("q").as("f"), col("q").as("v")),
           struct(lit("fl").as("f"), col("fl").as("v")),
@@ -2747,7 +2748,7 @@ private[graft] object QueriesStats3 {
         .filter(col("v") > 0)
         .withColumn("d", col("m1") - col("m2"))
         .withColumn("w", lit(1.0) / col("v"))
-        .localCheckpoint(false)
+        .materialize
       val fe = strat.agg(count(lit(1)).cast("double").as("k"),
         sum(col("w")).as("sw"), sum(col("w") * col("w")).as("sw2"),
         (sum(col("w") * col("d")) / sum(col("w"))).as("feEst"))
@@ -2792,7 +2793,7 @@ private[graft] object QueriesStats3 {
       val wH = Window.partitionBy(col("yr")).orderBy(col("h"), col("ok"))
       val samp = base.withColumn("rk", row_number().over(wH))
         .filter(col("rk") <= 400)
-        .localCheckpoint(false)
+        .materialize
       val sd = samp.agg(sqrt(avg(col("v") * col("v")) -
         avg(col("v")) * avg(col("v"))).as("sigma"))
       val xs = samp.filter(col("yr") === 1995)

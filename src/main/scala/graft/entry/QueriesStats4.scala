@@ -1,5 +1,6 @@
 package graft
 
+import graft.Materialize.Ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -460,7 +461,7 @@ private[graft] object QueriesStats4 {
               (col("a.y") - col("b.y")) * (col("a.y") - col("b.y"))
               <= lit(eps * eps))
         .select(col("a.sk").as("pa"), col("b.sk").as("pb"))
-        .localCheckpoint(false)
+        .materialize
       val dens = pairs.groupBy(col("pa").as("sk"))
         .agg(count(lit(1)).cast("double").as("dens"))
       val lof = pairs
@@ -1577,7 +1578,7 @@ private[graft] object QueriesStats4 {
         // instead of accumulating in the CacheManager across a sweep
         // (PrefixSum's class doc), and the part-year rollup above
         // already reduced this to |parts| rows
-        .localCheckpoint(false)
+        .materialize
       // exact median via the two-phase exactPercentiles, not the
       // builtin percentile(): chg is a CONTINUOUS ratio, so the
       // builtin's value→count buffer has one entry per part — a
@@ -2328,7 +2329,7 @@ private[graft] object QueriesStats4 {
         .select(((col("t") - col("prev")).cast("double") / 1e6).as("g"))
         // lazy localCheckpoint (shared by the median ranks + tail
         // counts); blocks free with the result, no CacheManager entry
-        .localCheckpoint(false)
+        .materialize
       // two-phase exact median: gaps carry microsecond resolution, so
       // the builtin percentile()'s value→count buffer would be
       // event-sized, not domain-bounded

@@ -1,5 +1,6 @@
 package graft.functions
 
+import graft.Materialize.Ops
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -255,7 +256,7 @@ object TextFunctions {
           "struct(element_at(__toks, i) AS w1, element_at(__toks, i + 1) AS w2))"))
           .as("__b"))
       .select(col(idCol), col("__b.w1"), col("__b.w2"))
-      .localCheckpoint(false)
+      .materialize
     val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c12"))
     val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
     val v = bi.agg(countDistinct(col("w2")).as("__v"))

@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.Materialize.Ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
@@ -67,7 +68,7 @@ object Dedup {
     // the signature computation should run once.
     val sigs = df.select(col(idCol).as("__id"),
       minhashSignature(col(textCol), shingleSize, numHashes).as("__sig"))
-      .localCheckpoint(false)
+      .materialize
 
     // Candidate generation carries ONLY (8-byte band hash, 8-byte id) —
     // never the signature, let alone the document. At corpus scale the
@@ -87,7 +88,7 @@ object Dedup {
       .filter(col("__n") > maxBucketSize)
       .select(col("band"), col("bhash"))
     val capped = banded.join(hot, Seq("band", "bhash"), "left_anti")
-      .localCheckpoint(false)
+      .materialize
 
     val l = capped.select(col("band"), col("bhash"), col("__id").as("idA"))
     val r = capped.select(col("band"), col("bhash"), col("__id").as("idB"))
@@ -157,7 +158,7 @@ object Dedup {
     val rows = numHashes / bands
     val newSigs = newDf.select(col(idCol).as("__id"),
         minhashSignature(col(textCol), shingleSize, numHashes).as("__sig"))
-      .localCheckpoint(false)
+      .materialize
     val corpusSigs = existingSigs
       .select(col("id").as("__id"), col("sig").as("__sig"))
     // corpus-side hot buckets are capped exactly as in minhashPairs (the
@@ -527,7 +528,7 @@ object Dedup {
         explode(array_distinct(
           graft.expressions.TextExpressions.ngramHashes(
             TF.normTokens(col(textCol)), n))).as("__g"))
-      .localCheckpoint(false)
+      .materialize
 
     val rare = posting.groupBy(col("__g"))
       .agg(count(lit(1)).as("__df"))
@@ -535,7 +536,7 @@ object Dedup {
 
     // rare posting list with each gram's global rarity key (df, gram)
     val rp = posting.join(rare, Seq("__g"))
-      .localCheckpoint(false)
+      .materialize
 
     if (!prefixFilter.getOrElse(false)) {
       val sizes = rp.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
@@ -565,7 +566,7 @@ object Dedup {
       val sets = rp.groupBy(col("__id"))
         .agg(count(lit(1)).as("__sz"),
           sort_array(collect_list(col("__g"))).as("__gs"))
-        .localCheckpoint(false)
+        .materialize
 
       // prefix = the floor((1-t)*sz)+1 rarest grams of each doc. Computed
       // as ceil(...)+1, which is >= the exact floor(...)+1 bound under any
@@ -579,8 +580,12 @@ object Dedup {
         .filter(col("__rk") <= ceil((lit(1.0) - threshold) * col("__sz")) + 1)
         .select(col("__g"), col("__id"))
 
+      // shuffle_hash for the same reason as the count-join branch: the
+      // planner's stats-based choice broadcasts the prefix posting list
+      // (serial driver-side build); both sides belong in parallel exchanges
       val cand = prefix.select(col("__g"), col("__id").as("idA"))
-        .join(prefix.select(col("__g"), col("__id").as("idB")), Seq("__g"))
+        .join(prefix.select(col("__g"), col("__id").as("idB"))
+          .hint("shuffle_hash"), Seq("__g"))
         .filter(col("idA") < col("idB"))
         .select(col("idA"), col("idB"))
         .dropDuplicates("idA", "idB")
@@ -702,7 +707,7 @@ object Dedup {
     val lines = df.select(col(idCol),
         posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
       .withColumn("__lh", xxhash64(col("__line")))
-      .localCheckpoint(false)
+      .materialize
     val boiler = lines.groupBy(col("__lh"))
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
@@ -773,7 +778,7 @@ object Dedup {
       cells, kmeansIters)
     val assigned = Similarity.assignCells(df, vecCol, idCol, centroids)
       .select(col("__id"), col("cell"), VF.l2Normalize(col("__v")).as("__nv"))
-      .localCheckpoint(false)
+      .materialize
     val l = assigned.select(col("cell"), col("__id").as("idA"),
       col("__nv").as("vA"))
     val r = assigned.select(col("cell"), col("__id").as("idB"),
@@ -812,7 +817,7 @@ object Dedup {
           VF.hyperplaneSignature(col(vecCol), sigBits, t * sigBits).as("sig"))
       }: _*)).as("__s"))
       .select(col("__id"), col("__v"), col("__s.tbl"), col("__s.sig"))
-      .localCheckpoint(false)
+      .materialize
     val l = sigged.select(col("tbl"), col("sig"),
       col("__id").as("idA"), col("__v").as("vA"))
     val r = sigged.select(col("tbl"), col("sig"),

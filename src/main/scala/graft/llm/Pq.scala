@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.Materialize.Ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -88,7 +89,7 @@ object Pq {
       .limit(MaxTrainRows)
       .repartition(pcount)
     val sub0 = subRows(train, "__tv", "__tid", m, dsub)
-      .localCheckpoint(false)
+      .materialize
     // right-size loop parallelism to the actual (rows x m) sample — see
     // Similarity.trainSphericalKMeans; coalesce reads cached partitions
     val nSub = sub0.count()

@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.Materialize.Ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -82,7 +83,7 @@ object Search {
   def writeSearchIndex(docs: DataFrame, textCol: String, idCol: String,
                        path: String): Unit = {
     val post = postings(docs, textCol, idCol)
-      .localCheckpoint(false)
+      .materialize
     post
       .repartition(col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
@@ -200,7 +201,7 @@ object Search {
     val matched0 = post.join(broadcast(qterms.select("term").distinct()),
       Seq("term"))
     val matched =
-      if (dedupeQueries) matched0 else matched0.localCheckpoint(false)
+      if (dedupeQueries) matched0 else matched0.materialize
     val df_ = matched.groupBy(col("term"))
       .agg(count(lit(1)).as("df")) // one row per (term, doc) => count = df
 
@@ -400,7 +401,7 @@ object Search {
         col("df").cast("double") >
           col("n_docs").cast("double") * lit(EssentialDfFrac))
       .select(col("query_id"), col("term"), col("__ub"), col("__common"))
-      .localCheckpoint(false)
+      .materialize
 
     val perQ = qt.groupBy(col("query_id")).agg(
       sum(when(col("__common"), col("__ub")).otherwise(0L)).as("__ub_ne"),
@@ -416,7 +417,7 @@ object Search {
         .select(col("query_id"), col("term"))), Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("__micro")).as("__essp"))
-      .localCheckpoint(false)
+      .materialize
 
     // F_q = kth-best essential score; exactness certificate per query
     val floors = TopK.perGroup(
@@ -519,7 +520,7 @@ object Search {
       .select(col("term"), col("doc_id"),
         (col("tf").cast("double") *
           log(col("__n").cast("double") / col("df"))).as("w"))
-      .localCheckpoint(false)
+      .materialize
     val norms = w.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
     // shuffle_hash: same serial-broadcast-build avoidance as the n-gram

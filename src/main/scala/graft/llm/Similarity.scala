@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.Materialize.Ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.{VectorFunctions => VF}
@@ -167,7 +168,7 @@ object Similarity {
     val train = trainOrdered
       .limit(IvfMaxTrainRows)
       .repartition(p)
-      .localCheckpoint(false)
+      .materialize
 
     // seeds from the ORDERED stream, not the repartitioned sample (whose
     // row order is arbitrary): the nCentroids hash-smallest rows, same

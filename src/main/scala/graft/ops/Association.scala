@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Materialize.Ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -33,7 +34,7 @@ object Association {
       // a .persist() here measured 30-90 CPU-s vs ~1 for the checkpoint
       // (r9 OptProbe assoc3; columnar cache build/decode + its stats
       // flipping downstream join planning)
-      .localCheckpoint(false)
+      .materialize
     val n = b.agg(countDistinct(col("basket")).as("n_baskets"))
     val freq = b.groupBy(col("item")).agg(count(lit(1)).as("c_item"))
       .crossJoin(broadcast(n))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Materialize.Ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -126,7 +127,7 @@ object Diff {
       .join(cn.select(col("__bucket"), col("__n").as("__nn"),
         col("__sum").as("__sn"), col("__hi").as("__hn")),
         Seq("__bucket"), "full_outer")
-      .localCheckpoint(false)
+      .materialize
     val dirty = cmp.filter(
       !(col("__no") <=> col("__nn")) || !(col("__so") <=> col("__sn")) ||
         !(col("__ho") <=> col("__hn")))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Materialize.Ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -34,7 +35,7 @@ object FuzzyJoin {
     require(maxDist == 1 || maxDist == 2,
       "symmetric-delete blocking supports maxDist in {1, 2}")
     val s = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
-      .localCheckpoint(false)
+      .materialize
 
     // deletion neighborhood: the string itself, all single deletions, and
     // (d=2) all ordered double deletions, deduplicated

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Materialize.Ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -33,7 +34,7 @@ object LinearModel {
     var w = Array.fill(n)(0.0)
     val cached = df.select(
       (featureCols.map(c => col(c).cast("double").as(c)) :+
-        col(labelCol).cast("double").as("__y")): _*).localCheckpoint(false)
+        col(labelCol).cast("double").as("__y")): _*).materialize
     for (_ <- 1 to nIter) {
       val z = featureCols.zip(w)
         .map { case (c, wi) => col(c) * lit(wi) }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Materialize.Ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -22,7 +23,8 @@ import org.apache.spark.sql.functions._
   * Two extra tiny shuffles buy an even per-task bound — the classic
   * two-phase scan/prefix-sum decomposition.
   *
-  * The ranged intermediate is marked with a LAZY `localCheckpoint(false)`,
+  * The ranged intermediate is marked with a LAZY materialize point
+  * (`localCheckpoint(false)` at local defaults),
   * not `persist`: partition ids must be IDENTICAL between the totals
   * read and the final window read (a re-sampled range repartition could
   * silently renumber them). Both reads share the one marked RDD — the
@@ -50,7 +52,7 @@ object PrefixSum {
       .withColumn("__val", value.cast("long"))
       .repartitionByRange(p, col(grp), col(ord))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false)
+      .materialize
     val totals = ranged.groupBy(col("__pid"), col(grp))
       .agg(sum(col("__val")).as("__tot"))
     // offset for (pid, grp) = sum of the SAME group's totals in earlier
@@ -89,7 +91,7 @@ object PrefixSum {
     val ranged = pre
       .repartitionByRange(p, col(grp), col(ord))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false)
+      .materialize
     val totAggs = vals.map(c => sum(col(c)).as(s"__tot$c"))
     val totals = ranged.groupBy(col("__pid"), col(grp))
       .agg(totAggs.head, totAggs.tail: _*)
@@ -129,7 +131,7 @@ object PrefixSum {
     val ranged = df
       .repartitionByRange(p, ord: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false)
+      .materialize
     // <= p rows: the per-partition counts and their running offsets
     val wOff = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -183,7 +185,7 @@ object PrefixSum {
     val ranged = d
       .repartitionByRange(p, col("__v"))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false)
+      .materialize
     val cnt = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__tot"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val n = cnt.map(_._2).sum
@@ -286,7 +288,7 @@ object PrefixSum {
     val ranged = d
       .repartitionByRange(p, col(grp), col("__v"))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(false)
+      .materialize
     val totals = ranged.groupBy(col("__pid"), col(grp))
       .agg(count(lit(1)).as("__tot"))
     val wOff = Window.partitionBy(col(grp)).orderBy(col("__pid"))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Materialize.Ops
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
@@ -239,7 +240,7 @@ object Selection {
       // offsets read and the final scan (both branches share one marked
       // RDD), and its blocks are context-cleaned once the result is
       // unreachable (see [[PrefixSum]]'s rationale)
-      .localCheckpoint(false)
+      .materialize
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid")).orderBy(col("x").desc, col("y").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
