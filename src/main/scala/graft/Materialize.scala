@@ -25,8 +25,22 @@ import org.apache.spark.sql.DataFrame
 object Materialize {
   val ConfKey = "spark.graft.reliableMaterialize"
 
+  /** `spark.graft.explainMaterialize=true` prints each materialize site's
+    * INPUT physical plan before the checkpoint truncates it — plan audits
+    * (Plans/`plans/rN/` dumps) otherwise see only a `Scan ExistingRDD`
+    * stub for the materialized subtree (round-9 verdict, "What's wrong"
+    * #4). Debug-only; never set on a timed path.
+    */
+  val ExplainKey = "spark.graft.explainMaterialize"
+
   def apply(df: DataFrame): DataFrame = {
     val s = df.sparkSession
+    if (s.conf.getOption(ExplainKey).exists(_.equalsIgnoreCase("true"))) {
+      println(s"---- materialize site input plan " +
+        s"(cols: ${df.columns.mkString(", ")}) ----")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
     val reliable =
       s.conf.getOption(ConfKey).exists(_.equalsIgnoreCase("true"))
     if (reliable) {

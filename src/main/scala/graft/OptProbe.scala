@@ -671,6 +671,23 @@ object OptProbe {
         "k10/pair-gen packed" -> kernelPairGen(packed = true))
     }
 
+    if (which("celf10")) {
+      // q139 CELF item-table materialization A/B: persist (batch min/max
+      // stats prune the per-round candidate filters) vs eager raw-row
+      // checkpoint (no columnar encode/decode). Full q139 both ways.
+      def q139 = () => SparkEntry.queries("q139_coverage_select")(spark, sfDir)
+      def persistVar = () => {
+        graft.ops.Selection.itemCkptOverride = Some(false); q139()
+      }
+      def ckptVar = () => {
+        graft.ops.Selection.itemCkptOverride = None; q139()
+      }
+      try compare(3)(
+        "celf10/persist (r9)" -> persistVar,
+        "celf10/ckpt (default)" -> ckptVar)
+      finally graft.ops.Selection.itemCkptOverride = None
+    }
+
     if (which("assoc3")) {
       def baskets = events(spark, sfDir)
         .select(col("user_id").as("basket"),

@@ -23,6 +23,11 @@ object Plans {
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // GRAFT_EXPLAIN_MATERIALIZE=1: also print each materialize site's
+    // pre-checkpoint input plan (the final plan shows a Scan ExistingRDD
+    // stub for those subtrees)
+    if (sys.env.get("GRAFT_EXPLAIN_MATERIALIZE").contains("1"))
+      spark.conf.set(Materialize.ExplainKey, "true")
     SparkEntry.queries
       .filter(kv => names.isEmpty || names.contains(kv._1))
       .foreach { case (name, fn) =>

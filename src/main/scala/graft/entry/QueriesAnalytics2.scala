@@ -1783,10 +1783,9 @@ private[graft] object QueriesAnalytics2 {
           sum(when(col("is_a") && col("event"), 1L).otherwise(0L))
             .as("d_a"))
         .withColumn("__g", lit(1))
-      val cum = PrefixSum.groupedRunningSum(
-        PrefixSum.groupedRunningSum(byDur, "__g", "dur", col("c_all"),
-          "cum_all"), "__g", "dur", col("c_a"), "cum_a")
-      val tot = byDur.agg(sum(col("c_all")).as("n_total"),
+      val cum = PrefixSum.groupedRunningSums(byDur, "__g", "dur",
+        Seq((col("c_all"), "cum_all"), (col("c_a"), "cum_a")))
+      val tot = cum.agg(sum(col("c_all")).as("n_total"),
         sum(col("c_a")).as("n_a_total"))
       val risk = cum.crossJoin(broadcast(tot))
         .select(col("dur"), col("d_all"), col("d_a"),
@@ -2053,6 +2052,11 @@ private[graft] object QueriesAnalytics2 {
           byUser.rowsBetween(Window.unboundedPreceding, 0)))
         .groupBy(col("user_id"), col("sid"))
         .agg(min(col("us")).as("s0"), max(col("us")).as("s1"))
+        // materialized: consumed by the span aggregate and the sweep-line
+        // deltas, which come from ONE explode pass (the old unionAll's
+        // swapped-endpoint branches were canonically distinct subtrees
+        // that re-executed the session windows once each)
+        .materialize
       val span = sess.agg(min(col("s0")).as("smin"),
         max(col("s1")).as("smax"), count(lit(1)).as("n_sess"),
         sum(col("s1") - col("s0")).as("dur_us"))
@@ -2061,10 +2065,12 @@ private[graft] object QueriesAnalytics2 {
           expr("smax div 3600000000L"))).as("h"))
         .select((col("h") * 3600000000L).as("us"), lit(2L).as("pri"),
           lit(0L).as("delta"))
-      val deltas = sess
-        .select(col("s0").as("us"), lit(0L).as("pri"), lit(1L).as("delta"))
-        .unionAll(sess.select(col("s1").as("us"), lit(1L).as("pri"),
-          lit(-1L).as("delta")))
+      val deltas = sess.select(explode(array(
+          struct(col("s0").as("us"), lit(0L).as("pri"), lit(1L).as("delta")),
+          struct(col("s1").as("us"), lit(1L).as("pri"), lit(-1L).as("delta"))))
+          .as("__d"))
+        .select(col("__d.us").as("us"), col("__d.pri").as("pri"),
+          col("__d.delta").as("delta"))
       val swept = PrefixSum.groupedRunningSum(
         marks.unionAll(deltas)
           .select((col("us") * 4 + col("pri")).as("k"), col("pri"),

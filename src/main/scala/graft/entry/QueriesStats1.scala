@@ -74,12 +74,14 @@ private[graft] object QueriesStats1 {
         .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
           sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
         .withColumn("__g", lit(1))
-      val cum = PrefixSum.groupedRunningSum(
-        PrefixSum.groupedRunningSum(byVal, "__g", "v", col("ca"), "cca"),
-        "__g", "v", col("cb"), "ccb")
+      // both cumulative counts in ONE two-phase pass (chaining the single
+      // version re-ranges and re-materializes the grid per column)
+      val cum = PrefixSum.groupedRunningSums(byVal, "__g", "v",
+        Seq((col("ca"), "cca"), (col("cb"), "ccb")))
       val ranked = PrefixSum.globalRank(cum, Seq(col("v")), "rk")
       val nxt = ranked.select((col("rk") - 1).as("rk"), col("v").as("vn"))
-      val tot = byVal.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      // totals from the pass's materialized output, not a re-executed grid
+      val tot = cum.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
       ranked.join(nxt, Seq("rk"))
         .crossJoin(broadcast(tot))
         .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
@@ -545,10 +547,9 @@ private[graft] object QueriesStats1 {
       val byVal = base.groupBy(col("x"))
         .agg(count(lit(1)).as("nv"), sum(col("pos")).as("pv"))
         .withColumn("__g", lit(1))
-      val cum = PrefixSum.groupedRunningSum(
-        PrefixSum.groupedRunningSum(byVal, "__g", "x", col("nv"), "cn"),
-        "__g", "x", col("pv"), "cp")
-      val tot = byVal.agg(sum(col("nv")).as("n"), sum(col("pv")).as("p"))
+      val cum = PrefixSum.groupedRunningSums(byVal, "__g", "x",
+        Seq((col("nv"), "cn"), (col("pv"), "cp")))
+      val tot = cum.agg(sum(col("nv")).as("n"), sum(col("pv")).as("p"))
       val pts = cum.crossJoin(broadcast(tot))
         .select(col("x").as("thr"),
           (col("p") - col("cp")).as("tp"),
@@ -1206,10 +1207,12 @@ private[graft] object QueriesStats1 {
         .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
           sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
         .withColumn("__g", lit(1))
-      val cum = PrefixSum.groupedRunningSum(
-        PrefixSum.groupedRunningSum(byVal, "__g", "v", col("ca"), "cca"),
-        "__g", "v", col("cb"), "ccb")
-      val tot = byVal.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      // both cumulative counts in ONE two-phase pass (chaining the single
+      // version re-ranges and re-materializes the grid per column)
+      val cum = PrefixSum.groupedRunningSums(byVal, "__g", "v",
+        Seq((col("ca"), "cca"), (col("cb"), "ccb")))
+      // totals from the pass's materialized output, not a re-executed grid
+      val tot = cum.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
       cum.crossJoin(broadcast(tot))
         .agg(first(col("na")).as("n_asia"), first(col("nb")).as("n_europe"),
           sum((col("cca").cast("double") * col("nb") -

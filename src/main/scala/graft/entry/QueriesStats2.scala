@@ -1809,11 +1809,10 @@ private[graft] object QueriesStats2 {
       val pts = scored.groupBy(col("p"))
         .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("cpos"),
           count(lit(1)).as("ctot"))
-      val cumT = graft.ops.PrefixSum.groupedRunningSum(
-        pts.withColumn("__g", lit(1)), "__g", "p", col("ctot"), "cum_t")
-      val cum = graft.ops.PrefixSum.groupedRunningSum(
-        cumT, "__g", "p", col("cpos"), "cum_p")
-      val tot = pts.agg(sum(col("cpos")).cast("double").as("np"),
+      val cum = graft.ops.PrefixSum.groupedRunningSums(
+        pts.withColumn("__g", lit(1)), "__g", "p",
+        Seq((col("ctot"), "cum_t"), (col("cpos"), "cum_p")))
+      val tot = cum.agg(sum(col("cpos")).cast("double").as("np"),
         (sum(col("ctot")) - sum(col("cpos"))).cast("double").as("nn"))
       val v = cum.crossJoin(broadcast(tot))
         .select(col("cpos").cast("double").as("wp"),

@@ -393,11 +393,13 @@ private[graft] object QueriesStats3 {
         .agg(sum(when(col("yr") === 1995, 1L).otherwise(0L)).as("c1"),
           sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("c2"))
         .withColumn("l", col("c1") + col("c2"))
-      val cumL = graft.ops.PrefixSum.groupedRunningSum(
-        grid.withColumn("__g", lit(1)), "__g", "v", col("l"), "cb")
-      val cum = graft.ops.PrefixSum.groupedRunningSum(
-        cumL, "__g", "v", col("c1"), "cm1")
-      val tot = grid.agg(sum(col("c1")).cast("double").as("n1"),
+      // both prefix sums in ONE two-phase pass, and the totals aggregate
+      // reads the pass's materialized output instead of re-executing the
+      // grid aggregate from the orders scan a second time
+      val cum = graft.ops.PrefixSum.groupedRunningSums(
+        grid.withColumn("__g", lit(1)), "__g", "v",
+        Seq((col("l"), "cb"), (col("c1"), "cm1")))
+      val tot = cum.agg(sum(col("c1")).cast("double").as("n1"),
         sum(col("c2")).cast("double").as("n2"),
         count(lit(1)).as("nvals"))
       val terms = cum.crossJoin(broadcast(tot))

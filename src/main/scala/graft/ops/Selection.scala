@@ -26,15 +26,26 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * accumulate in a driver-side map during the round (<= batch sizes) and
   * fold into `bounds` in ONE broadcast-join rewrite at round end — the
   * eager full-corpus aggregate survives only as round 1's bound seed.
-  * The item table is hash-clustered and sorted by doc id before caching,
-  * so the per-round candidate filter prunes in-memory batches instead of
-  * scanning the corpus, and the seed aggregate needs no shuffle.
+  * The item table is hash-clustered by doc id and materialized once as a
+  * raw-row checkpoint (the seed aggregate and every per-round candidate
+  * filter read it shuffle-free; the r9 columnar persist() cost 3x the CPU
+  * of the whole query in cache encode/decode — r10 CelfProbe/OptProbe A/B).
   * `covered` and `bounds` are checkpointed per round so the plan stays
   * flat, exactly like connectedComponents; `reliableCheckpoints = true`
   * swaps in fault-tolerant `DataFrame.checkpoint` for executor-loss
   * survival on a real cluster (requires `sparkContext.setCheckpointDir`).
   */
 object Selection {
+
+  /** Probe-only override (CelfProbe/OptProbe): Some(false) restores the
+    * r9 persist() of the clustered item table, to re-measure the columnar
+    * cache against the raw-row checkpoint default (r10 A/B: persist 25.7
+    * CPU-s / 10.8 s wall vs ckpt 8.1 / 7.6 on the q139 call — the cache's
+    * batch-stat pruning never paid for its encode/decode; per-round
+    * candidate jobs were <= 0.28 CPU-s either way, CelfProbe r9).
+    * Production callers leave it None.
+    */
+  private[graft] var itemCkptOverride: Option[Boolean] = None
 
   /** Greedy max-cover over `items` (first column: doc id, second: item);
     * duplicates are fine — coverage counts distinct items. Ties break on
@@ -60,12 +71,16 @@ object Selection {
     // prunes cached batches by min/max stats, and both the (id, item)
     // dedup and the groupBy(id) seed run shuffle-free on the id-hash
     // layout (partitioning by id already co-locates every (id, item))
-    val it = items
+    val itBase = items
       .select(col(items.columns(0)).as("id"), col(items.columns(1)).as("item"))
       .repartition(col("id"))
       .dropDuplicates(Seq("id", "item"))
       .sortWithinPartitions(col("id"))
-      .persist()
+    // eager raw-row checkpoint (reliable on a cluster when asked): blocks
+    // are context-cleaned once the picks are collected and `it` becomes
+    // unreachable; the drivers' dropQueryState frees them deterministically
+    val it = if (itemCkptOverride.contains(false)) itBase.persist()
+             else ckpt(itBase)
     val idType = it.schema("id").dataType
     // Round-1 gains against an empty covered set ARE the exact gains.
     var bounds = ckpt(it.groupBy(col("id")).agg(count(lit(1)).as("ub")))
