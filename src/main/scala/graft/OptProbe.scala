@@ -671,6 +671,46 @@ object OptProbe {
         "k10/pair-gen packed" -> kernelPairGen(packed = true))
     }
 
+    if (which("shjgate")) {
+      // Round-10 gate evidence for the two shuffle_hash hints (VERDICT
+      // "what's wrong" #6): a ShuffledHashJoin build side must fit ONE
+      // post-shuffle partition in memory (no spill on the build side).
+      // Replicate Spark's partition assignment exactly — HashPartitioning
+      // uses Murmur3 (the SQL hash() function) pmod numPartitions — and
+      // report the max/median build-partition rows and bytes at this
+      // fixture. Kernel build side: (__g long, __id long) = 16 B payload
+      // (~48 B with row overhead); tfidf build side: (term string, doc_id
+      // long, w double) — measure actual string bytes.
+      val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val posting0 = posting(spark).localCheckpoint(false)
+      val rare = posting0.groupBy(col("__g"))
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df").between(2, 400))
+      val rp = posting0.join(rare.select(col("__g")), Seq("__g"))
+      val kStats = rp.groupBy(pmod(hash(col("__g")), lit(nPart)).as("p"))
+        .agg(count(lit(1)).as("rows"))
+        .agg(max(col("rows")).as("mx"),
+          expr("percentile(rows, 0.5)").as("md"), sum(col("rows")).as("tot"))
+        .collect()(0)
+      println(s"[opt] shjgate kernel rp build side: nPart=$nPart " +
+        s"maxRows=${kStats.get(0)} medianRows=${kStats.get(1)} " +
+        s"totalRows=${kStats.get(2)} maxBytes~=${kStats.getLong(0) * 48}")
+      val post = graft.llm.Search.postings(
+        docsWithNearDups(spark, sfDir), "text", "doc_id")
+      val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 400)
+      val w = post.join(dfT, Seq("term"))
+        .select(col("term"), col("doc_id"), lit(1.0).as("w"))
+      val tStats = w.groupBy(pmod(hash(col("term")), lit(nPart)).as("p"))
+        .agg(count(lit(1)).as("rows"),
+          sum(length(col("term")) + 48L).as("bytes"))
+        .agg(max(col("rows")).as("mxr"), max(col("bytes")).as("mxb"),
+          expr("percentile(bytes, 0.5)").as("mdb")).collect()(0)
+      println(s"[opt] shjgate tfidf w build side: nPart=$nPart " +
+        s"maxRows=${tStats.get(0)} maxBytes~=${tStats.get(1)} " +
+        s"medianBytes~=${tStats.get(2)}")
+    }
+
     if (which("celf10")) {
       // q139 CELF item-table materialization A/B: persist (batch min/max
       // stats prune the per-round candidate filters) vs eager raw-row
